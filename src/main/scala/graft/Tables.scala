@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated fixture tables (TESTDATA.md).
+  *
+  * At 100 TB scale these would be partitioned/bucketed catalog tables; here
+  * they are single parquet files per table. All downstream operators are
+  * written so that filters and projections reach the parquet scan
+  * (predicate pushdown + column pruning), which is what makes the same code
+  * survive the scale-up.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Tables small enough to broadcast on a 1000-executor cluster even at
+    * large SF (dimension tables stay fixed-size per TESTDATA.md). */
+  val broadcastable: Set[String] = Set("region", "nation", "supplier")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+    * to its microsecond TimestampType. Read it as a long (nanos since
+    * epoch) and convert with integer division — the fixture values are
+    * µs-precision so the ns→µs truncation is exact. (Double division would
+    * lose precision: ns epochs ≈ 1.7e18 exceed a double's 53-bit mantissa.)
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** `events` with `ts` left as raw nanos (long). Time-range predicates
+    * should be applied to this column as long literals (see
+    * [[graft.pipelines.FundingStats]]): a filter on the raw scan column
+    * reaches parquet row-group min/max pruning, while one wrapped in
+    * conversion arithmetic does not — at 100 TB that is the difference
+    * between scanning 120 days and scanning everything. */
+  def eventsRawTs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
