@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.pipelines.FundingStats
+import graft.queries.QueryDef
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,14 +19,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     FundingStats.build(spark, "/root/testdata/sf0.001")
 
+  private def registry: Seq[QueryDef] =
+    Seq(QueryDef("funding_stats",
+      (s: SparkSession, dir: String) => FundingStats.build(s, dir),
+      FundingStats.oracleSql)) ++
+      graft.queries.CleanseQueries.all ++
+      graft.queries.AggQueries.all ++
+      graft.queries.JoinQueries.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "funding_stats" -> ((s, dir) => FundingStats.build(s, dir))
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.impl).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "funding_stats" -> FundingStats.oracleSql
-  )
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.3: J1-J3 plus the free Spark extras and the
+  * as-of join extension).
+  *
+  * Scale discipline: dimension sides are broadcast explicitly
+  * (BroadcastHashJoin — no shuffle of the fact side); key-universe
+  * restriction is a `left_semi` (never a distinct + inner join, which
+  * would shuffle twice).
+  */
+object Joins {
+
+  /** J1: fact ⋈ broadcast dimension (funding_stats_etl.py:101 — the stats
+    * ⋈ live-futures join; dimension is 100s of rows vs a 120-day fact). */
+  def withDim(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), keys, "inner")
+
+  /** J2: restrict to the key universe of a dimension (left-semi). */
+  def semiByKeys(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), keys, "left_semi")
+
+  /** Rows with no match in the dimension (left-anti). */
+  def antiByKeys(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), keys, "left_anti")
+
+  /** As-of alignment *within one table*: for each `right`-tagged row, the
+    * latest `left`-tagged row of the same key at-or-before it in time.
+    *
+    * Implemented as a single window pass (`last(_, ignoreNulls)` over an
+    * unbounded-preceding frame) rather than a join: one shuffle on the key,
+    * no join explosion, no range-condition nested loop — the formulation
+    * that survives 100 TB. Events must be totally ordered per key by
+    * (time, tiebreak).
+    *
+    * @param isLeft  predicate marking reference rows (e.g. quotes/views)
+    * @param isRight predicate marking probe rows (e.g. trades/purchases)
+    * @return probe rows with `asof_time`/`asof_value` of the latest
+    *         reference row at-or-before each.
+    */
+  def asOfAligned(df: DataFrame, key: String, time: String, value: String,
+      isLeft: Column, isRight: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(time).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__asof_t",
+        last(when(isLeft, col(time)), ignoreNulls = true).over(w))
+      .withColumn("__asof_v",
+        last(when(isLeft, col(value)), ignoreNulls = true).over(w))
+      .filter(isRight)
+      .withColumnRenamed("__asof_t", "asof_time")
+      .withColumnRenamed("__asof_v", "asof_value")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Merge-upsert (SURVEY.md S7) — the reference's
+  * `INSERT ... ON CONFLICT (pkey) DO UPDATE` (funding_rates_etl.py:100-111,
+  * lending_data_etl.py:76-91) re-expressed for an immutable columnar store:
+  * read-existing ∪ new → keep the newest row per key → overwrite.
+  *
+  * `merge` is the pure dataframe combinator (unit-testable, oracle-
+  * checkable); `upsertParquet` is the sink wrapper. In streaming the same
+  * combinator runs inside `foreachBatch` (see graft.streaming.UpsertSink).
+  *
+  * Scale notes: the winner-per-key pick is max_by over a struct — a hash
+  * aggregation with map-side partial combine, which beats a row_number
+  * window (no sort, and pre-shuffle partial aggregation collapses
+  * re-delivered duplicates early). For 100 TB, partition the sink table
+  * (e.g. by date) and restrict the read-existing side to the partitions the
+  * batch touches.
+  */
+object Upsert {
+
+  /** Newest-wins merge: one row per `keys`, highest (version, isNew) wins —
+    * i.e. updates beat existing rows at equal version, matching the
+    * reference's last-write-wins upsert. */
+  def merge(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+      version: String): DataFrame = {
+    val cols = existing.columns.toSeq
+    require(updates.columns.toSeq == cols,
+      s"schema mismatch: ${updates.columns.toSeq} vs $cols")
+    val tagged = existing.withColumn("__new", lit(0))
+      .unionByName(updates.withColumn("__new", lit(1)))
+    // winner = arg-max of (version, __new) per key; struct comparison is
+    // lexicographic so updates win ties.
+    val payload = struct((Seq(version, "__new") ++
+      cols.filterNot(c => keys.contains(c) || c == version))
+      .map(col): _*)
+    tagged
+      .groupBy(keys.map(col): _*)
+      .agg(max(payload).as("__w"))
+      .select(keys.map(col) ++
+        cols.filterNot(keys.contains).map(c => col(s"__w.$c").as(c)): _*)
+      .select(cols.map(col): _*)
+  }
+
+  /** Idempotent batch upsert into a parquet path (read ∪ merge ∪ atomic
+    * overwrite). Applying the same batch twice ≡ once. */
+  def upsertParquet(updates: DataFrame, path: String, keys: Seq[String],
+      version: String): Unit = {
+    val spark = updates.sparkSession
+    val merged =
+      if (new java.io.File(path).exists) {
+        val existing = spark.read.parquet(path).select(
+          updates.columns.map(col).toIndexedSeq: _*)
+        merge(existing, updates, keys, version)
+      } else updates
+    // stage → atomic swap: parquet overwrite is not in-place safe when the
+    // source of the read is the target of the write.
+    val staged = merged.cache()
+    staged.count()
+    staged.write.mode("overwrite").parquet(path)
+    staged.unpersist()
+  }
+}

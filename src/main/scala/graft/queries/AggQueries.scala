@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, TopK, Upsert}
+
+/** Aggregation / dedup / sort / set-operation operators (SURVEY.md §2.4,
+  * §2.6, §2.7: A1-A8, O1-O3, U1 + the free extras: cube, rollup, exact and
+  * approximate percentiles, approx distinct).
+  *
+  * Float discipline for oracle parity: double sums are computed as exact
+  * DECIMAL sums cast back to double (decimal addition is associative;
+  * double addition is not, so plain sum(double) differs bitwise between
+  * engines and between partitionings). min/max/count are exact already.
+  */
+object AggQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // A1: hash group-by MIN (lowest lending rate per term,
+    // lending_data_etl.py:43-45) — partial+final HashAggregate, map-side
+    // combine makes this shuffle O(groups), not O(rows).
+    QueryDef("a1_groupby_min",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy((col("user_id") % 4).as("term"))
+        .agg(min("value").as("min_rate"))
+        .orderBy("term"),
+      """SELECT user_id % 4 AS term, min(value) AS min_rate
+        |FROM events GROUP BY 1 ORDER BY term""".stripMargin),
+
+    // A2: DISTINCT projection (distinct active symbols,
+    // funding_rates_etl.py:21).
+    QueryDef("a2_distinct",
+      (s, dir) => Tables.customer(s, dir)
+        .select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment"),
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"),
+
+    // A3: dedup on key subset with deterministic keep-FIRST (pandas
+    // drop_duplicates semantics, funding_rates_etl.py:95 — Spark's
+    // dropDuplicates keeps an arbitrary row; the row_number tie-break
+    // pins it).
+    QueryDef("a3_dedup_keepfirst",
+      (s, dir) => Dedup.keepFirst(
+        Tables.events(s, dir),
+        keys = Seq("user_id", "event_type"),
+        order = Seq(col("ts").asc, col("event_id").asc))
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type"),
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+
+    // A6: latest-value-per-group (newest funding rate per symbol,
+    // funding_stats_etl.py:77-80).
+    QueryDef("a6_latest_per_key",
+      (s, dir) => Dedup.keepFirst(
+        Tables.events(s, dir),
+        keys = Seq("user_id"),
+        order = Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "ts", "value")
+        .orderBy("user_id"),
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+
+    // TPC-H Q1-shaped pricing summary: the canonical multi-aggregate
+    // group-by, all sums via the exact-decimal discipline.
+    QueryDef("a4_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // Free extra: CUBE over two grouping columns (reference has none;
+    // Spark/DuckDB both native). NULLS FIRST pinned — Spark's ASC default
+    // is nulls-first, DuckDB's is nulls-last.
+    QueryDef("a8_cube",
+      (s, dir) => Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // Free extra: ROLLUP.
+    QueryDef("a9_rollup",
+      (s, dir) => Tables.orders(s, dir)
+        .rollup("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("o_orderpriority").asc_nulls_first),
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderpriority)
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin),
+
+    // Free extra: exact median per group (Spark `percentile` vs DuckDB
+    // `quantile_cont`, both linear-interpolated).
+    QueryDef("a10_percentile",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5D)").as("median_value"))
+        .orderBy("event_type"),
+      """SELECT event_type, quantile_cont(value, 0.5) AS median_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Free extra: HLL++ approximate distinct — algorithm-specific result,
+    // no cross-engine oracle (driver records rows-only).
+    QueryDef("a11_approx_distinct",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type"),
+      None),
+
+    // O1: multi-key sort (ORDER BY symbol ASC, funding_time DESC,
+    // funding_stats_etl.py:28-30).
+    QueryDef("o1_multisort",
+      (s, dir) => Tables.events(s, dir)
+        .select("user_id", "event_id", "ts", "value")
+        .orderBy(col("user_id").asc, col("ts").desc, col("event_id").asc),
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |FROM events ORDER BY user_id ASC, ts DESC, event_id ASC""".stripMargin),
+
+    // O2: global top-k — TakeOrderedAndProject (per-partition top-k +
+    // k-way merge; never a full sort).
+    QueryDef("o2_global_topk",
+      (s, dir) => TopK.global(Tables.events(s, dir)
+        .select("event_id", "user_id", "value"),
+        Seq(col("value").desc, col("event_id").asc), 10),
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY value DESC, event_id ASC LIMIT 10""".stripMargin),
+
+    // O2b: top-k per group (ranked window, one shuffle).
+    QueryDef("o2_topk_per_group",
+      (s, dir) => TopK.perGroup(
+        Tables.events(s, dir).select("event_type", "event_id", "value"),
+        groupCols = Seq("event_type"),
+        order = Seq(col("value").desc, col("event_id").asc), k = 3)
+        .orderBy("event_type", "rank"),
+      """SELECT event_type, event_id, value, rank FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id ASC) AS rank
+        |  FROM events)
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin),
+
+    // U1: UNION ALL (accumulate per-symbol frames,
+    // funding_stats_etl.py:99).
+    QueryDef("u1_union_all",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select("event_id", "event_type", "value")
+        e.filter(col("event_type") === "purchase")
+          .union(e.filter(col("event_type") === "error"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, event_type, value FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin),
+
+    // Free extra: INTERSECT (set semantics in both engines).
+    QueryDef("u2_intersect",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.filter(col("event_type") === "purchase").select("user_id")
+          .intersect(e.filter(col("event_type") === "error").select("user_id"))
+          .orderBy("user_id")
+      },
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin),
+
+    // Free extra: EXCEPT.
+    QueryDef("u3_except",
+      (s, dir) => {
+        // value threshold keeps both sides sparse so the difference set is
+        // non-empty (every user has every event type in the fixtures —
+        // unfiltered EXCEPT would be vacuously empty).
+        val e = Tables.events(s, dir).filter(col("value") > 190)
+        e.filter(col("event_type") === "view").select("user_id")
+          .except(e.filter(col("event_type") === "purchase").select("user_id"))
+          .orderBy("user_id")
+      },
+      """SELECT user_id FROM events WHERE event_type = 'view' AND value > 190
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 190
+        |ORDER BY user_id""".stripMargin),
+
+    // S7: merge-upsert — newest row per key wins across an existing table
+    // and an update batch (INSERT ... ON CONFLICT DO UPDATE,
+    // funding_rates_etl.py:100-111). Split the fixture at mid-month to
+    // simulate the two sides; result ≡ latest event per key overall.
+    QueryDef("s7_upsert",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select("user_id", "event_type", "ts", "event_id", "value")
+        val split = lit("2024-01-16 00:00:00").cast("timestamp")
+        def latestPerKey(df: org.apache.spark.sql.DataFrame) =
+          Dedup.keepFirst(df, Seq("user_id", "event_type"),
+            Seq(col("ts").desc, col("event_id").desc))
+        val existing = latestPerKey(e.filter(col("ts") < split))
+        val updates = latestPerKey(e.filter(col("ts") >= split))
+        Upsert.merge(existing, updates, Seq("user_id", "event_type"), "ts")
+          .select("user_id", "event_type", "ts", "event_id", "value")
+          .orderBy("user_id", "event_type")
+      },
+      """SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |FROM (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+  )
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Joins
+
+/** Join operators (SURVEY.md §2.3: J1-J3 + the free outer/anti extras and
+  * the as-of alignment extension). Dimension sides broadcast explicitly —
+  * at 100 TB the fact side never shuffles for any of these.
+  */
+object JoinQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // J1: inner equi-join fact ⋈ broadcast dimension
+    // (funding_stats_etl.py:101).
+    QueryDef("j1_broadcast_join",
+      (s, dir) => Joins.withDim(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+        Tables.part(s, dir).select("p_partkey", "p_name", "p_retailprice")
+          .withColumnRenamed("p_partkey", "l_partkey"),
+        Seq("l_partkey"))
+        .select("l_orderkey", "l_linenumber", "p_name", "p_retailprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber, p_name, p_retailprice
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // J2: key-universe semi-join (stats only for live symbols,
+    // funding_stats_etl.py:70-73).
+    QueryDef("j2_semi_join",
+      (s, dir) => Joins.semiByKeys(
+        Tables.events(s, dir).select("event_id", "user_id", "value"),
+        Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("user_id")),
+        Seq("user_id"))
+        .orderBy("event_id"),
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |ORDER BY event_id""".stripMargin),
+
+    // Free extra: anti-join (rows with no dimension match).
+    QueryDef("j3_anti_join",
+      (s, dir) => Joins.antiByKeys(
+        Tables.events(s, dir).select("event_id", "user_id", "value"),
+        Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("user_id")),
+        Seq("user_id"))
+        .orderBy("event_id"),
+      """SELECT event_id, user_id, value FROM events
+        |WHERE NOT EXISTS (SELECT 1 FROM customer
+        |                  WHERE c_custkey = user_id AND c_acctbal > 5000)
+        |ORDER BY event_id""".stripMargin),
+
+    // Free extra: left outer join (null-extending dimension miss).
+    QueryDef("j4_left_outer",
+      (s, dir) => Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_name"))),
+          Seq("o_custkey"), "left")
+        .select("o_orderkey", "o_totalprice", "c_name")
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey, o_totalprice, c_name
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Extension: as-of alignment — for each purchase, the latest view by
+    // the same user at-or-before it. Single window pass (no join, no range
+    // nested-loop): the 100 TB-safe as-of formulation.
+    QueryDef("j5_asof_align",
+      (s, dir) => Joins.asOfAligned(
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select("event_id", "user_id", "event_type", "ts", "value"),
+        key = "user_id", time = "ts", value = "value",
+        isLeft = col("event_type") === "view",
+        isRight = col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value", "asof_time", "asof_value")
+        .orderBy("event_id"),
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |       CAST(asof_time AS TIMESTAMP) AS asof_time, asof_value
+        |FROM (
+        |  SELECT event_id, user_id, ts, value, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_time,
+        |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |  FROM events WHERE event_type IN ('view', 'purchase'))
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin)
+  )
+}
