@@ -25,7 +25,10 @@ object SparkEntry {
       FundingStats.oracleSql)) ++
       graft.queries.CleanseQueries.all ++
       graft.queries.AggQueries.all ++
-      graft.queries.JoinQueries.all
+      graft.queries.JoinQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.SimilarityQueries.all ++
+      graft.queries.PipelineQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for the large-scale training-data pipeline
+  * surface: tokenization, quality signals, language ID, fingerprinting.
+  *
+  * Everything is built from codegen'd Spark built-ins (split /
+  * regexp_extract_all / higher-order array functions) — no UDFs, so the
+  * whole text pipeline stays inside whole-stage codegen and scales with
+  * the scan.
+  *
+  * Portability note: content hashes go through md5 (identical across
+  * engines) rather than Spark's xxhash64/hash (engine-specific seeds), so
+  * every derived operator (minhash, simhash, rolling fingerprints) is
+  * exactly reproducible outside Spark — which is also what makes the
+  * DuckDB differential oracle possible.
+  */
+object TextFns {
+
+  /** Whitespace tokens (the reference-grade tokenizer). */
+  def tokensWs(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish regex tokens: letter runs, single digits, single
+    * punctuation — a deterministic stand-in for a real BPE vocab. */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def tokensBpe(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenRe), lit(0))
+
+  /** Portable 60-bit content hash: first 15 hex digits of md5 → long.
+    * Stable across engines, partitionings and runs. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** [[hash60]] reduced mod (2^31 − 1): small enough that k×h+b stays
+    * far from long overflow in minhash/rolling-hash arithmetic (engines
+    * disagree on overflow behavior — Spark wraps, DuckDB errors). */
+  def hash31(c: Column): Column = hash60(c) % 2147483647L
+
+  /** Stopword marker sets per language (tiny, deterministic — enough for
+    * an n-gram-free heuristic language ID). */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un"))
+
+  /** Number of tokens contained in `words` (counted with multiplicity). */
+  def tokenHitCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words: _*)))
+
+  /** Count of punctuation characters (fixed class, both engines). */
+  val PunctRe = "[.,!?;:]"
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, PunctRe, ""))
+
+  /** Rolling polynomial fingerprint over BPE tokens:
+    * fold(acc = acc×31 + hash31(tok) mod (2^31−1), acc₀ = 0). All values
+    * stay < 2^36 so the arithmetic is overflow-free in every engine. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(tokensBpe(text), t => hash31(t)),
+      lit(0L),
+      (acc, h) => (acc * 31L + h) % 2147483647L)
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw media row: id + opaque binary payload (image/audio/video bytes). */
+final case class MediaRaw(doc_id: Long, payload: Array[Byte])
+
+/** Decoded media metadata — what a real decoder would emit. */
+final case class MediaMeta(doc_id: Long, n_bytes: Long, sha256: String,
+    width: Int, height: Int, n_frames: Int)
+
+/** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded partition-by-partition.
+  *
+  * The Spark-side shape is the real thing — binary column, typed
+  * `Dataset[MediaRaw] → mapPartitions → Dataset[MediaMeta]`, per-partition
+  * batching (a real decoder amortizes codec init across a partition,
+  * exactly like a Pandas-UDF batch would) — while the decode itself is a
+  * STUB: the image/audio libraries are not in this container, so
+  * [[stubDecode]] derives deterministic fake dimensions from the payload
+  * bytes. Swap `stubDecode` for a JNI/javacv call and nothing else
+  * changes.
+  *
+  * Scale notes: payloads never pass through a shuffle here (decode is a
+  * narrow map); metadata extraction prunes the binary column as soon as
+  * possible so downstream stages move kilobytes, not media bytes.
+  */
+object Multimodal {
+
+  /** Attach a binary payload column (fixtures: the document text's UTF-8
+    * bytes stand in for media bytes). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  /** STUB decoder — deterministic fake of an image decode. A real
+    * implementation would parse the codec header here. */
+  def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length.toLong
+    (64 + (n % 512).toInt, 64 + ((n * 7) % 512).toInt, 1 + (n % 8).toInt)
+  }
+
+  /** Per-partition metadata extraction over the binary column. */
+  def extractMeta(docs: DataFrame): Dataset[MediaMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPayload(docs).select(col("doc_id"), col("payload")).as[MediaRaw]
+      .mapPartitions { it =>
+        // one digest per partition ≙ one codec context per batch
+        val md = MessageDigest.getInstance("SHA-256")
+        it.map { r =>
+          val (w, h, frames) = stubDecode(r.payload)
+          md.reset()
+          val sha = md.digest(r.payload).map("%02x".format(_)).mkString
+          MediaMeta(r.doc_id, r.payload.length.toLong, sha, w, h, frames)
+        }
+      }
+  }
+}

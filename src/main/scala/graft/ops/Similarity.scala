@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Similarity search over embedding columns (`ArrayType(FloatType)`).
+  *
+  * Two tiers, as a 100 TB design demands:
+  *   - [[bruteForceTopK]]: exact cosine top-k for ONE query vector —
+  *     broadcast the query, one scan, TakeOrderedAndProject (per-partition
+  *     top-k + k-way merge; no global sort, no shuffle of the corpus).
+  *   - [[lshTopKNeighbors]] / [[nearDupPairs]]: all-vectors variants that
+  *     restrict the candidate space to LSH buckets (axis-sign hyperplanes,
+  *     [[VectorFns.signBucket]]) — the pair space shrinks from O(n²) to
+  *     O(Σ bucket²), and the bucket join is a plain shuffle-on-key
+  *     equality join. Recall is the LSH trade; the algorithm is
+  *     deterministic, so results remain exactly reproducible.
+  */
+object Similarity {
+
+  /** Exact top-k nearest to the vector of `queryId` (excluded from
+    * results), by cosine. */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(VectorFns.toDouble(col("embedding")).as("qv"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorFns.cosine(VectorFns.toDouble(col("embedding")), col("qv"))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Vectors with their LSH bucket and norm, ready for bucketed joins. */
+  private def bucketed(emb: DataFrame, bits: Int): DataFrame =
+    emb.select(
+      col("vec_id"),
+      VectorFns.toDouble(col("embedding")).as("v"),
+      VectorFns.signBucket(col("embedding"), bits).as("bucket"))
+
+  /** Per-vector top-k neighbors *within the same LSH bucket*. */
+  def lshTopKNeighbors(emb: DataFrame, bits: Int, k: Int): DataFrame = {
+    val b = bucketed(emb, bits)
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nb_id"),
+        VectorFns.cosine(col("x.v"), col("y.v")).as("cos_sim"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("nb_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
+    * restricted to same-bucket pairs. */
+  def nearDupPairs(emb: DataFrame, bits: Int, threshold: Double): DataFrame = {
+    val b = bucketed(emb, bits)
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        VectorFns.cosine(col("x.v"), col("y.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

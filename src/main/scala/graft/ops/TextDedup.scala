@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Document deduplication family for the training-data pipeline surface:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale shape (the part that matters at 100 TB): no operator here ever
+  * forms the all-pairs O(n²) space. Candidates come from equality joins on
+  * LSH bucket keys (shuffle on the bucket hash, pairs only within
+  * buckets); only candidates pay the exact-verification cost. All hashes
+  * derive from md5 ([[TextFns.hash60]]) so results are engine- and
+  * layout-independent.
+  */
+object TextDedup {
+
+  /** Exact dedup on a normalized content fingerprint — keep the lowest id
+    * per group (deterministic, pandas keep-first flavored). */
+  def exactByFingerprint(docs: DataFrame, fpCol: String = "fp"): DataFrame = {
+    val fp = md5(lower(trim(col("text"))))
+    Dedup.keepFirst(docs.withColumn(fpCol, fp), Seq(fpCol),
+      Seq(col("doc_id").asc))
+  }
+
+  /** Distinct word-level 3-gram shingles per document:
+    * (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("__toks", TextFns.tokensWs(lower(col("text"))))
+      .withColumn("shingle", explode(array_distinct(
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
+          .otherwise(array().cast("array<string>")))))
+      .select("doc_id", "shingle")
+
+  /** MinHash signatures: k permutation-hashes h_i(x) = (a_i·x + b_i) mod p
+    * over shingle hashes; signature_i = min over the doc's shingles.
+    * One explode + one hash aggregation — map-side partial combine keeps
+    * the shuffle at O(docs × k), not O(shingles). */
+  val P: Long = 2147483647L
+  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val h = TextFns.hash31(col("shingle"))
+    val aggs = (0 until k).map { i =>
+      min((h * (2 * i + 3) + (5 * i + 7)) % P).as(s"mh_$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the k-wide signature into `bands` rows of
+    * `k/bands` values; docs agreeing on any whole band become candidate
+    * pairs via an equality self-join on (band_idx, band values). */
+  def lshCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        // uniform field names so the band structs share one array type
+        struct((0 until r).map(i => col(s"mh_${b * r + i}").as(s"v$i")): _*)
+      }: _*)).as(Seq("band_idx", "band")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the true
+    * shingle sets; keeps pairs with similarity ≥ threshold. */
+  def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.toDF("doc_a", "shingle"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cands
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline:
+    * shingle → sign → band → candidate join → exact-Jaccard verify. */
+  def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.4): DataFrame = {
+    val sh = shingles(docs)
+    verifyJaccard(lshCandidates(minHashSignatures(sh, k), k, bands), sh, threshold)
+  }
+
+  /** SimHash fingerprints (`bits` wide, ≤ 60): per token-hash bit,
+    * sum ±1 over the doc's tokens (with multiplicity); bit j of the
+    * fingerprint = sign of sum_j. One explode + one aggregation. */
+  def simHash(docs: DataFrame, bits: Int = 48): DataFrame = {
+    val toks = docs
+      .withColumn("__tok", explode(TextFns.tokensWs(lower(col("text")))))
+      .withColumn("__h", TextFns.hash60(col("__tok")))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("__h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s_$j")
+    }
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until bits).map { j =>
+          when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _))
+      .select("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup pairs: band the fingerprint into `chunks` equal bit
+    * ranges (pigeonhole: hamming ≤ chunks−1 ⟹ some chunk equal), join on
+    * chunk equality, verify with exact bit_count(xor) ≤ maxHamming. */
+  def simHashNearDups(docs: DataFrame, bits: Int = 48, chunks: Int = 4,
+      maxHamming: Int = 6): DataFrame = {
+    val width = bits / chunks
+    val fp = simHash(docs, bits)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("simhash"), c * width) % (1L << width)
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    banded.as("x").join(banded.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Similarity
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  * Oracles mirror the exact left-fold arithmetic (see VectorFns), so
+  * cosine values match bitwise.
+  */
+object SimilarityQueries {
+
+  /** DuckDB left-fold dot product of double lists `a`·`b` (b indexed). */
+  private def dkDot(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform($a, (x,i) -> x * $b[i])), (p,q) -> p + q)"
+  private def dkNorm(a: String) = s"sqrt(${dkDot(a, a)})"
+  private def dkCos(a: String, b: String) =
+    s"(${dkDot(a, b)} / (${dkNorm(a)} * ${dkNorm(b)}))"
+  private val toD = "list_transform(embedding, x -> x::DOUBLE)"
+  /** Axis-sign LSH bucket over the first 4 coordinates (16 buckets). */
+  private def dkBucket(e: String) = (0 until 4).map { j =>
+    s"(CASE WHEN $e[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString("(", " + ", ")")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Brute-force exact cosine top-k for one query vector — the ANN
+    // baseline: broadcast query, one scan, per-partition top-k merge.
+    QueryDef("e1_cosine_topk",
+      (s, dir) => Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir), queryId = 0L, k = 10),
+      s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, ${dkCos("e.v", "qv")} AS cos_sim
+         |FROM e, q WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin),
+
+    // LSH-bucketed ANN: per-vector top-3 neighbors within the same
+    // axis-sign bucket — the scale path (candidate space shrinks from
+    // O(n²) to O(Σ bucket²); bucket join is a plain equality shuffle).
+    QueryDef("e2_ann_lsh_topk",
+      (s, dir) => Similarity.lshTopKNeighbors(
+        Tables.embeddings(s, dir), bits = 4, k = 3)
+        .orderBy("vec_id", "rank"),
+      s"""WITH e AS (SELECT vec_id, $toD AS v,
+         |    ${dkBucket("embedding")} AS bucket FROM embeddings),
+         |p AS (SELECT x.vec_id, y.vec_id AS nb_id,
+         |    ${dkCos("x.v", "y.v")} AS cos_sim
+         |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |r AS (SELECT vec_id, nb_id, cos_sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos_sim DESC, nb_id ASC) AS rank
+         |  FROM p)
+         |SELECT vec_id, nb_id, cos_sim, rank FROM r WHERE rank <= 3
+         |ORDER BY vec_id, rank""".stripMargin),
+
+    // Embedding-cosine near-duplicate pairs (bucketed candidates,
+    // threshold 0.35 — the fixtures' max pair similarity is ~0.51).
+    QueryDef("d4_embed_neardup",
+      (s, dir) => Similarity.nearDupPairs(
+        Tables.embeddings(s, dir), bits = 4, threshold = 0.35)
+        .orderBy("vec_a", "vec_b"),
+      s"""WITH e AS (SELECT vec_id, $toD AS v,
+         |    ${dkBucket("embedding")} AS bucket FROM embeddings)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  ${dkCos("x.v", "y.v")} AS cos_sim
+         |FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${dkCos("x.v", "y.v")} >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin)
+  )
+}

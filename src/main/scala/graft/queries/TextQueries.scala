@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.ops.{Dedup, Multimodal, TextDedup}
+
+/** Text-analysis + document-dedup + multimodal operators over the
+  * `documents` table — the training-data-pipeline extension surface.
+  * Every oracle mirrors the Spark arithmetic operation-for-operation
+  * (portable md5-derived hashes, left-fold accumulations, single-division
+  * ratios), so even the approximate algorithms (MinHash banding, SimHash)
+  * hash-match exactly.
+  */
+object TextQueries {
+
+  private val bpeRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  /** DuckDB spelling of [[TextFns.hash60]] / hash31. */
+  private def dkHash60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
+  private def dkHash31(e: String) = s"(${dkHash60(e)} % 2147483647)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Token counting: chars, whitespace tokens, BPE-ish regex tokens.
+    QueryDef("t1_token_count",
+      (s, dir) => Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("char_len"),
+          size(TextFns.tokensWs(col("text"))).cast("long").as("ws_tokens"),
+          size(TextFns.tokensBpe(col("text"))).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id, length(text)::BIGINT AS char_len,
+         |  len(regexp_split_to_array(text, '\\s+'))::BIGINT AS ws_tokens,
+         |  len(regexp_extract_all(text, '$bpeRe'))::BIGINT AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Quality scoring: length/punctuation/stopword signals + combined
+    // score (single-division ratios, fixed-order weighted sum).
+    QueryDef("t2_text_quality",
+      (s, dir) => {
+        val toks = TextFns.tokensWs(lower(col("text")))
+        val nToks = size(toks).cast("long")
+        val sumTokLen = aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (a, b) => a + b)
+        val punct = TextFns.punctCount(col("text")).cast("long")
+        val stops = TextFns.tokenHitCount(toks, TextFns.Stopwords("en"))
+          .cast("long")
+        val avgTokLen = sumTokLen.cast("double") / nToks
+        val punctRatio = punct.cast("double") / length(col("text"))
+        val stopRatio = stops.cast("double") / nToks
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("char_len"),
+            nToks.as("n_tokens"),
+            avgTokLen.as("avg_token_len"),
+            punctRatio.as("punct_ratio"),
+            stopRatio.as("stop_ratio"),
+            (stopRatio * 0.4 + least(avgTokLen / 10.0, lit(1.0)) * 0.3 +
+              (lit(1.0) - punctRatio) * 0.3).as("quality_score"))
+          .orderBy("doc_id")
+      },
+      s"""WITH t AS (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+         |m AS (SELECT doc_id, text, toks,
+         |    len(toks)::BIGINT AS n_tokens,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(toks, t -> length(t)::BIGINT)), (a,b) -> a+b) AS sum_tok_len,
+         |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS punct,
+         |    len(list_filter(toks,
+         |      t -> t IN ('the','a','of','and','to','in','is')))::BIGINT AS stops
+         |  FROM t)
+         |SELECT doc_id, length(text)::BIGINT AS char_len, n_tokens,
+         |  sum_tok_len::DOUBLE / n_tokens AS avg_token_len,
+         |  punct::DOUBLE / length(text) AS punct_ratio,
+         |  stops::DOUBLE / n_tokens AS stop_ratio,
+         |  (stops::DOUBLE / n_tokens) * 0.4
+         |    + least((sum_tok_len::DOUBLE / n_tokens) / 10.0, 1.0) * 0.3
+         |    + (1.0 - punct::DOUBLE / length(text)) * 0.3 AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin),
+
+    // Language ID: stopword-marker hit counts per language, deterministic
+    // argmax with fixed tie-break order (en > de > fr > es > und).
+    QueryDef("t3_lang_id",
+      (s, dir) => {
+        val toks = TextFns.tokensWs(lower(col("text")))
+        val hits = Seq("en", "de", "fr", "es").map { l =>
+          l -> TextFns.tokenHitCount(toks, TextFns.Stopwords(l)).cast("long")
+        }
+        val Seq(en, de, fr, es) = hits.map(_._2)
+        Tables.documents(s, dir)
+          .select(Seq(col("doc_id")) ++
+            hits.map { case (l, c) => c.as(s"${l}_hits") } :+
+            when(en >= de && en >= fr && en >= es && en > 0, "en")
+              .when(de >= fr && de >= es && de > 0, "de")
+              .when(fr >= es && fr > 0, "fr")
+              .when(es > 0, "es")
+              .otherwise("und").as("lang_pred"): _*)
+          .orderBy("doc_id")
+      },
+      {
+        def hits(l: String) = {
+          val ws = TextFns.Stopwords(l).map(w => s"'$w'").mkString(",")
+          s"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ($ws)))::BIGINT"
+        }
+        s"""WITH h AS (SELECT doc_id,
+           |  ${hits("en")} AS en_hits, ${hits("de")} AS de_hits,
+           |  ${hits("fr")} AS fr_hits, ${hits("es")} AS es_hits
+           |FROM documents)
+           |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+           |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits
+           |            AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+           |       WHEN de_hits >= fr_hits AND de_hits >= es_hits
+           |            AND de_hits > 0 THEN 'de'
+           |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+           |       WHEN es_hits > 0 THEN 'es'
+           |       ELSE 'und' END AS lang_pred
+           |FROM h ORDER BY doc_id""".stripMargin
+      }),
+
+    // Document fingerprinting: md5 content hash, 60-bit portable hash,
+    // rolling polynomial hash over BPE tokens.
+    QueryDef("t4_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(col("text")).as("content_md5"),
+          TextFns.hash60(col("text")).as("content_h60"),
+          TextFns.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id, md5(text) AS content_md5,
+         |  ${dkHash60("text")} AS content_h60,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(regexp_extract_all(text, '$bpeRe'),
+         |                   t -> ${dkHash31("t")})),
+         |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Corpus stats rollup per source (integer sums — exact everywhere).
+    QueryDef("t5_doc_stats_by_source",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("source"),
+      """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+        |  sum(n_chars)::DOUBLE / count(*) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // Exact dedup on a normalized 40-char-prefix fingerprint (the
+    // fixtures contain planted shared-prefix near-dups), keep-first.
+    QueryDef("d1_dedup_exact",
+      (s, dir) => Dedup.keepFirst(
+        Tables.documents(s, dir)
+          .withColumn("fp", md5(substring(col("text"), 1, 40))),
+        keys = Seq("fp"), order = Seq(col("doc_id").asc))
+        .select("doc_id", "fp")
+        .orderBy("doc_id"),
+      """SELECT doc_id, fp FROM (
+        |  SELECT doc_id, md5(substr(text, 1, 40)) AS fp,
+        |    row_number() OVER (PARTITION BY md5(substr(text, 1, 40))
+        |                       ORDER BY doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    // MinHash + LSH near-dup detection: shingle → 16 minhashes → 4 bands
+    // → candidate equality-join → exact-Jaccard verify ≥ 0.4. The oracle
+    // replays the identical algorithm, so the (intentionally) recall-
+    // limited banding output matches exactly.
+    QueryDef("d2_minhash_lsh",
+      (s, dir) => TextDedup.minHashNearDups(
+        Tables.documents(s, dir), k = 16, bands = 4, threshold = 0.4)
+        .orderBy("doc_a", "doc_b"),
+      {
+        val k = 16; val r = 4
+        val mins = (0 until k).map(i =>
+          s"min((hv * ${2 * i + 3} + ${5 * i + 7}) % 2147483647) AS mh_$i")
+          .mkString(",\n    ")
+        val bandSel = (0 until k / r).map { b =>
+          val vs = (0 until r).map(i => s"mh_${b * r + i} AS v$i").mkString(", ")
+          s"SELECT doc_id, $b AS band_idx, $vs FROM sig"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS (SELECT doc_id,
+           |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+           |sh0 AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+           |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+           |      i -> array_to_string(toks[i:i+2], ' ')))
+           |  ELSE [] END AS shs FROM t),
+           |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
+           |h AS (SELECT doc_id, shingle, ${dkHash31("shingle")} AS hv FROM sh),
+           |sig AS (SELECT doc_id,
+           |    $mins
+           |  FROM h GROUP BY doc_id),
+           |bands AS (
+           |  $bandSel
+           |),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx
+           |    AND x.v0 = y.v0 AND x.v1 = y.v1 AND x.v2 = y.v2 AND x.v3 = y.v3
+           |    AND x.doc_id < y.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+           |  FROM cand c
+           |  JOIN sh a ON a.doc_id = c.doc_a
+           |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+           |  GROUP BY c.doc_a, c.doc_b)
+           |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+           |  coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) AS jaccard
+           |FROM cand c
+           |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+           |JOIN sizes sa ON sa.doc_id = c.doc_a
+           |JOIN sizes sb ON sb.doc_id = c.doc_b
+           |WHERE coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.4
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // SimHash near-dup detection: 48-bit fingerprints, 4-chunk pigeonhole
+    // banding, exact hamming ≤ 6 verification.
+    QueryDef("d3_simhash",
+      (s, dir) => TextDedup.simHashNearDups(
+        Tables.documents(s, dir), bits = 48, chunks = 4, maxHamming = 6)
+        .orderBy("doc_a", "doc_b"),
+      {
+        val bits = 48; val chunks = 4; val width = bits / chunks
+        val sums = (0 until bits).map(j =>
+          s"sum(CASE WHEN (hv >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s_$j")
+          .mkString(",\n    ")
+        val fpExpr = (0 until bits).map(j =>
+          s"(CASE WHEN s_$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
+          .mkString(" + ")
+        val chunkRows = (0 until chunks).map(c =>
+          s"SELECT doc_id, simhash, $c AS chunk_idx, (simhash >> ${c * width}) % ${1L << width} AS chunk FROM fp")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH tok AS (SELECT doc_id,
+           |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS tk FROM documents),
+           |h AS (SELECT doc_id, ${dkHash60("tk")} AS hv FROM tok),
+           |s AS (SELECT doc_id,
+           |    $sums
+           |  FROM h GROUP BY doc_id),
+           |fp AS (SELECT doc_id, $fpExpr AS simhash FROM s),
+           |b AS (
+           |  $chunkRows
+           |),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |    x.simhash AS sa, y.simhash AS sb
+           |  FROM b x JOIN b y ON x.chunk_idx = y.chunk_idx
+           |    AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+           |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+           |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // Multimodal metadata: binary payload column → per-partition (stub)
+    // decode via typed mapPartitions. Oracle mirrors the deterministic
+    // stub formulas over the same bytes.
+    QueryDef("m1_multimodal_meta",
+      (s, dir) => Multimodal.extractMeta(Tables.documents(s, dir))
+        .toDF()
+        .orderBy("doc_id"),
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256,
+        |  64 + octet_length(encode(text)) % 512 AS width,
+        |  64 + (octet_length(encode(text)) * 7) % 512 AS height,
+        |  1 + octet_length(encode(text)) % 8 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}
