@@ -1,16 +1,20 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector functions over `ArrayType(FloatType)` columns,
-  * built from Spark's higher-order array functions (`zip_with` /
-  * `aggregate` / `transform`) — codegen-friendly, no UDFs.
+/** Embedding-vector functions over `ArrayType(FloatType)` columns.
   *
   * Determinism: dot products are LEFT FOLDS with a 0.0 seed over
   * double-cast elements. Double addition is order-sensitive; fixing the
   * fold order makes every similarity bitwise-reproducible across engines
   * and partition layouts (the DuckDB oracle mirrors the same fold).
+  *
+  * The dot product itself is a custom codegen'd Catalyst expression
+  * ([[ArrayDotProduct]]) — the higher-order `aggregate`/`zip_with`
+  * formulation ([[dotHof]]) computes the same value but pays an
+  * interpreted lambda call per element, which dominates O(pairs × dims)
+  * similarity joins.
   */
 object VectorFns {
 
@@ -18,8 +22,14 @@ object VectorFns {
     * float×float arithmetic differs between engines). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Left-fold dot product of two double vectors. */
+  /** Left-fold dot product of two double vectors (codegen'd loop). */
   def dot(a: Column, b: Column): Column =
+    GraftSql.column(ArrayDotProduct(
+      GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** Higher-order-function dot product — same left-fold semantics as
+    * [[dot]], kept as the cross-check reference for tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
 
   /** L2 norm (left-fold sum of squares, then sqrt). */

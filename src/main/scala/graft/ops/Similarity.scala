@@ -35,12 +35,21 @@ object Similarity {
       .limit(k)
   }
 
-  /** Vectors with their LSH bucket and norm, ready for bucketed joins. */
+  /** Vectors with their LSH bucket and norm, ready for bucketed joins.
+    * The norm is computed ONCE per vector here — a pair join that calls
+    * [[VectorFns.cosine]] would recompute both norms per candidate pair,
+    * turning O(n·d) work into O(pairs·d). Same arithmetic, same values. */
   private def bucketed(emb: DataFrame, bits: Int): DataFrame =
     emb.select(
       col("vec_id"),
       VectorFns.toDouble(col("embedding")).as("v"),
       VectorFns.signBucket(col("embedding"), bits).as("bucket"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+
+  /** Cosine from a pair's dot product and precomputed norms — identical
+    * operation order to [[VectorFns.cosine]] (dot / (‖a‖·‖b‖)). */
+  private def pairCosine: Column =
+    VectorFns.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))
 
   /** Per-vector top-k neighbors *within the same LSH bucket*. */
   def lshTopKNeighbors(emb: DataFrame, bits: Int, k: Int): DataFrame = {
@@ -49,7 +58,7 @@ object Similarity {
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nb_id"),
-        VectorFns.cosine(col("x.v"), col("y.v")).as("cos_sim"))
+        pairCosine.as("cos_sim"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos_sim").desc, col("nb_id").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -64,7 +73,7 @@ object Similarity {
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        VectorFns.cosine(col("x.v"), col("y.v")).as("cos_sim"))
+        pairCosine.as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

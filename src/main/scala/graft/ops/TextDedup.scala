@@ -128,16 +128,17 @@ object TextDedup {
       posexplode(array((0 until chunks).map { c =>
         shiftright(col("simhash"), c * width) % (1L << width)
       }: _*)).as(Seq("chunk_idx", "chunk")))
+    // Hamming filter BEFORE the candidate-dedup distinct: the per-row
+    // bit_count is nearly free, while distinct shuffles its whole input —
+    // filtering first shrinks that shuffle to surviving pairs only
+    // (same result; filter and duplicate-elimination commute).
     banded.as("x").join(banded.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&
           col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.ops.Similarity
+
+class VectorFnsSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("codegen'd dot product is bitwise-identical to the higher-order fold") {
+    val v = VectorFns.toDouble(col("embedding"))
+    val rows = emb.limit(200)
+      .select(VectorFns.dot(v, v).as("fast"), VectorFns.dotHof(v, v).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case Row(fast: Double, hof: Double) =>
+      assert(java.lang.Double.doubleToLongBits(fast) ===
+        java.lang.Double.doubleToLongBits(hof))
+    }
+  }
+
+  test("dot product null handling: null array yields null") {
+    val df = spark.sql(
+      "SELECT CAST(NULL AS array<double>) AS a, array(1.0d, 2.0d) AS b")
+    val r = df.select(VectorFns.dot(col("a"), col("b"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("brute-force top-k is self-consistent with pairwise cosine") {
+    val top = Similarity.bruteForceTopK(emb, queryId = 0L, k = 5).collect()
+    assert(top.length === 5)
+    val sims = top.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse), "descending order")
+  }
+}
