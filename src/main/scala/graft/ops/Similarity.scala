@@ -65,6 +65,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * cells around `nCentroids` centroid vectors, then search only the
+    * query's `nProbe` nearest cells.
+    *
+    * Centroid "training" is deterministic — the vectors with
+    * `vec_id < nCentroids` ARE the centroids (a fixed-seed stand-in for
+    * k-means; swapping in trained centroids changes recall, not the
+    * plan shape). At scale: centroids broadcast (tiny), cell assignment
+    * is one narrow pass over the corpus, and the probe restricts the
+    * final scoring scan to ~nProbe/nCentroids of the data. Everything is
+    * deterministic, so the approximate result is oracle-checkable. */
+  def ivfTopK(emb: DataFrame, nCentroids: Int, nProbe: Int,
+      queryId: Long, k: Int): DataFrame = {
+    val e = emb.select(
+      col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+    val c = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val scored = e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("cid"),
+        (VectorFns.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+          .as("ccos"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val ranked = scored.withColumn("rn", row_number().over(w))
+    val cell = ranked.filter(col("rn") === 1).select("vec_id", "cid")
+    val probed = ranked.filter(col("vec_id") === queryId &&
+      col("rn") <= nProbe).select("cid")
+    val cands = cell.join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= queryId).select("vec_id")
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    e.join(cands, Seq("vec_id")).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (VectorFns.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
     * restricted to same-bucket pairs. */
   def nearDupPairs(emb: DataFrame, bits: Int, threshold: Double): DataFrame = {

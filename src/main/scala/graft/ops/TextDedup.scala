@@ -99,6 +99,30 @@ object TextDedup {
     verifyJaccard(lshCandidates(minHashSignatures(sh, k), k, bands), sh, threshold)
   }
 
+  /** Direct n-gram Jaccard near-dup pairs — no MinHash approximation in
+    * candidate generation; instead an inverted shingle index with a
+    * document-frequency cap: only shingles appearing in 2..maxDF docs
+    * generate candidate pairs (a pair ALL of whose shared shingles are
+    * ultra-common is missed — the standard posting-list-cap trade that
+    * keeps the candidate join bounded by O(maxDF²) per shingle instead of
+    * O(corpus²) for stopword shingles). Candidates then get exact Jaccard
+    * verification over the full shingle sets. */
+  def ngramJaccardDups(docs: DataFrame, n: Int = 3, maxDF: Int = 20,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDF)
+      .select("shingle")
+    val posting = sh.join(rare, Seq("shingle"))
+    val cands = posting.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(posting.select(col("shingle"), col("doc_id").as("doc_b")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+
   /** SimHash fingerprints (`bits` wide, ≤ 60): per token-hash bit,
     * sum ±1 over the doc's tokens (with multiplicity); bit j of the
     * fingerprint = sign of sum_j. One explode + one aggregation. */

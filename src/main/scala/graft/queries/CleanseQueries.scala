@@ -23,6 +23,34 @@ object CleanseQueries {
         .orderBy("p_partkey"),
       "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey"),
 
+    // P2: column drop (the _sa_instance_state drop,
+    // funding_stats_etl.py:34).
+    QueryDef("p2_drop_col",
+      (s, dir) => Tables.part(s, dir)
+        .drop("p_brand", "p_type")
+        .orderBy("p_partkey"),
+      """SELECT p_partkey, p_name, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // P9: existence probe (query(...).first() is None,
+    // funding_rates_etl.py:26-29) — LIMIT-1 fast path, no full scan.
+    QueryDef("p9_existence_probe",
+      (s, dir) => {
+        def probe(label: String, pred: org.apache.spark.sql.Column) =
+          Tables.orders(s, dir).filter(pred).limit(1)
+            .agg((count(lit(1)) === 0).as("is_empty"))
+            .select(lit(label).as("probe"), col("is_empty"))
+        probe("neg_price", col("o_totalprice") < 0)
+          .union(probe("pos_price", col("o_totalprice") > 0))
+          .orderBy("probe")
+      },
+      """SELECT 'neg_price' AS probe, count(*) = 0 AS is_empty
+        |FROM (SELECT 1 FROM orders WHERE o_totalprice < 0 LIMIT 1)
+        |UNION ALL
+        |SELECT 'pos_price', count(*) = 0
+        |FROM (SELECT 1 FROM orders WHERE o_totalprice > 0 LIMIT 1)
+        |ORDER BY probe""".stripMargin),
+
     // P3+P4: explicit rename map + bulk camelCase→snake_case schema rename
     // (driver-side metadata only). The fixture columns are snake already,
     // so round-trip through camelCase to prove the mapping.

@@ -67,6 +67,25 @@ object JoinQueries {
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Free extra: range join — equi key + event-time band residual (ship
+    // within 60 days of order). The equi key keeps it a hash join with a
+    // residual filter, never a nested-loop — the only 100 TB-safe shape.
+    QueryDef("j6_range_join",
+      (s, dir) => Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .join(broadcast(Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))),
+          Seq("l_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
     // Extension: as-of alignment — for each purchase, the latest view by
     // the same user at-or-before it. Single window pass (no join, no range
     // nested-loop): the 100 TB-safe as-of formulation.

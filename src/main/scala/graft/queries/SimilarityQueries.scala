@@ -53,6 +53,30 @@ object SimilarityQueries {
          |SELECT vec_id, nb_id, cos_sim, rank FROM r WHERE rank <= 3
          |ORDER BY vec_id, rank""".stripMargin),
 
+    // IVF approximate top-k: 8 deterministic centroids (the first 8
+    // vectors), cell assignment by nearest centroid, probe the query's 2
+    // nearest cells, exact cosine within the probed cells. The scale
+    // path that beats LSH when bucket sizes skew: cells are explicit and
+    // probe count tunes recall vs scan fraction.
+    QueryDef("e3_ivf_topk",
+      (s, dir) => Similarity.ivfTopK(
+        Tables.embeddings(s, dir), nCentroids = 8, nProbe = 2,
+        queryId = 0L, k = 10),
+      s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, c.cid, ${dkCos("e.v", "c.cv")} AS ccos,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dkCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+         |  FROM e CROSS JOIN c),
+         |cell AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+         |probe AS (SELECT cid FROM a WHERE vec_id = 0 AND rn <= 2),
+         |cand AS (SELECT m.vec_id FROM cell m JOIN probe p ON m.cid = p.cid
+         |  WHERE m.vec_id <> 0),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, ${dkCos("e.v", "qv")} AS cos_sim
+         |FROM e JOIN cand USING (vec_id), q
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin),
+
     // Embedding-cosine near-duplicate pairs (bucketed candidates,
     // threshold 0.35 — the fixtures' max pair similarity is ~0.51).
     QueryDef("d4_embed_neardup",

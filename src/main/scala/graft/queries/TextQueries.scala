@@ -251,6 +251,40 @@ object TextQueries {
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // Direct n-gram Jaccard near-dup pairs: inverted shingle index with a
+    // document-frequency cap (2..20) for candidate generation, exact
+    // Jaccard ≥ 0.5 verification — no MinHash approximation.
+    QueryDef("d5_ngram_jaccard",
+      (s, dir) => TextDedup.ngramJaccardDups(
+        Tables.documents(s, dir), n = 3, maxDF = 20, threshold = 0.5)
+        .orderBy("doc_a", "doc_b"),
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+         |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |      i -> array_to_string(toks[i:i+2], ' ')))
+         |  ELSE [] END AS shs FROM t),
+         |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING count(*) BETWEEN 2 AND 20),
+         |p AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM p x JOIN p y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+         |  coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN sizes sa ON sa.doc_id = c.doc_a
+         |JOIN sizes sb ON sb.doc_id = c.doc_b
+         |WHERE coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
     // Multimodal metadata: binary payload column → per-partition (stub)
     // decode via typed mapPartitions. Oracle mirrors the deterministic
     // stub formulas over the same bytes.
