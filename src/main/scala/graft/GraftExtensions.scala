@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{GraftSql, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+
+import graft.functions.ArrayDotProduct
+
+/** SQL-surface registration of graft's custom expressions.
+  *
+  * Two paths:
+  *   - config-time: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *     injects the functions into every session of the application;
+  *   - runtime: [[GraftFunctions.register]] adds them to an already-built
+  *     session (used by the verify harness, whose session we may not own).
+  *
+  * Functions:
+  *   - `array_dot(a, b)` — codegen'd left-fold dot product
+  *     ([[ArrayDotProduct]]);
+  *   - `array_cosine(a, b)` — dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b))),
+  *     the same operation order as [[graft.functions.VectorFns.cosine]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[ArrayDotProduct].getName, name), builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def cosineExpr(es: Seq[Expression]): Expression = {
+    val (a, b) = (es(0), es(1))
+    Divide(ArrayDotProduct(a, b),
+      Multiply(Sqrt(ArrayDotProduct(a, a)), Sqrt(ArrayDotProduct(b, b))))
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "array_dot" -> (es => ArrayDotProduct(es(0), es(1))),
+    "array_cosine" -> cosineExpr)
+
+  /** Idempotent: register graft's SQL functions on `spark`. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      GraftSql.registerFunction(spark, name, builder)
+    }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{GraftFunctions, Tables}
 import graft.ops.Similarity
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -52,6 +52,29 @@ object SimilarityQueries {
          |  FROM p)
          |SELECT vec_id, nb_id, cos_sim, rank FROM r WHERE rank <= 3
          |ORDER BY vec_id, rank""".stripMargin),
+
+    // SQL-surface variant: the same brute-force top-k expressed in pure
+    // SQL against the registered `array_cosine` function
+    // (GraftExtensions / GraftFunctions) — proves the custom expression
+    // is a first-class SQL citizen, not just a DataFrame helper.
+    QueryDef("e4_sql_cosine_topk",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_v")
+        s.sql("""
+          |WITH e AS (SELECT vec_id,
+          |    transform(embedding, x -> cast(x AS double)) AS v
+          |  FROM embeddings_v),
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 1)
+          |SELECT e.vec_id, array_cosine(e.v, qv) AS cos_sim
+          |FROM e, q WHERE e.vec_id <> 1
+          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin)
+      },
+      s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 1)
+         |SELECT e.vec_id, ${dkCos("e.v", "qv")} AS cos_sim
+         |FROM e, q WHERE e.vec_id <> 1
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin),
 
     // IVF approximate top-k: 8 deterministic centroids (the first 8
     // vectors), cell assignment by nearest centroid, probe the query's 2

@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSql {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Idempotent runtime registration of a SQL function on an existing
+    * session (the config-time path is `spark.sql.extensions` →
+    * `graft.GraftExtensions`; this one serves sessions the caller didn't
+    * build, e.g. the verify driver's). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -29,6 +29,16 @@ class VectorFnsSpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
+  test("array_dot / array_cosine are registered SQL functions") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       array_cosine(array(2.0d, 0.0d), array(5.0d, 0.0d)) AS c
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 1.0)
+  }
+
   test("brute-force top-k is self-consistent with pairwise cosine") {
     val top = Similarity.bruteForceTopK(emb, queryId = 0L, k = 5).collect()
     assert(top.length === 5)
