@@ -176,6 +176,23 @@ object AggQueries {
         |  FROM events)
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin),
 
+    // O2c: skew-safe salted per-group top-k — same result as
+    // o2_topk_per_group by construction (any true top-k row is in its
+    // salt bucket's local top-k), verified against the same oracle shape.
+    QueryDef("o2_topk_per_group_salted",
+      (s, dir) => TopK.perGroupSalted(
+        Tables.events(s, dir).select("event_type", "event_id", "value"),
+        groupCols = Seq("event_type"),
+        order = Seq(col("value").desc, col("event_id").asc), k = 3,
+        salt = col("event_id"), buckets = 8)
+        .orderBy("event_type", "rank"),
+      """SELECT event_type, event_id, value, rank FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id ASC) AS rank
+        |  FROM events)
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin),
+
     // U1: UNION ALL (accumulate per-symbol frames,
     // funding_stats_etl.py:99).
     QueryDef("u1_union_all",
