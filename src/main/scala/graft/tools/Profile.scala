@@ -47,6 +47,14 @@ object Profile {
     time("minhash near-dups e2e") {
       TextDedup.minHashNearDups(docs).count()
     }
+    val sh = TextDedup.shingles(docs)
+    time("  exploded shingles") { sh.count() }
+    time("  signatures") { TextDedup.minHashSignatures(sh, 16).count() }
+    val cands = TextDedup.lshCandidates(TextDedup.minHashSignatures(sh, 16), 16, 4)
+    time("  candidates") { cands.count() }
+    time("  verify postings") {
+      TextDedup.verifyJaccard(cands, sh, 0.4).count()
+    }
     spark.stop()
   }
 }
