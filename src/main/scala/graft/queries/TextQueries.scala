@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.ops.{Dedup, Multimodal, TextDedup}
+import graft.ops.{Chunking, Dedup, Multimodal, TextDedup}
 
 /** Text-analysis + document-dedup + multimodal operators over the
   * `documents` table — the training-data-pipeline extension surface.
@@ -147,6 +147,23 @@ object TextQueries {
       """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
         |  sum(n_chars)::DOUBLE / count(*) AS avg_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // Document chunking: 50-token windows, stride 40 (10-token overlap) —
+    // the context-window prep step of a training-data pipeline.
+    QueryDef("t6_chunking",
+      (s, dir) => Chunking.chunkTokens(
+        Tables.documents(s, dir), chunkSize = 50, stride = 40)
+        .orderBy("doc_id", "chunk_idx"),
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(generate_series(0, (len(toks) - 1) // 40)) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ')
+        |    AS chunk_text,
+        |  least(50, len(toks) - chunk_idx * 40)::BIGINT AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
 
     // Exact dedup on a normalized 40-char-prefix fingerprint (the
     // fixtures contain planted shared-prefix near-dups), keep-first.
