@@ -269,11 +269,11 @@ object TextQueries {
       }),
 
     // Direct n-gram Jaccard near-dup pairs: inverted shingle index with a
-    // document-frequency cap (2..20) for candidate generation, exact
+    // document-frequency cap (2..10) for candidate generation, exact
     // Jaccard ≥ 0.5 verification — no MinHash approximation.
     QueryDef("d5_ngram_jaccard",
       (s, dir) => TextDedup.ngramJaccardDups(
-        Tables.documents(s, dir), n = 3, maxDF = 20, threshold = 0.5)
+        Tables.documents(s, dir), n = 3, maxDF = 10, threshold = 0.5)
         .orderBy("doc_a", "doc_b"),
       s"""WITH t AS (SELECT doc_id,
          |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
@@ -283,7 +283,7 @@ object TextQueries {
          |  ELSE [] END AS shs FROM t),
          |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
          |rare AS (SELECT shingle FROM sh GROUP BY shingle
-         |  HAVING count(*) BETWEEN 2 AND 20),
+         |  HAVING count(*) BETWEEN 2 AND 10),
          |p AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM p x JOIN p y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
