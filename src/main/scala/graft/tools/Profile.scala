@@ -55,27 +55,7 @@ object Profile {
     time("  verify postings") {
       TextDedup.verifyJaccard(cands, sh, 0.4).count()
     }
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 20).select("shingle")
-    val posting = sh.join(rare, Seq("shingle"))
-    time("  ngram postings") { posting.count() }
-    val ngCands = posting.select(col("shingle"), col("doc_id").as("doc_a"))
-      .join(posting.select(col("shingle"), col("doc_id").as("doc_b")),
-        Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    time("  ngram cand pairs (pre-distinct)") { ngCands.count() }
-    time("  ngram cand pairs (distinct)") { ngCands.distinct().count() }
     time("  ngram e2e") { TextDedup.ngramJaccardDups(docs).count() }
-    time("  ngram e2e maxDF=10") {
-      TextDedup.ngramJaccardDups(docs, maxDF = 10).count()
-    }
-    time("  ngram e2e maxDF=5") {
-      TextDedup.ngramJaccardDups(docs, maxDF = 5).count()
-    }
-    time("  ngram e2e maxDF=3") {
-      TextDedup.ngramJaccardDups(docs, maxDF = 3).count()
-    }
     spark.stop()
   }
 }
