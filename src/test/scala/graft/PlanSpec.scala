@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.QueryDef
+
+/** Physical-plan regression guards: the scale properties each operator
+  * was designed around, asserted against the actual planned query — a
+  * broadcast that silently degrades to a sort-merge join or a projection
+  * that stops pruning would pass value-equality tests but fail at 100 TB.
+  * (Asserted on the pre-AQE sparkPlan; AQE only improves these shapes.) */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.sparkPlan.toString
+  }
+
+  test("j1: dimension join is a broadcast hash join, never sort-merge") {
+    val p = plan("j1_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("o2 global top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("o2_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("p7: time-range predicate reaches the parquet scan") {
+    val p = plan("p7_time_range")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      p)
+  }
+
+  test("p1: projection prunes the scan to the selected columns") {
+    val p = plan("p1_projection")
+    assert(p.contains(
+      "ReadSchema: struct<p_partkey:bigint,p_name:string,p_retailprice:double>"),
+      p)
+  }
+
+  test("funding_stats: all six horizons share ONE window operator") {
+    val p = plan("funding_stats")
+    val windowNodes = p.sliding("Window [".length)
+      .count(_.startsWith("Window ["))
+    assert(windowNodes == 1, s"expected exactly one Window node:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("e1 brute-force top-k: broadcast query vector + TakeOrdered merge") {
+    val p = plan("e1_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+}
