@@ -42,6 +42,31 @@ object Multimodal {
     (64 + (n % 512).toInt, 64 + ((n * 7) % 512).toInt, 1 + (n % 8).toInt)
   }
 
+  /** One sampled frame: stub "decode" of frame `frame_idx` of a media
+    * payload (a real decoder would seek + decode; the fake is a
+    * deterministic per-frame digest so the distributed shape is
+    * oracle-checkable). */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int,
+      frame_md5: String)
+
+  /** Frame sampling over the binary column: one output row per frame
+    * (up to `maxFrames`), the video-ish UDTF shape. The frame count comes
+    * from the stub header decode; each frame row carries a digest of
+    * (payload, frame_idx). Narrow generate — payload bytes never shuffle,
+    * and the binary column is dropped before anything wide. */
+  def sampleFrames(docs: DataFrame, maxFrames: Int = 4): DataFrame =
+    withPayload(docs)
+      .select(col("doc_id"),
+        least(lit(maxFrames),
+          lit(1) + pmod(length(col("payload")), lit(8))).as("__n"),
+        col("payload"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("__n") - 1)).as("frame_idx"),
+        col("payload"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(concat(decode(col("payload"), "UTF-8"), lit("#"),
+          col("frame_idx").cast("string"))).as("frame_md5"))
+
   /** Per-partition metadata extraction over the binary column. */
   def extractMeta(docs: DataFrame): Dataset[MediaMeta] = {
     val spark = docs.sparkSession

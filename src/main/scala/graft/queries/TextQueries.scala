@@ -313,6 +313,20 @@ object TextQueries {
         |  64 + octet_length(encode(text)) % 512 AS width,
         |  64 + (octet_length(encode(text)) * 7) % 512 AS height,
         |  1 + octet_length(encode(text)) % 8 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Multimodal frame sampling: one row per (stub-)decoded frame, capped
+    // at 4 — the video UDTF shape; payload bytes never cross a shuffle.
+    QueryDef("m2_frame_sample",
+      (s, dir) => Multimodal.sampleFrames(Tables.documents(s, dir),
+        maxFrames = 4)
+        .orderBy("doc_id", "frame_idx"),
+      """WITH f AS (SELECT doc_id, text,
+        |    least(4, 1 + octet_length(encode(text)) % 8) AS n FROM documents),
+        |c AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, n - 1)) AS frame_idx FROM f)
+        |SELECT doc_id, frame_idx,
+        |  md5(text || '#' || frame_idx) AS frame_md5
+        |FROM c ORDER BY doc_id, frame_idx""".stripMargin)
   )
 }
