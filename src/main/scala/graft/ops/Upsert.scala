@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * `merge` is the pure dataframe combinator (unit-testable, oracle-
   * checkable); `upsertParquet` is the sink wrapper. In streaming the same
-  * combinator runs inside `foreachBatch` (see graft.streaming.UpsertSink).
+  * combinator runs inside `foreachBatch` (see graft.streaming.MicroBatch).
   *
   * Scale notes: the winner-per-key pick is max_by over a struct — a hash
   * aggregation with map-side partial combine, which beats a row_number

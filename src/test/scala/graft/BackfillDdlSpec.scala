@@ -30,6 +30,24 @@ class BackfillDdlSpec extends SparkSpec {
     assert(capped.get.count() === 2 * pageSize)
   }
 
+  test("the five reference tables create idempotently from Schemas") {
+    val tables = Seq(
+      "kucoin_lending_rates" -> Schemas.lendingRates,
+      "kucoin_active_futures" -> Schemas.activeFutures,
+      "kucoin_active_spot_pairs" -> Schemas.activeSpotPairs,
+      "kucoin_funding_rates" -> Schemas.fundingRates,
+      "kucoin_funding_stats" -> Schemas.fundingStats)
+    tables.foreach { case (n, _) => spark.sql(s"DROP TABLE IF EXISTS $n") }
+    // twice: the reference runs create_tables on every 5-minute tick
+    (1 to 2).foreach { _ =>
+      tables.foreach { case (n, sch) => Ddl.ensureTable(spark, n, sch) }
+    }
+    tables.foreach { case (n, sch) =>
+      assert(spark.table(n).schema.fieldNames.toSeq === sch.fieldNames.toSeq, n)
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+    }
+  }
+
   test("ensureTable is idempotent and queryable") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("v", DoubleType)))
