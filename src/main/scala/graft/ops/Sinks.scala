@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Batch sinks (SURVEY.md S8-S10).
   *
@@ -32,4 +32,18 @@ object Sinks {
     df.write.mode("overwrite")
       .option("sep", "\t").option("header", "false")
       .csv(path)
+
+  /** Clustered write: range-partition into `files` output files on
+    * `sortCols` and sort within each, so every parquet row group covers a
+    * narrow key range. Point/range predicates on those columns then skip
+    * most row groups via footer min/max stats — the file-layout lever
+    * that, combined with `partitionBy` date directories
+    * ([[overwritePartitioned]]), decides how much of 100 TB a query
+    * actually reads. Also the fix for the small-files problem: `files`
+    * bounds output file count regardless of upstream parallelism. */
+  def writeClustered(df: DataFrame, path: String, files: Int,
+      sortCols: Column*): Unit =
+    df.repartitionByRange(files, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").parquet(path)
 }
