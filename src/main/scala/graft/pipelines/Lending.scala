@@ -3,8 +3,9 @@ package graft.pipelines
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Schemas, Tables}
 import graft.functions.Fns
+import graft.ops.Conform
 
 /** The lending-rate ingest pipeline (SURVEY.md §3.3 —
   * /root/reference/scripts/lending_data_etl.py): raw quotes → rename →
@@ -30,8 +31,9 @@ object Lending {
         Fns.ceilBucket(max(col("observed_at")), 300).as("created_at"))
       .withColumn("annualized_interest_rate",
         Fns.annualize(col("daily_interest_rate"), 1))
-      .select("created_at", "daily_interest_rate", "loan_duration_days",
-        "annualized_interest_rate")
+      // declared-schema gate (SURVEY §1.2 drift guard): order, types and
+      // required-column presence pinned to the catalog contract
+      .transform(Conform.conform(_, Schemas.lendingRates))
 
   /** Fixture adapter: events → raw lending quotes (term from user_id,
     * rate from value, stringly-typed as the API delivers it — F10). */
