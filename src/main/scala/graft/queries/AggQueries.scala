@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, TopK, Upsert}
+import graft.ops.{Dedup, Sessionize, TopK, Upsert}
 
 /** Aggregation / dedup / sort / set-operation operators (SURVEY.md §2.4,
   * §2.6, §2.7: A1-A8, O1-O3, U1 + the free extras: cube, rollup, exact and
@@ -192,6 +192,35 @@ object AggQueries {
         |                       ORDER BY value DESC, event_id ASC) AS rank
         |  FROM events)
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin),
+
+    // A12: sessionization (gaps-and-islands) — 30-min-gap sessions per
+    // user, one shuffle end-to-end (lag, cumulative numbering and the
+    // session aggregate all share partitionBy(user_id)).
+    QueryDef("a12_sessionize",
+      (s, dir) => Sessionize.sessions(
+        Tables.events(s, dir).select("user_id", "ts", "value", "event_id"),
+        key = "user_id", time = "ts", gapSeconds = 1800,
+        tieBreak = Seq(col("event_id").asc),
+        aggs = Seq((sum(col("value").cast("decimal(18,2)")).cast("double"),
+          "total_value")))
+        .orderBy("user_id", "session_seq"),
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (SELECT user_id, ts, value,
+        |    (sum(is_new) OVER (PARTITION BY user_id
+        |                       ORDER BY ts ASC, event_id ASC
+        |                       ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  (sum(CAST(value AS DECIMAL(18,2))))::DOUBLE AS total_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin),
 
     // U1: UNION ALL (accumulate per-symbol frames,
     // funding_stats_etl.py:99).

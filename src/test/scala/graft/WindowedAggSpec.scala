@@ -48,6 +48,38 @@ class WindowedAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window stream mirrors batch gaps-and-islands sessions") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[RawLend]
+    val sessions = mem.toDF().withColumnRenamed("observed_at", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("term"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("term"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // two bursts 2h apart → two sessions; closed by a far-future event
+      mem.addData(RawLend(7, "0.1", t("2024-01-01 00:00:00")),
+        RawLend(7, "0.2", t("2024-01-01 00:10:00")),
+        RawLend(7, "0.3", t("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      mem.addData(RawLend(7, "0.4", t("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("term", "session_start", "n_events")
+        .as[(Int, Timestamp, Long)].collect().toSeq.sortBy(_._2.getTime)
+      assert(rows == Seq(
+        (7, t("2024-01-01 00:00:00"), 2L),   // burst 1: two events, one session
+        (7, t("2024-01-01 02:00:00"), 1L)))  // burst 2 after the 30-min gap
+    } finally q.stop()
+  }
+
   test("window.end equals F9 ceiling bucket for non-boundary instants") {
     import graft.functions.Fns
     val df = Seq(
