@@ -302,6 +302,46 @@ object TextQueries {
          |WHERE coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // TF-IDF-style salient terms: top-3 scoring tokens per document.
+    // idf is the BM25 rational form (N − df + 0.5)/(df + 0.5) — no
+    // logarithm, because transcendental functions are the one place
+    // engines disagree at the ulp level and break hash parity; the
+    // ranking is order-isomorphic to the log form.
+    QueryDef("t7_tfidf_topterms",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count() // corpus size: tiny driver-side scalar
+        val terms = docs
+          .select(col("doc_id"),
+            explode(TextFns.tokensWs(lower(col("text")))).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = terms.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tf.join(df, Seq("term"))
+          .withColumn("score", col("tf") *
+            ((lit(n) - col("df") + 0.5) / (col("df") + 0.5)))
+        graft.ops.TopK.perGroup(scored, Seq("doc_id"),
+          Seq(col("score").desc, col("term").asc), k = 3)
+          .select("doc_id", "rank", "term", "tf", "df", "score")
+          .orderBy("doc_id", "rank")
+      },
+      """WITH terms AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term, tf, df,
+        |    tf * ((n - df + 0.5) / (df + 0.5)) AS score
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (SELECT doc_id, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin),
+
     // Multimodal metadata: binary payload column → per-partition (stub)
     // decode via typed mapPartitions. Oracle mirrors the deterministic
     // stub formulas over the same bytes.
