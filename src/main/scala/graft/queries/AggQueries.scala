@@ -222,6 +222,24 @@ object AggQueries {
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin),
 
+    // A13: pivot (long→wide crosstab) with an EXPLICIT value list — the
+    // implicit form adds a blocking distinct pass over the pivot column
+    // and makes the output schema data-dependent, both wrong at scale.
+    QueryDef("a13_pivot",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+        .orderBy("user_id"),
+      """SELECT user_id,
+        |  (sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END))::DOUBLE AS click,
+        |  (sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END))::DOUBLE AS error,
+        |  (sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END))::DOUBLE AS purchase,
+        |  (sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END))::DOUBLE AS signup,
+        |  (sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END))::DOUBLE AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // U1: UNION ALL (accumulate per-symbol frames,
     // funding_stats_etl.py:99).
     QueryDef("u1_union_all",
