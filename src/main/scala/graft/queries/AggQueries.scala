@@ -240,6 +240,21 @@ object AggQueries {
         |  (sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END))::DOUBLE AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // A14: unpivot/melt (wide→long) — the pivot inverse; a narrow
+    // Expand (no shuffle), each input row emits one row per measure.
+    QueryDef("a14_unpivot",
+      (s, dir) => Tables.part(s, dir)
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size").cast("double").as("p_size"),
+            col("p_retailprice")),
+          "measure", "val")
+        .orderBy("p_partkey", "measure"),
+      """SELECT p_partkey, 'p_size' AS measure, p_size::DOUBLE AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+        |ORDER BY p_partkey, measure""".stripMargin),
+
     // U1: UNION ALL (accumulate per-symbol frames,
     // funding_stats_etl.py:99).
     QueryDef("u1_union_all",
