@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{GraftSql, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.ArrayDotProduct
+import graft.functions.{ArrayCosine, ArrayDotProduct}
 
 /** SQL-surface registration of graft's custom expressions.
   *
@@ -30,15 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
-  private def cosineExpr(es: Seq[Expression]): Expression = {
-    val (a, b) = (es(0), es(1))
-    Divide(ArrayDotProduct(a, b),
-      Multiply(Sqrt(ArrayDotProduct(a, a)), Sqrt(ArrayDotProduct(b, b))))
-  }
-
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "array_dot" -> (es => ArrayDotProduct(es(0), es(1))),
-    "array_cosine" -> cosineExpr)
+    "array_cosine" -> (es => ArrayCosine(es(0), es(1))))
 
   /** Idempotent: register graft's SQL functions on `spark`. */
   def register(spark: SparkSession): Unit =

@@ -35,9 +35,12 @@ object VectorFns {
   /** L2 norm (left-fold sum of squares, then sqrt). */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity: dot / (‖a‖·‖b‖) — one multiply, one divide, same
-    * operation order as the oracle. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity: dot / (‖a‖·‖b‖) — fused single-pass expression
+    * ([[ArrayCosine]]): identical value and operation order to composing
+    * [[dot]]/[[norm]], one array traversal instead of three. */
+  def cosine(a: Column, b: Column): Column =
+    GraftSql.column(ArrayCosine(
+      GraftSql.expression(a), GraftSql.expression(b)))
 
   /** Axis-sign LSH bucket over the first `bits` coordinates: bit j set iff
     * v[j+1] > 0 (an instance of random-hyperplane LSH with the hyperplanes

@@ -22,6 +22,21 @@ class VectorFnsSpec extends SparkSpec {
     }
   }
 
+  test("fused cosine is bitwise-identical to the composed dot/norm form") {
+    val v = VectorFns.toDouble(col("embedding"))
+    val w = VectorFns.toDouble(reverse(col("embedding")))
+    val rows = emb.limit(200)
+      .select(VectorFns.cosine(v, w).as("fused"),
+        (VectorFns.dot(v, w) / (VectorFns.norm(v) * VectorFns.norm(w)))
+          .as("composed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case Row(fused: Double, composed: Double) =>
+      assert(java.lang.Double.doubleToLongBits(fused) ===
+        java.lang.Double.doubleToLongBits(composed))
+    }
+  }
+
   test("dot product null handling: null array yields null") {
     val df = spark.sql(
       "SELECT CAST(NULL AS array<double>) AS a, array(1.0d, 2.0d) AS b")
