@@ -44,6 +44,38 @@ object Upsert {
       .select(cols.map(col): _*)
   }
 
+  /** Partition-restricted upsert — the 100 TB form: the sink is
+    * partitioned by `partCol` (a column of `updates`, e.g. a derived
+    * date); only the partitions PRESENT IN THE BATCH are read, merged
+    * and dynamically overwritten. A 5-minute tick then touches one or
+    * two date directories of a multi-year table instead of rewriting all
+    * of it — the reference's pkey-indexed ON CONFLICT upsert has the
+    * same locality (it touches only conflicting pages).
+    *
+    * Correct because the merge key set must determine the partition: two
+    * versions of one key land in the same `partCol` value (e.g. key
+    * contains the event date the partition derives from). */
+  def upsertParquetPartitioned(updates: DataFrame, path: String,
+      keys: Seq[String], version: String, partCol: String): Unit = {
+    val spark = updates.sparkSession
+    val touched = updates.select(partCol).distinct().collect()
+      .map(_.get(0)).toSeq // bounded: partitions per batch, not rows
+    val merged =
+      if (new java.io.File(path).exists) {
+        val existing = spark.read.parquet(path)
+          .filter(col(partCol).isInCollection(touched)) // partition pruning
+          .select(updates.columns.map(col).toIndexedSeq: _*)
+        merge(existing, updates, keys, version)
+      } else updates
+    val staged = merged.cache()
+    staged.count()
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path)
+    staged.unpersist()
+  }
+
   /** Idempotent batch upsert into a parquet path (read ∪ merge ∪ atomic
     * overwrite). Applying the same batch twice ≡ once. */
   def upsertParquet(updates: DataFrame, path: String, keys: Seq[String],

@@ -42,4 +42,29 @@ class UpsertSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq
     assert(out == Seq(("a", "v2", 2L), ("b", "w", 1L)))
   }
+
+  test("partitioned upsert only rewrites touched partitions") {
+    val pcols = Seq("k", "v", "ver", "day")
+    val dir = Files.createTempDirectory("upsert3").toFile
+    val path = s"$dir/t"
+    Upsert.upsertParquetPartitioned(
+      Seq(("a", "v1", 1L, "d1"), ("b", "w1", 1L, "d2")).toDF(pcols: _*),
+      path, Seq("k"), "ver", "day")
+    val d2FileBefore = new java.io.File(s"$path/day=d2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq
+
+    // second batch touches ONLY d1: update 'a', insert 'c'
+    Upsert.upsertParquetPartitioned(
+      Seq(("a", "v2", 2L, "d1"), ("c", "x1", 1L, "d1")).toDF(pcols: _*),
+      path, Seq("k"), "ver", "day")
+
+    val out = spark.read.parquet(path).orderBy("k")
+      .as[(String, String, Long, String)].collect().toSeq
+    assert(out == Seq(("a", "v2", 2L, "d1"), ("b", "w1", 1L, "d2"),
+      ("c", "x1", 1L, "d1")))
+    // untouched d2 partition files survive byte-identically (same names)
+    val d2FileAfter = new java.io.File(s"$path/day=d2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq
+    assert(d2FileAfter == d2FileBefore, "d2 partition must not be rewritten")
+  }
 }
