@@ -8,10 +8,13 @@ import graft.functions.VectorFns
 
 /** Similarity search over embedding columns (`ArrayType(FloatType)`).
   *
-  * Two tiers, as a 100 TB design demands:
+  * Three tiers, as a 100 TB design demands:
   *   - [[bruteForceTopK]]: exact cosine top-k for ONE query vector —
   *     broadcast the query, one scan, TakeOrderedAndProject (per-partition
   *     top-k + k-way merge; no global sort, no shuffle of the corpus).
+  *   - [[ivfTopK]]: cell-partitioned approximate search — probe-count
+  *     tunes recall vs scan fraction (the alternative when LSH bucket
+  *     sizes skew).
   *   - [[lshTopKNeighbors]] / [[nearDupPairs]]: all-vectors variants that
   *     restrict the candidate space to LSH buckets (axis-sign hyperplanes,
   *     [[VectorFns.signBucket]]) — the pair space shrinks from O(n²) to
