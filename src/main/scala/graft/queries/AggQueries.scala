@@ -193,6 +193,29 @@ object AggQueries {
         |  FROM events)
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin),
 
+    // A4b: wall-clock trailing mean — RANGE frame over epoch seconds
+    // (the time-based generalization of the row-counted horizons,
+    // SURVEY §2.5): mean of each user's events in the 7 days up to their
+    // newest event. Range frames are tie-inclusive in both engines.
+    QueryDef("a15_trailing_by_time",
+      (s, dir) => graft.ops.Stats.trailingByTime(
+        Tables.events(s, dir).select("user_id", "ts", "value"),
+        key = "user_id", time = "ts",
+        value = col("value").cast("decimal(18,2)"),
+        windows = Seq(("mean_7d", 604800L)))
+        .select("user_id", "mean_7d")
+        .orderBy("user_id"),
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |w AS (SELECT user_id,
+        |    (sum(v) OVER fr)::DOUBLE / count(*) OVER fr AS mean_7d,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY tsec DESC) AS rn
+        |  FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY tsec
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, mean_7d FROM w WHERE rn = 1
+        |ORDER BY user_id""".stripMargin),
+
     // A12: sessionization (gaps-and-islands) — 30-min-gap sessions per
     // user, one shuffle end-to-end (lag, cumulative numbering and the
     // session aggregate all share partitionBy(user_id)).
