@@ -278,6 +278,38 @@ object AggQueries {
         |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
         |ORDER BY p_partkey, measure""".stripMargin),
 
+    // A16: explicit GROUPING SETS (between a8 cube and a9 rollup: only
+    // the named aggregation levels are expanded).
+    QueryDef("a16_grouping_sets",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events_v")
+        s.sql("""
+          |SELECT event_type, user_id % 4 AS cohort,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM events_v
+          |GROUP BY GROUPING SETS ((event_type), (user_id % 4), ())
+          |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST
+          |""".stripMargin)
+      },
+      """SELECT event_type, user_id % 4 AS cohort, count(*) AS n,
+        |  (sum(CAST(value AS DECIMAL(18,2))))::DOUBLE AS total
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 4), ())
+        |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin),
+
+    // O4: keyset-free pagination (LIMIT + OFFSET). OFFSET still scans
+    // and discards the skipped rows — fine for page 2, wrong for page
+    // 10000; the scalable alternative is the keyset predicate (p7-style
+    // range on the last-seen sort key).
+    QueryDef("o4_limit_offset",
+      (s, dir) => Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100).limit(25),
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 25 OFFSET 100""".stripMargin),
+
     // U1: UNION ALL (accumulate per-symbol frames,
     // funding_stats_etl.py:99).
     QueryDef("u1_union_all",

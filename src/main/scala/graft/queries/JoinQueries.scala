@@ -86,6 +86,24 @@ object JoinQueries {
         |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
+    // Free extra: full outer join — null-extending both sides (customers
+    // without orders ∪ orders without customers). Shuffle join by
+    // necessity: full-outer cannot broadcast either side.
+    QueryDef("j7_full_outer",
+      (s, dir) => Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 100000)
+          .select(col("o_custkey").as("c_custkey"), col("o_orderkey")),
+          Seq("c_custkey"), "full_outer")
+        .select("c_custkey", "c_name", "o_orderkey")
+        .orderBy("c_custkey", "o_orderkey"),
+      """SELECT COALESCE(c_custkey, o_custkey) AS c_custkey, c_name, o_orderkey
+        |FROM customer FULL OUTER JOIN
+        |  (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 100000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin),
+
     // Extension: as-of alignment — for each purchase, the latest view by
     // the same user at-or-before it. Single window pass (no join, no range
     // nested-loop): the 100 TB-safe as-of formulation.
