@@ -46,6 +46,26 @@ class StatsSpec extends SparkSpec {
     assert(b.isNullAt(b.fieldIndex("m9")))
   }
 
+  test("the 270-session horizon opens at exactly 270 observations") {
+    def at(i: Int) = new Timestamp(1704067200000L + i * 60000L)
+    // X: exactly 270 observations (i as value), Y: 269
+    val df = (
+      (1 to 270).map(i => ("X", at(i), i.toDouble)) ++
+        (1 to 269).map(i => ("Y", at(i), 1.0))
+      ).toDF("symbol", "funding_time", "rate")
+    val out = Stats.trailing(df, "symbol", "funding_time",
+      col("rate").cast("decimal(18,2)"), Stats.referenceHorizons)
+      .orderBy("symbol").collect()
+
+    val x = out(0)
+    // mean of ALL 270 values 1..270 = 135.5; newest-3 = 269
+    assert(x.getAs[Double]("funding_90d") == 135.5)
+    assert(x.getAs[Double]("funding_24h") == 269.0)
+    val y = out(1)
+    assert(y.isNullAt(y.fieldIndex("funding_90d"))) // 269 < 270 → gated
+    assert(y.getAs[Double]("funding_30d") == 1.0)   // 269 ≥ 90 → open
+  }
+
   test("trailing is deterministic under repartitioning") {
     val df = (1 to 100).map(i => (s"S${i % 7}", ts(i % 60), i * 1.5))
       .toDF("symbol", "funding_time", "rate")
