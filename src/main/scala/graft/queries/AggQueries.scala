@@ -310,6 +310,47 @@ object AggQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 25 OFFSET 100""".stripMargin),
 
+    // A17: scalar-subquery comparison (value above the GLOBAL mean) —
+    // DataFrame form: 1-row aggregate broadcast-crossed into the filter;
+    // never a driver-side collect of the scalar.
+    QueryDef("a17_scalar_subquery",
+      (s, dir) => {
+        val events = Tables.events(s, dir)
+        val mean = events.agg(
+          (sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("__mean"))
+        events.crossJoin(broadcast(mean))
+          .filter(col("value") > col("__mean"))
+          .select("event_id", "user_id", "value")
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value > (SELECT (sum(CAST(value AS DECIMAL(18,2))))::DOUBLE
+        |                      / count(*) FROM events)
+        |ORDER BY event_id""".stripMargin),
+
+    // A18: correlated subquery, decorrelated — events above THEIR USER's
+    // mean. The correlated `WHERE value > (SELECT avg .. WHERE same
+    // user)` re-executes per row; the window rewrite computes every
+    // per-user mean in one pass + one shuffle.
+    QueryDef("a18_above_user_mean",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        Tables.events(s, dir)
+          .withColumn("__user_mean",
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+              count(lit(1)).over(w))
+          .filter(col("value") > col("__user_mean"))
+          .select("event_id", "user_id", "value")
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value,
+        |    (sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id))::DOUBLE
+        |      / count(*) OVER (PARTITION BY user_id) AS user_mean
+        |  FROM events)
+        |WHERE value > user_mean ORDER BY event_id""".stripMargin),
+
     // U1: UNION ALL (accumulate per-symbol frames,
     // funding_stats_etl.py:99).
     QueryDef("u1_union_all",
