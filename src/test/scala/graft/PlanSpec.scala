@@ -54,4 +54,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p)
   }
+
+  test("a12 sessionize: lag, numbering and session agg share one partitioning") {
+    val df = SparkEntry.queries("a12_sessionize")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // one hash shuffle (user_id) + the final presentation sort — a second
+    // hashpartitioning would mean the agg re-shuffled the fact
+    val hashEx = p.sliding("hashpartitioning".length)
+      .count(_.startsWith("hashpartitioning"))
+    assert(hashEx <= 2, s"expected at most 2 hashpartitioning refs:\n$p")
+  }
+
+  test("e3 IVF: centroids and probes broadcast; no sort-merge join anywhere") {
+    val p = plan("e3_ivf_topk")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("d2 minhash: no cartesian product in candidate generation") {
+    val p = plan("d2_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
