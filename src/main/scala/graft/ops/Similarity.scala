@@ -68,6 +68,35 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Multi-probe variant of [[lshTopKNeighbors]]: each vector also
+    * searches the buckets within Hamming distance `maxHamming` of its
+    * own (probe buckets = bucket XOR every ≤maxHamming-bit mask),
+    * implemented by exploding one join side to its probe list — the
+    * candidate space grows by Σ C(bits, h), never toward all-pairs.
+    *
+    * Measured on the sf0.01 fixtures (bits=4, k=3, vs exact top-3):
+    * single-probe recall 0.125 → 0.473 at maxHamming=1 → 0.830 at
+    * maxHamming=2. Axis-sign buckets correlate weakly with cosine on
+    * dense gaussian embeddings — when recall matters more than scan
+    * fraction, prefer [[ivfTopK]] (measured 1.0 for query top-10). */
+  def lshTopKNeighborsMultiProbe(emb: DataFrame, bits: Int, k: Int,
+      maxHamming: Int = 1): DataFrame = {
+    val b = bucketed(emb, bits)
+    val masks = (0 until (1 << bits))
+      .filter(m => Integer.bitCount(m) <= maxHamming)
+    val probed = b.withColumn("probe", explode(array(
+      masks.map(m => col("bucket").bitwiseXOR(lit(m.toLong))): _*)))
+    val pairs = probed.as("x").join(b.as("y"),
+        col("x.probe") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nb_id"),
+        pairCosine.as("cos_sim"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("nb_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) approximate top-k: partition the corpus into
     * cells around `nCentroids` centroid vectors, then search only the
     * query's `nProbe` nearest cells.

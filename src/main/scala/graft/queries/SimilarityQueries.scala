@@ -53,6 +53,32 @@ object SimilarityQueries {
          |SELECT vec_id, nb_id, cos_sim, rank FROM r WHERE rank <= 3
          |ORDER BY vec_id, rank""".stripMargin),
 
+    // Multi-probe LSH ANN: each vector also searches Hamming-1 neighbor
+    // buckets — measured recall 0.125 → 0.473 vs exact top-3 for ~5×
+    // candidates (see Similarity scaladoc for the trade).
+    QueryDef("e5_ann_multiprobe_topk",
+      (s, dir) => Similarity.lshTopKNeighborsMultiProbe(
+        Tables.embeddings(s, dir), bits = 4, k = 3, maxHamming = 1)
+        .orderBy("vec_id", "rank"),
+      {
+        val masks = (0 until 16).filter(Integer.bitCount(_) <= 1)
+          .mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, $toD AS v,
+           |    ${dkBucket("embedding")} AS bucket FROM embeddings),
+           |px AS (SELECT vec_id, v, xor(bucket::BIGINT, m.mask) AS probe
+           |  FROM e, unnest($masks::BIGINT[]) AS m(mask)),
+           |p AS (SELECT x.vec_id, y.vec_id AS nb_id,
+           |    ${dkCos("x.v", "y.v")} AS cos_sim
+           |  FROM px x JOIN e y ON x.probe = y.bucket::BIGINT
+           |    AND x.vec_id <> y.vec_id),
+           |r AS (SELECT vec_id, nb_id, cos_sim,
+           |    row_number() OVER (PARTITION BY vec_id
+           |                       ORDER BY cos_sim DESC, nb_id ASC) AS rank
+           |  FROM p)
+           |SELECT vec_id, nb_id, cos_sim, rank FROM r WHERE rank <= 3
+           |ORDER BY vec_id, rank""".stripMargin
+      }),
+
     // SQL-surface variant: the same brute-force top-k expressed in pure
     // SQL against the registered `array_cosine` function
     // (GraftExtensions / GraftFunctions) — proves the custom expression
