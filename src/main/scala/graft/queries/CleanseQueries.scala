@@ -114,6 +114,49 @@ object CleanseQueries {
         |       value / 100.0 * 365.0 AS annualized_rate
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // C1: constraint report — the checks Postgres enforced for the
+    // reference (pkey uniqueness, NOT NULL; models.py) plus referential
+    // coverage and a range check, validated explicitly on the parquet
+    // store (which enforces nothing).
+    QueryDef("c1_constraint_report",
+      (s, dir) => {
+        import graft.ops.Quality
+        val events = Tables.events(s, dir)
+        Quality.report(Seq(
+          Quality.pkeyUnique(events, Seq("event_id")),
+          Quality.pkeyUnique(Tables.lineitem(s, dir),
+            Seq("l_orderkey", "l_linenumber")),
+          Quality.notNull(events, "user_id"),
+          Quality.fkCovered(events, "user_id",
+            Tables.customer(s, dir), "c_custkey"),
+          Quality.inRange(events, "value", 0.0, 1e6)))
+          .orderBy("check_name")
+      },
+      """SELECT 'pkey_unique(event_id)' AS check_name,
+        |  (count(*) - count(DISTINCT event_id))::BIGINT AS violations,
+        |  count(*) = count(DISTINCT event_id) AS passed FROM events
+        |UNION ALL
+        |SELECT 'pkey_unique(l_orderkey,l_linenumber)',
+        |  (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT,
+        |  count(*) = count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+        |UNION ALL
+        |SELECT 'not_null(user_id)',
+        |  (count(*) - count(user_id))::BIGINT,
+        |  count(*) = count(user_id) FROM events
+        |UNION ALL
+        |SELECT 'fk_covered(user_id->c_custkey)',
+        |  (SELECT count(*) FROM events e WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))::BIGINT,
+        |  (SELECT count(*) FROM events e WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) = 0
+        |UNION ALL
+        |SELECT 'in_range(value)',
+        |  coalesce(sum(CASE WHEN value < 0.0 OR value > 1000000.0
+        |                    THEN 1 ELSE 0 END), 0)::BIGINT,
+        |  coalesce(sum(CASE WHEN value < 0.0 OR value > 1000000.0
+        |                    THEN 1 ELSE 0 END), 0) = 0 FROM events
+        |ORDER BY check_name""".stripMargin),
+
     // F2: split "BASE-QUOTE" into parts (active_spot_pairs_etl.py:49-54).
     QueryDef("f2_split_currency",
       (s, dir) => Tables.orders(s, dir)
