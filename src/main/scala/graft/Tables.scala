@@ -20,8 +20,17 @@ object Tables {
     * large SF (dimension tables stay fixed-size per TESTDATA.md). */
   val broadcastable: Set[String] = Set("region", "nation", "supplier")
 
+  /** Per-(session, dir, table) DataFrame cache: reusing the same resolved
+    * relation across the 70-query harness avoids re-listing files and
+    * re-reading parquet footers per query — pure metadata reuse, no data
+    * caching (read-only fixtures, so staleness is impossible here; a
+    * mutable store would need invalidation instead). */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
