@@ -23,8 +23,13 @@ import graft.functions.{ArrayCosine, ArrayDotProduct}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftFunctions.all.foreach { case (name, builder) =>
+      // catalog metadata must name each function's OWN implementing class
+      val implClass = name match {
+        case "array_cosine" => classOf[ArrayCosine].getName
+        case _              => classOf[ArrayDotProduct].getName
+      }
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[ArrayDotProduct].getName, name), builder))
+        new ExpressionInfo(implClass, name), builder))
     }
 }
 

@@ -20,17 +20,30 @@ object Tables {
     * large SF (dimension tables stay fixed-size per TESTDATA.md). */
   val broadcastable: Set[String] = Set("region", "nation", "supplier")
 
-  /** Per-(session, dir, table) DataFrame cache: reusing the same resolved
-    * relation across the 70-query harness avoids re-listing files and
-    * re-reading parquet footers per query — pure metadata reuse, no data
-    * caching (read-only fixtures, so staleness is impossible here; a
-    * mutable store would need invalidation instead). */
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  /** Per-session DataFrame cache: reusing the same resolved relation
+    * across the 70-query harness avoids re-listing files and re-reading
+    * parquet footers per query — pure metadata reuse, no data caching
+    * (read-only fixtures, so staleness is impossible here; a mutable
+    * store would need invalidation instead). Weak session keys let a
+    * stopped session's plans be collected instead of pinning them for
+    * the JVM lifetime. */
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, dir, name),
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = {
+      val existing = cache.get(spark)
+      if (existing != null) existing
+      else {
+        val fresh = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        val raced = cache.putIfAbsent(spark, fresh)
+        if (raced != null) raced else fresh
+      }
+    }
+    perSession.getOrElseUpdate((dir, name),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -21,11 +21,17 @@ object Chunking {
   def chunkTokens(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
     require(stride > 0 && chunkSize >= stride,
       "need 0 < stride <= chunkSize (chunks must tile the doc)")
+    // last chunk index = ceil((n − chunkSize)/stride) clamped at 0: one
+    // chunk when the doc fits, and never a tail chunk fully contained in
+    // its predecessor (which would duplicate training text). The
+    // numerator is clamped BEFORE the integer division — floor-vs-
+    // truncate semantics differ between engines on negatives.
     docs
       .withColumn("__toks", TextFns.tokensWs(col("text")))
       .withColumn("chunk_idx",
         explode(sequence(lit(0),
-          expr(s"(size(__toks) - 1) div $stride"))))
+          expr(s"greatest(0, size(__toks) - $chunkSize + $stride - 1)" +
+            s" div $stride"))))
       .select(
         col("doc_id"),
         col("chunk_idx").cast("long").as("chunk_idx"),

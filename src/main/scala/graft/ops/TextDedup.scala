@@ -71,6 +71,10 @@ object TextDedup {
     * `k/bands` values; docs agreeing on any whole band become candidate
     * pairs via an equality self-join on (band_idx, band values). */
   def lshCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must divide the signature width ($k): a zero-width " +
+        "band matches everything (all-pairs blowup); a remainder silently " +
+        "drops trailing minhashes")
     val r = k / bands
     val banded = sigs.select(
       col("doc_id"),
@@ -162,10 +166,19 @@ object TextDedup {
   }
 
   /** SimHash near-dup pairs: band the fingerprint into `chunks` equal bit
-    * ranges (pigeonhole: hamming ≤ chunks−1 ⟹ some chunk equal), join on
-    * chunk equality, verify with exact bit_count(xor) ≤ maxHamming. */
+    * ranges, join on chunk equality, verify with exact
+    * bit_count(xor) ≤ maxHamming.
+    *
+    * Recall contract: the pigeonhole guarantees candidates only for
+    * hamming ≤ chunks−1 (with the defaults, ≤ 3); pairs with hamming in
+    * (chunks−1, maxHamming] surface only if some chunk happens to agree —
+    * the same recall-limited banding trade as MinHash LSH. A full
+    * maxHamming guarantee needs chunks > maxHamming, at the cost of
+    * narrower chunks and a larger candidate join. */
   def simHashNearDups(docs: DataFrame, bits: Int = 48, chunks: Int = 4,
       maxHamming: Int = 6): DataFrame = {
+    require(chunks > 0 && bits % chunks == 0,
+      s"chunks ($chunks) must divide bits ($bits)")
     val width = bits / chunks
     val fp = simHash(docs, bits)
     val banded = fp.select(col("doc_id"), col("simhash"),

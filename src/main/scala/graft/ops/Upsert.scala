@@ -60,13 +60,24 @@ object Upsert {
     val spark = updates.sparkSession
     val touched = updates.select(partCol).distinct().collect()
       .map(_.get(0)).toSeq // bounded: partitions per batch, not rows
+    // null partition values need an explicit isNull arm — `IN (null)` is
+    // SQL-null, which would EXCLUDE existing null-partition rows from the
+    // merge while dynamic overwrite still rewrites that partition: silent
+    // data loss.
+    val (nullTouched, defined) = touched.partition(_ == null)
+    val touchedPred = {
+      val in =
+        if (defined.nonEmpty) col(partCol).isInCollection(defined)
+        else lit(false)
+      if (nullTouched.nonEmpty) in || col(partCol).isNull else in
+    }
     val merged =
       if (new java.io.File(path).exists) {
         val existing = spark.read.parquet(path)
-          .filter(col(partCol).isInCollection(touched)) // partition pruning
+          .filter(touchedPred) // partition pruning
           .select(updates.columns.map(col).toIndexedSeq: _*)
         merge(existing, updates, keys, version)
-      } else updates
+      } else merge(updates.limit(0), updates, keys, version)
     val staged = merged.cache()
     staged.count()
     staged.write.mode("overwrite")
@@ -86,7 +97,11 @@ object Upsert {
         val existing = spark.read.parquet(path).select(
           updates.columns.map(col).toIndexedSeq: _*)
         merge(existing, updates, keys, version)
-      } else updates
+      } else
+        // first write still merges (against nothing): a first batch with
+        // in-batch duplicate keys must land deduplicated like every later
+        // one, or the one-row-per-key invariant starts out violated
+        merge(updates.limit(0), updates, keys, version)
     // stage → atomic swap: parquet overwrite is not in-place safe when the
     // source of the read is the target of the write.
     val staged = merged.cache()

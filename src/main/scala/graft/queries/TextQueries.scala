@@ -73,11 +73,11 @@ object TextQueries {
          |  FROM t)
          |SELECT doc_id, length(text)::BIGINT AS char_len, n_tokens,
          |  sum_tok_len::DOUBLE / n_tokens AS avg_token_len,
-         |  punct::DOUBLE / length(text) AS punct_ratio,
+         |  punct::DOUBLE / nullif(length(text), 0) AS punct_ratio,
          |  stops::DOUBLE / n_tokens AS stop_ratio,
          |  (stops::DOUBLE / n_tokens) * 0.4
          |    + least((sum_tok_len::DOUBLE / n_tokens) / 10.0, 1.0) * 0.3
-         |    + (1.0 - punct::DOUBLE / length(text)) * 0.3 AS quality_score
+         |    + (1.0 - punct::DOUBLE / nullif(length(text), 0)) * 0.3 AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin),
 
     // Language ID: stopword-marker hit counts per language, deterministic
@@ -157,7 +157,8 @@ object TextQueries {
       """WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |c AS (SELECT doc_id, toks,
-        |    unnest(generate_series(0, (len(toks) - 1) // 40)) AS chunk_idx
+        |    unnest(generate_series(0,
+        |      greatest(0, len(toks) - 50 + 39) // 40)) AS chunk_idx
         |  FROM t)
         |SELECT doc_id, chunk_idx,
         |  array_to_string(toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ')

@@ -22,6 +22,9 @@ final class FailureAlerts(notify: String => Unit = _ => ())
 
   final case class Alert(queryId: String, message: String)
 
+  /** Bounded history — a supervision loop restarting a persistently
+    * failing query must not leak driver memory over weeks. */
+  private val MaxKept = 100
   private val alerts = new ConcurrentLinkedQueue[Alert]()
 
   def recent: Seq[Alert] = {
@@ -39,6 +42,7 @@ final class FailureAlerts(notify: String => Unit = _ => ())
     event.exception.foreach { e =>
       val a = Alert(event.id.toString, e)
       alerts.add(a)
+      while (alerts.size > MaxKept) alerts.poll()
       notify(s"streaming query ${a.queryId} failed: ${a.message}")
     }
 }

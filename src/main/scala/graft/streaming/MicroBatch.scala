@@ -42,8 +42,11 @@ object MicroBatch {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val out = transform(batch)
-        if (!out.isEmpty) Upsert.upsertParquet(out, path, keys, version)
+        // probe the RAW batch (already materialized by the source —
+        // cheap); probing transform(batch) would run the per-batch
+        // aggregation twice, once for isEmpty and once for the merge
+        if (!batch.isEmpty) Upsert.upsertParquet(transform(batch), path,
+          keys, version)
       }
       .start()
 }

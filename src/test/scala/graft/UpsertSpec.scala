@@ -43,6 +43,34 @@ class UpsertSpec extends SparkSpec {
     assert(out == Seq(("a", "v2", 2L), ("b", "w", 1L)))
   }
 
+  test("first write dedups in-batch duplicate keys (newest wins)") {
+    val dir = Files.createTempDirectory("upsert4").toFile
+    val path = s"$dir/t"
+    Upsert.upsertParquet(
+      Seq(("a", "old", 1L), ("a", "new", 2L)).toDF(cols: _*),
+      path, Seq("k"), "ver")
+    val out = spark.read.parquet(path).as[(String, String, Long)]
+      .collect().toSeq
+    assert(out == Seq(("a", "new", 2L)))
+  }
+
+  test("partitioned upsert preserves existing rows in the null partition") {
+    val pcols = Seq("k", "v", "ver", "day")
+    val dir = Files.createTempDirectory("upsert5").toFile
+    val path = s"$dir/t"
+    Upsert.upsertParquetPartitioned(
+      Seq(("a", "v1", 1L, null: String)).toDF(pcols: _*),
+      path, Seq("k"), "ver", "day")
+    // second batch also hits the null partition with a DIFFERENT key —
+    // the existing null-partition row must survive the dynamic overwrite
+    Upsert.upsertParquetPartitioned(
+      Seq(("b", "w1", 1L, null: String)).toDF(pcols: _*),
+      path, Seq("k"), "ver", "day")
+    val out = spark.read.parquet(path).orderBy("k")
+      .select("k", "v", "ver").as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("a", "v1", 1L), ("b", "w1", 1L)))
+  }
+
   test("partitioned upsert only rewrites touched partitions") {
     val pcols = Seq("k", "v", "ver", "day")
     val dir = Files.createTempDirectory("upsert3").toFile
