@@ -67,6 +67,63 @@ object Multimodal {
         md5(concat(decode(col("payload"), "UTF-8"), lit("#"),
           col("frame_idx").cast("string"))).as("frame_md5"))
 
+  /** Resized media: id + stub-resized dimensions + digest of the
+    * (fake) resized payload. */
+  final case class MediaResized(doc_id: Long, width: Int, height: Int,
+      sha256: String)
+
+  /** Per-partition "resize" over the binary column: the geometry math
+    * (fit within maxDim preserving aspect) is real; producing the resized
+    * bytes is the stubbed codec step (digest stands in). Same narrow
+    * mapPartitions shape as [[extractMeta]] — swap the stub for a real
+    * scaler and nothing else changes. */
+  def resize(docs: DataFrame, maxDim: Int): Dataset[MediaResized] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPayload(docs).select(col("doc_id"), col("payload")).as[MediaRaw]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("SHA-256")
+        it.map { r =>
+          val (w, h, _) = stubDecode(r.payload)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+          val (nw, nh) = (math.max(1, (w * scale).toInt),
+            math.max(1, (h * scale).toInt))
+          md.reset()
+          md.update(r.payload)
+          md.update(s"#${nw}x$nh".getBytes("UTF-8"))
+          MediaResized(r.doc_id, nw, nh,
+            md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
+  /** Extracted feature vector: id + fixed-width float embedding. */
+  final case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** Per-partition feature extraction: a deterministic `dims`-wide
+    * vector from the payload bytes (byte histogram folded per band,
+    * scaled to [0,1]) — the stub for a real vision/audio encoder. The
+    * output column is `ArrayType(FloatType)`, directly consumable by the
+    * Similarity operators (cosine top-k, LSH, IVF). */
+  def extractFeatures(docs: DataFrame, dims: Int = 8): Dataset[MediaFeatures] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPayload(docs).select(col("doc_id"), col("payload")).as[MediaRaw]
+      .mapPartitions { it =>
+        it.map { r =>
+          val acc = new Array[Long](dims)
+          var i = 0
+          while (i < r.payload.length) {
+            acc(i % dims) += r.payload(i) & 0xff
+            i += 1
+          }
+          val n = math.max(1, r.payload.length)
+          MediaFeatures(r.doc_id,
+            acc.map(s => (s.toDouble / n / 255.0).toFloat))
+        }
+      }
+  }
+
   /** Per-partition metadata extraction over the binary column. */
   def extractMeta(docs: DataFrame): Dataset[MediaMeta] = {
     val spark = docs.sparkSession
