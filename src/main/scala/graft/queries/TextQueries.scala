@@ -343,6 +343,26 @@ object TextQueries {
         |SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin),
 
+    // Reproducible 80/20 train/eval split: bucket = md5(doc_id) mod 100,
+    // a pure function of the data — stable across partitionings, engines
+    // and reruns, unlike sample()/randomSplit(). Emits per-doc assignment
+    // plus the bucket for the oracle to replay.
+    QueryDef("s1_hash_split",
+      (s, dir) => {
+        import graft.ops.Sampling
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            Sampling.hashBucket(col("doc_id")).as("bucket"),
+            when(Sampling.hashBucket(col("doc_id")) < 80, "train")
+              .otherwise("eval").as("split"))
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id,
+         |  ${dkHash60("doc_id::VARCHAR")} % 100 AS bucket,
+         |  CASE WHEN ${dkHash60("doc_id::VARCHAR")} % 100 < 80
+         |       THEN 'train' ELSE 'eval' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
     // Multimodal metadata: binary payload column → per-partition (stub)
     // decode via typed mapPartitions. Oracle mirrors the deterministic
     // stub formulas over the same bytes.
