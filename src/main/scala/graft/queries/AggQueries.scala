@@ -366,6 +366,34 @@ object AggQueries {
         |ORDER BY event_id""".stripMargin),
 
     // Free extra: INTERSECT (set semantics in both engines).
+    // Multiset variants: bag semantics keep duplicate multiplicity
+    // (min/difference of per-row counts) — Spark intersectAll/exceptAll.
+    QueryDef("u4_intersect_all",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.filter(col("event_type") === "purchase").select("user_id")
+          .intersectAll(e.filter(col("event_type") === "view")
+            .select("user_id"))
+          .orderBy("user_id")
+      },
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT ALL
+        |SELECT user_id FROM events WHERE event_type = 'view'
+        |ORDER BY user_id""".stripMargin),
+
+    QueryDef("u5_except_all",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.filter(col("event_type") === "purchase").select("user_id")
+          .exceptAll(e.filter(col("event_type") === "view")
+            .select("user_id"))
+          .orderBy("user_id")
+      },
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT ALL
+        |SELECT user_id FROM events WHERE event_type = 'view'
+        |ORDER BY user_id""".stripMargin),
+
     QueryDef("u2_intersect",
       (s, dir) => {
         val e = Tables.events(s, dir)
