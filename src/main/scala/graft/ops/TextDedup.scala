@@ -147,6 +147,47 @@ object TextDedup {
     verifyJaccard(cands, sh, threshold)
   }
 
+  /** Near-dup PAIRS → dedup CLUSTERS: connected components over the pair
+    * graph by iterated hash-min label propagation — every doc's label
+    * becomes the minimum doc_id reachable from it; keep-one-per-cluster
+    * is then `doc_id == cluster_id`.
+    *
+    * Scale shape: each iteration is one join + one min-aggregation on
+    * doc_id (no collect); iterations needed = graph diameter, and
+    * near-dup components are shallow (template clusters), so convergence
+    * is a handful of rounds. The driver loop checks a changed-count —
+    * the standard large-scale CC formulation (hash-min), not GraphX.
+    *
+    * @param docs  all documents (singletons cluster to themselves)
+    * @param pairs near-dup pairs (doc_a, doc_b) from any detector above
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("cluster_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("doc_id")
+        .agg(min("cluster_id").as("cluster_id"))
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count()
+      // materialize the new labels to keep the iterated lineage flat
+      labels = next.localCheckpoint(eager = true)
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash fingerprints (`bits` wide, ≤ 60): per token-hash bit,
     * sum ±1 over the doc's tokens (with multiplicity); bit j of the
     * fingerprint = sign of sum_j. One explode + one aggregation. */

@@ -20,6 +20,51 @@ object TextQueries {
   private def dkHash60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
   private def dkHash31(e: String) = s"(${dkHash60(e)} % 2147483647)"
 
+  /** DuckDB replay of the full MinHash-LSH pipeline (shared by
+    * d2_minhash_lsh and as the edge set of d6_dedup_clusters). */
+  private lazy val d2OracleSql: String = {
+        val k = 16; val r = 4
+        val mins = (0 until k).map(i =>
+          s"min((hv * ${2 * i + 3} + ${5 * i + 7}) % 2147483647) AS mh_$i")
+          .mkString(",\n    ")
+        val bandSel = (0 until k / r).map { b =>
+          val vs = (0 until r).map(i => s"mh_${b * r + i} AS v$i").mkString(", ")
+          s"SELECT doc_id, $b AS band_idx, $vs FROM sig"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS (SELECT doc_id,
+           |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+           |sh0 AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+           |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+           |      i -> array_to_string(toks[i:i+2], ' ')))
+           |  ELSE [] END AS shs FROM t),
+           |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
+           |h AS (SELECT doc_id, shingle, ${dkHash31("shingle")} AS hv FROM sh),
+           |sig AS (SELECT doc_id,
+           |    $mins
+           |  FROM h GROUP BY doc_id),
+           |bands AS (
+           |  $bandSel
+           |),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx
+           |    AND x.v0 = y.v0 AND x.v1 = y.v1 AND x.v2 = y.v2 AND x.v3 = y.v3
+           |    AND x.doc_id < y.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+           |  FROM cand c
+           |  JOIN sh a ON a.doc_id = c.doc_a
+           |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+           |  GROUP BY c.doc_a, c.doc_b)
+           |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+           |  coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) AS jaccard
+           |FROM cand c
+           |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+           |JOIN sizes sa ON sa.doc_id = c.doc_a
+           |JOIN sizes sb ON sb.doc_id = c.doc_b
+           |WHERE coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.4
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }
+
   val all: Seq[QueryDef] = Seq(
 
     // Token counting: chars, whitespace tokens, BPE-ish regex tokens.
@@ -190,48 +235,8 @@ object TextQueries {
       (s, dir) => TextDedup.minHashNearDups(
         Tables.documents(s, dir), k = 16, bands = 4, threshold = 0.4)
         .orderBy("doc_a", "doc_b"),
-      {
-        val k = 16; val r = 4
-        val mins = (0 until k).map(i =>
-          s"min((hv * ${2 * i + 3} + ${5 * i + 7}) % 2147483647) AS mh_$i")
-          .mkString(",\n    ")
-        val bandSel = (0 until k / r).map { b =>
-          val vs = (0 until r).map(i => s"mh_${b * r + i} AS v$i").mkString(", ")
-          s"SELECT doc_id, $b AS band_idx, $vs FROM sig"
-        }.mkString("\n  UNION ALL\n  ")
-        s"""WITH t AS (SELECT doc_id,
-           |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
-           |sh0 AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
-           |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
-           |      i -> array_to_string(toks[i:i+2], ' ')))
-           |  ELSE [] END AS shs FROM t),
-           |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM sh0),
-           |h AS (SELECT doc_id, shingle, ${dkHash31("shingle")} AS hv FROM sh),
-           |sig AS (SELECT doc_id,
-           |    $mins
-           |  FROM h GROUP BY doc_id),
-           |bands AS (
-           |  $bandSel
-           |),
-           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx
-           |    AND x.v0 = y.v0 AND x.v1 = y.v1 AND x.v2 = y.v2 AND x.v3 = y.v3
-           |    AND x.doc_id < y.doc_id),
-           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-           |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
-           |  FROM cand c
-           |  JOIN sh a ON a.doc_id = c.doc_a
-           |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-           |  GROUP BY c.doc_a, c.doc_b)
-           |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-           |  coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) AS jaccard
-           |FROM cand c
-           |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-           |JOIN sizes sa ON sa.doc_id = c.doc_a
-           |JOIN sizes sb ON sb.doc_id = c.doc_b
-           |WHERE coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.4
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }),
+      d2OracleSql),
+
 
     // SimHash near-dup detection: 48-bit fingerprints, 4-chunk pigeonhole
     // banding, exact hamming ≤ 6 verification.
@@ -342,6 +347,32 @@ object TextQueries {
         |  FROM scored)
         |SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin),
+
+    // Near-dup pairs → connected-component dedup clusters: every doc
+    // labeled with the min doc_id reachable through the MinHash near-dup
+    // graph (singletons label themselves); dedup keeps doc_id ==
+    // cluster_id. Oracle replays the closure with a recursive CTE.
+    QueryDef("d6_dedup_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextDedup.dedupClusters(docs,
+          TextDedup.minHashNearDups(docs, k = 16, bands = 4, threshold = 0.4))
+          .orderBy("doc_id")
+      },
+      {
+        // the d2 pipeline's pair output as the edge set
+        val pairSql = d2OracleSql.replaceAll("ORDER BY doc_a, doc_b\\s*$", "")
+        s"""WITH RECURSIVE pairs AS ($pairSql),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (SELECT a, b FROM edges
+           |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |m AS (SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY a)
+           |SELECT d.doc_id,
+           |  least(d.doc_id, coalesce(m.min_reach, d.doc_id)) AS cluster_id
+           |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }),
 
     // Reproducible 80/20 train/eval split: bucket = md5(doc_id) mod 100,
     // a pure function of the data — stable across partitionings, engines
