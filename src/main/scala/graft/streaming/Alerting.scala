@@ -19,8 +19,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, Qu
   */
 final class FailureAlerts(notify: String => Unit = _ => ())
     extends StreamingQueryListener {
-
-  final case class Alert(queryId: String, message: String)
+  import Alerting.Alert
 
   /** Bounded history — a supervision loop restarting a persistently
     * failing query must not leak driver memory over weeks. */
@@ -48,6 +47,9 @@ final class FailureAlerts(notify: String => Unit = _ => ())
 }
 
 object Alerting {
+
+  final case class Alert(queryId: String, message: String)
+
   /** Register a failure listener on the session; returns it for
     * inspection. */
   def install(spark: SparkSession,
