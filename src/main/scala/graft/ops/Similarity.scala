@@ -49,14 +49,29 @@ object Similarity {
       VectorFns.signBucket(col("embedding"), bits).as("bucket"))
       .withColumn("nrm", VectorFns.norm(col("v")))
 
+  /** Skew guard for the bucketed self-joins: a bucket's candidate count
+    * is quadratic in its size, so one degenerate bucket (near-identical
+    * embeddings — a template corpus) dominates the job. Vectors in
+    * buckets larger than `maxBucket` are excluded from candidate
+    * generation entirely (both join sides — the capped view is shared,
+    * keeping the semantics symmetric); the scale fix for routinely
+    * oversized buckets is more `bits` or [[ivfTopK]], not a bigger cap. */
+  private def capBuckets(b: DataFrame, maxBucket: Int): DataFrame = {
+    val keep = b.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucket)
+      .select("bucket")
+    b.join(keep, Seq("bucket"))
+  }
+
   /** Cosine from a pair's dot product and precomputed norms — identical
     * operation order to [[VectorFns.cosine]] (dot / (‖a‖·‖b‖)). */
   private def pairCosine: Column =
     VectorFns.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))
 
   /** Per-vector top-k neighbors *within the same LSH bucket*. */
-  def lshTopKNeighbors(emb: DataFrame, bits: Int, k: Int): DataFrame = {
-    val b = bucketed(emb, bits)
+  def lshTopKNeighbors(emb: DataFrame, bits: Int, k: Int,
+      maxBucket: Int = 100000): DataFrame = {
+    val b = capBuckets(bucketed(emb, bits), maxBucket)
     val pairs = b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
@@ -80,8 +95,8 @@ object Similarity {
     * dense gaussian embeddings — when recall matters more than scan
     * fraction, prefer [[ivfTopK]] (measured 1.0 for query top-10). */
   def lshTopKNeighborsMultiProbe(emb: DataFrame, bits: Int, k: Int,
-      maxHamming: Int = 1): DataFrame = {
-    val b = bucketed(emb, bits)
+      maxHamming: Int = 1, maxBucket: Int = 100000): DataFrame = {
+    val b = capBuckets(bucketed(emb, bits), maxBucket)
     val masks = (0 until (1 << bits))
       .filter(m => Integer.bitCount(m) <= maxHamming)
     val probed = b.withColumn("probe", explode(array(
@@ -140,8 +155,9 @@ object Similarity {
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
     * restricted to same-bucket pairs. */
-  def nearDupPairs(emb: DataFrame, bits: Int, threshold: Double): DataFrame = {
-    val b = bucketed(emb, bits)
+  def nearDupPairs(emb: DataFrame, bits: Int, threshold: Double,
+      maxBucket: Int = 100000): DataFrame = {
+    val b = capBuckets(bucketed(emb, bits), maxBucket)
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

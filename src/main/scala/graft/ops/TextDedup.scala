@@ -69,8 +69,19 @@ object TextDedup {
 
   /** LSH banding: split the k-wide signature into `bands` rows of
     * `k/bands` values; docs agreeing on any whole band become candidate
-    * pairs via an equality self-join on (band_idx, band values). */
-  def lshCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    * pairs via an equality self-join on (band_idx, band values).
+    *
+    * Skew guard: a bucket's pair count is quadratic in its size, so one
+    * degenerate bucket (a boilerplate/template corpus — exactly what LLM
+    * dedup runs into) can dominate the whole job. Buckets larger than
+    * `maxBucket` are dropped from candidate generation (their docs can
+    * still pair through their other bands; identical boilerplate is
+    * caught by [[exactByFingerprint]], which is the cheaper tool for it).
+    * Singleton buckets are dropped too — they cannot produce a pair, and
+    * pruning them pre-join shrinks the self-join input. Same trade as
+    * `maxDF` in [[ngramJaccardDups]]. */
+  def lshCandidates(sigs: DataFrame, k: Int, bands: Int,
+      maxBucket: Int = 10000): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"bands ($bands) must divide the signature width ($k): a zero-width " +
         "band matches everything (all-pairs blowup); a remainder silently " +
@@ -82,7 +93,12 @@ object TextDedup {
         // uniform field names so the band structs share one array type
         struct((0 until r).map(i => col(s"mh_${b * r + i}").as(s"v$i")): _*)
       }: _*)).as(Seq("band_idx", "band")))
-    banded.as("x").join(banded.as("y"),
+    val keep = banded.groupBy("band_idx", "band")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
+      .select("band_idx", "band")
+    val kept = banded.join(keep, Seq("band_idx", "band"))
+    kept.as("x").join(kept.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -116,9 +132,10 @@ object TextDedup {
   /** Full MinHash-LSH near-dup pipeline:
     * shingle → sign → band → candidate join → exact-Jaccard verify. */
   def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, maxBucket: Int = 10000): DataFrame = {
     val sh = shingles(docs)
-    verifyJaccard(lshCandidates(minHashSignatures(sh, k), k, bands), sh, threshold)
+    verifyJaccard(lshCandidates(minHashSignatures(sh, k), k, bands, maxBucket),
+      sh, threshold)
   }
 
   /** Direct n-gram Jaccard near-dup pairs — no MinHash approximation in
@@ -215,17 +232,26 @@ object TextDedup {
     * (chunks−1, maxHamming] surface only if some chunk happens to agree —
     * the same recall-limited banding trade as MinHash LSH. A full
     * maxHamming guarantee needs chunks > maxHamming, at the cost of
-    * narrower chunks and a larger candidate join. */
+    * narrower chunks and a larger candidate join.
+    *
+    * Skew guard: chunk-buckets larger than `maxBucket` are dropped
+    * (with singleton buckets, which cannot pair) before the self-join —
+    * same rationale as [[lshCandidates]]. */
   def simHashNearDups(docs: DataFrame, bits: Int = 48, chunks: Int = 4,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6, maxBucket: Int = 10000): DataFrame = {
     require(chunks > 0 && bits % chunks == 0,
       s"chunks ($chunks) must divide bits ($bits)")
     val width = bits / chunks
     val fp = simHash(docs, bits)
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    val chunked = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until chunks).map { c =>
         shiftright(col("simhash"), c * width) % (1L << width)
       }: _*)).as(Seq("chunk_idx", "chunk")))
+    val keep = chunked.groupBy("chunk_idx", "chunk")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
+      .select("chunk_idx", "chunk")
+    val banded = chunked.join(keep, Seq("chunk_idx", "chunk"))
     // Hamming filter BEFORE the candidate-dedup distinct: the per-row
     // bit_count is nearly free, while distinct shuffles its whole input —
     // filtering first shrinks that shuffle to surviving pairs only

@@ -43,9 +43,12 @@ object SimilarityQueries {
         .orderBy("vec_id", "rank"),
       s"""WITH e AS (SELECT vec_id, $toD AS v,
          |    ${dkBucket("embedding")} AS bucket FROM embeddings),
+         |keep AS (SELECT bucket FROM e GROUP BY bucket
+         |  HAVING count(*) <= 100000),
+         |ek AS (SELECT e.* FROM e JOIN keep USING (bucket)),
          |p AS (SELECT x.vec_id, y.vec_id AS nb_id,
          |    ${dkCos("x.v", "y.v")} AS cos_sim
-         |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |  FROM ek x JOIN ek y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
          |r AS (SELECT vec_id, nb_id, cos_sim,
          |    row_number() OVER (PARTITION BY vec_id
          |                       ORDER BY cos_sim DESC, nb_id ASC) AS rank
@@ -65,11 +68,14 @@ object SimilarityQueries {
           .mkString("[", ", ", "]")
         s"""WITH e AS (SELECT vec_id, $toD AS v,
            |    ${dkBucket("embedding")} AS bucket FROM embeddings),
+           |keep AS (SELECT bucket FROM e GROUP BY bucket
+           |  HAVING count(*) <= 100000),
+           |ek AS (SELECT e.* FROM e JOIN keep USING (bucket)),
            |px AS (SELECT vec_id, v, xor(bucket::BIGINT, m.mask) AS probe
-           |  FROM e, unnest($masks::BIGINT[]) AS m(mask)),
+           |  FROM ek, unnest($masks::BIGINT[]) AS m(mask)),
            |p AS (SELECT x.vec_id, y.vec_id AS nb_id,
            |    ${dkCos("x.v", "y.v")} AS cos_sim
-           |  FROM px x JOIN e y ON x.probe = y.bucket::BIGINT
+           |  FROM px x JOIN ek y ON x.probe = y.bucket::BIGINT
            |    AND x.vec_id <> y.vec_id),
            |r AS (SELECT vec_id, nb_id, cos_sim,
            |    row_number() OVER (PARTITION BY vec_id
@@ -133,10 +139,13 @@ object SimilarityQueries {
         Tables.embeddings(s, dir), bits = 4, threshold = 0.35)
         .orderBy("vec_a", "vec_b"),
       s"""WITH e AS (SELECT vec_id, $toD AS v,
-         |    ${dkBucket("embedding")} AS bucket FROM embeddings)
+         |    ${dkBucket("embedding")} AS bucket FROM embeddings),
+         |keep AS (SELECT bucket FROM e GROUP BY bucket
+         |  HAVING count(*) <= 100000),
+         |ek AS (SELECT e.* FROM e JOIN keep USING (bucket))
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
          |  ${dkCos("x.v", "y.v")} AS cos_sim
-         |FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |FROM ek x JOIN ek y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${dkCos("x.v", "y.v")} >= 0.35
          |ORDER BY vec_a, vec_b""".stripMargin)
   )

@@ -45,8 +45,13 @@ object TextQueries {
            |bands AS (
            |  $bandSel
            |),
+           |keep AS (SELECT band_idx, v0, v1, v2, v3 FROM bands
+           |  GROUP BY band_idx, v0, v1, v2, v3
+           |  HAVING count(*) BETWEEN 2 AND 10000),
+           |bk AS (SELECT bands.* FROM bands
+           |  JOIN keep USING (band_idx, v0, v1, v2, v3)),
            |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx
+           |  FROM bk x JOIN bk y ON x.band_idx = y.band_idx
            |    AND x.v0 = y.v0 AND x.v1 = y.v1 AND x.v2 = y.v2 AND x.v3 = y.v3
            |    AND x.doc_id < y.doc_id),
            |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -265,9 +270,12 @@ object TextQueries {
            |b AS (
            |  $chunkRows
            |),
+           |keep AS (SELECT chunk_idx, chunk FROM b
+           |  GROUP BY chunk_idx, chunk HAVING count(*) BETWEEN 2 AND 10000),
+           |bk AS (SELECT b.* FROM b JOIN keep USING (chunk_idx, chunk)),
            |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
            |    x.simhash AS sa, y.simhash AS sb
-           |  FROM b x JOIN b y ON x.chunk_idx = y.chunk_idx
+           |  FROM bk x JOIN bk y ON x.chunk_idx = y.chunk_idx
            |    AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
            |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
            |FROM cand WHERE bit_count(xor(sa, sb)) <= 6

@@ -40,4 +40,55 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1L)))
     assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
   }
+
+  // ---- oversized-bucket skew guards -------------------------------------
+  // A degenerate LSH bucket (identical-template corpus) makes one bucket's
+  // pair count quadratic; maxBucket must drop it while genuine near-dup
+  // pairs in normal-sized buckets survive.
+
+  private val template =
+    "terms of service template page copyright footer all rights reserved please read carefully"
+  private def plantedDocs(nTemplate: Int) = (
+    (0 until nTemplate).map(i => (i.toLong, template)) ++ Seq(
+      (9000L, "a genuinely unique story about a fox crossing the frozen river at dawn light"),
+      (9001L, "a genuinely unique story about a fox crossing the frozen river at dawn today"))
+  ).toDF("doc_id", "text")
+
+  test("minhash-lsh maxBucket drops a planted template cluster, keeps real pairs") {
+    val docs = plantedDocs(300)
+    val capped = TextDedup.minHashNearDups(docs, k = 16, bands = 4,
+      threshold = 0.4, maxBucket = 50)
+      .as[(Long, Long, Double)].collect().toSeq
+    // quadratic cluster (300² / 2 ≈ 45k pairs) suppressed entirely...
+    assert(capped.forall { case (a, b, _) => a >= 9000L && b >= 9000L })
+    // ...while the genuine near-dup pair in its own size-2 bucket survives
+    assert(capped.map(p => (p._1, p._2)) == Seq((9000L, 9001L)))
+    // and with the default (generous) cap the cluster pairs are all found
+    val uncapped = TextDedup.minHashNearDups(docs, k = 16, bands = 4,
+      threshold = 0.4)
+    assert(uncapped.count() == 300L * 299 / 2 + 1)
+  }
+
+  test("simhash maxBucket drops the template cluster, keeps real pairs") {
+    val docs = plantedDocs(300)
+    val capped = TextDedup.simHashNearDups(docs, bits = 48, chunks = 4,
+      maxHamming = 6, maxBucket = 50)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(capped.forall { case (a, b, _) => a >= 9000L && b >= 9000L })
+    assert(capped.map(p => (p._1, p._2)) == Seq((9000L, 9001L)))
+  }
+
+  test("embedding nearDupPairs maxBucket drops a degenerate vector bucket") {
+    val dup = Array(1f, 1f, 1f, 1f)
+    val emb = ((0 until 200).map(i => (i.toLong, dup)) ++ Seq(
+      (9000L, Array(-1f, 2f, -3f, 4f)),
+      (9001L, Array(-1f, 2f, -3f, 4.001f))
+    )).toDF("vec_id", "embedding")
+    val capped = Similarity.nearDupPairs(emb, bits = 4, threshold = 0.9,
+      maxBucket = 50).as[(Long, Long, Double)].collect().toSeq
+    assert(capped.map(p => (p._1, p._2)) == Seq((9000L, 9001L)))
+    // default cap leaves the quadratic bucket in place
+    assert(Similarity.nearDupPairs(emb, bits = 4, threshold = 0.9)
+      .count() == 200L * 199 / 2 + 1)
+  }
 }
