@@ -165,42 +165,91 @@ object TextDedup {
   }
 
   /** Near-dup PAIRS → dedup CLUSTERS: connected components over the pair
-    * graph by iterated hash-min label propagation — every doc's label
-    * becomes the minimum doc_id reachable from it; keep-one-per-cluster
-    * is then `doc_id == cluster_id`.
+    * graph by iterated hash-min label propagation with pointer jumping —
+    * every doc's label becomes the minimum doc_id reachable from it;
+    * keep-one-per-cluster is then `doc_id == cluster_id`.
     *
-    * Scale shape: each iteration is one join + one min-aggregation on
-    * doc_id (no collect); iterations needed = graph diameter, and
-    * near-dup components are shallow (template clusters), so convergence
-    * is a handful of rounds. The driver loop checks a changed-count —
-    * the standard large-scale CC formulation (hash-min), not GraphX.
+    * Scale shape: each iteration is two joins + one min-aggregation on
+    * doc_id (no collect). Plain hash-min needs diameter iterations; the
+    * pointer-jump step (`l(v) ← l(l(v))`, valid because labels only ever
+    * decrease and `l(u) ≤ u`) halves every label-chain each round, so
+    * convergence is O(log diameter) — a 200-doc transitive chain closes
+    * in ~9 rounds, not 200.
+    *
+    * Fault tolerance + plan control: each iteration's labels MUST leave
+    * the Catalyst layer — the pointer-jump self-join doubles the logical
+    * plan every round, so an unmaterialized loop goes exponential in
+    * analysis time. Labels materialize via reliable `checkpoint()` when
+    * the session has a checkpoint dir configured (flat lineage AND
+    * survives executor loss — configure one on a real cluster), else by
+    * re-rooting the DataFrame on its own `persist(DISK_ONLY)`ed RDD
+    * (flat SQL plan; blocks recomputable through RDD lineage on loss —
+    * never the executor-local unreplicated blocks of `localCheckpoint`,
+    * which turn one lost executor into a failed job). The previous
+    * iteration is unpersisted once the new one is compared; the edge set
+    * is materialized once, not recomputed per iteration.
     *
     * @param docs  all documents (singletons cluster to themselves)
     * @param pairs near-dup pairs (doc_a, doc_b) from any detector above
+    * @param requireConvergence throw if the iteration cap is hit before
+    *   the fixpoint — unconverged labels silently split real clusters,
+    *   so keep-one-per-cluster would retain near-duplicates; pass false
+    *   to accept partial clustering (logged) instead.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
-      maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      maxIterations: Int = 20,
+      requireConvergence: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    // Flat-plan materialization barrier (see scaladoc): reliable
+    // checkpoint when available, else re-root on the persisted RDD.
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else {
+        val fresh = spark.createDataFrame(df.rdd, df.schema)
+          .persist(StorageLevel.DISK_ONLY)
+        fresh.count()
+        fresh
+      }
+    val edges = materialize(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     var labels = docs.select(col("doc_id"),
       col("doc_id").as("cluster_id"))
+    var prev: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .select(col("src").as("doc_id"), col("cluster_id"))
-      val next = labels.union(viaNeighbors)
+      val improved = labels.union(viaNeighbors)
         .groupBy("doc_id")
         .agg(min("cluster_id").as("cluster_id"))
+      // pointer jump: relabel through the label's own (improved) label —
+      // sound because labels only decrease and l(u) <= u
+      val jumped = improved.as("a")
+        .join(improved.as("b"), col("a.cluster_id") === col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.cluster_id").as("cluster_id"))
+      val next = materialize(jumped)
       val changed = next.as("n")
         .join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))
         .limit(1).count()
-      // materialize the new labels to keep the iterated lineage flat
-      labels = next.localCheckpoint(eager = true)
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(next)
+      labels = next
       converged = changed == 0
       i += 1
+    }
+    edges.unpersist(blocking = false)
+    if (!converged) {
+      val msg = s"dedupClusters did not converge within $maxIterations " +
+        "iterations: labels are a partial clustering (real clusters may " +
+        "be split, so keep-one-per-cluster would retain near-duplicates)"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels
   }

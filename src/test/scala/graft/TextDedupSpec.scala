@@ -41,6 +41,37 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
   }
 
+  // ---- connected-component clustering -----------------------------------
+
+  test("dedupClusters closes a 200-link chain within the default cap (pointer jumping)") {
+    val n = 200
+    val chainDocs = (0 until n).map(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+    val chainPairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    // diameter 199 >> default maxIterations 20: plain hash-min would hit
+    // the cap; pointer jumping needs ~log2(199) + 1 rounds
+    val labels = graft.ops.TextDedup.dedupClusters(chainDocs, chainPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L))
+  }
+
+  test("dedupClusters surfaces non-convergence instead of returning split clusters") {
+    val n = 40
+    val chainDocs = (0 until n).map(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+    val chainPairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      graft.ops.TextDedup.dedupClusters(chainDocs, chainPairs,
+        maxIterations = 2)
+    }
+    // opt-out path still returns (partial) labels
+    val partial = graft.ops.TextDedup.dedupClusters(chainDocs, chainPairs,
+      maxIterations = 2, requireConvergence = false)
+    assert(partial.count() == n)
+  }
+
   // ---- oversized-bucket skew guards -------------------------------------
   // A degenerate LSH bucket (identical-template corpus) makes one bucket's
   // pair count quadratic; maxBucket must drop it while genuine near-dup
