@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -20,6 +21,35 @@ import org.apache.spark.sql.functions._
   * batch touches.
   */
 object Upsert {
+
+  /** Filesystem of `path` via the Hadoop FS API — correct on HDFS/S3A/
+    * local alike (a `java.io.File` probe silently misfires off-local). */
+  private def fsFor(df: DataFrame, path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Swap a fully-written staging dir into place: rename current aside,
+    * rename staging in, delete the old copy. The previous table survives
+    * a failure at ANY point (a crash between the two renames leaves it
+    * parked at `<target>__old__`, restored on the next call); the
+    * visibility gap is the instant between the renames — the price of
+    * running on a store without atomic directory replace. */
+  private def swapInto(fs: FileSystem, staging: HPath, target: HPath): Unit = {
+    val old = new HPath(target.getParent, target.getName + "__old__")
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadPrev = fs.exists(target)
+    if (hadPrev && !fs.rename(target, old))
+      throw new java.io.IOException(s"rename $target -> $old failed")
+    if (!fs.rename(staging, target)) {
+      if (hadPrev) fs.rename(old, target) // restore before failing
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+    }
+    if (hadPrev) fs.delete(old, true)
+  }
+
+  private def stagingFor(target: HPath): HPath =
+    new HPath(target.getParent, target.getName + "__staging__")
 
   /** Newest-wins merge: one row per `keys`, highest (version, isNew) wins —
     * i.e. updates beat existing rows at equal version, matching the
@@ -58,6 +88,7 @@ object Upsert {
   def upsertParquetPartitioned(updates: DataFrame, path: String,
       keys: Seq[String], version: String, partCol: String): Unit = {
     val spark = updates.sparkSession
+    val (fs, target) = fsFor(updates, path)
     val touched = updates.select(partCol).distinct().collect()
       .map(_.get(0)).toSeq // bounded: partitions per batch, not rows
     // null partition values need an explicit isNull arm — `IN (null)` is
@@ -71,20 +102,36 @@ object Upsert {
         else lit(false)
       if (nullTouched.nonEmpty) in || col(partCol).isNull else in
     }
+    val exists = fs.exists(target)
     val merged =
-      if (new java.io.File(path).exists) {
+      if (exists) {
         val existing = spark.read.parquet(path)
           .filter(touchedPred) // partition pruning
           .select(updates.columns.map(col).toIndexedSeq: _*)
         merge(existing, updates, keys, version)
       } else merge(updates.limit(0), updates, keys, version)
-    val staged = merged.cache()
-    staged.count()
-    staged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
+    // Stage the touched partitions beside the table, then swap each
+    // partition dir into place: the lazy read of the current table
+    // happens while writing the staging dir (target untouched), and a
+    // failure at any point leaves the current table readable — unlike a
+    // read-then-overwrite of the same path, whose recompute-after-
+    // executor-loss would re-read a half-deleted target.
+    val staging = stagingFor(target)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    merged.write.mode("overwrite")
       .partitionBy(partCol)
-      .parquet(path)
-    staged.unpersist()
+      .parquet(staging.toString)
+    if (!exists) {
+      swapInto(fs, staging, target)
+    } else {
+      val partDirs = fs.listStatus(staging)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$partCol="))
+      partDirs.foreach { st =>
+        swapInto(fs, st.getPath, new HPath(target, st.getPath.getName))
+      }
+      fs.delete(staging, true)
+    }
   }
 
   /** Idempotent batch upsert into a parquet path (read ∪ merge ∪ atomic
@@ -92,8 +139,9 @@ object Upsert {
   def upsertParquet(updates: DataFrame, path: String, keys: Seq[String],
       version: String): Unit = {
     val spark = updates.sparkSession
+    val (fs, target) = fsFor(updates, path)
     val merged =
-      if (new java.io.File(path).exists) {
+      if (fs.exists(target)) {
         val existing = spark.read.parquet(path).select(
           updates.columns.map(col).toIndexedSeq: _*)
         merge(existing, updates, keys, version)
@@ -102,11 +150,14 @@ object Upsert {
         // in-batch duplicate keys must land deduplicated like every later
         // one, or the one-row-per-key invariant starts out violated
         merge(updates.limit(0), updates, keys, version)
-    // stage → atomic swap: parquet overwrite is not in-place safe when the
-    // source of the read is the target of the write.
-    val staged = merged.cache()
-    staged.count()
-    staged.write.mode("overwrite").parquet(path)
-    staged.unpersist()
+    // Stage beside the table, then swap: the lazy read of the current
+    // files happens while writing the staging dir, and the previous
+    // table survives a failure at any point. (The earlier cache()-as-
+    // barrier variant could silently re-read the half-overwritten target
+    // if an executor was lost after the cached blocks were evicted.)
+    val staging = stagingFor(target)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    merged.write.mode("overwrite").parquet(staging.toString)
+    swapInto(fs, staging, target)
   }
 }
