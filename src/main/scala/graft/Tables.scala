@@ -24,26 +24,28 @@ object Tables {
     * across the 70-query harness avoids re-listing files and re-reading
     * parquet footers per query — pure metadata reuse, no data caching
     * (read-only fixtures, so staleness is impossible here; a mutable
-    * store would need invalidation instead). Weak session keys let a
-    * stopped session's plans be collected instead of pinning them for
-    * the JVM lifetime. */
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+    * store would need invalidation instead).
+    *
+    * Lifetime is deliberate and explicit: a cached DataFrame strongly
+    * references its SparkSession, so NO weak-keyed scheme can make these
+    * entries collectable (the value would resurrect the key — the
+    * classic WeakHashMap self-reference pitfall). Entries are
+    * metadata-sized (resolved plans), bounded by #sessions × #tables,
+    * and live until [[invalidate]] is called for a stopped session. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = {
-      val existing = cache.get(spark)
-      if (existing != null) existing
-      else {
-        val fresh = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-        val raced = cache.putIfAbsent(spark, fresh)
-        if (raced != null) raced else fresh
-      }
-    }
-    perSession.getOrElseUpdate((dir, name),
-      spark.read.parquet(s"$dir/$name.parquet"))
-  }
+  /** Drop a (stopped) session's cached plans so the session and its
+    * plans can be collected. */
+  def invalidate(spark: SparkSession): Unit = cache.remove(spark)
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache
+      .computeIfAbsent(spark, _ =>
+        scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+      .getOrElseUpdate((dir, name),
+        spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -13,9 +13,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * passes (each accumulator's left fold is unchanged; only the number of
   * array traversals drops from 3 to 1). Matches the DuckDB oracle's
   * separate-fold formulation bitwise for the same reason.
+  *
+  * Edge semantics (the function is registered globally, so arbitrary SQL
+  * arrays reach it, not just the validated embedding fixtures): a null
+  * element anywhere, or a zero-norm (all-zero or empty) input, yields
+  * NULL — never NaN, and never the undefined bits `getDouble` reads from
+  * a null slot.
   */
 case class ArrayCosine(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -38,6 +46,7 @@ case class ArrayCosine(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -45,7 +54,8 @@ case class ArrayCosine(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,17 +67,24 @@ case class ArrayCosine(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val bad = ctx.freshName("sawNull")
       s"""
          |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
          |  final double $xi = $x.getDouble($i);
          |  final double $yi = $y.getDouble($i);
          |  $dot += $xi * $yi;
          |  $na += $xi * $xi;
          |  $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($bad || $na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -21,12 +21,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * order-sensitive, and fixing the order keeps every similarity bitwise
   * reproducible across engines and partition layouts.
   *
-  * Assumes equal-length arrays with non-null elements (the embedding
-  * fixtures guarantee both); extra elements on the longer side are
-  * ignored, mirroring `zip_with`'s shorter-side behavior for our use.
+  * Assumes equal-length arrays (the embedding fixtures guarantee it);
+  * extra elements on the longer side are ignored, mirroring `zip_with`'s
+  * shorter-side behavior for our use. A null element anywhere yields
+  * NULL — the function is registered globally, and `getDouble` on a null
+  * slot would otherwise read undefined bits.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -47,6 +51,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -58,13 +63,20 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("sawNull")
       s"""
          |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
-         |${ev.value} = $acc;
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 

@@ -33,17 +33,27 @@ object Joins {
     * Implemented as a single window pass (`last(_, ignoreNulls)` over an
     * unbounded-preceding frame) rather than a join: one shuffle on the key,
     * no join explosion, no range-condition nested loop — the formulation
-    * that survives 100 TB. Events must be totally ordered per key by
-    * (time, tiebreak).
+    * that survives 100 TB.
     *
-    * @param isLeft  predicate marking reference rows (e.g. quotes/views)
-    * @param isRight predicate marking probe rows (e.g. trades/purchases)
+    * Determinism: the window's ROWS frame makes `asof_time`/`asof_value`
+    * depend on within-tie row order, so (key, time, tieBreak) must be a
+    * total order. Pass `tieBreak` (e.g. the event id) whenever (key,
+    * time) alone is not unique — with no tiebreak and tied timestamps
+    * the result is partition-layout-dependent.
+    *
+    * @param isLeft   predicate marking reference rows (e.g. quotes/views)
+    * @param isRight  predicate marking probe rows (e.g. trades/purchases)
+    * @param tieBreak extra orderBy columns completing the per-key total
+    *                 order (a reference row ties-before a probe row at
+    *                 equal (time, tieBreak) — frame is at-or-before).
     * @return probe rows with `asof_time`/`asof_value` of the latest
     *         reference row at-or-before each.
     */
   def asOfAligned(df: DataFrame, key: String, time: String, value: String,
-      isLeft: Column, isRight: Column): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(col(time).asc)
+      isLeft: Column, isRight: Column,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(col(time).asc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__asof_t",
         last(when(isLeft, col(time)), ignoreNulls = true).over(w))

@@ -114,7 +114,8 @@ object JoinQueries {
           .select("event_id", "user_id", "event_type", "ts", "value"),
         key = "user_id", time = "ts", value = "value",
         isLeft = col("event_type") === "view",
-        isRight = col("event_type") === "purchase")
+        isRight = col("event_type") === "purchase",
+        tieBreak = Seq(col("event_id").asc))
         .select("event_id", "user_id", "ts", "value", "asof_time", "asof_value")
         .orderBy("event_id"),
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
@@ -122,10 +123,10 @@ object JoinQueries {
         |FROM (
         |  SELECT event_id, user_id, ts, value, event_type,
         |    max(CASE WHEN event_type = 'view' THEN ts END)
-        |      OVER (PARTITION BY user_id ORDER BY ts ASC
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_time,
         |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts ASC
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
         |  FROM events WHERE event_type IN ('view', 'purchase'))
         |WHERE event_type = 'purchase'

@@ -54,6 +54,17 @@ class VectorFnsSpec extends SparkSpec {
     assert(r.getDouble(1) === 1.0)
   }
 
+  test("zero-norm and null-element inputs yield NULL, not NaN/garbage") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT array_cosine(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS zn,
+        |       array_cosine(CAST(array() AS array<double>), CAST(array() AS array<double>)) AS empty,
+        |       array_cosine(array(1.0d, CAST(NULL AS double)), array(1.0d, 2.0d)) AS ne,
+        |       array_dot(array(1.0d, CAST(NULL AS double)), array(1.0d, 2.0d)) AS nd
+        |""".stripMargin).collect().head
+    (0 until 4).foreach(i => assert(r.isNullAt(i), s"column $i"))
+  }
+
   test("brute-force top-k is self-consistent with pairwise cosine") {
     val top = Similarity.bruteForceTopK(emb, queryId = 0L, k = 5).collect()
     assert(top.length === 5)
