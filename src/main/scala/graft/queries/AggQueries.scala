@@ -135,14 +135,26 @@ object AggQueries {
       """SELECT event_type, quantile_cont(value, 0.5) AS median_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
-    // Free extra: HLL++ approximate distinct — algorithm-specific result,
-    // no cross-engine oracle (driver records rows-only).
+    // Free extra: HLL++ approximate distinct. Raw sketch estimates are
+    // algorithm-specific (not engine-portable), so the oracle-checked
+    // output is the exact distinct count plus an error-bound verdict:
+    // each engine runs its OWN approx_count_distinct and asserts it lands
+    // within 10% of exact (Spark's default rsd is 5%, DuckDB's HLL is
+    // tighter — both sides must report true for the hashes to match).
     QueryDef("a11_approx_distinct",
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id")).as("__approx"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("__approx") - col("n_users")) <=
+            col("n_users").cast("double") * 0.1).as("approx_ok"))
         .orderBy("event_type"),
-      None),
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |    <= count(DISTINCT user_id)::DOUBLE * 0.1 AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     // O1: multi-key sort (ORDER BY symbol ASC, funding_time DESC,
     // funding_stats_etl.py:28-30).
