@@ -12,16 +12,73 @@ final case class MediaRaw(doc_id: Long, payload: Array[Byte])
 final case class MediaMeta(doc_id: Long, n_bytes: Long, sha256: String,
     width: Int, height: Int, n_frames: Int)
 
+/** Pure-JVM header parsers for the two image containers whose geometry
+  * lives in a fixed-layout header — no codec library needed. Anything
+  * beyond dimensions (pixel decode, other containers) stays stubbed.
+  */
+object MediaCodecs {
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  /** PNG: 8-byte signature, then the IHDR chunk is REQUIRED first —
+    * width/height are the big-endian words at offsets 16/20. */
+  def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
+      (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16).toInt, be32(b, 20).toInt))
+    else None
+
+  /** JPEG: walk the marker segments from SOI until a start-of-frame
+    * (SOF0..15 except the DHT/JPG/DAC holes C4/C8/CC), whose payload is
+    * precision(1) height(2) width(2). Returns None on truncated or
+    * non-JPEG bytes — never throws. */
+  def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      var j = i
+      while (j + 1 < b.length && (b(j + 1) & 0xff) == 0xff) j += 1 // fill
+      val marker = b(j + 1) & 0xff
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+        i = j + 2 // standalone marker, no length word
+      } else {
+        if (j + 3 >= b.length) return None
+        val len = be16(b, j + 2)
+        if (len < 2) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof)
+          return if (j + 8 < b.length) Some((be16(b, j + 7), be16(b, j + 5)))
+          else None
+        if (marker == 0xda) return None // entropy stream, SOF was missing
+        i = j + 2 + len
+      }
+    }
+    None
+  }
+}
+
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
   * columns with typed metadata, decoded partition-by-partition.
   *
   * The Spark-side shape is the real thing — binary column, typed
   * `Dataset[MediaRaw] → mapPartitions → Dataset[MediaMeta]`, per-partition
   * batching (a real decoder amortizes codec init across a partition,
-  * exactly like a Pandas-UDF batch would) — while the decode itself is a
-  * STUB: the image/audio libraries are not in this container, so
-  * [[stubDecode]] derives deterministic fake dimensions from the payload
-  * bytes. Swap `stubDecode` for a JNI/javacv call and nothing else
+  * exactly like a Pandas-UDF batch would). Geometry decode is REAL for
+  * PNG and JPEG payloads ([[MediaCodecs]] — pure header parsing, no
+  * library); every other codec falls back to [[stubDecode]]'s
+  * deterministic fake, since the media libraries are not in this
+  * container. Swap the fallback for a JNI/javacv call and nothing else
   * changes.
   *
   * Scale notes: payloads never pass through a shuffle here (decode is a
@@ -35,12 +92,19 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", encode(col("text"), "UTF-8"))
 
-  /** STUB decoder — deterministic fake of an image decode. A real
-    * implementation would parse the codec header here. */
+  /** STUB decoder — deterministic fake of an image decode for payloads
+    * whose container [[MediaCodecs]] cannot parse. */
   def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length.toLong
     (64 + (n % 512).toInt, 64 + ((n * 7) % 512).toInt, 1 + (n % 8).toInt)
   }
+
+  /** Header decode: real PNG/JPEG dimension parsing (single-frame), stub
+    * fallback for everything else. */
+  def decodeHeader(payload: Array[Byte]): (Int, Int, Int) =
+    MediaCodecs.pngDims(payload).orElse(MediaCodecs.jpegDims(payload))
+      .map { case (w, h) => (w, h, 1) }
+      .getOrElse(stubDecode(payload))
 
   /** One sampled frame: stub "decode" of frame `frame_idx` of a media
     * payload (a real decoder would seek + decode; the fake is a
@@ -84,7 +148,7 @@ object Multimodal {
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("SHA-256")
         it.map { r =>
-          val (w, h, _) = stubDecode(r.payload)
+          val (w, h, _) = decodeHeader(r.payload)
           val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
           val (nw, nh) = (math.max(1, (w * scale).toInt),
             math.max(1, (h * scale).toInt))
@@ -125,15 +189,21 @@ object Multimodal {
   }
 
   /** Per-partition metadata extraction over the binary column. */
-  def extractMeta(docs: DataFrame): Dataset[MediaMeta] = {
-    val spark = docs.sparkSession
+  def extractMeta(docs: DataFrame): Dataset[MediaMeta] =
+    extractMetaFromPayload(
+      withPayload(docs).select(col("doc_id"), col("payload")))
+
+  /** Same extraction for a frame that already carries `(doc_id, payload)`
+    * — the entry point when real media bytes are ingested directly. */
+  def extractMetaFromPayload(df: DataFrame): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
     import spark.implicits._
-    withPayload(docs).select(col("doc_id"), col("payload")).as[MediaRaw]
+    df.select(col("doc_id"), col("payload")).as[MediaRaw]
       .mapPartitions { it =>
         // one digest per partition ≙ one codec context per batch
         val md = MessageDigest.getInstance("SHA-256")
         it.map { r =>
-          val (w, h, frames) = stubDecode(r.payload)
+          val (w, h, frames) = decodeHeader(r.payload)
           md.reset()
           val sha = md.digest(r.payload).map("%02x".format(_)).mkString
           MediaMeta(r.doc_id, r.payload.length.toLong, sha, w, h, frames)

@@ -8,6 +8,7 @@ import graft.ops.{Multimodal, Similarity}
   * feature extraction shape/determinism, and features feeding the
   * similarity operators end-to-end. */
 class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
 
@@ -19,6 +20,47 @@ class MultimodalSpec extends SparkSpec {
     }
     val again = Multimodal.resize(docs, maxDim = 100).collect()
     assert(out.map(_.sha256).toSeq === again.map(_.sha256).toSeq)
+  }
+
+  test("extractMeta reads true dimensions from planted PNG and JPEG headers") {
+    import graft.ops.MediaCodecs
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w).putInt(h)
+      bb.put(Array[Byte](8, 6, 0, 0, 0)) // depth/color/comp/filter/interlace
+      bb.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+      bb.put(Array(0xff, 0xd8).map(_.toByte))                   // SOI
+      bb.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16)      // APP0
+      bb.put("JFIF".getBytes("US-ASCII")).put(new Array[Byte](10))
+      bb.put(Array(0xff, 0xc0).map(_.toByte)).putShort(17)      // SOF0
+      bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      bb.put(3.toByte).put(new Array[Byte](9))                  // components
+      bb.put(Array(0xff, 0xd9).map(_.toByte))                   // EOI
+      bb.array()
+    }
+    assert(MediaCodecs.pngDims(png(123, 45)) === Some((123, 45)))
+    assert(MediaCodecs.jpegDims(jpeg(640, 480)) === Some((640, 480)))
+    assert(MediaCodecs.pngDims("plain text".getBytes) === None)
+    assert(MediaCodecs.jpegDims("plain text".getBytes) === None)
+    assert(MediaCodecs.jpegDims(Array(0xff, 0xd8, 0xff).map(_.toByte)) === None)
+
+    val media = Seq(
+      (1L, png(123, 45)), (2L, jpeg(640, 480)),
+      (3L, "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val metas = Multimodal.extractMetaFromPayload(media)
+      .collect().sortBy(_.doc_id)
+    assert((metas(0).width, metas(0).height, metas(0).n_frames) === (123, 45, 1))
+    assert((metas(1).width, metas(1).height, metas(1).n_frames) === (640, 480, 1))
+    // unparseable container falls back to the deterministic stub
+    val (sw, sh, sf) = Multimodal.stubDecode("not an image at all".getBytes("UTF-8"))
+    assert((metas(2).width, metas(2).height, metas(2).n_frames) === (sw, sh, sf))
   }
 
   test("extracted features are fixed-width, in [0,1], and similarity-ready") {
