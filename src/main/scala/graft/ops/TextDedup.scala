@@ -34,6 +34,13 @@ object TextDedup {
 
   /** Distinct word-level 3-gram shingles per document: (doc_id, shingle).
     *
+    * Edge contract: a document with fewer than `n` tokens produces NO
+    * shingles, hence no MinHash signature and no n-gram postings — such
+    * docs can never surface as near-dup candidates in
+    * [[minHashNearDups]]/[[ngramJaccardDups]] (only [[exactByFingerprint]]
+    * catches identical short docs). Pinned by a test; widen by lowering
+    * `n` if short-text near-dup matters for a corpus.
+    *
     * The shingle construction is deliberately INLINE in the Generate
     * (explode) operator: materializing the array in a separate projection
     * first (`select(arrayExpr.as("shs"))` then `explode(col("shs"))`)

@@ -324,7 +324,9 @@ object TextQueries {
     QueryDef("t7_tfidf_topterms",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val n = docs.count() // corpus size: tiny driver-side scalar
+        // corpus size as a broadcast 1-row aggregate INSIDE the plan —
+        // a driver-side docs.count() would be an extra eager job per run
+        val corpusN = docs.agg(count(lit(1)).as("__n"))
         val terms = docs
           .select(col("doc_id"),
             explode(TextFns.tokensWs(lower(col("text")))).as("term"))
@@ -332,8 +334,9 @@ object TextQueries {
         val df = terms.select("doc_id", "term").distinct()
           .groupBy("term").agg(count(lit(1)).as("df"))
         val scored = tf.join(df, Seq("term"))
+          .crossJoin(broadcast(corpusN))
           .withColumn("score", col("tf") *
-            ((lit(n) - col("df") + 0.5) / (col("df") + 0.5)))
+            ((col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
         graft.ops.TopK.perGroup(scored, Seq("doc_id"),
           Seq(col("score").desc, col("term").asc), k = 3)
           .select("doc_id", "rank", "term", "tf", "df", "score")

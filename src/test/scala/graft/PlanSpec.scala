@@ -77,4 +77,30 @@ class PlanSpec extends SparkSpec {
     val p = plan("d2_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("j-family join strategies: broadcast where a side is dimension-sized") {
+    // j2 semi / j3 anti / j4 left-outer keep the small side broadcast —
+    // a silent fallback to sort-merge would shuffle the fact table
+    Seq("j2_semi_join", "j3_anti_join", "j4_left_outer").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("j7 full-outer: shuffle join by necessity (no broadcast full-outer)") {
+    // full outer cannot broadcast either side; pin the shuffle strategy so
+    // an accidental broadcast hint (which Spark would reject or worse,
+    // plan as BNLJ) fails here and not in a bench regression
+    val p = plan("j7_full_outer")
+    assert((p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")) &&
+      p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t7 tf-idf: corpus size is a broadcast aggregate, not a driver count") {
+    val p = plan("t7_tfidf_topterms")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
 }

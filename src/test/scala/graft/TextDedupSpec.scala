@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.{Similarity, TextDedup}
 
 /** Sanity tests for the near-dup family: exact copies are found with
@@ -39,6 +41,24 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1L)))
     assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
+  }
+
+  test("docs shorter than the shingle width never become near-dup candidates") {
+    val short = Seq(
+      (0L, "hello world"), (1L, "hello world"), // identical, but < 3 tokens
+      (2L, "three token doc x"), (3L, "three token doc x")
+    ).toDF("doc_id", "text")
+    assert(graft.ops.TextDedup.shingles(short)
+      .filter(col("doc_id") < 2).count() == 0)
+    val mh = graft.ops.TextDedup.minHashNearDups(short)
+      .as[(Long, Long, Double)].collect().toSeq.map(p => (p._1, p._2))
+    val ng = graft.ops.TextDedup.ngramJaccardDups(short, maxDF = 10)
+      .as[(Long, Long, Double)].collect().toSeq.map(p => (p._1, p._2))
+    assert(mh == Seq((2L, 3L)) && ng == Seq((2L, 3L)))
+    // exact dedup is the tool that does catch identical short docs
+    val kept = graft.ops.TextDedup.exactByFingerprint(short)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L))
   }
 
   // ---- connected-component clustering -----------------------------------
