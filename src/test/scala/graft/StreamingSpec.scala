@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.{FundingStream, LendingStream}
@@ -68,6 +69,73 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.read.parquet(s"$path/t").orderBy("symbol")
         .as[RawFunding].collect().toSeq
       assert(rows.map(_.symbol) == Seq("BTCUSDTM", "ETHUSDTM"))
+    } finally q.stop()
+  }
+
+  // ---- S1–S4 live-source parity: arriving REST JSON files ---------------
+
+  test("funding JSON arrivals stream end-to-end into the upsert sink") {
+    import graft.streaming.JsonApiSource
+    val src = tmp("json-arrivals")
+    val sink = tmp("json-sink")
+    def drop(name: String, body: String): Unit =
+      Files.writeString(java.nio.file.Path.of(s"$src/$name"),
+        body.replace("\n", ""))
+
+    drop("t0.json",
+      """{"code":"200000","data":{"dataList":[
+        |{"symbol":"XBTUSDTM","granularity":28800000,"timePoint":1704096000000,"value":0.0001},
+        |{"symbol":"XBTUSDTM","granularity":28800000,"timePoint":1704096000000,"value":0.0001},
+        |{"symbol":"ETHUSDTM","granularity":28800000,"timePoint":1704096000000,"value":0.0002}],
+        |"hasMore":false}}""".stripMargin)
+    val q = FundingStream.start(
+      JsonApiSource.fundingStream(spark, src), s"$sink/t", s"$sink/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      // in-batch duplicate collapsed; nested path + epoch→ts cleanse applied
+      val after1 = spark.read.parquet(s"$sink/t")
+        .orderBy("symbol")
+        .as[(String, Timestamp, Double, Long)].collect().toSeq
+      assert(after1 == Seq(
+        ("ETHUSDTM", Timestamp.from(java.time.Instant.ofEpochMilli(1704096000000L)), 0.0002, 28800L),
+        ("XBTUSDTM", Timestamp.from(java.time.Instant.ofEpochMilli(1704096000000L)), 0.0001, 28800L)))
+
+      // next poll arrives as a new file: one re-delivered pkey (dropped by
+      // the stateful dedup), one genuinely new funding tick (upserted)
+      drop("t1.json",
+        """{"code":"200000","data":{"dataList":[
+          |{"symbol":"XBTUSDTM","granularity":28800000,"timePoint":1704096000000,"value":0.0001},
+          |{"symbol":"XBTUSDTM","granularity":28800000,"timePoint":1704124800000,"value":0.0003}],
+          |"hasMore":false}}""".stripMargin)
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(s"$sink/t")
+      assert(after2.count() == 3)
+      assert(after2.filter(col("funding_rate") === 0.0003).count() == 1)
+    } finally q.stop()
+  }
+
+  test("allTickers JSON arrivals stream through the spot-pairs cleanse") {
+    import graft.streaming.JsonApiSource
+    val src = tmp("ticker-arrivals")
+    Files.writeString(java.nio.file.Path.of(s"$src/poll0.json"),
+      ("""{"code":"200000","data":{"time":1704067200000,"ticker":[
+        |{"symbol":"BTC-USDT","vol":"10.5","volValue":"441000.2","takerFeeRate":"0.001","makerFeeRate":"0.001"},
+        |{"symbol":"ETH-BTC","vol":"3.0","volValue":"126.0","takerFeeRate":"0.001","makerFeeRate":"0.001"}]}}"""
+        ).stripMargin.replace("\n", ""))
+    val q = JsonApiSource.tickersStream(spark, src)
+      .writeStream.format("memory").queryName("spot_pairs_live")
+      .trigger(Trigger.ProcessingTime(0)).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("spot_pairs_live").collect()
+      // non-USDT quote filtered out; keep-list + casts + split applied
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getString(0) == "BTC-USDT")
+      assert(r.getDouble(1) == 10.5 && r.getDouble(2) == 441000.2)
+      assert(r.getString(5) == "BTC" && r.getString(6) == "USDT")
+      assert(r.getTimestamp(7).toInstant.toEpochMilli == 1704067200000L)
     } finally q.stop()
   }
 }
