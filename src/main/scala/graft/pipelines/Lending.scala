@@ -21,19 +21,33 @@ import graft.ops.Conform
 object Lending {
 
   /** Core transform over raw lending quotes
-    * (term, rate-as-string, observed_at). */
-  def transform(raw: DataFrame): DataFrame =
+    * (term, rate-as-string, observed_at).
+    *
+    * `loadTime` is the F8 wall-clock (lending_data_etl.py:53's load-time
+    * `utcnow()`, ceiling-bucketed to the next 5-minute boundary): pass
+    * `Some(current_timestamp())` in production for exact reference
+    * semantics, or a fixed literal in tests. The default (None) stamps
+    * the bucket of the newest observation per group instead — the
+    * deterministic stand-in the oracle checks, since a wall-clock column
+    * can never hash-match across engines or runs. */
+  def transform(raw: DataFrame, loadTime: Option[Column] = None): DataFrame =
     raw
       .groupBy(col("term").as("loan_duration_days"))
       .agg(min(col("rate").cast("double")).as("daily_interest_rate"),
-        // bucket of the newest observation in the group — deterministic
-        // stand-in for the reference's load-time utcnow()
-        Fns.ceilBucket(max(col("observed_at")), 300).as("created_at"))
+        max(col("observed_at")).as("__latest_obs"))
+      .withColumn("created_at",
+        Fns.ceilBucket(loadTime.getOrElse(col("__latest_obs")), 300))
+      .drop("__latest_obs")
       .withColumn("annualized_interest_rate",
         Fns.annualize(col("daily_interest_rate"), 1))
       // declared-schema gate (SURVEY §1.2 drift guard): order, types and
       // required-column presence pinned to the catalog contract
       .transform(Conform.conform(_, Schemas.lendingRates))
+
+  /** Production form of [[transform]]: reference-exact F8 semantics —
+    * every tick's rows stamped with the (bucketed) load-time clock. */
+  def transformAtLoadTime(raw: DataFrame): DataFrame =
+    transform(raw, Some(current_timestamp()))
 
   /** Fixture adapter: events → raw lending quotes (term from user_id,
     * rate from value, stringly-typed as the API delivers it — F10). */

@@ -22,6 +22,6 @@ object LendingStream {
     MicroBatch.upsertQuery(rawStream, path, checkpoint,
       keys = Seq("created_at", "loan_duration_days"),
       version = "created_at",
-      transform = Lending.transform,
+      transform = Lending.transform(_),
       trigger = trigger)
 }

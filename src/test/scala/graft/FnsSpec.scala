@@ -45,4 +45,23 @@ class FnsSpec extends SparkSpec {
       .select(Fns.ceilBucket(col("ts"), 300)).head().getTimestamp(0)
     assert(b == Timestamp.valueOf("2024-01-01 00:10:00"))
   }
+
+  test("F8 load-time stamping: injected clock and wall clock both flow through") {
+    import graft.pipelines.Lending
+    val raw = Seq(
+      (7, "0.300000", Timestamp.valueOf("2024-03-01 09:00:00")),
+      (7, "0.400000", Timestamp.valueOf("2024-03-01 09:30:00")))
+      .toDF("term", "rate", "observed_at")
+    // injected fixed clock → deterministic reference semantics (utcnow
+    // ceil-bucketed to the next 5-minute boundary)
+    val fixed = Lending.transform(raw,
+      Some(lit(Timestamp.valueOf("2024-03-01 10:02:00")))).collect().head
+    assert(fixed.getTimestamp(0) == Timestamp.valueOf("2024-03-01 10:05:00"))
+    assert(fixed.getDouble(1) == 0.3)
+    // wall-clock variant: created_at lands in the bucket after "now"
+    val before = System.currentTimeMillis()
+    val wall = Lending.transformAtLoadTime(raw).collect().head
+    val createdMs = wall.getTimestamp(0).toInstant.toEpochMilli
+    assert(createdMs > before && createdMs <= before + 310 * 1000L)
+  }
 }
