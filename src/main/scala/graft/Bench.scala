@@ -50,6 +50,7 @@ object Bench {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () }
+    Tables.invalidate(spark) // drop cached plans with the stopped session
     spark.stop()
     println(json)
   }

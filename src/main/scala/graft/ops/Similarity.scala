@@ -49,19 +49,14 @@ object Similarity {
       VectorFns.signBucket(col("embedding"), bits).as("bucket"))
       .withColumn("nrm", VectorFns.norm(col("v")))
 
-  /** Skew guard for the bucketed self-joins: a bucket's candidate count
-    * is quadratic in its size, so one degenerate bucket (near-identical
-    * embeddings — a template corpus) dominates the job. Vectors in
-    * buckets larger than `maxBucket` are excluded from candidate
-    * generation entirely (both join sides — the capped view is shared,
-    * keeping the semantics symmetric); the scale fix for routinely
-    * oversized buckets is more `bits` or [[ivfTopK]], not a bigger cap. */
-  private def capBuckets(b: DataFrame, maxBucket: Int): DataFrame = {
-    val keep = b.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= maxBucket)
-      .select("bucket")
-    b.join(keep, Seq("bucket"))
-  }
+  /** Skew guard ([[SkewGuard.capBuckets]]): vectors in buckets larger
+    * than `maxBucket` are excluded from candidate generation entirely
+    * (both join sides — the capped view is shared, keeping the semantics
+    * symmetric; minSize stays 1 so multi-probe singletons still probe
+    * neighboring buckets). The scale fix for routinely oversized buckets
+    * is more `bits` or [[ivfTopK]], not a bigger cap. */
+  private def capBuckets(b: DataFrame, maxBucket: Int): DataFrame =
+    SkewGuard.capBuckets(b, Seq("bucket"), maxBucket)
 
   /** Cosine from a pair's dot product and precomputed norms — identical
     * operation order to [[VectorFns.cosine]] (dot / (‖a‖·‖b‖)). */

@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared oversized-bucket guard for the LSH candidate self-joins
+  * ([[TextDedup]] minhash/simhash banding, [[Similarity]] vector
+  * buckets): a bucket's pair count is quadratic in its size, so one
+  * degenerate bucket (identical-template corpus) dominates the whole
+  * job. One implementation so the cap semantics can't drift between the
+  * call sites.
+  */
+object SkewGuard {
+
+  /** Keep only rows whose bucket — the combination of `keys` — has
+    * between `minSize` and `maxBucket` members. `minSize = 2` also
+    * prunes singleton buckets (which cannot produce a pair) before the
+    * self-join; pass 1 where every row must stay eligible (e.g.
+    * multi-probe, where a singleton still probes other buckets). The
+    * size aggregate shuffles only the key columns (column pruning) and
+    * the keep-list join broadcasts when small. */
+  def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int,
+      minSize: Int = 1): DataFrame = {
+    val keep = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") >= minSize && col("__bsz") <= maxBucket)
+      .select(keys.map(col): _*)
+    df.join(keep, keys)
+  }
+}

@@ -100,11 +100,8 @@ object TextDedup {
         // uniform field names so the band structs share one array type
         struct((0 until r).map(i => col(s"mh_${b * r + i}").as(s"v$i")): _*)
       }: _*)).as(Seq("band_idx", "band")))
-    val keep = banded.groupBy("band_idx", "band")
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
-      .select("band_idx", "band")
-    val kept = banded.join(keep, Seq("band_idx", "band"))
+    val kept = SkewGuard.capBuckets(banded, Seq("band_idx", "band"),
+      maxBucket, minSize = 2)
     kept.as("x").join(kept.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band") === col("y.band") &&
@@ -186,15 +183,17 @@ object TextDedup {
     * Fault tolerance + plan control: each iteration's labels MUST leave
     * the Catalyst layer — the pointer-jump self-join doubles the logical
     * plan every round, so an unmaterialized loop goes exponential in
-    * analysis time. Labels materialize via reliable `checkpoint()` when
-    * the session has a checkpoint dir configured (flat lineage AND
-    * survives executor loss — configure one on a real cluster), else by
-    * re-rooting the DataFrame on its own `persist(DISK_ONLY)`ed RDD
-    * (flat SQL plan; blocks recomputable through RDD lineage on loss —
-    * never the executor-local unreplicated blocks of `localCheckpoint`,
-    * which turn one lost executor into a failed job). The previous
-    * iteration is unpersisted once the new one is compared; the edge set
-    * is materialized once, not recomputed per iteration.
+    * analysis time. Labels materialize by re-rooting the DataFrame on
+    * its own persisted RDD: flat SQL plan, and blocks recomputable
+    * through RDD lineage on loss — never the executor-local unreplicated
+    * blocks of `localCheckpoint`, which turn one lost executor into a
+    * failed job. On a cluster the persist level is DISK_ONLY_2 (two
+    * replicas), so a single executor loss doesn't even trigger
+    * recompute. (Reliable `checkpoint()` was rejected here: `unpersist`
+    * does not delete checkpoint files, so an iterative loop leaks one
+    * directory per round.) The previous iteration is unpersisted once
+    * the new one is compared; the edge set is materialized once, not
+    * recomputed per iteration.
     *
     * @param docs  all documents (singletons cluster to themselves)
     * @param pairs near-dup pairs (doc_a, doc_b) from any detector above
@@ -208,17 +207,15 @@ object TextDedup {
       requireConvergence: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    // Flat-plan materialization barrier (see scaladoc): reliable
-    // checkpoint when available, else re-root on the persisted RDD.
-    def materialize(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else {
-        val fresh = spark.createDataFrame(df.rdd, df.schema)
-          .persist(StorageLevel.DISK_ONLY)
-        fresh.count()
-        fresh
-      }
+    val level =
+      if (spark.sparkContext.isLocal) StorageLevel.DISK_ONLY
+      else StorageLevel.DISK_ONLY_2 // replicated: survives executor loss
+    // Flat-plan materialization barrier (see scaladoc)
+    def materialize(df: DataFrame): DataFrame = {
+      val fresh = spark.createDataFrame(df.rdd, df.schema).persist(level)
+      fresh.count()
+      fresh
+    }
     val edges = materialize(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
@@ -303,11 +300,8 @@ object TextDedup {
       posexplode(array((0 until chunks).map { c =>
         shiftright(col("simhash"), c * width) % (1L << width)
       }: _*)).as(Seq("chunk_idx", "chunk")))
-    val keep = chunked.groupBy("chunk_idx", "chunk")
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucket)
-      .select("chunk_idx", "chunk")
-    val banded = chunked.join(keep, Seq("chunk_idx", "chunk"))
+    val banded = SkewGuard.capBuckets(chunked, Seq("chunk_idx", "chunk"),
+      maxBucket, minSize = 2)
     // Hamming filter BEFORE the candidate-dedup distinct: the per-row
     // bit_count is nearly free, while distinct shuffles its whole input —
     // filtering first shrinks that shuffle to surviving pairs only

@@ -29,14 +29,55 @@ object Upsert {
     (p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Swap a fully-written staging dir into place: rename current aside,
-    * rename staging in, delete the old copy. The previous table survives
-    * a failure at ANY point (a crash between the two renames leaves it
-    * parked at `<target>__old__`, restored on the next call); the
-    * visibility gap is the instant between the renames — the price of
-    * running on a store without atomic directory replace. */
-  private def swapInto(fs: FileSystem, staging: HPath, target: HPath): Unit = {
-    val old = new HPath(target.getParent, target.getName + "__old__")
+  private def stagingFor(target: HPath): HPath =
+    new HPath(target.getParent, target.getName + "__staging__")
+
+  /** Sibling dir where the previous copy is parked during a swap — NEVER
+    * inside the table directory, where partition discovery would read it
+    * as a phantom partition. */
+  private def oldFor(target: HPath): HPath =
+    new HPath(target.getParent, target.getName + "__old__")
+
+  /** Crash recovery, run BEFORE the existence probe of every upsert: a
+    * crash between swap renames leaves the previous copy parked at
+    * `<target>__old__` (whole table) or `<target>__old__/<part>=...`
+    * (partition dirs). Restore whatever the interrupted swap had not yet
+    * replaced, then clear the parking dir — so the subsequent merge sees
+    * the restored table, not an empty path. */
+  private def recoverInterruptedSwap(fs: FileSystem, target: HPath): Unit = {
+    val old = oldFor(target)
+    if (!fs.exists(old)) return
+    if (!fs.exists(target)) {
+      // whole-table swap died between the renames: the parked copy IS the
+      // table
+      if (!fs.rename(old, target))
+        throw new java.io.IOException(s"recovery rename $old -> $target failed")
+      return
+    }
+    // partition-level swap: restore only the parked partition dirs whose
+    // replacement never landed; everything else is a completed-swap
+    // leftover (its target exists) and is safe to drop
+    fs.listStatus(old).foreach { st =>
+      val dest = new HPath(target, st.getPath.getName)
+      if (st.isDirectory && st.getPath.getName.contains("=") &&
+        !fs.exists(dest)) {
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(
+            s"recovery rename ${st.getPath} -> $dest failed")
+      }
+    }
+    fs.delete(old, true)
+  }
+
+  /** Swap a fully-written staging dir into place: rename current aside
+    * (to `old` — a path OUTSIDE the table dir), rename staging in,
+    * delete the parked copy. The previous data survives a failure at ANY
+    * point — a crash between the renames is healed by
+    * [[recoverInterruptedSwap]] on the next call; the visibility gap is
+    * the instant between the renames — the price of running on a store
+    * without atomic directory replace. */
+  private def swapInto(fs: FileSystem, staging: HPath, target: HPath,
+      old: HPath): Unit = {
     if (fs.exists(old)) fs.delete(old, true)
     val hadPrev = fs.exists(target)
     if (hadPrev && !fs.rename(target, old))
@@ -47,9 +88,6 @@ object Upsert {
     }
     if (hadPrev) fs.delete(old, true)
   }
-
-  private def stagingFor(target: HPath): HPath =
-    new HPath(target.getParent, target.getName + "__staging__")
 
   /** Newest-wins merge: one row per `keys`, highest (version, isNew) wins —
     * i.e. updates beat existing rows at equal version, matching the
@@ -89,6 +127,7 @@ object Upsert {
       keys: Seq[String], version: String, partCol: String): Unit = {
     val spark = updates.sparkSession
     val (fs, target) = fsFor(updates, path)
+    recoverInterruptedSwap(fs, target)
     val touched = updates.select(partCol).distinct().collect()
       .map(_.get(0)).toSeq // bounded: partitions per batch, not rows
     // null partition values need an explicit isNull arm — `IN (null)` is
@@ -122,15 +161,23 @@ object Upsert {
       .partitionBy(partCol)
       .parquet(staging.toString)
     if (!exists) {
-      swapInto(fs, staging, target)
+      swapInto(fs, staging, target, oldFor(target))
     } else {
+      // partition backups park under <target>__old__/<part>= ... — a
+      // SIBLING of the table root, never inside it (partition discovery
+      // would read an in-table backup as a phantom partition value)
+      val oldRoot = oldFor(target)
+      if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+      fs.mkdirs(oldRoot)
       val partDirs = fs.listStatus(staging)
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith(s"$partCol="))
       partDirs.foreach { st =>
-        swapInto(fs, st.getPath, new HPath(target, st.getPath.getName))
+        swapInto(fs, st.getPath, new HPath(target, st.getPath.getName),
+          new HPath(oldRoot, st.getPath.getName))
       }
       fs.delete(staging, true)
+      fs.delete(oldRoot, true)
     }
   }
 
@@ -140,6 +187,7 @@ object Upsert {
       version: String): Unit = {
     val spark = updates.sparkSession
     val (fs, target) = fsFor(updates, path)
+    recoverInterruptedSwap(fs, target)
     val merged =
       if (fs.exists(target)) {
         val existing = spark.read.parquet(path).select(
@@ -158,6 +206,6 @@ object Upsert {
     val staging = stagingFor(target)
     if (fs.exists(staging)) fs.delete(staging, true)
     merged.write.mode("overwrite").parquet(staging.toString)
-    swapInto(fs, staging, target)
+    swapInto(fs, staging, target, oldFor(target))
   }
 }

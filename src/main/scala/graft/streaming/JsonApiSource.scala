@@ -20,8 +20,12 @@ import graft.functions.Fns
   * reference gets from Airflow task boundaries); everything from the
   * bytes onward is this streaming source. Schemas are explicit, never
   * inferred: at scale, inference is an extra full pass with
-  * nondeterministic widths, and a schema drift lands in
-  * `_corrupt_record` instead of silently reshaping columns.
+  * nondeterministic widths. Malformed or drifted payloads land in
+  * `_corrupt_record`: the clean streams filter them OUT (they would
+  * otherwise surface as all-null rows), and [[corruptTickers]] /
+  * [[corruptFundingRates]] expose the quarantine side — attach it to its
+  * own sink (separate checkpoint) so bad polls are visible, not silently
+  * dropped.
   *
   * Each stream applies the reference's cleanse inline (keep-list,
   * snake_case renames, string→double casts, base/quote split, epoch→ts)
@@ -54,15 +58,40 @@ object JsonApiSource {
         StructField("value", DoubleType))))),
       StructField("hasMore", BooleanType))))))
 
+  private val Corrupt = "_corrupt_record"
+
+  /** Explicit-schema streaming JSON read with corrupt-record capture. */
+  private def readRaw(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .schema(schema.add(Corrupt, StringType))
+      .option("columnNameOfCorruptRecord", Corrupt)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Quarantine stream: the raw text of every payload line the schema
+    * could not parse (plus `code`, which parses even for most drifted
+    * envelopes). Runs as its own query/checkpoint beside the clean one. */
+  def corruptTickers(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    readRaw(spark, dir, allTickersSchema, maxFilesPerTrigger)
+      .filter(col(Corrupt).isNotNull)
+      .select(col("code"), col(Corrupt))
+
+  /** Quarantine stream for funding-rate payloads — see [[corruptTickers]]. */
+  def corruptFundingRates(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    readRaw(spark, dir, fundingRatesSchema, maxFilesPerTrigger)
+      .filter(col(Corrupt).isNotNull)
+      .select(col("code"), col(Corrupt))
+
   /** Streaming spot-pairs source: arriving allTickers payloads →
     * exploded, cleansed USDT tickers (active_spot_pairs_etl.py:23-60's
     * keep-list / snake_case / base-quote split / USDT filter). */
   def tickersStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 16): DataFrame =
-    spark.readStream
-      .schema(allTickersSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(dir)
+    readRaw(spark, dir, allTickersSchema, maxFilesPerTrigger)
+      .filter(col(Corrupt).isNull)
       .select(col("data.time").as("fetched_ms"),
         explode(col("data.ticker")).as("t"))
       .select(
@@ -83,10 +112,8 @@ object JsonApiSource {
     * [[MicroBatch.dedupWithinWatermark]]). */
   def fundingStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 16): DataFrame =
-    spark.readStream
-      .schema(fundingRatesSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(dir)
+    readRaw(spark, dir, fundingRatesSchema, maxFilesPerTrigger)
+      .filter(col(Corrupt).isNull)
       .select(explode(col("data.dataList")).as("f"))
       .select(
         col("f.symbol").as("symbol"),

@@ -115,6 +115,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("malformed JSON payloads land in the quarantine stream, not silently dropped") {
+    import graft.streaming.JsonApiSource
+    val src = tmp("bad-arrivals")
+    Files.writeString(java.nio.file.Path.of(s"$src/good.json"),
+      """{"code":"200000","data":{"dataList":[{"symbol":"XBTUSDTM","granularity":28800000,"timePoint":1704096000000,"value":0.0001}],"hasMore":false}}""")
+    Files.writeString(java.nio.file.Path.of(s"$src/truncated.json"),
+      """{"code":"200000","data":{"dataList":[{"symbol":"XBTUSDTM","granu""")
+    val clean = JsonApiSource.fundingStream(spark, src)
+      .writeStream.format("memory").queryName("funding_clean")
+      .trigger(Trigger.ProcessingTime(0)).outputMode("append").start()
+    val bad = JsonApiSource.corruptFundingRates(spark, src)
+      .writeStream.format("memory").queryName("funding_quarantine")
+      .trigger(Trigger.ProcessingTime(0)).outputMode("append").start()
+    try {
+      clean.processAllAvailable()
+      bad.processAllAvailable()
+      assert(spark.table("funding_clean").count() == 1)
+      val quarantined = spark.table("funding_quarantine").collect()
+      assert(quarantined.length == 1)
+      assert(quarantined.head.getString(1).contains("granu"))
+    } finally { clean.stop(); bad.stop() }
+  }
+
   test("allTickers JSON arrivals stream through the spot-pairs cleanse") {
     import graft.streaming.JsonApiSource
     val src = tmp("ticker-arrivals")

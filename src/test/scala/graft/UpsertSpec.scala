@@ -95,4 +95,48 @@ class UpsertSpec extends SparkSpec {
       .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq
     assert(d2FileAfter == d2FileBefore, "d2 partition must not be rewritten")
   }
+
+  // ---- crash recovery around the stage-and-swap --------------------------
+
+  test("interrupted whole-table swap is healed: parked copy restored, not lost") {
+    val dir = Files.createTempDirectory("upsert6").toFile
+    val path = s"$dir/t"
+    Upsert.upsertParquet(Seq(("a", "v1", 1L)).toDF(cols: _*),
+      path, Seq("k"), "ver")
+    // simulate a crash between the two swap renames: the table has been
+    // renamed aside, its replacement never landed
+    assert(new java.io.File(path).renameTo(new java.io.File(s"${path}__old__")))
+    assert(!new java.io.File(path).exists)
+    // next upsert must first restore the parked copy, then merge into it
+    Upsert.upsertParquet(Seq(("b", "w1", 1L)).toDF(cols: _*),
+      path, Seq("k"), "ver")
+    val out = spark.read.parquet(path).orderBy("k")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("a", "v1", 1L), ("b", "w1", 1L)))
+    assert(!new java.io.File(s"${path}__old__").exists)
+  }
+
+  test("interrupted partition swap is healed; backups never pollute the table") {
+    val pcols = Seq("k", "v", "ver", "day")
+    val dir = Files.createTempDirectory("upsert7").toFile
+    val path = s"$dir/t"
+    Upsert.upsertParquetPartitioned(
+      Seq(("a", "v1", 1L, "d1"), ("b", "w1", 1L, "d2")).toDF(pcols: _*),
+      path, Seq("k"), "ver", "day")
+    // backups park OUTSIDE the table dir — a reader mid-swap must never
+    // see a phantom partition value like day=d1__old__
+    assert(!new java.io.File(path).listFiles().exists(_.getName.contains("__old__")))
+    // simulate a crash mid-partition-swap: day=d1 parked, replacement lost
+    new java.io.File(s"${path}__old__").mkdirs()
+    assert(new java.io.File(s"$path/day=d1")
+      .renameTo(new java.io.File(s"${path}__old__/day=d1")))
+    // next upsert (touching only d2) must restore d1 from the parking dir
+    Upsert.upsertParquetPartitioned(
+      Seq(("b", "w2", 2L, "d2")).toDF(pcols: _*),
+      path, Seq("k"), "ver", "day")
+    val out = spark.read.parquet(path).orderBy("k")
+      .as[(String, String, Long, String)].collect().toSeq
+    assert(out == Seq(("a", "v1", 1L, "d1"), ("b", "w2", 2L, "d2")))
+    assert(!new java.io.File(s"${path}__old__").exists)
+  }
 }
