@@ -236,14 +236,19 @@ object TextDedup {
       val jumped = improved.as("a")
         .join(improved.as("b"), col("a.cluster_id") === col("b.doc_id"))
         .select(col("a.doc_id"), col("b.cluster_id").as("cluster_id"))
-      val next = materialize(jumped)
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count()
+      // fuse the changed-flag into the materialized frame: ONE compute
+      // job per iteration; the convergence check is then just a scan of
+      // the freshly cached blocks, not a re-executed join
+      val flagged = jumped
+        .join(labels.select(col("doc_id"), col("cluster_id").as("__old")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("cluster_id") =!= col("__old")).as("__chg"))
+      val next = materialize(flagged)
+      val changed = next.filter(col("__chg")).limit(1).count()
       prev.foreach(_.unpersist(blocking = false))
       prev = Some(next)
-      labels = next
+      labels = next.drop("__chg")
       converged = changed == 0
       i += 1
     }

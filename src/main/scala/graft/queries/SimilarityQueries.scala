@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.{GraftFunctions, Tables}
-import graft.ops.Similarity
+import graft.ops.{Similarity, TextDedup}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   * Oracles mirror the exact left-fold arithmetic (see VectorFns), so
@@ -20,6 +22,19 @@ object SimilarityQueries {
   private def dkBucket(e: String) = (0 until 4).map { j =>
     s"(CASE WHEN $e[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString("(", " + ", ")")
+
+  /** DuckDB replay of the d4 near-dup pair pipeline (no ORDER BY — also
+    * the edge set of d7_embed_dedup_clusters). */
+  private lazy val d4OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, $toD AS v,
+       |    ${dkBucket("embedding")} AS bucket FROM embeddings),
+       |keep AS (SELECT bucket FROM e GROUP BY bucket
+       |  HAVING count(*) <= 100000),
+       |ek AS (SELECT e.* FROM e JOIN keep USING (bucket))
+       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |  ${dkCos("x.v", "y.v")} AS cos_sim
+       |FROM ek x JOIN ek y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE ${dkCos("x.v", "y.v")} >= 0.35""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -138,15 +153,31 @@ object SimilarityQueries {
       (s, dir) => Similarity.nearDupPairs(
         Tables.embeddings(s, dir), bits = 4, threshold = 0.35)
         .orderBy("vec_a", "vec_b"),
-      s"""WITH e AS (SELECT vec_id, $toD AS v,
-         |    ${dkBucket("embedding")} AS bucket FROM embeddings),
-         |keep AS (SELECT bucket FROM e GROUP BY bucket
-         |  HAVING count(*) <= 100000),
-         |ek AS (SELECT e.* FROM e JOIN keep USING (bucket))
-         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         |  ${dkCos("x.v", "y.v")} AS cos_sim
-         |FROM ek x JOIN ek y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         |WHERE ${dkCos("x.v", "y.v")} >= 0.35
-         |ORDER BY vec_a, vec_b""".stripMargin)
+      d4OracleSql + "\nORDER BY vec_a, vec_b"),
+
+    // Embedding near-dup pairs → dedup clusters: the d6 connected-
+    // components pass over the d4 edge set — "keep one of each
+    // semantically-duplicated group" for an embedding corpus. Oracle
+    // replays the closure with a recursive CTE over the d4 pipeline.
+    QueryDef("d7_embed_dedup_clusters",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val pairs = Similarity.nearDupPairs(emb, bits = 4, threshold = 0.35)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        TextDedup.dedupClusters(
+          emb.select(col("vec_id").as("doc_id")), pairs)
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE pairs AS ($d4OracleSql),
+         |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+         |          UNION SELECT vec_b, vec_a FROM pairs),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION SELECT r.a, e2.b FROM reach r
+         |                JOIN edges e2 ON r.b = e2.a),
+         |m AS (SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY a)
+         |SELECT emb.vec_id AS doc_id,
+         |  least(emb.vec_id, coalesce(m.min_reach, emb.vec_id)) AS cluster_id
+         |FROM embeddings emb LEFT JOIN m ON m.doc_id = emb.vec_id
+         |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -405,6 +405,28 @@ object TextQueries {
          |       THEN 'train' ELSE 'eval' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Per-source quota sampling: keep at most 20 docs per source, chosen
+    // by hash order — a deterministic "random" downsample (layout/engine/
+    // rerun stable, unlike sample()) that caps any one source's share of
+    // a training mix. One shuffle on source; per-group top-k, no sort of
+    // the full corpus.
+    QueryDef("s2_source_quota",
+      (s, dir) => {
+        val h = TextFns.hash60(col("doc_id").cast("string"))
+        graft.ops.TopK.perGroup(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"), h.as("__h")),
+          Seq("source"), Seq(col("__h").asc, col("doc_id").asc), k = 20)
+          .select("source", "doc_id", "rank")
+          .orderBy("source", "rank")
+      },
+      s"""SELECT source, doc_id, rank FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${dkHash60("doc_id::VARCHAR")} ASC, doc_id ASC) AS rank
+         |  FROM documents)
+         |WHERE rank <= 20 ORDER BY source, rank""".stripMargin),
+
     // Multimodal metadata: binary payload column → per-partition (stub)
     // decode via typed mapPartitions. Oracle mirrors the deterministic
     // stub formulas over the same bytes.
