@@ -263,6 +263,31 @@ object TextDedup {
     labels
   }
 
+  /** Edit-distance near-dup pairs: MinHash-LSH candidate generation
+    * (shared with [[minHashNearDups]]), verified by character-level
+    * Levenshtein distance ≤ `maxDist` instead of shingle Jaccard — the
+    * verification modality for short structural edits (typo fixes,
+    * template fills) that barely move set similarity.
+    *
+    * Scale shape: `levenshtein` is O(len²) per pair, so it is gated
+    * behind the free length-difference prefilter (|len(a)−len(b)| >
+    * maxDist already implies distance > maxDist) and only runs on the
+    * bucket-bounded candidate set, never all pairs. */
+  def editDistanceDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      maxDist: Int = 20, maxBucket: Int = 10000): DataFrame = {
+    val sh = shingles(docs)
+    val cands = lshCandidates(minHashSignatures(sh, k), k, bands, maxBucket)
+    val texts = docs.select(col("doc_id"), col("text"))
+    cands
+      .join(texts.toDF("doc_a", "text_a"), Seq("doc_a"))
+      .join(texts.toDF("doc_b", "text_b"), Seq("doc_b"))
+      .filter(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select("doc_a", "doc_b", "edit_dist")
+  }
+
   /** SimHash fingerprints (`bits` wide, ≤ 60): per token-hash bit,
     * sum ±1 over the doc's tokens (with multiplicity); bit j of the
     * fingerprint = sign of sum_j. One explode + one aggregation. */

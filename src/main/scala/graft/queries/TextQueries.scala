@@ -20,9 +20,10 @@ object TextQueries {
   private def dkHash60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
   private def dkHash31(e: String) = s"(${dkHash60(e)} % 2147483647)"
 
-  /** DuckDB replay of the full MinHash-LSH pipeline (shared by
-    * d2_minhash_lsh and as the edge set of d6_dedup_clusters). */
-  private lazy val d2OracleSql: String = {
+  /** DuckDB replay of the MinHash-LSH pipeline THROUGH candidate
+    * generation (the `t..cand` CTE chain) — shared by d2 (Jaccard
+    * verify), d6 (cluster closure) and d8 (edit-distance verify). */
+  private lazy val d2CandCtes: String = {
         val k = 16; val r = 4
         val mins = (0 until k).map(i =>
           s"min((hv * ${2 * i + 3} + ${5 * i + 7}) % 2147483647) AS mh_$i")
@@ -53,22 +54,27 @@ object TextQueries {
            |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            |  FROM bk x JOIN bk y ON x.band_idx = y.band_idx
            |    AND x.v0 = y.v0 AND x.v1 = y.v1 AND x.v2 = y.v2 AND x.v3 = y.v3
-           |    AND x.doc_id < y.doc_id),
-           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-           |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
-           |  FROM cand c
-           |  JOIN sh a ON a.doc_id = c.doc_a
-           |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-           |  GROUP BY c.doc_a, c.doc_b)
-           |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-           |  coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) AS jaccard
-           |FROM cand c
-           |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-           |JOIN sizes sa ON sa.doc_id = c.doc_a
-           |JOIN sizes sb ON sb.doc_id = c.doc_b
-           |WHERE coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.4
-           |ORDER BY doc_a, doc_b""".stripMargin
+           |    AND x.doc_id < y.doc_id)""".stripMargin
       }
+
+  /** Full d2 replay: candidates + exact-Jaccard verification (also the
+    * edge set of d6_dedup_clusters). */
+  private lazy val d2OracleSql: String =
+    s"""$d2CandCtes,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |  coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes sa ON sa.doc_id = c.doc_a
+       |JOIN sizes sb ON sb.doc_id = c.doc_b
+       |WHERE coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.4
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -314,6 +320,26 @@ object TextQueries {
          |JOIN sizes sa ON sa.doc_id = c.doc_a
          |JOIN sizes sb ON sb.doc_id = c.doc_b
          |WHERE coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Edit-distance near-dup pairs: the LSH candidate space verified by
+    // character-level Levenshtein (≤ 20) — catches short structural
+    // edits that barely move set similarity. The O(len²) distance is
+    // gated behind the free length-difference prefilter and runs only on
+    // bucket-bounded candidates.
+    QueryDef("d8_edit_distance_dups",
+      (s, dir) => TextDedup.editDistanceDups(
+        Tables.documents(s, dir), k = 16, bands = 4, maxDist = 20)
+        .orderBy("doc_a", "doc_b"),
+      s"""$d2CandCtes,
+         |tx AS (SELECT doc_id, text FROM documents)
+         |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+         |  levenshtein(a.text, b.text)::BIGINT AS edit_dist
+         |FROM cand c
+         |JOIN tx a ON a.doc_id = c.doc_a
+         |JOIN tx b ON b.doc_id = c.doc_b
+         |WHERE abs(length(a.text) - length(b.text)) <= 20
+         |  AND levenshtein(a.text, b.text) <= 20
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     // TF-IDF-style salient terms: top-3 scoring tokens per document.
