@@ -115,6 +115,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dimension refresh: each arriving poll replaces the table") {
+    import graft.streaming.{DimRefreshStream, JsonApiSource}
+    val src = tmp("dim-arrivals")
+    val sink = tmp("dim-sink")
+    def poll(name: String, syms: (String, String)*): Unit =
+      Files.writeString(java.nio.file.Path.of(s"$src/$name"),
+        s"""{"code":"200000","data":{"time":1704067200000,"ticker":[""" +
+          syms.map { case (sym, vol) =>
+            s"""{"symbol":"$sym","vol":"$vol","volValue":"1.0","takerFeeRate":"0.001","makerFeeRate":"0.001"}"""
+          }.mkString(",") + "]}}")
+
+    poll("p0.json", "BTC-USDT" -> "10.0", "ETH-USDT" -> "5.0")
+    val q = DimRefreshStream.start(
+      JsonApiSource.tickersStream(spark, src), s"$sink/t", s"$sink/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$sink/t").count() == 2)
+      // next poll: ETH delisted, SOL appears — table is REPLACED, not
+      // merged (truncate-reload semantics)
+      poll("p1.json", "BTC-USDT" -> "11.0", "SOL-USDT" -> "3.0")
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$sink/t").orderBy("symbol")
+        .select("symbol", "spot_unit_volume24h")
+        .as[(String, Double)].collect().toSeq
+      assert(out == Seq("BTC-USDT" -> 11.0, "SOL-USDT" -> 3.0))
+    } finally q.stop()
+  }
+
   test("malformed JSON payloads land in the quarantine stream, not silently dropped") {
     import graft.streaming.JsonApiSource
     val src = tmp("bad-arrivals")
