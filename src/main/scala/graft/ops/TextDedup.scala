@@ -57,6 +57,19 @@ object TextDedup {
           .otherwise(array().cast("array<string>")))))
       .select("doc_id", "shingle")
 
+  /** Per-document distinct-shingle ARRAYS: (doc_id, shs). The non-
+    * exploded companion of [[shingles]] for the array-verify path —
+    * staging the array is fine here (it feeds joins, not a Generate;
+    * see the [[shingles]] inline-explode note). */
+  def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("__toks", TextFns.tokensWs(lower(col("text"))))
+      .select(col("doc_id"), array_distinct(
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("shs"))
+
   /** MinHash signatures: k permutation-hashes h_i(x) = (a_i·x + b_i) mod p
     * over shingle hashes; signature_i = min over the doc's shingles.
     * Explode + hash-aggregate formulation: the k min-aggregates run in
@@ -110,10 +123,34 @@ object TextDedup {
       .distinct()
   }
 
+  /** Exact Jaccard verification of candidate pairs against per-document
+    * shingle ARRAYS: two id-keyed joins plus a codegen'd
+    * `array_intersect` per pair. Replaces the posting-list formulation
+    * ([[verifyJaccard]]) on the hot path — that one re-shuffles the full
+    * exploded (doc_id, shingle) relation three times (sizes + two
+    * intersection joins), which dominated d2/d5 at sf0.1. Values are
+    * identical: |a∩b| over distinct arrays, single division. Prefer the
+    * posting-list variant only when single documents are so large their
+    * shingle arrays shouldn't ride through a join row. */
+  def verifyJaccardArrays(cands: DataFrame, docs: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    val arr = shingleArrays(docs, n)
+    cands
+      .join(arr.toDF("doc_a", "shs_a"), Seq("doc_a"))
+      .join(arr.toDF("doc_b", "shs_b"), Seq("doc_b"))
+      .withColumn("__i",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (size(col("shs_a")).cast("long") + size(col("shs_b")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exact Jaccard verification of candidate pairs against the true
     * shingle sets; keeps pairs with similarity ≥ threshold. Posting-list
-    * formulation over exploded (doc_id, shingle) rows — used where the
-    * shingle view already exists (the inverted-index path). */
+    * formulation over exploded (doc_id, shingle) rows — the spill-safe
+    * alternative to [[verifyJaccardArrays]] for corpora with huge
+    * individual documents. */
   def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
@@ -138,8 +175,9 @@ object TextDedup {
   def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.4, maxBucket: Int = 10000): DataFrame = {
     val sh = shingles(docs)
-    verifyJaccard(lshCandidates(minHashSignatures(sh, k), k, bands, maxBucket),
-      sh, threshold)
+    verifyJaccardArrays(
+      lshCandidates(minHashSignatures(sh, k), k, bands, maxBucket),
+      docs, n = 3, threshold)
   }
 
   /** Direct n-gram Jaccard near-dup pairs — no MinHash approximation in
@@ -165,7 +203,7 @@ object TextDedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    verifyJaccard(cands, sh, threshold)
+    verifyJaccardArrays(cands, docs, n, threshold)
   }
 
   /** Near-dup PAIRS → dedup CLUSTERS: connected components over the pair
