@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -430,6 +431,82 @@ object TextQueries {
          |  CASE WHEN ${dkHash60("doc_id::VARCHAR")} % 100 < 80
          |       THEN 'train' ELSE 'eval' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // HTML/markup strip + whitespace normalization — the first pass of
+    // every web-scrape cleanse: tags out, entities mapped, runs of
+    // whitespace collapsed. Pure regexp_replace chain (codegen'd, no
+    // UDF); byte-identical across engines.
+    QueryDef("t8_clean_text",
+      (s, dir) => {
+        val noTags = regexp_replace(col("text"), "<[^>]+>", " ")
+        val noEnt = regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&amp;", "&"),
+            "&lt;", "<"),
+          "&gt;", ">")
+        val collapsed = trim(regexp_replace(noEnt, "\\s+", " "))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), collapsed.as("clean_text"),
+            length(collapsed).cast("long").as("clean_len"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(
+        |      regexp_replace(text, '<[^>]+>', ' ', 'g'),
+        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |    '\s+', ' ', 'g')) AS clean_text,
+        |  length(trim(regexp_replace(
+        |    replace(replace(replace(
+        |      regexp_replace(text, '<[^>]+>', ' ', 'g'),
+        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |    '\s+', ' ', 'g')))::BIGINT AS clean_len
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Quality gate report: how many docs each cleanse rule would drop —
+    // the go/no-go dashboard before a training-mix build (c1's
+    // constraint-report shape applied to content quality). One pass,
+    // conditional sums, unpivoted to (rule, n_failing).
+    QueryDef("c2_quality_gate",
+      (s, dir) => {
+        val toks = TextFns.tokensWs(lower(col("text")))
+        val nToks = size(toks).cast("long")
+        val punctRatio = TextFns.punctCount(col("text")).cast("double") /
+          length(col("text"))
+        val stopRatio = TextFns.tokenHitCount(toks, TextFns.Stopwords("en"))
+          .cast("double") / nToks
+        def failing(cond: Column) = sum(when(cond, 1L).otherwise(0L))
+        Tables.documents(s, dir)
+          .agg(
+            failing(length(col("text")) < 100).as("too_short"),
+            failing(length(col("text")) > 20000).as("too_long"),
+            failing(punctRatio > 0.1).as("high_punct"),
+            failing(stopRatio < 0.01).as("low_stopword"))
+          .unpivot(Array.empty[Column],
+            Array(col("too_short"), col("too_long"), col("high_punct"),
+              col("low_stopword")),
+            "rule", "n_failing")
+          .orderBy("rule")
+      },
+      """WITH m AS (SELECT
+        |    length(text) AS len,
+        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |      / length(text) AS punct_ratio,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+        |      / len(regexp_split_to_array(lower(text), '\s+')) AS stop_ratio
+        |  FROM documents),
+        |agg AS (SELECT
+        |    sum(CASE WHEN len < 100 THEN 1 ELSE 0 END)::BIGINT AS too_short,
+        |    sum(CASE WHEN len > 20000 THEN 1 ELSE 0 END)::BIGINT AS too_long,
+        |    sum(CASE WHEN punct_ratio > 0.1 THEN 1 ELSE 0 END)::BIGINT AS high_punct,
+        |    sum(CASE WHEN stop_ratio < 0.01 THEN 1 ELSE 0 END)::BIGINT AS low_stopword
+        |  FROM m)
+        |SELECT 'too_short' AS rule, too_short AS n_failing FROM agg
+        |UNION ALL SELECT 'too_long', too_long FROM agg
+        |UNION ALL SELECT 'high_punct', high_punct FROM agg
+        |UNION ALL SELECT 'low_stopword', low_stopword FROM agg
+        |ORDER BY rule""".stripMargin),
 
     // Per-source quota sampling: keep at most 20 docs per source, chosen
     // by hash order — a deterministic "random" downsample (layout/engine/

@@ -72,6 +72,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus ingest dedups exact copies across micro-batches before landing") {
+    import graft.streaming.CorpusIngest
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val path = tmp("corpus-sink")
+    val q = CorpusIngest.start(
+      mem.toDF().toDF("doc_id", "text", "ingest_ts"),
+      s"$path/t", s"$path/ckpt", trigger = Trigger.ProcessingTime(0))
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      mem.addData((1L, "a unique document", t0), (2L, "a unique document", t0))
+      q.processAllAvailable()
+      // in-batch exact copy collapsed
+      assert(spark.read.parquet(s"$path/t").count() == 1)
+      // cross-batch re-crawl of the same text within the watermark: dropped
+      mem.addData((3L, "a unique document", Timestamp.valueOf("2024-01-01 01:00:00")),
+        (4L, "different text entirely", Timestamp.valueOf("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val docs = spark.read.parquet(s"$path/t").select("doc_id")
+        .as[Long].collect().toSet
+      assert(docs.size == 2 && docs.contains(4L))
+    } finally q.stop()
+  }
+
   // ---- S1–S4 live-source parity: arriving REST JSON files ---------------
 
   test("funding JSON arrivals stream end-to-end into the upsert sink") {
