@@ -249,16 +249,26 @@ object TextDedup {
       if (spark.sparkContext.isLocal) StorageLevel.DISK_ONLY
       else StorageLevel.DISK_ONLY_2 // replicated: survives executor loss
     // Flat-plan materialization barrier (see scaladoc)
+    var lastCount = 0L
     def materialize(df: DataFrame): DataFrame = {
       val fresh = spark.createDataFrame(df.rdd, df.schema).persist(level)
-      fresh.count()
+      lastCount = fresh.count()
       fresh
     }
     val edges = materialize(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").as("cluster_id"))
+    if (lastCount == 0) { // clean corpus: all singletons, no iteration
+      edges.unpersist(blocking = false)
+      return docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    }
+    // Iterate ONLY over the pair-graph's vertex set: a doc with no
+    // near-dup edge can never change its label, and in a real corpus
+    // near-dup vertices are a small fraction of all docs — the loop's
+    // frames scale with |pairs|, not |corpus|. Singletons rejoin at the
+    // end via coalesce.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
     var prev: Option[DataFrame] = None
     var converged = false
     var i = 0
@@ -298,7 +308,11 @@ object TextDedup {
       if (requireConvergence) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
-    labels
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "__cl"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("__cl"), col("doc_id")).as("cluster_id"))
   }
 
   /** Edit-distance near-dup pairs: MinHash-LSH candidate generation
