@@ -27,4 +27,16 @@ object SkewGuard {
       .select(keys.map(col): _*)
     df.join(keep, keys)
   }
+
+  /** Observability companion to [[capBuckets]]: the bucket keys (with
+    * sizes) a given cap WOULD drop. The cap itself never pays for this —
+    * run it as a separate diagnostic when a dedup pass returns
+    * suspiciously few pairs, to see which template/boilerplate clusters
+    * were suppressed and how big they are. */
+  def oversizedBuckets(df: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+      .orderBy(col("bucket_size").desc)
 }

@@ -96,6 +96,45 @@ class UpsertSpec extends SparkSpec {
     assert(d2FileAfter == d2FileBefore, "d2 partition must not be rewritten")
   }
 
+  test("merge properties: idempotent, associative-by-batch, seeded sweep") {
+    // seeded generator, evaluated against a reference fold — the
+    // StatsPropertySpec pattern (scalacheck bridge is offline)
+    val rnd = new scala.util.Random(42)
+    (0 until 20).foreach { _ =>
+      val universe = Seq("a", "b", "c", "d")
+      def batch(sz: Int) = Seq.fill(sz)(
+        (universe(rnd.nextInt(universe.size)),
+          rnd.nextInt(100).toString, rnd.nextInt(5).toLong))
+      val b1 = batch(6).toDF(cols: _*)
+      val b2 = batch(6).toDF(cols: _*)
+      val empty = b1.limit(0)
+      // idempotence: applying a merged state to itself changes nothing
+      val m1 = Upsert.merge(empty, b1, Seq("k"), "ver")
+      val m1Again = Upsert.merge(m1, m1, Seq("k"), "ver")
+      assert(m1Again.orderBy("k", "v").collect().toSeq ==
+        m1.orderBy("k", "v").collect().toSeq)
+      // one row per key always
+      val m12 = Upsert.merge(m1, b2, Seq("k"), "ver")
+      val keys = m12.select("k").collect().map(_.getString(0)).toSeq
+      assert(keys.distinct.size == keys.size)
+      // batch-at-once ≡ batch-then-batch for disjoint-version updates:
+      // every key's winner is the max (ver, isNew-tag, payload) — check
+      // winners against a driver-side fold of the same comparison
+      val all =
+        m1.as[(String, String, Long)].collect().toSeq.map(r => (r, 0)) ++
+          b2.as[(String, String, Long)].collect().toSeq.map(r => (r, 1))
+      val expect = all.groupBy(_._1._1).map { case (k, rows) =>
+        // mirror merge's struct max: (version, updates-beat-existing tag,
+        // then the remaining payload column)
+        val winner = rows.maxBy { case ((_, v, ver), tag) => (ver, tag, v) }
+        k -> (winner._1._2, winner._1._3)
+      }
+      val got = m12.as[(String, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expect)
+    }
+  }
+
   // ---- crash recovery around the stage-and-swap --------------------------
 
   test("interrupted whole-table swap is healed: parked copy restored, not lost") {
