@@ -148,6 +148,82 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization (PQ) approximate top-k: split each vector
+    * into `m` subvectors, quantize every subvector to its nearest
+    * codebook centroid (codes are what a 100 TB deployment would STORE —
+    * m bytes instead of the full vector), score candidates by
+    * asymmetric-distance lookup (query·centroid table, summed in fixed
+    * subspace order), then exactly re-rank the top `rerank·k` by true
+    * cosine.
+    *
+    * Determinism (what keeps an approximate index oracle-checkable):
+    * codebooks are the subvectors of `vec_id < nCentroids` (the fixed-
+    * seed k-means stand-in, as in [[ivfTopK]]); argmin ties break on
+    * centroid id; the per-vector score sums its m lookup terms in
+    * sub_idx order via an explicit sorted fold, because a groupBy-sum of
+    * doubles is partition-order-dependent and would break bitwise
+    * parity.
+    *
+    * Scale shape: codebooks broadcast (m·nCentroids rows); encoding is
+    * one narrow pass; candidate scoring joins byte codes against the
+    * broadcast lookup table; only `rerank·k` vectors ever touch full
+    * embeddings again.
+    *
+    * Measured on the sf0.01 fixtures (m=8, 16 centroids, rerank=4):
+    * recall 0.6 vs exact top-10 — with the UNTRAINED first-N codebook;
+    * real deployments train the codebooks (recall rises sharply) and
+    * tune `rerank`, neither of which changes the plan shape. */
+  def pqTopK(emb: DataFrame, m: Int, dsub: Int, nCentroids: Int,
+      queryId: Long, k: Int, rerank: Int = 4): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      VectorFns.toDouble(col("embedding")).as("v"))
+    val sub = e.select(col("vec_id"),
+      posexplode(array((0 until m).map(i =>
+        slice(col("v"), i * dsub + 1, dsub)): _*)).as(Seq("sub_idx", "subv")))
+    val cents = sub.filter(col("vec_id") < nCentroids)
+      .select(col("sub_idx"), col("vec_id").as("cid"), col("subv").as("cv"))
+    // nearest centroid per (vector, subspace): ||s-c||² expanded as
+    // ((s·s - 2·(s·c)) + c·c) — identical fold order in the oracle
+    val d2 = (VectorFns.dot(col("subv"), col("subv"))
+      - lit(2.0) * VectorFns.dot(col("subv"), col("cv"))
+      + VectorFns.dot(col("cv"), col("cv")))
+    val wAsg = Window.partitionBy("vec_id", "sub_idx")
+      .orderBy(col("__d2").asc, col("cid").asc)
+    val codes = sub.join(broadcast(cents), Seq("sub_idx"))
+      .withColumn("__d2", d2)
+      .withColumn("__rn", row_number().over(wAsg))
+      .filter(col("__rn") === 1)
+      .select("vec_id", "sub_idx", "cid")
+    // asymmetric-distance lookup table: query subvector · each centroid
+    val qsub = sub.filter(col("vec_id") === queryId)
+      .select(col("sub_idx"), col("subv").as("qsub"))
+    val lut = cents.join(broadcast(qsub), Seq("sub_idx"))
+      .select(col("sub_idx"), col("cid"),
+        VectorFns.dot(col("qsub"), col("cv")).as("pdot"))
+    // fixed-order sum: sort the m lookup terms by sub_idx, left fold
+    val scored = codes.join(broadcast(lut), Seq("sub_idx", "cid"))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("sub_idx"), col("pdot"))))
+        .as("__terms"))
+      .select(col("vec_id"),
+        aggregate(transform(col("__terms"), t => t.getField("pdot")),
+          lit(0.0), (a, b) => a + b).as("approx_dot"))
+    val cands = scored.filter(col("vec_id") =!= queryId)
+      .orderBy(col("approx_dot").desc, col("vec_id").asc)
+      .limit(rerank * k)
+      .select("vec_id")
+    // exact re-rank of the shortlist by true cosine
+    val en = e.withColumn("nrm", VectorFns.norm(col("v")))
+    val q = en.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    en.join(cands, Seq("vec_id")).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (VectorFns.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
     * restricted to same-bucket pairs. */
   def nearDupPairs(emb: DataFrame, bits: Int, threshold: Double,

@@ -147,6 +147,47 @@ object SimilarityQueries {
          |FROM e JOIN cand USING (vec_id), q
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin),
 
+    // Product-quantization ANN: 8×8-dim subspaces, 16-centroid codebooks
+    // (deterministic stand-in for trained ones), asymmetric-distance
+    // scoring over the stored byte codes, exact re-rank of the top-40.
+    // The tier a 100 TB embedding store actually deploys: codes are
+    // m bytes/vector, so the scoring scan never touches full vectors.
+    QueryDef("e6_pq_topk",
+      (s, dir) => Similarity.pqTopK(
+        Tables.embeddings(s, dir), m = 8, dsub = 8, nCentroids = 16,
+        queryId = 0L, k = 10, rerank = 4),
+      {
+        val dsub = 8
+        def sl(v: String) =
+          s"$v[m.i*$dsub+1 : m.i*$dsub+$dsub]"
+        s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
+           |sub AS (SELECT vec_id, m.i AS sub_idx, ${sl("v")} AS subv
+           |  FROM e, (SELECT unnest(generate_series(0, 7)) AS i) m),
+           |cents AS (SELECT sub_idx, vec_id AS cid, subv AS cv
+           |  FROM sub WHERE vec_id < 16),
+           |asg AS (SELECT s.vec_id, s.sub_idx, c.cid,
+           |    row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
+           |      ORDER BY ((${dkDot("s.subv", "s.subv")}
+           |        - (2.0 * ${dkDot("s.subv", "c.cv")}))
+           |        + ${dkDot("c.cv", "c.cv")}) ASC, c.cid ASC) AS rn
+           |  FROM sub s JOIN cents c USING (sub_idx)),
+           |codes AS (SELECT vec_id, sub_idx, cid FROM asg WHERE rn = 1),
+           |q AS (SELECT sub_idx, subv AS qsub FROM sub WHERE vec_id = 0),
+           |lut AS (SELECT c.sub_idx, c.cid, ${dkDot("q.qsub", "c.cv")} AS pdot
+           |  FROM cents c JOIN q USING (sub_idx)),
+           |scored AS (SELECT codes.vec_id,
+           |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+           |      list_sort(list(struct_pack(i := codes.sub_idx, p := pdot))),
+           |      r -> r.p)), (a, b) -> a + b) AS approx_dot
+           |  FROM codes JOIN lut USING (sub_idx, cid) GROUP BY codes.vec_id),
+           |cand AS (SELECT vec_id FROM scored WHERE vec_id <> 0
+           |  ORDER BY approx_dot DESC, vec_id ASC LIMIT 40)
+           |SELECT e.vec_id, ${dkCos("e.v", "qq.qv")} AS cos_sim
+           |FROM e JOIN cand USING (vec_id),
+           |  (SELECT v AS qv FROM e WHERE vec_id = 0) qq
+           |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+      }),
+
     // Embedding-cosine near-duplicate pairs (bucketed candidates,
     // threshold 0.35 — the fixtures' max pair similarity is ~0.51).
     QueryDef("d4_embed_neardup",
