@@ -508,6 +508,87 @@ object TextQueries {
         |UNION ALL SELECT 'low_stopword', low_stopword FROM agg
         |ORDER BY rule""".stripMargin),
 
+    // Benchmark decontamination: flag corpus docs sharing any word
+    // 3-gram with the held-out set (here: the lexicographically first
+    // source plays the benchmark) and count the shared shingles — the
+    // n-gram-overlap decontamination pass every serious training-data
+    // build runs. Scale shape: the benchmark shingle set is tiny
+    // (benchmarks are), so it broadcasts; the corpus side stays a
+    // narrow explode feeding a broadcast semi-ish join, no shuffle of
+    // corpus shingles.
+    QueryDef("t9_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val benchSrc = docs.agg(min(col("source")).as("__bsrc"))
+        val tagged = docs.crossJoin(broadcast(benchSrc))
+        val benchSh = TextDedup.shingles(
+          tagged.filter(col("source") === col("__bsrc")))
+          .select("shingle").distinct()
+        val corpusSh = TextDedup.shingles(
+          tagged.filter(col("source") =!= col("__bsrc")))
+        corpusSh.join(broadcast(benchSh), Seq("shingle"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared_shingles"))
+          .orderBy("doc_id")
+      },
+      """WITH b AS (SELECT min(source) AS bsrc FROM documents),
+        |t AS (SELECT doc_id, source,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, source, CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE [] END AS shs FROM t),
+        |sh AS (SELECT doc_id, source, unnest(shs) AS shingle FROM sh0),
+        |bench AS (SELECT DISTINCT shingle FROM sh, b WHERE sh.source = b.bsrc),
+        |corp AS (SELECT doc_id, shingle FROM sh, b WHERE sh.source <> b.bsrc)
+        |SELECT doc_id, count(*) AS n_shared_shingles
+        |FROM corp JOIN bench USING (shingle)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Repetition detection (Gopher-style quality rule): the fraction of
+    // repeated word 3-grams and repeated tokens per document — low
+    // distinct ratios mark boilerplate/template spam. Single narrow
+    // pass, two divisions, no shuffle.
+    QueryDef("t10_repetition",
+      (s, dir) => {
+        val toks = TextFns.tokensWs(lower(col("text")))
+        val nToks = size(toks)
+        val grams = when(nToks >= 3,
+          transform(sequence(lit(1), nToks - 2),
+            i => concat_ws(" ", slice(toks, i, lit(3)))))
+          .otherwise(array().cast("array<string>"))
+        val nGrams = size(grams)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            nGrams.cast("long").as("n_3grams"),
+            when(nGrams > 0, size(array_distinct(grams)).cast("double") / nGrams)
+              .as("distinct_3gram_ratio"),
+            when(nToks > 0, size(array_distinct(toks)).cast("double") / nToks)
+              .as("distinct_token_ratio"),
+            when(nGrams > 0,
+              size(array_distinct(grams)).cast("double") / nGrams < 0.7)
+              .as("repetitive"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' '))
+        |  ELSE [] END AS grams FROM t)
+        |SELECT doc_id,
+        |  len(grams)::BIGINT AS n_3grams,
+        |  CASE WHEN len(grams) > 0
+        |    THEN len(list_distinct(grams))::DOUBLE / len(grams) END
+        |    AS distinct_3gram_ratio,
+        |  CASE WHEN len(toks) > 0
+        |    THEN len(list_distinct(toks))::DOUBLE / len(toks) END
+        |    AS distinct_token_ratio,
+        |  CASE WHEN len(grams) > 0
+        |    THEN len(list_distinct(grams))::DOUBLE / len(grams) < 0.7 END
+        |    AS repetitive
+        |FROM g ORDER BY doc_id""".stripMargin),
+
     // Per-source quota sampling: keep at most 20 docs per source, chosen
     // by hash order — a deterministic "random" downsample (layout/engine/
     // rerun stable, unlike sample()) that caps any one source's share of
