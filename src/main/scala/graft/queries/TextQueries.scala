@@ -412,6 +412,65 @@ object TextQueries {
            |ORDER BY d.doc_id""".stripMargin
       }),
 
+    // Dedup capstone: keep the BEST-quality doc per near-dup cluster
+    // (argmax quality score, doc_id tiebreak) — what a production dedup
+    // ships, instead of keep-lowest-id. Composes d6's clusters with
+    // t2's quality score; one window over cluster_id.
+    QueryDef("d9_keep_best_per_cluster",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clusters = TextDedup.dedupClusters(docs,
+          TextDedup.minHashNearDups(docs, k = 16, bands = 4, threshold = 0.4))
+        val toks = TextFns.tokensWs(lower(col("text")))
+        val nToks = size(toks).cast("long")
+        val sumTokLen = aggregate(
+          transform(toks, t => length(t).cast("long")),
+          lit(0L), (a, b) => a + b)
+        val punctRatio = TextFns.punctCount(col("text")).cast("double") /
+          length(col("text"))
+        val stopRatio = TextFns.tokenHitCount(toks, TextFns.Stopwords("en"))
+          .cast("double") / nToks
+        val quality = stopRatio * 0.4 +
+          least(sumTokLen.cast("double") / nToks / 10.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - punctRatio) * 0.3
+        val scored = docs.select(col("doc_id"), quality.as("quality_score"))
+          .join(clusters, Seq("doc_id"))
+        Dedup.keepFirst(scored, keys = Seq("cluster_id"),
+          order = Seq(col("quality_score").desc, col("doc_id").asc))
+          .select("cluster_id", "doc_id", "quality_score")
+          .orderBy("cluster_id")
+      },
+      {
+        val pairSql = d2OracleSql.replaceAll("ORDER BY doc_a, doc_b\\s*$", "")
+        s"""WITH RECURSIVE pairs AS ($pairSql),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (SELECT a, b FROM edges
+           |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |mm AS (SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY a),
+           |cl AS (SELECT d.doc_id,
+           |    least(d.doc_id, coalesce(mm.min_reach, d.doc_id)) AS cluster_id
+           |  FROM documents d LEFT JOIN mm ON mm.doc_id = d.doc_id),
+           |tq AS (SELECT doc_id, text,
+           |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+           |qs AS (SELECT doc_id,
+           |    (len(list_filter(toks,
+           |       t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+           |       / len(toks)) * 0.4
+           |    + least((list_reduce(list_prepend(0::BIGINT,
+           |        list_transform(toks, t -> length(t)::BIGINT)), (a,b) -> a+b)::DOUBLE
+           |        / len(toks)) / 10.0, 1.0) * 0.3
+           |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+           |        / nullif(length(text), 0)) * 0.3 AS quality_score
+           |  FROM tq),
+           |r AS (SELECT cl.cluster_id, cl.doc_id, qs.quality_score,
+           |    row_number() OVER (PARTITION BY cl.cluster_id
+           |      ORDER BY qs.quality_score DESC, cl.doc_id ASC) AS rn
+           |  FROM cl JOIN qs USING (doc_id))
+           |SELECT cluster_id, doc_id, quality_score FROM r WHERE rn = 1
+           |ORDER BY cluster_id""".stripMargin
+      }),
+
     // Reproducible 80/20 train/eval split: bucket = md5(doc_id) mod 100,
     // a pure function of the data — stable across partitionings, engines
     // and reruns, unlike sample()/randomSplit(). Emits per-doc assignment
