@@ -55,6 +55,29 @@ object TextFns {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, PunctRe, ""))
 
+  /** Normalized exact-dedup fingerprint — ONE definition shared by the
+    * batch pass (TextDedup.exactByFingerprint) and the streaming ingest
+    * (CorpusIngest): the two must dedup on the same key, or the
+    * documented batch-compaction-catches-what-streaming-missed invariant
+    * silently breaks. */
+  def contentFingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** The combined quality score — ONE definition shared by
+    * t2_text_quality (reporting) and d9_keep_best_per_cluster (ranking):
+    * stopword ratio 0.4 + capped avg-token-length 0.3 +
+    * (1 − punctuation ratio) 0.3, every ratio a single division. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokensWs(lower(text))
+    val nToks = size(toks).cast("long")
+    val sumTokLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, b) => a + b)
+    val punctRatio = punctCount(text).cast("double") / length(text)
+    val stopRatio = tokenHitCount(toks, Stopwords("en")).cast("double") / nToks
+    stopRatio * 0.4 +
+      least(sumTokLen.cast("double") / nToks / 10.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - punctRatio) * 0.3
+  }
+
   /** Rolling polynomial fingerprint over BPE tokens:
     * fold(acc = acc×31 + hash31(tok) mod (2^31−1), acc₀ = 0). All values
     * stay < 2^36 so the arithmetic is overflow-free in every engine. */

@@ -5,20 +5,26 @@ import org.apache.spark.sql.{Column, DataFrame}
 /** Batch sinks (SURVEY.md S8-S10).
   *
   * The reference's TRUNCATE+COPY (active_futures_etl.py:96-104) and
-  * to_sql(replace) (funding_stats_etl.py:123-128) are both atomic-replace
-  * semantics — native to Spark's `mode("overwrite")` (staged write, commit
-  * on success, so readers never observe a half-replaced table — the
-  * property the reference hand-orders its fetch-before-truncate for).
+  * to_sql(replace) (funding_stats_etl.py:123-128) are both replace
+  * semantics. Spark's bare `mode("overwrite")` deletes the target before
+  * the job commits, so [[overwriteParquet]] goes through the shared
+  * stage-and-swap ([[AtomicDir]]): the previous table stays readable
+  * until the final rename pair, and a crash at any point is healed on
+  * the next call.
   */
 object Sinks {
 
-  /** S8/S9: atomic truncate-and-reload / drop-recreate-from-frame. */
+  /** S8/S9: crash-safe truncate-and-reload / drop-recreate-from-frame. */
   def overwriteParquet(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").parquet(path)
+    AtomicDir.replaceWith(df, path)(
+      (d, staging) => d.write.mode("overwrite").parquet(staging))
 
   /** 100 TB layout: overwrite partitioned by a derived date column so
     * time-range queries prune files (dynamic partition overwrite only
-    * rewrites the partitions present in `df`, not the whole table). */
+    * rewrites the partitions present in `df`, not the whole table).
+    * Note the delete-before-commit window applies per touched partition;
+    * for crash-critical tables use [[Upsert.upsertParquetPartitioned]],
+    * whose per-partition swap parks the previous copy. */
   def overwritePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite")

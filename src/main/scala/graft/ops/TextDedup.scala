@@ -26,11 +26,10 @@ object TextDedup {
 
   /** Exact dedup on a normalized content fingerprint — keep the lowest id
     * per group (deterministic, pandas keep-first flavored). */
-  def exactByFingerprint(docs: DataFrame, fpCol: String = "fp"): DataFrame = {
-    val fp = md5(lower(trim(col("text"))))
-    Dedup.keepFirst(docs.withColumn(fpCol, fp), Seq(fpCol),
-      Seq(col("doc_id").asc))
-  }
+  def exactByFingerprint(docs: DataFrame, fpCol: String = "fp"): DataFrame =
+    Dedup.keepFirst(
+      docs.withColumn(fpCol, TextFns.contentFingerprint(col("text"))),
+      Seq(fpCol), Seq(col("doc_id").asc))
 
   /** Distinct word-level 3-gram shingles per document: (doc_id, shingle).
     *
@@ -173,11 +172,15 @@ object TextDedup {
   /** Full MinHash-LSH near-dup pipeline:
     * shingle → sign → band → candidate join → exact-Jaccard verify. */
   def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.4, maxBucket: Int = 10000): DataFrame = {
-    val sh = shingles(docs)
+      threshold: Double = 0.4, maxBucket: Int = 10000,
+      n: Int = 3): DataFrame = {
+    // one n for BOTH signature shingling and verification — different
+    // widths would verify pairs against a similarity the signatures
+    // never estimated
+    val sh = shingles(docs, n)
     verifyJaccardArrays(
       lshCandidates(minHashSignatures(sh, k), k, bands, maxBucket),
-      docs, n = 3, threshold)
+      docs, n, threshold)
   }
 
   /** Direct n-gram Jaccard near-dup pairs — no MinHash approximation in

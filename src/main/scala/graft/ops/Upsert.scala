@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -21,73 +21,6 @@ import org.apache.spark.sql.functions._
   * batch touches.
   */
 object Upsert {
-
-  /** Filesystem of `path` via the Hadoop FS API — correct on HDFS/S3A/
-    * local alike (a `java.io.File` probe silently misfires off-local). */
-  private def fsFor(df: DataFrame, path: String): (FileSystem, HPath) = {
-    val p = new HPath(path)
-    (p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration), p)
-  }
-
-  private def stagingFor(target: HPath): HPath =
-    new HPath(target.getParent, target.getName + "__staging__")
-
-  /** Sibling dir where the previous copy is parked during a swap — NEVER
-    * inside the table directory, where partition discovery would read it
-    * as a phantom partition. */
-  private def oldFor(target: HPath): HPath =
-    new HPath(target.getParent, target.getName + "__old__")
-
-  /** Crash recovery, run BEFORE the existence probe of every upsert: a
-    * crash between swap renames leaves the previous copy parked at
-    * `<target>__old__` (whole table) or `<target>__old__/<part>=...`
-    * (partition dirs). Restore whatever the interrupted swap had not yet
-    * replaced, then clear the parking dir — so the subsequent merge sees
-    * the restored table, not an empty path. */
-  private def recoverInterruptedSwap(fs: FileSystem, target: HPath): Unit = {
-    val old = oldFor(target)
-    if (!fs.exists(old)) return
-    if (!fs.exists(target)) {
-      // whole-table swap died between the renames: the parked copy IS the
-      // table
-      if (!fs.rename(old, target))
-        throw new java.io.IOException(s"recovery rename $old -> $target failed")
-      return
-    }
-    // partition-level swap: restore only the parked partition dirs whose
-    // replacement never landed; everything else is a completed-swap
-    // leftover (its target exists) and is safe to drop
-    fs.listStatus(old).foreach { st =>
-      val dest = new HPath(target, st.getPath.getName)
-      if (st.isDirectory && st.getPath.getName.contains("=") &&
-        !fs.exists(dest)) {
-        if (!fs.rename(st.getPath, dest))
-          throw new java.io.IOException(
-            s"recovery rename ${st.getPath} -> $dest failed")
-      }
-    }
-    fs.delete(old, true)
-  }
-
-  /** Swap a fully-written staging dir into place: rename current aside
-    * (to `old` — a path OUTSIDE the table dir), rename staging in,
-    * delete the parked copy. The previous data survives a failure at ANY
-    * point — a crash between the renames is healed by
-    * [[recoverInterruptedSwap]] on the next call; the visibility gap is
-    * the instant between the renames — the price of running on a store
-    * without atomic directory replace. */
-  private def swapInto(fs: FileSystem, staging: HPath, target: HPath,
-      old: HPath): Unit = {
-    if (fs.exists(old)) fs.delete(old, true)
-    val hadPrev = fs.exists(target)
-    if (hadPrev && !fs.rename(target, old))
-      throw new java.io.IOException(s"rename $target -> $old failed")
-    if (!fs.rename(staging, target)) {
-      if (hadPrev) fs.rename(old, target) // restore before failing
-      throw new java.io.IOException(s"rename $staging -> $target failed")
-    }
-    if (hadPrev) fs.delete(old, true)
-  }
 
   /** Newest-wins merge: one row per `keys`, highest (version, isNew) wins —
     * i.e. updates beat existing rows at equal version, matching the
@@ -126,8 +59,8 @@ object Upsert {
   def upsertParquetPartitioned(updates: DataFrame, path: String,
       keys: Seq[String], version: String, partCol: String): Unit = {
     val spark = updates.sparkSession
-    val (fs, target) = fsFor(updates, path)
-    recoverInterruptedSwap(fs, target)
+    val (fs, target) = AtomicDir.fsFor(updates, path)
+    AtomicDir.recoverInterruptedSwap(fs, target)
     val touched = updates.select(partCol).distinct().collect()
       .map(_.get(0)).toSeq // bounded: partitions per batch, not rows
     // null partition values need an explicit isNull arm — `IN (null)` is
@@ -155,25 +88,26 @@ object Upsert {
     // failure at any point leaves the current table readable — unlike a
     // read-then-overwrite of the same path, whose recompute-after-
     // executor-loss would re-read a half-deleted target.
-    val staging = stagingFor(target)
+    val staging = AtomicDir.stagingFor(target)
     if (fs.exists(staging)) fs.delete(staging, true)
     merged.write.mode("overwrite")
       .partitionBy(partCol)
       .parquet(staging.toString)
     if (!exists) {
-      swapInto(fs, staging, target, oldFor(target))
+      AtomicDir.swapInto(fs, staging, target, AtomicDir.oldFor(target))
     } else {
       // partition backups park under <target>__old__/<part>= ... — a
       // SIBLING of the table root, never inside it (partition discovery
       // would read an in-table backup as a phantom partition value)
-      val oldRoot = oldFor(target)
+      val oldRoot = AtomicDir.oldFor(target)
       if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
       fs.mkdirs(oldRoot)
       val partDirs = fs.listStatus(staging)
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith(s"$partCol="))
       partDirs.foreach { st =>
-        swapInto(fs, st.getPath, new HPath(target, st.getPath.getName),
+        AtomicDir.swapInto(fs, st.getPath,
+          new HPath(target, st.getPath.getName),
           new HPath(oldRoot, st.getPath.getName))
       }
       fs.delete(staging, true)
@@ -186,8 +120,8 @@ object Upsert {
   def upsertParquet(updates: DataFrame, path: String, keys: Seq[String],
       version: String): Unit = {
     val spark = updates.sparkSession
-    val (fs, target) = fsFor(updates, path)
-    recoverInterruptedSwap(fs, target)
+    val (fs, target) = AtomicDir.fsFor(updates, path)
+    AtomicDir.recoverInterruptedSwap(fs, target)
     val merged =
       if (fs.exists(target)) {
         val existing = spark.read.parquet(path).select(
@@ -203,9 +137,9 @@ object Upsert {
     // table survives a failure at any point. (The earlier cache()-as-
     // barrier variant could silently re-read the half-overwritten target
     // if an executor was lost after the cached blocks were evicted.)
-    val staging = stagingFor(target)
+    val staging = AtomicDir.stagingFor(target)
     if (fs.exists(staging)) fs.delete(staging, true)
     merged.write.mode("overwrite").parquet(staging.toString)
-    swapInto(fs, staging, target, oldFor(target))
+    AtomicDir.swapInto(fs, staging, target, AtomicDir.oldFor(target))
   }
 }

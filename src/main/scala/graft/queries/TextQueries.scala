@@ -114,8 +114,7 @@ object TextQueries {
             avgTokLen.as("avg_token_len"),
             punctRatio.as("punct_ratio"),
             stopRatio.as("stop_ratio"),
-            (stopRatio * 0.4 + least(avgTokLen / 10.0, lit(1.0)) * 0.3 +
-              (lit(1.0) - punctRatio) * 0.3).as("quality_score"))
+            TextFns.qualityScore(col("text")).as("quality_score"))
           .orderBy("doc_id")
       },
       s"""WITH t AS (SELECT doc_id, text,
@@ -421,19 +420,9 @@ object TextQueries {
         val docs = Tables.documents(s, dir)
         val clusters = TextDedup.dedupClusters(docs,
           TextDedup.minHashNearDups(docs, k = 16, bands = 4, threshold = 0.4))
-        val toks = TextFns.tokensWs(lower(col("text")))
-        val nToks = size(toks).cast("long")
-        val sumTokLen = aggregate(
-          transform(toks, t => length(t).cast("long")),
-          lit(0L), (a, b) => a + b)
-        val punctRatio = TextFns.punctCount(col("text")).cast("double") /
-          length(col("text"))
-        val stopRatio = TextFns.tokenHitCount(toks, TextFns.Stopwords("en"))
-          .cast("double") / nToks
-        val quality = stopRatio * 0.4 +
-          least(sumTokLen.cast("double") / nToks / 10.0, lit(1.0)) * 0.3 +
-          (lit(1.0) - punctRatio) * 0.3
-        val scored = docs.select(col("doc_id"), quality.as("quality_score"))
+        val scored = docs
+          .select(col("doc_id"),
+            TextFns.qualityScore(col("text")).as("quality_score"))
           .join(clusters, Seq("doc_id"))
         Dedup.keepFirst(scored, keys = Seq("cluster_id"),
           order = Seq(col("quality_score").desc, col("doc_id").asc))
@@ -498,11 +487,14 @@ object TextQueries {
     QueryDef("t8_clean_text",
       (s, dir) => {
         val noTags = regexp_replace(col("text"), "<[^>]+>", " ")
+        // entity order matters: &lt;/&gt; BEFORE &amp; — unescaping &amp;
+        // first would turn '&amp;lt;' (escaped '&lt;') into '&lt;' and
+        // then wrongly unescape it a second time
         val noEnt = regexp_replace(
           regexp_replace(
-            regexp_replace(noTags, "&amp;", "&"),
-            "&lt;", "<"),
-          "&gt;", ">")
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&amp;", "&")
         val collapsed = trim(regexp_replace(noEnt, "\\s+", " "))
         Tables.documents(s, dir)
           .select(col("doc_id"), collapsed.as("clean_text"),
@@ -513,12 +505,12 @@ object TextQueries {
         |  trim(regexp_replace(
         |    replace(replace(replace(
         |      regexp_replace(text, '<[^>]+>', ' ', 'g'),
-        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS clean_text,
         |  length(trim(regexp_replace(
         |    replace(replace(replace(
         |      regexp_replace(text, '<[^>]+>', ' ', 'g'),
-        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
         |    '\s+', ' ', 'g')))::BIGINT AS clean_len
         |FROM documents ORDER BY doc_id""".stripMargin),
 
@@ -571,10 +563,10 @@ object TextQueries {
     // 3-gram with the held-out set (here: the lexicographically first
     // source plays the benchmark) and count the shared shingles — the
     // n-gram-overlap decontamination pass every serious training-data
-    // build runs. Scale shape: the benchmark shingle set is tiny
-    // (benchmarks are), so it broadcasts; the corpus side stays a
-    // narrow explode feeding a broadcast semi-ish join, no shuffle of
-    // corpus shingles.
+    // build runs. Scale shape: a REAL benchmark set is tiny, and its
+    // distinct shingles broadcast (AQE decides — this fixture stand-in
+    // uses a whole source as the bench side, which at corpus scale
+    // would be too big to hint-broadcast safely).
     QueryDef("t9_decontaminate",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -585,7 +577,7 @@ object TextQueries {
           .select("shingle").distinct()
         val corpusSh = TextDedup.shingles(
           tagged.filter(col("source") =!= col("__bsrc")))
-        corpusSh.join(broadcast(benchSh), Seq("shingle"))
+        corpusSh.join(benchSh, Seq("shingle"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shared_shingles"))
           .orderBy("doc_id")

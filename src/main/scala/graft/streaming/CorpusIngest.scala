@@ -25,7 +25,7 @@ object CorpusIngest {
       watermarkDelay: String = "24 hours",
       trigger: Trigger = MicroBatch.FiveMinutes): StreamingQuery =
     docs
-      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("fp", graft.functions.TextFns.contentFingerprint(col("text")))
       .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("fp"))
       .writeStream

@@ -129,6 +129,20 @@ class TextDedupSpec extends SparkSpec {
     assert(capped.map(p => (p._1, p._2)) == Seq((9000L, 9001L)))
   }
 
+  test("oversizedBuckets diagnostic reports exactly what capBuckets drops") {
+    import graft.ops.SkewGuard
+    val rows = (Seq.fill(60)("big") ++ Seq.fill(3)("small"))
+      .zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "bucket")
+    val over = SkewGuard.oversizedBuckets(rows, Seq("bucket"), maxBucket = 50)
+      .as[(String, Long)].collect().toSeq
+    assert(over == Seq(("big", 60L)))
+    // complement check: the cap keeps precisely the non-reported buckets
+    val kept = SkewGuard.capBuckets(rows, Seq("bucket"), maxBucket = 50)
+      .select("bucket").distinct().as[String].collect().toSet
+    assert(kept == Set("small"))
+  }
+
   test("embedding nearDupPairs maxBucket drops a degenerate vector bucket") {
     val dup = Array(1f, 1f, 1f, 1f)
     val emb = ((0 until 200).map(i => (i.toLong, dup)) ++ Seq(
