@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -409,6 +410,67 @@ object TextQueries {
            |  least(d.doc_id, coalesce(m.min_reach, d.doc_id)) AS cluster_id
            |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    // Vocabulary build: top-100 tokens with rank and cumulative corpus
+    // coverage — the tokenizer-prep view of a corpus. The running-total
+    // window is GLOBAL by construction (one vocabulary), which is fine
+    // because it runs over the aggregated vocab (≪ corpus), never the
+    // token stream; the heavy part, token counting, is an ordinary
+    // map-side-combined groupBy.
+    QueryDef("v1_vocab_coverage",
+      (s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .select(explode(TextFns.tokensWs(lower(col("text")))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum(col("n")).as("__total"))
+        val w = Window.orderBy(col("n").desc, col("term").asc)
+        counts.crossJoin(broadcast(total))
+          .withColumn("rank", row_number().over(w))
+          .withColumn("__cum", sum(col("n")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("rank") <= 100)
+          .select(col("rank"), col("term"), col("n"),
+            (col("__cum").cast("double") / col("__total")).as("coverage"))
+          .orderBy("rank")
+      },
+      """WITH terms AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS n FROM terms GROUP BY term),
+        |tot AS (SELECT sum(n) AS total FROM c),
+        |r AS (SELECT term, n,
+        |    row_number() OVER (ORDER BY n DESC, term ASC) AS rank,
+        |    (sum(n) OVER (ORDER BY n DESC, term ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+        |  FROM c)
+        |SELECT rank, term, n, cum::DOUBLE / total AS coverage
+        |FROM r, tot WHERE rank <= 100 ORDER BY rank""".stripMargin),
+
+    // Cross-source contamination matrix: verified near-dup pairs rolled
+    // up by (source_a, source_b) — which provenance pairs leak into each
+    // other. Pure composition: the d2 pair pipeline joined to the doc
+    // dimension twice, then a count rollup.
+    QueryDef("x1_source_overlap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val src = docs.select(col("doc_id"), col("source"))
+        TextDedup.minHashNearDups(docs, k = 16, bands = 4, threshold = 0.4)
+          .join(src.toDF("doc_a", "source_a"), Seq("doc_a"))
+          .join(src.toDF("doc_b", "source_b"), Seq("doc_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      {
+        val pairSql = d2OracleSql.replaceAll("ORDER BY doc_a, doc_b\\s*$", "")
+        s"""WITH pr AS ($pairSql)
+           |SELECT da.source AS source_a, db.source AS source_b,
+           |  count(*) AS n_pairs
+           |FROM pr
+           |JOIN documents da ON da.doc_id = pr.doc_a
+           |JOIN documents db ON db.doc_id = pr.doc_b
+           |GROUP BY da.source, db.source
+           |ORDER BY source_a, source_b""".stripMargin
       }),
 
     // Dedup capstone: keep the BEST-quality doc per near-dup cluster

@@ -103,4 +103,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), p)
   }
+
+  test("t9 decontamination: bench shingles broadcast (unhinted AQE shuffle was 5x)") {
+    val p = plan("t9_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("e6 PQ: codebooks and lookup table broadcast, no cartesian/sort-merge") {
+    val p = plan("e6_pq_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }
