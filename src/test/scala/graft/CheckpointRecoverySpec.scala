@@ -75,4 +75,45 @@ class CheckpointRecoverySpec extends SparkSpec {
       ("BTC", "2024-01-02 00:00:00.0", 0.0004),
       ("ETH", "2024-01-01 16:00:00.0", 0.0003)))
   }
+
+  test("corpus ingest: dedup state survives a restart from checkpoint") {
+    import graft.streaming.CorpusIngest
+    val base = Files.createTempDirectory("corpus-rec")
+    val src = Files.createDirectory(base.resolve("src"))
+    val sink = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("ingest_ts", TimestampType)))
+    def writeDocs(n: Int, rows: Seq[(Long, String, String)]): Unit = {
+      val json = rows.map { case (id, t, ts) =>
+        s"""{"doc_id":$id,"text":"$t","ingest_ts":"$ts"}"""
+      }.mkString("\n")
+      val tmp = Files.createTempFile("stage", ".json")
+      Files.writeString(tmp, json)
+      Files.move(tmp, src.resolve(f"docs$n%03d.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def startQuery() = CorpusIngest.start(
+      spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).json(src.toString),
+      sink, ckpt, trigger = Trigger.ProcessingTime(0))
+
+    writeDocs(1, Seq((1L, "the very first document", "2024-01-01 00:00:00")))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(sink).count() === 1)
+
+    // same text re-crawled while the stream is DOWN: after restart the
+    // fingerprint state recovered from the checkpoint must still drop it
+    writeDocs(2, Seq(
+      (2L, "the very first document", "2024-01-01 01:00:00"),
+      (3L, "a genuinely new document", "2024-01-01 01:00:00")))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L))
+  }
 }
