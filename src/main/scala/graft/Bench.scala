@@ -5,10 +5,13 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and emits ONE compact JSON line as the final stdout
   * line (plus a backstop file `BENCH_LOCAL.json`), for the round driver.
   *
-  * Output-size note: the driver captures only a bounded tail of stdout, so
-  * per-query durations are rounded to 3 decimals to keep the whole JSON line
-  * under ~2 KB, and the line is printed AFTER `spark.stop()` so no executor
-  * shutdown logging can interleave with it.
+  * Output-size note: the driver captures only a ~2000-char tail of stdout,
+  * and the full 85-query map (~2.6 KB) exceeds it — BENCH_r01/r02 both came
+  * back `parsed: null` because the last line's head was truncated. So the
+  * full map goes to `BENCH_LOCAL.json` and an earlier stdout line, and the
+  * ABSOLUTE LAST stdout line is a short summary (total + top-10 slowest
+  * queries, < 500 chars) that always fits the tail window. Both lines print
+  * AFTER `spark.stop()` so no executor shutdown logging can interleave.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -52,6 +55,12 @@ object Bench {
     } catch { case _: Throwable => () }
     Tables.invalidate(spark) // drop cached plans with the stopped session
     spark.stop()
-    println(json)
+    println(json) // full per-query map: useful when the whole log is kept
+    // Short summary LAST: total plus the 10 slowest queries, guaranteed to
+    // fit the driver's bounded tail capture.
+    val top = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s""""$k":${sec(v)}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n":${results.size},"queries":$top,"sf":"$sfDir"}""")
   }
 }

@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.JoinQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.SimilarityQueries.all ++
-      graft.queries.PipelineQueries.all
+      graft.queries.PipelineQueries.all ++
+      graft.queries.SinkQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

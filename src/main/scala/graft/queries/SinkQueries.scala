@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.{Backfill, Sinks}
+
+/** Oracle-checked coverage for the side-effecting source/sink rows that
+  * were previously scalatest-only (SURVEY.md S5, S10): the driver's DuckDB
+  * oracle can replay both — S5 because unioned pages must equal a single
+  * scan, S10 because DuckDB can `read_csv` the very TSV files Spark staged.
+  */
+object SinkQueries {
+
+  /** Deterministic staging root shared between the Spark impl and the
+    * static oracle SQL. The sf-dir name is part of the path so a bench run
+    * at sf0.1 can never clobber the sf0.01 files the oracle reads. */
+  private def stageDir(dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    s"/tmp/graft_stage/$sf"
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // S5: cursor-paginated backfill (funding_rates_etl.py:38-66's
+    // hasMore/endTime loop). Pages are key-range slices of `orders`
+    // served through Backfill.paginate; the invariant an oracle can
+    // check is pages ⊎ pages ≡ one scan — pagination must neither drop
+    // nor duplicate rows at page boundaries.
+    QueryDef("s5_backfill",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        // the cursor driver is the S5 I/O boundary (HTTP paging in the
+        // reference): one bounded driver-side max() to know when the
+        // source is exhausted, then ceil(maxKey/step) lazy page frames
+        val maxKey = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+        val step = 1000L
+        val fetch: Option[Long] => Option[Backfill.Page] = cursor => {
+          val from = cursor.getOrElse(0L)
+          if (from > maxKey) None
+          else Some(Backfill.Page(
+            orders.filter(col("o_orderkey") >= from &&
+              col("o_orderkey") < from + step),
+            if (from + step > maxKey) None else Some(from + step)))
+        }
+        Backfill.paginate(fetch).get
+          .groupBy(lit(1).as("one")).agg(
+            count(lit(1)).as("row_cnt"),
+            count_distinct(col("o_orderkey")).as("key_cnt"),
+            // decimal sum → double cast: double-accumulation order differs
+            // between engines (see Stats.scala discipline)
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("price_sum"))
+          .drop("one")
+      },
+      """SELECT count(*) AS row_cnt,
+        |  count(DISTINCT o_orderkey) AS key_cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders""".stripMargin),
+
+    // S10: TSV staging roundtrip (to_csv(sep="\t", header=False),
+    // active_futures_etl.py:103). Spark stages a headerless TSV and
+    // reads it back; the oracle makes DuckDB parse the SAME files —
+    // verifying the written bytes, not just write∘read ≡ id. Staged
+    // columns are string/bigint only: float TSV formatting differs
+    // between engines, and the reference stages symbol/identifier
+    // columns too.
+    QueryDef("s10_tsv_roundtrip",
+      (s, dir) => {
+        val staged = Tables.events(s, dir)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("cnt"), max("event_id").as("max_event"))
+        val path = s"${stageDir(dir)}/s10_tsv"
+        Sinks.tsvStaging(
+          staged.select("user_id", "event_type", "cnt", "max_event"), path)
+        s.read
+          .option("sep", "\t").option("header", "false")
+          .schema(StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("event_type", StringType),
+            StructField("cnt", LongType),
+            StructField("max_event", LongType))))
+          .csv(path)
+          .orderBy("user_id", "event_type")
+      },
+      // the driver's oracle runs at sf0.01 (after Verify wrote the files)
+      """SELECT user_id, event_type, cnt, max_event
+        |FROM read_csv('/tmp/graft_stage/sf0.01/s10_tsv/part-*',
+        |  delim='\t', header=false,
+        |  columns={'user_id': 'BIGINT', 'event_type': 'VARCHAR',
+        |           'cnt': 'BIGINT', 'max_event': 'BIGINT'})
+        |ORDER BY user_id, event_type""".stripMargin)
+  )
+}
