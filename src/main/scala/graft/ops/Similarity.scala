@@ -107,25 +107,95 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic Lloyd (k-means) refinement of an initial centroid set —
+    * the training step that lifts [[ivfTopK]]/[[pqTopK]] from the first-N
+    * stand-in to real codebooks without changing either plan's shape.
+    *
+    * `points`: (groupCols..., id, v); `cents`: (groupCols..., cid, cv) —
+    * one independent k-means per `groupCols` value (PQ trains one codebook
+    * per subspace; IVF passes no group columns). Each of the `iters`
+    * unrolled rounds: (1) assign every point to its nearest centroid by
+    * squared L2, expanded as ((s·s − 2·s·c) + c·c) with ties broken on
+    * cid; (2) recompute each centroid as the element-wise mean of its
+    * members. Every floating-point reduction is an explicit sorted left
+    * fold (member values sorted by point id, positions reassembled in
+    * order), because a groupBy-sum of doubles is partition-order-dependent
+    * — this is what keeps the trained codebook bitwise-reproducible and
+    * the DuckDB oracle able to replay training step-for-step. A centroid
+    * that loses all members keeps its previous value (coalesce), again
+    * mirrored by the oracle.
+    *
+    * Scale shape: centroids broadcast per round; assignment is one narrow
+    * pass over the points; the update aggregates k·dim tiny groups. At
+    * 100 TB you train on a sample (points is any DataFrame — pass a
+    * `.sample` or a fixed id-range slice) and encode the full corpus with
+    * the final codebook; iters is fixed and small, so the unrolled plan
+    * stays bounded. */
+  private[ops] def lloydRefine(points: DataFrame, cents: DataFrame,
+      groupCols: Seq[String], iters: Int): DataFrame = {
+    if (iters <= 0) cents
+    else {
+      val joined =
+        if (groupCols.isEmpty) points.crossJoin(broadcast(cents))
+        else points.join(broadcast(cents), groupCols)
+      val d2 = (VectorFns.dot(col("v"), col("v"))
+        - lit(2.0) * VectorFns.dot(col("v"), col("cv"))
+        + VectorFns.dot(col("cv"), col("cv")))
+      val w = Window.partitionBy((groupCols :+ "id").map(col): _*)
+        .orderBy(col("__d2").asc, col("cid").asc)
+      val asg = joined
+        .withColumn("__d2", d2)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select((groupCols.map(col) ++ Seq(col("id"), col("cid"),
+          col("v"))): _*)
+      val pos = asg.select((groupCols.map(col) ++ Seq(col("id"), col("cid"),
+        posexplode(col("v")).as(Seq("pos", "val")))): _*)
+      val means = pos
+        .groupBy((groupCols ++ Seq("cid", "pos")).map(col): _*)
+        .agg(sort_array(collect_list(struct(col("id"), col("val"))))
+          .as("__t"), count(lit(1)).as("__n"))
+        .select((groupCols.map(col) ++ Seq(col("cid"), col("pos"),
+          (aggregate(transform(col("__t"), t => t.getField("val")),
+            lit(0.0), (a, b) => a + b) / col("__n").cast("double"))
+            .as("mval"))): _*)
+      val fresh = means
+        .groupBy((groupCols :+ "cid").map(col): _*)
+        .agg(sort_array(collect_list(struct(col("pos"), col("mval"))))
+          .as("__p"))
+        .select((groupCols.map(col) ++ Seq(col("cid"),
+          transform(col("__p"), t => t.getField("mval")).as("__cv"))): _*)
+      val next = cents
+        .join(broadcast(fresh), groupCols :+ "cid", "left") // k-row sides
+        .select((groupCols.map(col) ++ Seq(col("cid"),
+          coalesce(col("__cv"), col("cv")).as("cv"))): _*)
+      lloydRefine(points, next, groupCols, iters - 1)
+    }
+  }
+
   /** IVF (inverted-file) approximate top-k: partition the corpus into
     * cells around `nCentroids` centroid vectors, then search only the
     * query's `nProbe` nearest cells.
     *
-    * Centroid "training" is deterministic — the vectors with
-    * `vec_id < nCentroids` ARE the centroids (a fixed-seed stand-in for
-    * k-means; swapping in trained centroids changes recall, not the
-    * plan shape). At scale: centroids broadcast (tiny), cell assignment
-    * is one narrow pass over the corpus, and the probe restricts the
-    * final scoring scan to ~nProbe/nCentroids of the data. Everything is
-    * deterministic, so the approximate result is oracle-checkable. */
+    * Centroid training is deterministic: seeds are the vectors with
+    * `vec_id < nCentroids`, refined by `trainIters` unrolled Lloyd
+    * rounds ([[lloydRefine]] — sorted-fold means, cid tie-breaks, so the
+    * oracle replays training exactly). At scale: centroids broadcast
+    * (tiny), cell assignment is one narrow pass over the corpus, and the
+    * probe restricts the final scoring scan to ~nProbe/nCentroids of the
+    * data. Everything is deterministic, so the approximate result is
+    * oracle-checkable. */
   def ivfTopK(emb: DataFrame, nCentroids: Int, nProbe: Int,
-      queryId: Long, k: Int): DataFrame = {
+      queryId: Long, k: Int, trainIters: Int = 0): DataFrame = {
     val e = emb.select(
       col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorFns.norm(col("v")))
-    val c = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("nrm").as("cnrm"))
+    val seeds = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val c = lloydRefine(
+        e.select(col("vec_id").as("id"), col("v")), seeds, Nil, trainIters)
+      .select(col("cid"), col("cv"),
+        VectorFns.norm(col("cv")).as("cnrm"))
     val scored = e.crossJoin(broadcast(c))
       .select(col("vec_id"), col("cid"),
         (VectorFns.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
@@ -157,31 +227,38 @@ object Similarity {
     * cosine.
     *
     * Determinism (what keeps an approximate index oracle-checkable):
-    * codebooks are the subvectors of `vec_id < nCentroids` (the fixed-
-    * seed k-means stand-in, as in [[ivfTopK]]); argmin ties break on
-    * centroid id; the per-vector score sums its m lookup terms in
-    * sub_idx order via an explicit sorted fold, because a groupBy-sum of
-    * doubles is partition-order-dependent and would break bitwise
-    * parity.
+    * codebooks are seeded by the subvectors of `vec_id < nCentroids` and
+    * refined per-subspace by `trainIters` unrolled Lloyd rounds
+    * ([[lloydRefine]] — sorted-fold means, cid tie-breaks, so the oracle
+    * replays training step-for-step); argmin ties break on centroid id;
+    * the per-vector score sums its m lookup terms in sub_idx order via
+    * an explicit sorted fold, because a groupBy-sum of doubles is
+    * partition-order-dependent and would break bitwise parity.
     *
     * Scale shape: codebooks broadcast (m·nCentroids rows); encoding is
     * one narrow pass; candidate scoring joins byte codes against the
     * broadcast lookup table; only `rerank·k` vectors ever touch full
     * embeddings again.
     *
-    * Measured on the sf0.01 fixtures (m=8, 16 centroids, rerank=4):
-    * recall 0.6 vs exact top-10 — with the UNTRAINED first-N codebook;
-    * real deployments train the codebooks (recall rises sharply) and
-    * tune `rerank`, neither of which changes the plan shape. */
+    * Measured on the sf0.01 fixtures (m=8, rerank=4) vs exact top-10:
+    * recall 0.6 untrained (16 first-N centroids) → 1.0 trained
+    * (32 centroids, 3 Lloyd rounds) — the `e7_recall_bound` query keeps
+    * that figure oracle-checked every round; training changes recall,
+    * not the plan shape. */
   def pqTopK(emb: DataFrame, m: Int, dsub: Int, nCentroids: Int,
-      queryId: Long, k: Int, rerank: Int = 4): DataFrame = {
+      queryId: Long, k: Int, rerank: Int = 4,
+      trainIters: Int = 0): DataFrame = {
     val e = emb.select(col("vec_id"),
       VectorFns.toDouble(col("embedding")).as("v"))
     val sub = e.select(col("vec_id"),
       posexplode(array((0 until m).map(i =>
         slice(col("v"), i * dsub + 1, dsub)): _*)).as(Seq("sub_idx", "subv")))
-    val cents = sub.filter(col("vec_id") < nCentroids)
+    val seeds = sub.filter(col("vec_id") < nCentroids)
       .select(col("sub_idx"), col("vec_id").as("cid"), col("subv").as("cv"))
+    val cents = lloydRefine(
+      sub.select(col("sub_idx"), col("vec_id").as("id"),
+        col("subv").as("v")),
+      seeds, Seq("sub_idx"), trainIters)
     // nearest centroid per (vector, subspace): ||s-c||² expanded as
     // ((s·s - 2·(s·c)) + c·c) — identical fold order in the oracle
     val d2 = (VectorFns.dot(col("subv"), col("subv"))
