@@ -50,6 +50,34 @@ object TextFns {
   def tokenHitCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words: _*)))
 
+  /** Characteristic character trigrams per language — the classic n-gram
+    * profile approach (Cavnar & Trenkle), cut to the highest-frequency
+    * trigrams so the whole profile stays a compile-time literal. Space-
+    * padded entries capture word boundaries ("he " ≠ "he" mid-word),
+    * which is what lets short or code-mixed docs classify without any
+    * full stopword hit — the weakness of the token-level heuristic. */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "ing", "ng ", "and", "nd ", " an",
+      " of", "of ", "ed ", " to", "to ", "ion", " in", "is "),
+    "de" -> Seq("der", "die", "und", "ein", "ich", "sch", "ung", "cht",
+      " ge", "gen", "ber", "ten", "ver", "nen", "ste", "ier"),
+    "fr" -> Seq("les", "ent", "que", " qu", "ue ", "est", "ait", "eur",
+      "tio", "ons", "our", "ais", "oir", "eau", "ant", " la"),
+    "es" -> Seq("ión", "ado", "que", " qu", "los", "las", "ara", " co",
+      "con", "ien", "sta", "cia", "nte", "una", "par", "del"))
+
+  /** Total occurrences of a language's profile trigrams in `lowerText`
+    * (already lower-cased), counted by literal replace — a pure map-side
+    * expression chain (no explode, no join, no shuffle): occurrences of
+    * trigram t = (len − len(text without t)) / 3. Greedy non-overlapping
+    * replace semantics are identical in Spark and DuckDB, so the count
+    * mirrors exactly. */
+  def trigramHits(lowerText: Column, lang: String): Column =
+    TrigramProfiles.toMap.apply(lang).map { tri =>
+      ((length(lowerText) - length(replace(lowerText, lit(tri), lit(""))))
+        .cast("long") / lit(3L)).cast("long")
+    }.reduce(_ + _)
+
   /** Count of punctuation characters (fixed class, both engines). */
   val PunctRe = "[.,!?;:]"
   def punctCount(text: Column): Column =

@@ -17,6 +17,34 @@ import graft.ops.{Chunking, Dedup, Multimodal, TextDedup}
   */
 object TextQueries {
 
+  /** Language ID over any (doc_id, text) frame — factored out of the t3
+    * QueryDef so tests can run it on planted short/mixed-language docs.
+    *
+    * Score per language = 3 × whole-token stopword hits + character-
+    * trigram profile hits: a full stopword token is much stronger
+    * evidence than one trigram (weight 3 ≈ its own trigram count), while
+    * the trigram term is what classifies short or code-mixed docs that
+    * contain no complete stopword — each signal covers the other's blind
+    * spot. Deterministic argmax, tie order en > de > fr > es, 'und' when
+    * nothing fires. */
+  def langIdTrigram(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val lt = lower(col("text"))
+    val toks = TextFns.tokensWs(lt)
+    val hits = Seq("en", "de", "fr", "es").map { l =>
+      l -> (TextFns.tokenHitCount(toks, TextFns.Stopwords(l)).cast("long")
+        * lit(3L) + TextFns.trigramHits(lt, l))
+    }
+    val Seq(en, de, fr, es) = hits.map(_._2)
+    docs.select(Seq(col("doc_id")) ++
+      hits.map { case (l, c) => c.as(s"${l}_hits") } :+
+      when(en >= de && en >= fr && en >= es && en > 0, "en")
+        .when(de >= fr && de >= es && de > 0, "de")
+        .when(fr >= es && fr > 0, "fr")
+        .when(es > 0, "es")
+        .otherwise("und").as("lang_pred"): _*)
+  }
+
   private val bpeRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   /** DuckDB spelling of [[TextFns.hash60]] / hash31. */
   private def dkHash60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
@@ -137,34 +165,33 @@ object TextQueries {
          |    + (1.0 - punct::DOUBLE / nullif(length(text), 0)) * 0.3 AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin),
 
-    // Language ID: stopword-marker hit counts per language, deterministic
-    // argmax with fixed tie-break order (en > de > fr > es > und).
+    // Language ID: 3×stopword-token hits + character-trigram profile
+    // hits per language (see langIdTrigram), deterministic argmax with
+    // fixed tie-break order (en > de > fr > es > und). Both signals are
+    // pure map-side expression chains (split + literal replace — no
+    // explode/join/shuffle), so at 100 TB this rides the scan like every
+    // other projection.
     QueryDef("t3_lang_id",
-      (s, dir) => {
-        val toks = TextFns.tokensWs(lower(col("text")))
-        val hits = Seq("en", "de", "fr", "es").map { l =>
-          l -> TextFns.tokenHitCount(toks, TextFns.Stopwords(l)).cast("long")
-        }
-        val Seq(en, de, fr, es) = hits.map(_._2)
-        Tables.documents(s, dir)
-          .select(Seq(col("doc_id")) ++
-            hits.map { case (l, c) => c.as(s"${l}_hits") } :+
-            when(en >= de && en >= fr && en >= es && en > 0, "en")
-              .when(de >= fr && de >= es && de > 0, "de")
-              .when(fr >= es && fr > 0, "fr")
-              .when(es > 0, "es")
-              .otherwise("und").as("lang_pred"): _*)
-          .orderBy("doc_id")
-      },
+      (s, dir) => TextQueries.langIdTrigram(Tables.documents(s, dir))
+        .orderBy("doc_id"),
       {
         def hits(l: String) = {
-          val ws = TextFns.Stopwords(l).map(w => s"'$w'").mkString(",")
-          s"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ($ws)))::BIGINT"
+          val tok = TextFns.Stopwords(l).map(w => s"'$w'").mkString(",")
+          val tris = TextFns.TrigramProfiles.toMap.apply(l)
+            .map(tri =>
+              s"CAST((length(lt) - length(replace(lt, '$tri', ''))) / 3 AS BIGINT)")
+            .mkString("(", "\n     + ", ")")
+          s"""(3 * len(list_filter(regexp_split_to_array(lt, '\\s+'),
+             |     t -> t IN ($tok)))::BIGINT
+             |   + $tris)""".stripMargin
         }
-        s"""WITH h AS (SELECT doc_id,
-           |  ${hits("en")} AS en_hits, ${hits("de")} AS de_hits,
-           |  ${hits("fr")} AS fr_hits, ${hits("es")} AS es_hits
-           |FROM documents)
+        s"""WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+           |h AS (SELECT doc_id,
+           |  ${hits("en")} AS en_hits,
+           |  ${hits("de")} AS de_hits,
+           |  ${hits("fr")} AS fr_hits,
+           |  ${hits("es")} AS es_hits
+           |FROM t)
            |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
            |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits
            |            AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
