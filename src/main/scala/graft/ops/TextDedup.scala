@@ -248,9 +248,13 @@ object TextDedup {
       requireConvergence: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
+    // local[*] is one JVM: a second replica has nowhere to live (Spark
+    // would log a downgrade warning every iteration), so replication is
+    // reserved for real clusters, where it turns an executor loss into a
+    // remote-read instead of a lineage recompute.
     val level =
       if (spark.sparkContext.isLocal) StorageLevel.DISK_ONLY
-      else StorageLevel.DISK_ONLY_2 // replicated: survives executor loss
+      else StorageLevel.DISK_ONLY_2
     // Flat-plan materialization barrier (see scaladoc)
     var lastCount = 0L
     def materialize(df: DataFrame): DataFrame = {

@@ -451,12 +451,21 @@ object TextQueries {
           .select(explode(TextFns.tokensWs(lower(col("text")))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("n"))
         val total = counts.agg(sum(col("n")).as("__total"))
+        // Rank cutoff FIRST: cumulative coverage at rank r only involves
+        // the top-r terms, so the global sort becomes a
+        // TakeOrderedAndProject (per-partition top-100 + k-way merge — no
+        // vocabulary-sized single-partition sort), and the unpartitioned
+        // window below — intentionally global, it computes a corpus-wide
+        // cumulative sum — runs over ≤100 rows by construction. The
+        // WindowExec "no partition defined" warning is expected and
+        // harmless here; "fixing" it by partitioning would change the
+        // semantics. Guarded by PlanSpec (v1 plan test).
+        val top = counts.orderBy(col("n").desc, col("term").asc).limit(100)
         val w = Window.orderBy(col("n").desc, col("term").asc)
-        counts.crossJoin(broadcast(total))
+        top.crossJoin(broadcast(total))
           .withColumn("rank", row_number().over(w))
           .withColumn("__cum", sum(col("n")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .filter(col("rank") <= 100)
           .select(col("rank"), col("term"), col("n"),
             (col("__cum").cast("double") / col("__total")).as("coverage"))
           .orderBy("rank")

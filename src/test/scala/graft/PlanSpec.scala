@@ -115,4 +115,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("v1: rank cutoff bounds the intentionally-global window to top-100") {
+    // the unpartitioned cumulative-coverage window must sit ABOVE a
+    // TakeOrderedAndProject, so its single partition holds ≤100 rows —
+    // not the whole vocabulary (which is what the naive filter-after-
+    // window plan would sort in one partition)
+    val p = plan("v1_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Window"), p)
+  }
 }

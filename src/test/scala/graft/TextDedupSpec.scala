@@ -156,4 +156,22 @@ class TextDedupSpec extends SparkSpec {
     assert(Similarity.nearDupPairs(emb, bits = 4, threshold = 0.9)
       .count() == 200L * 199 / 2 + 1)
   }
+
+  test("dedupClusters surfaces an iteration cap hit instead of splitting") {
+    // a 12-node chain: min-label propagation + pointer jumping cannot
+    // reach the fixpoint in one round, so the cap fires
+    val docs = (0L to 11L).toDF("doc_id")
+    val pairs = (0L to 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      TextDedup.dedupClusters(docs, pairs, maxIterations = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // opting out of the throw yields the (partial) labels instead
+    val partial = TextDedup.dedupClusters(docs, pairs, maxIterations = 1,
+      requireConvergence = false)
+    assert(partial.count() == 12)
+    // and the default cap converges (O(log diameter) rounds) to 1 cluster
+    val full = TextDedup.dedupClusters(docs, pairs)
+    assert(full.select("cluster_id").distinct().count() == 1)
+  }
 }
