@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic 10× scale-up of the `documents`/`embeddings` fixtures —
+  * evidence material for the scaling table in BASELINE.md (the slope of
+  * query time vs corpus size is the testable form of "this plan survives
+  * a scale-up").
+  *
+  * Replication discipline (matters for dedup workloads): a verbatim copy
+  * would make every document 9 exact duplicates of itself, growing the
+  * near-dup pair space QUADRATICALLY with replica count — a
+  * generator-made skew no real corpus has. Instead each replica is
+  * decorrelated from the others while preserving the fixture's own
+  * within-replica duplicate structure exactly:
+  *   - documents: every whitespace token gets a replica suffix
+  *     (`tok~r3`) — shingle sets across replicas become disjoint, while
+  *     Jaccard relations within a replica are untouched;
+  *   - embeddings: coordinates rotate by `6·replica` positions — an
+  *     orthogonal transform, so within-replica cosines are bit-preserved
+  *     while cross-replica cosines fall to ~0 (random directions).
+  * So pairs/clusters grow ~linearly with corpus size, which is exactly
+  * the regime the scale claims are about.
+  *
+  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <outDir> [replicas]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val idStride = 10000000L
+
+    val docsN = (0 until replicas).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r * idStride)).as("doc_id"),
+        (if (r == 0) col("text")
+         else array_join(
+           transform(split(col("text"), "\\s+"), t => concat(t, lit(s"~r$r"))),
+           " ")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+
+    val embN = (0 until replicas).map { r =>
+      val dim = 64
+      val rot = (r * 6) % dim
+      emb.select(
+        (col("vec_id") + lit(r * idStride)).as("vec_id"),
+        (if (r == 0) col("embedding")
+         else concat(slice(col("embedding"), rot + 1, dim - rot),
+           slice(col("embedding"), 1, rot))).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+    docsN.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    embN.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+    println(s"SCALEGEN docs=${spark.read.parquet(s"$out/documents.parquet").count()} " +
+      s"emb=${spark.read.parquet(s"$out/embeddings.parquet").count()} out=$out")
+    spark.stop()
+  }
+}
