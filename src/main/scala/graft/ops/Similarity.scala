@@ -125,30 +125,49 @@ object Similarity {
     * that loses all members keeps its previous value (coalesce), again
     * mirrored by the oracle.
     *
-    * Scale shape: centroids broadcast per round; assignment is one narrow
-    * pass over the points; the update aggregates k·dim tiny groups. At
-    * 100 TB you train on a sample (points is any DataFrame — pass a
-    * `.sample` or a fixed id-range slice) and encode the full corpus with
-    * the final codebook; iters is fixed and small, so the unrolled plan
-    * stays bounded. */
+    * Scale shape: each round's centroid table is DRIVER-COLLECTED into a
+    * local relation (k·dim doubles — the canonical collect-then-broadcast
+    * dimension pattern) before the next round reads it. Without that
+    * re-root, round n's plan embeds round n−1's twice (assignment join +
+    * empty-cluster coalesce join), so the iterated plan re-executes
+    * earlier rounds ~2^iters times — the same exponential-iteration trap
+    * dedupClusters solves with RDD re-rooting; here the frame is small
+    * enough to localize outright, which also makes every downstream join
+    * against the codebook trivially broadcastable. Assignment is one
+    * narrow pass over the points; the update aggregates k·dim tiny
+    * groups. At 100 TB you train on a sample (points is any DataFrame —
+    * pass a `.sample` or a fixed id-range slice) and encode the full
+    * corpus with the final codebook; iters is fixed and small. */
   private[ops] def lloydRefine(points: DataFrame, cents: DataFrame,
       groupCols: Seq[String], iters: Int): DataFrame = {
-    if (iters <= 0) cents
+    val spark = points.sparkSession
+    // exact values preserved: collect round-trips the computed doubles
+    // bit-for-bit, so the oracle's unrolled-CTE replay still matches
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1),
+        df.schema)
+    if (iters <= 0) localize(cents)
     else {
+      val c0 = localize(cents)
       val joined =
-        if (groupCols.isEmpty) points.crossJoin(broadcast(cents))
-        else points.join(broadcast(cents), groupCols)
+        if (groupCols.isEmpty) points.crossJoin(broadcast(c0))
+        else points.join(broadcast(c0), groupCols)
       val d2 = (VectorFns.dot(col("v"), col("v"))
         - lit(2.0) * VectorFns.dot(col("v"), col("cv"))
         + VectorFns.dot(col("cv"), col("cv")))
-      val w = Window.partitionBy((groupCols :+ "id").map(col): _*)
-        .orderBy(col("__d2").asc, col("cid").asc)
+      // argmin as min(struct(d2, cid)) — lexicographic struct order IS
+      // "least distance, then least cid", the same row a row_number
+      // window would pick, but as a hash aggregation with map-side
+      // partial combine (no per-iteration sort shuffle). first(v) is
+      // deterministic here: v is constant within its (group, id) group.
       val asg = joined
         .withColumn("__d2", d2)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select((groupCols.map(col) ++ Seq(col("id"), col("cid"),
-          col("v"))): _*)
+        .groupBy((groupCols :+ "id").map(col): _*)
+        .agg(min(struct(col("__d2"), col("cid"))).as("__m"),
+          first(col("v")).as("v"))
+        .select((groupCols.map(col) ++ Seq(col("id"),
+          col("__m.cid").as("cid"), col("v"))): _*)
       val pos = asg.select((groupCols.map(col) ++ Seq(col("id"), col("cid"),
         posexplode(col("v")).as(Seq("pos", "val")))): _*)
       val means = pos
@@ -165,7 +184,7 @@ object Similarity {
           .as("__p"))
         .select((groupCols.map(col) ++ Seq(col("cid"),
           transform(col("__p"), t => t.getField("mval")).as("__cv"))): _*)
-      val next = cents
+      val next = c0
         .join(broadcast(fresh), groupCols :+ "cid", "left") // k-row sides
         .select((groupCols.map(col) ++ Seq(col("cid"),
           coalesce(col("__cv"), col("cv")).as("cv"))): _*)
@@ -264,13 +283,15 @@ object Similarity {
     val d2 = (VectorFns.dot(col("subv"), col("subv"))
       - lit(2.0) * VectorFns.dot(col("subv"), col("cv"))
       + VectorFns.dot(col("cv"), col("cv")))
-    val wAsg = Window.partitionBy("vec_id", "sub_idx")
-      .orderBy(col("__d2").asc, col("cid").asc)
+    // argmin as min(struct(d2, cid)): same (least-distance, least-cid)
+    // row a row_number window selects, but a hash aggregation with
+    // map-side partial combine — encoding is the full-corpus pass, so
+    // this is the plan that matters at scale.
     val codes = sub.join(broadcast(cents), Seq("sub_idx"))
       .withColumn("__d2", d2)
-      .withColumn("__rn", row_number().over(wAsg))
-      .filter(col("__rn") === 1)
-      .select("vec_id", "sub_idx", "cid")
+      .groupBy("vec_id", "sub_idx")
+      .agg(min(struct(col("__d2"), col("cid"))).as("__m"))
+      .select(col("vec_id"), col("sub_idx"), col("__m.cid").as("cid"))
     // asymmetric-distance lookup table: query subvector · each centroid
     val qsub = sub.filter(col("vec_id") === queryId)
       .select(col("sub_idx"), col("subv").as("qsub"))

@@ -107,7 +107,8 @@ object SimilarityQueries {
        |en AS (SELECT vec_id, v, ${dkNorm("v")} AS nrm FROM e),
        |ap AS (SELECT x.vec_id, y.vec_id AS nb_id,
        |    ${dkDot("x.v", "y.v")} / (x.nrm * y.nrm) AS cos_sim
-       |  FROM en x JOIN en y ON x.vec_id <> y.vec_id),
+       |  FROM en x JOIN en y ON x.vec_id <> y.vec_id
+       |  WHERE x.vec_id % 10 = 0),
        |rk AS (SELECT vec_id, nb_id,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos_sim DESC, nb_id ASC) AS rank FROM ap),
@@ -354,20 +355,21 @@ object SimilarityQueries {
     // ANN recall as a CORRECTNESS-checked quantity: recall of the e2/e5
     // (per-vector top-3) and e3/e6 (query top-10) shortlists against the
     // exact top-k, computed INSIDE the query — the measured recall is no
-    // longer just a scaladoc claim. The ground-truth pass is the
-    // all-pairs exact ranking (n², bounded here; at 100 TB you measure
-    // recall over a sampled query set, not the full corpus — the shape
-    // is one broadcast-nested-loop scoring pass either way). The `pass`
-    // bounds are floor claims for the fixture distribution: LSH
-    // single-probe is honest-but-weak (≥0.10), multi-probe ≥0.40,
-    // IVF ≥0.85 (measured 0.90), trained PQ ≥0.90 (measured 1.00).
+    // longer just a scaladoc claim. Per-vector recall (e2/e5) is measured
+    // over a DETERMINISTIC 1-in-10 query sample (vec_id % 10 = 0): the
+    // exact ground truth is a query-sample × corpus scoring pass, the
+    // standard shape at scale — a full n² ground truth would cost more
+    // than the indexes it certifies. The `pass` bounds are floor claims
+    // for the fixture distribution: LSH single-probe is honest-but-weak
+    // (≥0.10), multi-probe ≥0.40, IVF ≥0.85 (measured 0.90), trained PQ
+    // ≥0.90 (measured 1.00).
     QueryDef("e7_recall_bound",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val e = emb.select(col("vec_id"),
           VectorFns.toDouble(col("embedding")).as("v"))
           .withColumn("nrm", VectorFns.norm(col("v")))
-        val ap = e.as("x").join(e.as("y"),
+        val ap = e.filter(col("vec_id") % 10 === 0).as("x").join(e.as("y"),
             col("x.vec_id") =!= col("y.vec_id"))
           .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nb_id"),
             (VectorFns.dot(col("x.v"), col("y.v"))

@@ -34,9 +34,14 @@ object SinkQueries {
           .select("o_orderkey", "o_custkey", "o_totalprice")
         // the cursor driver is the S5 I/O boundary (HTTP paging in the
         // reference): one bounded driver-side max() to know when the
-        // source is exhausted, then ceil(maxKey/step) lazy page frames
+        // source is exhausted, then ~20 lazy page frames. The page count
+        // is bounded, NOT the page size: each page is one subplan (one
+        // range-scan of the source), so a key-proportional page count
+        // would union hundreds of scans at larger SFs — page size is the
+        // knob that scales, exactly as a real backfill widens its time
+        // window per request rather than issuing 600 requests.
         val maxKey = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
-        val step = 1000L
+        val step = math.max(1000L, maxKey / 20 + 1)
         val fetch: Option[Long] => Option[Backfill.Page] = cursor => {
           val from = cursor.getOrElse(0L)
           if (from > maxKey) None
