@@ -33,10 +33,15 @@ object Sinks {
       .parquet(path)
 
   /** S10: tab-separated, headerless CSV staging file
-    * (to_csv(sep="\t", header=False), active_futures_etl.py:103). */
+    * (to_csv(sep="\t", header=False), active_futures_etl.py:103).
+    * escape='"' makes embedded quotes RFC-4180 doubled ("a""b") instead
+    * of Spark's default backslash escaping — the convention every other
+    * CSV reader (including the DuckDB oracle and the reference's COPY)
+    * expects, so staged strings stay parseable outside Spark. */
   def tsvStaging(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("sep", "\t").option("header", "false")
+      .option("escape", "\"")
       .csv(path)
 
   /** Clustered write: range-partition into `files` output files on

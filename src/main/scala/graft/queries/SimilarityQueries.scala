@@ -11,12 +11,31 @@ import graft.ops.{Similarity, TextDedup}
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   * Oracles mirror the exact left-fold arithmetic (see VectorFns), so
   * cosine values match bitwise.
+  *
+  * Every tuning constant (bucket caps, centroid counts, rerank width,
+  * Lloyd rounds, …) is defined ONCE below and drives both the Spark
+  * impls and the generated oracle CTEs — including e7's recall replay,
+  * which re-uses the same CTE builders as the standalone e2/e5/e3/e6
+  * oracles rather than a hand-copied second spelling of each pipeline.
   */
 object SimilarityQueries {
 
-  /** Lloyd rounds for IVF/PQ centroid training — one constant drives both
-    * the Spark `trainIters` arguments and the unrolled oracle CTEs. */
+  // ---- tuning constants: one definition for Spark impls AND oracles ----
+  /** Lloyd rounds for IVF/PQ centroid training. */
   private val KmIters = 3
+  private val Dim = 64 // fixture embedding width
+  private val LshBits = 4
+  private val LshK = 3 // per-vector neighbors (e2/e5)
+  private val MaxBucket = 100000
+  private val MaxHamming = 1 // e5 probe radius
+  private val IvfNc = 8 // IVF centroids
+  private val IvfProbe = 2 // cells probed
+  private val PqM = 8 // PQ subspaces
+  private val PqDsub = 8 // dims per subspace
+  private val PqNc = 32 // PQ centroids per subspace
+  private val PqRerank = 4 // exact re-rank width = PqRerank·AnnK
+  private val AnnK = 10 // query top-k (e1/e3/e6)
+  private val NearDupThreshold = 0.35 // d4/d7 cosine cutoff
 
   /** DuckDB left-fold dot product of double lists `a`·`b` (b indexed). */
   private def dkDot(a: String, b: String) =
@@ -25,8 +44,8 @@ object SimilarityQueries {
   private def dkCos(a: String, b: String) =
     s"(${dkDot(a, b)} / (${dkNorm(a)} * ${dkNorm(b)}))"
   private val toD = "list_transform(embedding, x -> x::DOUBLE)"
-  /** Axis-sign LSH bucket over the first 4 coordinates (16 buckets). */
-  private def dkBucket(e: String) = (0 until 4).map { j =>
+  /** Axis-sign LSH bucket over the first `LshBits` coordinates. */
+  private def dkBucket(e: String) = (0 until LshBits).map { j =>
     s"(CASE WHEN $e[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString("(", " + ", ")")
 
@@ -80,29 +99,114 @@ object SimilarityQueries {
     (seed +: iterCtes).mkString(",\n")
   }
 
+  /** Capped bucketed-vector CTEs straight off `embeddings`:
+    * `${p}e` (vec_id, v, bucket) → `${p}keep` (surviving buckets) →
+    * `${p}ek` (the SkewGuard-capped view both LSH tiers join on). */
+  private def dkBucketBase(p: String): String =
+    s"""${p}e AS (SELECT vec_id, $toD AS v,
+       |    ${dkBucket("embedding")} AS bucket FROM embeddings),
+       |${p}keep AS (SELECT bucket FROM ${p}e GROUP BY bucket
+       |  HAVING count(*) <= $MaxBucket),
+       |${p}ek AS (SELECT ${p}e.* FROM ${p}e JOIN ${p}keep USING (bucket))""".stripMargin
+
+  /** Ranked LSH neighbor pairs over a capped bucket view `$ek`: ends in
+    * `${p}r` (vec_id, nb_id, cos_sim, rank). `multiProbe` adds the
+    * Hamming-≤`MaxHamming` bucket expansion (e5) before the pair join. */
+  private def dkLshPairs(p: String, ek: String, multiProbe: Boolean): String = {
+    val pair =
+      if (!multiProbe)
+        s"""${p}p AS (SELECT x.vec_id, y.vec_id AS nb_id,
+           |    ${dkCos("x.v", "y.v")} AS cos_sim
+           |  FROM $ek x JOIN $ek y ON x.bucket = y.bucket
+           |    AND x.vec_id <> y.vec_id)""".stripMargin
+      else {
+        val masks = (0 until (1 << LshBits))
+          .filter(Integer.bitCount(_) <= MaxHamming)
+          .mkString("[", ", ", "]")
+        s"""${p}px AS (SELECT vec_id, v, xor(bucket::BIGINT, m.mask) AS probe
+           |  FROM $ek, unnest($masks::BIGINT[]) AS m(mask)),
+           |${p}p AS (SELECT x.vec_id, y.vec_id AS nb_id,
+           |    ${dkCos("x.v", "y.v")} AS cos_sim
+           |  FROM ${p}px x JOIN $ek y ON x.probe = y.bucket::BIGINT
+           |    AND x.vec_id <> y.vec_id)""".stripMargin
+      }
+    s"""$pair,
+       |${p}r AS (SELECT vec_id, nb_id, cos_sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cos_sim DESC, nb_id ASC) AS rank
+       |  FROM ${p}p)""".stripMargin
+  }
+
+  /** IVF pipeline over a CTE `e` (vec_id, v): k-means training, cell
+    * assignment, query-probe, exact scoring of probed cells — ends in
+    * `${p}top` (vec_id, cos_sim), the query's approximate top-`AnnK`. */
+  private def dkIvfCtes(p: String): String =
+    s"""${dkKmeansCtes(s"${p}km", "e", None, "vec_id", "v", IvfNc, Dim,
+          KmIters)},
+       |${p}c AS (SELECT cid, cv FROM ${p}kmcents$KmIters),
+       |${p}a AS (SELECT e.vec_id, ${p}c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dkCos("e.v", s"${p}c.cv")} DESC, ${p}c.cid ASC) AS rn
+       |  FROM e CROSS JOIN ${p}c),
+       |${p}cell AS (SELECT vec_id, cid FROM ${p}a WHERE rn = 1),
+       |${p}probe AS (SELECT cid FROM ${p}a WHERE vec_id = 0
+       |  AND rn <= $IvfProbe),
+       |${p}cand AS (SELECT mm.vec_id FROM ${p}cell mm JOIN ${p}probe pr
+       |  ON mm.cid = pr.cid WHERE mm.vec_id <> 0),
+       |${p}q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |${p}top AS (SELECT e.vec_id, ${dkCos("e.v", "qv")} AS cos_sim
+       |  FROM e JOIN ${p}cand USING (vec_id), ${p}q
+       |  ORDER BY cos_sim DESC, vec_id ASC LIMIT $AnnK)""".stripMargin
+
+  /** PQ pipeline over a CTE `e` (vec_id, v): subvector split, per-subspace
+    * k-means codebooks, byte-code encoding, asymmetric-distance scoring,
+    * exact re-rank — ends in `${p}top` (vec_id, cos_sim). */
+  private def dkPqCtes(p: String): String =
+    s"""${p}sub AS (SELECT vec_id, m.i AS sub_idx,
+       |    v[m.i*$PqDsub+1 : m.i*$PqDsub+$PqDsub] AS subv
+       |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS i) m),
+       |${dkKmeansCtes(s"${p}km", s"${p}sub", Some("sub_idx"), "vec_id",
+          "subv", PqNc, PqDsub, KmIters)},
+       |${p}c AS (SELECT sub_idx, cid, cv FROM ${p}kmcents$KmIters),
+       |${p}asg AS (SELECT s.vec_id, s.sub_idx, c.cid,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
+       |      ORDER BY ((${dkDot("s.subv", "s.subv")}
+       |        - (2.0 * ${dkDot("s.subv", "c.cv")}))
+       |        + ${dkDot("c.cv", "c.cv")}) ASC, c.cid ASC) AS rn
+       |  FROM ${p}sub s JOIN ${p}c c USING (sub_idx)),
+       |${p}codes AS (SELECT vec_id, sub_idx, cid FROM ${p}asg WHERE rn = 1),
+       |${p}q AS (SELECT sub_idx, subv AS qsub FROM ${p}sub WHERE vec_id = 0),
+       |${p}lut AS (SELECT c.sub_idx, c.cid, ${dkDot("q.qsub", "c.cv")} AS pdot
+       |  FROM ${p}c c JOIN ${p}q q USING (sub_idx)),
+       |${p}scored AS (SELECT cd.vec_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+       |      list_sort(list(struct_pack(i := cd.sub_idx, p := pdot))),
+       |      r -> r.p)), (a, b) -> a + b) AS approx_dot
+       |  FROM ${p}codes cd JOIN ${p}lut USING (sub_idx, cid)
+       |  GROUP BY cd.vec_id),
+       |${p}cand AS (SELECT vec_id FROM ${p}scored WHERE vec_id <> 0
+       |  ORDER BY approx_dot DESC, vec_id ASC LIMIT ${PqRerank * AnnK}),
+       |${p}qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |${p}top AS (SELECT e.vec_id, ${dkCos("e.v", "qv")} AS cos_sim
+       |  FROM e JOIN ${p}cand USING (vec_id), ${p}qq
+       |  ORDER BY cos_sim DESC, vec_id ASC LIMIT $AnnK)""".stripMargin
+
   /** DuckDB replay of the d4 near-dup pair pipeline (no ORDER BY — also
     * the edge set of d7_embed_dedup_clusters). */
   private lazy val d4OracleSql: String =
-    s"""WITH e AS (SELECT vec_id, $toD AS v,
-       |    ${dkBucket("embedding")} AS bucket FROM embeddings),
-       |keep AS (SELECT bucket FROM e GROUP BY bucket
-       |  HAVING count(*) <= 100000),
-       |ek AS (SELECT e.* FROM e JOIN keep USING (bucket))
+    s"""WITH ${dkBucketBase("")}
        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |  ${dkCos("x.v", "y.v")} AS cos_sim
        |FROM ek x JOIN ek y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-       |WHERE ${dkCos("x.v", "y.v")} >= 0.35""".stripMargin
+       |WHERE ${dkCos("x.v", "y.v")} >= $NearDupThreshold""".stripMargin
 
-  /** DuckDB replay of e7_recall_bound: exact all-pairs ground truth plus
-    * the e2/e5/e3/e6 shortlist pipelines (the same CTE bodies as their own
-    * oracles, kmeans training included), reduced to hit counts. Only ids
-    * feed the counts, so bitwise cosine parity (which the pipelines
-    * already have) is exactly what makes the recalls engine-identical. */
-  private lazy val e7OracleSql: String = {
-    val masks = (0 until 16).filter(Integer.bitCount(_) <= 1)
-      .mkString("[", ", ", "]")
-    val dsub = 8
-    def sl(v: String) = s"$v[m.i*$dsub+1 : m.i*$dsub+$dsub]"
+  /** DuckDB replay of e7_recall_bound: exact sampled ground truth plus
+    * the e2/e5/e3/e6 shortlist pipelines — built from the SAME CTE
+    * builders as those queries' standalone oracles, reduced to hit
+    * counts. Only ids feed the counts, so bitwise cosine parity (which
+    * the pipelines already have) is exactly what makes the recalls
+    * engine-identical. */
+  private lazy val e7OracleSql: String =
     s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
        |en AS (SELECT vec_id, v, ${dkNorm("v")} AS nrm FROM e),
        |ap AS (SELECT x.vec_id, y.vec_id AS nb_id,
@@ -112,71 +216,16 @@ object SimilarityQueries {
        |rk AS (SELECT vec_id, nb_id,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos_sim DESC, nb_id ASC) AS rank FROM ap),
-       |ex3 AS (SELECT vec_id, nb_id FROM rk WHERE rank <= 3),
+       |ex3 AS (SELECT vec_id, nb_id FROM rk WHERE rank <= $LshK),
        |ex10 AS (SELECT nb_id AS vec_id FROM rk
-       |  WHERE vec_id = 0 AND rank <= 10),
-       |eb AS (SELECT vec_id, $toD AS v,
-       |    ${dkBucket("embedding")} AS bucket FROM embeddings),
-       |keep AS (SELECT bucket FROM eb GROUP BY bucket
-       |  HAVING count(*) <= 100000),
-       |ek AS (SELECT eb.* FROM eb JOIN keep USING (bucket)),
-       |p2 AS (SELECT x.vec_id, y.vec_id AS nb_id,
-       |    ${dkCos("x.v", "y.v")} AS cos_sim
-       |  FROM ek x JOIN ek y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
-       |r2 AS (SELECT vec_id, nb_id FROM (SELECT vec_id, nb_id,
-       |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY cos_sim DESC, nb_id ASC) AS rank FROM p2)
-       |  WHERE rank <= 3),
-       |px AS (SELECT vec_id, v, xor(bucket::BIGINT, m.mask) AS probe
-       |  FROM ek, unnest($masks::BIGINT[]) AS m(mask)),
-       |p5 AS (SELECT x.vec_id, y.vec_id AS nb_id,
-       |    ${dkCos("x.v", "y.v")} AS cos_sim
-       |  FROM px x JOIN ek y ON x.probe = y.bucket::BIGINT
-       |    AND x.vec_id <> y.vec_id),
-       |r5 AS (SELECT vec_id, nb_id FROM (SELECT vec_id, nb_id,
-       |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY cos_sim DESC, nb_id ASC) AS rank FROM p5)
-       |  WHERE rank <= 3),
-       |${dkKmeansCtes("ik", "e", None, "vec_id", "v", 8, 64, KmIters)},
-       |ic AS (SELECT cid, cv FROM ikcents$KmIters),
-       |ia AS (SELECT e.vec_id, ic.cid,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${dkCos("e.v", "ic.cv")} DESC, ic.cid ASC) AS rn
-       |  FROM e CROSS JOIN ic),
-       |icell AS (SELECT vec_id, cid FROM ia WHERE rn = 1),
-       |iprobe AS (SELECT cid FROM ia WHERE vec_id = 0 AND rn <= 2),
-       |icand AS (SELECT mm.vec_id FROM icell mm
-       |  JOIN iprobe pr ON mm.cid = pr.cid WHERE mm.vec_id <> 0),
-       |i10 AS (SELECT en.vec_id FROM en JOIN icand USING (vec_id),
-       |    (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 0) q
-       |  ORDER BY ${dkDot("en.v", "q.qv")} / (en.nrm * q.qnrm) DESC,
-       |    en.vec_id ASC LIMIT 10),
-       |sub AS (SELECT vec_id, m.i AS sub_idx, ${sl("v")} AS subv
-       |  FROM e, (SELECT unnest(generate_series(0, 7)) AS i) m),
-       |${dkKmeansCtes("pk", "sub", Some("sub_idx"), "vec_id", "subv",
-          32, dsub, KmIters)},
-       |pc AS (SELECT sub_idx, cid, cv FROM pkcents$KmIters),
-       |pasg AS (SELECT s.vec_id, s.sub_idx, c.cid,
-       |    row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
-       |      ORDER BY ((${dkDot("s.subv", "s.subv")}
-       |        - (2.0 * ${dkDot("s.subv", "c.cv")}))
-       |        + ${dkDot("c.cv", "c.cv")}) ASC, c.cid ASC) AS rn
-       |  FROM sub s JOIN pc c USING (sub_idx)),
-       |pcodes AS (SELECT vec_id, sub_idx, cid FROM pasg WHERE rn = 1),
-       |pq AS (SELECT sub_idx, subv AS qsub FROM sub WHERE vec_id = 0),
-       |plut AS (SELECT c.sub_idx, c.cid, ${dkDot("pq.qsub", "c.cv")} AS pdot
-       |  FROM pc c JOIN pq USING (sub_idx)),
-       |pscored AS (SELECT pcodes.vec_id,
-       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
-       |      list_sort(list(struct_pack(i := pcodes.sub_idx, p := pdot))),
-       |      r -> r.p)), (a, b) -> a + b) AS approx_dot
-       |  FROM pcodes JOIN plut USING (sub_idx, cid) GROUP BY pcodes.vec_id),
-       |pcand AS (SELECT vec_id FROM pscored WHERE vec_id <> 0
-       |  ORDER BY approx_dot DESC, vec_id ASC LIMIT 40),
-       |p10 AS (SELECT en.vec_id FROM en JOIN pcand USING (vec_id),
-       |    (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 0) q
-       |  ORDER BY ${dkDot("en.v", "q.qv")} / (en.nrm * q.qnrm) DESC,
-       |    en.vec_id ASC LIMIT 10),
+       |  WHERE vec_id = 0 AND rank <= $AnnK),
+       |${dkBucketBase("b")},
+       |${dkLshPairs("s", "bek", multiProbe = false)},
+       |r2 AS (SELECT vec_id, nb_id FROM sr WHERE rank <= $LshK),
+       |${dkLshPairs("h", "bek", multiProbe = true)},
+       |r5 AS (SELECT vec_id, nb_id FROM hr WHERE rank <= $LshK),
+       |${dkIvfCtes("i")},
+       |${dkPqCtes("p")},
        |m AS (
        |  SELECT 'e2_ann_lsh' AS method,
        |    (SELECT count(*) FROM r2 JOIN ex3 USING (vec_id, nb_id)) AS hits,
@@ -185,16 +234,15 @@ object SimilarityQueries {
        |    (SELECT count(*) FROM r5 JOIN ex3 USING (vec_id, nb_id)),
        |    (SELECT count(*) FROM ex3), 0.40
        |  UNION ALL SELECT 'e3_ivf',
-       |    (SELECT count(*) FROM i10 JOIN ex10 USING (vec_id)),
+       |    (SELECT count(*) FROM itop JOIN ex10 USING (vec_id)),
        |    (SELECT count(*) FROM ex10), 0.85
        |  UNION ALL SELECT 'e6_pq',
-       |    (SELECT count(*) FROM p10 JOIN ex10 USING (vec_id)),
+       |    (SELECT count(*) FROM ptop JOIN ex10 USING (vec_id)),
        |    (SELECT count(*) FROM ex10), 0.90)
        |SELECT method, hits, total,
        |  CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall,
        |  (CAST(hits AS DOUBLE) / CAST(total AS DOUBLE)) >= bound AS pass
        |FROM m ORDER BY method""".stripMargin
-  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -202,33 +250,23 @@ object SimilarityQueries {
     // baseline: broadcast query, one scan, per-partition top-k merge.
     QueryDef("e1_cosine_topk",
       (s, dir) => Similarity.bruteForceTopK(
-        Tables.embeddings(s, dir), queryId = 0L, k = 10),
+        Tables.embeddings(s, dir), queryId = 0L, k = AnnK),
       s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, ${dkCos("e.v", "qv")} AS cos_sim
          |FROM e, q WHERE e.vec_id <> 0
-         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin),
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT $AnnK""".stripMargin),
 
     // LSH-bucketed ANN: per-vector top-3 neighbors within the same
     // axis-sign bucket — the scale path (candidate space shrinks from
     // O(n²) to O(Σ bucket²); bucket join is a plain equality shuffle).
     QueryDef("e2_ann_lsh_topk",
       (s, dir) => Similarity.lshTopKNeighbors(
-        Tables.embeddings(s, dir), bits = 4, k = 3)
+        Tables.embeddings(s, dir), bits = LshBits, k = LshK)
         .orderBy("vec_id", "rank"),
-      s"""WITH e AS (SELECT vec_id, $toD AS v,
-         |    ${dkBucket("embedding")} AS bucket FROM embeddings),
-         |keep AS (SELECT bucket FROM e GROUP BY bucket
-         |  HAVING count(*) <= 100000),
-         |ek AS (SELECT e.* FROM e JOIN keep USING (bucket)),
-         |p AS (SELECT x.vec_id, y.vec_id AS nb_id,
-         |    ${dkCos("x.v", "y.v")} AS cos_sim
-         |  FROM ek x JOIN ek y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
-         |r AS (SELECT vec_id, nb_id, cos_sim,
-         |    row_number() OVER (PARTITION BY vec_id
-         |                       ORDER BY cos_sim DESC, nb_id ASC) AS rank
-         |  FROM p)
-         |SELECT vec_id, nb_id, cos_sim, rank FROM r WHERE rank <= 3
+      s"""WITH ${dkBucketBase("")},
+         |${dkLshPairs("", "ek", multiProbe = false)}
+         |SELECT vec_id, nb_id, cos_sim, rank FROM r WHERE rank <= $LshK
          |ORDER BY vec_id, rank""".stripMargin),
 
     // Multi-probe LSH ANN: each vector also searches Hamming-1 neighbor
@@ -236,29 +274,13 @@ object SimilarityQueries {
     // candidates (see Similarity scaladoc for the trade).
     QueryDef("e5_ann_multiprobe_topk",
       (s, dir) => Similarity.lshTopKNeighborsMultiProbe(
-        Tables.embeddings(s, dir), bits = 4, k = 3, maxHamming = 1)
+        Tables.embeddings(s, dir), bits = LshBits, k = LshK,
+        maxHamming = MaxHamming)
         .orderBy("vec_id", "rank"),
-      {
-        val masks = (0 until 16).filter(Integer.bitCount(_) <= 1)
-          .mkString("[", ", ", "]")
-        s"""WITH e AS (SELECT vec_id, $toD AS v,
-           |    ${dkBucket("embedding")} AS bucket FROM embeddings),
-           |keep AS (SELECT bucket FROM e GROUP BY bucket
-           |  HAVING count(*) <= 100000),
-           |ek AS (SELECT e.* FROM e JOIN keep USING (bucket)),
-           |px AS (SELECT vec_id, v, xor(bucket::BIGINT, m.mask) AS probe
-           |  FROM ek, unnest($masks::BIGINT[]) AS m(mask)),
-           |p AS (SELECT x.vec_id, y.vec_id AS nb_id,
-           |    ${dkCos("x.v", "y.v")} AS cos_sim
-           |  FROM px x JOIN ek y ON x.probe = y.bucket::BIGINT
-           |    AND x.vec_id <> y.vec_id),
-           |r AS (SELECT vec_id, nb_id, cos_sim,
-           |    row_number() OVER (PARTITION BY vec_id
-           |                       ORDER BY cos_sim DESC, nb_id ASC) AS rank
-           |  FROM p)
-           |SELECT vec_id, nb_id, cos_sim, rank FROM r WHERE rank <= 3
-           |ORDER BY vec_id, rank""".stripMargin
-      }),
+      s"""WITH ${dkBucketBase("")},
+         |${dkLshPairs("", "ek", multiProbe = true)}
+         |SELECT vec_id, nb_id, cos_sim, rank FROM r WHERE rank <= $LshK
+         |ORDER BY vec_id, rank""".stripMargin),
 
     // SQL-surface variant: the same brute-force top-k expressed in pure
     // SQL against the registered `array_cosine` function
@@ -291,23 +313,12 @@ object SimilarityQueries {
     // scan fraction.
     QueryDef("e3_ivf_topk",
       (s, dir) => Similarity.ivfTopK(
-        Tables.embeddings(s, dir), nCentroids = 8, nProbe = 2,
-        queryId = 0L, k = 10, trainIters = KmIters),
+        Tables.embeddings(s, dir), nCentroids = IvfNc, nProbe = IvfProbe,
+        queryId = 0L, k = AnnK, trainIters = KmIters),
       s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
-         |${dkKmeansCtes("k", "e", None, "vec_id", "v", 8, 64, KmIters)},
-         |c AS (SELECT cid, cv FROM kcents$KmIters),
-         |a AS (SELECT e.vec_id, c.cid, ${dkCos("e.v", "c.cv")} AS ccos,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${dkCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
-         |  FROM e CROSS JOIN c),
-         |cell AS (SELECT vec_id, cid FROM a WHERE rn = 1),
-         |probe AS (SELECT cid FROM a WHERE vec_id = 0 AND rn <= 2),
-         |cand AS (SELECT m.vec_id FROM cell m JOIN probe p ON m.cid = p.cid
-         |  WHERE m.vec_id <> 0),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-         |SELECT e.vec_id, ${dkCos("e.v", "qv")} AS cos_sim
-         |FROM e JOIN cand USING (vec_id), q
-         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin),
+         |${dkIvfCtes("i")}
+         |SELECT vec_id, cos_sim FROM itop
+         |ORDER BY cos_sim DESC, vec_id ASC""".stripMargin),
 
     // Product-quantization ANN: 8×8-dim subspaces, 32-centroid codebooks
     // trained per-subspace by 3 deterministic Lloyd rounds,
@@ -317,40 +328,13 @@ object SimilarityQueries {
     // touches full vectors.
     QueryDef("e6_pq_topk",
       (s, dir) => Similarity.pqTopK(
-        Tables.embeddings(s, dir), m = 8, dsub = 8, nCentroids = 32,
-        queryId = 0L, k = 10, rerank = 4, trainIters = KmIters),
-      {
-        val dsub = 8
-        def sl(v: String) =
-          s"$v[m.i*$dsub+1 : m.i*$dsub+$dsub]"
-        s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
-           |sub AS (SELECT vec_id, m.i AS sub_idx, ${sl("v")} AS subv
-           |  FROM e, (SELECT unnest(generate_series(0, 7)) AS i) m),
-           |${dkKmeansCtes("k", "sub", Some("sub_idx"), "vec_id", "subv",
-                32, dsub, KmIters)},
-           |cents AS (SELECT sub_idx, cid, cv FROM kcents$KmIters),
-           |asg AS (SELECT s.vec_id, s.sub_idx, c.cid,
-           |    row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
-           |      ORDER BY ((${dkDot("s.subv", "s.subv")}
-           |        - (2.0 * ${dkDot("s.subv", "c.cv")}))
-           |        + ${dkDot("c.cv", "c.cv")}) ASC, c.cid ASC) AS rn
-           |  FROM sub s JOIN cents c USING (sub_idx)),
-           |codes AS (SELECT vec_id, sub_idx, cid FROM asg WHERE rn = 1),
-           |q AS (SELECT sub_idx, subv AS qsub FROM sub WHERE vec_id = 0),
-           |lut AS (SELECT c.sub_idx, c.cid, ${dkDot("q.qsub", "c.cv")} AS pdot
-           |  FROM cents c JOIN q USING (sub_idx)),
-           |scored AS (SELECT codes.vec_id,
-           |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
-           |      list_sort(list(struct_pack(i := codes.sub_idx, p := pdot))),
-           |      r -> r.p)), (a, b) -> a + b) AS approx_dot
-           |  FROM codes JOIN lut USING (sub_idx, cid) GROUP BY codes.vec_id),
-           |cand AS (SELECT vec_id FROM scored WHERE vec_id <> 0
-           |  ORDER BY approx_dot DESC, vec_id ASC LIMIT 40)
-           |SELECT e.vec_id, ${dkCos("e.v", "qq.qv")} AS cos_sim
-           |FROM e JOIN cand USING (vec_id),
-           |  (SELECT v AS qv FROM e WHERE vec_id = 0) qq
-           |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
-      }),
+        Tables.embeddings(s, dir), m = PqM, dsub = PqDsub,
+        nCentroids = PqNc, queryId = 0L, k = AnnK, rerank = PqRerank,
+        trainIters = KmIters),
+      s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
+         |${dkPqCtes("p")}
+         |SELECT vec_id, cos_sim FROM ptop
+         |ORDER BY cos_sim DESC, vec_id ASC""".stripMargin),
 
     // ANN recall as a CORRECTNESS-checked quantity: recall of the e2/e5
     // (per-vector top-3) and e3/e6 (query top-10) shortlists against the
@@ -376,14 +360,23 @@ object SimilarityQueries {
               / (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
         val w = Window.partitionBy("vec_id")
           .orderBy(col("cos_sim").desc, col("nb_id").asc)
-        val ranked = ap.withColumn("rank",
-          row_number().over(w))
-        val ex3 = ranked.filter(col("rank") <= 3).select("vec_id", "nb_id")
-        val ex10 = ranked.filter(col("vec_id") === 0 && col("rank") <= 10)
-          .select(col("nb_id").as("vec_id"))
-        def recallRow(name: String, got: DataFrame,
-            exact: DataFrame, joinCols: Seq[String],
-            bound: Double) =
+        val ranked = ap.withColumn("rank", row_number().over(w))
+        // localize the ground truth: each recallRow below references its
+        // exact set twice (hits + total), and four rows share this
+        // lineage — without materialization the sample×corpus scoring
+        // pass would execute up to 8 times in the unioned plan. Both
+        // sets are tiny (3·sample and k rows) and deterministic.
+        def localize(df: DataFrame): DataFrame =
+          s.createDataFrame(
+            s.sparkContext.parallelize(df.collect().toIndexedSeq, 1),
+            df.schema)
+        val ex3 = localize(
+          ranked.filter(col("rank") <= LshK).select("vec_id", "nb_id"))
+        val ex10 = localize(
+          ranked.filter(col("vec_id") === 0 && col("rank") <= AnnK)
+            .select(col("nb_id").as("vec_id")))
+        def recallRow(name: String, got: DataFrame, exact: DataFrame,
+            joinCols: Seq[String], bound: Double) =
           got.join(exact, joinCols, "left_semi")
             .agg(count(lit(1)).as("hits"))
             .crossJoin(exact.agg(count(lit(1)).as("total")))
@@ -392,24 +385,23 @@ object SimilarityQueries {
               col("hits"), col("total"),
               (col("hits").cast("double") / col("total").cast("double"))
                 .as("recall"))
-            .withColumn("pass", col("recall") >=
-              lit(bound))
+            .withColumn("pass", col("recall") >= lit(bound))
         val r2 = recallRow("e2_ann_lsh",
-          Similarity.lshTopKNeighbors(emb, bits = 4, k = 3)
+          Similarity.lshTopKNeighbors(emb, bits = LshBits, k = LshK)
             .select("vec_id", "nb_id"),
           ex3, Seq("vec_id", "nb_id"), 0.10)
         val r5 = recallRow("e5_ann_multiprobe",
-          Similarity.lshTopKNeighborsMultiProbe(emb, bits = 4, k = 3,
-            maxHamming = 1).select("vec_id", "nb_id"),
+          Similarity.lshTopKNeighborsMultiProbe(emb, bits = LshBits,
+            k = LshK, maxHamming = MaxHamming).select("vec_id", "nb_id"),
           ex3, Seq("vec_id", "nb_id"), 0.40)
         val r3 = recallRow("e3_ivf",
-          Similarity.ivfTopK(emb, nCentroids = 8, nProbe = 2, queryId = 0L,
-            k = 10, trainIters = KmIters).select("vec_id"),
+          Similarity.ivfTopK(emb, nCentroids = IvfNc, nProbe = IvfProbe,
+            queryId = 0L, k = AnnK, trainIters = KmIters).select("vec_id"),
           ex10, Seq("vec_id"), 0.85)
         val r6 = recallRow("e6_pq",
-          Similarity.pqTopK(emb, m = 8, dsub = 8, nCentroids = 32,
-            queryId = 0L, k = 10, rerank = 4, trainIters = KmIters)
-            .select("vec_id"),
+          Similarity.pqTopK(emb, m = PqM, dsub = PqDsub, nCentroids = PqNc,
+            queryId = 0L, k = AnnK, rerank = PqRerank,
+            trainIters = KmIters).select("vec_id"),
           ex10, Seq("vec_id"), 0.90)
         r2.unionByName(r5).unionByName(r3).unionByName(r6)
           .orderBy("method")
@@ -420,7 +412,8 @@ object SimilarityQueries {
     // threshold 0.35 — the fixtures' max pair similarity is ~0.51).
     QueryDef("d4_embed_neardup",
       (s, dir) => Similarity.nearDupPairs(
-        Tables.embeddings(s, dir), bits = 4, threshold = 0.35)
+        Tables.embeddings(s, dir), bits = LshBits,
+        threshold = NearDupThreshold)
         .orderBy("vec_a", "vec_b"),
       d4OracleSql + "\nORDER BY vec_a, vec_b"),
 
@@ -431,7 +424,8 @@ object SimilarityQueries {
     QueryDef("d7_embed_dedup_clusters",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val pairs = Similarity.nearDupPairs(emb, bits = 4, threshold = 0.35)
+        val pairs = Similarity.nearDupPairs(emb, bits = LshBits,
+            threshold = NearDupThreshold)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
         TextDedup.dedupClusters(
           emb.select(col("vec_id").as("doc_id")), pairs)

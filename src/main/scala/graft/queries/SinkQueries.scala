@@ -15,7 +15,10 @@ object SinkQueries {
 
   /** Deterministic staging root shared between the Spark impl and the
     * static oracle SQL. The sf-dir name is part of the path so a bench run
-    * at sf0.1 can never clobber the sf0.01 files the oracle reads. */
+    * at sf0.1 can never clobber the sf0.01 files the oracle reads. The
+    * oracle assumes the driver's flow (Verify at sf0.01, THEN the DuckDB
+    * compare) — the Spark side re-stages the files on every run, so the
+    * oracle always reads the bytes the run under test just wrote. */
   private def stageDir(dir: String): String = {
     val sf = new java.io.File(dir).getName
     s"/tmp/graft_stage/$sf"
@@ -40,7 +43,11 @@ object SinkQueries {
         // would union hundreds of scans at larger SFs — page size is the
         // knob that scales, exactly as a real backfill widens its time
         // window per request rather than issuing 600 requests.
-        val maxKey = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+        val maxRow = orders.agg(max("o_orderkey")).collect()(0)
+        // empty source: max() is null — the backfill is a no-op and the
+        // aggregate below must still emit its one (0, 0, null) row, like
+        // the oracle's aggregate over an empty table does
+        val maxKey = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
         val step = math.max(1000L, maxKey / 20 + 1)
         val fetch: Option[Long] => Option[Backfill.Page] = cursor => {
           val from = cursor.getOrElse(0L)
@@ -50,7 +57,7 @@ object SinkQueries {
               col("o_orderkey") < from + step),
             if (from + step > maxKey) None else Some(from + step)))
         }
-        Backfill.paginate(fetch).get
+        Backfill.paginate(fetch).getOrElse(orders.limit(0))
           .groupBy(lit(1).as("one")).agg(
             count(lit(1)).as("row_cnt"),
             count_distinct(col("o_orderkey")).as("key_cnt"),

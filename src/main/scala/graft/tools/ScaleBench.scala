@@ -30,7 +30,11 @@ object ScaleBench {
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    qs.foreach(q => time(q, "/root/testdata/sf0.001")) // warm plans
+    val warmDir = // warm plans on the smallest dir available
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory)
+        "/root/testdata/sf0.001"
+      else small
+    qs.foreach(q => time(q, warmDir))
     val rows = qs.map { q =>
       val a = time(q, small)
       val b = time(q, big)

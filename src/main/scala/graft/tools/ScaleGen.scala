@@ -47,8 +47,12 @@ object ScaleGen {
          else array_join(
            transform(split(col("text"), "\\s+"), t => concat(t, lit(s"~r$r"))),
            " ")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
     }.reduce(_ unionByName _)
+      // recompute instead of copying: suffixed tokens lengthen the text,
+      // and the fixture invariant is n_chars == length(text)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
 
     val embN = (0 until replicas).map { r =>
       val dim = 64
