@@ -12,9 +12,11 @@ final case class MediaRaw(doc_id: Long, payload: Array[Byte])
 final case class MediaMeta(doc_id: Long, n_bytes: Long, sha256: String,
     width: Int, height: Int, n_frames: Int)
 
-/** Pure-JVM header parsers for the two image containers whose geometry
-  * lives in a fixed-layout header — no codec library needed. Anything
-  * beyond dimensions (pixel decode, other containers) stays stubbed.
+/** Pure-JVM header parsers for the containers whose geometry lives in a
+  * fixed-layout header — no codec library needed: PNG, JPEG, GIF, BMP
+  * (image dimensions) and WAV (channels / bit depth / sample-frame
+  * count). Anything beyond the header (pixel/sample decode, other
+  * containers) stays stubbed.
   */
 object MediaCodecs {
 
@@ -24,6 +26,13 @@ object MediaCodecs {
 
   private def be16(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
 
   /** PNG: 8-byte signature, then the IHDR chunk is REQUIRED first —
     * width/height are the big-endian words at offsets 16/20. */
@@ -66,6 +75,56 @@ object MediaCodecs {
     }
     None
   }
+
+  /** GIF87a/GIF89a: the logical screen descriptor directly follows the
+    * 6-byte signature — width/height are little-endian u16 at offsets
+    * 6/8. (Geometry only; per-frame enumeration needs an LZW sub-block
+    * walk, which is decode territory, not header territory.) */
+  def gifDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some((le16(b, 6), le16(b, 8)))
+    else None
+
+  /** BMP: "BM" + 12-byte file header, then a BITMAPINFOHEADER whose
+    * size word is ≥40 — width/height are little-endian i32 at offsets
+    * 18/22 (height may be negative for top-down rows: take |h|). The
+    * ancient BITMAPCOREHEADER (size 12, u16 dims) is handled too. */
+  def bmpDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val hdr = le32(b, 14)
+      if (hdr >= 40 && b.length >= 26)
+        Some((le32(b, 18).toInt, math.abs(le32(b, 22).toInt)))
+      else if (hdr == 12 && b.length >= 22)
+        Some((le16(b, 18), le16(b, 20)))
+      else None
+    } else None
+
+  /** WAV (RIFF/WAVE): walks the chunk list for `fmt ` (channels at 10,
+    * bits-per-sample at 22, block-align at 20 within the chunk) and
+    * `data` (payload size). Returns (channels, bitsPerSample,
+    * sampleFrames = dataBytes / blockAlign) — audio's exact analogue of
+    * (width, height, n_frames). Never throws on truncated input. */
+  def wavMeta(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, bits, blockAlign
+    var dataBytes = -1L
+    while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+      val id = new String(b.slice(i, i + 4), "US-ASCII")
+      val sz = le32(b, i + 4)
+      if (id == "fmt " && i + 8 + 16 <= b.length)
+        fmt = Some((le16(b, i + 10), le16(b, i + 22), le16(b, i + 20)))
+      else if (id == "data") dataBytes = sz
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      if (sz < 0) return None
+    }
+    fmt.collect { case (ch, bits, ba) if ba > 0 && dataBytes >= 0 =>
+      (ch, bits, (dataBytes / ba).toInt)
+    }
+  }
 }
 
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
@@ -74,12 +133,12 @@ object MediaCodecs {
   * The Spark-side shape is the real thing — binary column, typed
   * `Dataset[MediaRaw] → mapPartitions → Dataset[MediaMeta]`, per-partition
   * batching (a real decoder amortizes codec init across a partition,
-  * exactly like a Pandas-UDF batch would). Geometry decode is REAL for
-  * PNG and JPEG payloads ([[MediaCodecs]] — pure header parsing, no
-  * library); every other codec falls back to [[stubDecode]]'s
-  * deterministic fake, since the media libraries are not in this
-  * container. Swap the fallback for a JNI/javacv call and nothing else
-  * changes.
+  * exactly like a Pandas-UDF batch would). Header decode is REAL for
+  * PNG, JPEG, GIF and BMP geometry plus WAV audio metadata
+  * ([[MediaCodecs]] — pure header parsing, no library); any other
+  * container falls back to [[stubDecode]]'s deterministic fake, since
+  * the media libraries are not in this container. Swap the fallback for
+  * a JNI/javacv call and nothing else changes.
   *
   * Scale notes: payloads never pass through a shuffle here (decode is a
   * narrow map); metadata extraction prunes the binary column as soon as
@@ -99,11 +158,16 @@ object Multimodal {
     (64 + (n % 512).toInt, 64 + ((n * 7) % 512).toInt, 1 + (n % 8).toInt)
   }
 
-  /** Header decode: real PNG/JPEG dimension parsing (single-frame), stub
-    * fallback for everything else. */
+  /** Header decode: real parsing for PNG/JPEG/GIF/BMP dimensions
+    * (single-frame) and WAV audio (channels, bit depth, sample frames);
+    * stub fallback for any other container. */
   def decodeHeader(payload: Array[Byte]): (Int, Int, Int) =
-    MediaCodecs.pngDims(payload).orElse(MediaCodecs.jpegDims(payload))
+    MediaCodecs.pngDims(payload)
+      .orElse(MediaCodecs.jpegDims(payload))
+      .orElse(MediaCodecs.gifDims(payload))
+      .orElse(MediaCodecs.bmpDims(payload))
       .map { case (w, h) => (w, h, 1) }
+      .orElse(MediaCodecs.wavMeta(payload))
       .getOrElse(stubDecode(payload))
 
   /** One sampled frame: stub "decode" of frame `frame_idx` of a media

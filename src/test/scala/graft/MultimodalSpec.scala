@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Multimodal, Similarity}
+import graft.ops.{MediaCodecs, Multimodal, Similarity}
 
 /** Multimodal plumbing beyond the oracle-checked m1/m2: resize geometry,
   * feature extraction shape/determinism, and features feeding the
@@ -61,6 +61,42 @@ class MultimodalSpec extends SparkSpec {
     // unparseable container falls back to the deterministic stub
     val (sw, sh, sf) = Multimodal.stubDecode("not an image at all".getBytes("UTF-8"))
     assert((metas(2).width, metas(2).height, metas(2).n_frames) === (sw, sh, sf))
+  }
+
+  test("GIF, BMP and WAV headers parse for real") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val gif = "GIF89a".getBytes("US-ASCII") ++ le16(320) ++ le16(200) ++
+      Array.fill(3)(0.toByte)
+    assert(MediaCodecs.gifDims(gif) === Some((320, 200)))
+    assert(MediaCodecs.gifDims("GIF00a??".getBytes) === None)
+
+    // BITMAPINFOHEADER (size 40), height negative = top-down
+    val bmp = "BM".getBytes ++ le32(200) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(800) ++ le32(-600)
+    assert(MediaCodecs.bmpDims(bmp) === Some((800, 600)))
+    assert(MediaCodecs.bmpDims("BMxx".getBytes) === None)
+
+    // RIFF/WAVE: fmt (PCM stereo 16-bit, blockAlign 4) then 400-byte data
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16)
+    val data = "data".getBytes ++ le32(400) ++ Array.fill(400)(0.toByte)
+    val wavBody = fmt ++ data
+    val wav = "RIFF".getBytes ++ le32(4 + wavBody.length) ++
+      "WAVE".getBytes ++ wavBody
+    // (channels=2, bits=16, sampleFrames = 400/4 = 100)
+    assert(MediaCodecs.wavMeta(wav) === Some((2, 16, 100)))
+    assert(MediaCodecs.wavMeta("RIFFxxxxAVI ".getBytes) === None)
+
+    // and they flow through the typed decode path end-to-end
+    val media = Seq((1L, gif), (2L, bmp), (3L, wav))
+      .toDF("doc_id", "payload")
+    val metas = Multimodal.extractMetaFromPayload(media)
+      .collect().sortBy(_.doc_id)
+    assert((metas(0).width, metas(0).height, metas(0).n_frames) === (320, 200, 1))
+    assert((metas(1).width, metas(1).height, metas(1).n_frames) === (800, 600, 1))
+    assert((metas(2).width, metas(2).height, metas(2).n_frames) === (2, 16, 100))
   }
 
   test("extracted features are fixed-width, in [0,1], and similarity-ready") {
