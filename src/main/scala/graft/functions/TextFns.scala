@@ -78,6 +78,30 @@ object TextFns {
         .cast("long") / lit(3L)).cast("long")
     }.reduce(_ + _)
 
+  /** PII redaction patterns, applied in order — shared by the Spark
+    * scrub and the generated oracle SQL. Conservative common-subset
+    * regex (no lookaround, no backreferences), so Java regex and RE2
+    * agree on every match. Order matters: URLs first (an email-shaped
+    * userinfo inside a URL must not survive as <EMAIL>), then emails,
+    * IPv4, phone numbers. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\d{3}[-. ]?\\d{3}[-. ]?\\d{4}\\b", "<PHONE>"))
+
+  /** (scrubbed text, per-category redaction counts in [[PiiPatterns]]
+    * order). Each count is measured on the text AFTER the previous
+    * categories were redacted, so nested matches attribute to exactly
+    * one category. Pure regexp_replace/extract chain — codegen'd,
+    * map-side, no UDF. */
+  def piiScrub(text: Column): (Column, Seq[(String, Column)]) =
+    PiiPatterns.foldLeft((text, Seq.empty[(String, Column)])) {
+      case ((cur, counts), (name, pat, repl)) =>
+        val n = size(regexp_extract_all(cur, lit(pat), lit(0))).cast("long")
+        (regexp_replace(cur, pat, repl), counts :+ (name -> n))
+    }
+
   /** Count of punctuation characters (fixed class, both engines). */
   val PunctRe = "[.,!?;:]"
   def punctCount(text: Column): Column =

@@ -612,6 +612,36 @@ object TextQueries {
         |    '\s+', ' ', 'g')))::BIGINT AS clean_len
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // PII scrubbing — the redaction pass every shareable training corpus
+    // runs: URLs, emails, IPv4s and phone numbers replaced by typed
+    // placeholder tokens, with per-category redaction counts (each
+    // category counted after the previous ones were redacted, so nested
+    // matches attribute once). Pure regexp chain, map-side at any scale;
+    // patterns live once in TextFns.PiiPatterns and generate the oracle.
+    QueryDef("t11_pii_scrub",
+      (s, dir) => {
+        val (clean, counts) = TextFns.piiScrub(col("text"))
+        Tables.documents(s, dir)
+          .select(Seq(col("doc_id"), clean.as("clean_text")) ++
+            counts.map { case (n, c) => c.as(s"n_$n") }: _*)
+          .orderBy("doc_id")
+      },
+      {
+        // scrub chain after the first `upTo` categories
+        def scrubbed(upTo: Int) = TextFns.PiiPatterns.take(upTo)
+          .foldLeft("text") { case (acc, (_, pat, repl)) =>
+            s"regexp_replace($acc, '$pat', '$repl', 'g')"
+          }
+        val countCols = TextFns.PiiPatterns.zipWithIndex.map {
+          case ((name, pat, _), i) =>
+            s"len(regexp_extract_all(${scrubbed(i)}, '$pat'))::BIGINT AS n_$name"
+        }
+        s"""SELECT doc_id,
+           |  ${scrubbed(TextFns.PiiPatterns.size)} AS clean_text,
+           |  ${countCols.mkString(",\n  ")}
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     // Quality gate report: how many docs each cleanse rule would drop —
     // the go/no-go dashboard before a training-mix build (c1's
     // constraint-report shape applied to content quality). One pass,
