@@ -377,7 +377,8 @@ object SimilarityQueries {
             .select(col("nb_id").as("vec_id")))
         def recallRow(name: String, got: DataFrame, exact: DataFrame,
             joinCols: Seq[String], bound: Double) =
-          got.join(exact, joinCols, "left_semi")
+          got.join(org.apache.spark.sql.functions.broadcast(exact),
+              joinCols, "left_semi")
             .agg(count(lit(1)).as("hits"))
             .crossJoin(exact.agg(count(lit(1)).as("total")))
             .select(

@@ -791,6 +791,46 @@ object TextQueries {
          |  FROM documents)
          |WHERE rank <= 20 ORDER BY source, rank""".stripMargin),
 
+    // Sequence packing: concatenate documents (token counts, greedy in
+    // doc_id order, documents breaking across boundaries) into fixed
+    // token-budget training rows — how short docs become 2048-token
+    // sequences in a real training-data build. A doc starts in the bin
+    // its preceding cumulative token count falls in:
+    // bin = floor((cumsum − n_tokens) / budget). Packing is per SOURCE
+    // shard (window partitioned by source), which is also the 100 TB
+    // shape: each shard packs independently and in parallel — no global
+    // order, no single-partition window.
+    QueryDef("s3_pack_sequences",
+      (s, dir) => {
+        val budget = 512L
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            size(TextFns.tokensWs(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("__cum", sum(col("n_tokens")).over(w))
+          .withColumn("bin_id",
+            floor((col("__cum") - col("n_tokens")) / budget).cast("long"))
+          .groupBy("source", "bin_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("source", "bin_id")
+      },
+      """WITH t AS (SELECT source, doc_id,
+        |    len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum
+        |  FROM t)
+        |SELECT source, ((cum - n_tokens) // 512)::BIGINT AS bin_id,
+        |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY source, bin_id
+        |ORDER BY source, bin_id""".stripMargin),
+
     // Multimodal metadata: binary payload column → per-partition (stub)
     // decode via typed mapPartitions. Oracle mirrors the deterministic
     // stub formulas over the same bytes.

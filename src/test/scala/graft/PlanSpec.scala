@@ -116,6 +116,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("e7: exact ground-truth sets broadcast into every recall semi-join") {
+    // the localized exact sets are k-row relations; a silent fallback to
+    // sort-merge would shuffle each shortlist four times
+    val p = plan("e7_recall_bound")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("v1: rank cutoff bounds the intentionally-global window to top-100") {
     // the unpartitioned cumulative-coverage window must sit ABOVE a
     // TakeOrderedAndProject, so its single partition holds ≤100 rows —
