@@ -439,6 +439,39 @@ object TextQueries {
            |ORDER BY d.doc_id""".stripMargin
       }),
 
+    // Dedup observability: the cluster-SIZE histogram — how many
+    // singletons, pairs, triples… the near-dup detector produced. The
+    // first dashboard a dedup rollout watches (a sudden mass of large
+    // clusters means the detector's threshold or caps regressed), and
+    // pure composition: d6's clusters → size per cluster → count per
+    // size. Two tiny aggregations after the cluster pass; nothing new
+    // shuffles at scale.
+    QueryDef("d10_cluster_size_histogram",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextDedup.dedupClusters(docs,
+          TextDedup.minHashNearDups(docs, k = 16, bands = 4, threshold = 0.4))
+          .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      {
+        val pairSql = d2OracleSql.replaceAll("ORDER BY doc_a, doc_b\\s*$", "")
+        s"""WITH RECURSIVE pairs AS ($pairSql),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (SELECT a, b FROM edges
+           |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |m AS (SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY a),
+           |cl AS (SELECT d.doc_id,
+           |    least(d.doc_id, coalesce(m.min_reach, d.doc_id)) AS cluster_id
+           |  FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id),
+           |sz AS (SELECT cluster_id, count(*) AS cluster_size
+           |  FROM cl GROUP BY cluster_id)
+           |SELECT cluster_size, count(*) AS n_clusters
+           |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+      }),
+
     // Vocabulary build: top-100 tokens with rank and cumulative corpus
     // coverage — the tokenizer-prep view of a corpus. The running-total
     // window is GLOBAL by construction (one vocabulary), which is fine
