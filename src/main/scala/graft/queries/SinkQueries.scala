@@ -72,6 +72,52 @@ object SinkQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM orders""".stripMargin),
 
+    // ORC roundtrip — the second columnar format a Spark-native engine
+    // speaks for free. DuckDB cannot read ORC, so the oracle is the
+    // identity check: write∘read must reproduce exactly what the same
+    // aggregation computes from the parquet source (schema, values,
+    // nulls). Types cover long/string/double.
+    QueryDef("s12_orc_roundtrip",
+      (s, dir) => {
+        val staged = Tables.orders(s, dir)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+        val path = s"${stageDir(dir)}/s12_orc"
+        staged.write.mode("overwrite").orc(path)
+        s.read.orc(path).orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // JSON-lines roundtrip — the interchange format every ingest pipeline
+    // meets. Same identity-oracle shape as s12 (the staged values must
+    // survive Spark's JSON serialization bit-for-bit; longs and strings
+    // only, since JSON has no timestamp type and floats are a
+    // serialization minefield the reference never steps into either).
+    QueryDef("s13_jsonl_roundtrip",
+      (s, dir) => {
+        val staged = Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max("event_id").as("max_event"))
+        val path = s"${stageDir(dir)}/s13_jsonl"
+        staged.write.mode("overwrite").json(path)
+        s.read
+          .schema(StructType(Seq(
+            StructField("event_type", StringType),
+            StructField("n", LongType),
+            StructField("max_event", LongType))))
+          .json(path)
+          .select("event_type", "n", "max_event")
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*) AS n, max(event_id) AS max_event
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // S10: TSV staging roundtrip (to_csv(sep="\t", header=False),
     // active_futures_etl.py:103). Spark stages a headerless TSV and
     // reads it back; the oracle makes DuckDB parse the SAME files —
