@@ -21,6 +21,13 @@ import graft.functions.VectorFns
   *     O(Σ bucket²), and the bucket join is a plain shuffle-on-key
   *     equality join. Recall is the LSH trade; the algorithm is
   *     deterministic, so results remain exactly reproducible.
+  *
+  * Input contract: vectors are assumed non-zero-norm — cosine against a
+  * zero vector is undefined, and under ANSI mode the inline
+  * `dot/(‖a‖·‖b‖)` forms raise DIVIDE_BY_ZERO rather than fabricate a
+  * value. Filter zero vectors at ingest (a one-line quality gate);
+  * only the SQL-registered `array_cosine` (reachable from arbitrary
+  * user SQL) soft-returns NULL for them.
   */
 object Similarity {
 
