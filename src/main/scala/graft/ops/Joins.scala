@@ -63,4 +63,52 @@ object Joins {
       .withColumnRenamed("__asof_t", "asof_time")
       .withColumnRenamed("__asof_v", "asof_value")
   }
+
+  /** Two-TABLE as-of join — the API callers with separate probe and
+    * reference frames want (trades ⋈asof quotes): every `probe` row
+    * gains `asof_time`/`asof_value`, the time and value of the latest
+    * `reference` row with the same key at-or-before the probe's time.
+    *
+    * Same single-window machinery as [[asOfAligned]] (no join explosion,
+    * no range nested loop — one shuffle on the key): the two frames
+    * union on a minimal (key, time, value, side, tieBreak) schema with
+    * the probe's full row riding along in a struct. Reference rows sort
+    * BEFORE probe rows at equal (time, tieBreak) — an exactly-
+    * simultaneous reference is visible to the probe.
+    *
+    * Determinism: (key, time, side, tieBreak) must totally order the
+    * union. Pass the tie-break column names (one per frame, e.g. both
+    * sides' event/sequence id) whenever (key, time) is not unique
+    * within the reference frame. */
+  def asOfJoin(probe: DataFrame, reference: DataFrame, key: String,
+      probeTime: String, refTime: String, refValue: String,
+      refTieBreak: Option[String] = None,
+      probeTieBreak: Option[String] = None): DataFrame = {
+    val payloadType = org.apache.spark.sql.types.StructType(
+      probe.schema.fields)
+    val vType = reference.schema(refValue).dataType
+    def tb(df: DataFrame, name: Option[String]) =
+      name.map(c => df(c).cast("string")).getOrElse(lit(""))
+    val refSide = reference.select(
+      col(key).as("__k"), col(refTime).as("__t"),
+      col(refValue).as("__v"), lit(0).as("__side"),
+      tb(reference, refTieBreak).as("__tb"),
+      lit(null).cast(payloadType).as("__p"))
+    val probeSide = probe.select(
+      col(key).as("__k"), col(probeTime).as("__t"),
+      lit(null).cast(vType).as("__v"), lit(1).as("__side"),
+      tb(probe, probeTieBreak).as("__tb"),
+      struct(probe.columns.map(col): _*).as("__p"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    refSide.unionByName(probeSide)
+      .withColumn("asof_time",
+        last(when(col("__side") === 0, col("__t")), ignoreNulls = true)
+          .over(w))
+      .withColumn("asof_value",
+        last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__p.*"), col("asof_time"), col("asof_value"))
+  }
 }

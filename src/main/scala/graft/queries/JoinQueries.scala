@@ -130,6 +130,45 @@ object JoinQueries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
         |  FROM events WHERE event_type IN ('view', 'purchase'))
         |WHERE event_type = 'purchase'
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin),
+
+    // Two-TABLE as-of join (trades ⋈asof quotes): same semantics as j5
+    // but through the separate-frames API — purchases as the probe
+    // table, views as the reference table. Still one window pass after
+    // a union, never a range nested-loop.
+    QueryDef("j8_asof_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select("event_id", "user_id", "ts", "value", "event_type")
+        Joins.asOfJoin(
+          probe = e.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts", "value"),
+          reference = e.filter(col("event_type") === "view"),
+          key = "user_id", probeTime = "ts", refTime = "ts",
+          refValue = "value",
+          refTieBreak = Some("event_id"), probeTieBreak = Some("event_id"))
+          .orderBy("event_id")
+      },
+      // refs sort before probes at equal (ts, tb): side is the
+      // second-order key, exactly as the Spark union orders it
+      """WITH u AS (
+        |  SELECT user_id, ts, value AS v, 0 AS side,
+        |         CAST(event_id AS VARCHAR) AS tb,
+        |         NULL::BIGINT AS event_id, NULL::DOUBLE AS pvalue
+        |    FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, 1, CAST(event_id AS VARCHAR),
+        |         event_id, value
+        |    FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |    max(CASE WHEN side = 0 THEN ts END) OVER win AS asof_time,
+        |    last_value(v IGNORE NULLS) OVER win AS asof_value
+        |  FROM u WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts ASC, side ASC, tb ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       pvalue AS value,
+        |       CAST(asof_time AS TIMESTAMP) AS asof_time, asof_value
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)
   )
 }
