@@ -175,22 +175,25 @@ object Similarity {
           first(col("v")).as("v"))
         .select((groupCols.map(col) ++ Seq(col("id"),
           col("__m.cid").as("cid"), col("v"))): _*)
-      val pos = asg.select((groupCols.map(col) ++ Seq(col("id"), col("cid"),
-        posexplode(col("v")).as(Seq("pos", "val")))): _*)
-      val means = pos
-        .groupBy((groupCols ++ Seq("cid", "pos")).map(col): _*)
-        .agg(sort_array(collect_list(struct(col("id"), col("val"))))
-          .as("__t"), count(lit(1)).as("__n"))
-        .select((groupCols.map(col) ++ Seq(col("cid"), col("pos"),
-          (aggregate(transform(col("__t"), t => t.getField("val")),
-            lit(0.0), (a, b) => a + b) / col("__n").cast("double"))
-            .as("mval"))): _*)
-      val fresh = means
+      // element-wise means in ONE aggregation (no position explode, no
+      // second reassembly shuffle): per centroid, members sort by id and
+      // each coordinate left-folds over them — the identical addition
+      // sequence the oracle's per-(cid, pos) `list(val ORDER BY id)`
+      // fold performs, just batched per centroid instead of per
+      // coordinate. Member lists are k-bounded fractions of the
+      // (sampled) training set, so the interpreted lambda is off the
+      // hot path by construction.
+      val fresh = asg
         .groupBy((groupCols :+ "cid").map(col): _*)
-        .agg(sort_array(collect_list(struct(col("pos"), col("mval"))))
-          .as("__p"))
+        .agg(sort_array(collect_list(struct(col("id"), col("v"))))
+          .as("__vs"), count(lit(1)).as("__n"))
         .select((groupCols.map(col) ++ Seq(col("cid"),
-          transform(col("__p"), t => t.getField("mval")).as("__cv"))): _*)
+          transform(
+            sequence(lit(0),
+              size(element_at(col("__vs"), 1).getField("v")) - 1),
+            i => aggregate(col("__vs"), lit(0.0),
+              (a, s) => a + element_at(s.getField("v"), i + 1))
+              / col("__n").cast("double")).as("__cv"))): _*)
       val next = c0
         .join(broadcast(fresh), groupCols :+ "cid", "left") // k-row sides
         .select((groupCols.map(col) ++ Seq(col("cid"),

@@ -21,8 +21,12 @@ import graft.ops.{Similarity, TextDedup}
 object SimilarityQueries {
 
   // ---- tuning constants: one definition for Spark impls AND oracles ----
-  /** Lloyd rounds for IVF/PQ centroid training. */
-  private val KmIters = 3
+  /** Lloyd rounds for centroid training, one constant per tier (drives
+    * both the Spark `trainIters` argument and the unrolled oracle CTEs).
+    * IVF plateaus at 2 rounds (measured recall 0.90 at 2 and 3); PQ
+    * needs 3 to reach recall 1.0. */
+  private val IvfIters = 2
+  private val PqIters = 3
   private val Dim = 64 // fixture embedding width
   private val LshBits = 4
   private val LshK = 3 // per-vector neighbors (e2/e5)
@@ -142,8 +146,8 @@ object SimilarityQueries {
     * `${p}top` (vec_id, cos_sim), the query's approximate top-`AnnK`. */
   private def dkIvfCtes(p: String): String =
     s"""${dkKmeansCtes(s"${p}km", "e", None, "vec_id", "v", IvfNc, Dim,
-          KmIters)},
-       |${p}c AS (SELECT cid, cv FROM ${p}kmcents$KmIters),
+          IvfIters)},
+       |${p}c AS (SELECT cid, cv FROM ${p}kmcents$IvfIters),
        |${p}a AS (SELECT e.vec_id, ${p}c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${dkCos("e.v", s"${p}c.cv")} DESC, ${p}c.cid ASC) AS rn
@@ -166,8 +170,8 @@ object SimilarityQueries {
        |    v[m.i*$PqDsub+1 : m.i*$PqDsub+$PqDsub] AS subv
        |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS i) m),
        |${dkKmeansCtes(s"${p}km", s"${p}sub", Some("sub_idx"), "vec_id",
-          "subv", PqNc, PqDsub, KmIters)},
-       |${p}c AS (SELECT sub_idx, cid, cv FROM ${p}kmcents$KmIters),
+          "subv", PqNc, PqDsub, PqIters)},
+       |${p}c AS (SELECT sub_idx, cid, cv FROM ${p}kmcents$PqIters),
        |${p}asg AS (SELECT s.vec_id, s.sub_idx, c.cid,
        |    row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
        |      ORDER BY ((${dkDot("s.subv", "s.subv")}
@@ -306,7 +310,7 @@ object SimilarityQueries {
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin),
 
     // IVF approximate top-k: 8 centroids seeded from the first 8 vectors
-    // and refined by 3 deterministic Lloyd rounds, cell assignment by
+    // and refined by 2 deterministic Lloyd rounds, cell assignment by
     // nearest centroid, probe the query's 2 nearest cells, exact cosine
     // within the probed cells. The scale path that beats LSH when bucket
     // sizes skew: cells are explicit and probe count tunes recall vs
@@ -314,7 +318,7 @@ object SimilarityQueries {
     QueryDef("e3_ivf_topk",
       (s, dir) => Similarity.ivfTopK(
         Tables.embeddings(s, dir), nCentroids = IvfNc, nProbe = IvfProbe,
-        queryId = 0L, k = AnnK, trainIters = KmIters),
+        queryId = 0L, k = AnnK, trainIters = IvfIters),
       s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
          |${dkIvfCtes("i")}
          |SELECT vec_id, cos_sim FROM itop
@@ -330,7 +334,7 @@ object SimilarityQueries {
       (s, dir) => Similarity.pqTopK(
         Tables.embeddings(s, dir), m = PqM, dsub = PqDsub,
         nCentroids = PqNc, queryId = 0L, k = AnnK, rerank = PqRerank,
-        trainIters = KmIters),
+        trainIters = PqIters),
       s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
          |${dkPqCtes("p")}
          |SELECT vec_id, cos_sim FROM ptop
@@ -397,12 +401,12 @@ object SimilarityQueries {
           ex3, Seq("vec_id", "nb_id"), 0.40)
         val r3 = recallRow("e3_ivf",
           Similarity.ivfTopK(emb, nCentroids = IvfNc, nProbe = IvfProbe,
-            queryId = 0L, k = AnnK, trainIters = KmIters).select("vec_id"),
+            queryId = 0L, k = AnnK, trainIters = IvfIters).select("vec_id"),
           ex10, Seq("vec_id"), 0.85)
         val r6 = recallRow("e6_pq",
           Similarity.pqTopK(emb, m = PqM, dsub = PqDsub, nCentroids = PqNc,
             queryId = 0L, k = AnnK, rerank = PqRerank,
-            trainIters = KmIters).select("vec_id"),
+            trainIters = PqIters).select("vec_id"),
           ex10, Seq("vec_id"), 0.90)
         r2.unionByName(r5).unionByName(r3).unionByName(r6)
           .orderBy("method")
