@@ -88,7 +88,10 @@ object TextFns {
     ("url", "https?://[^\\s]+", "<URL>"),
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
-    ("phone", "\\+?\\d{3}[-. ]?\\d{3}[-. ]?\\d{4}\\b", "<PHONE>"))
+    // leading \b (between the optional '+' and the first digit) keeps
+    // the match anchored at a digit-run START: without it, a 12-digit
+    // account number would match from its 3rd digit and half-redact
+    ("phone", "\\+?\\b\\d{3}[-. ]?\\d{3}[-. ]?\\d{4}\\b", "<PHONE>"))
 
   /** (scrubbed text, per-category redaction counts in [[PiiPatterns]]
     * order). Each count is measured on the text AFTER the previous

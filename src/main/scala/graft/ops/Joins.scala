@@ -55,13 +55,18 @@ object Joins {
     val w = Window.partitionBy(key)
       .orderBy(col(time).asc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__asof_t",
-        last(when(isLeft, col(time)), ignoreNulls = true).over(w))
-      .withColumn("__asof_v",
-        last(when(isLeft, col(value)), ignoreNulls = true).over(w))
+    // ONE struct-valued last, not separate time/value lasts: with two
+    // windows a newest reference row carrying a NULL value would pair
+    // its time with an OLDER row's value (ignoreNulls skips it in the
+    // value window only) — (asof_time, asof_value) must come from the
+    // same reference row.
+    df.withColumn("__asof",
+        last(when(isLeft, struct(col(time).as("t"), col(value).as("v"))),
+          ignoreNulls = true).over(w))
       .filter(isRight)
-      .withColumnRenamed("__asof_t", "asof_time")
-      .withColumnRenamed("__asof_v", "asof_value")
+      .withColumn("asof_time", col("__asof.t"))
+      .withColumn("asof_value", col("__asof.v"))
+      .drop("__asof")
   }
 
   /** Two-TABLE as-of join — the API callers with separate probe and
@@ -98,17 +103,19 @@ object Joins {
       col(key).as("__k"), col(probeTime).as("__t"),
       lit(null).cast(vType).as("__v"), lit(1).as("__side"),
       tb(probe, probeTieBreak).as("__tb"),
-      struct(probe.columns.map(col): _*).as("__p"))
+      struct(probe.columns.toIndexedSeq.map(col): _*).as("__p"))
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // single struct-valued last (see asOfAligned): time and value must
+    // come from the same reference row even when that row's value is null
     refSide.unionByName(probeSide)
-      .withColumn("asof_time",
-        last(when(col("__side") === 0, col("__t")), ignoreNulls = true)
-          .over(w))
-      .withColumn("asof_value",
-        last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__asof",
+        last(when(col("__side") === 0,
+            struct(col("__t").as("t"), col("__v").as("v"))),
+          ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(col("__p.*"), col("asof_time"), col("asof_value"))
+      .select(col("__p.*"), col("__asof.t").as("asof_time"),
+        col("__asof.v").as("asof_value"))
   }
 }

@@ -89,9 +89,10 @@ object MediaCodecs {
   /** BMP: "BM" + 12-byte file header, then a BITMAPINFOHEADER whose
     * size word is ≥40 — width/height are little-endian i32 at offsets
     * 18/22 (height may be negative for top-down rows: take |h|). The
-    * ancient BITMAPCOREHEADER (size 12, u16 dims) is handled too. */
+    * ancient BITMAPCOREHEADER (size 12, u16 dims) is handled too;
+    * per-branch length guards carry each header's own minimum. */
   def bmpDims(b: Array[Byte]): Option[(Int, Int)] =
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+    if (b.length >= 18 && b(0) == 'B' && b(1) == 'M') {
       val hdr = le32(b, 14)
       if (hdr >= 40 && b.length >= 26)
         Some((le32(b, 18).toInt, math.abs(le32(b, 22).toInt)))
@@ -109,20 +110,23 @@ object MediaCodecs {
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
       b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
       b(11) != 'E') return None
-    var i = 12
+    var i = 12L
     var fmt: Option[(Int, Int, Int)] = None // channels, bits, blockAlign
     var dataBytes = -1L
     while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
-      val id = new String(b.slice(i, i + 4), "US-ASCII")
-      val sz = le32(b, i + 4)
+      val o = i.toInt
+      val id = new String(b.slice(o, o + 4), "US-ASCII")
+      val sz = le32(b, o + 4) // unsigned u32 as Long: 0..2^32-1
       if (id == "fmt " && i + 8 + 16 <= b.length)
-        fmt = Some((le16(b, i + 10), le16(b, i + 22), le16(b, i + 20)))
+        fmt = Some((le16(b, o + 10), le16(b, o + 22), le16(b, o + 20)))
       else if (id == "data") dataBytes = sz
-      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
-      if (sz < 0) return None
+      // long cursor arithmetic: a corrupt/huge size field walks past the
+      // end and terminates the loop instead of wrapping the cursor into
+      // a stall or a negative index (header-parse promises never-throw)
+      i += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     fmt.collect { case (ch, bits, ba) if ba > 0 && dataBytes >= 0 =>
-      (ch, bits, (dataBytes / ba).toInt)
+      (ch, bits, math.min(dataBytes / ba, Int.MaxValue.toLong).toInt)
     }
   }
 }

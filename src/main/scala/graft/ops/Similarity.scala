@@ -145,18 +145,24 @@ object Similarity {
     * groups. At 100 TB you train on a sample (points is any DataFrame —
     * pass a `.sample` or a fixed id-range slice) and encode the full
     * corpus with the final codebook; iters is fixed and small. */
+  /** Driver-collect a SMALL deterministic frame into a single-partition
+    * local relation — the collect-then-broadcast dimension pattern.
+    * Exact values are preserved (collect round-trips doubles
+    * bit-for-bit), so oracle parity is unaffected; the payoff is a flat
+    * plan for anything iterated or multiply-referenced. Only for frames
+    * known bounded (centroid tables, top-k ground truths). */
+  private[graft] def localizeSmall(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1),
+      df.schema)
+  }
+
   private[ops] def lloydRefine(points: DataFrame, cents: DataFrame,
       groupCols: Seq[String], iters: Int): DataFrame = {
-    val spark = points.sparkSession
-    // exact values preserved: collect round-trips the computed doubles
-    // bit-for-bit, so the oracle's unrolled-CTE replay still matches
-    def localize(df: DataFrame): DataFrame =
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1),
-        df.schema)
-    if (iters <= 0) localize(cents)
+    if (iters <= 0) localizeSmall(cents)
     else {
-      val c0 = localize(cents)
+      val c0 = localizeSmall(cents)
       val joined =
         if (groupCols.isEmpty) points.crossJoin(broadcast(c0))
         else points.join(broadcast(c0), groupCols)

@@ -118,16 +118,16 @@ object JoinQueries {
         tieBreak = Seq(col("event_id").asc))
         .select("event_id", "user_id", "ts", "value", "asof_time", "asof_value")
         .orderBy("event_id"),
+      // struct-valued last: (asof_time, asof_value) from the SAME
+      // reference row, mirroring Joins.asOfAligned
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
-        |       CAST(asof_time AS TIMESTAMP) AS asof_time, asof_value
+        |       CAST(a.t AS TIMESTAMP) AS asof_time, a.v AS asof_value
         |FROM (
         |  SELECT event_id, user_id, ts, value, event_type,
-        |    max(CASE WHEN event_type = 'view' THEN ts END)
+        |    last_value(CASE WHEN event_type = 'view'
+        |        THEN {'t': ts, 'v': value} END IGNORE NULLS)
         |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_time,
-        |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
         |  FROM events WHERE event_type IN ('view', 'purchase'))
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin),
@@ -161,14 +161,15 @@ object JoinQueries {
         |         event_id, value
         |    FROM events WHERE event_type = 'purchase'),
         |w AS (SELECT *,
-        |    max(CASE WHEN side = 0 THEN ts END) OVER win AS asof_time,
-        |    last_value(v IGNORE NULLS) OVER win AS asof_value
+        |    last_value(CASE WHEN side = 0
+        |        THEN {'t': ts, 'v': v} END IGNORE NULLS)
+        |      OVER win AS a
         |  FROM u WINDOW win AS (PARTITION BY user_id
         |    ORDER BY ts ASC, side ASC, tb ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |       pvalue AS value,
-        |       CAST(asof_time AS TIMESTAMP) AS asof_time, asof_value
+        |       CAST(a.t AS TIMESTAMP) AS asof_time, a.v AS asof_value
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)
   )
 }

@@ -370,13 +370,9 @@ object SimilarityQueries {
         // lineage — without materialization the sample×corpus scoring
         // pass would execute up to 8 times in the unioned plan. Both
         // sets are tiny (3·sample and k rows) and deterministic.
-        def localize(df: DataFrame): DataFrame =
-          s.createDataFrame(
-            s.sparkContext.parallelize(df.collect().toIndexedSeq, 1),
-            df.schema)
-        val ex3 = localize(
+        val ex3 = Similarity.localizeSmall(
           ranked.filter(col("rank") <= LshK).select("vec_id", "nb_id"))
-        val ex10 = localize(
+        val ex10 = Similarity.localizeSmall(
           ranked.filter(col("vec_id") === 0 && col("rank") <= AnnK)
             .select(col("nb_id").as("vec_id")))
         def recallRow(name: String, got: DataFrame, exact: DataFrame,

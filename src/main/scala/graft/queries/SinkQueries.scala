@@ -57,15 +57,16 @@ object SinkQueries {
               col("o_orderkey") < from + step),
             if (from + step > maxKey) None else Some(from + step)))
         }
+        // GLOBAL aggregation (no groupBy): only the grand aggregate emits
+        // its one row on empty input, matching the oracle's (0, 0, null)
         Backfill.paginate(fetch).getOrElse(orders.limit(0))
-          .groupBy(lit(1).as("one")).agg(
+          .agg(
             count(lit(1)).as("row_cnt"),
             count_distinct(col("o_orderkey")).as("key_cnt"),
             // decimal sum → double cast: double-accumulation order differs
             // between engines (see Stats.scala discipline)
             sum(col("o_totalprice").cast("decimal(18,2)"))
               .cast("double").as("price_sum"))
-          .drop("one")
       },
       """SELECT count(*) AS row_cnt,
         |  count(DISTINCT o_orderkey) AS key_cnt,
@@ -135,6 +136,7 @@ object SinkQueries {
           staged.select("user_id", "event_type", "cnt", "max_event"), path)
         s.read
           .option("sep", "\t").option("header", "false")
+          .option("escape", "\"") // match the writer's RFC-4180 quoting
           .schema(StructType(Seq(
             StructField("user_id", LongType),
             StructField("event_type", StringType),

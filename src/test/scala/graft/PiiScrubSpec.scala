@@ -36,4 +36,10 @@ class PiiScrubSpec extends SparkSpec {
     assert((out(4L)._2, out(4L)._3, out(4L)._4, out(4L)._5) ==
       (0L, 0L, 0L, 0L))
   }
+
+  test("long digit runs are not partially redacted as phone numbers") {
+    val out = scrub(Seq(8L -> "account 123456789012 stays intact"))
+    assert(out(8L)._1 == "account 123456789012 stays intact")
+    assert(out(8L)._5 == 0L)
+  }
 }

@@ -18,9 +18,15 @@ class SinksSpec extends SparkSpec {
     val path = tmp("tsv") + "/out"
     val df = Tables.nation(spark, "/root/testdata/sf0.001")
       .select("n_nationkey", "n_name", "n_regionkey")
+      // plant a quote+tab value: the writer's RFC-4180 quoting and the
+      // reader's matching escape must roundtrip it
+      .withColumn("n_name",
+        when(col("n_nationkey") === 0, lit("has \"quote\"\tand tab"))
+          .otherwise(col("n_name")))
     Sinks.tsvStaging(df, path)
     val back = spark.read
       .option("sep", "\t").option("header", "false")
+      .option("escape", "\"")
       .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
       .csv(path)
     assert(back.count() === df.count())
