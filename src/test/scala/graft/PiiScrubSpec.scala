@@ -42,4 +42,22 @@ class PiiScrubSpec extends SparkSpec {
     assert(out(8L)._1 == "account 123456789012 stays intact")
     assert(out(8L)._5 == 0L)
   }
+
+  test("the scrub runs unchanged inside a streaming query") {
+    // stateless expression chain → streamable with no watermark/state;
+    // the redaction a streaming corpus ingest applies per micro-batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val (clean, _) = TextFns.piiScrub(col("_2"))
+    val q = in.toDF().select(col("_1").as("doc_id"), clean.as("clean_text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    in.addData(1L -> "ping admin@site.io or https://x.io/y")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pii_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "ping <EMAIL> or <URL>")
+  }
 }
