@@ -363,6 +363,63 @@ object AggQueries {
         |  FROM events)
         |WHERE value > user_mean ORDER BY event_id""".stripMargin),
 
+    // Funnel analysis: how far each user progresses through the ordered
+    // view → click → purchase sequence, each step strictly AFTER the
+    // previous step's first completion and within a 24-hour conversion
+    // window of it. Three staged min-after aggregations, all shuffling
+    // on the same user_id key (the exchanges reuse the partitioning);
+    // the final histogram is stage → users.
+    QueryDef("a19_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select("user_id", "event_type", "ts")
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        Tables.events(s, dir).select("user_id").distinct()
+          .join(s1.select("user_id").withColumn("__s1", lit(1)),
+            Seq("user_id"), "left")
+          .join(s2.select("user_id").withColumn("__s2", lit(1)),
+            Seq("user_id"), "left")
+          .join(s3.select("user_id").withColumn("__s3", lit(1)),
+            Seq("user_id"), "left")
+          .select(when(col("__s3").isNotNull, 3)
+            .when(col("__s2").isNotNull, 2)
+            .when(col("__s1").isNotNull, 1)
+            .otherwise(0).cast("long").as("stage"))
+          .groupBy("stage").agg(count(lit(1)).as("n_users"))
+          .orderBy("stage")
+      },
+      """WITH e AS (SELECT user_id, event_type, ts FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |            WHEN s2.user_id IS NOT NULL THEN 2
+        |            WHEN s1.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage,
+        |  count(*) AS n_users
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |GROUP BY 1 ORDER BY stage""".stripMargin),
+
     // U1: UNION ALL (accumulate per-symbol frames,
     // funding_stats_etl.py:99).
     QueryDef("u1_union_all",
