@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver tail-parses the LAST stdout line of `runMain graft.Bench`
+// as JSON. sbt's default outputStrategy for forked runs is LoggedOutput,
+// which prefixes every forked println with "[info] " and then prints its own
+// "[success] Total time: ..." banner after — both of which defeated the
+// parser in rounds 1-3. StdoutOutput makes the forked JVM inherit stdout
+// (no prefix), and showSuccess=false drops the trailing banner, so Bench's
+// summary line is the genuine last line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
