@@ -60,6 +60,54 @@ class SinksSpec extends SparkSpec {
       s"expected 1 file read, got ${scans.head.metrics("numFiles").value}")
   }
 
+  // The SURVEY §4 layout contract for the funding series: partition by
+  // funding_date so the flagship 120-day slice (P7,
+  // funding_stats_etl.py:25-27) prunes whole date directories instead of
+  // scanning years of history. The range predicate is written on the
+  // event-time column PLUS its derived partition-column form — the
+  // latter is what the file index can prune on (a predicate only on the
+  // non-partition timestamp cannot prune directories).
+  test("funding series partitioned by funding_date prunes the 120-day range scan") {
+    import graft.pipelines.FundingStats
+    val path = tmp("fr") + "/funding_rates"
+    val fr = FundingStats.fundingRates(spark, "/root/testdata/sf0.001")
+      .withColumn("funding_date", to_date(col("funding_time")))
+    Sinks.overwritePartitioned(fr, path, Seq("funding_date"))
+
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("funding_date=")).map(_.getName).sorted
+    assert(dirs.length > 2, "fixture must span >2 funding dates")
+    val cutoff = dirs(dirs.length / 2).stripPrefix("funding_date=")
+
+    val all = spark.read.parquet(path)
+    val read = all.filter(
+      col("funding_time") >= to_timestamp(lit(cutoff)) &&
+        col("funding_date") >= lit(cutoff))
+    read.collect()
+    val plan = read.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters: [isnotnull(funding_date"),
+      plan.toString)
+    assert(plan.toString.contains(s"(funding_date"), plan.toString)
+
+    // the scan must touch only the in-range partitions' files
+    val matchingFiles = new java.io.File(path).listFiles()
+      .filter(d => d.getName.startsWith("funding_date=") &&
+        d.getName.stripPrefix("funding_date=") >= cutoff)
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, plan.toString)
+    assert(scans.head.metrics("numFiles").value === matchingFiles,
+      s"expected $matchingFiles files read, got " +
+        s"${scans.head.metrics("numFiles").value}")
+
+    // the redundant partition predicate must not change the answer
+    val expected = all
+      .filter(col("funding_time") >= to_timestamp(lit(cutoff))).count()
+    assert(read.count() === expected)
+  }
+
   test("dynamic partition overwrite only rewrites touched partitions") {
     val path = tmp("dyn") + "/t"
     val df = Tables.events(spark, "/root/testdata/sf0.001")
