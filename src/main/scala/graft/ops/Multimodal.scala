@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
 /** Raw media row: id + opaque binary payload (image/audio/video bytes). */
 final case class MediaRaw(doc_id: Long, payload: Array[Byte])
 
-/** Decoded media metadata — what a real decoder would emit. */
+/** Decoded media metadata — what a real decoder would emit.
+  * `decode_status` names the parser that produced the geometry
+  * (`png`/`jpeg`/`gif`/`bmp`/`wav`) or `stub` for containers this build
+  * cannot parse — the documented codec stub is queryable observability,
+  * not a silent fake (same no-silent-caps discipline as
+  * `SkewGuard.droppedBuckets`). */
 final case class MediaMeta(doc_id: Long, n_bytes: Long, sha256: String,
-    width: Int, height: Int, n_frames: Int)
+    width: Int, height: Int, n_frames: Int, decode_status: String)
 
 /** Pure-JVM header parsers for the containers whose geometry lives in a
   * fixed-layout header — no codec library needed: PNG, JPEG, GIF, BMP
@@ -166,13 +171,18 @@ object Multimodal {
     * (single-frame) and WAV audio (channels, bit depth, sample frames);
     * stub fallback for any other container. */
   def decodeHeader(payload: Array[Byte]): (Int, Int, Int) =
-    MediaCodecs.pngDims(payload)
-      .orElse(MediaCodecs.jpegDims(payload))
-      .orElse(MediaCodecs.gifDims(payload))
-      .orElse(MediaCodecs.bmpDims(payload))
-      .map { case (w, h) => (w, h, 1) }
-      .orElse(MediaCodecs.wavMeta(payload))
-      .getOrElse(stubDecode(payload))
+    decodeHeaderTagged(payload)._1
+
+  /** [[decodeHeader]] plus the name of the parser that won — `stub`
+    * marks rows whose metadata is the deterministic fake, so a user can
+    * count/filter how much of a corpus carried REAL metadata. */
+  def decodeHeaderTagged(payload: Array[Byte]): ((Int, Int, Int), String) =
+    MediaCodecs.pngDims(payload).map(d => ((d._1, d._2, 1), "png"))
+      .orElse(MediaCodecs.jpegDims(payload).map(d => ((d._1, d._2, 1), "jpeg")))
+      .orElse(MediaCodecs.gifDims(payload).map(d => ((d._1, d._2, 1), "gif")))
+      .orElse(MediaCodecs.bmpDims(payload).map(d => ((d._1, d._2, 1), "bmp")))
+      .orElse(MediaCodecs.wavMeta(payload).map((_, "wav")))
+      .getOrElse((stubDecode(payload), "stub"))
 
   /** One sampled frame: stub "decode" of frame `frame_idx` of a media
     * payload (a real decoder would seek + decode; the fake is a
@@ -271,10 +281,11 @@ object Multimodal {
         // one digest per partition ≙ one codec context per batch
         val md = MessageDigest.getInstance("SHA-256")
         it.map { r =>
-          val (w, h, frames) = decodeHeader(r.payload)
+          val ((w, h, frames), status) = decodeHeaderTagged(r.payload)
           md.reset()
           val sha = md.digest(r.payload).map("%02x".format(_)).mkString
-          MediaMeta(r.doc_id, r.payload.length.toLong, sha, w, h, frames)
+          MediaMeta(r.doc_id, r.payload.length.toLong, sha, w, h, frames,
+            status)
         }
       }
   }

@@ -866,7 +866,13 @@ object TextQueries {
 
     // Multimodal metadata: binary payload column → per-partition (stub)
     // decode via typed mapPartitions. Oracle mirrors the deterministic
-    // stub formulas over the same bytes.
+    // stub formulas over the same bytes, and decode_status mirrors the
+    // container-signature dispatch: a UTF-8 text payload can never carry
+    // the non-ASCII PNG/JPEG magic bytes, so only the ASCII signatures
+    // (BMP "BM", GIF8[79]a, RIFF/WAVE) are checkable SQL-side — all
+    // absent from the fixture corpus (verified at every SF), so every
+    // row reports the honest 'stub'. MultimodalSpec covers the real
+    // codec statuses on planted container bytes.
     QueryDef("m1_multimodal_meta",
       (s, dir) => Multimodal.extractMeta(Tables.documents(s, dir))
         .toDF()
@@ -874,7 +880,14 @@ object TextQueries {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256,
         |  64 + octet_length(encode(text)) % 512 AS width,
         |  64 + (octet_length(encode(text)) * 7) % 512 AS height,
-        |  1 + octet_length(encode(text)) % 8 AS n_frames
+        |  1 + octet_length(encode(text)) % 8 AS n_frames,
+        |  CASE WHEN text LIKE 'BM%' AND octet_length(encode(text)) >= 18
+        |         THEN 'bmp'
+        |       WHEN (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%')
+        |         AND octet_length(encode(text)) >= 10 THEN 'gif'
+        |       WHEN text LIKE 'RIFF%' AND substr(text, 9, 4) = 'WAVE'
+        |         THEN 'wav'
+        |       ELSE 'stub' END AS decode_status
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // Multimodal frame sampling: one row per (stub-)decoded frame, capped

@@ -61,6 +61,8 @@ class MultimodalSpec extends SparkSpec {
     // unparseable container falls back to the deterministic stub
     val (sw, sh, sf) = Multimodal.stubDecode("not an image at all".getBytes("UTF-8"))
     assert((metas(2).width, metas(2).height, metas(2).n_frames) === (sw, sh, sf))
+    // the winning parser is queryable per row — stub rows self-identify
+    assert(metas.map(_.decode_status).toSeq === Seq("png", "jpeg", "stub"))
   }
 
   test("GIF, BMP and WAV headers parse for real") {
@@ -97,6 +99,7 @@ class MultimodalSpec extends SparkSpec {
     assert((metas(0).width, metas(0).height, metas(0).n_frames) === (320, 200, 1))
     assert((metas(1).width, metas(1).height, metas(1).n_frames) === (800, 600, 1))
     assert((metas(2).width, metas(2).height, metas(2).n_frames) === (2, 16, 100))
+    assert(metas.map(_.decode_status).toSeq === Seq("gif", "bmp", "wav"))
   }
 
   test("extracted features are fixed-width, in [0,1], and similarity-ready") {
