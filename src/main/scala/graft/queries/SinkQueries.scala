@@ -73,6 +73,79 @@ object SinkQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM orders""".stripMargin),
 
+    // S14: the corrupt-record QUARANTINE path, oracle-checked — the one
+    // ingest behavior that was scalatest-only. Deterministic payload
+    // lines are synthesized from `events` (valid funding-rate envelopes,
+    // plus two corruption classes: truncated JSON that cannot parse at
+    // all, and type drift where timePoint carries a string), staged as
+    // text, and re-read through the SAME explicit-schema +
+    // columnNameOfCorruptRecord parse the streaming sources use
+    // (JsonApiSource.readFundingBatch). The oracle rebuilds the exact
+    // corrupt line texts from the fixture: counts AND contents of the
+    // quarantine must match, and the clean side must lose nothing.
+    QueryDef("s14_json_quarantine",
+      (s, dir) => {
+        val path = s"${stageDir(dir)}/s14_json"
+        val head = """{"code":"200000","data":{"dataList":[{"symbol":""""
+        val ev = Tables.events(s, dir).select("event_id", "event_type")
+        val truncated = concat(lit(head), col("event_type"), lit("\","))
+        val drift = concat(lit(head), col("event_type"),
+          lit("""","granularity":1,"timePoint":"oops","value":1.5}],"hasMore":false}}"""))
+        val valid = concat(lit(head), col("event_type"),
+          lit("""","granularity":28800000,"timePoint":"""),
+          col("event_id").cast("string"),
+          lit(""","value":1.5}],"hasMore":false}}"""))
+        ev.select(
+          when(col("event_id") % 7 === 0, truncated)
+            .when(col("event_id") % 11 === 0, drift)
+            .otherwise(valid).as("line"))
+          .write.mode("overwrite").text(path)
+
+        val parsed = graft.streaming.JsonApiSource.readFundingBatch(s, path)
+        // ONE pass over ONE scan, deliberately: corrupt-record detection
+        // happens against the scan's REQUIRED schema, so a branch that
+        // reads only (code, _corrupt_record) never parses timePoint and
+        // silently fails to quarantine type drift (measured — the drift
+        // class vanished). Keeping every output on a single full-payload
+        // projection makes the quarantine semantics those of the full
+        // schema, and referencing more than the corrupt column also
+        // stays off the corrupt-column-only read Spark disallows.
+        // Class split: PERMISSIVE still parses the envelope of a DRIFTED
+        // record (code non-null, offending field nulled, raw line
+        // quarantined) while an unparseable line nulls everything — the
+        // envelope code separates the two failure classes.
+        parsed.select(
+            when(col("_corrupt_record").isNull, lit("clean"))
+              .when(col("code").isNotNull, lit("drift"))
+              .otherwise(lit("truncated")).as("status"),
+            when(col("_corrupt_record").isNull,
+              element_at(col("data.dataList.symbol"), 1))
+              .otherwise(col("_corrupt_record")).as("txt"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            min("txt").as("lo"), max("txt").as("hi"))
+          .orderBy("status")
+      },
+      """WITH ev AS (SELECT event_id, event_type FROM events),
+        |h AS (SELECT '{"code":"200000","data":{"dataList":[{"symbol":"'
+        |  AS head)
+        |SELECT 'clean' AS status, count(*) AS n,
+        |  min(event_type) AS lo, max(event_type) AS hi
+        |FROM ev WHERE event_id % 7 <> 0 AND event_id % 11 <> 0
+        |UNION ALL
+        |SELECT 'drift', count(*),
+        |  min(head || event_type ||
+        |    '","granularity":1,"timePoint":"oops","value":1.5}],"hasMore":false}}'),
+        |  max(head || event_type ||
+        |    '","granularity":1,"timePoint":"oops","value":1.5}],"hasMore":false}}')
+        |FROM ev, h WHERE event_id % 7 <> 0 AND event_id % 11 = 0
+        |UNION ALL
+        |SELECT 'truncated', count(*),
+        |  min(head || event_type || '",'),
+        |  max(head || event_type || '",')
+        |FROM ev, h WHERE event_id % 7 = 0
+        |ORDER BY status""".stripMargin),
+
     // ORC roundtrip — the second columnar format a Spark-native engine
     // speaks for free. DuckDB cannot read ORC, so the oracle is the
     // identity check: write∘read must reproduce exactly what the same

@@ -69,21 +69,54 @@ object JsonApiSource {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
+  /** Batch replay of the same explicit-schema + corrupt-record parse the
+    * streaming sources run — one code path for the parse semantics, so
+    * the batch oracle (s14) checks exactly what the streams do. Returns
+    * the raw frame: schema fields plus `_corrupt_record` (null for clean
+    * rows, the raw payload line otherwise).
+    *
+    * The frame is re-rooted on its own RDD, deliberately: Spark decides
+    * corruptness against the scan's REQUIRED schema, so a downstream
+    * projection that drops payload fields (a bare `count()` is enough)
+    * would silently reclassify type-drifted records as clean — the
+    * quarantine's row SET would depend on which columns the reader asked
+    * for. The barrier pins the parse at the full schema; the cost (no
+    * column pruning) is the semantic requirement here — you must parse
+    * everything to know a record is clean. */
+  def readFundingBatch(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read
+      .schema(fundingRatesSchema.add(Corrupt, StringType))
+      .option("columnNameOfCorruptRecord", Corrupt)
+      .json(dir)
+    spark.createDataFrame(raw.rdd, raw.schema)
+  }
+
   /** Quarantine stream: the raw text of every payload line the schema
-    * could not parse (plus `code`, which parses even for most drifted
-    * envelopes). Runs as its own query/checkpoint beside the clean one. */
+    * could not fully parse, plus whatever DID parse (`code` and the
+    * payload struct re-serialized as JSON) for triage — a type-drifted
+    * record keeps its envelope, a truncated line keeps nothing.
+    *
+    * `parsed_payload` is not just triage sugar: corruptness is decided
+    * against the scan's required schema, so the quarantine projection
+    * must reference the FULL payload struct or records whose only defect
+    * is a drifted inner field would not be flagged at all (their bad
+    * field is never parsed). A sink that keeps these columns keeps the
+    * full-schema semantics; do not project them away upstream of the
+    * sink. Runs as its own query/checkpoint beside the clean one. */
   def corruptTickers(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 16): DataFrame =
     readRaw(spark, dir, allTickersSchema, maxFilesPerTrigger)
       .filter(col(Corrupt).isNotNull)
-      .select(col("code"), col(Corrupt))
+      .select(col("code"), to_json(col("data")).as("parsed_payload"),
+        col(Corrupt))
 
   /** Quarantine stream for funding-rate payloads — see [[corruptTickers]]. */
   def corruptFundingRates(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 16): DataFrame =
     readRaw(spark, dir, fundingRatesSchema, maxFilesPerTrigger)
       .filter(col(Corrupt).isNotNull)
-      .select(col("code"), col(Corrupt))
+      .select(col("code"), to_json(col("data")).as("parsed_payload"),
+        col(Corrupt))
 
   /** Streaming spot-pairs source: arriving allTickers payloads →
     * exploded, cleansed USDT tickers (active_spot_pairs_etl.py:23-60's

@@ -175,6 +175,13 @@ class StreamingSpec extends SparkSpec {
       """{"code":"200000","data":{"dataList":[{"symbol":"XBTUSDTM","granularity":28800000,"timePoint":1704096000000,"value":0.0001}],"hasMore":false}}""")
     Files.writeString(java.nio.file.Path.of(s"$src/truncated.json"),
       """{"code":"200000","data":{"dataList":[{"symbol":"XBTUSDTM","granu""")
+    // type DRIFT (timePoint carries a string): valid JSON, bad schema —
+    // must be quarantined too, and its parsed envelope must survive for
+    // triage. This is the class a (code, _corrupt_record)-only
+    // projection would silently misclassify as clean, because the
+    // drifted field would never be parsed at all.
+    Files.writeString(java.nio.file.Path.of(s"$src/drift.json"),
+      """{"code":"200000","data":{"dataList":[{"symbol":"ETHUSDTM","granularity":28800000,"timePoint":"oops","value":0.0002}],"hasMore":false}}""")
     val clean = JsonApiSource.fundingStream(spark, src)
       .writeStream.format("memory").queryName("funding_clean")
       .trigger(Trigger.ProcessingTime(0)).outputMode("append").start()
@@ -185,9 +192,18 @@ class StreamingSpec extends SparkSpec {
       clean.processAllAvailable()
       bad.processAllAvailable()
       assert(spark.table("funding_clean").count() == 1)
-      val quarantined = spark.table("funding_quarantine").collect()
-      assert(quarantined.length == 1)
-      assert(quarantined.head.getString(1).contains("granu"))
+      val quarantined = spark.table("funding_quarantine")
+        .select("code", "parsed_payload", "_corrupt_record")
+        .collect().sortBy(_.getString(2))
+      assert(quarantined.length == 2)
+      val Array(drift, truncated) = quarantined
+      assert(truncated.getString(2).contains("granu"))
+      assert(truncated.isNullAt(0), "nothing parses for a truncated line")
+      assert(drift.getString(2).contains("\"oops\""))
+      assert(drift.getString(0) == "200000",
+        "a drifted record keeps its parsed envelope")
+      assert(drift.getString(1).contains("ETHUSDTM"),
+        "the fields that DID parse surface for triage")
     } finally { clean.stop(); bad.stop() }
   }
 
