@@ -20,6 +20,10 @@ run / fork := true
 // summary line is the genuine last line.
 outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not by another setting —
+// exclude it from the unused-key lint so the warning doesn't precede every
+// batch run's output.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
