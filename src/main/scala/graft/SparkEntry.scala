@@ -25,6 +25,7 @@ object SparkEntry {
       FundingStats.oracleSql)) ++
       graft.queries.CleanseQueries.all ++
       graft.queries.AggQueries.all ++
+      graft.queries.TimeSeriesQueries.all ++
       graft.queries.JoinQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.SimilarityQueries.all ++

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series analytics over the `events` stream: regular-grid resampling
+  * with forward fill, and cohort retention — the two time-shaped workloads a
+  * funding/usage monitor runs beyond the trailing windows FundingStats
+  * already covers (reference cadence: scripts/funding_stats_etl.py:63-120's
+  * per-symbol rolling loop; the grid/retention shapes generalize it).
+  *
+  * Scale shape: both queries shuffle ONCE on their natural key (symbol /
+  * user_id) and aggregate from there; the resample grid is generated
+  * per-symbol with `sequence` + `explode` (no cross join, no driver loop),
+  * so grid size is symbols × hours regardless of corpus row count.
+  */
+object TimeSeriesQueries {
+
+  /** Resample window: one week of the fixtures' Jan-2024 range. Fixed
+    * literals keep the query deterministic vs the oracle (FIXTURES.md
+    * determinism rules — same reasoning as FundingStats.AnchorDate). */
+  private val GridStart = "2024-01-10 00:00:00"
+  private val GridEnd = "2024-01-16 23:00:00"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // g1: hourly-grid forward-fill resample of the funding-rate series.
+    // Union the (deduplicated) observations with the generated grid rows,
+    // then ONE window pass per symbol carries the last at-or-before rate
+    // onto each grid point (`is_grid` orders observations before grid
+    // rows at equal timestamps — exactly the as-of-backward contract of
+    // Joins.asOfAligned, here at grid scale). At 100 TB the plan is one
+    // shuffle on symbol; the grid side is symbols × hours, invariant in
+    // the corpus row count.
+    QueryDef("g1_gapfill_ffill",
+      (s, dir) => {
+        val obs = Tables.events(s, dir)
+          .select(
+            concat(lit("SYM"), (col("user_id") % 20).cast("string"),
+              lit("USDTM")).as("symbol"),
+            col("ts"),
+            (col("value") / 10000.0).as("rate"))
+          // (symbol, ts) made unique up front: the ffill window needs a
+          // total order, and max() is the deterministic tie collapse
+          .groupBy("symbol", "ts").agg(max("rate").as("rate"))
+        val grid = obs.select("symbol").distinct()
+          .withColumn("ts", explode(expr(
+            s"sequence(timestamp'$GridStart', timestamp'$GridEnd', " +
+              "interval 1 hour)")))
+        val unioned = obs.withColumn("is_grid", lit(0))
+          .unionByName(grid
+            .withColumn("rate", lit(null).cast("double"))
+            .withColumn("is_grid", lit(1)))
+        val w = Window.partitionBy("symbol")
+          .orderBy(col("ts").asc, col("is_grid").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned
+          .withColumn("rate_ff", last("rate", ignoreNulls = true).over(w))
+          .filter(col("is_grid") === 1)
+          .select("symbol", "ts", "rate_ff")
+          .orderBy("symbol", "ts")
+      },
+      s"""WITH obs AS (
+         |  SELECT 'SYM' || CAST(user_id % 20 AS VARCHAR) || 'USDTM' AS symbol,
+         |    CAST(ts AS TIMESTAMP) AS ts, max(value / 10000.0) AS rate
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT s.symbol, g.ts
+         |  FROM (SELECT DISTINCT symbol FROM obs) s
+         |  CROSS JOIN (SELECT unnest(generate_series(
+         |    TIMESTAMP '$GridStart', TIMESTAMP '$GridEnd',
+         |    INTERVAL 1 HOUR)) AS ts) g),
+         |u AS (
+         |  SELECT symbol, ts, rate, 0 AS is_grid FROM obs
+         |  UNION ALL
+         |  SELECT symbol, ts, NULL, 1 FROM grid),
+         |f AS (
+         |  SELECT symbol, ts, is_grid,
+         |    last_value(rate IGNORE NULLS) OVER (PARTITION BY symbol
+         |      ORDER BY ts ASC, is_grid ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate_ff
+         |  FROM u)
+         |SELECT symbol, ts, rate_ff FROM f WHERE is_grid = 1
+         |ORDER BY symbol, ts""".stripMargin),
+
+    // g2: weekly cohort retention. Cohort = ISO week of a user's first
+    // event; each (cohort, offset) cell counts the distinct users active
+    // that many weeks later. Both aggregations and the join key on
+    // user_id — one shuffle key end-to-end until the final small
+    // (cohorts × offsets) rollup. Week offsets divide exactly because
+    // both sides are Monday-truncated timestamps.
+    QueryDef("g2_retention_cohorts",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        val cohorts = e.groupBy("user_id").agg(min("w").as("cohort_week"))
+        e.join(cohorts, "user_id")
+          .groupBy(col("cohort_week"),
+            ((unix_timestamp(col("w")) - unix_timestamp(col("cohort_week")))
+              / lit(604800L)).cast("long").as("week_offset"))
+          .agg(countDistinct("user_id").as("users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      """WITH e AS (
+        |  SELECT user_id,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+        |  FROM events),
+        |c AS (SELECT user_id, min(w) AS cohort_week FROM e GROUP BY 1)
+        |SELECT cohort_week,
+        |  (CAST(epoch(w) AS BIGINT) - CAST(epoch(cohort_week) AS BIGINT))
+        |    // 604800 AS week_offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
+}
