@@ -338,6 +338,119 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar-quantization (SQ8) approximate top-k: compress every
+    * dimension to an 8-bit code against per-dimension [min, max] corpus
+    * bounds (the codes are what a 100 TB deployment STORES — d bytes per
+    * vector, an 8× cut vs float32 with no codebook training), score
+    * candidates by the dot product of the midpoint-reconstructed codes
+    * against the raw query, then exactly re-rank the top `rerank·k`.
+    *
+    * Determinism: the quantization grid is min/max per dimension (exact
+    * aggregates), codes are `floor` of an IEEE expression both engines
+    * evaluate identically (saturating at 255 via `least` for v = max),
+    * and reconstruction/scoring reuse the fused left-fold dot product —
+    * so the approximate scores, like PQ's, are oracle-checkable bitwise.
+    *
+    * Scale shape: the per-dimension stats are one narrow posexplode pass
+    * aggregated to d rows, localized and broadcast (the
+    * collect-then-broadcast dimension pattern); encoding is one narrow
+    * pass over the corpus; scoring reads codes only; only `rerank·k`
+    * vectors touch full embeddings again. */
+  def sqTopK(emb: DataFrame, queryId: Long, k: Int,
+      rerank: Int = 4): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      VectorFns.toDouble(col("embedding")).as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy("pos").agg(min("val").as("mn"), max("val").as("mx"))
+    // d rows → one (mns, mxs) array pair, position-ordered — localized
+    // and broadcast everywhere it is read
+    val scale = localizeSmall(stats.agg(
+      transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
+        t => t.getField("mn")).as("mns"),
+      transform(sort_array(collect_list(struct(col("pos"), col("mx")))),
+        t => t.getField("mx")).as("mxs")))
+    val coded = e.crossJoin(broadcast(scale)).select(
+      col("vec_id"),
+      transform(sequence(lit(1), size(col("v"))), i => {
+        val mn = element_at(col("mns"), i)
+        val mx = element_at(col("mxs"), i)
+        val vv = element_at(col("v"), i)
+        when(mx === mn, lit(0L))
+          .otherwise(least(lit(255L), floor((vv - mn) / (mx - mn) * 256.0)))
+      }).as("codes"),
+      col("mns"), col("mxs"))
+    val q = localizeSmall(e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv")))
+    // asymmetric scoring: midpoint reconstruction of the stored code
+    // against the raw query vector, fused left-fold dot product
+    val recon = transform(sequence(lit(1), size(col("codes"))), i => {
+      val mn = element_at(col("mns"), i)
+      val mx = element_at(col("mxs"), i)
+      val cd = element_at(col("codes"), i)
+      mn + (cd.cast("double") + 0.5) * (mx - mn) / 256.0
+    })
+    val scored = coded.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorFns.dot(recon, col("qv")).as("approx_dot"))
+    val cands = scored.filter(col("vec_id") =!= queryId)
+      .orderBy(col("approx_dot").desc, col("vec_id").asc)
+      .limit(rerank * k)
+      .select("vec_id")
+    val en = e.withColumn("nrm", VectorFns.norm(col("v")))
+    val qn = en.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    en.join(cands, Seq("vec_id")).crossJoin(broadcast(qn))
+      .select(col("vec_id"),
+        (VectorFns.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** SemDeDup-style semantic dedup: k-means-cluster the embeddings, then
+    * within each cluster mark every vector whose cosine to a LOWER-id
+    * cluster-mate reaches `threshold` as a duplicate (keep-lowest-id, the
+    * same deterministic survivor rule the text dedup tiers use). Returns
+    * (vec_id, cid, kept) for every input vector.
+    *
+    * This is the scale path for embedding dedup when LSH bucket recall is
+    * not enough: the candidate space is Σ cluster², bounded by choosing
+    * `nCentroids` ∝ corpus size (cluster size stays ~constant) plus the
+    * [[SkewGuard.capBuckets]] cap on degenerate clusters — never
+    * all-pairs. Clustering reuses [[lloydRefine]] (deterministic,
+    * oracle-replayable); assignment is the same min(struct(d2, cid))
+    * hash-aggregate the PQ encoder uses — one narrow pass, no window
+    * sort. Vectors in capped-out clusters are kept (reported, never
+    * silently dropped — same discipline as every other cap). */
+  def semDedup(emb: DataFrame, nCentroids: Int, trainIters: Int,
+      threshold: Double, maxCluster: Int = 100000): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      VectorFns.toDouble(col("embedding")).as("v"))
+    val seeds = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val c = lloydRefine(
+      e.select(col("vec_id").as("id"), col("v")), seeds, Nil, trainIters)
+    val d2 = (VectorFns.dot(col("v"), col("v"))
+      - lit(2.0) * VectorFns.dot(col("v"), col("cv"))
+      + VectorFns.dot(col("cv"), col("cv")))
+    val asg = e.crossJoin(broadcast(c))
+      .withColumn("__d2", d2)
+      .groupBy("vec_id")
+      .agg(min(struct(col("__d2"), col("cid"))).as("__m"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("__m.cid").as("cid"), col("v"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+    val capped = SkewGuard.capBuckets(asg, Seq("cid"), maxCluster)
+    val dropped = capped.as("x").join(capped.as("y"),
+        col("x.cid") === col("y.cid") &&
+          col("x.vec_id") > col("y.vec_id"))
+      .filter(pairCosine >= threshold)
+      .select(col("x.vec_id")).distinct()
+    asg.select("vec_id", "cid")
+      .join(dropped.withColumn("__dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("__dup").isNull.as("kept"))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
     * restricted to same-bucket pairs. */
   def nearDupPairs(emb: DataFrame, bits: Int, threshold: Double,

@@ -38,6 +38,10 @@ object SimilarityQueries {
   private val PqDsub = 8 // dims per subspace
   private val PqNc = 32 // PQ centroids per subspace
   private val PqRerank = 4 // exact re-rank width = PqRerank·AnnK
+  private val SqRerank = 4 // e8 exact re-rank width = SqRerank·AnnK
+  private val SemNc = 8 // d11 semantic-dedup cluster count
+  private val SemIters = 2 // d11 Lloyd rounds
+  private val SemMaxCluster = 100000 // d11 degenerate-cluster cap
   private val AnnK = 10 // query top-k (e1/e3/e6)
   private val NearDupThreshold = 0.35 // d4/d7 cosine cutoff
   // e7 exact-ground-truth query sample: FIXED COUNT, not proportional, so
@@ -200,6 +204,38 @@ object SimilarityQueries {
        |  FROM e JOIN ${p}cand USING (vec_id), ${p}qq
        |  ORDER BY cos_sim DESC, vec_id ASC LIMIT $AnnK)""".stripMargin
 
+  /** SQ8 pipeline over a CTE `e` (vec_id, v): per-dimension [min, max]
+    * grid, 8-bit encoding (floor, saturating at 255), midpoint
+    * reconstruction scored against the raw query, exact re-rank — ends
+    * in `${p}top` (vec_id, cos_sim). Mirrors `Similarity.sqTopK`
+    * expression-for-expression (same operator precedence in the code
+    * and reconstruction arithmetic, same fold order in the dots). */
+  private def dkSqCtes(p: String): String = {
+    val recon = s"list_transform(generate_series(1, len(codes)), i -> " +
+      s"mns[i] + (codes[i]::DOUBLE + 0.5) * (mxs[i] - mns[i]) / 256.0)"
+    s"""${p}st AS (SELECT u.pos, min(e.v[u.pos]) AS mn, max(e.v[u.pos]) AS mx
+       |  FROM e, unnest(generate_series(1, len(e.v))) AS u(pos)
+       |  GROUP BY u.pos),
+       |${p}sc AS (SELECT list(mn ORDER BY pos) AS mns,
+       |    list(mx ORDER BY pos) AS mxs FROM ${p}st),
+       |${p}cd AS (SELECT vec_id,
+       |    list_transform(generate_series(1, len(v)), i ->
+       |      CASE WHEN mxs[i] = mns[i] THEN 0::BIGINT
+       |           ELSE least(255::BIGINT,
+       |             floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 256.0)::BIGINT)
+       |      END) AS codes
+       |  FROM e, ${p}sc),
+       |${p}q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |${p}ap AS (SELECT vec_id, ${dkDot(recon, "qv")} AS approx_dot
+       |  FROM ${p}cd, ${p}sc, ${p}q),
+       |${p}cand AS (SELECT vec_id FROM ${p}ap WHERE vec_id <> 0
+       |  ORDER BY approx_dot DESC, vec_id ASC LIMIT ${SqRerank * AnnK}),
+       |${p}qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |${p}top AS (SELECT e.vec_id, ${dkCos("e.v", "qv")} AS cos_sim
+       |  FROM e JOIN ${p}cand USING (vec_id), ${p}qq
+       |  ORDER BY cos_sim DESC, vec_id ASC LIMIT $AnnK)""".stripMargin
+  }
+
   /** DuckDB replay of the d4 near-dup pair pipeline (no ORDER BY — also
     * the edge set of d7_embed_dedup_clusters). */
   private lazy val d4OracleSql: String =
@@ -345,6 +381,21 @@ object SimilarityQueries {
          |SELECT vec_id, cos_sim FROM ptop
          |ORDER BY cos_sim DESC, vec_id ASC""".stripMargin),
 
+    // Scalar-quantization (SQ8) ANN: every dimension compressed to an
+    // 8-bit code against per-dimension corpus [min, max] bounds — the
+    // training-free 8× compression tier between brute force and PQ.
+    // Midpoint-reconstruction scoring against the raw query, exact
+    // re-rank of the top-40. The oracle replays the quantization grid,
+    // encoding, and fold arithmetic exactly.
+    QueryDef("e8_sq_topk",
+      (s, dir) => Similarity.sqTopK(
+        Tables.embeddings(s, dir), queryId = 0L, k = AnnK,
+        rerank = SqRerank),
+      s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
+         |${dkSqCtes("s")}
+         |SELECT vec_id, cos_sim FROM stop
+         |ORDER BY cos_sim DESC, vec_id ASC""".stripMargin),
+
     // ANN recall as a CORRECTNESS-checked quantity: recall of the e2/e5
     // (per-vector top-3) and e3/e6 (query top-10) shortlists against the
     // exact top-k, computed INSIDE the query — the measured recall is no
@@ -448,6 +499,39 @@ object SimilarityQueries {
          |SELECT emb.vec_id AS doc_id,
          |  least(emb.vec_id, coalesce(m.min_reach, emb.vec_id)) AS cluster_id
          |FROM embeddings emb LEFT JOIN m ON m.doc_id = emb.vec_id
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin),
+
+    // SemDeDup-style semantic dedup: k-means clusters (same deterministic
+    // trainer as e3), within-cluster cosine >= threshold marks the
+    // higher-id vector a duplicate. The candidate space is per-cluster,
+    // not all-pairs — the embedding-dedup shape that scales by growing
+    // the cluster count with the corpus. Oracle replays training,
+    // assignment, and the pair pass.
+    QueryDef("d11_semdedup",
+      (s, dir) => Similarity.semDedup(
+        Tables.embeddings(s, dir), nCentroids = SemNc,
+        trainIters = SemIters, threshold = NearDupThreshold)
+        .orderBy("vec_id"),
+      s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
+         |${dkKmeansCtes("dkm", "e", None, "vec_id", "v", SemNc, Dim,
+            SemIters)},
+         |dc AS (SELECT cid, cv FROM dkmcents$SemIters),
+         |da AS (SELECT e.vec_id, dc.cid, e.v,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ((${dkDot("e.v", "e.v")}
+         |        - (2.0 * ${dkDot("e.v", "dc.cv")}))
+         |        + ${dkDot("dc.cv", "dc.cv")}) ASC, dc.cid ASC) AS rn
+         |  FROM e CROSS JOIN dc),
+         |dasg AS (SELECT vec_id, cid, v FROM da WHERE rn = 1),
+         |dkeep AS (SELECT cid FROM dasg GROUP BY cid
+         |  HAVING count(*) <= $SemMaxCluster),
+         |dcap AS (SELECT dasg.* FROM dasg JOIN dkeep USING (cid)),
+         |ddrop AS (SELECT DISTINCT x.vec_id
+         |  FROM dcap x JOIN dcap y ON x.cid = y.cid
+         |    AND x.vec_id > y.vec_id
+         |  WHERE ${dkCos("x.v", "y.v")} >= $NearDupThreshold)
+         |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS kept
+         |FROM dasg a LEFT JOIN ddrop d USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin)
   )
 }

@@ -413,6 +413,45 @@ object TextQueries {
         |SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin),
 
+    // t12: per-source bigram heavy hitters — corpus n-gram statistics for
+    // contamination screens and boilerplate detection. Consecutive-token
+    // pairs via slice+zip_with (array-local, no positional self-join);
+    // the count aggregate map-side combines, so the shuffle carries one
+    // row per (source, bigram), not per occurrence; top-5 per source is
+    // a bounded window over the already-aggregated counts.
+    QueryDef("t12_top_bigrams",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("source"),
+            TextFns.tokensWs(lower(col("text"))).as("tk"))
+        val bi = toks.select(col("source"),
+          explode(zip_with(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        val counts = bi.groupBy("source", "bigram")
+          .agg(count(lit(1)).as("cnt"))
+        graft.ops.TopK.perGroup(counts, Seq("source"),
+          Seq(col("cnt").desc, col("bigram").asc), k = 5)
+          .select("source", "rank", "bigram", "cnt")
+          .orderBy("source", "rank")
+      },
+      """WITH toks AS (SELECT source,
+        |    regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents),
+        |bi AS (SELECT source,
+        |    unnest(list_transform(generate_series(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+        |  FROM toks),
+        |g AS (SELECT source, bigram, count(*) AS cnt
+        |  FROM bi GROUP BY source, bigram),
+        |r AS (SELECT source, bigram, cnt,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY cnt DESC, bigram ASC) AS rank
+        |  FROM g)
+        |SELECT source, rank, bigram, cnt FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin),
+
     // Near-dup pairs → connected-component dedup clusters: every doc
     // labeled with the min doc_id reachable through the MinHash near-dup
     // graph (singletons label themselves); dedup keeps doc_id ==
