@@ -224,6 +224,38 @@ object SinkQueries {
         |  delim='\t', header=false,
         |  columns={'user_id': 'BIGINT', 'event_type': 'VARCHAR',
         |           'cnt': 'BIGINT', 'max_event': 'BIGINT'})
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin),
+
+    // S15: SCD type-2 history build — the warehouse-side complement of
+    // the reference's truncate-and-reload dimension refreshes
+    // (kucoin_data_etl.py:21-37 keep only the CURRENT state; this derives
+    // the full validity-interval history the reload discards). Each
+    // user's event_type stream collapses to one row per CHANGE with
+    // [valid_from, valid_to) intervals; two window passes share one
+    // partitioning on user_id — a single shuffle at any scale.
+    QueryDef("s15_scd2",
+      (s, dir) => graft.ops.Scd.scd2(
+        Tables.events(s, dir)
+          .select("user_id", "ts", "event_type", "event_id"),
+        key = "user_id", time = "ts", attr = "event_type",
+        tieBreak = Seq(col("event_id").asc))
+        .orderBy("user_id", "change_seq"),
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, event_id FROM events),
+        |m AS (SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC)),
+        |c AS (SELECT user_id, ts, event_type, rn FROM m
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |f AS (SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER w2 AS valid_to,
+        |    row_number() OVER w2 AS change_seq
+        |  FROM c WINDOW w2 AS (PARTITION BY user_id
+        |    ORDER BY ts ASC, rn ASC))
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current, change_seq::BIGINT AS change_seq
+        |FROM f ORDER BY user_id, change_seq""".stripMargin)
   )
 }

@@ -941,6 +941,109 @@ object TextQueries {
         |    unnest(generate_series(0, n - 1)) AS frame_idx FROM f)
         |SELECT doc_id, frame_idx,
         |  md5(text || '#' || frame_idx) AS frame_md5
-        |FROM c ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM c ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // Multimodal patch grid: the ViT-style preprocessing plan — how many
+    // 16x16 patches (and +1 CLS vision tokens) each image yields, from
+    // the decoded geometry m1 extracts. Pure integer arithmetic over the
+    // metadata columns, map-side at any scale; the token count is what a
+    // multimodal training-mix planner budgets on.
+    QueryDef("m3_patch_grid",
+      (s, dir) => {
+        val meta = Multimodal.extractMeta(Tables.documents(s, dir)).toDF()
+        val px = floor((col("width") + lit(15)) / lit(16)).as("patches_x")
+        val py = floor((col("height") + lit(15)) / lit(16)).as("patches_y")
+        meta
+          .select(col("doc_id"), col("width"), col("height"), px, py)
+          .withColumn("n_patches", col("patches_x") * col("patches_y"))
+          .withColumn("vit_tokens", col("n_patches") + lit(1L))
+          .orderBy("doc_id")
+      },
+      """WITH g AS (SELECT doc_id,
+        |    64 + octet_length(encode(text)) % 512 AS width,
+        |    64 + (octet_length(encode(text)) * 7) % 512 AS height
+        |  FROM documents),
+        |p AS (SELECT doc_id, width, height,
+        |    CAST(floor((width + 15) / 16) AS BIGINT) AS patches_x,
+        |    CAST(floor((height + 15) / 16) AS BIGINT) AS patches_y
+        |  FROM g)
+        |SELECT doc_id, width, height, patches_x, patches_y,
+        |  patches_x * patches_y AS n_patches,
+        |  patches_x * patches_y + 1 AS vit_tokens
+        |FROM p ORDER BY doc_id""".stripMargin),
+
+    // Weighted sampling without replacement (Duffield–Lund–Thorup
+    // priority sampling): keep the 5 highest-priority docs per source,
+    // priority = weight / u with u a reproducible md5-derived uniform —
+    // longer docs are proportionally likelier, yet the picked set is a
+    // pure function of the data (layout/engine/rerun stable, unlike
+    // rand()). One shuffle on source; per-group top-k, no global sort.
+    // Float discipline: only +, / and long→double casts — exactly-rounded
+    // IEEE ops, so ranks replay bit-identically in the oracle.
+    QueryDef("s16_weighted_sample",
+      (s, dir) => {
+        import graft.ops.Sampling
+        Sampling.prioritySample(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"),
+              greatest(length(col("text")), lit(1)).cast("long")
+                .as("weight")),
+          key = col("doc_id"), weight = col("weight"),
+          stratum = col("source"), k = 5)
+          .select("source", "doc_id", "weight", "sample_rank")
+          .orderBy("source", "sample_rank")
+      },
+      s"""WITH d AS (SELECT doc_id, source,
+         |    greatest(length(text), 1)::BIGINT AS weight FROM documents),
+         |r AS (SELECT source, doc_id, weight,
+         |    row_number() OVER (PARTITION BY source ORDER BY
+         |      CAST(weight AS DOUBLE) /
+         |        (CAST(${dkHash60("doc_id::VARCHAR")} + 1 AS DOUBLE)
+         |         / CAST(1152921504606846976 AS DOUBLE)) DESC,
+         |      doc_id ASC) AS sample_rank
+         |  FROM d)
+         |SELECT source, doc_id, weight, sample_rank FROM r
+         |WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin),
+
+    // Unigram commonness score: per-doc mean corpus frequency of its
+    // tokens — the zero-shot "is this doc made of ordinary words"
+    // quality signal (a rare-token doc scores low; boilerplate scores
+    // high). The corpus vocabulary is a self-aggregation of the same
+    // token stream, joined back on token (shuffle join — the vocab of a
+    // 100 TB corpus is itself big); all counts stay exact BIGINTs until
+    // ONE final double expression, so the score replays bit-identically.
+    QueryDef("t13_unigram_freq",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(TextFns.tokensWs(lower(col("text")))).as("token"))
+          .filter(col("token") =!= "")
+        val vocab = toks.groupBy("token")
+          .agg(count(lit(1)).as("cnt"))
+        val total = vocab.agg(sum("cnt").cast("long").as("total"))
+        toks.join(vocab, "token")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum("cnt").cast("long").as("sum_freq"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+            (col("sum_freq").cast("double") /
+              (col("n_tokens").cast("double") * col("total").cast("double")))
+              .as("mean_tok_freq"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |t AS (SELECT * FROM toks WHERE token <> ''),
+        |vocab AS (SELECT token, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(cnt)::BIGINT AS sum_freq,
+        |  CAST(sum(cnt) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * CAST(tot.total AS DOUBLE))
+        |    AS mean_tok_freq
+        |FROM t JOIN vocab USING (token) CROSS JOIN tot
+        |GROUP BY doc_id, tot.total ORDER BY doc_id""".stripMargin)
   )
 }

@@ -113,5 +113,61 @@ object TimeSeriesQueries {
         |    // 604800 AS week_offset,
         |  count(DISTINCT e.user_id) AS users
         |FROM e JOIN c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin),
+
+    // g3: rolling z-score anomaly detection — flag observations more than
+    // 2.5 sample standard deviations from their trailing 24-row per-symbol
+    // mean (the monitor's "this funding rate just spiked" alert, batch
+    // form). One shuffle on symbol; mean and variance come from the SAME
+    // window frame via sum/sum-of-squares, so adding the variance costs
+    // no extra pass. Float discipline: sums stay exact DECIMAL inside the
+    // frame, then ONE double expression per statistic (+,-,*,/ and sqrt
+    // are all exactly-rounded IEEE ops, so z replays bit-identically;
+    // no stddev_samp — its accumulation order is engine-specific).
+    QueryDef("g3_zscore_anomaly",
+      (s, dir) => {
+        val obs = Tables.events(s, dir)
+          .select(
+            concat(lit("SYM"), (col("user_id") % 20).cast("string"),
+              lit("USDTM")).as("symbol"),
+            col("ts"), col("value").cast("decimal(18,4)").as("v"))
+          .groupBy("symbol", "ts").agg(max("v").as("v"))
+        val fr = Window.partitionBy("symbol").orderBy(col("ts").asc)
+          .rowsBetween(-23, Window.currentRow)
+        val cntD = count(lit(1)).over(fr).cast("double")
+        val sumD = sum(col("v")).over(fr).cast("double")
+        val sumSqD = sum(col("v") * col("v")).over(fr).cast("double")
+        val mean = sumD / cntD
+        val variance = (sumSqD - sumD * sumD / cntD) / (cntD - lit(1.0))
+        val std = sqrt(greatest(variance, lit(0.0)))
+        obs
+          .withColumn("n_win", count(lit(1)).over(fr).cast("long"))
+          .withColumn("zscore",
+            when(std > 0, (col("v").cast("double") - mean) / std))
+          .filter(col("n_win") >= 12 && abs(col("zscore")) > 2.5)
+          .select(col("symbol"), col("ts"),
+            col("v").cast("double").as("value"), col("zscore"))
+          .orderBy("symbol", "ts")
+      },
+      """WITH obs AS (
+        |  SELECT 'SYM' || CAST(user_id % 20 AS VARCHAR) || 'USDTM' AS symbol,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    max(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT symbol, ts, v,
+        |    (count(*) OVER fr)::DOUBLE AS cnt,
+        |    (sum(v) OVER fr)::DOUBLE AS s,
+        |    (sum(v*v) OVER fr)::DOUBLE AS sq,
+        |    count(*) OVER fr AS n_win
+        |  FROM obs WINDOW fr AS (PARTITION BY symbol ORDER BY ts ASC
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT symbol, ts, v, n_win,
+        |    CASE WHEN sqrt(greatest((sq - s*s/cnt) / (cnt - 1.0), 0.0)) > 0
+        |         THEN (v::DOUBLE - s/cnt)
+        |              / sqrt(greatest((sq - s*s/cnt) / (cnt - 1.0), 0.0))
+        |    END AS zscore
+        |  FROM w)
+        |SELECT symbol, ts, v::DOUBLE AS value, zscore FROM z
+        |WHERE n_win >= 12 AND abs(zscore) > 2.5
+        |ORDER BY symbol, ts""".stripMargin))
 }
