@@ -27,13 +27,15 @@ object TimeSeriesQueries {
   val all: Seq[QueryDef] = Seq(
 
     // g1: hourly-grid forward-fill resample of the funding-rate series.
-    // Union the (deduplicated) observations with the generated grid rows,
-    // then ONE window pass per symbol carries the last at-or-before rate
-    // onto each grid point (`is_grid` orders observations before grid
-    // rows at equal timestamps — exactly the as-of-backward contract of
-    // Joins.asOfAligned, here at grid scale). At 100 TB the plan is one
-    // shuffle on symbol; the grid side is symbols × hours, invariant in
-    // the corpus row count.
+    // Union the RAW observations with the generated grid rows, then ONE
+    // window pass per symbol carries the last at-or-before rate onto each
+    // grid point. Ordering (ts, is_grid, rate) makes the pass subsume the
+    // duplicate-timestamp collapse too: at equal ts, observations sort
+    // before the grid row and ascending rate puts the max last, so
+    // `last(rate, ignoreNulls)` IS max-of-latest-ts — no separate
+    // groupBy(symbol, ts) pre-aggregation, which would shuffle the big
+    // events side a second time (measured: 4 exchanges → 3; the data
+    // path crosses the wire once, on symbol).
     QueryDef("g1_gapfill_ffill",
       (s, dir) => {
         val obs = Tables.events(s, dir)
@@ -42,9 +44,6 @@ object TimeSeriesQueries {
               lit("USDTM")).as("symbol"),
             col("ts"),
             (col("value") / 10000.0).as("rate"))
-          // (symbol, ts) made unique up front: the ffill window needs a
-          // total order, and max() is the deterministic tie collapse
-          .groupBy("symbol", "ts").agg(max("rate").as("rate"))
         val grid = obs.select("symbol").distinct()
           .withColumn("ts", explode(expr(
             s"sequence(timestamp'$GridStart', timestamp'$GridEnd', " +
@@ -54,7 +53,7 @@ object TimeSeriesQueries {
             .withColumn("rate", lit(null).cast("double"))
             .withColumn("is_grid", lit(1)))
         val w = Window.partitionBy("symbol")
-          .orderBy(col("ts").asc, col("is_grid").asc)
+          .orderBy(col("ts").asc, col("is_grid").asc, col("rate").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         unioned
           .withColumn("rate_ff", last("rate", ignoreNulls = true).over(w))
@@ -126,12 +125,23 @@ object TimeSeriesQueries {
     // no stddev_samp — its accumulation order is engine-specific).
     QueryDef("g3_zscore_anomaly",
       (s, dir) => {
-        val obs = Tables.events(s, dir)
+        val raw = Tables.events(s, dir)
           .select(
             concat(lit("SYM"), (col("user_id") % 20).cast("string"),
               lit("USDTM")).as("symbol"),
             col("ts"), col("value").cast("decimal(18,4)").as("v"))
-          .groupBy("symbol", "ts").agg(max("v").as("v"))
+        // duplicate-timestamp collapse (max v per (symbol, ts)) INSIDE
+        // the symbol partitioning: under (ts asc, v desc) the first row
+        // of each ts-run is the max — a groupBy(symbol, ts) would
+        // shuffle the big side a second time. The stats frame below
+        // needs (ts asc), a prefix of this sort, so the pass adds no
+        // exchange and no re-sort.
+        val wD = Window.partitionBy("symbol")
+          .orderBy(col("ts").asc, col("v").desc)
+        val obs = raw
+          .withColumn("__pts", lag("ts", 1).over(wD))
+          .filter(col("__pts").isNull || col("__pts") =!= col("ts"))
+          .drop("__pts")
         val fr = Window.partitionBy("symbol").orderBy(col("ts").asc)
           .rowsBetween(-23, Window.currentRow)
         val cntD = count(lit(1)).over(fr).cast("double")
