@@ -135,6 +135,38 @@ object AggQueries {
       """SELECT event_type, quantile_cont(value, 0.5) AS median_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // Winsorization — clip each value to its group's [p01, p99], the
+    // standard outlier-capping cleanse before training on numeric
+    // features. The percentile frame is groups-sized → broadcast back
+    // onto the fact side (no shuffle of the big side). least/greatest
+    // return one of their inputs, so no float-arithmetic parity risk.
+    // Exact percentile is the oracle-checkable form; at 100 TB swap in
+    // approx_percentile for the cutoffs (same plan shape) — exact
+    // per-group percentile materializes the group's value multiset.
+    QueryDef("c3_winsorize",
+      (s, dir) => {
+        val pct = Tables.events(s, dir).groupBy("event_type")
+          .agg(expr("percentile(value, 0.01D)").as("p01"),
+            expr("percentile(value, 0.99D)").as("p99"))
+        Tables.events(s, dir)
+          .join(broadcast(pct), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            least(greatest(col("value"), col("p01")), col("p99"))
+              .as("value_w"),
+            (col("value") < col("p01") || col("value") > col("p99"))
+              .as("clipped"))
+          .orderBy("event_id")
+      },
+      """WITH p AS (SELECT event_type,
+        |    quantile_cont(value, 0.01) AS p01,
+        |    quantile_cont(value, 0.99) AS p99
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |  least(greatest(value, p01), p99) AS value_w,
+        |  (value < p01 OR value > p99) AS clipped
+        |FROM events JOIN p USING (event_type)
+        |ORDER BY event_id""".stripMargin),
+
     // Free extra: HLL++ approximate distinct. Raw sketch estimates are
     // algorithm-specific (not engine-portable), so the oracle-checked
     // output is the exact distinct count plus an error-bound verdict:

@@ -179,5 +179,62 @@ object TimeSeriesQueries {
         |  FROM w)
         |SELECT symbol, ts, v::DOUBLE AS value, zscore FROM z
         |WHERE n_win >= 12 AND abs(zscore) > 2.5
-        |ORDER BY symbol, ts""".stripMargin))
+        |ORDER BY symbol, ts""".stripMargin),
+
+    // g4: per-symbol OLS trend — slope/intercept of value over time, the
+    // "is this funding rate drifting" signal. One hash aggregation (all
+    // five sums in a single map-side-combined pass), no window, no sort.
+    // NOT regr_slope(): its float accumulation order is engine- and
+    // partition-dependent. All sums are exact DECIMALs (x is seconds from
+    // a fixed anchor, so x² sums stay far from the 38-digit cap), then
+    // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is evaluated once in
+    // doubles — exactly-rounded ops, bit-identical in the oracle replay.
+    QueryDef("g4_trend_slope",
+      (s, dir) => {
+        val anchor = lit("2024-01-01 00:00:00").cast("timestamp")
+        val e = Tables.events(s, dir)
+          .select(
+            concat(lit("SYM"), (col("user_id") % 20).cast("string"),
+              lit("USDTM")).as("symbol"),
+            (unix_timestamp(col("ts")) - unix_timestamp(anchor))
+              .cast("decimal(18,0)").as("x"),
+            col("value").cast("decimal(18,4)").as("y"))
+        val agg = e.groupBy("symbol").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"))
+        agg
+          .withColumn("slope",
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")))
+          .select(col("symbol"), col("n").cast("long").as("n_obs"),
+            col("slope"),
+            ((col("sy") - col("slope") * col("sx")) / col("n"))
+              .as("intercept"))
+          .orderBy("symbol")
+      },
+      """WITH e AS (
+        |  SELECT 'SYM' || CAST(user_id % 20 AS VARCHAR) || 'USDTM' AS symbol,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+        |      - epoch_us(TIMESTAMP '2024-01-01 00:00:00') // 1000000
+        |      AS xs,
+        |    CAST(value AS DECIMAL(18,4)) AS y
+        |  FROM events),
+        |d AS (SELECT symbol, CAST(xs AS DECIMAL(18,0)) AS x, y FROM e),
+        |a AS (SELECT symbol,
+        |    (count(*))::DOUBLE AS n,
+        |    (sum(x))::DOUBLE AS sx,
+        |    (sum(y))::DOUBLE AS sy,
+        |    (sum(x*y))::DOUBLE AS sxy,
+        |    (sum(x*x))::DOUBLE AS sxx,
+        |    count(*)::BIGINT AS n_obs
+        |  FROM d GROUP BY symbol),
+        |r AS (SELECT symbol, n_obs, n, sx, sy,
+        |    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope
+        |  FROM a)
+        |SELECT symbol, n_obs, slope,
+        |  (sy - slope*sx) / n AS intercept
+        |FROM r ORDER BY symbol""".stripMargin))
 }
