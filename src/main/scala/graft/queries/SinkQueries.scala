@@ -256,6 +256,36 @@ object SinkQueries {
         |    ORDER BY ts ASC, rn ASC))
         |SELECT user_id, event_type, valid_from, valid_to,
         |  valid_to IS NULL AS is_current, change_seq::BIGINT AS change_seq
-        |FROM f ORDER BY user_id, change_seq""".stripMargin)
+        |FROM f ORDER BY user_id, change_seq""".stripMargin),
+
+    // S17: targeted physical delete (right-to-be-forgotten / retention
+    // expiry) — the complement of S7's upsert, same stage-and-swap
+    // machinery. Stages the events table partitioned by event_type,
+    // deletes every row of a deterministic user subset, then reads the
+    // REAL post-delete files back; the oracle replays the deletion as a
+    // plain anti-filter over the source. Only partitions containing
+    // affected keys are rewritten (DeleteSpec proves untouched partitions
+    // byte-identical).
+    QueryDef("s17_delete_keys",
+      (s, dir) => {
+        val path = s"${stageDir(dir)}/s17_table"
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type", "value")
+          .write.mode("overwrite").partitionBy("event_type").parquet(path)
+        val keys = Tables.events(s, dir).select("user_id")
+          .filter(col("user_id") % 7 === 0).distinct()
+        graft.ops.Delete.deleteKeysPartitioned(
+          s, path, keys, Seq("user_id"), "event_type")
+        s.read.parquet(path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("value").cast("decimal(18,4)")).cast("double")
+              .as("sum_value"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        |  (sum(CAST(value AS DECIMAL(18,4))))::DOUBLE AS sum_value
+        |FROM events WHERE user_id % 7 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

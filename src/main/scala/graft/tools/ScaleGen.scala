@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   *     Jaccard relations within a replica are untouched;
   *   - embeddings: coordinates rotate by `6·replica` positions — an
   *     orthogonal transform, so within-replica cosines are bit-preserved
-  *     while cross-replica cosines fall to ~0 (random directions).
+  *     while cross-replica cosines fall to ~0 (random directions);
+  *   - events: each replica shifts ts by `replica · 90 days` and
+  *     user_id/event_id by a stride — the time-series growth axis is a
+  *     LONGER history (10× points per symbol; user_id % 20 is preserved
+  *     by the stride, so the symbol universe stays fixed while every
+  *     series extends), not duplicated timestamps a dedup would collapse.
   * So pairs/clusters grow ~linearly with corpus size, which is exactly
   * the regime the scale claims are about.
   *
@@ -65,12 +70,30 @@ object ScaleGen {
         col("label"))
     }.reduce(_ unionByName _)
 
+    // events: ts arrives as TIMESTAMP(NANOS) → read as long nanos (the
+    // same convention Tables.events expects back from the derivative)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$src/events.parquet")
+    val dayNs = 86400L * 1000000000L
+    val eventsN = (0 until replicas).map { r =>
+      events.select(
+        (col("event_id") + lit(r * idStride)).as("event_id"),
+        (col("ts") + lit(r * 90L * dayNs)).as("ts"),
+        // stride is a multiple of 20, so user_id % 20 (the symbol
+        // derivation the g-queries use) is replica-invariant
+        (col("user_id") + lit(r * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+
     docsN.repartition(32).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
     embN.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
+    eventsN.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
     println(s"SCALEGEN docs=${spark.read.parquet(s"$out/documents.parquet").count()} " +
-      s"emb=${spark.read.parquet(s"$out/embeddings.parquet").count()} out=$out")
+      s"emb=${spark.read.parquet(s"$out/embeddings.parquet").count()} " +
+      s"events=${spark.read.parquet(s"$out/events.parquet").count()} out=$out")
     spark.stop()
   }
 }

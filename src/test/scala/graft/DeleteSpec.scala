@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Delete
+
+/** Targeted-delete contract: affected rows vanish, untouched partitions'
+  * FILES are byte-identical (never rewritten or moved), a fully-deleted
+  * partition's directory disappears, and re-deleting is a no-op. */
+class DeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fileSigs(dir: java.io.File): Set[(String, Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(dir).map(f => (f.getPath, f.length, f.lastModified)).toSet
+  }
+
+  test("partitioned delete: only touched partitions rewritten") {
+    val root = Files.createTempDirectory("graft_delete").toFile
+    val path = s"$root/table"
+    Seq(
+      (1L, "A", 10.0), (2L, "A", 20.0),
+      (3L, "B", 30.0), (4L, "B", 40.0),
+      (5L, "C", 50.0), (6L, "C", 60.0)
+    ).toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(path)
+
+    val cBefore = fileSigs(new java.io.File(s"$path/part=C"))
+    // delete k=1 (partition A, partial) and k=3,4 (ALL of partition B)
+    Delete.deleteKeysPartitioned(spark, path,
+      Seq(1L, 3L, 4L).toDF("k"), Seq("k"), "part")
+
+    val back = spark.read.parquet(path)
+    assert(back.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 5L, 6L))
+    // B was emptied: its directory is gone
+    assert(!new java.io.File(s"$path/part=B").exists())
+    // C was untouched: same files, same bytes, same mtimes
+    assert(fileSigs(new java.io.File(s"$path/part=C")) == cBefore)
+
+    // idempotent: the keys are gone, so nothing is touched at all
+    val aAfter = fileSigs(new java.io.File(s"$path/part=A"))
+    Delete.deleteKeysPartitioned(spark, path,
+      Seq(1L, 3L, 4L).toDF("k"), Seq("k"), "part")
+    assert(fileSigs(new java.io.File(s"$path/part=A")) == aAfter)
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
+  test("whole-table delete and missing-table no-op") {
+    val root = Files.createTempDirectory("graft_delete2").toFile
+    val path = s"$root/table"
+    // deleting from a table that does not exist is a no-op, not a crash
+    Delete.deleteKeys(spark, path, Seq(1L).toDF("k"), Seq("k"))
+    assert(!new java.io.File(path).exists())
+
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "s")
+      .write.parquet(path)
+    Delete.deleteKeys(spark, path, Seq(2L).toDF("k"), Seq("k"))
+    assert(spark.read.parquet(path).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+  }
+}
