@@ -286,6 +286,35 @@ object SinkQueries {
       """SELECT event_type, count(*)::BIGINT AS n_rows,
         |  (sum(CAST(value AS DECIMAL(18,4))))::DOUBLE AS sum_value
         |FROM events WHERE user_id % 7 <> 0
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // S18: small-file compaction — stage the events table fragmented
+    // (16 files per partition, the after-a-month-of-5-min-ticks layout),
+    // compact, and read the REAL post-compaction files back. The oracle
+    // is the same aggregation from the source: compaction must be
+    // byte-exact on data while collapsing the layout (CompactSpec proves
+    // the file counts and the untouched-partition guarantee; here the
+    // oracle proves no row was lost, duplicated, or altered).
+    QueryDef("s18_compaction",
+      (s, dir) => {
+        val path = s"${stageDir(dir)}/s18_table"
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type", "value")
+          .repartition(16)
+          .write.mode("overwrite").partitionBy("event_type").parquet(path)
+        graft.ops.Compact.compactPartitions(s, path, "event_type",
+          maxFiles = 2, targetBytes = 1L << 30)
+        s.read.parquet(path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("value").cast("decimal(18,4)")).cast("double")
+              .as("sum_value"),
+            sum(col("event_id")).cast("long").as("sum_ids"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        |  (sum(CAST(value AS DECIMAL(18,4))))::DOUBLE AS sum_value,
+        |  sum(event_id)::BIGINT AS sum_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }
