@@ -96,6 +96,46 @@ object AggQueries {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
+    // Free extra: the classic 3-table OLAP pipeline in ONE query (TPC-H
+    // Q3 shape): selective dim filter → fact join chain on one key path
+    // (custkey, then orderkey) → revenue aggregation → global top-10.
+    // Plan shape at scale: the filtered customer side broadcasts, the
+    // orders⋈lineitem equi-join shuffles on orderkey once, both date
+    // filters reach the parquet scans, and the final top-10 is
+    // TakeOrderedAndProject (no global sort). Revenue uses the a4
+    // decimal-sum discipline; the deterministic tiebreak is l_orderkey.
+    QueryDef("a20_shipping_priority",
+      (s, dir) => {
+        val cut = lit("1998-06-01 00:00:00").cast("timestamp")
+        val c = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < cut)
+          .select("o_orderkey", "o_custkey", "o_orderdate",
+            "o_orderpriority")
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > cut)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin),
+
     // Free extra: CUBE over two grouping columns (reference has none;
     // Spark/DuckDB both native). NULLS FIRST pinned — Spark's ASC default
     // is nulls-first, DuckDB's is nulls-last.

@@ -236,5 +236,71 @@ object TimeSeriesQueries {
         |  FROM a)
         |SELECT symbol, n_obs, slope,
         |  (sy - slope*sx) / n AS intercept
-        |FROM r ORDER BY symbol""".stripMargin))
+        |FROM r ORDER BY symbol""".stripMargin),
+
+    // g5: pairwise Pearson correlation between symbol series on a shared
+    // hourly grid — the co-movement matrix a funding monitor screens for
+    // correlated rates. Hourly collapse first (symbols × hours frame,
+    // corpus-size-invariant like g1's grid), self-join on the hour key,
+    // then one hash aggregation per pair with the same exact-decimal-sums
+    // / one-double-expression discipline as g4 (no corr() builtin — its
+    // float accumulation order is engine-specific). sqrt is IEEE
+    // exactly-rounded, so the replay is bit-identical; zero-variance
+    // series yield NULL, not a division error.
+    QueryDef("g5_pairwise_corr",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .select(
+            concat(lit("SYM"), (col("user_id") % 20).cast("string"),
+              lit("USDTM")).as("symbol"),
+            date_trunc("hour", col("ts")).as("h"),
+            col("value").cast("decimal(18,4)").as("v"))
+          .groupBy("symbol", "h").agg(max("v").as("v"))
+        val a = hourly.select(col("symbol").as("sym_a"), col("h"),
+          col("v").as("va"))
+        val b = hourly.select(col("symbol").as("sym_b"), col("h"),
+          col("v").as("vb"))
+        val sums = a.join(b, Seq("h"))
+          .filter(col("sym_a") < col("sym_b"))
+          .groupBy("sym_a", "sym_b")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("va")).cast("double").as("sx"),
+            sum(col("vb")).cast("double").as("sy"),
+            sum(col("va") * col("vb")).cast("double").as("sxy"),
+            sum(col("va") * col("va")).cast("double").as("sxx"),
+            sum(col("vb") * col("vb")).cast("double").as("syy"))
+        val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))
+        sums
+          .filter(col("n") >= 24.0)
+          .select(col("sym_a"), col("sym_b"),
+            col("n").cast("long").as("n_hours"),
+            when(den > 0,
+              (col("n") * col("sxy") - col("sx") * col("sy")) / den)
+              .as("corr"))
+          .orderBy("sym_a", "sym_b")
+      },
+      """WITH hourly AS (
+        |  SELECT 'SYM' || CAST(user_id % 20 AS VARCHAR) || 'USDTM' AS symbol,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    max(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT x.symbol AS sym_a, y.symbol AS sym_b,
+        |    x.v AS va, y.v AS vb
+        |  FROM hourly x JOIN hourly y ON x.h = y.h
+        |  WHERE x.symbol < y.symbol),
+        |s AS (SELECT sym_a, sym_b,
+        |    (count(*))::DOUBLE AS n,
+        |    (sum(va))::DOUBLE AS sx, (sum(vb))::DOUBLE AS sy,
+        |    (sum(va*vb))::DOUBLE AS sxy,
+        |    (sum(va*va))::DOUBLE AS sxx, (sum(vb*vb))::DOUBLE AS syy
+        |  FROM p GROUP BY sym_a, sym_b)
+        |SELECT sym_a, sym_b, n::BIGINT AS n_hours,
+        |  CASE WHEN sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy) > 0
+        |       THEN (n*sxy - sx*sy)
+        |            / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+        |  END AS corr
+        |FROM s WHERE n >= 24.0
+        |ORDER BY sym_a, sym_b""".stripMargin))
 }
