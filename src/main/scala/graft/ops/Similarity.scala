@@ -422,6 +422,53 @@ object Similarity {
     * hash-aggregate the PQ encoder uses — one narrow pass, no window
     * sort. Vectors in capped-out clusters are kept (reported, never
     * silently dropped — same discipline as every other cap). */
+  /** Maximal-Marginal-Relevance diversified top-k: greedily pick the
+    * candidate maximizing `wRel·sim(q,c) − wDiv·max_{s∈picked} sim(c,s)`
+    * — relevance minus redundancy, the reranker that turns "top-k most
+    * similar" into "top-k similar AND mutually different" (the diversity
+    * pass a training-mix or retrieval pipeline runs over a shortlist).
+    *
+    * Plan shape: the distributed work is the exact shortlist scan
+    * ([[bruteForceTopK]]); the greedy loop then runs k unrolled steps
+    * over the LOCALIZED shortlist (bounded: `shortlist` rows — the same
+    * collect-then-broadcast dimension pattern as [[lloydRefine]]), each
+    * step one anti-join + max-aggregate + argmax over ≤ shortlist rows,
+    * so the iterated plan stays flat and nothing big is ever re-shuffled.
+    *
+    * `wRel`/`wDiv` are taken separately (NOT `1−λ` computed at runtime:
+    * `1.0 − 0.7` is `0.30000000000000004` while an oracle's literal
+    * `0.3` is not — the caller pins both literals on both sides).
+    * Ties break on vec_id for a total order.
+    */
+  def mmrTopK(emb: DataFrame, queryId: Long, k: Int, shortlist: Int,
+      wRel: Double, wDiv: Double): DataFrame = {
+    val short = localizeSmall(
+      bruteForceTopK(emb, queryId, shortlist)
+        .join(emb.select(col("vec_id"),
+          VectorFns.toDouble(col("embedding")).as("v")), "vec_id")
+        .select(col("vec_id"), col("cos_sim"), col("v")))
+    var sel = localizeSmall(short
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("cos_sim"), col("v"),
+        lit(1L).as("mmr_rank"), col("cos_sim").as("mmr_score")))
+    for (i <- 2 to k) {
+      val cand = short.join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+      val selV = broadcast(sel.select(col("v").as("sv")))
+      val scored = cand.crossJoin(selV)
+        .groupBy("vec_id", "cos_sim")
+        .agg(max(VectorFns.cosine(col("v"), col("sv"))).as("max_sel_sim"),
+          first(col("v")).as("v"))
+        .withColumn("mmr_score",
+          lit(wRel) * col("cos_sim") - lit(wDiv) * col("max_sel_sim"))
+      val pick = scored
+        .orderBy(col("mmr_score").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("cos_sim"), col("v"),
+          lit(i.toLong).as("mmr_rank"), col("mmr_score"))
+      sel = localizeSmall(sel.unionByName(pick))
+    }
+    sel.select("vec_id", "mmr_rank", "cos_sim", "mmr_score")
+  }
+
   def semDedup(emb: DataFrame, nCentroids: Int, trainIters: Int,
       threshold: Double, maxCluster: Int = 100000): DataFrame = {
     val e = emb.select(col("vec_id"),

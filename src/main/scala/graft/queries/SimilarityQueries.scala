@@ -43,6 +43,8 @@ object SimilarityQueries {
   private val SemIters = 2 // d11 Lloyd rounds
   private val SemMaxCluster = 100000 // d11 degenerate-cluster cap
   private val AnnK = 10 // query top-k (e1/e3/e6)
+  private val MmrK = 5 // e9 diversified picks
+  private val MmrShortlist = 20 // e9 relevance shortlist
   private val NearDupThreshold = 0.35 // d4/d7 cosine cutoff
   // e7 exact-ground-truth query sample: FIXED COUNT, not proportional, so
   // the sample×corpus scoring pass stays O(corpus) as the corpus grows
@@ -532,6 +534,54 @@ object SimilarityQueries {
          |  WHERE ${dkCos("x.v", "y.v")} >= $NearDupThreshold)
          |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS kept
          |FROM dasg a LEFT JOIN ddrop d USING (vec_id)
-         |ORDER BY a.vec_id""".stripMargin)
+         |ORDER BY a.vec_id""".stripMargin),
+
+    // e9: MMR diversified top-k — relevance minus redundancy over the
+    // exact top-20 shortlist (wRel=0.7, wDiv=0.3; the weights are pinned
+    // as literals on BOTH sides — `1.0 - 0.7` computed at runtime is
+    // 0.30000000000000004, not the literal 0.3). The oracle unrolls the
+    // greedy loop step-for-step: each CTE excludes the already-picked
+    // set, takes max-similarity-to-picked per candidate, and argmaxes
+    // the score with the vec_id tiebreak — same replay idiom as the
+    // k-means training CTEs.
+    QueryDef("e9_mmr_topk",
+      (s, dir) => Similarity.mmrTopK(Tables.embeddings(s, dir),
+        queryId = 0L, k = MmrK, shortlist = MmrShortlist,
+        wRel = 0.7, wDiv = 0.3)
+        .orderBy("mmr_rank"),
+      dkMmr(MmrK, MmrShortlist))
   )
+
+  /** Unrolled MMR greedy CTEs (see e9 above). */
+  private def dkMmr(k: Int, shortlist: Int): String = {
+    val steps = (2 to k).map { i =>
+      val selu = (1 until i).map(j => s"SELECT vec_id, v FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""selu${i - 1} AS ($selu),
+         |sel$i AS (
+         |  SELECT vec_id, cos_sim, v, $i AS mmr_rank,
+         |    0.7 * cos_sim - 0.3 * mx AS mmr_score
+         |  FROM (
+         |    SELECT c.vec_id, c.cos_sim, c.v,
+         |      max(${dkCos("c.v", "s.v")}) AS mx
+         |    FROM short c, selu${i - 1} s
+         |    WHERE c.vec_id NOT IN (SELECT vec_id FROM selu${i - 1})
+         |    GROUP BY c.vec_id, c.cos_sim, c.v) t
+         |  ORDER BY mmr_score DESC, vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(i =>
+      s"SELECT vec_id, mmr_rank, cos_sim, mmr_score FROM sel$i")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, $toD AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |short AS (SELECT e.vec_id, ${dkCos("e.v", "qv")} AS cos_sim, e.v
+       |  FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY cos_sim DESC, vec_id ASC LIMIT $shortlist),
+       |sel1 AS (SELECT vec_id, cos_sim, v, 1 AS mmr_rank,
+       |    cos_sim AS mmr_score
+       |  FROM short ORDER BY cos_sim DESC, vec_id ASC LIMIT 1),
+       |$steps
+       |SELECT vec_id, mmr_rank::BIGINT AS mmr_rank, cos_sim, mmr_score
+       |FROM ($unionAll) ORDER BY mmr_rank""".stripMargin
+  }
 }
