@@ -132,4 +132,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("a20 Q3 pipeline: top-10 is TakeOrdered, dim broadcast, filters pushed") {
+    // the global top-10 must NOT be a full sort; the filtered customer
+    // side must broadcast; both date predicates must reach the scans
+    val p = plan("a20_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan") ||
+      p.contains("GreaterThan(l_shipdate"), p)
+  }
+
+  test("g3/g1: duplicate-ts collapse shares the window's symbol partitioning") {
+    // exchanges only exist post-EnsureRequirements → use executedPlan.
+    // one hash exchange for the events side (the output orderBy adds a
+    // range partitioning) — a groupBy(symbol, ts) pre-agg would add a
+    // second hash exchange of the big side
+    def executed(name: String): String =
+      SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+    val g3 = executed("g3_zscore_anomaly")
+    assert("Exchange hashpartitioning".r.findAllIn(g3).length == 1, g3)
+    val g1 = executed("g1_gapfill_ffill")
+    // obs window + tiny distinct-symbols grid branch
+    assert("Exchange hashpartitioning".r.findAllIn(g1).length <= 2, g1)
+  }
 }
