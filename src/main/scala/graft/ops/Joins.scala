@@ -118,4 +118,38 @@ object Joins {
       .select(col("__p.*"), col("__asof.t").as("asof_time"),
         col("__asof.v").as("asof_value"))
   }
+
+  /** Interval-overlap join without a cross product: pairs (a, b) whose
+    * half-open intervals [start, end) intersect — `a.s < b.e AND
+    * b.s < a.e`. The naive plan is a Cartesian product with a non-equi
+    * predicate (O(|A|·|B|)); this grid-partitions time instead: each
+    * interval explodes to the coarse buckets it spans, candidates
+    * equi-join on the bucket key (a plain shuffle join), the exact
+    * predicate verifies, and DISTINCT collapses pairs that met in more
+    * than one shared bucket. Candidate volume is Σ per-bucket |A|·|B| —
+    * bounded by temporal locality instead of table sizes, the same
+    * bucketize-then-verify discipline as the LSH dedup family.
+    *
+    * `bucketSeconds` trades explode factor against candidate density:
+    * pick it near the typical interval length (an interval then spans
+    * ~2 buckets).
+    *
+    * Inputs need (`id`, `startSec`, `endSec`) columns (epoch seconds,
+    * end exclusive); outputs one row per overlapping (a_id, b_id).
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0)
+    def exploded(df: DataFrame, p: String): DataFrame = df.select(
+      col("id").as(s"${p}_id"),
+      col("startSec").as(s"${p}_s"), col("endSec").as(s"${p}_e"),
+      explode(sequence(
+        expr(s"startSec div $bucketSeconds"),
+        // end EXCLUSIVE: an interval ending exactly on a bucket boundary
+        // does not reach into that bucket
+        expr(s"(endSec - 1) div $bucketSeconds"))).as("__bkt"))
+    exploded(a, "a").join(exploded(b, "b"), "__bkt")
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select("a_id", "b_id").distinct()
+  }
 }

@@ -96,6 +96,76 @@ object AggQueries {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
+    // Data profiling (deequ-style observability): per-column row/null/
+    // distinct counts plus typed min/max — the first thing a pipeline
+    // runs on an unfamiliar or drifting table. One narrow aggregate per
+    // profiled column, unioned into a (columns × metrics) report;
+    // numeric bounds land in min/max_num (long→double casts, exact),
+    // string bounds in min/max_str — no cross-type formatting, so the
+    // report replays exactly.
+    QueryDef("c4_data_profile",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        def base(cn: String) = e.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(when(col(cn).isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_null"),
+          countDistinct(col(cn)).cast("long").as("n_distinct"))
+        def num(cn: String) = e.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(when(col(cn).isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_null"),
+          countDistinct(col(cn)).cast("long").as("n_distinct"),
+          min(col(cn)).cast("double").as("min_num"),
+          max(col(cn)).cast("double").as("max_num"))
+          .select(lit(cn).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_num"), col("max_num"),
+            lit(null).cast("string").as("min_str"),
+            lit(null).cast("string").as("max_str"))
+        def str(cn: String) = base(cn)
+          .select(lit(cn).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"),
+            lit(null).cast("double").as("min_num"),
+            lit(null).cast("double").as("max_num"))
+          .crossJoin(e.agg(min(col(cn)).as("min_str"),
+            max(col(cn)).as("max_str")))
+        num("event_id")
+          .unionByName(num("user_id"))
+          .unionByName(num("value"))
+          .unionByName(str("event_type"))
+          .orderBy("col_name")
+      },
+      """WITH p AS (
+        |  SELECT 'event_id' AS col_name, count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |    count(DISTINCT event_id)::BIGINT AS n_distinct,
+        |    (min(event_id))::DOUBLE AS min_num,
+        |    (max(event_id))::DOUBLE AS max_num,
+        |    NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', count(*)::BIGINT,
+        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT user_id)::BIGINT,
+        |    (min(user_id))::DOUBLE, (max(user_id))::DOUBLE,
+        |    NULL::VARCHAR, NULL::VARCHAR
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'value', count(*)::BIGINT,
+        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT value)::BIGINT,
+        |    min(value), max(value),
+        |    NULL::VARCHAR, NULL::VARCHAR
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', count(*)::BIGINT,
+        |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT event_type)::BIGINT,
+        |    NULL::DOUBLE, NULL::DOUBLE,
+        |    min(event_type), max(event_type)
+        |  FROM events)
+        |SELECT * FROM p ORDER BY col_name""".stripMargin),
+
     // Free extra: the classic 3-table OLAP pipeline in ONE query (TPC-H
     // Q3 shape): selective dim filter → fact join chain on one key path
     // (custkey, then orderkey) → revenue aggregation → global top-10.

@@ -170,6 +170,36 @@ object JoinQueries {
         |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |       pvalue AS value,
         |       CAST(a.t AS TIMESTAMP) AS asof_time, a.v AS asof_value
-        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin),
+
+    // Free: interval-overlap join — pairs of 6-hour activity windows
+    // (high-value views × high-value purchases) that intersect in time.
+    // The Spark plan grid-partitions time into day buckets and
+    // equi-joins on the bucket (bucketize-then-verify — candidate
+    // volume bounded by temporal locality, never |A|·|B|); the oracle
+    // runs the honest tiny cross join with the same half-open overlap
+    // predicate, so the bucketing must lose and invent nothing.
+    QueryDef("j9_interval_overlap",
+      (s, dir) => {
+        def side(t: String) = Tables.events(s, dir)
+          .filter(col("event_type") === t && col("value") > 197)
+          .select(col("event_id").as("id"),
+            unix_timestamp(col("ts")).as("startSec"),
+            (unix_timestamp(col("ts")) + lit(21600L)).as("endSec"))
+        Joins.intervalOverlap(side("view"), side("purchase"),
+          bucketSeconds = 86400L)
+          .orderBy("a_id", "b_id")
+      },
+      """WITH a AS (SELECT event_id AS a_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS a_s,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 21600 AS a_e
+        |  FROM events WHERE event_type = 'view' AND value > 197),
+        |b AS (SELECT event_id AS b_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS b_s,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 21600 AS b_e
+        |  FROM events WHERE event_type = 'purchase' AND value > 197)
+        |SELECT a_id, b_id FROM a, b
+        |WHERE a_s < b_e AND b_s < a_e
+        |ORDER BY a_id, b_id""".stripMargin)
   )
 }
