@@ -206,6 +206,56 @@ object AggQueries {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin),
 
+    // Free extra: the 6-table snowflake rollup (TPC-H Q5 shape) —
+    // revenue by nation where customer and supplier share the nation,
+    // region-filtered. Exercises the whole relational catalog in one
+    // plan: region→nation→supplier is a broadcast dim CHAIN (each hop
+    // dimension-sized), the customer⋈orders⋈lineitem fact path shuffles
+    // on its join keys, and the nation equality (c_nationkey =
+    // s_nationkey) rides the fact row, costing nothing extra. Same a4
+    // decimal-sum discipline for revenue.
+    QueryDef("a21_local_supplier_volume",
+      (s, dir) => {
+        val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+        val nat = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val sup = Tables.supplier(s, dir)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_nationkey", "n_name")
+        val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= cut)
+          .select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice",
+            "l_discount")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .filter(col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name").asc)
+      },
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND c_nationkey = s_nationkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin),
+
     // Free extra: CUBE over two grouping columns (reference has none;
     // Spark/DuckDB both native). NULLS FIRST pinned — Spark's ASC default
     // is nulls-first, DuckDB's is nulls-last.
