@@ -96,6 +96,36 @@ object AggQueries {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
+    // Rolling 7-day active users (the WAU shape): rolling DISTINCT
+    // counts don't compose through window frames, so the scalable
+    // formulation pre-collapses to the (day, user) frame (tiny vs the
+    // event stream), fans each day out to the ≤7 window-ends it serves,
+    // and counts distinct per window-end — explode factor is the window
+    // length, candidate volume days×users, never events×7.
+    QueryDef("a22_rolling_active_users",
+      (s, dir) => {
+        val du = Tables.events(s, dir)
+          .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+          .distinct()
+        val maxDay = du.agg(max("d").as("max_d"))
+        du.withColumn("wend", explode(expr(
+            "sequence(d, d + INTERVAL 6 DAYS, INTERVAL 1 DAY)")))
+          .crossJoin(broadcast(maxDay))
+          .filter(col("wend") <= col("max_d"))
+          .groupBy("wend")
+          .agg(countDistinct("user_id").as("active_7d"))
+          .orderBy("wend")
+      },
+      """WITH du AS (SELECT DISTINCT
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, user_id
+        |  FROM events),
+        |mx AS (SELECT max(d) AS max_d FROM du),
+        |c AS (SELECT unnest(generate_series(d, d + INTERVAL 6 DAY,
+        |    INTERVAL 1 DAY)) AS wend, user_id FROM du)
+        |SELECT wend, count(DISTINCT user_id)::BIGINT AS active_7d
+        |FROM c, mx WHERE wend <= max_d
+        |GROUP BY wend ORDER BY wend""".stripMargin),
+
     // Data profiling (deequ-style observability): per-column row/null/
     // distinct counts plus typed min/max — the first thing a pipeline
     // runs on an unfamiliar or drifting table. One narrow aggregate per
