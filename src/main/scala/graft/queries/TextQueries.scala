@@ -581,6 +581,41 @@ object TextQueries {
            |ORDER BY source_a, source_b""".stripMargin
       }),
 
+    // Split-leakage detector: near-duplicate pairs that STRADDLE the
+    // train/eval hash split — the eval-contamination report every
+    // training-data build must run before trusting its eval numbers
+    // (a near-dup of a training doc in the eval set inflates every
+    // metric). Pure composition: d2's verified pairs ⋈ s1's split
+    // assignment ×2, keep the crossers.
+    QueryDef("x2_split_leakage",
+      (s, dir) => {
+        import graft.ops.Sampling
+        val docs = Tables.documents(s, dir)
+        val split = docs.select(col("doc_id"),
+          when(Sampling.hashBucket(col("doc_id")) < 80, "train")
+            .otherwise("eval").as("split"))
+        TextDedup.minHashNearDups(docs, k = 16, bands = 4, threshold = 0.4)
+          .join(split.toDF("doc_a", "split_a"), Seq("doc_a"))
+          .join(split.toDF("doc_b", "split_b"), Seq("doc_b"))
+          .filter(col("split_a") =!= col("split_b"))
+          .select("doc_a", "doc_b", "split_a", "split_b")
+          .orderBy("doc_a", "doc_b")
+      },
+      {
+        val pairSql = d2OracleSql.replaceAll("ORDER BY doc_a, doc_b\\s*$", "")
+        s"""WITH pr AS ($pairSql),
+           |sp AS (SELECT doc_id,
+           |    CASE WHEN ${dkHash60("doc_id::VARCHAR")} % 100 < 80
+           |         THEN 'train' ELSE 'eval' END AS split
+           |  FROM documents)
+           |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b
+           |FROM pr
+           |JOIN sp sa ON sa.doc_id = pr.doc_a
+           |JOIN sp sb ON sb.doc_id = pr.doc_b
+           |WHERE sa.split <> sb.split
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     // Dedup capstone: keep the BEST-quality doc per near-dup cluster
     // (argmax quality score, doc_id tiebreak) — what a production dedup
     // ships, instead of keep-lowest-id. Composes d6's clusters with
