@@ -315,6 +315,38 @@ object SinkQueries {
       """SELECT event_type, count(*)::BIGINT AS n_rows,
         |  (sum(CAST(value AS DECIMAL(18,4))))::DOUBLE AS sum_value,
         |  sum(event_id)::BIGINT AS sum_ids
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // S19: schema evolution — a live table gains a column without
+    // rewriting history. Batch 1 lands in the old 3-column schema,
+    // batch 2 appends with a new `category` column; a mergeSchema read
+    // unifies them (legacy rows surface NULL, coalesced to a marker).
+    // The oracle recomputes the same report from the source, so the
+    // evolved read must lose no row and invent no value — the upgrade
+    // path a 100 TB store takes instead of a full rewrite.
+    QueryDef("s19_schema_evolution",
+      (s, dir) => {
+        val path = s"${stageDir(dir)}/s19_table"
+        val e = Tables.events(s, dir)
+        e.filter(col("user_id") % 2 === 0)
+          .select("event_id", "user_id", "value")
+          .write.mode("overwrite").parquet(path)
+        e.filter(col("user_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type").as("category"))
+          .write.mode("append").parquet(path)
+        s.read.option("mergeSchema", "true").parquet(path)
+          .groupBy(coalesce(col("category"), lit("__legacy__"))
+            .as("category"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double")
+              .as("sum_value"))
+          .orderBy("category")
+      },
+      """SELECT CASE WHEN user_id % 2 = 1 THEN event_type
+        |       ELSE '__legacy__' END AS category,
+        |  count(*)::BIGINT AS n,
+        |  (sum(CAST(value AS DECIMAL(18,4))))::DOUBLE AS sum_value
+        |FROM events GROUP BY 1 ORDER BY category""".stripMargin)
   )
 }
