@@ -544,6 +544,30 @@ object AggQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 25 OFFSET 100""".stripMargin),
 
+    // O5: keyset pagination — the scale-correct page fetch o4's scaladoc
+    // caveat points at: OFFSET must produce and discard every earlier
+    // row (page 10,000 of a 100 TB table scans 10,000 pages), while a
+    // keyset cursor turns the same page into a pushed-down range filter
+    // + top-k. The cursor tuple is (o_orderdate, o_orderkey) — the
+    // lexicographic row-value comparison spelled as an explicit OR so
+    // both engines plan it identically.
+    QueryDef("o5_keyset_pagination",
+      (s, dir) => {
+        val curDate = lit("1997-06-01 00:00:00").cast("timestamp")
+        val curKey = lit(500L)
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") > curDate ||
+            (col("o_orderdate") === curDate && col("o_orderkey") > curKey))
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+          .orderBy("o_orderdate", "o_orderkey")
+          .limit(25)
+      },
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
+        |   OR (o_orderdate = TIMESTAMP '1997-06-01 00:00:00'
+        |       AND o_orderkey > 500)
+        |ORDER BY o_orderdate, o_orderkey LIMIT 25""".stripMargin),
+
     // A17: scalar-subquery comparison (value above the GLOBAL mean) —
     // DataFrame form: 1-row aggregate broadcast-crossed into the filter;
     // never a driver-side collect of the scalar.
