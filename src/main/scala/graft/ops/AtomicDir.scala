@@ -29,12 +29,25 @@ private[ops] object AtomicDir {
   def oldFor(target: HPath): HPath =
     new HPath(target.getParent, target.getName + "__old__")
 
+  /** Parking dir for partitions a delete has fully EMPTIED. Distinct from
+    * [[oldFor]] because recovery must treat the two oppositely: an
+    * interrupted swap restores `__old__` (the replacement never landed),
+    * but restoring a fully-deleted partition would resurrect rows the
+    * delete had already removed — so [[recoverInterruptedSwap]] PURGES
+    * this dir instead. */
+  def droppedFor(target: HPath): HPath =
+    new HPath(target.getParent, target.getName + "__dropped__")
+
   /** Crash recovery, run BEFORE the existence probe of every caller: a
     * crash between swap renames leaves the previous copy parked at
     * `<target>__old__` (whole table) or `<target>__old__/<part>=...`
     * (partition dirs). Restore whatever the interrupted swap had not yet
     * replaced, then clear the parking dir. */
   def recoverInterruptedSwap(fs: FileSystem, target: HPath): Unit = {
+    // partitions parked here were fully emptied by an interrupted delete:
+    // finishing that delete means discarding them, never restoring
+    val dropped = droppedFor(target)
+    if (fs.exists(dropped)) fs.delete(dropped, true)
     val old = oldFor(target)
     if (!fs.exists(old)) return
     if (!fs.exists(target)) {

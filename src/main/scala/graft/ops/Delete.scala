@@ -40,8 +40,18 @@ object Delete {
     * Constraint: partition values must round-trip through their
     * directory-name encoding by plain `toString` (dates, identifiers —
     * no path-special characters), the same layout contract
-    * `Sinks.overwritePartitioned` writes. Null partition values use
-    * Hive's default-partition directory name.
+    * `Sinks.overwritePartitioned` writes. A value that violates it
+    * (Hive escaping changes the dir name) is DETECTED before any swap
+    * and the call throws with the table unmodified. Null partition
+    * values use Hive's default-partition directory name.
+    *
+    * Crash behavior: an interrupted call is healed by the next call's
+    * recovery — partitions whose swap never landed are restored from
+    * `__old__`, fully-emptied partitions parked in `__dropped__` are
+    * purged (never resurrected). Rerun the delete to completion after a
+    * crash; until then partitions processed before the crash reflect the
+    * delete and later ones do not (each partition swap is individually
+    * atomic; cross-partition atomicity is not provided).
     */
   def deleteKeysPartitioned(spark: SparkSession, path: String,
       keys: DataFrame, keyCols: Seq[String], partCol: String): Unit = {
@@ -83,6 +93,33 @@ object Delete {
             st.getPath.getName.startsWith(s"$partCol="))
           .map(_.getPath.getName).toSet
       else Set.empty[String]
+    // Guard the plain-toString layout contract BEFORE touching the table:
+    // if a partition value needs Hive escaping (':', '%', control chars),
+    // Spark stages its survivors under an escaped dir name that the
+    // predicted name set misses — the swap loop would then mistake that
+    // partition for fully-deleted and silently drop its surviving rows.
+    // Every staged dir came from a touched partition, so any staged name
+    // outside the predicted set proves the encoding mismatch; refuse with
+    // nothing modified rather than lose data.
+    val unpredicted = stagedDirs -- touchedDirNames
+    if (unpredicted.nonEmpty) {
+      fs.delete(staging, true)
+      fs.delete(oldRoot, true)
+      throw new IllegalArgumentException(
+        "deleteKeysPartitioned: staged partition dirs " +
+          unpredicted.mkString("[", ", ", "]") +
+          s" do not match their predicted names — values of '$partCol' " +
+          "do not round-trip through plain toString (Hive dir-name " +
+          "escaping applied); aborting before any swap, table unmodified")
+    }
+    // Fully-emptied partitions park under __dropped__, NOT __old__: if
+    // this pass dies before the final cleanup, recovery PURGES __dropped__
+    // (finishing the delete) instead of restoring it (which would
+    // resurrect removed rows while partitions swapped earlier stayed
+    // deleted — a torn state for a right-to-be-forgotten pass).
+    val droppedRoot = AtomicDir.droppedFor(target)
+    if (fs.exists(droppedRoot)) fs.delete(droppedRoot, true)
+    fs.mkdirs(droppedRoot)
     touchedDirNames.foreach { name =>
       val tgt = new HPath(target, name)
       if (stagedDirs.contains(name)) {
@@ -90,10 +127,11 @@ object Delete {
           new HPath(oldRoot, name))
       } else if (fs.exists(tgt)) {
         // every row of this partition was deleted: park, then drop
-        fs.rename(tgt, new HPath(oldRoot, name))
+        fs.rename(tgt, new HPath(droppedRoot, name))
       }
     }
     if (fs.exists(staging)) fs.delete(staging, true)
     fs.delete(oldRoot, true)
+    fs.delete(droppedRoot, true)
   }
 }

@@ -140,7 +140,15 @@ object Joins {
   def intervalOverlap(a: DataFrame, b: DataFrame,
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0)
-    def exploded(df: DataFrame, p: String): DataFrame = df.select(
+    // Half-open contract: an empty/inverted interval (endSec <= startSec)
+    // overlaps nothing. Without this filter, sequence(start, stop)
+    // generates a DESCENDING range when stop < start (so the row still
+    // explodes to buckets) and the predicate a_s < b_e && b_s < a_e holds
+    // for an empty interval sitting inside a non-empty one — emitting
+    // pairs that the contract says do not overlap.
+    def exploded(raw: DataFrame, p: String): DataFrame = raw
+      .filter(col("endSec") > col("startSec"))
+      .select(
       col("id").as(s"${p}_id"),
       col("startSec").as(s"${p}_s"), col("endSec").as(s"${p}_e"),
       explode(sequence(

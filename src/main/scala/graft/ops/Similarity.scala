@@ -407,21 +407,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** SemDeDup-style semantic dedup: k-means-cluster the embeddings, then
-    * within each cluster mark every vector whose cosine to a LOWER-id
-    * cluster-mate reaches `threshold` as a duplicate (keep-lowest-id, the
-    * same deterministic survivor rule the text dedup tiers use). Returns
-    * (vec_id, cid, kept) for every input vector.
-    *
-    * This is the scale path for embedding dedup when LSH bucket recall is
-    * not enough: the candidate space is Σ cluster², bounded by choosing
-    * `nCentroids` ∝ corpus size (cluster size stays ~constant) plus the
-    * [[SkewGuard.capBuckets]] cap on degenerate clusters — never
-    * all-pairs. Clustering reuses [[lloydRefine]] (deterministic,
-    * oracle-replayable); assignment is the same min(struct(d2, cid))
-    * hash-aggregate the PQ encoder uses — one narrow pass, no window
-    * sort. Vectors in capped-out clusters are kept (reported, never
-    * silently dropped — same discipline as every other cap). */
   /** Maximal-Marginal-Relevance diversified top-k: greedily pick the
     * candidate maximizing `wRel·sim(q,c) − wDiv·max_{s∈picked} sim(c,s)`
     * — relevance minus redundancy, the reranker that turns "top-k most
@@ -469,6 +454,21 @@ object Similarity {
     sel.select("vec_id", "mmr_rank", "cos_sim", "mmr_score")
   }
 
+  /** SemDeDup-style semantic dedup: k-means-cluster the embeddings, then
+    * within each cluster mark every vector whose cosine to a LOWER-id
+    * cluster-mate reaches `threshold` as a duplicate (keep-lowest-id, the
+    * same deterministic survivor rule the text dedup tiers use). Returns
+    * (vec_id, cid, kept) for every input vector.
+    *
+    * This is the scale path for embedding dedup when LSH bucket recall is
+    * not enough: the candidate space is Σ cluster², bounded by choosing
+    * `nCentroids` ∝ corpus size (cluster size stays ~constant) plus the
+    * [[SkewGuard.capBuckets]] cap on degenerate clusters — never
+    * all-pairs. Clustering reuses [[lloydRefine]] (deterministic,
+    * oracle-replayable); assignment is the same min(struct(d2, cid))
+    * hash-aggregate the PQ encoder uses — one narrow pass, no window
+    * sort. Vectors in capped-out clusters are kept (reported, never
+    * silently dropped — same discipline as every other cap). */
   def semDedup(emb: DataFrame, nCentroids: Int, trainIters: Int,
       threshold: Double, maxCluster: Int = 100000): DataFrame = {
     val e = emb.select(col("vec_id"),

@@ -49,6 +49,54 @@ class DeleteSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("partition value that Hive-escapes is refused, table unmodified") {
+    val root = Files.createTempDirectory("graft_delete3").toFile
+    val path = s"$root/table"
+    // ':' in a partition value makes Spark write an escaped dir name
+    // (part=10%3A30) that the plain-toString prediction misses; before
+    // the guard, the swap loop mistook that partition for fully-deleted
+    // and silently dropped its SURVIVING rows. Now: throw, touch nothing.
+    Seq((1L, "10:30", 1.0), (2L, "10:30", 2.0), (3L, "ok", 3.0))
+      .toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(path)
+    val before = fileSigs(new java.io.File(path))
+
+    val ex = intercept[IllegalArgumentException] {
+      // partial delete: k=1 goes, k=2 survives in the escaped partition
+      Delete.deleteKeysPartitioned(spark, path,
+        Seq(1L).toDF("k"), Seq("k"), "part")
+    }
+    assert(ex.getMessage.contains("round-trip"))
+    // nothing modified, no staging/parking leftovers
+    assert(fileSigs(new java.io.File(path)) == before)
+    assert(!new java.io.File(s"$root/table__staging__").exists())
+    assert(!new java.io.File(s"$root/table__old__").exists())
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
+  test("interrupted delete: parked-empty partition is purged, not restored") {
+    val root = Files.createTempDirectory("graft_delete4").toFile
+    val path = s"$root/table"
+    Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(path)
+    // Emulate a crash after a fully-emptied partition was parked under
+    // __dropped__ but before the final cleanup: B's rows were all
+    // deleted, its dir renamed aside, then the process died.
+    val dropped = new java.io.File(s"$root/table__dropped__")
+    assert(dropped.mkdirs())
+    assert(new java.io.File(s"$path/part=B")
+      .renameTo(new java.io.File(dropped, "part=B")))
+
+    // ANY next pass over the table heals: the parked partition must be
+    // purged (the delete finishes), never restored (rows resurrected).
+    Delete.deleteKeysPartitioned(spark, path,
+      Seq(999L).toDF("k"), Seq("k"), "part")
+    assert(!dropped.exists())
+    assert(!new java.io.File(s"$path/part=B").exists())
+    assert(spark.read.parquet(path).select("k").as[Long]
+      .collect().toSeq == Seq(1L))
+  }
+
   test("whole-table delete and missing-table no-op") {
     val root = Files.createTempDirectory("graft_delete2").toFile
     val path = s"$root/table"

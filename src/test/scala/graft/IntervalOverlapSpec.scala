@@ -30,4 +30,24 @@ class IntervalOverlapSpec extends SparkSpec {
     //   buckets: must appear ONCE); a3 meets nothing
     assert(pairs == Set((1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L)))
   }
+
+  test("empty and inverted intervals overlap nothing") {
+    // [x, x) is empty and [x, y) with y < x is inverted; the half-open
+    // contract says both overlap NOTHING — even when they sit strictly
+    // inside a non-empty partner (where the raw predicate
+    // a_s < b_e && b_s < a_e would hold).
+    val a = Seq(
+      (1L, 50L, 50L), // empty, inside b10
+      (2L, 60L, 40L), // inverted, inside b10
+      (3L, 10L, 90L) // genuine interval, overlaps b10
+    ).toDF("id", "startSec", "endSec")
+    val b = Seq(
+      (10L, 0L, 100L),
+      (11L, 200L, 200L) // empty on the right side too
+    ).toDF("id", "startSec", "endSec")
+
+    val pairs = Joins.intervalOverlap(a, b, bucketSeconds = 100L)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 10L)))
+  }
 }
