@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.PairCorr
 
 /** Time-series analytics over the `events` stream: regular-grid resampling
   * with forward fill, and cohort retention — the two time-shaped workloads a
@@ -241,66 +242,81 @@ object TimeSeriesQueries {
     // g5: pairwise Pearson correlation between symbol series on a shared
     // hourly grid — the co-movement matrix a funding monitor screens for
     // correlated rates. Hourly collapse first (symbols × hours frame,
-    // corpus-size-invariant like g1's grid), self-join on the hour key,
-    // then one hash aggregation per pair with the same exact-decimal-sums
-    // / one-double-expression discipline as g4 (no corr() builtin — its
-    // float accumulation order is engine-specific). sqrt is IEEE
-    // exactly-rounded, so the replay is bit-identical; zero-variance
-    // series yield NULL, not a division error.
+    // corpus-size-invariant like g1's grid), then ops.PairCorr: a
+    // budgeted hour-key self-join + one exact-decimal hash aggregation
+    // per pair (no corr() builtin — its float accumulation order is
+    // engine-specific). The 1000-pair budget admits a 45-symbol universe,
+    // comfortably above the fixtures' 20, so nothing is dropped here and
+    // the oracle needs no keep-list — g6 below exercises a budget that
+    // BITES, oracle-replayed.
     QueryDef("g5_pairwise_corr",
-      (s, dir) => {
-        val hourly = Tables.events(s, dir)
-          .select(
-            concat(lit("SYM"), (col("user_id") % 20).cast("string"),
-              lit("USDTM")).as("symbol"),
-            date_trunc("hour", col("ts")).as("h"),
-            col("value").cast("decimal(18,4)").as("v"))
-          .groupBy("symbol", "h").agg(max("v").as("v"))
-        val a = hourly.select(col("symbol").as("sym_a"), col("h"),
-          col("v").as("va"))
-        val b = hourly.select(col("symbol").as("sym_b"), col("h"),
-          col("v").as("vb"))
-        val sums = a.join(b, Seq("h"))
-          .filter(col("sym_a") < col("sym_b"))
-          .groupBy("sym_a", "sym_b")
-          .agg(
-            count(lit(1)).cast("double").as("n"),
-            sum(col("va")).cast("double").as("sx"),
-            sum(col("vb")).cast("double").as("sy"),
-            sum(col("va") * col("vb")).cast("double").as("sxy"),
-            sum(col("va") * col("va")).cast("double").as("sxx"),
-            sum(col("vb") * col("vb")).cast("double").as("syy"))
-        val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-          sqrt(col("n") * col("syy") - col("sy") * col("sy"))
-        sums
-          .filter(col("n") >= 24.0)
-          .select(col("sym_a"), col("sym_b"),
-            col("n").cast("long").as("n_hours"),
-            when(den > 0,
-              (col("n") * col("sxy") - col("sx") * col("sy")) / den)
-              .as("corr"))
-          .orderBy("sym_a", "sym_b")
-      },
-      """WITH hourly AS (
-        |  SELECT 'SYM' || CAST(user_id % 20 AS VARCHAR) || 'USDTM' AS symbol,
-        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-        |    max(CAST(value AS DECIMAL(18,4))) AS v
-        |  FROM events GROUP BY 1, 2),
-        |p AS (SELECT x.symbol AS sym_a, y.symbol AS sym_b,
-        |    x.v AS va, y.v AS vb
-        |  FROM hourly x JOIN hourly y ON x.h = y.h
-        |  WHERE x.symbol < y.symbol),
-        |s AS (SELECT sym_a, sym_b,
-        |    (count(*))::DOUBLE AS n,
-        |    (sum(va))::DOUBLE AS sx, (sum(vb))::DOUBLE AS sy,
-        |    (sum(va*vb))::DOUBLE AS sxy,
-        |    (sum(va*va))::DOUBLE AS sxx, (sum(vb*vb))::DOUBLE AS syy
-        |  FROM p GROUP BY sym_a, sym_b)
-        |SELECT sym_a, sym_b, n::BIGINT AS n_hours,
-        |  CASE WHEN sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy) > 0
-        |       THEN (n*sxy - sx*sy)
-        |            / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
-        |  END AS corr
-        |FROM s WHERE n >= 24.0
-        |ORDER BY sym_a, sym_b""".stripMargin))
+      (s, dir) =>
+        PairCorr.pearsonPairs(hourlySeries(s, dir), "symbol", "h", "v",
+          maxPairs = 1000L, minOverlap = 24L)
+          .orderBy("sym_a", "sym_b"),
+      s"""WITH hourly AS ($HourlySql),
+         |p AS (SELECT x.symbol AS sym_a, y.symbol AS sym_b,
+         |    x.v AS va, y.v AS vb
+         |  FROM hourly x JOIN hourly y ON x.h = y.h
+         |  WHERE x.symbol < y.symbol),
+         |$CorrTailSql""".stripMargin),
+
+    // g6: the same correlation screen under a pair budget that BITES —
+    // maxPairs=70 admits 12 of the fixtures' 20 symbols (12·11/2 = 66
+    // pairs), kept deterministically (densest series first, name
+    // tie-break). The oracle replays the keep-list selection exactly, so
+    // the budget SEMANTICS — not just the cap's existence — are
+    // hash-verified; PairCorr.droppedSeries reports the other 8.
+    QueryDef("g6_pairwise_corr_budget",
+      (s, dir) =>
+        PairCorr.pearsonPairs(hourlySeries(s, dir), "symbol", "h", "v",
+          maxPairs = 70L, minOverlap = 24L)
+          .orderBy("sym_a", "sym_b"),
+      s"""WITH hourly AS ($HourlySql),
+         |keep AS (SELECT symbol FROM hourly GROUP BY symbol
+         |  ORDER BY count(*) DESC, symbol ASC LIMIT 12),
+         |p AS (SELECT x.symbol AS sym_a, y.symbol AS sym_b,
+         |    x.v AS va, y.v AS vb
+         |  FROM hourly x JOIN hourly y ON x.h = y.h
+         |  WHERE x.symbol < y.symbol
+         |    AND x.symbol IN (SELECT symbol FROM keep)
+         |    AND y.symbol IN (SELECT symbol FROM keep)),
+         |$CorrTailSql""".stripMargin))
+
+  /** Shared input frame for the correlation pair (g5/g6): the per-symbol
+    * hourly series, duplicate timestamps collapsed by max — exact
+    * decimals so the downstream sums replay bit-identically. */
+  private def hourlySeries(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables.events(s, dir)
+      .select(
+        concat(lit("SYM"), (col("user_id") % 20).cast("string"),
+          lit("USDTM")).as("symbol"),
+        date_trunc("hour", col("ts")).as("h"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .groupBy("symbol", "h").agg(max("v").as("v"))
+
+  // defs, not vals: interpolated while `all` (declared above) initializes
+  private def HourlySql =
+    """SELECT 'SYM' || CAST(user_id % 20 AS VARCHAR) || 'USDTM' AS symbol,
+      |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |    max(CAST(value AS DECIMAL(18,4))) AS v
+      |  FROM events GROUP BY 1, 2""".stripMargin
+
+  /** The exact-sums Pearson tail shared by g5/g6's oracles — mirrors
+    * PairCorr.pearsonPairs' arithmetic term for term. */
+  private def CorrTailSql =
+    """s AS (SELECT sym_a, sym_b,
+      |    (count(*))::DOUBLE AS n,
+      |    (sum(va))::DOUBLE AS sx, (sum(vb))::DOUBLE AS sy,
+      |    (sum(va*vb))::DOUBLE AS sxy,
+      |    (sum(va*va))::DOUBLE AS sxx, (sum(vb*vb))::DOUBLE AS syy
+      |  FROM p GROUP BY sym_a, sym_b)
+      |SELECT sym_a, sym_b, n::BIGINT AS n_hours,
+      |  CASE WHEN sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy) > 0
+      |       THEN (n*sxy - sx*sy)
+      |            / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+      |  END AS corr
+      |FROM s WHERE n >= 24.0
+      |ORDER BY sym_a, sym_b""".stripMargin
 }
