@@ -128,43 +128,16 @@ object AggQueries {
 
     // Data profiling (deequ-style observability): per-column row/null/
     // distinct counts plus typed min/max — the first thing a pipeline
-    // runs on an unfamiliar or drifting table. One narrow aggregate per
-    // profiled column, unioned into a (columns × metrics) report;
-    // numeric bounds land in min/max_num (long→double casts, exact),
-    // string bounds in min/max_str — no cross-type formatting, so the
-    // report replays exactly.
+    // runs on an unfamiliar or drifting table. The work lives in
+    // ops.Profile as a schema-driven library op over ANY DataFrame (one
+    // single-pass aggregate for all columns, pivoted to report rows);
+    // this query is a thin wrapper profiling four events columns so the
+    // oracle can replay it. ProfileSpec profiles documents/lineitem with
+    // zero per-table code.
     QueryDef("c4_data_profile",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        def base(cn: String) = e.agg(
-          count(lit(1)).cast("long").as("n_rows"),
-          sum(when(col(cn).isNull, 1L).otherwise(0L)).cast("long")
-            .as("n_null"),
-          countDistinct(col(cn)).cast("long").as("n_distinct"))
-        def num(cn: String) = e.agg(
-          count(lit(1)).cast("long").as("n_rows"),
-          sum(when(col(cn).isNull, 1L).otherwise(0L)).cast("long")
-            .as("n_null"),
-          countDistinct(col(cn)).cast("long").as("n_distinct"),
-          min(col(cn)).cast("double").as("min_num"),
-          max(col(cn)).cast("double").as("max_num"))
-          .select(lit(cn).as("col_name"), col("n_rows"), col("n_null"),
-            col("n_distinct"), col("min_num"), col("max_num"),
-            lit(null).cast("string").as("min_str"),
-            lit(null).cast("string").as("max_str"))
-        def str(cn: String) = base(cn)
-          .select(lit(cn).as("col_name"), col("n_rows"), col("n_null"),
-            col("n_distinct"),
-            lit(null).cast("double").as("min_num"),
-            lit(null).cast("double").as("max_num"))
-          .crossJoin(e.agg(min(col(cn)).as("min_str"),
-            max(col(cn)).as("max_str")))
-        num("event_id")
-          .unionByName(num("user_id"))
-          .unionByName(num("value"))
-          .unionByName(str("event_type"))
-          .orderBy("col_name")
-      },
+      (s, dir) => graft.ops.Profile.profile(
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "value", "event_type")),
       """WITH p AS (
         |  SELECT 'event_id' AS col_name, count(*)::BIGINT AS n_rows,
         |    sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
@@ -545,23 +518,20 @@ object AggQueries {
         |ORDER BY o_orderkey LIMIT 25 OFFSET 100""".stripMargin),
 
     // O5: keyset pagination — the scale-correct page fetch o4's scaladoc
-    // caveat points at: OFFSET must produce and discard every earlier
-    // row (page 10,000 of a 100 TB table scans 10,000 pages), while a
-    // keyset cursor turns the same page into a pushed-down range filter
-    // + top-k. The cursor tuple is (o_orderdate, o_orderkey) — the
-    // lexicographic row-value comparison spelled as an explicit OR so
-    // both engines plan it identically.
+    // caveat points at, as a thin wrapper over ops.Keyset (the generic
+    // lexicographic-cursor op; KeysetSpec proves the multi-page
+    // pages-⊎-pages ≡ one-scan invariant incl. a duplicate-date run
+    // straddling a boundary). The cursor tuple is (o_orderdate,
+    // o_orderkey); Keyset spells the row-value comparison as the same
+    // explicit OR the oracle uses, so both engines plan it identically.
     QueryDef("o5_keyset_pagination",
-      (s, dir) => {
-        val curDate = lit("1997-06-01 00:00:00").cast("timestamp")
-        val curKey = lit(500L)
+      (s, dir) => graft.ops.Keyset.page(
         Tables.orders(s, dir)
-          .filter(col("o_orderdate") > curDate ||
-            (col("o_orderdate") === curDate && col("o_orderkey") > curKey))
-          .select("o_orderkey", "o_orderdate", "o_totalprice")
-          .orderBy("o_orderdate", "o_orderkey")
-          .limit(25)
-      },
+          .select("o_orderkey", "o_orderdate", "o_totalprice"),
+        Seq("o_orderdate", "o_orderkey"),
+        Some(Seq(lit("1997-06-01 00:00:00").cast("timestamp"),
+          lit(500L))),
+        25),
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
         |WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
         |   OR (o_orderdate = TIMESTAMP '1997-06-01 00:00:00'
