@@ -10,6 +10,16 @@ import org.apache.spark.sql.DataFrame
   * deletes the target before the job commits, so a crash mid-write (or
   * a concurrent read mid-rewrite) loses or misses the table — this
   * machinery closes that window to the instant between two renames.
+  *
+  * Concurrent-reader contract (asserted by SwapReaderSpec): a reader
+  * whose file listing predates a swap either serves the old snapshot or
+  * fails with a clean, retryable missing-file error — never a silently
+  * mixed/partial/empty result, because the whole directory moves in one
+  * rename and the pinned old paths vanish together. A reader arriving in
+  * the instant between the renames fails at path resolution; the next
+  * maintenance pass heals. Partition-level swaps are individually atomic
+  * — cross-partition atomicity is not provided, but a stale reader still
+  * cannot assemble a torn SUCCESS for the same reason.
   */
 private[ops] object AtomicDir {
 

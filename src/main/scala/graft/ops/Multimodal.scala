@@ -10,17 +10,18 @@ final case class MediaRaw(doc_id: Long, payload: Array[Byte])
 
 /** Decoded media metadata — what a real decoder would emit.
   * `decode_status` names the parser that produced the geometry
-  * (`png`/`jpeg`/`gif`/`bmp`/`wav`) or `stub` for containers this build
-  * cannot parse — the documented codec stub is queryable observability,
+  * (`png`/`jpeg`/`gif`/`bmp`/`wav`/`tiff`/`mp4`) or `stub` for
+  * containers this build cannot parse — the documented codec stub is queryable observability,
   * not a silent fake (same no-silent-caps discipline as
   * `SkewGuard.droppedBuckets`). */
 final case class MediaMeta(doc_id: Long, n_bytes: Long, sha256: String,
     width: Int, height: Int, n_frames: Int, decode_status: String)
 
 /** Pure-JVM header parsers for the containers whose geometry lives in a
-  * fixed-layout header — no codec library needed: PNG, JPEG, GIF, BMP
-  * (image dimensions) and WAV (channels / bit depth / sample-frame
-  * count). Anything beyond the header (pixel/sample decode, other
+  * fixed-layout (or walkable) header — no codec library needed: PNG,
+  * JPEG, GIF, BMP, TIFF (image dimensions), WAV (channels / bit depth /
+  * sample-frame count) and ISO-BMFF MP4/MOV (track geometry + sample
+  * count). Anything beyond headers (pixel/sample decode, other
   * containers) stays stubbed.
   */
 object MediaCodecs {
@@ -38,6 +39,9 @@ object MediaCodecs {
 
   private def le16(b: Array[Byte], o: Int): Int =
     ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
 
   /** PNG: 8-byte signature, then the IHDR chunk is REQUIRED first —
     * width/height are the big-endian words at offsets 16/20. */
@@ -134,6 +138,119 @@ object MediaCodecs {
       (ch, bits, math.min(dataBytes / ba, Int.MaxValue.toLong).toInt)
     }
   }
+
+  /** TIFF: byte-order mark `II`/`MM` + magic 42 + first-IFD offset; the
+    * IFD is a u16 entry count then 12-byte entries (tag u16, type u16,
+    * count u32, value field). ImageWidth/ImageLength are tags 256/257,
+    * stored inline as SHORT(3) or LONG(4) — left-justified in the value
+    * field per the spec, so a SHORT reads at entry offset 8 in either
+    * byte order. Never throws on truncated/corrupt input. */
+  def tiffDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 8) return None
+    val le = b(0) == 'I' && b(1) == 'I'
+    val bigE = b(0) == 'M' && b(1) == 'M'
+    if (!le && !bigE) return None
+    def u16(o: Int): Int = if (le) le16(b, o) else be16(b, o)
+    def u32(o: Int): Long = if (le) le32(b, o) else be32(b, o)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val base = ifd.toInt
+    val n = u16(base)
+    var w = -1L
+    var h = -1L
+    var i = 0
+    while (i < n && base + 2 + 12 * i + 12 <= b.length) {
+      val e = base + 2 + 12 * i
+      val v: Long = u16(e + 2) match {
+        case 3 => u16(e + 8) // SHORT
+        case 4 => u32(e + 8) // LONG
+        case _ => -1L
+      }
+      u16(e) match {
+        case 256 => w = v
+        case 257 => h = v
+        case _ => ()
+      }
+      i += 1
+    }
+    if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+      Some((w.toInt, h.toInt))
+    else None
+  }
+
+  /** Child boxes of an ISO-BMFF byte range as (type, contentStart,
+    * contentEnd): u32 size + 4cc type per box, size 1 → u64 largesize
+    * follows, size 0 → box runs to the range end. Stops (returning what
+    * it has) on any malformed size — never throws, never loops. */
+  private def bmffChildren(b: Array[Byte], s0: Long,
+      e0: Long): Seq[(String, Long, Long)] = {
+    val out = Seq.newBuilder[(String, Long, Long)]
+    var p = s0
+    var guard = 0
+    while (p + 8 <= e0 && guard < 4096) {
+      guard += 1
+      val sz0 = be32(b, p.toInt)
+      val typ = new String(b, p.toInt + 4, 4, "US-ASCII")
+      var hdr = 8L
+      val sz: Long =
+        if (sz0 == 1L) {
+          if (p + 16 > e0) return out.result()
+          hdr = 16L
+          be64(b, p.toInt + 8)
+        } else if (sz0 == 0L) e0 - p
+        else sz0
+      if (sz < hdr || p + sz > e0) return out.result()
+      out += ((typ, p + hdr, p + sz))
+      p += sz
+    }
+    out.result()
+  }
+
+  /** ISO-BMFF (MP4/MOV/M4A): requires a leading `ftyp` box, then walks
+    * `moov`. Geometry is the first `trak` whose `tkhd` carries nonzero
+    * 16.16-fixed width/height (presentation size; version 0 and 1
+    * layouts both handled); the frame count is that trak's
+    * `mdia/minf/stbl/stsz` sample_count, defaulting to 1 when the
+    * sample table is absent/truncated. Audio-only files (every tkhd
+    * zero-sized) report (0, 0, frames of the first trak). */
+  def mp4Meta(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 16) return None
+    val top = bmffChildren(b, 0L, b.length.toLong)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val moov = top.find(_._1 == "moov").getOrElse(return None)
+    val traks = bmffChildren(b, moov._2, moov._3).filter(_._1 == "trak")
+
+    def sampleCount(trak: (String, Long, Long)): Int = {
+      var kids = bmffChildren(b, trak._2, trak._3)
+      for (boxName <- Seq("mdia", "minf", "stbl")) {
+        kids = kids.find(_._1 == boxName)
+          .map(k => bmffChildren(b, k._2, k._3))
+          .getOrElse(return 1)
+      }
+      kids.find(_._1 == "stsz").collect {
+        case (_, cs, ce) if cs + 12 <= ce && ce <= b.length =>
+          math.min(be32(b, cs.toInt + 8), Int.MaxValue.toLong).toInt
+      }.filter(_ > 0).getOrElse(1)
+    }
+
+    def tkhdDims(trak: (String, Long, Long)): Option[(Int, Int)] =
+      bmffChildren(b, trak._2, trak._3).find(_._1 == "tkhd")
+        .flatMap { case (_, cs, ce) =>
+          // content: version(1) flags(3), then v0 fields total 72 /
+          // v1 fields total 84 before the 16.16 width/height pair
+          val off = cs + (if (b(cs.toInt) == 1) 88L else 76L)
+          if (off + 8 <= ce && off + 8 <= b.length) {
+            val w = (be32(b, off.toInt) >> 16).toInt
+            val h = (be32(b, off.toInt + 4) >> 16).toInt
+            if (w > 0 && h > 0) Some((w, h)) else None
+          } else None
+        }
+
+    traks.view.flatMap(t => tkhdDims(t).map(d => (d._1, d._2,
+      sampleCount(t)))).headOption
+      .orElse(traks.headOption.map(t => (0, 0, sampleCount(t))))
+  }
 }
 
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
@@ -143,7 +260,8 @@ object MediaCodecs {
   * `Dataset[MediaRaw] → mapPartitions → Dataset[MediaMeta]`, per-partition
   * batching (a real decoder amortizes codec init across a partition,
   * exactly like a Pandas-UDF batch would). Header decode is REAL for
-  * PNG, JPEG, GIF and BMP geometry plus WAV audio metadata
+  * PNG, JPEG, GIF, BMP and TIFF geometry, WAV audio metadata, and
+  * MP4/MOV track geometry + sample counts
   * ([[MediaCodecs]] — pure header parsing, no library); any other
   * container falls back to [[stubDecode]]'s deterministic fake, since
   * the media libraries are not in this container. Swap the fallback for
@@ -167,9 +285,10 @@ object Multimodal {
     (64 + (n % 512).toInt, 64 + ((n * 7) % 512).toInt, 1 + (n % 8).toInt)
   }
 
-  /** Header decode: real parsing for PNG/JPEG/GIF/BMP dimensions
-    * (single-frame) and WAV audio (channels, bit depth, sample frames);
-    * stub fallback for any other container. */
+  /** Header decode: real parsing for PNG/JPEG/GIF/BMP/TIFF dimensions
+    * (single-frame), WAV audio (channels, bit depth, sample frames) and
+    * MP4/MOV video (track geometry, sample count); stub fallback for
+    * any other container. */
   def decodeHeader(payload: Array[Byte]): (Int, Int, Int) =
     decodeHeaderTagged(payload)._1
 
@@ -182,6 +301,8 @@ object Multimodal {
       .orElse(MediaCodecs.gifDims(payload).map(d => ((d._1, d._2, 1), "gif")))
       .orElse(MediaCodecs.bmpDims(payload).map(d => ((d._1, d._2, 1), "bmp")))
       .orElse(MediaCodecs.wavMeta(payload).map((_, "wav")))
+      .orElse(MediaCodecs.tiffDims(payload).map(d => ((d._1, d._2, 1), "tiff")))
+      .orElse(MediaCodecs.mp4Meta(payload).map((_, "mp4")))
       .getOrElse((stubDecode(payload), "stub"))
 
   /** One sampled frame: stub "decode" of frame `frame_idx` of a media

@@ -102,6 +102,78 @@ class MultimodalSpec extends SparkSpec {
     assert(metas.map(_.decode_status).toSeq === Seq("gif", "bmp", "wav"))
   }
 
+  test("TIFF headers parse for real, both byte orders, SHORT and LONG") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    // little-endian, LONG-typed dims: II*\0, IFD at 8, 2 entries
+    val tiffLe = "II".getBytes ++ le16(42) ++ le32(8) ++
+      le16(2) ++
+      (le16(256) ++ le16(4) ++ le32(1) ++ le32(1920)) ++ // ImageWidth
+      (le16(257) ++ le16(4) ++ le32(1) ++ le32(1080)) ++ // ImageLength
+      le32(0)
+    assert(MediaCodecs.tiffDims(tiffLe) === Some((1920, 1080)))
+
+    // big-endian, SHORT-typed dims (value left-justified in the field)
+    val tiffBe = "MM".getBytes ++ be16(42) ++ be32(8) ++
+      be16(2) ++
+      (be16(256) ++ be16(3) ++ be32(1) ++ be16(640) ++ be16(0)) ++
+      (be16(257) ++ be16(3) ++ be32(1) ++ be16(480) ++ be16(0)) ++
+      be32(0)
+    assert(MediaCodecs.tiffDims(tiffBe) === Some((640, 480)))
+
+    // wrong magic / truncated / missing tags → None, never a throw
+    assert(MediaCodecs.tiffDims("II??xxxx".getBytes) === None)
+    assert(MediaCodecs.tiffDims(tiffLe.take(10)) === None)
+    val noDims = "II".getBytes ++ le16(42) ++ le32(8) ++ le16(1) ++
+      (le16(259) ++ le16(3) ++ le32(1) ++ le32(1)) ++ le32(0)
+    assert(MediaCodecs.tiffDims(noDims) === None)
+  }
+
+  test("MP4 (ISO-BMFF) box walk: tkhd geometry and stsz frame count") {
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, content: Array[Byte]): Array[Byte] =
+      be32(8 + content.length) ++ typ.getBytes("US-ASCII") ++ content
+
+    // tkhd v0: version/flags, 20 bytes of times/ids, 16 bytes of
+    // layer/volume, 36-byte matrix, then 16.16 width/height
+    def tkhd(w: Int, h: Int): Array[Byte] = box("tkhd",
+      new Array[Byte](4) ++ new Array[Byte](20) ++ new Array[Byte](16) ++
+        new Array[Byte](36) ++ (be16(w) ++ be16(0)) ++ (be16(h) ++ be16(0)))
+    def stsz(n: Int): Array[Byte] = box("stsz",
+      new Array[Byte](4) ++ be32(0) ++ be32(n))
+    val trak = box("trak", tkhd(1280, 720) ++
+      box("mdia", box("minf", box("stbl", stsz(300)))))
+    val mp4 = box("ftyp", "isom".getBytes ++ be32(512)) ++
+      box("moov", box("mvhd", new Array[Byte](100)) ++ trak)
+    assert(MediaCodecs.mp4Meta(mp4) === Some((1280, 720, 300)))
+
+    // audio-only: zero-sized tkhd → (0, 0, sampleCount)
+    val audioTrak = box("trak", tkhd(0, 0) ++
+      box("mdia", box("minf", box("stbl", stsz(441)))))
+    val m4a = box("ftyp", "M4A ".getBytes ++ be32(0)) ++
+      box("moov", audioTrak)
+    assert(MediaCodecs.mp4Meta(m4a) === Some((0, 0, 441)))
+
+    // no leading ftyp / truncated / non-BMFF → None, never a throw
+    assert(MediaCodecs.mp4Meta(box("moov", trak)) === None)
+    assert(MediaCodecs.mp4Meta(mp4.take(30)) === None)
+    assert(MediaCodecs.mp4Meta("plain text that is long enough".getBytes)
+      === None)
+
+    // end-to-end: the new lanes are queryable via decode_status
+    val media = Seq((1L, mp4)).toDF("doc_id", "payload")
+    val meta = Multimodal.extractMetaFromPayload(media).collect().head
+    assert((meta.width, meta.height, meta.n_frames) === (1280, 720, 300))
+    assert(meta.decode_status === "mp4")
+  }
+
   test("extracted features are fixed-width, in [0,1], and similarity-ready") {
     val feats = Multimodal.extractFeatures(docs, dims = 8)
     val rows = feats.collect()
