@@ -158,6 +158,24 @@ object Similarity {
       df.schema)
   }
 
+  /** Corpus-scaled exact re-rank multiplier for the quantized ANN paths
+    * ([[pqTopK]], [[sqTopK]]): `base` at `baseCorpus` rows, growing
+    * linearly with the corpus. A FIXED shortlist width loses recall as
+    * the corpus grows — the codebook (hence quantization error per
+    * cell) is constant while the number of competitors inside that
+    * error band grows linearly, so the exact re-rank must widen with it
+    * to keep covering the true top-k (measured: PQ recall 1.0 at 2k
+    * vectors and 0.50 at 20k with the same width; 0.90+ once the width
+    * scales — RecallProbe sweep, BASELINE.md). Cost stays negligible:
+    * the exact pass touches `rerank·k` of N vectors — a constant
+    * FRACTION of the corpus. */
+  def scaledRerank(corpusRows: Long, base: Int, baseCorpus: Long): Int = {
+    require(base >= 1 && baseCorpus >= 1)
+    val mult = math.ceil(corpusRows.toDouble / baseCorpus.toDouble)
+      .toLong.max(1L).min(Int.MaxValue / base)
+    base * mult.toInt
+  }
+
   private[ops] def lloydRefine(points: DataFrame, cents: DataFrame,
       groupCols: Seq[String], iters: Int): DataFrame = {
     if (iters <= 0) localizeSmall(cents)
@@ -279,16 +297,31 @@ object Similarity {
     * recall 0.6 untrained (16 first-N centroids) → 1.0 trained
     * (32 centroids, 3 Lloyd rounds) — the `e7_recall_bound` query keeps
     * that figure oracle-checked every round; training changes recall,
-    * not the plan shape. */
+    * not the plan shape.
+    *
+    * `seedSpread` is the corpus-growth lever: the default (0) seeds
+    * codebooks from `vec_id < nCentroids` — fine when those ids sample
+    * the distribution (the fixtures), WRONG at a grown corpus whose
+    * early ids cover only one slice of it. Passing `corpus /
+    * targetSeeds` seeds from `xxhash64(vec_id) % seedSpread == 0`
+    * instead — a deterministic uniform sample of the WHOLE corpus
+    * (~targetSeeds seeds), the sample a 100 TB deployment trains on.
+    * Pair it with an nCentroids (and rerank) that grow with the corpus:
+    * a fixed codebook's per-cell occupancy rises linearly with corpus
+    * size and recall collapses (measured in BASELINE.md: 1.0 at sf0.1's
+    * 2k vectors → 0.50 at the 10× corpus with everything fixed). */
   def pqTopK(emb: DataFrame, m: Int, dsub: Int, nCentroids: Int,
       queryId: Long, k: Int, rerank: Int = 4,
-      trainIters: Int = 0): DataFrame = {
+      trainIters: Int = 0, seedSpread: Long = 0L): DataFrame = {
     val e = emb.select(col("vec_id"),
       VectorFns.toDouble(col("embedding")).as("v"))
     val sub = e.select(col("vec_id"),
       posexplode(array((0 until m).map(i =>
         slice(col("v"), i * dsub + 1, dsub)): _*)).as(Seq("sub_idx", "subv")))
-    val seeds = sub.filter(col("vec_id") < nCentroids)
+    val seedFilter =
+      if (seedSpread <= 1L) col("vec_id") < nCentroids
+      else pmod(xxhash64(col("vec_id")), lit(seedSpread)) === 0
+    val seeds = sub.filter(seedFilter)
       .select(col("sub_idx"), col("vec_id").as("cid"), col("subv").as("cv"))
     val cents = lloydRefine(
       sub.select(col("sub_idx"), col("vec_id").as("id"),

@@ -192,9 +192,26 @@ object TextDedup {
     * O(corpus²) for stopword shingles; measured on the fixtures, maxDF=10
     * halves the candidate volume of maxDF=20 with identical output, while
     * maxDF=5 starts losing true pairs). Candidates then get exact Jaccard
-    * verification over the full shingle sets. */
+    * verification via the POSTING-LIST formulation ([[verifyJaccard]]),
+    * not the array join: shipping both documents' full shingle arrays to
+    * every candidate pair multiplies the verify join's row width by the
+    * document size, and at the 100× ScaleGen corpus (500k docs) the
+    * resulting sort-merge spill exhausted a 79 GB local disk — the
+    * posting spelling moves only (pair, shared-shingle) rows
+    * (result-identical; measured in BASELINE.md).
+    *
+    * `minSharedRare` is the second cap that makes the verify pass scale:
+    * candidate pairs must share at least that many capped shingles. A
+    * genuinely near-duplicate pair shares MANY (at threshold 0.5 and
+    * fixture-sized docs, ≥ ~26 shingles), while the candidate tail is
+    * dominated by pairs sharing exactly ONE — random collisions whose
+    * exact verification is pure cost (each drags its documents' full
+    * posting rows through the intersection join; at 100× that tail alone
+    * exhausted local disk). Like maxDF, it is a documented trade: a true
+    * pair whose overlap consists of one capped shingle plus ultra-common
+    * ones is missed. */
   def ngramJaccardDups(docs: DataFrame, n: Int = 3, maxDF: Int = 10,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, minSharedRare: Int = 2): DataFrame = {
     val sh = shingles(docs, n)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDF)
@@ -204,9 +221,11 @@ object TextDedup {
       .join(posting.select(col("shingle"), col("doc_id").as("doc_b")),
         Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minSharedRare)
       .select("doc_a", "doc_b")
-      .distinct()
-    verifyJaccardArrays(cands, docs, n, threshold)
+    verifyJaccard(cands, sh, threshold)
   }
 
   /** Near-dup PAIRS → dedup CLUSTERS: connected components over the pair

@@ -317,11 +317,14 @@ object TextQueries {
       }),
 
     // Direct n-gram Jaccard near-dup pairs: inverted shingle index with a
-    // document-frequency cap (2..10) for candidate generation, exact
-    // Jaccard ≥ 0.5 verification — no MinHash approximation.
+    // document-frequency cap (2..10) + a min-shared-shingles cap (>= 2,
+    // prunes the single-collision candidate tail that dominates verify
+    // cost at scale) for candidate generation, exact Jaccard ≥ 0.5
+    // verification — no MinHash approximation.
     QueryDef("d5_ngram_jaccard",
       (s, dir) => TextDedup.ngramJaccardDups(
-        Tables.documents(s, dir), n = 3, maxDF = 10, threshold = 0.5)
+        Tables.documents(s, dir), n = 3, maxDF = 10, threshold = 0.5,
+        minSharedRare = 2)
         .orderBy("doc_a", "doc_b"),
       s"""WITH t AS (SELECT doc_id,
          |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
@@ -333,8 +336,9 @@ object TextQueries {
          |rare AS (SELECT shingle FROM sh GROUP BY shingle
          |  HAVING count(*) BETWEEN 2 AND 10),
          |p AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM p x JOIN p y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM p x JOIN p y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
          |  FROM cand c

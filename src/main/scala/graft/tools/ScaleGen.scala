@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   *   - documents: every whitespace token gets a replica suffix
   *     (`tok~r3`) — shingle sets across replicas become disjoint, while
   *     Jaccard relations within a replica are untouched;
-  *   - embeddings: coordinates rotate by `6·replica` positions — an
-  *     orthogonal transform, so within-replica cosines are bit-preserved
-  *     while cross-replica cosines fall to ~0 (random directions);
+  *   - embeddings: coordinates rotate by `6·replica` positions composed
+  *     with a per-32-replica-block variant (reverse / alternate-sign) —
+  *     orthogonal transforms, so within-replica cosines are bit-preserved
+  *     while cross-replica cosines fall to ~0 (random directions), with
+  *     no transform repeating below 128 replicas;
   *   - events: each replica shifts ts by `replica · 90 days` and
   *     user_id/event_id by a stride — the time-series growth axis is a
   *     LONGER history (10× points per symbol; user_id % 20 is preserved
@@ -61,12 +63,29 @@ object ScaleGen {
 
     val embN = (0 until replicas).map { r =>
       val dim = 64
+      // Orthogonal per-replica transform = rotation × {identity, reverse,
+      // alternate-sign, reverse+alternate-sign}. Rotation alone repeats at
+      // r ≡ r' (mod 32) — replicas 0 and 32 would be EXACT copies and the
+      // pair space would grow quadratically again (measuring the
+      // generator, not the plans) — so the variant index r/32 composes a
+      // second orthogonal map; every transform preserves within-replica
+      // dot products exactly while cross-replica cosines stay ~0. Sound
+      // for up to 128 replicas.
       val rot = (r * 6) % dim
+      val base: org.apache.spark.sql.Column = (r / 32) match {
+        case 0 => col("embedding")
+        case 1 => reverse(col("embedding"))
+        case 2 => transform(col("embedding"),
+          (x, i) => when(i % 2 === 0, -x).otherwise(x))
+        case _ => transform(reverse(col("embedding")),
+          (x, i) => when(i % 2 === 0, -x).otherwise(x))
+      }
       emb.select(
         (col("vec_id") + lit(r * idStride)).as("vec_id"),
-        (if (r == 0) col("embedding")
-         else concat(slice(col("embedding"), rot + 1, dim - rot),
-           slice(col("embedding"), 1, rot))).as("embedding"),
+        (if (r == 0) base
+         else if (rot == 0) base
+         else concat(slice(base, rot + 1, dim - rot),
+           slice(base, 1, rot))).as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
 
