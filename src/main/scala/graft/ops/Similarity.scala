@@ -532,7 +532,18 @@ object Similarity {
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
-    * restricted to same-bucket pairs. */
+    * restricted to same-bucket pairs.
+    *
+    * Corpus growth: bucket occupancy (hence per-bucket pair volume,
+    * quadratic in it) grows linearly at fixed `bits` — the measured
+    * driver of d7's 11× step at the 100× ScaleGen corpus, where the
+    * SkewGuard cap is what keeps the join bounded (degrade-with-report).
+    * A deployment at a grown corpus should scale `bits` to hold
+    * occupancy constant (the cell-occupancy rule measured in
+    * BASELINE.md's round-5 findings; same rule as the PQ codebook and
+    * the recallBoundScaled LSH certification) and/or route embedding
+    * dedup through [[semDedup]], whose nCentroids ∝ corpus contract is
+    * the designed scale path. */
   def nearDupPairs(emb: DataFrame, bits: Int, threshold: Double,
       maxBucket: Int = 100000): DataFrame = {
     val b = capBuckets(bucketed(emb, bits), maxBucket)
