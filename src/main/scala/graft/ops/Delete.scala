@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Targeted physical deletion from a parquet table — the right-to-be-
@@ -66,6 +67,22 @@ object Delete {
       .map(_.get(0)).toSeq // bounded: #affected partitions, not rows
     if (touched.isEmpty) return
     val (nullTouched, defined) = touched.partition(_ == null)
+    // Guard the plain-toString layout contract on the touched VALUES
+    // themselves, before anything is staged or moved. escapePathName is
+    // the exact encoding Spark's partitionBy writer applies, so a value
+    // it would alter breaks every predicted-name probe below — including
+    // the fully-emptied partition, which stages NO survivor dir and so
+    // can never be caught by comparing staged names (it would silently
+    // survive the delete), and ':' values, which HPath refuses mid-loop
+    // after earlier swaps already landed.
+    val escaping = defined.map(_.toString)
+      .filter(v => ExternalCatalogUtils.escapePathName(v) != v)
+    if (escaping.nonEmpty)
+      throw new IllegalArgumentException(
+        s"deleteKeysPartitioned: values of '$partCol' " +
+          escaping.mkString("[", ", ", "]") +
+          " do not round-trip through plain toString (Hive dir-name " +
+          "escaping applies); aborting before any write, table unmodified")
     val touchedPred = {
       val in =
         if (defined.nonEmpty) col(partCol).isInCollection(defined)
@@ -93,14 +110,10 @@ object Delete {
             st.getPath.getName.startsWith(s"$partCol="))
           .map(_.getPath.getName).toSet
       else Set.empty[String]
-    // Guard the plain-toString layout contract BEFORE touching the table:
-    // if a partition value needs Hive escaping (':', '%', control chars),
-    // Spark stages its survivors under an escaped dir name that the
-    // predicted name set misses — the swap loop would then mistake that
-    // partition for fully-deleted and silently drop its surviving rows.
-    // Every staged dir came from a touched partition, so any staged name
-    // outside the predicted set proves the encoding mismatch; refuse with
-    // nothing modified rather than lose data.
+    // Defense in depth behind the value-level round-trip guard above:
+    // every staged dir came from a touched partition, so any staged name
+    // outside the predicted set proves an encoding mismatch the guard
+    // somehow missed; refuse with nothing modified rather than lose data.
     val unpredicted = stagedDirs -- touchedDirNames
     if (unpredicted.nonEmpty) {
       fs.delete(staging, true)
@@ -127,7 +140,10 @@ object Delete {
           new HPath(oldRoot, name))
       } else if (fs.exists(tgt)) {
         // every row of this partition was deleted: park, then drop
-        fs.rename(tgt, new HPath(droppedRoot, name))
+        if (!fs.rename(tgt, new HPath(droppedRoot, name)))
+          throw new java.io.IOException(
+            s"deleteKeysPartitioned: failed to park fully-emptied " +
+              s"partition $name under $droppedRoot")
       }
     }
     if (fs.exists(staging)) fs.delete(staging, true)

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * duplicated, including when a run of equal leading-key values straddles
   * a page boundary. That requires the sort tuple to be a TOTAL order:
   * callers must put a unique key last (the reference shape:
-  * (o_orderdate, o_orderkey)).
+  * (o_orderdate, o_orderkey)) and sort columns must be non-null — a NULL
+  * on a page boundary is detected at walk time and refused.
   */
 object Keyset {
 
@@ -75,6 +76,20 @@ object Keyset {
         if (rows.length < n) done = true
         else {
           val lastRow = rows.last
+          // A NULL landing on the page boundary would make every
+          // comparison in after() evaluate to NULL — empty next page,
+          // early termination, table silently truncated. Refuse loudly
+          // instead (the maxPages discipline). Ascending order puts
+          // NULLS FIRST, so a non-null boundary row proves every null
+          // row was already emitted on an earlier page.
+          sortCols.indices.foreach { i =>
+            if (lastRow.isNullAt(i))
+              throw new IllegalStateException(
+                s"Keyset.walk: NULL in sort column '${sortCols(i)}' at " +
+                  "a page boundary — the cursor predicate cannot order " +
+                  "NULLs and the walk would silently truncate; keyset " +
+                  "sort columns must be non-null")
+          }
           cursor = Some(sortCols.indices.map(i => lit(lastRow.get(i))))
         }
       }

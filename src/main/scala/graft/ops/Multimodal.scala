@@ -162,9 +162,11 @@ object MediaCodecs {
     var i = 0
     while (i < n && base + 2 + 12 * i + 12 <= b.length) {
       val e = base + 2 + 12 * i
-      val v: Long = u16(e + 2) match {
-        case 3 => u16(e + 8) // SHORT
-        case 4 => u32(e + 8) // LONG
+      // only count==1 entries store the value inline at e+8; count>1
+      // stores an OFFSET there, which would be misread as the dimension
+      val v: Long = (u16(e + 2), u32(e + 4)) match {
+        case (3, 1L) => u16(e + 8) // SHORT, single value
+        case (4, 1L) => u32(e + 8) // LONG, single value
         case _ => -1L
       }
       u16(e) match {

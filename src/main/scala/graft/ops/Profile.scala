@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   * max_str). Numeric columns fill the num lane (exact long→double
   * casts), strings the str lane, temporal/boolean columns render their
   * min/max into the str lane (ISO order = lexical order); other types
-  * (arrays, structs, binary) get counts only. No cross-type formatting,
-  * so the report replays exactly against a SQL oracle.
+  * (arrays, structs, binary) get counts only, with map-bearing columns'
+  * n_distinct computed over their to_json encoding (Spark SQL defines
+  * no map equality). No cross-type formatting, so the report replays
+  * exactly against a SQL oracle.
   *
   * Scale shape: ONE pass over the table — a single aggregate computes
   * every column's metrics together, then the 1-row result pivots to the
@@ -44,15 +46,32 @@ object Profile {
     case _ => false
   }
 
+  /** Map-bearing types are unorderable AND unhashable in Spark SQL —
+    * both countDistinct and approx_count_distinct are rejected at
+    * analysis time, anywhere a map appears in the type tree. */
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case ArrayType(et, _) => containsMap(et)
+    case StructType(fs) => fs.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
   def profile(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
     val fields = df.schema.fields
     require(fields.nonEmpty, "profile: empty schema")
     val aggs: Seq[Column] = count(lit(1)).cast("long").as("__nr") +:
       fields.zipWithIndex.flatMap { case (f, i) =>
         val c = col(f.name)
+        // Spark rejects distinct aggregation on map-bearing types at
+        // analysis time (maps are neither orderable nor hashable —
+        // map equality itself is undefined in Spark SQL), so distinct
+        // counts for those run over the to_json canonical encoding: the
+        // profile stays one pass over ANY DataFrame, at the documented
+        // cost that n_distinct for maps counts distinct ENCODINGS.
+        val distArg = if (containsMap(f.dataType)) to_json(c) else c
         val dist =
-          if (exactDistinct) countDistinct(c)
-          else approx_count_distinct(c)
+          if (exactDistinct) countDistinct(distArg)
+          else approx_count_distinct(distArg)
         Seq(
           sum(when(c.isNull, 1L).otherwise(0L)).cast("long").as(s"__nu_$i"),
           dist.cast("long").as(s"__nd_$i")) ++

@@ -74,6 +74,32 @@ class DeleteSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("FULLY-EMPTIED escaped partition is refused too, table unmodified") {
+    val root = Files.createTempDirectory("graft_delete5").toFile
+    val path = s"$root/table"
+    // Deleting EVERY row of the escaping partition stages no survivor
+    // dir for it, so the staged-name comparison alone can never catch
+    // the mismatch — the old guard passed, the swap loop probed the
+    // unescaped predicted name (absent on disk), and the partition's
+    // rows silently survived a right-to-be-forgotten delete. The
+    // value-level round-trip guard must refuse before any write.
+    Seq((1L, "a%b", 1.0), (2L, "a%b", 2.0), (3L, "ok", 3.0))
+      .toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(path)
+    val before = fileSigs(new java.io.File(path))
+
+    val ex = intercept[IllegalArgumentException] {
+      Delete.deleteKeysPartitioned(spark, path,
+        Seq(1L, 2L).toDF("k"), Seq("k"), "part")
+    }
+    assert(ex.getMessage.contains("round-trip"))
+    assert(fileSigs(new java.io.File(path)) == before)
+    assert(!new java.io.File(s"$root/table__staging__").exists())
+    assert(!new java.io.File(s"$root/table__old__").exists())
+    assert(!new java.io.File(s"$root/table__dropped__").exists())
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
   test("interrupted delete: parked-empty partition is purged, not restored") {
     val root = Files.createTempDirectory("graft_delete4").toFile
     val path = s"$root/table"

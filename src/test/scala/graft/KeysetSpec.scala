@@ -68,6 +68,30 @@ class KeysetSpec extends SparkSpec {
     assert(physical.contains("TakeOrderedAndProject"))
   }
 
+  test("NULL sort value on a page boundary is refused, not truncated") {
+    // Ascending order sorts NULLS FIRST, so with pageSize 2 the first
+    // boundary lands on a null ts row; the cursor lit(null) would make
+    // every after() comparison NULL → empty page 2 → walk "done" with
+    // 6 of 8 rows silently missing. The guard must throw instead.
+    val rows = Seq(
+      (None: Option[Long], 1L), (None, 2L), (None, 3L),
+      (Some(10L), 4L), (Some(20L), 5L), (Some(30L), 6L),
+      (Some(40L), 7L), (Some(50L), 8L)
+    ).toDF("ts", "id")
+    val ex = intercept[IllegalStateException] {
+      Keyset.walk(rows, Seq("ts", "id"), n = 2)
+    }
+    assert(ex.getMessage.contains("NULL") &&
+      ex.getMessage.contains("ts"))
+
+    // but nulls that DON'T land on a boundary are fine: all null rows
+    // fit on page 1 (nulls first), boundary row is non-null, the walk
+    // still reassembles the full sorted scan.
+    val pages = Keyset.walk(rows, Seq("ts", "id"), n = 4)
+    val walked = pages.flatMap(_.select("id").as[Long].collect())
+    assert(walked == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+  }
+
   test("walk refuses to stream a table past maxPages") {
     val big = spark.range(100).toDF("id").withColumn("ts", col("id"))
     val ex = intercept[IllegalStateException] {

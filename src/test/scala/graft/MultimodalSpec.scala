@@ -132,6 +132,17 @@ class MultimodalSpec extends SparkSpec {
     val noDims = "II".getBytes ++ le16(42) ++ le32(8) ++ le16(1) ++
       (le16(259) ++ le16(3) ++ le32(1) ++ le32(1)) ++ le32(0)
     assert(MediaCodecs.tiffDims(noDims) === None)
+
+    // count > 1 stores an OFFSET in the value field, not the value: a
+    // dims entry with count=2 must be rejected (None), never misread
+    // as width/height = the offset bytes
+    val multiCount = "II".getBytes ++ le16(42) ++ le32(8) ++
+      le16(2) ++
+      (le16(256) ++ le16(4) ++ le32(2) ++ le32(38)) ++ // count=2: offset!
+      (le16(257) ++ le16(4) ++ le32(2) ++ le32(46)) ++
+      le32(0) ++
+      le32(1920) ++ le32(1921) ++ le32(1080) ++ le32(1081)
+    assert(MediaCodecs.tiffDims(multiCount) === None)
   }
 
   test("MP4 (ISO-BMFF) box walk: tkhd geometry and stsz frame count") {

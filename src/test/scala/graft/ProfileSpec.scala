@@ -67,6 +67,27 @@ class ProfileSpec extends SparkSpec {
     assert((4 to 7).forall(arr.isNullAt))
   }
 
+  test("map columns profile instead of failing analysis") {
+    // Spark rejects distinct aggregation on map-bearing types (no map
+    // equality in Spark SQL) — profile must still cover such tables,
+    // counting distinct to_json ENCODINGS for the map lanes.
+    val df = Seq(
+      (1L, Map("a" -> 1), Some(Map("x" -> 1.0))),
+      (2L, Map("a" -> 1), None),
+      (3L, Map("b" -> 2), Some(Map("x" -> 1.0)))
+    ).toDF("id", "m", "om")
+    Seq(true, false).foreach { exact =>
+      val p = Profile.profile(df, exactDistinct = exact).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(p.keySet == Set("id", "m", "om"))
+      assert(p("m").getLong(2) == 0L) // no nulls
+      assert(p("m").getLong(3) == 2L) // {a->1} ×2, {b->2}
+      assert(p("om").getLong(2) == 1L)
+      assert(p("om").getLong(3) == 1L)
+      assert((4 to 7).forall(p("m").isNullAt)) // counts-only lanes
+    }
+  }
+
   test("single-pass plan and approx-distinct lane") {
     val docs = Tables.documents(spark, sfDir)
     // approx lane: no Expand operator in the plan (the exact-distinct
