@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional clustering (Z-order) — the parquet data-skipping
+  * lever at 100 TB. A table sorted on one column prunes row groups on
+  * that column only; every predicate on a second column still scans
+  * everything. Interleaving the bits of several columns' equi-depth
+  * bucket ranks into one Morton key and range-partitioning on it makes
+  * EVERY clustered column's per-file min/max span narrow (≈ F^(-1/d) of
+  * the domain for F files, d dimensions), so parquet footer min/max
+  * statistics prune scans on ANY of them — the layout op behind
+  * "OPTIMIZE ... ZORDER BY" in lakehouse engines, here as a plain
+  * DataFrame transform + the stage-and-swap rewrite discipline.
+  *
+  * Scale shape: bucket boundaries are d × (2^bits − 1) approx-quantile
+  * values localized ONCE at the driver (a bounded sketch merge, never
+  * the data); the key itself is pure codegen'd bit arithmetic; the
+  * clustering is one range repartition (the same shuffle a plain sort
+  * pays) + in-partition sort. Equi-depth ranks — not min/max scaling —
+  * so skewed columns still split into balanced cells.
+  */
+object Layout {
+
+  /** Equi-depth bucket rank 0..2^bits−1: how many quantile boundaries
+    * lie strictly below the value. NULLs rank 0 (they sort first and
+    * parquet tracks them via null counts, not min/max). The boundary
+    * array is a literal — the comparison loop is one codegen'd HOF over
+    * ≤255 doubles, no join, no lookup table. */
+  private def bucketOf(c: Column, bounds: Array[Double]): Column =
+    size(filter(
+      typedlit(bounds.toSeq),
+      b => c.cast("double") > b)).cast("long")
+
+  /** The Morton (Z) key for `cols` at `bits` bits per column: bit i of
+    * column j lands at position i*d + j. Pure long bit-twiddling,
+    * unrolled at plan-build time into codegen'd shifts/ors. Clustered
+    * columns must be numeric/castable-to-double (dates: cast to epoch
+    * first; strings: bucket via a hash rank first). */
+  def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+    require(cols.size >= 2, "zorder needs >= 2 columns (1 = plain sort)")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits=$bits over ${cols.size} columns exceeds a long key")
+    val nb = (1 << bits) - 1
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    // one pass builds every column's boundary sketch together
+    val bounds = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val d = cols.size
+    val ranks = cols.zip(bounds).map { case (name, bs) =>
+      bucketOf(col(name), bs.distinct.sorted)
+    }
+    ranks.zipWithIndex.map { case (r, j) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * d + j)
+      }.reduce[Column](_.bitwiseOR(_))
+    }.reduce[Column](_.bitwiseOR(_))
+  }
+
+  /** `df` clustered for multi-column data skipping: range-partitioned
+    * and sorted by the Z key of `cols`, key dropped. Write the result
+    * with `.write.parquet(...)` (or hand it to [[Compact]]'s swap for an
+    * in-place OPTIMIZE) and per-file min/max footers become narrow on
+    * every clustered column at once. */
+  def cluster(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      numFiles: Int = 0): DataFrame = {
+    val keyed = df.withColumn("__zkey", zorderKey(df, cols, bits))
+    val parted =
+      if (numFiles > 0) keyed.repartitionByRange(numFiles, col("__zkey"))
+      else keyed.repartitionByRange(col("__zkey"))
+    parted.sortWithinPartitions("__zkey").drop("__zkey")
+  }
+}

@@ -347,6 +347,36 @@ object SinkQueries {
         |       ELSE '__legacy__' END AS category,
         |  count(*)::BIGINT AS n,
         |  (sum(CAST(value AS DECIMAL(18,4))))::DOUBLE AS sum_value
-        |FROM events GROUP BY 1 ORDER BY category""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY category""".stripMargin),
+
+    // S20: Z-order clustered rewrite (ops/Layout) — the multi-column
+    // data-skipping layout (OPTIMIZE ... ZORDER BY). The oracle checks
+    // what a layout op must guarantee: the rewrite preserves content
+    // EXACTLY (counts + exact-decimal sums per group, read back from
+    // the clustered files); the narrow-per-file-min/max property that
+    // justifies the op is asserted in LayoutSpec, where file boundaries
+    // are observable.
+    QueryDef("s20_zorder_layout",
+      (s, dir) => {
+        val path = s"${stageDir(dir)}/s20_table"
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_returnflag")
+        graft.ops.Layout.cluster(li, Seq("l_partkey", "l_suppkey"),
+          bits = 8, numFiles = 8)
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum(col("l_partkey")).cast("long").as("sum_partkey"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+        |  (sum(CAST(l_quantity AS DECIMAL(18,4))))::DOUBLE AS sum_qty,
+        |  sum(l_partkey)::BIGINT AS sum_partkey
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
   )
 }

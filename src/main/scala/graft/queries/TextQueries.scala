@@ -1044,6 +1044,87 @@ object TextQueries {
          |SELECT source, doc_id, weight, sample_rank FROM r
          |WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin),
 
+    // Proportional stratified sample: ceil(frac·n) of EVERY stratum in
+    // hash order — rare languages/sources stay represented, unlike a
+    // plain hash split where a 0.1% stratum vanishes from a 10% sample
+    // most of the time. One shuffle (quota + rank share the stratum
+    // window); deterministic, so the oracle replays the pick exactly.
+    QueryDef("s21_stratified_sample",
+      (s, dir) => {
+        import graft.ops.Sampling
+        Sampling.stratifiedSample(
+          Tables.documents(s, dir).select("doc_id", "lang", "source"),
+          col("lang"), col("doc_id"), 0.1)
+          .orderBy("lang", "doc_id")
+      },
+      s"""WITH r AS (SELECT doc_id, lang, source,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      ${dkHash60("doc_id::VARCHAR")} ASC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents)
+         |SELECT doc_id, lang, source FROM r
+         |WHERE rn <= ceil(0.1 * n) ORDER BY lang, doc_id""".stripMargin),
+
+    // Temperature-0.5 mixture weights: per-source √n dampening plus an
+    // integer quota for a fixed doc budget. Quotas are pure integer
+    // arithmetic (⌊√(n·10⁶)⌋ weights, 128-bit multiply-divide), so two
+    // engines computing the mixture agree to the last document; `share`
+    // is the registry's one double expression.
+    QueryDef("s22_mixture_weights",
+      (s, dir) => {
+        import graft.ops.Sampling
+        Sampling.mixtureWeights(Tables.documents(s, dir),
+          col("source"), budget = 100000L)
+      },
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_docs
+        |    FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE)))
+        |      AS BIGINT) AS w_sqrt FROM c),
+        |t AS (SELECT sum(w_sqrt)::BIGINT AS tw FROM w)
+        |SELECT source, n_docs, w_sqrt,
+        |  CAST(w_sqrt AS DOUBLE) / CAST(tw AS DOUBLE) AS share,
+        |  CAST((CAST(w_sqrt AS HUGEINT) * 100000) // CAST(tw AS HUGEINT)
+        |    AS BIGINT) AS target_docs
+        |FROM w, t ORDER BY source""".stripMargin),
+
+    // Bloom-prefiltered decontamination (ops/Decontaminate): t9's exact
+    // shared-shingle semantics, but the corpus side is pruned by a
+    // Bloom filter of the benchmark shingles BEFORE the shuffle — at
+    // 100 TB the corpus never shuffles, only the ~1% sliver that might
+    // match. The filter has no false negatives and the exact semi-join
+    // confirms survivors, so the report is bit-identical to the plain
+    // join — which is exactly what this oracle (no bloom anywhere)
+    // verifies. Contamination verdict: docs sharing ≥ 5 shingles.
+    QueryDef("t14_bloom_decontam",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val benchSrc = docs.agg(min(col("source")).as("__bsrc"))
+        val tagged = docs.crossJoin(broadcast(benchSrc))
+        val benchSh = TextDedup.shingles(
+          tagged.filter(col("source") === col("__bsrc")))
+          .select("shingle").distinct()
+        val corpusSh = TextDedup.shingles(
+          tagged.filter(col("source") =!= col("__bsrc")))
+        graft.ops.Decontaminate.sharedShingleCounts(s, corpusSh, benchSh,
+          expectedItems = 500000L, fpp = 0.01)
+          .filter(col("n_shared_shingles") >= 5)
+          .orderBy("doc_id")
+      },
+      """WITH b AS (SELECT min(source) AS bsrc FROM documents),
+        |t AS (SELECT doc_id, source,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, source, CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE [] END AS shs FROM t),
+        |sh AS (SELECT doc_id, source, unnest(shs) AS shingle FROM sh0),
+        |bench AS (SELECT DISTINCT shingle FROM sh, b WHERE sh.source = b.bsrc),
+        |corp AS (SELECT doc_id, shingle FROM sh, b WHERE sh.source <> b.bsrc)
+        |SELECT doc_id, count(*) AS n_shared_shingles
+        |FROM corp JOIN bench USING (shingle)
+        |GROUP BY doc_id HAVING count(*) >= 5 ORDER BY doc_id""".stripMargin),
+
     // Unigram commonness score: per-doc mean corpus frequency of its
     // tokens — the zero-shot "is this doc made of ordinary words"
     // quality signal (a rare-token doc scores low; boilerplate scores

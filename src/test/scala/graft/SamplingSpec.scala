@@ -51,4 +51,48 @@ class SamplingSpec extends SparkSpec {
     // 2^60 < 2^63 = heavy floor as double — strict dominance holds
     assert(first.map(_.getLong(0)).toSeq == Seq(42L))
   }
+
+  test("stratified sample: per-stratum ceil quota, rare strata kept") {
+    // strata of very different sizes; a 10% sample must keep every
+    // stratum at ceil(0.1 * n): 160→16, 30→3, 9→1, 1→1 — the rare
+    // stratum never vanishes (plain 10% hash-sampling drops it ~90% of
+    // the time).
+    val rows = ((1L to 160L).map(i => (i, "big")) ++
+      (161L to 190L).map(i => (i, "mid")) ++
+      (191L to 199L).map(i => (i, "small")) ++
+      Seq((200L, "rare"))).toDF("doc_id", "stratum")
+    val out = Sampling.stratifiedSample(rows, col("stratum"),
+      col("doc_id"), 0.1)
+    val bySt = out.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySt == Map("big" -> 16L, "mid" -> 3L, "small" -> 1L,
+      "rare" -> 1L))
+    // layout-independent: same picked set after a repartition
+    val again = Sampling.stratifiedSample(rows.repartition(13),
+      col("stratum"), col("doc_id"), 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("mixture weights: sqrt dampening, exact integer quotas") {
+    val df = (1L to 1600L).map(i => (i, "a")) ++ // 1600 docs
+      (1L to 400L).map(i => (i + 10000, "b")) ++ // 400
+      (1L to 100L).map(i => (i + 20000, "c")) // 100
+    val out = Sampling.mixtureWeights(df.toDF("doc_id", "source"),
+      col("source"), budget = 1000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    // w = floor(sqrt(n * 1e6)): perfect squares here → exact sqrt ratios
+    // 40:20:10 → shares 4/7, 2/7, 1/7 and quotas floor(1000*w/Σw)
+    assert(out("a")._2 == 40000L) // floor(sqrt(1.6e9))
+    assert(out("b")._2 == 20000L)
+    assert(out("c")._2 == 10000L)
+    assert(out("a")._4 == 571L) // floor(1000 * 40000 / 70000)
+    assert(out("b")._4 == 285L)
+    assert(out("c")._4 == 142L)
+    assert(math.abs(out("a")._3 - 4.0 / 7.0) < 1e-15)
+    // quotas under-fill by < n_sources (floor discipline)
+    assert(Seq(571L, 285L, 142L).sum <= 1000 &&
+      Seq(571L, 285L, 142L).sum > 1000 - 3)
+  }
 }
