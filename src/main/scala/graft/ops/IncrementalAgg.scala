@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained rollups — the append-only 100 TB story.
+  *
+  * A grand-total rollup over a growing fact table must not rescan
+  * history on every batch: at 100 TB the history scan IS the cost.
+  * The classic fix is an algebraic partial-aggregate state table —
+  * exactly the (count, sum, min, max) tuples Spark's own partial
+  * aggregation exchanges between map and reduce, made durable:
+  *
+  *   state ⊕ partial(new batch) == partial(history ∪ new batch)
+  *
+  * so each batch pays only its own scan plus a state-sized merge (the
+  * state has one row per group — MB where the facts are TB). AVG and
+  * other derived measures are NOT stored (they don't merge); they are
+  * computed at read time from the mergeable accumulators by
+  * [[finalize]].
+  *
+  * Determinism contract (repo-wide): sums accumulate in DECIMAL(38,4)
+  * — exact, engine-replayable, overflow-safe for ~10²⁰ rows of
+  * DECIMAL(18,4) values; the only double arithmetic is in [[finalize]]
+  * (one cast-and-divide per derived measure). The merge is therefore
+  * associative AND commutative bit-for-bit — batch order, partition
+  * layout and merge tree shape cannot change the state, which is what
+  * makes the oracle's single-scan replay a fair hash-compare.
+  *
+  * Reference anchor: the funding-stats rebuild
+  * (funding_stats_etl.py:63-120 recomputes from the full table each
+  * tick) — this op is the form that survives when the table no longer
+  * fits a tick.
+  */
+object IncrementalAgg {
+
+  private val accCols = Seq("n", "sum_val", "min_val", "max_val")
+
+  /** Mergeable state for one batch: per-group (n, sum, min, max) over
+    * `value`. Map-side combine applies (hash partial aggregate), so a
+    * batch shuffles one row per group per task, not its rows. */
+  def partial(batch: DataFrame, keys: Seq[String], value: String): DataFrame = {
+    require(keys.nonEmpty, "incremental rollup needs >= 1 group key")
+    val v = col(value).cast("decimal(18,4)")
+    batch.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(v).cast("decimal(38,4)").as("sum_val"),
+      min(v).as("min_val"),
+      max(v).as("max_val"))
+  }
+
+  /** `state ⊕ delta`: group keys are every column that is not an
+    * accumulator, so any [[partial]] output merges without re-stating
+    * its key list. Both sides are state-sized — this never touches the
+    * fact table. */
+  def merge(state: DataFrame, delta: DataFrame): DataFrame = {
+    val keys = state.columns.filterNot(accCols.contains).toSeq
+    require(keys.sorted.sameElements(
+      delta.columns.filterNot(accCols.contains).sorted),
+      s"state/delta key mismatch: ${state.columns.toSeq} vs ${delta.columns.toSeq}")
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*).agg(
+        sum(col("n")).cast("long").as("n"),
+        sum(col("sum_val")).cast("decimal(38,4)").as("sum_val"),
+        min(col("min_val")).as("min_val"),
+        max(col("max_val")).as("max_val"))
+  }
+
+  /** Read-time derived measures over the state: exact sums surfaced as
+    * doubles (one cast each) plus the non-mergeable AVG (one division).
+    * The state itself stays exact — finalize is a view, not a step. */
+  def finalize(state: DataFrame): DataFrame = {
+    val keys = state.columns.filterNot(accCols.contains).toSeq
+    state.select(
+      keys.map(col) ++ Seq(
+        col("n"),
+        col("sum_val").cast("double").as("sum_value"),
+        (col("sum_val").cast("double") /
+          col("n").cast("double")).as("avg_value"),
+        col("min_val").cast("double").as("min_value"),
+        col("max_val").cast("double").as("max_value")): _*)
+  }
+}

@@ -39,4 +39,30 @@ object SkewGuard {
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
       .orderBy(col("bucket_size").desc)
+
+  /** Pre-shuffle skew diagnostic: the `topK` heaviest values of `keys`
+    * with exact counts and their share of the table — the report to run
+    * BEFORE keying a 100 TB join/groupBy on a column, because one key
+    * holding 10% of the rows means one straggler task holding 10% of
+    * the shuffle (the situation AQE skew-join and salting exist for).
+    *
+    * Exact by design, not a sketch: the count is one map-side-combined
+    * hash aggregate (shuffles one row per distinct key per task, never
+    * the data), top-k is a TakeOrdered over the counts, and the total
+    * is a broadcast scalar — so the report is deterministic and
+    * oracle-replayable. Ties break by key value ascending. NULL keys
+    * count as a value (often the heaviest — exactly what this report
+    * exists to catch). */
+  def keySkew(df: DataFrame, keys: Seq[String], topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val total = df.agg(count(lit(1)).cast("long").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        col("n_rows").cast("double") / col("__total").cast("double"))
+      .drop("__total")
+      .orderBy(col("n_rows").desc +: keys.map(k => col(k).asc_nulls_first): _*)
+      .limit(topK)
+  }
 }

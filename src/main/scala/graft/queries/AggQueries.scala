@@ -731,6 +731,52 @@ object AggQueries {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |                       ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+
+    // A23: incrementally-maintained rollup (ops/IncrementalAgg) — the
+    // append-only form of the reference's full-rescan rebuild
+    // (funding_stats_etl.py:63-120). Three disjoint batches are
+    // partial-aggregated INDEPENDENTLY and merged pairwise; the oracle
+    // recomputes in one scan — hash equality proves the merge algebra
+    // (state ⊕ partial(batch) ≡ partial(all)) that lets a 100 TB table
+    // pay per-batch cost instead of per-history cost. Decimal state, so
+    // merge order can't perturb a bit.
+    QueryDef("a23_incremental_rollup",
+      (s, dir) => {
+        import graft.ops.IncrementalAgg
+        val ev = Tables.events(s, dir)
+        val batches = (0 to 2).map(i =>
+          ev.filter(pmod(col("event_id"), lit(3)) === i))
+        val state = batches
+          .map(b => IncrementalAgg.partial(b, Seq("event_type"), "value"))
+          .reduce(IncrementalAgg.merge)
+        IncrementalAgg.finalize(state).orderBy("event_type")
+      },
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  (sum(CAST(value AS DECIMAL(18,4))))::DOUBLE AS sum_value,
+        |  (sum(CAST(value AS DECIMAL(18,4)))::DOUBLE) / (count(*)::DOUBLE)
+        |    AS avg_value,
+        |  (min(CAST(value AS DECIMAL(18,4))))::DOUBLE AS min_value,
+        |  (max(CAST(value AS DECIMAL(18,4))))::DOUBLE AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // C5: key-skew report (SkewGuard.keySkew) — the heaviest join/groupBy
+    // key values with exact counts and table share, the diagnostic to
+    // run before keying a 100 TB shuffle. Exact counts via one
+    // map-side-combined aggregate (shuffles distinct keys, not rows);
+    // count-desc/key-asc total order makes top-k oracle-replayable.
+    QueryDef("c5_key_skew",
+      (s, dir) => {
+        import graft.ops.SkewGuard
+        SkewGuard.keySkew(Tables.events(s, dir),
+          Seq("event_type"), topK = 5)
+          .orderBy(col("n_rows").desc, col("event_type").asc)
+      },
+      """WITH c AS (SELECT event_type, count(*)::BIGINT AS n_rows
+        |    FROM events GROUP BY event_type),
+        |t AS (SELECT count(*)::BIGINT AS total FROM events)
+        |SELECT event_type, n_rows,
+        |  n_rows::DOUBLE / total::DOUBLE AS share
+        |FROM c, t ORDER BY n_rows DESC, event_type ASC LIMIT 5""".stripMargin)
   )
 }

@@ -377,6 +377,38 @@ object SinkQueries {
         |  (sum(CAST(l_quantity AS DECIMAL(18,4))))::DOUBLE AS sum_qty,
         |  sum(l_partkey)::BIGINT AS sum_partkey
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // S23: versioned snapshot table with time travel (ops/Snapshots).
+    // Three commits land (append, append, OVERWRITE), then the query
+    // reads VERSION 2 — proving a superseded version stays readable
+    // byte-for-byte after later commits, the isolation directory swaps
+    // cannot give. The oracle recomputes v2's logical content (the two
+    // appended thirds of orders) from the source table; hash equality
+    // pins both the commit protocol and the manifest-pinned read.
+    QueryDef("s23_snapshot_time_travel",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s23_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true) // rebuild the fixture table each run
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority")
+        Snapshots.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), root)
+        Snapshots.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), root)
+        Snapshots.overwrite(orders.filter(pmod(col("o_orderkey"), lit(3)) === 2), root)
+        Snapshots.read(s, root, version = 2)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.IncrementalAgg
+
+/** The merge-algebra contract behind incremental rollup maintenance:
+  * partial states merged in ANY grouping/order equal the one-shot
+  * aggregate — bit-for-bit, because the accumulators are decimal. */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    ("a", 1.5), ("a", 2.25), ("a", -0.75), ("b", 10.0),
+    ("b", 0.0001), ("c", -5.5), ("a", 3.125), ("b", 7.75))
+
+  test("state merged from any batch split equals the one-shot partial") {
+    val df = rows.toDF("k", "v")
+    val oneShot = IncrementalAgg.finalize(
+      IncrementalAgg.partial(df, Seq("k"), "v"))
+      .orderBy("k").collect().toSeq
+    // three different splits, one of them with an empty batch
+    val splits = Seq(
+      Seq(df.filter($"v" > 2), df.filter($"v" <= 2)),
+      Seq(df.limit(0), df),
+      (0 to 2).map(i => df.filter(pmod(hash($"k", $"v"), lit(3)) === i)))
+    splits.foreach { batches =>
+      val merged = batches
+        .map(b => IncrementalAgg.partial(b, Seq("k"), "v"))
+        .reduce(IncrementalAgg.merge)
+      val got = IncrementalAgg.finalize(merged).orderBy("k").collect().toSeq
+      assert(got == oneShot, s"split with ${batches.size} batches diverged")
+    }
+    // and merge is order-insensitive
+    val ps = (0 to 2).map(i =>
+      IncrementalAgg.partial(
+        df.filter(pmod(hash($"k", $"v"), lit(3)) === i), Seq("k"), "v"))
+    val fwd = IncrementalAgg.finalize(ps.reduce(IncrementalAgg.merge))
+      .orderBy("k").collect().toSeq
+    val rev = IncrementalAgg.finalize(ps.reverse.reduce(IncrementalAgg.merge))
+      .orderBy("k").collect().toSeq
+    assert(fwd == rev && fwd == oneShot)
+  }
+
+  test("a new group arriving in a later batch appears with exact stats") {
+    val b1 = Seq(("a", 1.0)).toDF("k", "v")
+    val b2 = Seq(("z", 4.5), ("z", 5.5)).toDF("k", "v")
+    val out = IncrementalAgg.finalize(IncrementalAgg.merge(
+      IncrementalAgg.partial(b1, Seq("k"), "v"),
+      IncrementalAgg.partial(b2, Seq("k"), "v")))
+      .orderBy("k")
+      .select("k", "n", "sum_value", "avg_value").as[(String, Long, Double, Double)]
+      .collect().toSeq
+    assert(out == Seq(("a", 1L, 1.0, 1.0), ("z", 2L, 10.0, 5.0)))
+  }
+
+  test("merging states with mismatched keys throws") {
+    val s1 = IncrementalAgg.partial(Seq(("a", 1.0)).toDF("k", "v"), Seq("k"), "v")
+    val s2 = IncrementalAgg.partial(
+      Seq(("a", "x", 1.0)).toDF("k", "k2", "v"), Seq("k", "k2"), "v")
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.merge(s1, s2)
+    }
+  }
+}
