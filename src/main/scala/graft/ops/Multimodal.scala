@@ -139,6 +139,34 @@ object MediaCodecs {
     }
   }
 
+  /** WebP (RIFF/WEBP): the first chunk after the RIFF header decides
+    * the flavor — `VP8X` (extended) carries a 24-bit LE canvas size
+    * minus one; `VP8L` (lossless) packs 14-bit dims minus one into the
+    * 4 bytes after its 0x2F signature; `VP8 ` (lossy) holds 14-bit
+    * dims behind the 0x9D 0x01 0x2A sync code. Same RIFF outer shell
+    * as WAV, distinguished by the `WEBP` form type. Never throws. */
+  def webpDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 20 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'E' || b(10) != 'B' ||
+      b(11) != 'P') return None
+    val p = 20 // first chunk payload (id at 12, size at 16)
+    new String(b.slice(12, 16), "US-ASCII") match {
+      case "VP8X" if b.length >= p + 10 =>
+        def u24(o: Int): Int =
+          (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16)
+        Some((u24(p + 4) + 1, u24(p + 7) + 1))
+      case "VP8L" if b.length >= p + 5 && (b(p) & 0xFF) == 0x2F =>
+        val (b1, b2) = (b(p + 1) & 0xFF, b(p + 2) & 0xFF)
+        val (b3, b4) = (b(p + 3) & 0xFF, b(p + 4) & 0xFF)
+        Some((1 + (b1 | ((b2 & 0x3F) << 8)),
+          1 + ((b2 >> 6) | (b3 << 2) | ((b4 & 0x0F) << 10))))
+      case "VP8 " if b.length >= p + 10 && (b(p + 3) & 0xFF) == 0x9D &&
+          (b(p + 4) & 0xFF) == 0x01 && (b(p + 5) & 0xFF) == 0x2A =>
+        Some((le16(b, p + 6) & 0x3FFF, le16(b, p + 8) & 0x3FFF))
+      case _ => None
+    }
+  }
+
   /** TIFF: byte-order mark `II`/`MM` + magic 42 + first-IFD offset; the
     * IFD is a u16 entry count then 12-byte entries (tag u16, type u16,
     * count u32, value field). ImageWidth/ImageLength are tags 256/257,
@@ -287,10 +315,10 @@ object Multimodal {
     (64 + (n % 512).toInt, 64 + ((n * 7) % 512).toInt, 1 + (n % 8).toInt)
   }
 
-  /** Header decode: real parsing for PNG/JPEG/GIF/BMP/TIFF dimensions
-    * (single-frame), WAV audio (channels, bit depth, sample frames) and
-    * MP4/MOV video (track geometry, sample count); stub fallback for
-    * any other container. */
+  /** Header decode: real parsing for PNG/JPEG/GIF/BMP/TIFF/WebP
+    * dimensions (single-frame), WAV audio (channels, bit depth, sample
+    * frames) and MP4/MOV video (track geometry, sample count); stub
+    * fallback for any other container. */
   def decodeHeader(payload: Array[Byte]): (Int, Int, Int) =
     decodeHeaderTagged(payload)._1
 
@@ -305,6 +333,7 @@ object Multimodal {
       .orElse(MediaCodecs.wavMeta(payload).map((_, "wav")))
       .orElse(MediaCodecs.tiffDims(payload).map(d => ((d._1, d._2, 1), "tiff")))
       .orElse(MediaCodecs.mp4Meta(payload).map((_, "mp4")))
+      .orElse(MediaCodecs.webpDims(payload).map(d => ((d._1, d._2, 1), "webp")))
       .getOrElse((stubDecode(payload), "stub"))
 
   /** One sampled frame: stub "decode" of frame `frame_idx` of a media

@@ -70,12 +70,17 @@ object Snapshots {
   def currentVersion(spark: SparkSession, dir: String): Option[Int] =
     versions(spark, dir).lastOption
 
-  private def readManifest(fs: FileSystem, root: HPath, v: Int): Seq[String] = {
+  /** All manifest lines, including `#`-prefixed metadata headers. */
+  private def manifestLines(fs: FileSystem, root: HPath, v: Int): Seq[String] = {
     val in = fs.open(manifestPath(root, v))
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  /** The data files of version `v` (metadata headers stripped). */
+  private def readManifest(fs: FileSystem, root: HPath, v: Int): Seq[String] =
+    manifestLines(fs, root, v).filterNot(_.startsWith("#"))
 
   /** The table at `version` (default: latest). The returned plan names
     * this version's exact files — later commits, and even a concurrent
@@ -107,12 +112,12 @@ object Snapshots {
 
   /** CAS one manifest: true iff this writer won version `v`. */
   private def casManifest(fs: FileSystem, root: HPath, v: Int,
-      files: Seq[String]): Boolean = {
+      files: Seq[String], header: Seq[String]): Boolean = {
     val md = new HPath(root, ManifestDir)
     fs.mkdirs(md)
     val tmp = new HPath(md, s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((header ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val won =
       try fs.rename(tmp, manifestPath(root, v))
@@ -122,7 +127,8 @@ object Snapshots {
   }
 
   private def commitLoop(fs: FileSystem, root: HPath, spark: SparkSession,
-      dir: String, staged: Seq[String], carryBase: Boolean): Int = {
+      dir: String, staged: Seq[String], carryBase: Boolean,
+      header: Seq[String] = Nil): Int = {
     var attempts = 0
     while (attempts < 10) {
       val base = currentVersion(spark, dir)
@@ -130,7 +136,7 @@ object Snapshots {
         if (carryBase) base.map(readManifest(fs, root, _)).getOrElse(Nil) ++ staged
         else staged
       val next = base.getOrElse(0) + 1
-      if (casManifest(fs, root, next, files)) return next
+      if (casManifest(fs, root, next, files, header)) return next
       attempts += 1 // lost the race: re-read the winner's state and retry
     }
     throw new java.util.ConcurrentModificationException(
@@ -153,6 +159,43 @@ object Snapshots {
     val spark = df.sparkSession
     val (fs, root) = fsFor(spark, dir)
     commitLoop(fs, root, spark, dir, stage(df, fs, root), carryBase = false)
+  }
+
+  private val CommitTag = """#commit writer=([A-Za-z0-9._-]+) batch=(-?\d+)""".r
+
+  /** The newest batch id `writerId` has committed, scanning manifests
+    * newest-first (a streaming writer's tag is almost always in the
+    * last few — the scan is O(distance), not O(history)). */
+  private def lastBatch(fs: FileSystem, root: HPath, spark: SparkSession,
+      dir: String, writerId: String): Option[Long] =
+    versions(spark, dir).reverseIterator.flatMap { v =>
+      manifestLines(fs, root, v).collectFirst {
+        case CommitTag(w, b) if w == writerId => b.toLong
+      }
+    }.nextOption()
+
+  /** Exactly-once append for Structured Streaming's foreachBatch: the
+    * (writerId, batchId) pair is recorded IN the committed manifest, so
+    * a replayed batch — task retry, driver restart, checkpoint
+    * recovery — is recognized and skipped (returns None) instead of
+    * double-appending. Correct because foreachBatch batch ids are
+    * monotonically increasing per query and a single query runs its
+    * batches serially: a batch id at-or-below the writer's recorded
+    * high-water mark has already landed. Distinct writerIds compose —
+    * several streams may append to one table through the normal CAS
+    * retry. A crash between the manifest CAS and anything else needs no
+    * repair: the manifest IS the record. */
+  def idempotentAppend(df: DataFrame, dir: String, writerId: String,
+      batchId: Long): Option[Int] = {
+    require(writerId.matches("[A-Za-z0-9._-]+"),
+      s"writerId must be [A-Za-z0-9._-]+, got '$writerId'")
+    val spark = df.sparkSession
+    val (fs, root) = fsFor(spark, dir)
+    if (lastBatch(fs, root, spark, dir, writerId).exists(_ >= batchId))
+      return None // replay of an already-committed batch
+    val staged = stage(df, fs, root)
+    Some(commitLoop(fs, root, spark, dir, staged, carryBase = true,
+      header = Seq(s"#commit writer=$writerId batch=$batchId")))
   }
 
   /** Drop manifests older than the newest `keepVersions` and delete

@@ -423,4 +423,40 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Corpus-level LINE dedup (the C4 recipe): drop every line whose
+    * exact text occurs >= `minDupCount` times ACROSS the corpus —
+    * boilerplate (cookie banners, nav bars, license footers) repeats
+    * verbatim on thousands of pages while real prose doesn't, so a
+    * global line-frequency threshold removes it without any
+    * per-site rules. Documents keep their surviving lines in original
+    * order; a fully-boilerplate document comes back with empty
+    * `clean_text` (still present — dropping rows is the CALLER's
+    * policy decision).
+    *
+    * Scale shape: the frequency pass is one map-side-combined hash
+    * aggregate over the exploded lines (shuffles distinct lines per
+    * task, not rows); the removal anti-join shuffles lines once more;
+    * the rebuild groups by doc_id. At reference-set-like ratios the
+    * anti-join side can be bloom-pre-pruned with
+    * [[Decontaminate.bloomPrune]] (lines whose filter probe misses are
+    * provably non-duplicates and skip the shuffle); at C4-like dup
+    * densities the plain two-shuffle form is already the right plan. */
+  def lineDedup(docs: DataFrame, minDupCount: Long = 3): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .toDF("doc_id", "pos", "line")
+    val dups = lines.groupBy("line")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minDupCount)
+      .select("line")
+    val rebuilt = lines.join(dups, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+    docs.select("doc_id")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+  }
 }

@@ -1125,6 +1125,41 @@ object TextQueries {
         |FROM corp JOIN bench USING (shingle)
         |GROUP BY doc_id HAVING count(*) >= 5 ORDER BY doc_id""".stripMargin),
 
+    // Corpus-level line dedup (TextDedup.lineDedup — the C4 recipe):
+    // lines occurring >= 3 times across the corpus are boilerplate and
+    // are stripped from every document, order preserved. The fixture
+    // texts are single-line, so the query first composes multi-line
+    // "pages" (5 docs' texts as lines, plus an injected cookie-banner
+    // header on every page — the planted boilerplate); the op must
+    // remove exactly the header (100 occurrences) and keep all 500
+    // unique lines in place. Oracle replays composition + dedup.
+    QueryDef("t15_line_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pages = docs
+          .groupBy(expr("doc_id DIV 5").as("page_id"))
+          .agg(concat(lit("accept cookies to continue"), lit("\n"),
+            array_join(
+              transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+                x => x.getField("text")), "\n")).as("text"))
+          .select(col("page_id").as("doc_id"), col("text"))
+        TextDedup.lineDedup(pages, minDupCount = 3).orderBy("doc_id")
+      },
+      """WITH p AS (SELECT doc_id // 5 AS page_id,
+        |    'accept cookies to continue' || chr(10) ||
+        |      string_agg(text, chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT page_id AS doc_id, str_split(text, chr(10)) AS ls FROM p),
+        |e AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM t),
+        |l AS (SELECT doc_id, pos, ls[pos] AS line FROM e),
+        |d AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3),
+        |k AS (SELECT l.doc_id, l.pos, l.line FROM l ANTI JOIN d USING (line)),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+        |    AS clean_text FROM k GROUP BY doc_id)
+        |SELECT p.page_id AS doc_id, coalesce(r.clean_text, '') AS clean_text
+        |FROM p LEFT JOIN r ON r.doc_id = p.page_id
+        |ORDER BY doc_id""".stripMargin),
+
     // Unigram commonness score: per-doc mean corpus frequency of its
     // tokens — the zero-shot "is this doc made of ordinary words"
     // quality signal (a rare-token doc scores low; boilerplate scores

@@ -185,6 +185,44 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.decode_status === "mp4")
   }
 
+  test("WebP headers parse for real: VP8X canvas, VP8L packed, lossy VP8") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le24(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    def riff(chunk: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le16(4 + 8 + payload.length) ++ le16(0) ++
+        "WEBP".getBytes ++ chunk.getBytes("US-ASCII") ++
+        le16(payload.length) ++ le16(0) ++ payload
+
+    // VP8X: flags+reserved (4), then 24-bit canvas minus one, each dim
+    val vp8x = riff("VP8X",
+      new Array[Byte](4) ++ le24(1920 - 1) ++ le24(1080 - 1))
+    assert(MediaCodecs.webpDims(vp8x) === Some((1920, 1080)))
+
+    // VP8L: 0x2F signature, then 14-bit (w-1, h-1) packed low-first
+    val w = 800; val h = 600
+    val packed = (w - 1) | ((h - 1) << 14)
+    val vp8l = riff("VP8L", Array(0x2F.toByte,
+      (packed & 0xff).toByte, ((packed >> 8) & 0xff).toByte,
+      ((packed >> 16) & 0xff).toByte, ((packed >> 24) & 0xff).toByte))
+    assert(MediaCodecs.webpDims(vp8l) === Some((800, 600)))
+
+    // lossy VP8: 3-byte frame tag, sync 9D 01 2A, 14-bit dims
+    val vp8 = riff("VP8 ", new Array[Byte](3) ++
+      Array(0x9D.toByte, 0x01.toByte, 0x2A.toByte) ++ le16(320) ++ le16(240))
+    assert(MediaCodecs.webpDims(vp8) === Some((320, 240)))
+
+    // WAV keeps its RIFF lane (form type decides), junk stays None
+    assert(MediaCodecs.webpDims(
+      "RIFF????WAVEfmt 0000000000000000".getBytes) === None)
+    assert(MediaCodecs.webpDims(vp8x.take(15)) === None)
+
+    // end-to-end: the webp lane is queryable via decode_status
+    val media = Seq((1L, vp8l)).toDF("doc_id", "payload")
+    val meta = Multimodal.extractMetaFromPayload(media).collect().head
+    assert((meta.width, meta.height, meta.decode_status) === (800, 600, "webp"))
+  }
+
   test("extracted features are fixed-width, in [0,1], and similarity-ready") {
     val feats = Multimodal.extractFeatures(docs, dims = 8)
     val rows = feats.collect()

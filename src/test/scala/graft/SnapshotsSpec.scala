@@ -78,6 +78,31 @@ class SnapshotsSpec extends SparkSpec {
       Set(1L, 2L))
   }
 
+  test("idempotentAppend: replayed batches commit exactly once") {
+    val root = freshRoot()
+    assert(Snapshots.idempotentAppend(
+      Seq(1L, 2L).toDF("id"), root, "ingest", batchId = 0) == Some(1))
+    assert(Snapshots.idempotentAppend(
+      Seq(3L).toDF("id"), root, "ingest", batchId = 1) == Some(2))
+    // foreachBatch replay after a restart re-offers batch 1: skipped
+    assert(Snapshots.idempotentAppend(
+      Seq(3L).toDF("id"), root, "ingest", batchId = 1).isEmpty)
+    // and a stale batch id below the high-water mark is also skipped
+    assert(Snapshots.idempotentAppend(
+      Seq(1L, 2L).toDF("id"), root, "ingest", batchId = 0).isEmpty)
+    assert(Snapshots.read(spark, root).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // a second writer is independent state: its batch 0 still lands
+    assert(Snapshots.idempotentAppend(
+      Seq(10L).toDF("id"), root, "other-writer", batchId = 0) == Some(3))
+    assert(Snapshots.read(spark, root).count() == 4)
+    // batch commits interleave with plain commits without confusion
+    Snapshots.append(Seq(20L).toDF("id"), root)
+    assert(Snapshots.idempotentAppend(
+      Seq(30L).toDF("id"), root, "ingest", batchId = 2) == Some(5))
+    assert(Snapshots.read(spark, root).count() == 6)
+  }
+
   test("vacuum deletes only unreferenced files, keeps retained versions") {
     val root = freshRoot()
     Snapshots.append(spark.range(10).toDF(), root) // v1

@@ -174,4 +174,29 @@ class TextDedupSpec extends SparkSpec {
     val full = TextDedup.dedupClusters(docs, pairs)
     assert(full.select("cluster_id").distinct().count() == 1)
   }
+
+  test("lineDedup strips corpus-repeated lines, keeps order, keeps docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique alpha\nunique beta"),
+      (2L, "unique gamma\nCOOKIE BANNER\nfooter note"),
+      (3L, "COOKIE BANNER\nfooter note\nunique delta"),
+      (4L, "footer note\nCOOKIE BANNER"), // fully boilerplate
+      (5L, "only unique lines\nhere")).toDF("doc_id", "text")
+    // COOKIE BANNER x4 and footer note x3 cross the >=3 threshold
+    val out = TextDedup.lineDedup(docs, minDupCount = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "unique alpha\nunique beta"),
+      (2L, "unique gamma"),
+      (3L, "unique delta"),
+      (4L, ""), // still present: dropping empty docs is caller policy
+      (5L, "only unique lines\nhere")))
+    // below-threshold duplicates (x2) survive untouched
+    val two = Seq((1L, "twice seen\na"), (2L, "twice seen\nb"))
+      .toDF("doc_id", "text")
+    val kept = TextDedup.lineDedup(two, minDupCount = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(kept == Seq((1L, "twice seen\na"), (2L, "twice seen\nb")))
+  }
 }
