@@ -66,6 +66,32 @@ object IncrementalAgg {
         max(col("max_val")).as("max_val"))
   }
 
+  /** One exactly-once batch advance of a DURABLE rollup: the state
+    * lives in a [[Snapshots]] table, each advance commits
+    * `merge(current state, partial(batch))` as a new version tagged
+    * with (writerId, batchId) — so a replayed batch (task retry,
+    * driver restart, foreachBatch recovery) is recognized and skipped
+    * instead of double-counted, and every historical state version
+    * stays time-travel-readable. Returns None on a skipped replay.
+    *
+    * This is the full 100 TB incremental pipeline in one call: the
+    * batch pays its own scan + a state-sized merge + a state-sized
+    * write; the fact history is never touched. The state table must
+    * have ONE writer (the stream that owns it): advance reads then
+    * overwrites, and overwrite is last-writer-wins — concurrent
+    * writers to the same state dir would drop each other's merges. */
+  def advanceVersioned(stateDir: String, batch: DataFrame,
+      keys: Seq[String], value: String, writerId: String,
+      batchId: Long): Option[Int] = {
+    val spark = batch.sparkSession
+    val delta = partial(batch, keys, value)
+    val next = Snapshots.currentVersion(spark, stateDir) match {
+      case None => delta
+      case Some(v) => merge(Snapshots.read(spark, stateDir, v), delta)
+    }
+    Snapshots.idempotentOverwrite(next, stateDir, writerId, batchId)
+  }
+
   /** Read-time derived measures over the state: exact sums surfaced as
     * doubles (one cast each) plus the non-mergeable AVG (one division).
     * The state itself stays exact — finalize is a view, not a step. */

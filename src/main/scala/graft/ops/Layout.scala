@@ -43,22 +43,51 @@ object Layout {
     when(cd.isNull, lit(0L)).otherwise(search(0, bounds.length))
   }
 
+  /** Order-preserving numeric surrogate for a string column: the first
+    * 6 bytes' codepoints (clamped to 255) packed big-endian into a
+    * long — 2⁴⁸ < 2⁵³, so the value survives the double cast exactly.
+    * Strings sharing a 6+-char prefix collapse into one bucket (they
+    * belong together in a LAYOUT anyway); non-ASCII orders only
+    * approximately, which shifts cell boundaries, not correctness. */
+  private def strPrefixKey(c: Column): Column =
+    (0 until 6).map { i =>
+      least(coalesce(ascii(substring(c, i + 1, 1)), lit(0)), lit(255))
+        .cast("long") * lit(1L << (8 * (5 - i)))
+    }.reduce(_ + _)
+
   /** The Morton (Z) key for `cols` at `bits` bits per column: bit i of
     * column j lands at position i*d + j. Pure long bit-twiddling,
-    * unrolled at plan-build time into codegen'd shifts/ors. Clustered
-    * columns must be numeric/castable-to-double (dates: cast to epoch
-    * first; strings: bucket via a hash rank first). */
+    * unrolled at plan-build time into codegen'd shifts/ors. Numeric,
+    * date (via the double cast) and string columns are supported —
+    * strings rank through the order-preserving [[strPrefixKey]]
+    * surrogate, so URL/domain/category columns cluster too. */
   def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
     require(cols.size >= 2, "zorder needs >= 2 columns (1 = plain sort)")
     require(bits >= 1 && bits * cols.size <= 62,
       s"bits=$bits over ${cols.size} columns exceeds a long key")
     val nb = (1 << bits) - 1
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
-    // one pass builds every column's boundary sketch together
-    val bounds = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    // per-column rank expression: strings go through the prefix
+    // surrogate, everything else through a plain double cast
+    val surrogates: Seq[(String, Column)] = cols.map { name =>
+      df.schema(name).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          (s"__zq_$name", strPrefixKey(col(name)).cast("double"))
+        case _ => (s"__zq_$name", col(name).cast("double"))
+      }
+    }
+    // one pass builds every column's boundary sketch together; 1%
+    // relative error is plenty for LAYOUT boundaries (a boundary off by
+    // 1% of rank shifts ~1% of rows one cell over — file min/max spans
+    // are unaffected) and keeps the sketch an order of magnitude
+    // cheaper than the 0.1% default-precision habit. Small inputs
+    // (< ~1/2ε rows per partition) are still exact: the sketch only
+    // compresses past that size.
+    val qdf = surrogates.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val bounds = qdf.stat.approxQuantile(surrogates.map(_._1).toArray, probs, 0.01)
     val d = cols.size
-    val ranks = cols.zip(bounds).map { case (name, bs) =>
-      bucketOf(col(name), bs.distinct.sorted)
+    val ranks = surrogates.zip(bounds).map { case ((_, surrogate), bs) =>
+      bucketOf(surrogate, bs.distinct.sorted)
     }
     ranks.zipWithIndex.map { case (r, j) =>
       (0 until bits).map { i =>

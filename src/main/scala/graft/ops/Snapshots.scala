@@ -198,6 +198,49 @@ object Snapshots {
       header = Seq(s"#commit writer=$writerId batch=$batchId")))
   }
 
+  /** Exactly-once OVERWRITE, same replay discipline as
+    * [[idempotentAppend]]: a replayed (writerId, batchId) is skipped.
+    * This is the primitive for versioned STATE (an incremental rollup,
+    * a dimension snapshot) advanced once per batch — each version is
+    * the full new state, and a batch retry must not re-advance it. */
+  def idempotentOverwrite(df: DataFrame, dir: String, writerId: String,
+      batchId: Long): Option[Int] = {
+    require(writerId.matches("[A-Za-z0-9._-]+"),
+      s"writerId must be [A-Za-z0-9._-]+, got '$writerId'")
+    val spark = df.sparkSession
+    val (fs, root) = fsFor(spark, dir)
+    if (lastBatch(fs, root, spark, dir, writerId).exists(_ >= batchId))
+      return None
+    val staged = stage(df, fs, root)
+    Some(commitLoop(fs, root, spark, dir, staged, carryBase = false,
+      header = Seq(s"#commit writer=$writerId batch=$batchId")))
+  }
+
+  /** Rewrite the CURRENT version's content into `numFiles` files and
+    * commit it as a new version — the small-file compaction a
+    * streaming writer needs after thousands of tiny per-batch commits.
+    * Content-identical by construction (one read, one write, no
+    * transform); concurrent appends that land between the read and the
+    * commit are NOT lost — the commit is an overwrite CAS on top of
+    * whatever base wins, so on a lost race the compactor re-reads and
+    * retries via the normal loop... except content changed, so instead
+    * of retrying blindly it throws: compact during active writes is a
+    * coordination decision the caller must make. Old versions (and
+    * their small files) stay readable until [[vacuum]]. */
+  def compact(spark: SparkSession, dir: String, numFiles: Int): Int = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val (fs, root) = fsFor(spark, dir)
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(s"nothing to compact in $dir"))
+    val staged = stage(read(spark, dir, base).coalesce(numFiles), fs, root)
+    val next = base + 1
+    if (!casManifest(fs, root, next, staged, Nil))
+      throw new java.util.ConcurrentModificationException(
+        s"compact of $dir@v$base lost the commit race — a writer landed " +
+          s"v$next first; re-run compaction when the table is quiescent")
+    next
+  }
+
   /** Drop manifests older than the newest `keepVersions` and delete
     * data files no retained manifest references. This is the ONLY
     * operation that deletes data — until it runs, every version ever

@@ -82,6 +82,32 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 4000)
   }
 
+  test("string columns cluster via the order-preserving prefix surrogate") {
+    // 26 letter-triples x 100 numeric rows, scattered; clustering on
+    // (city, y) must give every file few distinct leading letters AND a
+    // narrow y span — a single-column sort can only deliver one of the
+    // two.
+    val df = spark.range(2600)
+      .select(expr("repeat(char(97 + CAST(id % 26 AS INT)), 3)").as("city"),
+        (col("id") / 26).cast("long").as("y"), col("id").as("payload"))
+      .repartition(8)
+    val root = Files.createTempDirectory("graft_layout_str").toFile
+    val path = s"$root/z"
+    Layout.cluster(df, Seq("city", "y"), bits = 5, numFiles = 16)
+      .write.parquet(path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 2600)
+    val perFile = back
+      .groupBy(input_file_name().as("f"))
+      .agg(countDistinct(substring(col("city"), 1, 1)).as("letters"),
+        (max(col("y")) - min(col("y"))).cast("double").as("yspan"))
+      .select("letters", "yspan").as[(Long, Double)].collect()
+    val avgLetters = perFile.map(_._1).sum.toDouble / perFile.length
+    val avgYSpan = perFile.map(_._2).sum / perFile.length / 99.0
+    assert(avgLetters < 13.0, s"avg distinct letters per file $avgLetters")
+    assert(avgYSpan < 0.55, s"avg y span fraction $avgYSpan")
+  }
+
   test("zorderKey interleaves bits as documented") {
     // 16 distinct values per column and err 0.001 make approxQuantile
     // exact: boundaries = {0..14}, so rank(v) = v (boundaries strictly

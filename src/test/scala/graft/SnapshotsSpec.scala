@@ -103,6 +103,51 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() == 6)
   }
 
+  test("compact rewrites many small commits into few files, same content") {
+    val root = freshRoot()
+    // a streaming writer's residue: 6 tiny commits, several files each
+    (0 until 6).foreach(i =>
+      Snapshots.idempotentAppend(
+        spark.range(i * 10, i * 10 + 10).repartition(3).toDF(),
+        root, "stream", batchId = i))
+    val before = Snapshots.read(spark, root)
+    val beforeRows = before.as[Long].collect().sorted.toSeq
+    assert(before.inputFiles.length >= 12) // the small-file problem
+    val v = Snapshots.compact(spark, root, numFiles = 2)
+    val after = Snapshots.read(spark, root)
+    assert(after.inputFiles.length <= 2)
+    assert(after.as[Long].collect().sorted.toSeq == beforeRows)
+    // pre-compaction versions still time-travel
+    assert(Snapshots.read(spark, root, v - 1).count() == 60)
+    // vacuum then reclaims the small files
+    val (_, deleted) = Snapshots.vacuum(spark, root, keepVersions = 1)
+    assert(deleted >= 12)
+    assert(Snapshots.read(spark, root).as[Long].collect().sorted.toSeq ==
+      beforeRows)
+  }
+
+  test("advanceVersioned: exactly-once durable rollup across replays") {
+    import graft.ops.IncrementalAgg
+    val root = freshRoot()
+    val b0 = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "v")
+    val b1 = Seq(("a", 2.0), ("c", 5.0)).toDF("k", "v")
+    assert(IncrementalAgg.advanceVersioned(root, b0, Seq("k"), "v",
+      "rollup", batchId = 0).nonEmpty)
+    assert(IncrementalAgg.advanceVersioned(root, b1, Seq("k"), "v",
+      "rollup", batchId = 1).nonEmpty)
+    // a replay of batch 1 (restart recovery) must not double-count
+    assert(IncrementalAgg.advanceVersioned(root, b1, Seq("k"), "v",
+      "rollup", batchId = 1).isEmpty)
+    val got = IncrementalAgg.finalize(Snapshots.read(spark, root))
+      .orderBy("k").select("k", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 3L, 6.0), ("b", 1L, 10.0), ("c", 1L, 5.0)))
+    // and the pre-batch-1 state is still time-travel-readable
+    val v1 = IncrementalAgg.finalize(Snapshots.read(spark, root, 1))
+      .orderBy("k").select("k", "n").as[(String, Long)].collect().toSeq
+    assert(v1 == Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("vacuum deletes only unreferenced files, keeps retained versions") {
     val root = freshRoot()
     Snapshots.append(spark.range(10).toDF(), root) // v1
