@@ -227,10 +227,16 @@ object Snapshots {
     * of retrying blindly it throws: compact during active writes is a
     * coordination decision the caller must make. Old versions (and
     * their small files) stay readable until [[vacuum]]. */
-  def compact(spark: SparkSession, dir: String, numFiles: Int): Int = {
+  def compact(spark: SparkSession, dir: String, numFiles: Int,
+      expectedVersion: Int = -1): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val (fs, root) = fsFor(spark, dir)
-    val base = currentVersion(spark, dir).getOrElse(
+    // expectedVersion is the optimistic-concurrency token: a caller
+    // that inspected version N compacts exactly N or fails — without
+    // it, the freshly-resolved current version plays the same role
+    // against commits landing after this line
+    val base = if (expectedVersion >= 0) expectedVersion
+    else currentVersion(spark, dir).getOrElse(
       throw new java.util.NoSuchElementException(s"nothing to compact in $dir"))
     val staged = stage(read(spark, dir, base).coalesce(numFiles), fs, root)
     val next = base + 1

@@ -456,6 +456,52 @@ object TextQueries {
         |SELECT source, rank, bigram, cnt FROM r WHERE rank <= 5
         |ORDER BY source, rank""".stripMargin),
 
+    // Bigram surprise rate — the integer-exact stand-in for the
+    // CCNet-style perplexity filter: the fraction of a doc's token
+    // transitions that are globally UNIQUE (corpus bigram count == 1).
+    // Fluent prose reuses the corpus's transitions; garbled or
+    // machine-mangled text is full of one-off bigrams. All counting is
+    // integer (engine-exact — a log-probability perplexity would hash-
+    // diverge on libm rounding); the rate is the one double division.
+    // Shape: corpus bigram counts (one map-side-combined shuffle) ⋈
+    // back on bigram, then a per-doc aggregate.
+    QueryDef("t16_bigram_surprise",
+      (s, dir) => {
+        val bi = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextFns.tokensWs(lower(col("text"))).as("tk"))
+          .select(col("doc_id"),
+            explode(zip_with(
+              slice(col("tk"), lit(1), size(col("tk")) - 1),
+              slice(col("tk"), lit(2), size(col("tk")) - 1),
+              (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        val corpus = bi.groupBy("bigram")
+          .agg(count(lit(1)).cast("long").as("corpus_n"))
+        bi.join(corpus, Seq("bigram"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            sum(when(col("corpus_n") === 1L, 1L).otherwise(0L))
+              .cast("long").as("n_unique"))
+          .withColumn("surprise_rate",
+            col("n_unique").cast("double") / col("n_bigrams").cast("double"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents),
+        |bi AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+        |  FROM toks),
+        |c AS (SELECT bigram, count(*)::BIGINT AS corpus_n
+        |  FROM bi GROUP BY bigram),
+        |d AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |    sum(CASE WHEN corpus_n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+        |  FROM bi JOIN c USING (bigram) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_unique,
+        |  n_unique::DOUBLE / n_bigrams::DOUBLE AS surprise_rate
+        |FROM d ORDER BY doc_id""".stripMargin),
+
     // Near-dup pairs → connected-component dedup clusters: every doc
     // labeled with the min doc_id reachable through the MinHash near-dup
     // graph (singletons label themselves); dedup keeps doc_id ==

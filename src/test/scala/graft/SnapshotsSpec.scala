@@ -126,6 +126,28 @@ class SnapshotsSpec extends SparkSpec {
       beforeRows)
   }
 
+  test("compact refuses to clobber a commit that raced past it") {
+    val root = freshRoot()
+    Snapshots.append(Seq(1L).toDF("id"), root)
+    // a writer lands v2 while the compactor is reading v1: the
+    // compactor's CAS on v2 must fail loudly, never silently drop the
+    // racer's rows (compact is content-identical or nothing)
+    val fs = new HPath(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v1 = fs.open(new HPath(f"$root/_manifests/v${1}%09d"))
+    val v1Files = scala.io.Source.fromInputStream(v1, "UTF-8").mkString
+    v1.close()
+    val stolen = fs.create(new HPath(f"$root/_manifests/v${2}%09d"), false)
+    stolen.write(v1Files.getBytes("UTF-8")); stolen.close()
+    intercept[java.util.ConcurrentModificationException] {
+      // the compactor inspected v1 (its OCC token) but the racer's v2
+      // already owns that slot — the CAS must fail, not overwrite
+      Snapshots.compact(spark, root, numFiles = 1, expectedVersion = 1)
+    }
+    // the racer's version is intact and still current
+    assert(Snapshots.versions(spark, root) == Seq(1, 2))
+  }
+
   test("advanceVersioned: exactly-once durable rollup across replays") {
     import graft.ops.IncrementalAgg
     val root = freshRoot()
