@@ -230,20 +230,41 @@ object Snapshots {
   def compact(spark: SparkSession, dir: String, numFiles: Int,
       expectedVersion: Int = -1): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    rewriteCurrent(spark, dir, _.coalesce(numFiles), expectedVersion)
+  }
+
+  /** OPTIMIZE ... ZORDER BY for snapshot tables: the current version
+    * rewritten clustered on `cols` ([[Layout.cluster]] — per-file
+    * min/max narrow on every clustered column) as a new
+    * content-identical version, under the same OCC discipline as
+    * [[compact]]. The maintenance loop of a streaming snapshot table
+    * is append → optimize → vacuum, each a separate atomic commit. */
+  def optimize(spark: SparkSession, dir: String, cols: Seq[String],
+      numFiles: Int, bits: Int = 8, expectedVersion: Int = -1): Int = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    rewriteCurrent(spark, dir,
+      Layout.cluster(_, cols, bits, numFiles), expectedVersion)
+  }
+
+  /** Shared content-identical-rewrite commit: stage `transform(current)`
+    * and CAS it as the next version. `expectedVersion` is the
+    * optimistic-concurrency token: a caller that inspected version N
+    * rewrites exactly N or fails — without it, the freshly-resolved
+    * current version plays the same role against commits landing after
+    * resolution. On a lost race the rewrite throws rather than retrying:
+    * retrying would silently drop the racing writer's rows. */
+  private def rewriteCurrent(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, expectedVersion: Int): Int = {
     val (fs, root) = fsFor(spark, dir)
-    // expectedVersion is the optimistic-concurrency token: a caller
-    // that inspected version N compacts exactly N or fails — without
-    // it, the freshly-resolved current version plays the same role
-    // against commits landing after this line
     val base = if (expectedVersion >= 0) expectedVersion
     else currentVersion(spark, dir).getOrElse(
-      throw new java.util.NoSuchElementException(s"nothing to compact in $dir"))
-    val staged = stage(read(spark, dir, base).coalesce(numFiles), fs, root)
+      throw new java.util.NoSuchElementException(s"nothing to rewrite in $dir"))
+    val staged = stage(transform(read(spark, dir, base)), fs, root)
     val next = base + 1
     if (!casManifest(fs, root, next, staged, Nil))
       throw new java.util.ConcurrentModificationException(
-        s"compact of $dir@v$base lost the commit race — a writer landed " +
-          s"v$next first; re-run compaction when the table is quiescent")
+        s"rewrite of $dir@v$base lost the commit race — a writer landed " +
+          s"v$next first; re-run maintenance when the table is quiescent")
     next
   }
 

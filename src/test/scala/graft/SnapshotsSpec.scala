@@ -126,6 +126,34 @@ class SnapshotsSpec extends SparkSpec {
       beforeRows)
   }
 
+  test("optimize clusters the current version in place, content-identical") {
+    val root = freshRoot()
+    // scattered 64x64 grid arriving as 4 streaming appends
+    val grid = spark.range(4096)
+      .select((col("id") % 64).as("x"), (col("id") / 64).as("y"),
+        col("id").as("payload"))
+    (0 until 4).foreach(i =>
+      Snapshots.append(grid.filter(col("payload") % 4 === i).repartition(4), root))
+    val v = Snapshots.optimize(spark, root, Seq("x", "y"),
+      numFiles = 16, bits = 6)
+    val back = Snapshots.read(spark, root)
+    // content identical, clustered into the requested file count
+    assert(back.count() == 4096)
+    assert(back.agg(sum("payload")).head().getLong(0) == (0L until 4096L).sum)
+    assert(back.inputFiles.length <= 16)
+    // the Morton property holds on the optimized files: both axes narrow
+    def avgSpan(c: String): Double = {
+      val spans = back.groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("s"))
+        .select("s").as[Double].collect()
+      spans.sum / spans.length / 63.0
+    }
+    assert(avgSpan("x") < 0.5 && avgSpan("y") < 0.5,
+      s"spans ${avgSpan("x")} ${avgSpan("y")}")
+    // pre-optimize content still time-travels
+    assert(Snapshots.read(spark, root, v - 1).count() == 4096)
+  }
+
   test("compact refuses to clobber a commit that raced past it") {
     val root = freshRoot()
     Snapshots.append(Seq(1L).toDF("id"), root)
