@@ -268,6 +268,48 @@ object Snapshots {
     next
   }
 
+  /** Row-level change-data-capture between two committed versions:
+    * every row of `toVersion` not in `fromVersion` tagged
+    * `change_type='insert'`, every row of `fromVersion` not in
+    * `toVersion` tagged `'delete'` (multiset semantics — k extra
+    * copies of a row diff as k inserts). An update appears as its
+    * delete + its insert, the standard CDC decomposition.
+    *
+    * The scale property is file-level pruning: data files are
+    * immutable and manifest-named, so any file listed by BOTH
+    * manifests contributes identical rows to both sides and cancels
+    * WITHOUT being read. Only files added or removed between the two
+    * versions are scanned — diffing two 100 TB versions after an
+    * append costs exactly the appended files, not two table scans.
+    * The row-level exceptAll then cancels only what file identity
+    * could not (an overwrite that rewrote the same logical rows into
+    * new files). Append-only histories skip the exceptAll entirely.
+    */
+  def diff(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (fs, root) = fsFor(spark, dir)
+    val fromF = readManifest(fs, root, fromVersion).toSet
+    val toF = readManifest(fs, root, toVersion).toSet
+    val addedFiles = (toF -- fromF).toSeq.sorted
+    val removedFiles = (fromF -- toF).toSeq.sorted
+    // limit(0) keeps the schema but optimizes to an empty relation —
+    // no file of the pinned version is actually scanned for it
+    lazy val empty = read(spark, dir, toVersion).limit(0)
+    def readFiles(files: Seq[String]): DataFrame =
+      if (files.isEmpty) empty
+      else spark.read.parquet(files.map(f => new HPath(root, f).toString): _*)
+    val added = readFiles(addedFiles)
+    val removed = readFiles(removedFiles)
+    val inserts =
+      (if (removedFiles.isEmpty) added else added.exceptAll(removed))
+        .withColumn("change_type", lit("insert"))
+    val deletes =
+      (if (addedFiles.isEmpty) removed else removed.exceptAll(added))
+        .withColumn("change_type", lit("delete"))
+    inserts.unionByName(deletes)
+  }
+
   /** Drop manifests older than the newest `keepVersions` and delete
     * data files no retained manifest references. This is the ONLY
     * operation that deletes data — until it runs, every version ever

@@ -777,6 +777,36 @@ object AggQueries {
         |t AS (SELECT count(*)::BIGINT AS total FROM events)
         |SELECT event_type, n_rows,
         |  n_rows::DOUBLE / total::DOUBLE AS share
-        |FROM c, t ORDER BY n_rows DESC, event_type ASC LIMIT 5""".stripMargin)
+        |FROM c, t ORDER BY n_rows DESC, event_type ASC LIMIT 5""".stripMargin),
+
+    // C6: curriculum/quality decile binning — every document assigned
+    // its exact NTILE(10) bucket by length, per-decile stats. The
+    // oracle spells it as a global ntile window; the Spark plan must
+    // NOT (one task would sort the whole corpus) — Ranking.exactNtile
+    // derives the identical bucket from range-partitioned per-
+    // partition ranks + broadcast offsets, all stages parallel. The
+    // (n_chars, doc_id) order is total, so the bucket of every row is
+    // engine-independent.
+    QueryDef("c6_quality_bins",
+      (s, dir) => {
+        import graft.ops.Ranking
+        Ranking.exactNtile(
+          Tables.documents(s, dir).select("doc_id", "n_chars"),
+          buckets = 10,
+          sortCols = Seq(col("n_chars").asc, col("doc_id").asc),
+          bucketCol = "decile")
+          .groupBy("decile")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            min(col("n_chars")).cast("long").as("min_chars"),
+            max(col("n_chars")).cast("long").as("max_chars"))
+          .orderBy("decile")
+      },
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        |  FROM documents)
+        |SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+        |  min(n_chars)::BIGINT AS min_chars,
+        |  max(n_chars)::BIGINT AS max_chars
+        |FROM b GROUP BY decile ORDER BY decile""".stripMargin)
   )
 }

@@ -200,6 +200,33 @@ object JoinQueries {
         |  FROM events WHERE event_type = 'purchase' AND value > 197)
         |SELECT a_id, b_id FROM a, b
         |WHERE a_s < b_e AND b_s < a_e
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // Free: hot-key-split skew join (SkewJoin.skewInnerJoin) — fact
+    // rows on keys at-or-over the threshold join via broadcast (no
+    // shuffle), the rest via the normal shuffle join; the union must
+    // be ROW-identical to the plain join at every threshold, which is
+    // exactly what the plain-join oracle checks. Threshold 35 sits
+    // just above the fixtures' ~30 rows/key mean so only the upper
+    // tail routes hot — both branches execute.
+    QueryDef("j10_skew_split_join",
+      (s, dir) => {
+        import graft.ops.SkewJoin
+        SkewJoin.skewInnerJoin(
+          Tables.lineitem(s, dir)
+            .select("l_partkey", "l_extendedprice"),
+          Tables.part(s, dir)
+            .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+          "l_partkey", hotThreshold = 35L)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("l_extendedprice").cast("decimal(18,4)"))
+              .cast("double").as("sum_price"))
+          .orderBy("p_brand")
+      },
+      """SELECT p_brand, count(*)::BIGINT AS n_rows,
+        |  (sum(CAST(l_extendedprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
   )
 }

@@ -409,6 +409,53 @@ object SinkQueries {
       """SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
         |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // S24: snapshot CDC — Snapshots.diff between committed versions.
+    // v1 appends the %3==0 third of orders, v2 appends the %3==1
+    // third, v3 overwrites with %3∈{1,2}. diff(v1,v2) must be exactly
+    // the appended third as inserts (file-level: only the appended
+    // files are read — v1's files appear in both manifests and cancel
+    // unread); diff(v2,v3) must be the %3==2 rows as inserts and the
+    // %3==0 rows as deletes — the overwrite rewrote the surviving
+    // %3==1 rows into NEW files, so THOSE cancel at row level through
+    // the exceptAll. The oracle recomputes all three groups straight
+    // from the source predicates.
+    QueryDef("s24_snapshot_diff",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s24_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true) // rebuild the fixture table each run
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        Snapshots.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), root)
+        Snapshots.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), root)
+        Snapshots.overwrite(orders.filter(pmod(col("o_orderkey"), lit(3)).isin(1, 2)), root)
+        def summarize(step: String, d: org.apache.spark.sql.DataFrame) =
+          d.groupBy("change_type")
+            .agg(count(lit(1)).cast("long").as("n_rows"),
+              sum(col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double").as("sum_price"))
+            .select(lit(step).as("step"), col("change_type"),
+              col("n_rows"), col("sum_price"))
+        summarize("v1_v2", Snapshots.diff(s, root, 1, 2))
+          .unionByName(summarize("v2_v3", Snapshots.diff(s, root, 2, 3)))
+          .orderBy("step", "change_type")
+      },
+      """WITH d AS (
+        |  SELECT 'v1_v2' AS step, 'insert' AS change_type, o_totalprice
+        |    FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT 'v2_v3', 'delete', o_totalprice
+        |    FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'v2_v3', 'insert', o_totalprice
+        |    FROM orders WHERE o_orderkey % 3 = 2)
+        |SELECT step, change_type, count(*)::BIGINT AS n_rows,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM d GROUP BY step, change_type
+        |ORDER BY step, change_type""".stripMargin)
   )
 }

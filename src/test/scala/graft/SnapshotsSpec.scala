@@ -198,6 +198,48 @@ class SnapshotsSpec extends SparkSpec {
     assert(v1 == Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("diff: appends surface as inserts and read ONLY the new files") {
+    val root = freshRoot()
+    Snapshots.append(spark.range(100).toDF("id"), root)
+    Snapshots.append(spark.range(100, 130).toDF("id"), root)
+    val d = Snapshots.diff(spark, root, 1, 2)
+    assert(d.filter($"change_type" === "delete").isEmpty)
+    assert(d.filter($"change_type" === "insert").select("id")
+      .as[Long].collect().toSet == (100L until 130L).toSet)
+    // file-level pruning: v1's files are in both manifests and cancel
+    // without being read — the diff plan scans only v2's new files
+    val v1Files = Snapshots.read(spark, root, 1).inputFiles.toSet
+    assert(d.inputFiles.toSet.intersect(v1Files).isEmpty)
+    assert(d.inputFiles.nonEmpty)
+  }
+
+  test("diff: an overwrite decomposes into row-level inserts + deletes") {
+    val root = freshRoot()
+    Snapshots.append(spark.range(10).toDF("id"), root)
+    // rewrite keeps 3..9 (new files!), drops 0..2, adds 100..101
+    Snapshots.overwrite(
+      spark.range(3, 10).toDF("id")
+        .unionByName(spark.range(100, 102).toDF("id")), root)
+    val d = Snapshots.diff(spark, root, 1, 2)
+    assert(d.filter($"change_type" === "insert").select("id")
+      .as[Long].collect().toSet == Set(100L, 101L))
+    assert(d.filter($"change_type" === "delete").select("id")
+      .as[Long].collect().toSet == Set(0L, 1L, 2L))
+  }
+
+  test("diff: multiset semantics — k extra copies diff as k inserts") {
+    val root = freshRoot()
+    Snapshots.append(Seq(1L, 1L, 2L).toDF("id"), root)
+    Snapshots.overwrite(Seq(1L, 1L, 1L, 1L, 2L).toDF("id"), root)
+    val d = Snapshots.diff(spark, root, 1, 2)
+    assert(d.filter($"change_type" === "insert").select("id")
+      .as[Long].collect().toSeq == Seq(1L, 1L))
+    assert(d.filter($"change_type" === "delete").isEmpty)
+    // identical versions (re-overwrite with same content) diff empty
+    Snapshots.overwrite(Snapshots.read(spark, root, 2), root)
+    assert(Snapshots.diff(spark, root, 2, 3).isEmpty)
+  }
+
   test("vacuum deletes only unreferenced files, keeps retained versions") {
     val root = freshRoot()
     Snapshots.append(spark.range(10).toDF(), root) // v1
