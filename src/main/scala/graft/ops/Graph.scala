@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph propagation as repeated join + aggregate — the
+  * Spark-native shape for PageRank-style scoring. Pretraining
+  * pipelines use exactly this to weight crawl domains by link
+  * authority before sampling; the reference's per-symbol loops
+  * (funding_rates_etl.py:38-66) have no graph surface, so this is a
+  * pure training-data extension.
+  *
+  * All arithmetic is scaled-integer (ranks are probabilities ×10¹²,
+  * integral `div`, no floating point anywhere): a float PageRank
+  * diverges bit-wise between engines on summation order, an integer
+  * one cannot — the same discipline as [[Sampling.mixtureWeights]].
+  *
+  * Scale shape: per iteration, one broadcast-or-shuffle join of the
+  * edge list against the (nodes-sized, much smaller) rank frame and
+  * one map-side-combined aggregate keyed on dst. The edge list with
+  * its out-weights is computed once and persisted — iterations reuse
+  * it without rescanning the source tables; rank lineage stays
+  * shallow because each iteration's frame is small. Dangling nodes
+  * (no out-edges) leak their rank mass by design — the classic
+  * simplification — but every node keeps receiving the teleport
+  * term, so no node ever disappears from the output.
+  */
+object Graph {
+
+  /** Probability scale: rank 1.0 ≡ 10¹². Total rank mass is
+    * N·Scale, so a single node's rank is bounded by N·Scale — and the
+    * update below computes each edge contribution as
+    * `(rank div tw)·w + ((rank mod tw)·w) div tw`, the exact
+    * decomposition of `(rank·w) div tw` whose partial products are
+    * bounded by the CONTRIBUTION (≤ rank, since w ≤ tw) instead of
+    * rank·w — no 64-bit overflow for any graph whose total mass fits
+    * a long. */
+  val Scale: Long = 1000000000000L
+
+  /** `iterations` rounds of damped weighted PageRank over directed
+    * `edges` (columns `src`, `dst`, `w`; weights positive longs).
+    * Returns (node, rank) for every node appearing as a src or dst,
+    * rank scaled by [[Scale]]. Damping is `dampingPct`/100 (default
+    * the classic 0.85), applied in integer arithmetic:
+    *
+    *   rank'(v) = (100-d)%·Scale + d%·Σ_{u→v} (rank(u)·w(u,v) div W(u))
+    */
+  def pageRank(edges: DataFrame, iterations: Int,
+      dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val teleport = (100 - dampingPct) * Scale / 100
+    // the edge plan (often a join+aggregate itself) materializes ONCE;
+    // out-weights, the iteration frame, and the node universe all read
+    // the cached copy, and every iteration joins against `e` — the
+    // source tables are never rescanned
+    val cached = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val outw = cached.groupBy("src").agg(sum(col("w")).as("tw"))
+    val e = cached.join(outw, "src")
+      .select(col("src"), col("dst"), col("w"), col("tw"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = cached.select(col("src").as("node"))
+      .unionByName(cached.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var rank = nodes.withColumn("rank", lit(Scale))
+      for (_ <- 1 to iterations) {
+        val contribs = e.join(rank, e("src") === rank("node"))
+          .select(col("dst").as("node"),
+            expr("(rank div tw) * w + ((rank % tw) * w) div tw")
+              .as("contrib"))
+          .groupBy("node")
+          .agg(sum(col("contrib")).as("c"))
+        rank = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(teleport) +
+              expr(s"($dampingPct * coalesce(c, 0L)) div 100"))
+              .as("rank"))
+      }
+      // materialize before unpersisting the frames the plan reads
+      val out = rank.localCheckpoint(eager = true)
+      out
+    } finally {
+      e.unpersist()
+      nodes.unpersist()
+      cached.unpersist()
+    }
+  }
+}

@@ -281,7 +281,50 @@ object TimeSeriesQueries {
          |  WHERE x.symbol < y.symbol
          |    AND x.symbol IN (SELECT symbol FROM keep)
          |    AND y.symbol IN (SELECT symbol FROM keep)),
-         |$CorrTailSql""".stripMargin))
+         |$CorrTailSql""".stripMargin),
+
+    // g7: integer-exact weighted PageRank (Graph.pageRank), 3 damped
+    // iterations over the bipartite customer⇄supplier trade graph
+    // (edge weight = lineitems shipped, both directions). The Spark
+    // side iterates join+aggregate over a persisted edge frame; the
+    // oracle unrolls the SAME scaled-integer recurrence as three CTE
+    // generations — every rank is a deterministic BIGINT, so the
+    // hash compare certifies all three iterations bit-for-bit.
+    QueryDef("g7_pagerank",
+      (s, dir) => {
+        import graft.ops.Graph
+        val e0 = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+          .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(
+            concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        Graph.pageRank(edges, iterations = 3)
+          .orderBy(col("rank").desc, col("node").asc)
+      },
+      s"""WITH e0 AS (SELECT 'c' || o_custkey AS src,
+         |    's' || l_suppkey AS dst, count(*)::BIGINT AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |eb AS (SELECT src, dst, w FROM e0
+         |  UNION ALL SELECT dst, src, w FROM e0),
+         |ow AS (SELECT src, sum(w)::BIGINT AS tw FROM eb GROUP BY src),
+         |n AS (SELECT src AS node FROM eb UNION SELECT dst FROM eb),
+         |r0 AS (SELECT node, ${graft.ops.Graph.Scale}::BIGINT AS rank FROM n),
+         |${(1 to 3).map(i => s"""c$i AS (SELECT eb.dst AS node,
+         |    sum((r.rank // o.tw) * eb.w
+         |        + ((r.rank % o.tw) * eb.w) // o.tw)::BIGINT AS c
+         |  FROM eb JOIN r${i - 1} r ON r.node = eb.src
+         |  JOIN ow o ON o.src = eb.src GROUP BY eb.dst),
+         |r$i AS (SELECT n.node,
+         |    (${15 * graft.ops.Graph.Scale / 100} + (85 * coalesce(c$i.c, 0)) // 100
+         |      )::BIGINT AS rank
+         |  FROM n LEFT JOIN c$i USING (node))""").mkString(",\n")}
+         |SELECT node, rank FROM r3
+         |ORDER BY rank DESC, node ASC""".stripMargin))
 
   /** Shared input frame for the correlation pair (g5/g6): the per-symbol
     * hourly series, duplicate timestamps collapsed by max — exact
