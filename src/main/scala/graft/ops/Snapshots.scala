@@ -3,7 +3,12 @@ package graft.ops
 import scala.util.control.NonFatal
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.GraftSql
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Versioned snapshot tables — manifest-pinned commits, the isolation
   * model [[Upsert]]/[[Delete]]/[[Compact]]'s directory swaps cannot
@@ -98,17 +103,272 @@ object Snapshots {
     spark.read.parquet(files.map(f => new HPath(root, f).toString): _*)
   }
 
+  /** The supported prune vocabulary: conjuncts of `col op literal`
+    * comparisons, `IN` lists, and null tests over a stat-carrying
+    * column. Anything else in the predicate is simply not used for
+    * pruning (it still filters rows) — unrecognized shapes can only
+    * cost reads, never correctness. */
+  private sealed trait Conj { def colName: String }
+  private case class Cmp(colName: String, op: String, lit: Literal)
+    extends Conj
+  private case class InSet(colName: String, lits: Seq[Literal]) extends Conj
+  private case class NullTest(colName: String, isNull: Boolean) extends Conj
+
+  /** The column a comparison side refers to, seen through the implicit
+    * casts analysis inserts (comparing an int column to a long literal
+    * analyzes as `Cast(col) >= lit`). Unwrapping is sound: prune-time
+    * comparisons are built from the same typed literal against the
+    * column-typed stats, so Spark re-inserts the identical widening. */
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case c: Cast => attrName(c.child)
+    case _ => None
+  }
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  private def recognize(e: Expression): Option[Conj] = e match {
+    case EqualTo(a, l: Literal) => attrName(a).map(Cmp(_, "=", l))
+    case EqualTo(l: Literal, a) => attrName(a).map(Cmp(_, "=", l))
+    case GreaterThan(a, l: Literal) => attrName(a).map(Cmp(_, ">", l))
+    case GreaterThan(l: Literal, a) => attrName(a).map(Cmp(_, "<", l))
+    case GreaterThanOrEqual(a, l: Literal) => attrName(a).map(Cmp(_, ">=", l))
+    case GreaterThanOrEqual(l: Literal, a) => attrName(a).map(Cmp(_, "<=", l))
+    case LessThan(a, l: Literal) => attrName(a).map(Cmp(_, "<", l))
+    case LessThan(l: Literal, a) => attrName(a).map(Cmp(_, ">", l))
+    case LessThanOrEqual(a, l: Literal) => attrName(a).map(Cmp(_, "<=", l))
+    case LessThanOrEqual(l: Literal, a) => attrName(a).map(Cmp(_, ">=", l))
+    case In(a, ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
+      attrName(a).map(InSet(_, ls.map(_.asInstanceOf[Literal])))
+    case IsNull(a) => attrName(a).map(NullTest(_, isNull = true))
+    case IsNotNull(a) => attrName(a).map(NullTest(_, isNull = false))
+    case _ => None
+  }
+
+  /** Split version `v`'s files into (kept, skipped) under `pred`,
+    * using the manifest's per-file min/max/null stats — the
+    * data-skipping decision itself, exposed for observability and
+    * tests. A file is skipped only when a recognized conjunct PROVES no
+    * row can match (interval disjoint, or the conjunct is a comparison
+    * and the file has no non-null values); missing stats, unrecognized
+    * conjuncts, and null-comparison edge cases all keep the file.
+    * Driver cost is one local DataFrame of #files rows; comparisons
+    * are evaluated BY Spark on the column's real type (stat strings
+    * cast back with the table schema), so numeric/date/timestamp/
+    * string semantics — including `5 < 'abc'`-style implicit casts —
+    * are exactly the filter's own. */
+  def pruneFiles(spark: SparkSession, dir: String, pred: Column,
+      version: Int = -1): (Seq[String], Seq[String]) = {
+    val (fs, root) = fsFor(spark, dir)
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed version under $dir"))
+    val files = readManifest(fs, root, v)
+    val stats = statsFor(fs, root, v)
+    val table = read(spark, dir, v)
+    val schema = table.schema
+    // resolve the predicate the way the scan itself will: analysis turns
+    // Column nodes into typed catalyst comparisons (casts included)
+    val resolved = table.filter(pred).queryExecution.analyzed
+      .collectFirst { case f: Filter => f.condition }
+    val conjs = resolved.toSeq.flatMap(conjunctsOf).flatMap(recognize(_))
+      .flatMap { c => // resolve to the table's canonical column casing
+        schema.fields.find(_.name.equalsIgnoreCase(c.colName)).map { f =>
+          (c match {
+            case x: Cmp => x.copy(colName = f.name)
+            case x: InSet => x.copy(colName = f.name)
+            case x: NullTest => x.copy(colName = f.name)
+          }, f.dataType)
+        }
+      }
+    if (conjs.isEmpty || stats.isEmpty) return (files, Nil)
+    val refCols = conjs.map(_._1.colName).distinct
+    val rawSchema = StructType(StructField("__file", StringType, false) +:
+      refCols.flatMap(c => Seq(
+        StructField(s"__has_$c", BooleanType, false),
+        StructField(s"__mns_$c", StringType, true),
+        StructField(s"__mxs_$c", StringType, true),
+        StructField(s"__nul_$c", LongType, true),
+        StructField(s"__row_$c", LongType, true))))
+    val rows = files.map { f =>
+      val perCol = stats.getOrElse(f, Map.empty)
+      Row.fromSeq(f +: refCols.flatMap { c =>
+        perCol.get(c) match {
+          case Some(s) =>
+            Seq(true, s.min.orNull, s.max.orNull, s.nulls, s.rows)
+          case None => Seq(false, null, null, null, null)
+        }
+      })
+    }
+    val typed = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), rawSchema)
+      .select(col("__file") +: refCols.flatMap { c =>
+        val t = conjs.find(_._1.colName == c).get._2
+        Seq(col(s"__has_$c"),
+          col(s"__mns_$c").cast(t).as(s"__mn_$c"),
+          col(s"__mxs_$c").cast(t).as(s"__mx_$c"),
+          col(s"__nul_$c"), col(s"__row_$c"))
+      }: _*)
+    // keep = NOT definitely-empty; every null/unknown path defaults to keep
+    val keepCond = conjs.map { case (conj, _) =>
+      val c = conj.colName
+      val has = col(s"__has_$c")
+      val mn = col(s"__mn_$c"); val mx = col(s"__mx_$c")
+      val definitelyNot: Column = conj match {
+        case Cmp(_, op, l) =>
+          val lv = GraftSql.column(l)
+          val miss = op match {
+            case "=" => !(mn <= lv && lv <= mx)
+            case ">" => !(mx > lv)
+            case ">=" => !(mx >= lv)
+            case "<" => !(mn < lv)
+            case "<=" => !(mn <= lv)
+          }
+          mn.isNull || coalesce(miss, lit(false))
+        case InSet(_, ls) =>
+          val any = ls.map(l => GraftSql.column(l))
+            .map(lv => mn <= lv && lv <= mx)
+            .reduce(_ || _)
+          mn.isNull || coalesce(!any, lit(false))
+        case NullTest(_, true) =>
+          coalesce(col(s"__nul_$c") <= 0L, lit(false))
+        case NullTest(_, false) => mn.isNull
+      }
+      !(has && coalesce(definitelyNot, lit(false)))
+    }.reduce(_ && _)
+    val kept = typed.filter(keepCond).select("__file")
+      .collect().map(_.getString(0)).toSet
+    files.partition(kept.contains)
+  }
+
+  /** [[read]] with manifest-stats data skipping: files whose min/max
+    * stats prove they cannot satisfy `pred` are never opened, and
+    * `pred` is then applied as a normal row filter — results are
+    * always identical to `read(...).filter(pred)`, pruning only
+    * changes which files the scan touches. The 100 TB read path for a
+    * clustered snapshot table: [[optimize]] makes per-file ranges
+    * narrow, this makes narrow ranges pay. */
+  def readWhere(spark: SparkSession, dir: String, pred: Column,
+      version: Int = -1): DataFrame = {
+    val (kept, _) = pruneFiles(spark, dir, pred, version)
+    val (_, root) = fsFor(spark, dir)
+    val base =
+      if (kept.isEmpty) read(spark, dir, version).limit(0)
+      else spark.read.parquet(kept.map(f => new HPath(root, f).toString): _*)
+    base.filter(pred)
+  }
+
+  /** A staged-but-uncommitted commit: the data files' root-relative
+    * paths plus their encoded per-file column-stats manifest lines. */
+  private case class Staged(files: Seq[String], stats: Seq[String])
+
   /** Stage `df`'s parquet files under an immutable commit dir; return
-    * their root-relative paths. Nothing references them until a
-    * manifest does — a crash here leaves ignorable orphans only. */
-  private def stage(df: DataFrame, fs: FileSystem, root: HPath): Seq[String] = {
+    * their root-relative paths and per-file column stats. Nothing
+    * references them until a manifest does — a crash here leaves
+    * ignorable orphans only. */
+  private def stage(df: DataFrame, fs: FileSystem, root: HPath): Staged = {
     val commitId = java.util.UUID.randomUUID.toString
     val rel = s"$DataDir/$commitId"
-    df.write.parquet(new HPath(root, rel).toString)
-    fs.listStatus(new HPath(root, rel))
+    val dir = new HPath(root, rel)
+    df.write.parquet(dir.toString)
+    val files = fs.listStatus(dir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => s"$rel/${st.getPath.getName}").sorted.toSeq
+    Staged(files, collectStats(df.sparkSession, dir.toString, rel))
   }
+
+  /** Stats cover the first [[StatsMaxCols]] atomic-typed top-level
+    * columns (the Delta convention) — numeric, string, date,
+    * timestamp, boolean. Nested / array / map / binary columns carry
+    * no stats and are simply never prunable. */
+  private val StatsMaxCols = 32
+
+  private def statColumns(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter { f =>
+      f.dataType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+             TimestampNTZType | BooleanType => true
+        case _ => false
+      }
+    }.take(StatsMaxCols)
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** One min/max/null-count aggregate over the freshly staged files,
+    * keyed by file — the source of the `#stats` manifest lines. The
+    * pass is incremental (this commit's files only, never history) and
+    * distributed; values are rendered through Spark's own
+    * cast-to-string, whose string form round-trips exactly for every
+    * stat-eligible type under the pinned UTC session, so prune-time
+    * comparisons reuse Spark cast semantics instead of a hand-rolled
+    * type matrix. Line shape (tab-separated, URL-encoded fields):
+    * {{{#stats\t<relfile>\t<rows>\t<col>\t<nulls>\t<min>\t<max>}}}
+    * with min/max either `v:<encoded>` or `null` (no non-null values).
+    */
+  private def collectStats(spark: SparkSession, dir: String,
+      rel: String): Seq[String] = {
+    val data = spark.read.parquet(dir)
+    val cols = statColumns(data.schema)
+    if (cols.isEmpty) return Nil
+    val aggs = count(lit(1L)).as("__rows") +: cols.flatMap { f =>
+      Seq(min(col(f.name)).cast(StringType).as(s"__mn"),
+        max(col(f.name)).cast(StringType).as(s"__mx"),
+        count(col(f.name)).as(s"__nn"))
+    }
+    data.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per staged file
+      .flatMap { r =>
+        val fname = r.getString(0).split('/').last
+        val nrows = r.getLong(1)
+        cols.zipWithIndex.map { case (f, i) =>
+          def opt(j: Int): String =
+            if (r.isNullAt(j)) "null" else "v:" + enc(r.getString(j))
+          val nonNull = r.getLong(4 + 3 * i)
+          s"#stats\t$rel/$fname\t$nrows\t${enc(f.name)}\t" +
+            s"${nrows - nonNull}\t${opt(2 + 3 * i)}\t${opt(3 + 3 * i)}"
+        }
+      }.toSeq
+  }
+
+  /** Per-file, per-column stats of version `v`'s manifest. Files or
+    * columns absent from the map simply have no stats (older writers,
+    * post-cap columns) and are never pruned. */
+  private case class ColStats(min: Option[String], max: Option[String],
+      nulls: Long, rows: Long)
+
+  private def statsFor(fs: FileSystem, root: HPath,
+      v: Int): Map[String, Map[String, ColStats]] =
+    manifestLines(fs, root, v).filter(_.startsWith("#stats\t"))
+      .flatMap { line =>
+        line.split('\t') match {
+          case Array(_, file, rows, colEnc, nulls, mnF, mxF) =>
+            def parse(fld: String): Option[String] =
+              if (fld == "null") None else Some(dec(fld.stripPrefix("v:")))
+            Some((file, dec(colEnc),
+              ColStats(parse(mnF), parse(mxF), nulls.toLong, rows.toLong)))
+          case _ => None // unknown stats dialect: ignore, never prune
+        }
+      }
+      .groupBy(_._1)
+      .map { case (f, xs) => f -> xs.map(x => x._2 -> x._3).toMap }
+
+  /** The `#stats` lines of version `v`, restricted to `files` — what an
+    * append carries forward for the files it keeps. */
+  private def statsLines(fs: FileSystem, root: HPath, v: Int,
+      files: Set[String]): Seq[String] =
+    manifestLines(fs, root, v).filter { l =>
+      l.startsWith("#stats\t") && {
+        val fields = l.split('\t')
+        fields.length >= 2 && files.contains(fields(1))
+      }
+    }
 
   /** CAS one manifest: true iff this writer won version `v`. */
   private def casManifest(fs: FileSystem, root: HPath, v: Int,
@@ -127,16 +387,25 @@ object Snapshots {
   }
 
   private def commitLoop(fs: FileSystem, root: HPath, spark: SparkSession,
-      dir: String, staged: Seq[String], carryBase: Boolean,
+      dir: String, staged: Staged, carryBase: Boolean,
       header: Seq[String] = Nil): Int = {
     var attempts = 0
     while (attempts < 10) {
       val base = currentVersion(spark, dir)
-      val files =
-        if (carryBase) base.map(readManifest(fs, root, _)).getOrElse(Nil) ++ staged
-        else staged
+      val carried =
+        if (carryBase) base.map(readManifest(fs, root, _)).getOrElse(Nil)
+        else Nil
+      val files = carried ++ staged.files
+      // stats ride in the manifest they describe: carried files keep
+      // their lines, staged files add theirs — an appended commit never
+      // recomputes history's stats
+      val carriedStats =
+        if (carryBase && base.nonEmpty)
+          statsLines(fs, root, base.get, carried.toSet)
+        else Nil
       val next = base.getOrElse(0) + 1
-      if (casManifest(fs, root, next, files, header)) return next
+      if (casManifest(fs, root, next, files,
+        header ++ carriedStats ++ staged.stats)) return next
       attempts += 1 // lost the race: re-read the winner's state and retry
     }
     throw new java.util.ConcurrentModificationException(
@@ -261,7 +530,7 @@ object Snapshots {
       throw new java.util.NoSuchElementException(s"nothing to rewrite in $dir"))
     val staged = stage(transform(read(spark, dir, base)), fs, root)
     val next = base + 1
-    if (!casManifest(fs, root, next, staged, Nil))
+    if (!casManifest(fs, root, next, staged.files, staged.stats))
       throw new java.util.ConcurrentModificationException(
         s"rewrite of $dir@v$base lost the commit race — a writer landed " +
           s"v$next first; re-run maintenance when the table is quiescent")

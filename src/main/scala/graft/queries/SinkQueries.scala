@@ -456,6 +456,49 @@ object SinkQueries {
         |SELECT step, change_type, count(*)::BIGINT AS n_rows,
         |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
         |FROM d GROUP BY step, change_type
-        |ORDER BY step, change_type""".stripMargin)
+        |ORDER BY step, change_type""".stripMargin),
+
+    // S25: manifest-stats data skipping — Snapshots.readWhere. Three
+    // commits hold disjoint o_orderdate ranges (dates are
+    // scale-factor-stable, so every commit is non-empty at any SF);
+    // the year-straddling predicate can only live in the middle
+    // commit, so readWhere opens ONLY its files — the read-side payoff
+    // of clustered layout: per-file min/max in the manifest turn a
+    // 100 TB scan into the overlapping files. Results are identical to
+    // a full scan + filter by construction (pruning is proof-based);
+    // the oracle recomputes from the source predicate, and
+    // SnapshotsSpec asserts the skipping property itself.
+    QueryDef("s25_stats_skipping",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s25_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true) // rebuild the fixture table each run
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_totalprice", "o_orderdate",
+            "o_orderpriority")
+        Snapshots.append(
+          orders.filter(col("o_orderdate") < "1994-01-01"), root)
+        Snapshots.append(
+          orders.filter(col("o_orderdate") >= "1994-01-01" &&
+            col("o_orderdate") < "1996-01-01"), root)
+        Snapshots.append(
+          orders.filter(col("o_orderdate") >= "1996-01-01"), root)
+        Snapshots.readWhere(s, root,
+          col("o_orderdate") >= "1994-06-01" &&
+            col("o_orderdate") < "1995-06-01")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1994-06-01'
+        |  AND o_orderdate < DATE '1995-06-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   )
 }

@@ -277,6 +277,35 @@ object TextQueries {
       d2OracleSql),
 
 
+    // D12: incremental dedup — a new batch checked against a PERSISTED
+    // MinHash signature index (DedupIndex over a Snapshots table)
+    // instead of re-pairing the whole corpus. History = doc_id % 5 != 0
+    // builds the index; the % 5 == 0 slice arrives as the batch. The
+    // result is bit-identical to the full d2 run restricted to
+    // batch-touching pairs — which is exactly how the oracle spells it.
+    QueryDef("d12_incremental_dedup",
+      (s, dir) => {
+        import graft.ops.DedupIndex
+        val root = s"/tmp/graft_stage/${new java.io.File(dir).getName}/d12_idx"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true) // rebuild the fixture index each run
+        val docs = Tables.documents(s, dir)
+        val history = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        DedupIndex.build(history, root)
+        DedupIndex.addBatch(root, batch, history,
+          k = 16, bands = 4, threshold = 0.4)
+          .orderBy("doc_a", "doc_b")
+      },
+      {
+        val pairSql = d2OracleSql.replaceAll("ORDER BY doc_a, doc_b\\s*$", "")
+        s"""WITH pairs AS ($pairSql)
+           |SELECT doc_a, doc_b, jaccard FROM pairs
+           |WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     // SimHash near-dup detection: 48-bit fingerprints, 4-chunk pigeonhole
     // banding, exact hamming ≤ 6 verification.
     QueryDef("d3_simhash",

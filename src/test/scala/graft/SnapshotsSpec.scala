@@ -255,4 +255,124 @@ class SnapshotsSpec extends SparkSpec {
     // idempotent: nothing left to drop at the same retention
     assert(Snapshots.vacuum(spark, root, keepVersions = 2) == (0, 0))
   }
+
+  // --- manifest column stats + data skipping -------------------------
+
+  /** Three single-file commits with disjoint id ranges — the planted
+    * layout every skipping test reads against. */
+  private def rangedTable(): String = {
+    val root = freshRoot()
+    Seq(0L until 100L, 100L until 200L, 200L until 300L).foreach { r =>
+      Snapshots.append(
+        r.toDF("id").withColumn("tag", concat(lit("t"), $"id" % 7))
+          .repartition(1), root)
+    }
+    root
+  }
+
+  test("readWhere opens only stat-surviving files, result identical") {
+    val root = rangedTable()
+    val pred = $"id" >= 120L && $"id" < 180L
+    val (kept, skipped) = Snapshots.pruneFiles(spark, root, pred)
+    assert(kept.size == 1 && skipped.size == 2)
+    val df = Snapshots.readWhere(spark, root, pred)
+    // the plan's actual inputs are exactly the kept files
+    assert(df.inputFiles.forall(f => kept.exists(k => f.endsWith(k))))
+    assert(df.select("id").as[Long].collect().sorted.toSeq ==
+      (120L until 180L))
+    // a predicate nothing satisfies prunes everything yet keeps schema
+    val none = Snapshots.readWhere(spark, root, $"id" > 10000L)
+    assert(none.isEmpty && none.columns.toSeq == Seq("id", "tag"))
+  }
+
+  test("IN lists, string ranges, and flipped literals prune") {
+    val root = rangedTable()
+    val (_, sIn) = Snapshots.pruneFiles(spark, root,
+      $"id".isin(5L, 42L)) // both in file 1
+    assert(sIn.size == 2)
+    val (_, sFlip) = Snapshots.pruneFiles(spark, root, lit(250L) <= $"id")
+    assert(sFlip.size == 2)
+    // string stats: tags cycle t0..t6 in every file — a disjoint string
+    // range prunes all three, an overlapping one none
+    val (_, sStr) = Snapshots.pruneFiles(spark, root, $"tag" > "t9")
+    assert(sStr.size == 3)
+    val (k2, _) = Snapshots.pruneFiles(spark, root, $"tag" === "t3")
+    assert(k2.size == 3)
+  }
+
+  test("unrecognized conjuncts never prune but still filter rows") {
+    val root = rangedTable()
+    val pred = ($"id" % 2L === 0L) && $"id" < 102L // arithmetic: opaque
+    val (kept, skipped) = Snapshots.pruneFiles(spark, root, pred)
+    // the recognized conjunct (id < 102) prunes file 3; the opaque one
+    // keeps files it cannot reason about
+    assert(skipped.size == 1 && kept.size == 2)
+    assert(Snapshots.readWhere(spark, root, pred).select("id")
+      .as[Long].collect().sorted.toSeq == (0L to 100L by 2L))
+  }
+
+  test("null tests and all-null files prune correctly") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, Some("x")), (2L, Some("y")))
+      .toDF("id", "v").repartition(1), root)
+    Snapshots.append(Seq((3L, None: Option[String]), (4L, None))
+      .toDF("id", "v").repartition(1), root)
+    val (kN, sN) = Snapshots.pruneFiles(spark, root, $"v".isNull)
+    assert(kN.size == 1 && sN.size == 1) // no-null file skipped
+    val (kNN, sNN) = Snapshots.pruneFiles(spark, root, $"v".isNotNull)
+    assert(kNN.size == 1 && sNN.size == 1) // all-null file skipped
+    // a comparison can never match in the all-null file
+    val (kC, sC) = Snapshots.pruneFiles(spark, root, $"v" === "x")
+    assert(kC.size == 1 && sC.size == 1)
+    assert(Snapshots.readWhere(spark, root, $"v".isNull)
+      .select("id").as[Long].collect().toSet == Set(3L, 4L))
+  }
+
+  test("stats round-trip hostile strings and survive appends/optimize") {
+    val root = freshRoot()
+    // min/max carry tabs, newlines, '#', unicode — the manifest encoding
+    // must not corrupt lines or change prune semantics
+    Snapshots.append(Seq("\ta\nb", "z#9", "é").toDF("s")
+      .repartition(1), root)
+    Snapshots.append(Seq("m1", "m2").toDF("s").repartition(1), root)
+    // "a" falls inside file 1's [tab-prefixed, é] range but outside
+    // file 2's [m1, m2] — exactly one skip
+    val (_, skipped) = Snapshots.pruneFiles(spark, root, $"s" === "a")
+    assert(skipped.size == 1)
+    assert(Snapshots.readWhere(spark, root, $"s" <= "m1")
+      .as[String].collect().toSet == Set("\ta\nb", "m1"))
+    // appends carried v1's stats: prune still bites at the NEW version
+    // ("zz" < "é" in UTF8 order, so file 1 legitimately stays)
+    Snapshots.append(Seq("zz").toDF("s").repartition(1), root)
+    val (_, s3) = Snapshots.pruneFiles(spark, root, $"s" === "zz")
+    assert(s3.size == 1)
+    // a rewrite (compact) regenerates stats for the new files
+    Snapshots.compact(spark, root, numFiles = 2)
+    val (kO, _) = Snapshots.pruneFiles(spark, root, $"s" === "zz")
+    assert(Snapshots.readWhere(spark, root, $"s" === "zz").count() == 1)
+    assert(kO.nonEmpty)
+  }
+
+  test("a stats-free manifest (older writer) keeps every file") {
+    val root = rangedTable()
+    val (fs, rootP) = {
+      val p = new HPath(root)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    // simulate a manifest written before stats existed: strip its lines
+    val v3 = new HPath(new HPath(rootP, "_manifests"), "v000000003")
+    val body = {
+      val in = fs.open(v3)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filterNot(_.startsWith("#stats")).mkString("\n") + "\n"
+      finally in.close()
+    }
+    fs.delete(v3, false)
+    val out = fs.create(v3, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val pred = $"id" < 50L
+    val (kept, skipped) = Snapshots.pruneFiles(spark, root, pred)
+    assert(skipped.isEmpty && kept.size == 3) // no stats → no skipping
+    assert(Snapshots.readWhere(spark, root, pred).count() == 50)
+  }
 }
