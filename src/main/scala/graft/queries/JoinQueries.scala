@@ -227,6 +227,39 @@ object JoinQueries {
       """SELECT p_brand, count(*)::BIGINT AS n_rows,
         |  (sum(CAST(l_extendedprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // Free: bucketed co-located join (Bucketing.writeBucketed) — both
+    // fact tables land bucket-sorted on their join key at write time,
+    // so the join itself plans with ZERO shuffle exchanges (the
+    // fact-fact join shape at 100 TB: move the data once, at write).
+    // The oracle is the plain join — layout must not change content;
+    // BucketingSpec asserts the no-Exchange plan property itself.
+    QueryDef("j11_bucketed_join",
+      (s, dir) => {
+        import graft.ops.Bucketing
+        val stage = s"/tmp/graft_stage/${new java.io.File(dir).getName}"
+        Bucketing.writeBucketed(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_quantity", "l_extendedprice"),
+          "j11_lineitem", s"$stage/j11_li", 16,
+          Seq("l_orderkey"), Seq("l_orderkey"))
+        Bucketing.writeBucketed(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+          "j11_orders", s"$stage/j11_ord", 16,
+          Seq("o_orderkey"), Seq("o_orderkey"))
+        Bucketing.table(s, "j11_lineitem")
+          .join(Bucketing.table(s, "j11_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+        |  (sum(CAST(l_quantity AS DECIMAL(18,4))))::DOUBLE AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   )
 }

@@ -1,40 +1,69 @@
 package graft
 
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
-/** Bucketed co-located join: both sides bucketed by the join key into the
-  * same bucket count → the sort-merge join needs NO Exchange (the 100 TB
-  * recipe for repeated large-large joins on a stable key). */
+import graft.ops.Bucketing
+
+/** Bucketed-join contract: equal-bucket tables join with NO shuffle
+  * exchange in the physical plan, results identical to the plain join,
+  * and rewrites replace the table cleanly. */
 class BucketingSpec extends SparkSpec {
+  import spark.implicits._
 
-  test("join of two tables bucketed on the key plans without a shuffle") {
-    val dir = "/root/testdata/sf0.001"
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    Tables.orders(spark, dir)
-      .select("o_orderkey", "o_totalprice")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("b_orders")
-    Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_quantity")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("b_lineitem")
+  private def tmp(): String =
+    Files.createTempDirectory("graft_bucket").toFile.toString
 
+  private lazy val facts =
+    (0L until 1000L).map(i => (i % 100, i, s"f$i")).toDF("k", "seq", "tag")
+  private lazy val dims =
+    (0L until 100L).map(i => (i, s"d$i")).toDF("k", "name")
+
+  test("equal-bucket join plans with zero shuffle exchanges") {
+    val d = tmp()
+    Bucketing.writeBucketed(facts, "bkt_facts", s"$d/facts", 8,
+      Seq("k"), Seq("k"))
+    Bucketing.writeBucketed(dims, "bkt_dims", s"$d/dims", 8,
+      Seq("k"), Seq("k"))
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      val n = joined.count()
-      assert(n > 0)
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan)
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"bucketed join must not shuffle:\n$plan")
+      val joined = Bucketing.table(spark, "bkt_facts")
+        .join(Bucketing.table(spark, "bkt_dims"), Seq("k"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join must not shuffle, found: $shuffles")
+      // identical rows to the plain (shuffling) join
+      val expected = facts.join(dims, Seq("k"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(joined.collect().map(_.toString).sorted.toSeq == expected)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
+  }
+
+  test("bucketed group-by on the bucket key also skips the shuffle") {
+    val d = tmp()
+    Bucketing.writeBucketed(facts, "bkt_agg", s"$d/agg", 8, Seq("k"))
+    val agg = Bucketing.table(spark, "bkt_agg")
+      .groupBy("k").agg(sum("seq").as("s"))
+    val shuffles = agg.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed aggregation must not shuffle, found: $shuffles")
+    assert(agg.count() == 100)
+  }
+
+  test("rewrite replaces content; stale files do not resurface") {
+    val d = tmp()
+    Bucketing.writeBucketed(facts, "bkt_rw", s"$d/rw", 4, Seq("k"))
+    assert(Bucketing.table(spark, "bkt_rw").count() == 1000)
+    Bucketing.writeBucketed(facts.limit(10), "bkt_rw", s"$d/rw", 4, Seq("k"))
+    assert(Bucketing.table(spark, "bkt_rw").count() == 10)
   }
 }
