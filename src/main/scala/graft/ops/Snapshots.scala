@@ -579,6 +579,41 @@ object Snapshots {
     inserts.unionByName(deletes)
   }
 
+  /** The rows APPENDED after `fromVersion`, up to `toVersion` (default
+    * latest) — the incremental-consumer read: a downstream job records
+    * the version it last processed and pays only the new files on the
+    * next run (compose with [[IncrementalAgg.advanceVersioned]] for the
+    * full never-rescan-history pipeline). `fromVersion = 0` means
+    * everything. Purely file-level — nothing is scanned to DECIDE, and
+    * only the added files are scanned to READ.
+    *
+    * If any of `fromVersion`'s files are gone from `toVersion` — an
+    * overwrite or compact rewrote history — appended-files no longer
+    * describe the change and this throws instead of silently feeding
+    * the consumer wrong deltas: re-sync from a full [[read]] (or walk
+    * version-by-version via [[diff]]). */
+  def changesSince(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int = -1): DataFrame = {
+    val (fs, root) = fsFor(spark, dir)
+    val to = if (toVersion >= 0) toVersion else currentVersion(spark, dir)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed version under $dir"))
+    val fromF =
+      if (fromVersion == 0) Set.empty[String]
+      else readManifest(fs, root, fromVersion).toSet
+    val toF = readManifest(fs, root, to).toSet
+    val removed = fromF -- toF
+    if (removed.nonEmpty)
+      throw new IllegalStateException(
+        s"changesSince($fromVersion -> $to) on $dir: ${removed.size} " +
+          "file(s) of the base version were rewritten (overwrite/compact " +
+          "landed in between) — appended files no longer describe the " +
+          "change; re-sync from a full read")
+    val added = (toF -- fromF).toSeq.sorted
+    if (added.isEmpty) read(spark, dir, to).limit(0)
+    else spark.read.parquet(added.map(f => new HPath(root, f).toString): _*)
+  }
+
   /** Drop manifests older than the newest `keepVersions` and delete
     * data files no retained manifest references. This is the ONLY
     * operation that deletes data — until it runs, every version ever

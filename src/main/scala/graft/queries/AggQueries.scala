@@ -760,6 +760,38 @@ object AggQueries {
         |  (max(CAST(value AS DECIMAL(18,4))))::DOUBLE AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // A24: incremental APPROX-DISTINCT state — the one aggregate the
+    // (count, sum, min, max) tuple can't carry (exact distinct doesn't
+    // merge without the value set). HLL sketches merge register-wise
+    // (associative, commutative, replay-idempotent), so per-batch
+    // sketch state advances like the sums do. The verdict-oracle
+    // pattern of a11: exact distinct must hash-match, and the oracle's
+    // literal `true` forces Spark's sketch estimate within 5% of exact
+    // (DataSketches HLL_4 @ lgK 12 ≈ 1.6% rsd) — a false anywhere
+    // fails the hash compare.
+    QueryDef("a24_incremental_distinct",
+      (s, dir) => {
+        import graft.ops.IncrementalAgg
+        val ev = Tables.events(s, dir)
+        val batches = (0 to 2).map(i =>
+          ev.filter(pmod(col("event_id"), lit(3)) === i))
+        val state = batches
+          .map(b => IncrementalAgg.partial(b, Seq("event_type"), "value",
+            distinctCol = Some("user_id")))
+          .reduce(IncrementalAgg.merge)
+        IncrementalAgg.finalize(state)
+          .join(ev.groupBy("event_type")
+            .agg(countDistinct(col("user_id")).as("n_users")),
+            Seq("event_type"))
+          .select(col("event_type"), col("n"), col("n_users"),
+            (abs(col("approx_distinct") - col("n_users")) <=
+              col("n_users").cast("double") * 0.05).as("approx_ok"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  count(DISTINCT user_id)::BIGINT AS n_users, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // C5: key-skew report (SkewGuard.keySkew) — the heaviest join/groupBy
     // key values with exact counts and table share, the diagnostic to
     // run before keying a 100 TB shuffle. Exact counts via one

@@ -499,6 +499,36 @@ object SinkQueries {
         |FROM orders
         |WHERE o_orderdate >= DATE '1994-06-01'
         |  AND o_orderdate < DATE '1995-06-01'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // S26: incremental consumption — Snapshots.changesSince. A consumer
+    // that remembers its last-processed version pays only the appended
+    // files per run (file-level decision, nothing scanned to decide).
+    // Three version-by-version reads unioned must equal the one-scan
+    // oracle — the pages ⊎ pages ≡ one-scan discipline (s5/o5) applied
+    // to the snapshot log.
+    QueryDef("s26_incremental_consume",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s26_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true) // rebuild the fixture table each run
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        (0 to 2).foreach(i => Snapshots.append(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === i), root))
+        (1 to 3).map(v => Snapshots.changesSince(s, root, v - 1, v))
+          .reduce(_ unionByName _)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
   )
 }

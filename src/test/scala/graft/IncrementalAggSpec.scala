@@ -62,4 +62,49 @@ class IncrementalAggSpec extends SparkSpec {
       IncrementalAgg.merge(s1, s2)
     }
   }
+
+  // --- approx-distinct sketch accumulator ----------------------------
+
+  private lazy val users = (0L until 3000L)
+    .map(i => (if (i % 2 == 0) "a" else "b", s"u${i % 700}", i.toDouble))
+    .toDF("k", "user", "v")
+
+  test("sketch estimate is split-insensitive and near exact") {
+    def est(batches: Seq[org.apache.spark.sql.DataFrame]): Map[String, Long] =
+      IncrementalAgg.finalize(batches
+        .map(b => IncrementalAgg.partial(b, Seq("k"), "v", Some("user")))
+        .reduce(IncrementalAgg.merge))
+        .select("k", "approx_distinct")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = est(Seq(users))
+    val split = est((0 to 2).map(i => users.filter($"v" % 3 === i)))
+    assert(oneShot == split) // register-max merge: split cannot move it
+    val exact = users.groupBy("k")
+      .agg(countDistinct($"user").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, d) =>
+      assert(math.abs(oneShot(k) - d) <= d * 0.05,
+        s"estimate ${oneShot(k)} too far from exact $d for group $k")
+    }
+  }
+
+  test("re-merging the same delta is idempotent for the sketch") {
+    val delta = IncrementalAgg.partial(users, Seq("k"), "v", Some("user"))
+    val once = IncrementalAgg.merge(delta, delta)
+    val est = IncrementalAgg.finalize(once)
+      .select("k", "approx_distinct")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val single = IncrementalAgg.finalize(delta)
+      .select("k", "approx_distinct")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == single) // n doubles (its documented semantics); sketch doesn't
+  }
+
+  test("inconsistent distinctCol usage across batches throws") {
+    val withSketch = IncrementalAgg.partial(users, Seq("k"), "v", Some("user"))
+    val without = IncrementalAgg.partial(users, Seq("k"), "v")
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.merge(withSketch, without)
+    }
+  }
 }

@@ -256,6 +256,40 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.vacuum(spark, root, keepVersions = 2) == (0, 0))
   }
 
+  // --- incremental consumption (changesSince) ------------------------
+
+  test("changesSince reads exactly the appended files, composable") {
+    val root = freshRoot()
+    Snapshots.append(Seq(1L, 2L).toDF("id"), root) // v1
+    Snapshots.append(Seq(3L).toDF("id"), root) // v2
+    Snapshots.append(Seq(4L, 5L).toDF("id"), root) // v3
+    assert(Snapshots.changesSince(spark, root, 1)
+      .as[Long].collect().toSet == Set(3L, 4L, 5L))
+    assert(Snapshots.changesSince(spark, root, 2, 3)
+      .as[Long].collect().toSet == Set(4L, 5L))
+    assert(Snapshots.changesSince(spark, root, 0)
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // no change: empty frame, schema intact
+    val none = Snapshots.changesSince(spark, root, 3, 3)
+    assert(none.isEmpty && none.columns.toSeq == Seq("id"))
+  }
+
+  test("changesSince refuses a rewritten history instead of lying") {
+    val root = freshRoot()
+    Snapshots.append(spark.range(100).toDF(), root) // v1, several files
+    Snapshots.append(spark.range(100, 110).toDF(), root) // v2
+    Snapshots.compact(spark, root, numFiles = 1) // v3 rewrites v1+v2
+    intercept[IllegalStateException] {
+      Snapshots.changesSince(spark, root, 1)
+    }
+    val root2 = freshRoot()
+    Snapshots.append(Seq(1L).toDF("id"), root2)
+    Snapshots.overwrite(Seq(2L).toDF("id"), root2)
+    intercept[IllegalStateException] {
+      Snapshots.changesSince(spark, root2, 1)
+    }
+  }
+
   // --- manifest column stats + data skipping -------------------------
 
   /** Three single-file commits with disjoint id ranges — the planted
