@@ -101,6 +101,11 @@ object DedupIndex {
     val kept = SkewGuard.capBuckets(banded, Seq("band_idx", "band"),
       maxBucket, minSize = 2)
     val fresh = kept.filter(col("is_new"))
+    // materialized eagerly: the pair list is small (bucket-capped) and
+    // is read twice — once for its doc ids, once as the verify input —
+    // and the verification below must only ever shingle CANDIDATE
+    // docs, not the corpus (shingling history to verify a batch would
+    // smuggle the full-corpus cost back in)
     val cands = kept.as("x").join(fresh.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band") === col("y.band") &&
@@ -109,8 +114,13 @@ object DedupIndex {
         least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
+      .localCheckpoint(true)
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .unionByName(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
     val docs = history.select("doc_id", "text")
       .unionByName(batch.select("doc_id", "text"))
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val pairs =
       TextDedup.verifyJaccardArrays(cands, docs, n, threshold)
     if (batchId >= 0L)

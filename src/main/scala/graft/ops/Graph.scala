@@ -68,6 +68,11 @@ object Graph {
     try {
       var rank = nodes.withColumn("rank", lit(Scale))
       for (_ <- 1 to iterations) {
+        // plain joins on purpose: the rank frame is nodes-sized, so AQE
+        // broadcast-converts these while that's cheapest (no edge
+        // shuffle at all per iteration) and falls back to shuffle joins
+        // — with the identical edge-side exchange REUSED across
+        // iterations — once the node universe outgrows a broadcast
         val contribs = e.join(rank, e("src") === rank("node"))
           .select(col("dst").as("node"),
             expr("(rank div tw) * w + ((rank % tw) * w) div tw")

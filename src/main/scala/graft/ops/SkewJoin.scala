@@ -37,32 +37,37 @@ object SkewJoin {
     * ≥ `hotThreshold`) routed via broadcast. Row-identical to
     * `fact.join(dim, Seq(key))` for every threshold. The hot-key scan
     * is one map-side-combined aggregate (shuffles distinct keys, not
-    * rows); `maxHotKeys` bounds the driver-side key list and the
-    * broadcast, failing loudly instead of degrading — a threshold
-    * that classifies half the key universe as hot is a mis-diagnosis,
-    * not a plan. */
+    * rows); `maxHotKeys` bounds the hot set and the broadcasts,
+    * failing loudly instead of degrading — a threshold that
+    * classifies half the key universe as hot is a mis-diagnosis, not
+    * a plan.
+    *
+    * The hot set never materializes as a literal predicate: routing is
+    * a broadcast semi/anti-join against the (tiny) hot-key frame — an
+    * In-list of thousands of keys evaluated per fact row is exactly
+    * the per-row O(hot) scan this op exists to avoid. NULL keys match
+    * nothing in an inner join; the null-rejecting semi-join routes
+    * them cold, where the join drops them — never lost from BOTH
+    * branches. */
   def skewInnerJoin(fact: DataFrame, dim: DataFrame, key: String,
       hotThreshold: Long, maxHotKeys: Int = 10000): DataFrame = {
     require(hotThreshold >= 1, s"hotThreshold must be >= 1, got $hotThreshold")
-    val hot = fact.groupBy(col(key))
+    val hotKeys = fact.groupBy(col(key))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= hotThreshold && col(key).isNotNull)
       .select(col(key))
-      .collect().map(_.get(0)).toSeq
-    if (hot.size > maxHotKeys)
+    val nHot = hotKeys.count() // the only driver-side value: a count
+    if (nHot > maxHotKeys)
       throw new IllegalArgumentException(
-        s"${hot.size} keys exceed hotThreshold=$hotThreshold (cap " +
+        s"$nHot keys exceed hotThreshold=$hotThreshold (cap " +
           s"$maxHotKeys) — the key is not skewed, it is merely " +
           "low-cardinality; use a plain shuffle join or raise the threshold")
-    if (hot.isEmpty) return fact.join(dim, Seq(key))
-    // NULL keys match nothing in an inner join; route them cold where
-    // the join drops them, so the isIn predicate's three-valued NULL
-    // cannot lose them from BOTH branches silently.
-    val isHot = coalesce(col(key).isInCollection(hot), lit(false))
-    val hotSide = fact.filter(isHot)
-      .join(broadcast(dim.filter(isHot)), Seq(key))
-    val coldSide = fact.filter(!isHot)
-      .join(dim.filter(!isHot), Seq(key))
+    if (nHot == 0) return fact.join(dim, Seq(key))
+    val hotSide = fact.join(broadcast(hotKeys), Seq(key), "left_semi")
+      .join(broadcast(dim.join(broadcast(hotKeys), Seq(key), "left_semi")),
+        Seq(key))
+    val coldSide = fact.join(broadcast(hotKeys), Seq(key), "left_anti")
+      .join(dim.join(broadcast(hotKeys), Seq(key), "left_anti"), Seq(key))
     hotSide.unionByName(coldSide)
   }
 }

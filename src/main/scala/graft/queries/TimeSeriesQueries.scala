@@ -293,20 +293,23 @@ object TimeSeriesQueries {
     QueryDef("g7_pagerank",
       (s, dir) => {
         import graft.ops.Graph
+        // numeric node ids (customer 2k, supplier 2k+1): the edge-build
+        // shuffle moves two longs per edge, not two strings — the op
+        // itself is id-type-generic (GraphSpec runs it on strings)
         val e0 = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
           .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(
-            concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
+            (col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
           .agg(count(lit(1)).as("w"))
         val edges = e0.unionByName(
           e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         Graph.pageRank(edges, iterations = 3)
           .orderBy(col("rank").desc, col("node").asc)
       },
-      s"""WITH e0 AS (SELECT 'c' || o_custkey AS src,
-         |    's' || l_suppkey AS dst, count(*)::BIGINT AS w
+      s"""WITH e0 AS (SELECT (o_custkey * 2)::BIGINT AS src,
+         |    (l_suppkey * 2 + 1)::BIGINT AS dst, count(*)::BIGINT AS w
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |  GROUP BY 1, 2),
          |eb AS (SELECT src, dst, w FROM e0

@@ -104,15 +104,55 @@ object ScaleGen {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
 
+    // Relational tables for the graph/join/maintenance ops (g7, j10,
+    // j11, s24-s26): every key strides per replica, so each replica is
+    // a DISJOINT subgraph — customers, suppliers, parts, orders and
+    // their edges all grow linearly (the composition of a crawl graph
+    // at 10×: mostly new domains), never duplicated edges a dedup or a
+    // rank iteration would see as planted skew. Dates/values pass
+    // through untouched: 10× orders in the same window is a denser
+    // business, and the fixed date-range queries (s25) stay non-empty
+    // at every scale because replica 0 is the unmodified fixture.
+    val dimStride = 1000000L
+    val ordersN = {
+      val o = spark.read.parquet(s"$src/orders.parquet")
+      (0 until replicas).map { r =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(r * idStride))
+          .withColumn("o_custkey", col("o_custkey") + lit(r * dimStride))
+      }.reduce(_ unionByName _)
+    }
+    val lineitemN = {
+      val l = spark.read.parquet(s"$src/lineitem.parquet")
+      (0 until replicas).map { r =>
+        l.withColumn("l_orderkey", col("l_orderkey") + lit(r * idStride))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(r * dimStride))
+          .withColumn("l_partkey", col("l_partkey") + lit(r * dimStride))
+      }.reduce(_ unionByName _)
+    }
+    val partN = {
+      val p = spark.read.parquet(s"$src/part.parquet")
+      (0 until replicas).map { r =>
+        p.withColumn("p_partkey", col("p_partkey") + lit(r * dimStride))
+      }.reduce(_ unionByName _)
+    }
+
     docsN.repartition(32).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
     embN.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
     eventsN.repartition(32).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
+    ordersN.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/orders.parquet")
+    lineitemN.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/lineitem.parquet")
+    partN.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/part.parquet")
     println(s"SCALEGEN docs=${spark.read.parquet(s"$out/documents.parquet").count()} " +
       s"emb=${spark.read.parquet(s"$out/embeddings.parquet").count()} " +
-      s"events=${spark.read.parquet(s"$out/events.parquet").count()} out=$out")
+      s"events=${spark.read.parquet(s"$out/events.parquet").count()} " +
+      s"orders=${spark.read.parquet(s"$out/orders.parquet").count()} " +
+      s"lineitem=${spark.read.parquet(s"$out/lineitem.parquet").count()} out=$out")
     spark.stop()
   }
 }

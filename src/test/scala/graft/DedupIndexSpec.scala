@@ -92,4 +92,56 @@ class DedupIndexSpec extends SparkSpec {
     assert(Snapshots.read(spark, root)
       .filter(col("doc_id") === 30L).isEmpty)
   }
+
+  test("streaming ingest: corpus + index + pairs advance exactly-once") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("dedupidx-stream")
+    val src = Files.createDirectory(base.resolve("src"))
+    val corpus = s"$base/corpus"; val idx = s"$base/idx"
+    val pairsT = s"$base/pairs"; val ckpt = s"$base/ckpt"
+    DedupIndex.build(history, idx)
+    Snapshots.append(history, corpus)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def writeFile(n: Int, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempFile("stage", ".json")
+      Files.writeString(tmp, rows.map { case (i, t) =>
+        s"""{"doc_id":$i,"text":"$t"}""" }.mkString("\n"))
+      Files.move(tmp, src.resolve(f"b$n%03d.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def startQuery() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(src.toString)
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // history = the corpus BEFORE this batch lands (addBatch's
+        // contract: history and batch disjoint on doc_id)
+        val hist = Snapshots.read(df.sparkSession, corpus)
+        val pairs = DedupIndex.addBatch(idx, df, hist,
+          writerId = "stream-idx", batchId = batchId)
+        Snapshots.idempotentAppend(pairs, pairsT, "stream-pairs", batchId)
+        Snapshots.idempotentAppend(df, corpus, "stream-corpus", batchId)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    writeFile(1, Seq(
+      (40L, "the quick brown fox jumps over the lazy dog near the river bank tonight")))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // restart with a batch that dups BATCH 1's doc — found via the index
+    writeFile(2, Seq(
+      (41L, "the quick brown fox jumps over the lazy dog near the river bank tonight")))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val got = Snapshots.read(spark, pairsT)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 40 pairs with history's 0/1 near-dups AND doc 41 pairs with 40
+    assert(got.contains((0L, 40L)) && got.contains((40L, 41L)))
+    // each pair reported exactly once across batches + restart
+    assert(Snapshots.read(spark, pairsT).count() ==
+      Snapshots.read(spark, pairsT).distinct().count())
+  }
 }
