@@ -47,39 +47,52 @@ object Graph {
     *   rank'(v) = (100-d)%·Scale + d%·Σ_{u→v} (rank(u)·w(u,v) div W(u))
     */
   def pageRank(edges: DataFrame, iterations: Int,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85, maxBroadcastNodes: Long = 4000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
     val teleport = (100 - dampingPct) * Scale / 100
-    // the edge plan (often a join+aggregate itself) materializes ONCE;
-    // out-weights, the iteration frame, and the node universe all read
-    // the cached copy, and every iteration joins against `e` — the
-    // source tables are never rescanned
-    val cached = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val outw = cached.groupBy("src").agg(sum(col("w")).as("tw"))
-    val e = cached.join(outw, "src")
-      .select(col("src"), col("dst"), col("w"), col("tw"))
+    // ONE persisted edge frame carries everything iterations need: the
+    // out-weight rides each edge via a window sum over src (one shuffle
+    // + in-partition sort) instead of a separate aggregate re-JOINED
+    // back — the join formulation materialized the edge plan TWICE
+    // (raw + joined caches; measured 268 s for a single iteration on a
+    // 117M-edge derivative, dominated by the double cache write). The
+    // edge plan (often a join+aggregate itself) computes exactly once;
+    // iterations and the node universe read only the cached copy.
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .withColumn("tw", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = cached.select(col("src").as("node"))
-      .unionByName(cached.select(col("dst").as("node")))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // One strategy decision for all iterations, from the ONE number
+      // that matters — the node count (known exactly, nodes is cached).
+      // Below the budget, every iteration broadcasts the rank frame:
+      // the cached edge frame never moves and never sorts. Above it,
+      // shuffle-HASH joins: the edge side still shuffles once per join
+      // shape (identical subplan → Spark reuses the exchange) but is
+      // never re-SORTED — the per-iteration edge sort is what makes
+      // plain sort-merge PageRank superlinear at large node counts
+      // (measured 29.6× time at 10× data on the 120M-edge derivative;
+      // see BASELINE.md).
+      val nNodes = nodes.count()
+      val small = nNodes <= maxBroadcastNodes
       var rank = nodes.withColumn("rank", lit(Scale))
       for (_ <- 1 to iterations) {
-        // plain joins on purpose: the rank frame is nodes-sized, so AQE
-        // broadcast-converts these while that's cheapest (no edge
-        // shuffle at all per iteration) and falls back to shuffle joins
-        // — with the identical edge-side exchange REUSED across
-        // iterations — once the node universe outgrows a broadcast
-        val contribs = e.join(rank, e("src") === rank("node"))
+        val rankSide = if (small) broadcast(rank) else rank.hint("shuffle_hash")
+        val contribs = e.join(rankSide, e("src") === rank("node"))
           .select(col("dst").as("node"),
             expr("(rank div tw) * w + ((rank % tw) * w) div tw")
               .as("contrib"))
           .groupBy("node")
           .agg(sum(col("contrib")).as("c"))
-        rank = nodes.join(contribs, Seq("node"), "left")
+        val cSide =
+          if (small) broadcast(contribs) else contribs.hint("shuffle_hash")
+        rank = nodes.join(cSide, Seq("node"), "left")
           .select(col("node"),
             (lit(teleport) +
               expr(s"($dampingPct * coalesce(c, 0L)) div 100"))
@@ -91,7 +104,6 @@ object Graph {
     } finally {
       e.unpersist()
       nodes.unpersist()
-      cached.unpersist()
     }
   }
 }

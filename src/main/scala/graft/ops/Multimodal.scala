@@ -139,6 +139,27 @@ object MediaCodecs {
     }
   }
 
+  /** FLAC: `fLaC` magic, then metadata blocks — the spec REQUIRES the
+    * first to be STREAMINFO (type 0, 34 bytes), whose packed 8-byte
+    * field at offset 10 carries sample rate (20 bits), channels−1 (3),
+    * bits-per-sample−1 (5) and total samples (36). Returns (channels,
+    * bits, total sample frames), the same audio triple as [[wavMeta]].
+    * Never throws. */
+  def flacMeta(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
+      b(3) != 'C') return None
+    if ((b(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+    val len = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    if (len < 34) return None
+    def u(i: Int): Long = b(8 + i) & 0xffL
+    val channels = ((u(12) >> 1) & 0x7).toInt + 1
+    val bps = (((u(12) & 1) << 4) | (u(13) >> 4)).toInt + 1
+    val totalSamples = ((u(13) & 0xf) << 32) |
+      (u(14) << 24) | (u(15) << 16) | (u(16) << 8) | u(17)
+    Some((channels, bps,
+      math.min(totalSamples, Int.MaxValue.toLong).toInt))
+  }
+
   /** WebP (RIFF/WEBP): the first chunk after the RIFF header decides
     * the flavor — `VP8X` (extended) carries a 24-bit LE canvas size
     * minus one; `VP8L` (lossless) packs 14-bit dims minus one into the
@@ -316,9 +337,9 @@ object Multimodal {
   }
 
   /** Header decode: real parsing for PNG/JPEG/GIF/BMP/TIFF/WebP
-    * dimensions (single-frame), WAV audio (channels, bit depth, sample
-    * frames) and MP4/MOV video (track geometry, sample count); stub
-    * fallback for any other container. */
+    * dimensions (single-frame), WAV/FLAC audio (channels, bit depth,
+    * sample frames) and MP4/MOV video (track geometry, sample count);
+    * stub fallback for any other container. */
   def decodeHeader(payload: Array[Byte]): (Int, Int, Int) =
     decodeHeaderTagged(payload)._1
 
@@ -334,6 +355,7 @@ object Multimodal {
       .orElse(MediaCodecs.tiffDims(payload).map(d => ((d._1, d._2, 1), "tiff")))
       .orElse(MediaCodecs.mp4Meta(payload).map((_, "mp4")))
       .orElse(MediaCodecs.webpDims(payload).map(d => ((d._1, d._2, 1), "webp")))
+      .orElse(MediaCodecs.flacMeta(payload).map((_, "flac")))
       .getOrElse((stubDecode(payload), "stub"))
 
   /** One sampled frame: stub "decode" of frame `frame_idx` of a media

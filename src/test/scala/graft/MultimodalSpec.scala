@@ -223,6 +223,42 @@ class MultimodalSpec extends SparkSpec {
     assert((meta.width, meta.height, meta.decode_status) === (800, 600, "webp"))
   }
 
+  test("FLAC STREAMINFO parses for real: channels, bits, total samples") {
+    // fLaC + STREAMINFO block (type 0, len 34): the packed field at
+    // streaminfo offset 10 carries rate(20)/chan-1(3)/bps-1(5)/samples(36)
+    def flac(channels: Int, bps: Int, samples: Long,
+        rate: Int = 44100): Array[Byte] = {
+      val si = new Array[Byte](34)
+      si(10) = ((rate >> 12) & 0xff).toByte
+      si(11) = ((rate >> 4) & 0xff).toByte
+      si(12) = (((rate & 0xf) << 4) | ((channels - 1) << 1) |
+        ((bps - 1) >> 4)).toByte
+      si(13) = ((((bps - 1) & 0xf) << 4) | ((samples >> 32) & 0xf)).toInt.toByte
+      si(14) = ((samples >> 24) & 0xff).toByte
+      si(15) = ((samples >> 16) & 0xff).toByte
+      si(16) = ((samples >> 8) & 0xff).toByte
+      si(17) = (samples & 0xff).toByte
+      "fLaC".getBytes ++ Array[Byte](0, 0, 0, 34) ++ si
+    }
+    assert(MediaCodecs.flacMeta(flac(2, 16, 1234567L)) ===
+      Some((2, 16, 1234567)))
+    assert(MediaCodecs.flacMeta(flac(1, 24, 99L)) === Some((1, 24, 99)))
+    assert(MediaCodecs.flacMeta(flac(8, 32, 0L)) === Some((8, 32, 0)))
+    // 36-bit total-samples field clips to Int.MaxValue, never overflows
+    assert(MediaCodecs.flacMeta(flac(2, 16, (1L << 36) - 1)) ===
+      Some((2, 16, Int.MaxValue)))
+    // a first block that is NOT STREAMINFO violates the spec: None
+    val bad = flac(2, 16, 9L); bad(4) = 0x04 // VORBIS_COMMENT first
+    assert(MediaCodecs.flacMeta(bad) === None)
+    assert(MediaCodecs.flacMeta("fLa".getBytes) === None)
+    assert(MediaCodecs.flacMeta(flac(2, 16, 9L).take(20)) === None)
+    // end-to-end: queryable via decode_status
+    val media = Seq((1L, flac(2, 16, 4242L))).toDF("doc_id", "payload")
+    val meta = Multimodal.extractMetaFromPayload(media).collect().head
+    assert((meta.width, meta.height, meta.n_frames, meta.decode_status) ===
+      (2, 16, 4242, "flac"))
+  }
+
   test("extracted features are fixed-width, in [0,1], and similarity-ready") {
     val feats = Multimodal.extractFeatures(docs, dims = 8)
     val rows = feats.collect()
