@@ -274,10 +274,16 @@ object Snapshots {
     val rel = s"$DataDir/$commitId"
     val dir = new HPath(root, rel)
     df.write.parquet(dir.toString)
-    val files = fs.listStatus(dir)
+    val listed = fs.listStatus(dir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"$rel/${st.getPath.getName}").sorted.toSeq
-    Staged(files, collectStats(df.sparkSession, dir.toString, rel))
+      .sortBy(_.getPath.getName)
+    val files = listed.map(st => s"$rel/${st.getPath.getName}").toSeq
+    // byte sizes recorded at commit time are what audit() verifies
+    // against — silent truncation/corruption of an immutable data file
+    // is detectable forever after
+    val sizes = listed.map(st =>
+      s"#size\t$rel/${st.getPath.getName}\t${st.getLen}").toSeq
+    Staged(files, sizes ++ collectStats(df.sparkSession, dir.toString, rel))
   }
 
   /** Stats cover the first [[StatsMaxCols]] atomic-typed top-level
@@ -359,16 +365,28 @@ object Snapshots {
       .groupBy(_._1)
       .map { case (f, xs) => f -> xs.map(x => x._2 -> x._3).toMap }
 
-  /** The `#stats` lines of version `v`, restricted to `files` — what an
-    * append carries forward for the files it keeps. */
+  /** The per-file metadata lines (`#stats`, `#size`) of version `v`,
+    * restricted to `files` — what an append carries forward for the
+    * files it keeps. */
   private def statsLines(fs: FileSystem, root: HPath, v: Int,
       files: Set[String]): Seq[String] =
     manifestLines(fs, root, v).filter { l =>
-      l.startsWith("#stats\t") && {
+      (l.startsWith("#stats\t") || l.startsWith("#size\t")) && {
         val fields = l.split('\t')
         fields.length >= 2 && files.contains(fields(1))
       }
     }
+
+  /** Recorded commit-time byte size per file of version `v`. */
+  private def sizesFor(fs: FileSystem, root: HPath,
+      v: Int): Map[String, Long] =
+    manifestLines(fs, root, v).filter(_.startsWith("#size\t"))
+      .flatMap { l =>
+        l.split('\t') match {
+          case Array(_, file, bytes) => Some(file -> bytes.toLong)
+          case _ => None
+        }
+      }.toMap
 
   /** CAS one manifest: true iff this writer won version `v`. */
   private def casManifest(fs: FileSystem, root: HPath, v: Int,
@@ -612,6 +630,59 @@ object Snapshots {
     val added = (toF -- fromF).toSeq.sorted
     if (added.isEmpty) read(spark, dir, to).limit(0)
     else spark.read.parquet(added.map(f => new HPath(root, f).toString): _*)
+  }
+
+  /** Integrity audit (the fsck of a snapshot table): verifies every
+    * file of every RETAINED version exists with its commit-time byte
+    * size, and reports orphaned data files no manifest references
+    * (crash leftovers / vacuum candidates). Returns one row per
+    * finding-worthy file: (file, status, expected_bytes, actual_bytes)
+    * with status ∈ ok | missing | size_mismatch | unknown_size (file
+    * committed by a pre-size writer) | orphan. Pure metadata — the
+    * driver touches manifests and file listings, never data bytes, so
+    * auditing a 100 TB table costs a directory walk. Read-only: the
+    * repair for `missing`/`size_mismatch` is restoring the file or
+    * overwriting from source; for `orphan`, [[vacuum]] or deletion. */
+  def audit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, dir)
+    val vs = versions(spark, dir)
+    val referenced = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
+    vs.foreach { v =>
+      val sizes = sizesFor(fs, root, v)
+      readManifest(fs, root, v).foreach { f =>
+        if (!referenced.contains(f)) {
+          referenced(f) = sizes.getOrElse(f, -1L)
+          val p = new HPath(root, f)
+          val expected = sizes.getOrElse(f, -1L)
+          val status =
+            if (!fs.exists(p)) "missing"
+            else if (expected < 0) "unknown_size"
+            else if (fs.getFileStatus(p).getLen != expected) "size_mismatch"
+            else "ok"
+          val actual = if (fs.exists(p)) fs.getFileStatus(p).getLen else -1L
+          rows += ((f, status, expected, actual))
+        }
+      }
+    }
+    // orphans: files under data/ that no retained manifest references —
+    // crash leftovers (never committed) or post-vacuum stragglers
+    val dataRoot = new HPath(root, DataDir)
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
+        fs.listStatus(d.getPath)
+          // _SUCCESS / .crc markers are write-protocol residue, not
+          // data; only unreferenced PARQUET files are real orphans
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            val rel = s"$DataDir/${d.getPath.getName}/${st.getPath.getName}"
+            if (!referenced.contains(rel))
+              rows += ((rel, "orphan", -1L, st.getLen))
+          }
+      }
+    }
+    rows.toSeq.toDF("file", "status", "expected_bytes", "actual_bytes")
   }
 
   /** Drop manifests older than the newest `keepVersions` and delete

@@ -529,6 +529,35 @@ object SinkQueries {
       """SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
         |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // S27: the full layout-to-read loop — append (random layout) →
+    // OPTIMIZE ZORDER → stats-pruned read. optimize() narrows per-file
+    // ranges on the clustered columns and regenerates manifest stats;
+    // readWhere() turns the narrow ranges into skipped files. Content
+    // must equal the plain source filter (pruning is proof-based);
+    // SnapshotsSpec asserts the skip/span properties themselves.
+    QueryDef("s27_optimize_skipping",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s27_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true) // rebuild the fixture table each run
+        Snapshots.append(
+          Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+          root)
+        Snapshots.optimize(s, root, Seq("n_chars", "doc_id"), numFiles = 8)
+        Snapshots.readWhere(s, root,
+          col("n_chars") >= 2000L && col("n_chars") < 4000L)
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy("source")
+      },
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents WHERE n_chars >= 2000 AND n_chars < 4000
+        |GROUP BY source ORDER BY source""".stripMargin)
   )
 }

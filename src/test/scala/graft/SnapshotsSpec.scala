@@ -256,6 +256,45 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.vacuum(spark, root, keepVersions = 2) == (0, 0))
   }
 
+  // --- integrity audit ------------------------------------------------
+
+  test("audit: clean table is all-ok; corruption and orphans surface") {
+    val root = freshRoot()
+    Snapshots.append(Seq(1L, 2L).toDF("id").repartition(1), root)
+    Snapshots.append(Seq(3L).toDF("id").repartition(1), root)
+    val clean = Snapshots.audit(spark, root).collect()
+    assert(clean.nonEmpty && clean.forall(_.getString(1) == "ok"))
+    val (fs, rootP) = {
+      val p = new HPath(root)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    // truncate one committed file (simulated bit-rot/partial restore)
+    val victim = clean.head.getString(0)
+    val vp = new HPath(rootP, victim)
+    val bytes = {
+      val in = fs.open(vp)
+      try { val b = new Array[Byte](10); in.readFully(b); b }
+      finally in.close()
+    }
+    fs.delete(vp, false)
+    val out = fs.create(vp, false)
+    try out.write(bytes) finally out.close()
+    // and plant an orphan commit dir (crash before any manifest landed)
+    val orphanDir = new HPath(rootP, "data/deadbeef-orphan")
+    fs.mkdirs(orphanDir)
+    val o = fs.create(new HPath(orphanDir, "part-junk.parquet"), false)
+    try o.write(Array[Byte](1, 2, 3)) finally o.close()
+    val report = Snapshots.audit(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(report(victim) == "size_mismatch")
+    assert(report("data/deadbeef-orphan/part-junk.parquet") == "orphan")
+    // deleting the victim outright reports missing
+    fs.delete(vp, false)
+    assert(Snapshots.audit(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .apply(victim) == "missing")
+  }
+
   // --- incremental consumption (changesSince) ------------------------
 
   test("changesSince reads exactly the appended files, composable") {
