@@ -792,6 +792,47 @@ object AggQueries {
         |  count(DISTINCT user_id)::BIGINT AS n_users, true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // A25: the full never-rescan-history pipeline as one oracle-checked
+    // unit — a snapshot table ingests three appends; a consumer walks
+    // the version log with changesSince (paying only each version's
+    // appended files) and advances a DURABLE rollup state exactly-once
+    // per version (advanceVersioned records the (writer, version)
+    // high-water mark — the second advance of a replayed version is a
+    // no-op, exercised inline). The final state must hash-match the
+    // oracle's single scan: CDC feed ⊕ mergeable state ≡ full rescan.
+    QueryDef("a25_cdc_rollup",
+      (s, dir) => {
+        import graft.ops.{IncrementalAgg, Snapshots}
+        val base = s"/tmp/graft_stage/${new java.io.File(dir).getName}"
+        val facts = s"$base/a25_facts"; val state = s"$base/a25_state"
+        Seq(facts, state).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        (0 to 2).foreach(i => Snapshots.append(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === i), facts))
+        (1 to 3).foreach { v =>
+          val delta = Snapshots.changesSince(s, facts, v - 1, v)
+          IncrementalAgg.advanceVersioned(state, delta,
+            Seq("o_orderpriority"), "o_totalprice", "a25", v.toLong)
+          // a replayed version must be recognized and skipped
+          assert(IncrementalAgg.advanceVersioned(state, delta,
+            Seq("o_orderpriority"), "o_totalprice", "a25", v.toLong).isEmpty)
+        }
+        IncrementalAgg.finalize(Snapshots.read(s, state))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_value,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4)))::DOUBLE) /
+        |    (count(*)::DOUBLE) AS avg_value,
+        |  (min(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS min_value,
+        |  (max(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS max_value
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
     // C5: key-skew report (SkewGuard.keySkew) — the heaviest join/groupBy
     // key values with exact counts and table share, the diagnostic to
     // run before keying a 100 TB shuffle. Exact counts via one

@@ -306,6 +306,44 @@ object TextQueries {
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // T17: Misra-Gries heavy-hitters sketch over the corpus unigrams —
+    // k counters of state regardless of vocabulary size (the exact
+    // t13-style count shuffles one row per DISTINCT token; at web-corpus
+    // vocabulary the sketch is the scalable spelling). MG's guarantee is
+    // what's verifiable — est ≤ true, true − est ≤ n/(k+1), and every
+    // token above n/(k+1) reported — so the query verifies it in-frame
+    // against exact counts and emits the verdict plus the exact token
+    // total; the oracle recomputes the total and pins the verdict
+    // booleans true (a false anywhere hash-fails). Which LIGHT tokens
+    // ride along is merge-order-dependent (standard MG indeterminacy),
+    // so the verdict row, not the item list, is the stable surface.
+    QueryDef("t17_heavy_hitters_sketch",
+      (s, dir) => {
+        import graft.ops.FreqSketch
+        val k = 200
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextFns.tokensWs(lower(col("text")))).as("tok"))
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("true_n"))
+        val total = exact.agg(sum(col("true_n")).cast("long").as("n_tokens"))
+        val est = FreqSketch.heavyHitters(toks, "tok", k)
+        val verdict = est.join(exact, col("item") === col("tok"))
+          .crossJoin(broadcast(total))
+          .agg(
+            (count(lit(1)) <= k).as("within_capacity"),
+            (max(col("true_n") - col("est_count")) <=
+              max(col("n_tokens")).cast("double") / (k + 1) &&
+              min(col("true_n") - col("est_count")) >= 0).as("bounds_ok"))
+        val heavyFound = exact.crossJoin(broadcast(total))
+          .filter(col("true_n") > col("n_tokens").cast("double") / (k + 1))
+          .join(est, col("tok") === col("item"), "left_anti")
+          .agg((count(lit(1)) === 0).as("heavy_found"))
+        total.crossJoin(verdict).crossJoin(heavyFound)
+      },
+      """SELECT sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT
+        |    AS n_tokens,
+        |  true AS within_capacity, true AS bounds_ok, true AS heavy_found
+        |FROM documents""".stripMargin),
+
     // SimHash near-dup detection: 48-bit fingerprints, 4-chunk pigeonhole
     // banding, exact hamming ≤ 6 verification.
     QueryDef("d3_simhash",
