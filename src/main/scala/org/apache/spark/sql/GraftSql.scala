@@ -12,6 +12,16 @@ object GraftSql {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Re-root a batch frame as a STREAMING frame (isStreaming = true) —
+    * what a v1 `Source.getBatch` must hand MicroBatchExecution. The
+    * batch plan is materialized to its InternalRow RDD first, so the
+    * wrapped plan is self-contained per micro-batch. */
+  def streamingFrame(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession.asInstanceOf[classic.SparkSession]
+    ss.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** Idempotent runtime registration of a SQL function on an existing
     * session (the config-time path is `spark.sql.extensions` →
     * `graft.GraftExtensions`; this one serves sessions the caller didn't

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.ops.Snapshots
+
+/** Streaming-read contract of the snapshot source: each trigger
+  * delivers exactly the newly committed versions' rows, a checkpointed
+  * restart resumes at the recorded version (no replay, no loss),
+  * startingVersion skips history, and a rewritten history fails the
+  * query instead of feeding wrong deltas. */
+class SnapshotSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def startCollecting(table: String, ckpt: String,
+      sink: mutable.ArrayBuffer[Long], startingVersion: Option[Int] = None) = {
+    val reader = spark.readStream.format("graft-snapshots")
+      .option("path", table)
+    startingVersion.foreach(v => reader.option("startingVersion", v))
+    reader.load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        sink.synchronized { sink ++= df.as[Long].collect() }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+  }
+
+  test("each trigger delivers newly committed versions; restart resumes") {
+    val base = Files.createTempDirectory("snap-src")
+    val table = s"$base/t"; val ckpt = s"$base/ckpt"
+    Snapshots.append(Seq(1L, 2L).toDF("id"), table)
+    val got = mutable.ArrayBuffer[Long]()
+    val q1 = startCollecting(table, ckpt, got)
+    q1.processAllAvailable()
+    assert(got.sorted.toSeq == Seq(1L, 2L))
+    Snapshots.append(Seq(3L).toDF("id"), table)
+    q1.processAllAvailable()
+    assert(got.sorted.toSeq == Seq(1L, 2L, 3L))
+    q1.stop()
+    // commits while the consumer is DOWN arrive once on restart
+    Snapshots.append(Seq(4L, 5L).toDF("id"), table)
+    val q2 = startCollecting(table, ckpt, got)
+    q2.processAllAvailable(); q2.stop()
+    assert(got.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("startingVersion skips already-handled history") {
+    val base = Files.createTempDirectory("snap-src-sv")
+    val table = s"$base/t"
+    Snapshots.append(Seq(1L).toDF("id"), table) // v1: history
+    Snapshots.append(Seq(2L, 3L).toDF("id"), table) // v2: new
+    val got = mutable.ArrayBuffer[Long]()
+    val q = startCollecting(table, s"$base/ckpt", got,
+      startingVersion = Some(1))
+    q.processAllAvailable(); q.stop()
+    assert(got.sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("a rewritten history fails the stream rather than lying") {
+    val base = Files.createTempDirectory("snap-src-rw")
+    val table = s"$base/t"
+    Snapshots.append(spark.range(50).toDF(), table)
+    val got = mutable.ArrayBuffer[Long]()
+    val q = startCollecting(table, s"$base/ckpt", got)
+    q.processAllAvailable()
+    assert(got.size == 50)
+    Snapshots.append(spark.range(50, 60).toDF(), table)
+    Snapshots.compact(spark, table, numFiles = 1) // rewrites history
+    val ex = intercept[StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    assert(ex.getCause.getMessage.contains("rewritten"))
+  }
+}
