@@ -39,7 +39,13 @@ object Bucketing {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    val w = df.write.format("parquet").mode(SaveMode.Overwrite)
+    // pre-shuffle rows onto their bucket BEFORE the bucketed write:
+    // without this every write task emits a file per bucket it sees
+    // (tasks × buckets small files — the classic bucketing file
+    // explosion); with it the table is exactly `buckets` files and
+    // each per-bucket sort runs once, in parallel
+    val w = df.repartition(buckets, keys.map(df.col): _*)
+      .write.format("parquet").mode(SaveMode.Overwrite)
       .option("path", path)
       .bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)

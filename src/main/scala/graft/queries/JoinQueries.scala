@@ -242,11 +242,11 @@ object JoinQueries {
         Bucketing.writeBucketed(
           Tables.lineitem(s, dir)
             .select("l_orderkey", "l_quantity", "l_extendedprice"),
-          "j11_lineitem", s"$stage/j11_li", 16,
+          "j11_lineitem", s"$stage/j11_li", 32,
           Seq("l_orderkey"), Seq("l_orderkey"))
         Bucketing.writeBucketed(
           Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
-          "j11_orders", s"$stage/j11_ord", 16,
+          "j11_orders", s"$stage/j11_ord", 32,
           Seq("o_orderkey"), Seq("o_orderkey"))
         Bucketing.table(s, "j11_lineitem")
           .join(Bucketing.table(s, "j11_orders"),
