@@ -344,6 +344,34 @@ object TextQueries {
         |  true AS within_capacity, true AS bounds_ok, true AS heavy_found
         |FROM documents""".stripMargin),
 
+    // T18: KLL quantile sketch over document lengths — percentiles
+    // with NO shuffle at all (per-partition sketches treeReduce as KB
+    // byte arrays; the exact a10 needs the values). KLL's published
+    // guarantee is a NORMALIZED RANK bound (±~1.65% at k=200), so
+    // that is what's verified: the exact rank of each estimate,
+    // computed in-frame, must sit within ±0.025 of its target. The
+    // sketch is randomized (compaction coin-flips), so the estimate
+    // VALUES are not oracle-stable — the verdict row is.
+    QueryDef("t18_quantile_sketch",
+      (s, dir) => {
+        import graft.ops.QuantileSketch
+        val df = Tables.documents(s, dir)
+          .select(col("n_chars").cast("double").as("v"))
+        val bytes = QuantileSketch.global(df, "v", k = 200)
+        val qs = QuantileSketch.quantilesOf(bytes, Seq(0.5, 0.9, 0.99))
+        val nSk = QuantileSketch.countOf(bytes).toDouble
+        def rankOk(p: Double, est: Double) =
+          (abs(sum(when(col("v") <= est, 1L).otherwise(0L))
+            .cast("double") / nSk - p) <= 0.025)
+        df.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          rankOk(0.5, qs(0)).as("p50_ok"),
+          rankOk(0.9, qs(1)).as("p90_ok"),
+          rankOk(0.99, qs(2)).as("p99_ok"))
+      },
+      """SELECT count(*)::BIGINT AS n_rows, true AS p50_ok,
+        |  true AS p90_ok, true AS p99_ok FROM documents""".stripMargin),
+
     // SimHash near-dup detection: 48-bit fingerprints, 4-chunk pigeonhole
     // banding, exact hamming ≤ 6 verification.
     QueryDef("d3_simhash",

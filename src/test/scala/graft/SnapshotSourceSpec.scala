@@ -64,6 +64,37 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(got.sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("full loop: stream FROM a snapshot table INTO durable rollup state") {
+    import graft.ops.IncrementalAgg
+    val base = Files.createTempDirectory("snap-loop")
+    val facts = s"$base/facts"; val state = s"$base/state"
+    val ckpt = s"$base/ckpt"
+    Snapshots.append(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"), facts)
+    def startLoop() = spark.readStream.format("graft-snapshots")
+      .option("path", facts).load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        IncrementalAgg.advanceVersioned(state, df, Seq("k"), "v",
+          "loop", batchId)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q1 = startLoop()
+    q1.processAllAvailable()
+    Snapshots.append(Seq(("a", 3.0)).toDF("k", "v"), facts)
+    q1.processAllAvailable(); q1.stop()
+    // facts committed while the consumer is down arrive exactly once
+    Snapshots.append(Seq(("b", 4.0), ("c", 5.0)).toDF("k", "v"), facts)
+    val q2 = startLoop()
+    q2.processAllAvailable(); q2.stop()
+    val got = IncrementalAgg.finalize(Snapshots.read(spark, state))
+      .select("k", "n", "sum_value").as[(String, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2L, 4.0), ("b", 2L, 6.0), ("c", 1L, 5.0)))
+  }
+
   test("a rewritten history fails the stream rather than lying") {
     val base = Files.createTempDirectory("snap-src-rw")
     val table = s"$base/t"
