@@ -60,20 +60,26 @@ object FreqSketch {
     }
   }
 
-  /** The Aggregator itself: feed it a string column, get the ≤ k-entry
-    * summary map. Usable per-group (`ds.groupByKey(...).agg(...)`) or
-    * globally via [[heavyHitters]]. */
-  final class MisraGries(k: Int)
-    extends Aggregator[String, Summary, Summary] {
+  /** The Aggregator, generic in its input via `itemOf` (Aggregator has
+    * no contramap): feed rows, sketch the extracted string. */
+  class MisraGriesOn[I](k: Int, itemOf: I => String)
+    extends Aggregator[I, Summary, Summary] {
     require(k >= 1, s"sketch capacity k must be >= 1, got $k")
     def zero: Summary = Map.empty
-    def reduce(m: Summary, item: String): Summary =
+    def reduce(m: Summary, row: I): Summary = {
+      val item = itemOf(row)
       if (item == null) m else reduceOne(m, item, k)
+    }
     def merge(a: Summary, b: Summary): Summary = mergeTwo(a, b, k)
     def finish(m: Summary): Summary = m
     def bufferEncoder: Encoder[Summary] = ExpressionEncoder()
     def outputEncoder: Encoder[Summary] = ExpressionEncoder()
   }
+
+  /** The plain string-column form — usable per-group
+    * (`ds.groupByKey(...).agg(...)`) or globally via
+    * [[heavyHitters]]. */
+  final class MisraGries(k: Int) extends MisraGriesOn[String](k, identity)
 
   /** Global heavy hitters of string column `itemCol`: (item, est_count)
     * rows, at most k, est ∈ [true − n/(k+1), true]. One pass: partial
@@ -85,5 +91,24 @@ object FreqSketch {
     val summary = df.select(col(itemCol).cast("string")).as[String]
       .select(new MisraGries(k).toColumn.name("summary"))
     summary.select(explode(col("summary")).as(Seq("item", "est_count")))
+  }
+
+  /** Per-group heavy hitters: (group, item, est_count), at most k items
+    * per group, the same MG bound per group (n = the GROUP's row
+    * count). One aggregation whose state is k counters per group —
+    * partial sketches merge map-side, so the shuffle carries one
+    * summary per (task, group), never the rows. */
+  def heavyHittersPerGroup(df: DataFrame, groupCol: String,
+      itemCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string"), col(itemCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .agg(new MisraGriesOn[(String, String)](k, _._2)
+        .toColumn.name("summary"))
+      .toDF(groupCol, "summary")
+      .select(col(groupCol),
+        explode(col("summary")).as(Seq("item", "est_count")))
   }
 }

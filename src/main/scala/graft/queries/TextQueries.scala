@@ -344,6 +344,56 @@ object TextQueries {
         |  true AS within_capacity, true AS bounds_ok, true AS heavy_found
         |FROM documents""".stripMargin),
 
+    // T19: PER-GROUP heavy hitters — the MG sketch grouped by source
+    // (k counters per source; the shuffle carries one summary per
+    // task-group, never token rows). Per-source verdict rows: for
+    // every source, est ≤ true, true − est ≤ n_g/(k+1) (n_g = that
+    // SOURCE's token count), and every token above n_g/(k+1)
+    // reported. The oracle contributes each source's exact token
+    // count and pins the verdicts true.
+    QueryDef("t19_heavy_hitters_per_group",
+      (s, dir) => {
+        import graft.ops.FreqSketch
+        val k = 50
+        val toks = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(TextFns.tokensWs(lower(col("text")))).as("tok"))
+        val exact = toks.groupBy("source", "tok")
+          .agg(count(lit(1)).as("true_n"))
+        val totals = exact.groupBy("source")
+          .agg(sum(col("true_n")).cast("long").as("n_tokens"))
+        val est = FreqSketch.heavyHittersPerGroup(toks, "source", "tok", k)
+        val verdict = est
+          .join(exact, col("item") === col("tok") &&
+            est("source") === exact("source"))
+          .join(broadcast(totals), est("source") === totals("source"))
+          .groupBy(est("source").as("source"))
+          .agg(
+            (count(lit(1)) <= k).as("within_capacity"),
+            (max(col("true_n") - col("est_count")) <=
+              max(col("n_tokens")).cast("double") / (k + 1) &&
+              min(col("true_n") - col("est_count")) >= 0).as("bounds_ok"))
+        val missed = exact.join(broadcast(totals), "source")
+          .filter(col("true_n") > col("n_tokens").cast("double") / (k + 1))
+          .join(est, exact("source") === est("source") &&
+            col("tok") === col("item"), "left_anti")
+          .groupBy(exact("source").as("source"))
+          .agg(count(lit(1)).as("n_missed"))
+        totals
+          .join(verdict, "source")
+          .join(missed, Seq("source"), "left")
+          .select(col("source"), col("n_tokens"), col("within_capacity"),
+            col("bounds_ok"),
+            coalesce(col("n_missed"), lit(0L)).as("n_missed_heavy"))
+          .orderBy("source")
+      },
+      """SELECT source,
+        |  sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT
+        |    AS n_tokens,
+        |  true AS within_capacity, true AS bounds_ok,
+        |  0::BIGINT AS n_missed_heavy
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
     // T18: KLL quantile sketch over document lengths — percentiles
     // with NO shuffle at all (per-partition sketches treeReduce as KB
     // byte arrays; the exact a10 needs the values). KLL's published

@@ -56,6 +56,23 @@ class FreqSketchSpec extends SparkSpec {
     assert(!m.contains("v")) // the smallest cannot survive a cut
   }
 
+  test("per-group sketches bound independently per group") {
+    val rows = (Seq.fill(200)(("g1", "hot")) ++
+      (0 until 300).map(i => ("g1", s"w$i")) ++
+      Seq.fill(50)(("g2", "only"))).toDF("g", "item").repartition(8)
+    val got = graft.ops.FreqSketch
+      .heavyHittersPerGroup(rows, "g", "item", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // g1: n=500, slack=500/11≈45 → "hot"(200) must be reported with
+    // est within the bound; g2 is exact (1 distinct item ≤ k)
+    val hot = got.getOrElse(("g1", "hot"),
+      fail("hot item missing from g1's sketch"))
+    assert(hot <= 200L && 200L - hot <= 500L / 11L + 1)
+    assert(got(("g2", "only")) == 50L)
+    assert(got.keys.count(_._1 == "g1") <= 10)
+  }
+
   test("null items are ignored, not counted") {
     val df = Seq(Some("a"), None, Some("a"), None).toDF("item")
     val got = FreqSketch.heavyHitters(df, "item", 4)
