@@ -32,11 +32,19 @@ object Graph {
     * N·Scale, so a single node's rank is bounded by N·Scale — and the
     * update below computes each edge contribution as
     * `(rank div tw)·w + ((rank mod tw)·w) div tw`, the exact
-    * decomposition of `(rank·w) div tw` whose partial products are
-    * bounded by the CONTRIBUTION (≤ rank, since w ≤ tw) instead of
-    * rank·w — no 64-bit overflow for any graph whose total mass fits
-    * a long. */
+    * decomposition of `(rank·w) div tw`. The first partial product is
+    * bounded by the CONTRIBUTION (≤ rank, since w ≤ tw); the CROSS
+    * term `(rank mod tw)·w` is bounded by tw·w ≤ tw², which fits a
+    * long only while the per-source total weight tw stays ≤
+    * [[MaxLongTw]] (~3·10⁹). Above that (byte-count weights, say) the
+    * cross term is computed in DECIMAL(38,0) — exact for any pair of
+    * longs — chosen ONCE per run from the measured max tw, so the
+    * common case keeps the all-long codegen path. */
   val Scale: Long = 1000000000000L
+
+  /** Largest per-source total weight for which `(rank mod tw)·w` is
+    * long-safe: floor(sqrt(Long.MaxValue)) rounded down a hair. */
+  val MaxLongTw: Long = 3000000000L
 
   /** `iterations` rounds of damped weighted PageRank over directed
     * `edges` (columns `src`, `dst`, `w`; weights positive longs).
@@ -81,12 +89,19 @@ object Graph {
       // see BASELINE.md).
       val nNodes = nodes.count()
       val small = nNodes <= maxBroadcastNodes
+      // one metadata-sized agg on the cached edge frame decides the
+      // cross-term arithmetic for every iteration (see MaxLongTw)
+      val maxTw = Option(e.agg(max(col("tw"))).head.get(0))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      val crossTerm =
+        if (maxTw <= MaxLongTw) "((rank % tw) * w) div tw"
+        else "(CAST(rank % tw AS DECIMAL(38,0)) * w) div tw"
       var rank = nodes.withColumn("rank", lit(Scale))
       for (_ <- 1 to iterations) {
         val rankSide = if (small) broadcast(rank) else rank.hint("shuffle_hash")
         val contribs = e.join(rankSide, e("src") === rank("node"))
           .select(col("dst").as("node"),
-            expr("(rank div tw) * w + ((rank % tw) * w) div tw")
+            expr(s"(rank div tw) * w + $crossTerm")
               .as("contrib"))
           .groupBy("node")
           .agg(sum(col("contrib")).as("c"))

@@ -10,7 +10,7 @@ final case class MediaRaw(doc_id: Long, payload: Array[Byte])
 
 /** Decoded media metadata — what a real decoder would emit.
   * `decode_status` names the parser that produced the geometry
-  * (`png`/`jpeg`/`gif`/`bmp`/`wav`/`tiff`/`mp4`) or `stub` for
+  * (`png`/`jpeg`/`gif`/`bmp`/`wav`/`tiff`/`mp4`/`webp`/`flac`) or `stub` for
   * containers this build cannot parse — the documented codec stub is queryable observability,
   * not a silent fake (same no-silent-caps discipline as
   * `SkewGuard.droppedBuckets`). */

@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *     offset = the exact global rank.
   *
   * Cost: two shuffles of the frame (range + the window's hash on the
-  * partition id) and a numPartitions-row collect, every stage 32-way
-  * (or 1000-executor) parallel. Determinism: callers must pass a
+  * partition id), one executor-local materialization of the ranged
+  * frame (pinning the range boundaries — see rankedWithTotal), and a
+  * numPartitions-row collect, every stage 32-way (or 1000-executor)
+  * parallel. Determinism: callers must pass a
   * TOTAL order (tie-break to a unique column) — the rank of a tied
   * row would otherwise depend on boundary placement.
   *
@@ -40,7 +42,17 @@ object Ranking {
     val np = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val pid = "__graft_pid"
+    // localCheckpoint PINS the range partitioning: the count job below
+    // and the caller's rank job otherwise each re-execute
+    // repartitionByRange, and RangePartitioner boundaries come from a
+    // per-job sample — once partitions exceed the sample size the two
+    // jobs can split boundary rows differently, so the broadcast offsets
+    // would disagree with the rank job's partition counts (duplicated /
+    // skipped global ranks). Materializing once makes both jobs read the
+    // IDENTICAL partitions; a lost executor block fails the job loudly
+    // (recompute could re-sample) instead of silently mis-ranking.
     val ranged = df.repartitionByRange(np, sortCols: _*)
+      .localCheckpoint(eager = true)
       .withColumn(pid, spark_partition_id())
     // numPartitions longs to the driver — the only driver-side data
     val counts = ranged.groupBy(col(pid)).agg(count(lit(1)).as("n"))

@@ -4,7 +4,7 @@ import scala.util.control.NonFatal
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.catalyst.plans.logical.Filter
 import org.apache.spark.sql.GraftSql
 import org.apache.spark.sql.functions._
@@ -105,28 +105,80 @@ object Snapshots {
 
   /** The supported prune vocabulary: conjuncts of `col op literal`
     * comparisons, `IN` lists, and null tests over a stat-carrying
-    * column. Anything else in the predicate is simply not used for
-    * pruning (it still filters rows) — unrecognized shapes can only
-    * cost reads, never correctness. */
+    * column — and DISJUNCTIONS of (conjunctions of) those shapes
+    * (`ts >= a AND ts < b OR ts >= c AND ts < d`, the OR-of-ranges a
+    * month-boundary or backfill-window predicate compiles to): a file
+    * is skipped under an OR only when EVERY disjunct disproves it.
+    * Anything else in the predicate is simply not used for pruning (it
+    * still filters rows) — unrecognized shapes can only cost reads,
+    * never correctness. */
   private sealed trait Conj { def colName: String }
   private case class Cmp(colName: String, op: String, lit: Literal)
     extends Conj
   private case class InSet(colName: String, lits: Seq[Literal]) extends Conj
   private case class NullTest(colName: String, isNull: Boolean) extends Conj
 
+  /** Is `Cast(from → to)` a cast the prune comparison replays EXACTLY?
+    * Two conditions must hold for unwrapping to be sound:
+    * (1) the cast is monotone non-decreasing (so the file's native
+    * min/max map to bounds of the cast values), and (2) Spark's
+    * comparison coercion for (native stat, cast-typed literal) inserts
+    * the SAME cast on the stat side — i.e. `to` is the wider type of
+    * the pair. Widening numeric promotions and date→timestamp satisfy
+    * both; anything else (timestamp→date truncation, string→int,
+    * narrowing, decimal→int …) is rejected and the conjunct simply
+    * never prunes (fail-open, rows still filtered). This mirrors the
+    * safe subset of Spark's own UnwrapCastInBinaryComparison. */
+  private def monotonicWidening(from: DataType, to: DataType): Boolean = {
+    def iRank(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4; case _ => 0
+    }
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (f, t) if iRank(f) > 0 && iRank(t) > 0 => iRank(f) <= iRank(t)
+      // integral → float/double and float → double: monotone (IEEE
+      // round-to-nearest preserves order) and exactly the comparison
+      // promotion Spark applies to the (native, literal) pair
+      case (f, FloatType) => iRank(f) > 0
+      case (f, DoubleType) =>
+        iRank(f) > 0 || f == FloatType || f.isInstanceOf[DecimalType]
+      case (f, d: DecimalType) if iRank(f) > 0 =>
+        // enough integer digits for every value of the source type
+        val needed = Seq(3, 5, 10, 19)(iRank(f) - 1)
+        d.precision - d.scale >= needed
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      // date → timestamp promotes to midnight (session TZ — the same
+      // zone the filter's own cast uses), order-preserving
+      case (DateType, TimestampType | TimestampNTZType) => true
+      case _ => false
+    }
+  }
+
   /** The column a comparison side refers to, seen through the implicit
     * casts analysis inserts (comparing an int column to a long literal
-    * analyzes as `Cast(col) >= lit`). Unwrapping is sound: prune-time
-    * comparisons are built from the same typed literal against the
-    * column-typed stats, so Spark re-inserts the identical widening. */
+    * analyzes as `Cast(col) >= lit`). Only provably-safe widening casts
+    * are unwrapped ([[monotonicWidening]]): the prune comparison is
+    * built from the cast-typed literal against the NATIVE-typed stats,
+    * so it is sound exactly when Spark re-inserts the identical
+    * widening there. A non-order-preserving cast (e.g.
+    * `col("ts").cast("date") === lit(d)`) would otherwise skip files
+    * that contain matching rows. */
   private def attrName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
-    case c: Cast => attrName(c.child)
+    case c: Cast if monotonicWidening(c.child.dataType, c.dataType) =>
+      attrName(c.child)
     case _ => None
   }
 
   private def conjunctsOf(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  private def disjunctsOf(e: Expression): Seq[Expression] = e match {
+    case Or(l, r) => disjunctsOf(l) ++ disjunctsOf(r)
     case x => Seq(x)
   }
 
@@ -174,8 +226,8 @@ object Snapshots {
     // Column nodes into typed catalyst comparisons (casts included)
     val resolved = table.filter(pred).queryExecution.analyzed
       .collectFirst { case f: Filter => f.condition }
-    val conjs = resolved.toSeq.flatMap(conjunctsOf).flatMap(recognize(_))
-      .flatMap { c => // resolve to the table's canonical column casing
+    def resolveAtom(e: Expression): Option[(Conj, DataType)] =
+      recognize(e).flatMap { c => // table's canonical column casing
         schema.fields.find(_.name.equalsIgnoreCase(c.colName)).map { f =>
           (c match {
             case x: Cmp => x.copy(colName = f.name)
@@ -184,8 +236,18 @@ object Snapshots {
           }, f.dataType)
         }
       }
-    if (conjs.isEmpty || stats.isEmpty) return (files, Nil)
-    val refCols = conjs.map(_._1.colName).distinct
+    // conjunct → its disjuncts → each disjunct's recognized atoms. A
+    // disjunct with NO recognized atoms cannot be disproven, which
+    // makes its whole conjunct unable to prune (fail-open) — the fold
+    // below encodes that naturally (empty OR-fold = false).
+    val items: Seq[Seq[Seq[(Conj, DataType)]]] =
+      resolved.toSeq.flatMap(conjunctsOf).map { item =>
+        disjunctsOf(item).map(d => conjunctsOf(d).flatMap(resolveAtom))
+      }
+    val atoms = items.flatten.flatten
+    if (atoms.isEmpty || stats.isEmpty) return (files, Nil)
+    val colType = atoms.map { case (c, t) => c.colName -> t }.toMap
+    val refCols = atoms.map(_._1.colName).distinct
     val rawSchema = StructType(StructField("__file", StringType, false) +:
       refCols.flatMap(c => Seq(
         StructField(s"__has_$c", BooleanType, false),
@@ -206,14 +268,18 @@ object Snapshots {
     val typed = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), rawSchema)
       .select(col("__file") +: refCols.flatMap { c =>
-        val t = conjs.find(_._1.colName == c).get._2
+        val t = colType(c)
         Seq(col(s"__has_$c"),
           col(s"__mns_$c").cast(t).as(s"__mn_$c"),
           col(s"__mxs_$c").cast(t).as(s"__mx_$c"),
           col(s"__nul_$c"), col(s"__row_$c"))
       }: _*)
-    // keep = NOT definitely-empty; every null/unknown path defaults to keep
-    val keepCond = conjs.map { case (conj, _) =>
+    // proven-empty for ONE atom; every null/unknown path defaults to
+    // false (cannot disprove). mn/mx are BOUNDS, not necessarily
+    // attained values (string stats are prefix-truncated — see
+    // collectStats), and every test below is bound-sound: it only ever
+    // prunes when the bound interval excludes the literal.
+    def atomNot(conj: Conj): Column = {
       val c = conj.colName
       val has = col(s"__has_$c")
       val mn = col(s"__mn_$c"); val mx = col(s"__mx_$c")
@@ -237,7 +303,14 @@ object Snapshots {
           coalesce(col(s"__nul_$c") <= 0L, lit(false))
         case NullTest(_, false) => mn.isNull
       }
-      !(has && coalesce(definitelyNot, lit(false)))
+      has && coalesce(definitelyNot, lit(false))
+    }
+    // keep = NOT (every disjunct of some conjunct disproven)
+    val keepCond = items.map { disjuncts =>
+      val itemNot = disjuncts
+        .map(_.map(a => atomNot(a._1)).foldLeft(lit(false))(_ || _))
+        .reduce(_ && _)
+      !itemNot
     }.reduce(_ && _)
     val kept = typed.filter(keepCond).select("__file")
       .collect().map(_.getString(0)).toSet
@@ -306,6 +379,41 @@ object Snapshots {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** String stats are TRUNCATED Delta-style: a documents table's text
+    * column must not embed whole document bodies in every manifest line
+    * (and on the driver that collects them). Min becomes a ≤
+    * [[StatsMaxStringLen]]-char prefix (a prefix is ≤ the full string —
+    * a valid lower BOUND); max becomes the prefix with its last
+    * safely-incrementable char bumped (strictly greater than anything
+    * extending the prefix — a valid upper bound), or no stat at all in
+    * the pathological all-near-U+FFFF case (fail-open: the file is
+    * simply never pruned on that column's upper bound). Prune logic
+    * treats stats as bounds, never attained values, so truncation can
+    * only cost reads. */
+  private[graft] val StatsMaxStringLen = 64
+
+  private[graft] def truncMinStat(s: String): String =
+    if (s.length <= StatsMaxStringLen) s
+    else {
+      // cut at a code-point boundary: a split surrogate pair would not
+      // survive the UTF-8 round trip through the manifest
+      var n = StatsMaxStringLen
+      if (Character.isHighSurrogate(s.charAt(n - 1))) n -= 1
+      s.substring(0, n)
+    }
+
+  private[graft] def truncMaxStat(s: String): Option[String] =
+    if (s.length <= StatsMaxStringLen) Some(s)
+    else {
+      val p = truncMinStat(s)
+      // bump the rightmost char that stays below the surrogate range —
+      // the result is a well-formed string strictly above every string
+      // that extends the untruncated prefix
+      val i = p.lastIndexWhere(c => c < '\uD7FF')
+      if (i < 0) None
+      else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+    }
+
   /** One min/max/null-count aggregate over the freshly staged files,
     * keyed by file — the source of the `#stats` manifest lines. The
     * pass is incremental (this commit's files only, never history) and
@@ -313,7 +421,12 @@ object Snapshots {
     * cast-to-string, whose string form round-trips exactly for every
     * stat-eligible type under the pinned UTC session, so prune-time
     * comparisons reuse Spark cast semantics instead of a hand-rolled
-    * type matrix. Line shape (tab-separated, URL-encoded fields):
+    * type matrix. String values are the exception: they are truncated
+    * to BOUNDS ([[truncMinStat]]/[[truncMaxStat]]) so a long text
+    * column cannot bloat manifests or driver memory — the aggregate
+    * itself also caps what it ships ([[StatsMaxStringLen]]+2 code
+    * points), so full document bodies never reach the driver at all.
+    * Line shape (tab-separated, URL-encoded fields):
     * {{{#stats\t<relfile>\t<rows>\t<col>\t<nulls>\t<min>\t<max>}}}
     * with min/max either `v:<encoded>` or `null` (no non-null values).
     */
@@ -323,22 +436,35 @@ object Snapshots {
     val cols = statColumns(data.schema)
     if (cols.isEmpty) return Nil
     val aggs = count(lit(1L)).as("__rows") +: cols.flatMap { f =>
-      Seq(min(col(f.name)).cast(StringType).as(s"__mn"),
-        max(col(f.name)).cast(StringType).as(s"__mx"),
+      // string min/max: ship only a bounded prefix to the driver (the
+      // +2 slack lets the driver-side truncation detect "was longer
+      // than the cap" without ever seeing the full value)
+      def bounded(c: Column): Column = f.dataType match {
+        case StringType => substring(c, 1, StatsMaxStringLen + 2)
+        case _ => c.cast(StringType)
+      }
+      Seq(bounded(min(col(f.name))).as(s"__mn"),
+        bounded(max(col(f.name))).as(s"__mx"),
         count(col(f.name)).as(s"__nn"))
     }
     data.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect() // bounded: one row per staged file
+      .collect() // bounded: one row per staged file, values prefix-capped
       .flatMap { r =>
         val fname = r.getString(0).split('/').last
         val nrows = r.getLong(1)
         cols.zipWithIndex.map { case (f, i) =>
-          def opt(j: Int): String =
-            if (r.isNullAt(j)) "null" else "v:" + enc(r.getString(j))
+          def raw(j: Int): Option[String] =
+            if (r.isNullAt(j)) None else Some(r.getString(j))
+          val isStr = f.dataType == StringType
+          val mnV = raw(2 + 3 * i).map(v => if (isStr) truncMinStat(v) else v)
+          val mxV = raw(3 + 3 * i).flatMap(v =>
+            if (isStr) truncMaxStat(v) else Some(v))
+          def opt(o: Option[String]): String =
+            o.map("v:" + enc(_)).getOrElse("null")
           val nonNull = r.getLong(4 + 3 * i)
           s"#stats\t$rel/$fname\t$nrows\t${enc(f.name)}\t" +
-            s"${nrows - nonNull}\t${opt(2 + 3 * i)}\t${opt(3 + 3 * i)}"
+            s"${nrows - nonNull}\t${opt(mnV)}\t${opt(mxV)}"
         }
       }.toSeq
   }

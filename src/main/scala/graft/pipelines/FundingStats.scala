@@ -34,9 +34,10 @@ object FundingStats {
     * 120 days = 2024-01-16, slicing the fixtures' Jan-2024 range in half. */
   val AnchorDate = "2024-05-15"
 
-  /** anchor − 120 days as nanos-since-epoch — the cutoff as a literal
-    * against the raw `ts` long column, so the predicate pushes down to the
-    * parquet scan (row-group pruning). Equivalent to filtering the
+  /** anchor − 120 days as nanos-since-epoch — the cutoff compared
+    * against the NATIVE `ts` scan column ([[Tables.tsAtLeastNanos]]
+    * renders it in the scanned type), so the predicate pushes down to
+    * the parquet scan (row-group pruning). Equivalent to filtering the
     * converted timestamp: fixture timestamps are µs-precision, so the
     * sub-µs boundary window where the two could differ is empty. */
   private val cutoffNanos: Long =
@@ -45,10 +46,10 @@ object FundingStats {
 
   /** Synthesized funding-rate series (FIXTURES.md §B.kucoin_funding_rates),
     * pre-filtered to the 120-day window at the scan. */
-  def fundingRates(spark: SparkSession, dir: String): DataFrame =
-    Tables.eventsRawTs(spark, dir)
-      .filter(col("ts") >= lit(cutoffNanos))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def fundingRates(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsRawTs(spark, dir)
+    ev.filter(Tables.tsAtLeastNanos(ev, cutoffNanos))
+      .withColumn("ts", Tables.tsTimestamp(ev))
       .select(
       concat(lit("SYM"), (col("user_id") % 20).cast("string"), lit("USDTM"))
         .as("symbol"),
@@ -59,6 +60,7 @@ object FundingStats {
       // exact 2-dp decimal of the raw value: the deterministic summation
       // carrier for window means (see Stats scaladoc)
       col("value").cast("decimal(18,2)").as("value_dec"))
+  }
 
   /** Synthesized futures dimension: one row per symbol with a predicted rate
     * and a 24h dollar volume, derived deterministically from the symbol

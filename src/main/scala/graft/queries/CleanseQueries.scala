@@ -93,11 +93,14 @@ object CleanseQueries {
     // funding_stats_etl.py:25-27) — applied to the raw nanos column so it
     // pushes to the parquet scan.
     QueryDef("p7_time_range",
-      (s, dir) => Tables.eventsRawTs(s, dir)
-        .filter(col("ts") >= lit(1704672000000000000L) && // 2024-01-08
-          col("ts") < lit(1705276800000000000L))          // 2024-01-15
-        .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"))
-        .orderBy("event_id"),
+      (s, dir) => {
+        val ev = Tables.eventsRawTs(s, dir)
+        ev.filter(
+            Tables.tsAtLeastNanos(ev, 1704672000000000000L) && // 2024-01-08
+              Tables.tsBelowNanos(ev, 1705276800000000000L))   // 2024-01-15
+          .select(col("event_id"), Tables.tsTimestamp(ev).as("ts"))
+          .orderBy("event_id")
+      },
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
         |ORDER BY event_id""".stripMargin),
@@ -199,15 +202,18 @@ object CleanseQueries {
     // F5+F6+F7: epoch millis → timestamp → trunc-to-second → time-of-day
     // string (funding_rates_etl.py:87-91, active_futures_etl.py:68-82).
     QueryDef("f5_f6_f7_epoch_roundtrip",
-      (s, dir) => Tables.eventsRawTs(s, dir)
-        .select(
-          col("event_id"),
-          expr("ts div 1000000").as("ts_ms"),
-          Fns.truncSecond(Fns.epochMillisToTs(expr("ts div 1000000")))
-            .as("ts_sec"),
-          Fns.timeOfDay(Fns.epochMillisToTs(expr("ts div 1000000")))
-            .as("time_of_day"))
-        .orderBy("event_id"),
+      (s, dir) => {
+        val ev = Tables.eventsRawTs(s, dir)
+        ev.withColumn("__ns", Tables.tsNanos(ev))
+          .select(
+            col("event_id"),
+            expr("__ns div 1000000").as("ts_ms"),
+            Fns.truncSecond(Fns.epochMillisToTs(expr("__ns div 1000000")))
+              .as("ts_sec"),
+            Fns.timeOfDay(Fns.epochMillisToTs(expr("__ns div 1000000")))
+              .as("time_of_day"))
+          .orderBy("event_id")
+      },
       """SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms,
         |  date_trunc('second', epoch_ms(epoch_ns(ts) // 1000000)) AS ts_sec,
         |  strftime(epoch_ms(epoch_ns(ts) // 1000000), '%H:%M:%S') AS time_of_day

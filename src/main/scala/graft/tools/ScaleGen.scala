@@ -89,15 +89,22 @@ object ScaleGen {
         col("label"))
     }.reduce(_ unionByName _)
 
-    // events: ts arrives as TIMESTAMP(NANOS) → read as long nanos (the
-    // same convention Tables.events expects back from the derivative)
+    // events: shift ts per replica in whatever type the fixture uses —
+    // long nanos (legacy TIMESTAMP(NANOS) layouts) or a native
+    // timestamp (current µs layout); the derivative keeps the source's
+    // type so Tables' layout dispatch reads it identically
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$src/events.parquet")
     val dayNs = 86400L * 1000000000L
+    val tsIsLong =
+      events.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    def shiftedTs(r: Int) =
+      if (tsIsLong) (col("ts") + lit(r * 90L * dayNs)).as("ts")
+      else (col("ts") + expr(s"INTERVAL '${r * 90}' DAY")).as("ts")
     val eventsN = (0 until replicas).map { r =>
       events.select(
         (col("event_id") + lit(r * idStride)).as("event_id"),
-        (col("ts") + lit(r * 90L * dayNs)).as("ts"),
+        shiftedTs(r),
         // stride is a multiple of 20, so user_id % 20 (the symbol
         // derivation the g-queries use) is replica-invariant
         (col("user_id") + lit(r * 1000000L)).as("user_id"),

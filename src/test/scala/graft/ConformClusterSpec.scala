@@ -48,8 +48,10 @@ class ConformClusterSpec extends SparkSpec {
     val total = spark.read.parquet(path).count()
     val lo = 1704672000000000000L // 2024-01-08
     val hi = 1704758400000000000L // 2024-01-09
-    val narrow = spark.read.parquet(path)
-      .filter(col("ts") >= lo && col("ts") < hi)
+    val reread = spark.read.parquet(path)
+    val narrow = reread
+      .filter(Tables.tsAtLeastNanos(reread, lo) &&
+        Tables.tsBelowNanos(reread, hi))
     val n = narrow.count()
     assert(n > 0 && n < total / 5, s"narrow slice $n of $total")
     val scan = narrow.queryExecution.executedPlan.collect {

@@ -51,6 +51,23 @@ class RankingSpec extends SparkSpec {
       .filter(_.contains("windowspecdefinition")).toSeq
     assert(winLines.nonEmpty)
     assert(winLines.forall(_.contains("__graft_pid")))
-    assert(phys.contains("REPARTITION_BY_NUM") || phys.contains("rangepartitioning"))
+    // the range shuffle executes inside the pinned localCheckpoint (its
+    // boundaries must be sampled exactly ONCE — see rankedWithTotal), so
+    // downstream the plan reads the materialized partitions as an RDD
+    // scan rather than re-executing a rangepartitioning exchange
+    assert(phys.contains("ExistingRDD") || phys.contains("Scan RDD"))
+  }
+
+  test("ranked output is stable across repeated actions (pinned boundaries)") {
+    // two actions over the same returned frame must see identical ranks —
+    // without the checkpoint each action could re-sample range boundaries
+    val ranked = Ranking.globalRank(frame(5000), Seq($"k".asc, $"id".asc),
+      numPartitions = 16)
+    val a = ranked.select("k", "id", "rank").collect().map(_.toString).sorted
+    val b = ranked.select("k", "id", "rank").collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+    // ranks are a permutation of 1..n exactly once each
+    assert(ranked.select("rank").as[Long].collect().sorted.toSeq ==
+      (1L to 5000L))
   }
 }

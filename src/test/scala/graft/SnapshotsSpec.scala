@@ -448,4 +448,106 @@ class SnapshotsSpec extends SparkSpec {
     assert(skipped.isEmpty && kept.size == 3) // no stats → no skipping
     assert(Snapshots.readWhere(spark, root, pred).count() == 50)
   }
+
+  test("non-monotone casts never prune; widening casts still do") {
+    val root = freshRoot()
+    // two files of timestamps: one entirely INSIDE 2024-03-02 but after
+    // midnight, one on 2024-03-05 — cast-to-date equality must keep the
+    // first file even though its min/max (both > midnight) exclude the
+    // date literal's timestamp promotion
+    Snapshots.append(Seq("2024-03-02 10:00:00", "2024-03-02 17:30:00")
+      .toDF("s").select($"s".cast("timestamp").as("ts"))
+      .repartition(1), root)
+    Snapshots.append(Seq("2024-03-05 09:00:00")
+      .toDF("s").select($"s".cast("timestamp").as("ts"))
+      .repartition(1), root)
+    val pred = $"ts".cast("date") === lit(java.sql.Date.valueOf("2024-03-02"))
+    val (kept, skipped) = Snapshots.pruneFiles(spark, root, pred)
+    // timestamp→date is a truncation, not a widening: no pruning at all
+    assert(skipped.isEmpty && kept.size == 2)
+    assert(Snapshots.readWhere(spark, root, pred).count() == 2)
+    // the contract readWhere promises: identical to read().filter
+    assert(Snapshots.readWhere(spark, root, pred).count() ==
+      Snapshots.read(spark, root).filter(pred).count())
+    // a WIDENING cast (int column vs long literal) still prunes
+    val root2 = freshRoot()
+    Snapshots.append(Seq(1, 2, 3).toDF("n").repartition(1), root2)
+    Snapshots.append(Seq(100, 200).toDF("n").repartition(1), root2)
+    val (k2, s2) = Snapshots.pruneFiles(spark, root2, $"n" > 50L)
+    assert(k2.size == 1 && s2.size == 1)
+    assert(Snapshots.readWhere(spark, root2, $"n" > 50L).count() == 2)
+    // date → timestamp: widening promotion, prunes soundly
+    val root3 = freshRoot()
+    Snapshots.append(Seq("2024-01-01", "2024-01-02").toDF("s")
+      .select($"s".cast("date").as("d")).repartition(1), root3)
+    Snapshots.append(Seq("2024-06-01").toDF("s")
+      .select($"s".cast("date").as("d")).repartition(1), root3)
+    val p3 = $"d".cast("timestamp") >=
+      lit(java.sql.Timestamp.valueOf("2024-05-01 00:00:00"))
+    val (k3, s3) = Snapshots.pruneFiles(spark, root3, p3)
+    assert(k3.size == 1 && s3.size == 1)
+    assert(Snapshots.readWhere(spark, root3, p3).count() == 1)
+  }
+
+  test("OR-of-ranges prunes only files every disjunct disproves") {
+    val root = rangedTable() // files: [0,100), [100,200), [200,300)
+    val pred = ($"id" >= 10L && $"id" < 40L) ||
+      ($"id" >= 250L && $"id" < 260L)
+    val (kept, skipped) = Snapshots.pruneFiles(spark, root, pred)
+    assert(skipped.size == 1) // only the middle file fails BOTH ranges
+    assert(kept.size == 2)
+    assert(Snapshots.readWhere(spark, root, pred).count() == 40)
+    assert(Snapshots.readWhere(spark, root, pred).count() ==
+      Snapshots.read(spark, root).filter(pred).count())
+    // OR composed with a recognized conjunct: both prune independently
+    val pred2 = (($"id" < 20L) || ($"id" >= 220L)) && $"tag" > "t9"
+    val (_, s2) = Snapshots.pruneFiles(spark, root, pred2)
+    assert(s2.size == 3) // tag conjunct disproves every file
+    // one opaque disjunct poisons ONLY its own OR (fail-open), and the
+    // other conjunct still prunes
+    val pred3 = (($"id" % 7L === 0L) || ($"id" < 20L)) && $"id" >= 100L
+    val (k3, s3) = Snapshots.pruneFiles(spark, root, pred3)
+    assert(s3.size == 1 && k3.size == 2) // id >= 100 skips file 1 only
+    assert(Snapshots.readWhere(spark, root, pred3).count() ==
+      Snapshots.read(spark, root).filter(pred3).count())
+  }
+
+  test("long string stats truncate to bounds; prune stays sound") {
+    val root = freshRoot()
+    val longA = "a" * 300 + "LOW"
+    val longZ = "z" * 300 + "HIGH"
+    Snapshots.append(Seq(longA, longZ).toDF("s").repartition(1), root)
+    Snapshots.append(Seq("mmm").toDF("s").repartition(1), root)
+    // manifests never embed the document bodies
+    val (fs, rootP) = {
+      val p = new HPath(root)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    val manifests = fs.listStatus(new HPath(rootP, "_manifests"))
+    assert(manifests.forall(_.getLen < 4096))
+    // equality on the full long string must KEEP its file (stats are
+    // bounds, the attained value is beyond the truncated max) while the
+    // other file ("mmm" < longZ) prunes
+    val (kEq, sEq) = Snapshots.pruneFiles(spark, root, $"s" === longZ)
+    assert(kEq.size == 1 && sEq.size == 1)
+    assert(Snapshots.readWhere(spark, root, $"s" === longZ).count() == 1)
+    // a predicate above the incremented-prefix bound ("z"*63 + "{")
+    // prunes both files
+    val (_, sHi) = Snapshots.pruneFiles(spark, root, $"s" >= "{")
+    assert(sHi.size == 2)
+    // ... and below the prefix lower bound prunes too
+    val (_, sLo) = Snapshots.pruneFiles(spark, root, $"s" < "a")
+    assert(sLo.size == 2)
+    // full-contract identity on a range crossing the truncation point
+    val pred = $"s" >= "a" * 301 && $"s" <= "z" * 299
+    assert(Snapshots.readWhere(spark, root, pred).count() ==
+      Snapshots.read(spark, root).filter(pred).count())
+    // unit edges: short strings untouched, increments skip surrogates
+    assert(Snapshots.truncMinStat("short") == "short")
+    assert(Snapshots.truncMaxStat("short").contains("short"))
+    val t = Snapshots.truncMaxStat("b" * 100).get
+    assert(t.length <= Snapshots.StatsMaxStringLen && t > "b" * 100)
+    assert(Snapshots.truncMinStat("c" * 100) == "c" * 64)
+    assert(Snapshots.truncMinStat("c" * 100) <= "c" * 100)
+  }
 }
