@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{hash, lit, pmod}
+import org.apache.spark.sql.types.MapType
 
 /** Bucketed table layout — the shuffle-free join. A shuffle join of two
   * 100 TB fact tables moves BOTH through the network every time they
@@ -26,10 +28,27 @@ object Bucketing {
 
   /** Register `df` at `path` as external bucketed table `name`
     * (`buckets` buckets on `keys`, optionally bucket-sorted on
-    * `sortCols` so downstream sort-merge joins skip their sorts). */
+    * `sortCols` so downstream sort-merge joins skip their sorts).
+    *
+    * `filesPerBucket` decouples WRITE parallelism (and file size) from
+    * the bucket count: at the default 1, the table is exactly `buckets`
+    * files — but at 100 TB a bucket is tens of GB, and one task writing
+    * one giant file per bucket makes the write the bottleneck (measured:
+    * the j11 100× derivative spent its time in exactly this single-file
+    * write). With f > 1, rows pre-shuffle onto `buckets × f` partitions
+    * keyed by (Spark's own bucket id) × f + an intra-bucket salt — every
+    * partition holds whole (bucket, salt-slot) groups, so each write
+    * task still emits single-bucket files (the bucket READ contract —
+    * zero-Exchange joins — is a property of the bucket spec, not the
+    * file count) while a bucket's rows land in up to f files written by
+    * f parallel tasks. The salt hashes all non-map columns, so even a
+    * single hot key splits across files. */
   def writeBucketed(df: DataFrame, name: String, path: String,
-      buckets: Int, keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+      buckets: Int, keys: Seq[String], sortCols: Seq[String] = Nil,
+      filesPerBucket: Int = 1): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(filesPerBucket >= 1,
+      s"filesPerBucket must be >= 1, got $filesPerBucket")
     require(keys.nonEmpty, "bucketing needs at least one key column")
     require(name.matches("[A-Za-z0-9_.]+"), s"unsafe table name '$name'")
     val spark = df.sparkSession
@@ -42,9 +61,24 @@ object Bucketing {
     // pre-shuffle rows onto their bucket BEFORE the bucketed write:
     // without this every write task emits a file per bucket it sees
     // (tasks × buckets small files — the classic bucketing file
-    // explosion); with it the table is exactly `buckets` files and
-    // each per-bucket sort runs once, in parallel
-    val w = df.repartition(buckets, keys.map(df.col): _*)
+    // explosion); with it each per-bucket sort runs once, in parallel,
+    // and the file count is bucket-aligned (≤ buckets × filesPerBucket)
+    val pre =
+      if (filesPerBucket == 1) df.repartition(buckets, keys.map(df.col): _*)
+      else {
+        // Spark's bucket id is pmod(murmur3(keys), buckets) and hash()
+        // IS that murmur3 (seed 42), so the derived split key never
+        // crosses a bucket boundary
+        val bucketId = pmod(hash(keys.map(df.col): _*), lit(buckets))
+        val saltCols = df.schema.fields
+          .filterNot(_.dataType.isInstanceOf[MapType]) // hash() rejects maps
+          .map(f => df.col(f.name)).toSeq
+        val salt = pmod(hash((lit("graft-split") +: saltCols): _*),
+          lit(filesPerBucket))
+        df.repartition(buckets * filesPerBucket,
+          bucketId * lit(filesPerBucket) + salt)
+      }
+    val w = pre
       .write.format("parquet").mode(SaveMode.Overwrite)
       .option("path", path)
       .bucketBy(buckets, keys.head, keys.tail: _*)

@@ -81,6 +81,24 @@ object FreqSketch {
     * [[heavyHitters]]. */
   final class MisraGries(k: Int) extends MisraGriesOn[String](k, identity)
 
+  /** Merges already-built summaries (rows ARE summaries) — the
+    * aggregator a DURABLE state merge needs: `state ⊕ delta` unions two
+    * summary rows per group, each side itself a mergeable MG summary.
+    * `k` must match the k the summaries were built with — a smaller k
+    * here would silently tighten capacity, a larger one weaken the
+    * bound the state claims. */
+  final class MergeSummaries(k: Int)
+    extends Aggregator[Summary, Summary, Summary] {
+    require(k >= 1, s"sketch capacity k must be >= 1, got $k")
+    def zero: Summary = Map.empty
+    def reduce(m: Summary, row: Summary): Summary =
+      if (row == null) m else mergeTwo(m, row, k)
+    def merge(a: Summary, b: Summary): Summary = mergeTwo(a, b, k)
+    def finish(m: Summary): Summary = m
+    def bufferEncoder: Encoder[Summary] = ExpressionEncoder()
+    def outputEncoder: Encoder[Summary] = ExpressionEncoder()
+  }
+
   /** Global heavy hitters of string column `itemCol`: (item, est_count)
     * rows, at most k, est ∈ [true − n/(k+1), true]. One pass: partial
     * sketches per partition, merged — never a per-distinct-key

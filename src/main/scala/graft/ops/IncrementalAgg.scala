@@ -34,7 +34,22 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  private val accCols = Seq("n", "sum_val", "min_val", "max_val", "nd_sketch")
+  private val accCols =
+    Seq("n", "sum_val", "min_val", "max_val", "nd_sketch",
+      "mg_sketch", "kll_sketch")
+
+  /** Default Misra-Gries capacity when `heavyHitterCol` is used. */
+  val DefaultHhK = 16
+  /** Default KLL accuracy parameter when `quantileK` is enabled. */
+  val DefaultKllK = 200
+
+  private def mgAgg(k: Int) = org.apache.spark.sql.functions.udaf(
+    new FreqSketch.MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+  private def mgMergeAgg(k: Int) = org.apache.spark.sql.functions.udaf(
+    new FreqSketch.MergeSummaries(k),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[FreqSketch.Summary]())
+  private def kllMergeAgg(k: Int) = org.apache.spark.sql.functions.udaf(
+    new QuantileSketch.MergeKll(k), org.apache.spark.sql.Encoders.BINARY)
 
   /** Mergeable state for one batch: per-group (n, sum, min, max) over
     * `value`. Map-side combine applies (hash partial aggregate), so a
@@ -50,9 +65,22 @@ object IncrementalAgg {
     * batch order and merge-tree shape cannot change the state's
     * estimate — the property that makes it legal in incremental state
     * at all. Estimate error is ~1.6% rel. std. at the default
-    * lgConfigK=12; the state cost is ≤ 2^12 registers per group. */
+    * lgConfigK=12; the state cost is ≤ 2^12 registers per group.
+    *
+    * `heavyHitterCol` adds an `mg_sketch` accumulator — a per-group
+    * [[FreqSketch]] Misra-Gries summary (≤ `heavyHitterK` counters) of
+    * that column, carrying per-group TOP ITEMS through the state with
+    * the mergeable n/(k+1) bound. `quantileK > 0` adds a `kll_sketch`
+    * accumulator — a per-group serialized [[QuantileSketch]] over
+    * `value`, carrying per-group QUANTILES (±~1.65% rank at k=200).
+    * Both merge associatively, so a CDC-fed rollup advances top-k and
+    * percentiles per batch without ever rescanning history — the two
+    * read-time aggregates (a t17-style token report, a t18-style
+    * length distribution) that previously forced a full pass. */
   def partial(batch: DataFrame, keys: Seq[String], value: String,
-      distinctCol: Option[String] = None): DataFrame = {
+      distinctCol: Option[String] = None,
+      heavyHitterCol: Option[String] = None, heavyHitterK: Int = DefaultHhK,
+      quantileK: Int = 0): DataFrame = {
     require(keys.nonEmpty, "incremental rollup needs >= 1 group key")
     val v = col(value).cast("decimal(18,4)")
     val base = Seq(
@@ -60,32 +88,53 @@ object IncrementalAgg {
       sum(v).cast("decimal(38,4)").as("sum_val"),
       min(v).as("min_val"),
       max(v).as("max_val"))
-    val aggs = base ++ distinctCol.map(d => hll_sketch_agg(col(d)).as("nd_sketch"))
-    batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val aggs = base ++
+      distinctCol.map(d => hll_sketch_agg(col(d)).as("nd_sketch")) ++
+      heavyHitterCol.map(h =>
+        mgAgg(heavyHitterK)(col(h).cast("string")).as("mg_sketch"))
+    val agg = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    if (quantileK <= 0) agg
+    else agg.join( // both sides are group-sized — never the batch rows
+      QuantileSketch.groupedPartials(batch, keys, value, quantileK), keys)
   }
 
   /** `state ⊕ delta`: group keys are every column that is not an
     * accumulator, so any [[partial]] output merges without re-stating
     * its key list. Both sides are state-sized — this never touches the
     * fact table. Sketch accumulators (if present on both sides) union
-    * register-wise. */
-  def merge(state: DataFrame, delta: DataFrame): DataFrame = {
+    * register-wise / summary-wise; `heavyHitterK` must be the k the
+    * summaries were built with. */
+  def merge(state: DataFrame, delta: DataFrame,
+      heavyHitterK: Int = DefaultHhK,
+      quantileK: Int = DefaultKllK): DataFrame = {
     val keys = state.columns.filterNot(accCols.contains).toSeq
     require(keys.sorted.sameElements(
       delta.columns.filterNot(accCols.contains).sorted),
       s"state/delta key mismatch: ${state.columns.toSeq} vs ${delta.columns.toSeq}")
-    val hasSketch = state.columns.contains("nd_sketch")
-    require(hasSketch == delta.columns.contains("nd_sketch"),
-      "state and delta disagree on the nd_sketch accumulator — " +
-        "distinctCol must be used consistently from the first batch")
+    def consistent(c: String, what: String): Boolean = {
+      val has = state.columns.contains(c)
+      require(has == delta.columns.contains(c),
+        s"state and delta disagree on the $c accumulator — " +
+          s"$what must be used consistently from the first batch")
+      has
+    }
+    val hasSketch = consistent("nd_sketch", "distinctCol")
+    val hasMg = consistent("mg_sketch", "heavyHitterCol")
+    val hasKll = consistent("kll_sketch", "quantileK")
     val base = Seq(
       sum(col("n")).cast("long").as("n"),
       sum(col("sum_val")).cast("decimal(38,4)").as("sum_val"),
       min(col("min_val")).as("min_val"),
       max(col("max_val")).as("max_val"))
-    val aggs =
-      if (hasSketch) base :+ hll_union_agg(col("nd_sketch")).as("nd_sketch")
-      else base
+    val aggs = base ++
+      (if (hasSketch) Seq(hll_union_agg(col("nd_sketch")).as("nd_sketch"))
+       else Nil) ++
+      (if (hasMg)
+        Seq(mgMergeAgg(heavyHitterK)(col("mg_sketch")).as("mg_sketch"))
+       else Nil) ++
+      (if (hasKll)
+        Seq(kllMergeAgg(quantileK)(col("kll_sketch")).as("kll_sketch"))
+       else Nil)
     state.unionByName(delta)
       .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -106,12 +155,16 @@ object IncrementalAgg {
     * writers to the same state dir would drop each other's merges. */
   def advanceVersioned(stateDir: String, batch: DataFrame,
       keys: Seq[String], value: String, writerId: String,
-      batchId: Long, distinctCol: Option[String] = None): Option[Int] = {
+      batchId: Long, distinctCol: Option[String] = None,
+      heavyHitterCol: Option[String] = None,
+      heavyHitterK: Int = DefaultHhK, quantileK: Int = 0): Option[Int] = {
     val spark = batch.sparkSession
-    val delta = partial(batch, keys, value, distinctCol)
+    val delta = partial(batch, keys, value, distinctCol,
+      heavyHitterCol, heavyHitterK, quantileK)
     val next = Snapshots.currentVersion(spark, stateDir) match {
       case None => delta
-      case Some(v) => merge(Snapshots.read(spark, stateDir, v), delta)
+      case Some(v) => merge(Snapshots.read(spark, stateDir, v), delta,
+        heavyHitterK, if (quantileK > 0) quantileK else DefaultKllK)
     }
     Snapshots.idempotentOverwrite(next, stateDir, writerId, batchId)
   }
@@ -119,7 +172,12 @@ object IncrementalAgg {
   /** Read-time derived measures over the state: exact sums surfaced as
     * doubles (one cast each) plus the non-mergeable AVG (one division);
     * a sketch accumulator surfaces as its `approx_distinct` estimate.
-    * The state itself stays exact — finalize is a view, not a step. */
+    * An MG accumulator passes through as the `top_items` map (item →
+    * estimated count, the n/(k+1) bound semantics of [[FreqSketch]]);
+    * a KLL accumulator passes through as `kll_sketch` bytes — read
+    * quantiles out with [[QuantileSketch.quantilesOf]] (the readout is
+    * a driver-side decode of KB-sized state, not a data pass). The
+    * state itself stays exact — finalize is a view, not a step. */
   def finalize(state: DataFrame): DataFrame = {
     val keys = state.columns.filterNot(accCols.contains).toSeq
     val base = Seq(
@@ -129,10 +187,14 @@ object IncrementalAgg {
         col("n").cast("double")).as("avg_value"),
       col("min_val").cast("double").as("min_value"),
       col("max_val").cast("double").as("max_value"))
-    val derived =
-      if (state.columns.contains("nd_sketch"))
-        base :+ hll_sketch_estimate(col("nd_sketch")).as("approx_distinct")
-      else base
+    val derived = base ++
+      (if (state.columns.contains("nd_sketch"))
+        Seq(hll_sketch_estimate(col("nd_sketch")).as("approx_distinct"))
+       else Nil) ++
+      (if (state.columns.contains("mg_sketch"))
+        Seq(col("mg_sketch").as("top_items")) else Nil) ++
+      (if (state.columns.contains("kll_sketch"))
+        Seq(col("kll_sketch")) else Nil)
     state.select(keys.map(col) ++ derived: _*)
   }
 }

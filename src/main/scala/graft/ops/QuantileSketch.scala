@@ -2,8 +2,11 @@ package graft.ops
 
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{BinaryType, StructType}
 
 /** KLL quantile sketch over a numeric column — mergeable quantiles for
   * data too big to sort. An exact percentile (`a10`) needs a global
@@ -69,4 +72,60 @@ object QuantileSketch {
   /** Rows in the summary (for n-based bound checks). */
   def countOf(bytes: Array[Byte]): Long =
     KllDoublesSketch.heapify(Memory.wrap(bytes)).getN
+
+  /** PER-GROUP serialized KLL summaries: (keys..., kll_sketch), one
+    * row per group present in `df`. The same blessed shape as
+    * [[global]], grouped: each partition builds one live sketch per
+    * group it sees (partition-imperative mergeable partial state —
+    * never a per-row serialize), then the KB-sized partials reduce by
+    * key. The shuffle carries one summary per (task, group), never the
+    * rows — the aggregate a durable per-group quantile state needs. */
+  def groupedPartials(df: DataFrame, keys: Seq[String], valueCol: String,
+      k: Int = 200): DataFrame = {
+    require(keys.nonEmpty, "groupedPartials needs >= 1 key column")
+    require(k >= 8, s"k must be >= 8, got $k")
+    val spark = df.sparkSession
+    val sel = df.select(
+      (keys.map(col) :+ col(valueCol).cast("double").as("__v")): _*)
+    val nk = keys.length
+    val outSchema = StructType(sel.schema.fields.dropRight(1))
+      .add("kll_sketch", BinaryType, nullable = false)
+    val partials = sel.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap[
+        Seq[Any], KllDoublesSketch]()
+      it.foreach { r =>
+        val key = (0 until nk).map(r.get)
+        // the group registers even if this row's value is null, so the
+        // partial frame covers exactly the groups a count(*) agg sees
+        val sk = m.getOrElseUpdate(key, KllDoublesSketch.newHeapInstance(k))
+        if (!r.isNullAt(nk)) sk.update(r.getDouble(nk))
+      }
+      m.iterator.map { case (key, sk) => Row.fromSeq(key :+ sk.toByteArray) }
+    }
+    val mergeUdaf = org.apache.spark.sql.functions.udaf(
+      new MergeKll(k), org.apache.spark.sql.Encoders.BINARY)
+    spark.createDataFrame(partials, outSchema)
+      .groupBy(keys.map(col): _*)
+      .agg(mergeUdaf(col("kll_sketch")).as("kll_sketch"))
+  }
+
+  /** Merges serialized summaries (rows ARE summaries) — the aggregator
+    * that folds per-partition partials, and `state ⊕ delta` for a
+    * durable quantile state. `k` only sizes the empty-input fallback;
+    * merging itself reads each summary's own k. */
+  final class MergeKll(k: Int)
+    extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(b: Array[Byte], row: Array[Byte]): Array[Byte] =
+      if (row == null || row.isEmpty) b
+      else if (b.isEmpty) row
+      else merge(b, row)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else QuantileSketch.merge(a, b)
+    def finish(b: Array[Byte]): Array[Byte] =
+      if (b.isEmpty) KllDoublesSketch.newHeapInstance(k).toByteArray else b
+    def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Byte]] = ExpressionEncoder()
+  }
 }

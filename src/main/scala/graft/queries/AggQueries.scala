@@ -749,7 +749,7 @@ object AggQueries {
           ev.filter(pmod(col("event_id"), lit(3)) === i))
         val state = batches
           .map(b => IncrementalAgg.partial(b, Seq("event_type"), "value"))
-          .reduce(IncrementalAgg.merge)
+          .reduce(IncrementalAgg.merge(_, _))
         IncrementalAgg.finalize(state).orderBy("event_type")
       },
       """SELECT event_type, count(*)::BIGINT AS n,
@@ -778,7 +778,7 @@ object AggQueries {
         val state = batches
           .map(b => IncrementalAgg.partial(b, Seq("event_type"), "value",
             distinctCol = Some("user_id")))
-          .reduce(IncrementalAgg.merge)
+          .reduce(IncrementalAgg.merge(_, _))
         IncrementalAgg.finalize(state)
           .join(ev.groupBy("event_type")
             .agg(countDistinct(col("user_id")).as("n_users")),
@@ -832,6 +832,99 @@ object AggQueries {
         |  (max(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS max_value
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
+
+    // A26: SKETCHES as durable incremental state — the a25 CDC loop,
+    // now also carrying per-group TOP ITEMS (Misra-Gries summaries)
+    // and QUANTILES (KLL byte sketches) through the versioned state:
+    // each version advance merges k-bounded summaries, so a 100 TB
+    // rollup keeps heavy hitters and percentiles current without the
+    // full pass those aggregates classically force. Replays are
+    // exercised inline (second advance of each version must be a
+    // no-op). Verification is the t17/t19/t18 verdict-row pattern:
+    // exact per-group counts prove the MG bound (est ≤ true,
+    // true − est ≤ n/(k+1), nothing above n/(k+1) missing) and exact
+    // in-frame ranks prove the KLL ±2.5% rank bound; the oracle
+    // recomputes the exact totals and pins every verdict true — which
+    // items/values ride inside the sketches is merge-order-dependent
+    // (standard MG/KLL indeterminacy), so the verdict row, not the
+    // sketch content, is the stable surface.
+    QueryDef("a26_sketch_rollup",
+      (s, dir) => {
+        import graft.ops.{IncrementalAgg, QuantileSketch, Snapshots}
+        val hhK = 64
+        val base = s"/tmp/graft_stage/${new java.io.File(dir).getName}"
+        val facts = s"$base/a26_facts"; val state = s"$base/a26_state"
+        Seq(facts, state).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        val ev = Tables.events(s, dir)
+          .select("event_id", "event_type", "user_id", "value")
+        (0 to 2).foreach(i => Snapshots.append(
+          ev.filter(pmod(col("event_id"), lit(3)) === i), facts))
+        (1 to 3).foreach { v =>
+          val delta = Snapshots.changesSince(s, facts, v - 1, v)
+          def advance() = IncrementalAgg.advanceVersioned(state, delta,
+            Seq("event_type"), "value", "a26", v.toLong,
+            heavyHitterCol = Some("user_id"), heavyHitterK = hhK,
+            quantileK = 200)
+          advance()
+          assert(advance().isEmpty) // replayed version recognized
+        }
+        val st = IncrementalAgg.finalize(Snapshots.read(s, state))
+        // MG verdicts against exact per-(group, item) counts
+        val est = st.select(col("event_type"),
+          explode(col("top_items")).as(Seq("item", "est_count")))
+        val exact = ev.groupBy(col("event_type"),
+            col("user_id").cast("string").as("item"))
+          .agg(count(lit(1)).as("true_n"))
+        val totals = ev.groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_rows"))
+        val verdict = est
+          .join(exact, Seq("event_type", "item"))
+          .join(broadcast(totals), "event_type")
+          .groupBy("event_type")
+          .agg(
+            (count(lit(1)) <= hhK).as("within_capacity"),
+            (max(col("true_n") - col("est_count")) <=
+              max(col("n_rows")).cast("double") / (hhK + 1) &&
+              min(col("true_n") - col("est_count")) >= 0).as("bounds_ok"))
+        val missed = exact.join(broadcast(totals), "event_type")
+          .filter(col("true_n") > col("n_rows").cast("double") / (hhK + 1))
+          .join(est, Seq("event_type", "item"), "left_anti")
+          .groupBy("event_type").agg(count(lit(1)).as("n_missed"))
+        // KLL verdicts: decode the KB-sized state driver-side, verify
+        // each estimate's exact rank in-frame (t18 pattern, per group)
+        val qRows = st.select("event_type", "kll_sketch").collect()
+          .map { r =>
+            val bytes = r.getAs[Array[Byte]](1)
+            val qs = QuantileSketch.quantilesOf(bytes, Seq(0.5, 0.9))
+            (r.getString(0), qs(0), qs(1), QuantileSketch.countOf(bytes))
+          }.toSeq.sortBy(_._1)
+        val qDf = { import s.implicits._
+          qRows.toDF("event_type", "p50_est", "p90_est", "n_sk") }
+        def rankOk(est: org.apache.spark.sql.Column, p: Double) =
+          abs(sum(when(col("value") <= est, 1L).otherwise(0L))
+            .cast("double") / max(col("n_sk")).cast("double") - p) <= 0.025
+        val rank = ev.join(broadcast(qDf), "event_type")
+          .groupBy("event_type")
+          .agg(rankOk(col("p50_est"), 0.5).as("p50_ok"),
+            rankOk(col("p90_est"), 0.9).as("p90_ok"),
+            (max(col("n_sk")) === count(lit(1))).as("count_ok"))
+        totals.join(verdict, "event_type")
+          .join(missed, Seq("event_type"), "left")
+          .join(rank, "event_type")
+          .select(col("event_type"), col("n_rows"), col("within_capacity"),
+            col("bounds_ok"),
+            coalesce(col("n_missed"), lit(0L)).as("n_missed_heavy"),
+            col("p50_ok"), col("p90_ok"), col("count_ok"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        |  true AS within_capacity, true AS bounds_ok,
+        |  0::BIGINT AS n_missed_heavy,
+        |  true AS p50_ok, true AS p90_ok, true AS count_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     // C5: key-skew report (SkewGuard.keySkew) — the heaviest join/groupBy
     // key values with exact counts and table share, the diagnostic to

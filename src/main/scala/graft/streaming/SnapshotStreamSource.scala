@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, GraftSql, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -30,6 +31,24 @@ import graft.ops.Snapshots
   * `startingVersion` (default 0 = everything) makes the first batch
   * skip history already handled elsewhere.
   *
+  * `maxVersionsPerTrigger` (default unlimited) is ADMISSION CONTROL —
+  * the `maxFilesPerTrigger`/`maxOffsetsPerTrigger` knob of this
+  * source: after downtime or a burst writer, an uncapped `getOffset`
+  * returns the table head and ONE micro-batch swallows the whole
+  * backlog (memory, latency, and retry-cost cliff). With a cap k, each
+  * trigger admits at most k committed versions; a backlog of V
+  * versions drains in ⌈V/k⌉ exactly-once batches. The cap's BASE (the
+  * last offered version) is persisted in the source's metadata
+  * directory before the offset is returned, so it is always ≥ any
+  * offset Spark has logged: after a restart the source can never offer
+  * an end below the checkpointed start. That file is sizing state
+  * only — if it is missing (pre-cap checkpoint) or unreadable (crash
+  * mid-write), the next trigger admits uncapped once (fail-open to the
+  * SAFE side: correctness of exactly-once delivery never depends on
+  * it). Note `Trigger.Once` processes a single batch, hence at most k
+  * versions when capped — drain a backlog with a running trigger, not
+  * one-shot runs.
+  *
   * Reference anchor: the 5-minute tick pipelines
   * (dags/kucoin_main_dag.py:27-28) re-read their upstream tables each
   * tick; this source is that loop with per-tick cost = per-tick data.
@@ -51,31 +70,88 @@ class SnapshotSourceProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map { s =>
+      val k = s.toInt
+      require(k >= 1, s"maxVersionsPerTrigger must be >= 1, got $k")
+      k
+    }
     new SnapshotSource(sqlContext, dirOf(parameters),
-      parameters.get("startingVersion").map(_.toInt).getOrElse(0))
+      parameters.get("startingVersion").map(_.toInt).getOrElse(0),
+      maxPerTrigger, metadataPath)
+  }
 }
 
 private[streaming] class SnapshotSource(sqlContext: SQLContext,
-    dir: String, startVersion: Int) extends Source {
+    dir: String, startVersion: Int, maxVersionsPerTrigger: Option[Int],
+    metadataPath: String) extends Source {
 
   private val spark = sqlContext.sparkSession
 
   override val schema: StructType = Snapshots.read(spark, dir).schema
 
+  // ---- admission-control base (sizing state only; see class doc) ----
+  private val baseFile = new HPath(metadataPath, "graft-last-offered")
+  private val fs = baseFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readBase(): Option[Int] =
+    try {
+      if (!fs.exists(baseFile)) None
+      else {
+        val in = fs.open(baseFile)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        Some(s.toInt)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def writeBase(v: Int): Unit =
+    try {
+      val out = fs.create(baseFile, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private var lastOffered: Option[Int] = readBase().orElse {
+    // Fresh query (no offsets logged yet): the first trigger caps from
+    // startVersion. A RESTART whose checkpoint predates the base file
+    // leaves None — that first post-restart trigger admits uncapped,
+    // which can only oversize the batch, never regress an offset.
+    val offsetsDir = new HPath(
+      new HPath(metadataPath).getParent.getParent, "offsets")
+    val hasHistory =
+      try fs.exists(offsetsDir) && fs.listStatus(offsetsDir).nonEmpty
+      catch { case scala.util.control.NonFatal(_) => true }
+    if (hasHistory) None else Some(startVersion)
+  }
+
   /** Restart hands offsets back as SerializedOffset json — LongOffset's
     * json is just the number, so parsing json covers both forms. */
   private def version(o: Offset): Int = o.json.trim.toInt
 
-  override def getOffset: Option[Offset] =
-    Snapshots.currentVersion(spark, dir)
+  override def getOffset: Option[Offset] = {
+    val current = Snapshots.currentVersion(spark, dir)
       .filter(_ > startVersion)
-      .map(v => LongOffset(v.toLong))
+    current.map { v =>
+      val off = (maxVersionsPerTrigger, lastOffered) match {
+        case (Some(k), Some(base)) => math.min(v, base + k)
+        case _ => v // uncapped, or no sizing memory (fail-open once)
+      }
+      if (!lastOffered.contains(off)) {
+        // persist BEFORE returning: the base file must always be >= any
+        // offset Spark's own log can contain
+        writeBase(off)
+        lastOffered = Some(off)
+      }
+      LongOffset(off.toLong)
+    }
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(version).getOrElse(startVersion)
-    GraftSql.streamingFrame(
-      Snapshots.changesSince(spark, dir, from, version(end)))
+    val to = version(end)
+    // a replayed batch after restart also refreshes the sizing base
+    if (lastOffered.forall(_ < to)) { writeBase(to); lastOffered = Some(to) }
+    GraftSql.streamingFrame(Snapshots.changesSince(spark, dir, from, to))
   }
 
   override def commit(end: Offset): Unit = ()

@@ -59,6 +59,36 @@ class BucketingSpec extends SparkSpec {
     assert(agg.count() == 100)
   }
 
+  test("filesPerBucket splits buckets across files, join still shuffle-free") {
+    val d = tmp()
+    Bucketing.writeBucketed(facts, "bkt_split", s"$d/split", 4,
+      Seq("k"), Seq("k"), filesPerBucket = 4)
+    Bucketing.writeBucketed(dims, "bkt_split_d", s"$d/splitd", 4,
+      Seq("k"), Seq("k"))
+    // more files than buckets (parallel write), never more than b×f
+    val nFiles = new java.io.File(s"$d/split").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles > 4 && nFiles <= 16, s"got $nFiles files")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the zero-Exchange property survives the multi-file layout, even
+      // against a single-file-per-bucket table
+      val joined = Bucketing.table(spark, "bkt_split")
+        .join(Bucketing.table(spark, "bkt_split_d"), Seq("k"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join must not shuffle, found: $shuffles")
+      val expected = facts.join(dims, Seq("k"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(joined.collect().map(_.toString).sorted.toSeq == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("rewrite replaces content; stale files do not resurface") {
     val d = tmp()
     Bucketing.writeBucketed(facts, "bkt_rw", s"$d/rw", 4, Seq("k"))

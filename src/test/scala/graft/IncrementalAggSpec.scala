@@ -27,7 +27,7 @@ class IncrementalAggSpec extends SparkSpec {
     splits.foreach { batches =>
       val merged = batches
         .map(b => IncrementalAgg.partial(b, Seq("k"), "v"))
-        .reduce(IncrementalAgg.merge)
+        .reduce(IncrementalAgg.merge(_, _))
       val got = IncrementalAgg.finalize(merged).orderBy("k").collect().toSeq
       assert(got == oneShot, s"split with ${batches.size} batches diverged")
     }
@@ -35,9 +35,9 @@ class IncrementalAggSpec extends SparkSpec {
     val ps = (0 to 2).map(i =>
       IncrementalAgg.partial(
         df.filter(pmod(hash($"k", $"v"), lit(3)) === i), Seq("k"), "v"))
-    val fwd = IncrementalAgg.finalize(ps.reduce(IncrementalAgg.merge))
+    val fwd = IncrementalAgg.finalize(ps.reduce(IncrementalAgg.merge(_, _)))
       .orderBy("k").collect().toSeq
-    val rev = IncrementalAgg.finalize(ps.reverse.reduce(IncrementalAgg.merge))
+    val rev = IncrementalAgg.finalize(ps.reverse.reduce(IncrementalAgg.merge(_, _)))
       .orderBy("k").collect().toSeq
     assert(fwd == rev && fwd == oneShot)
   }
@@ -73,7 +73,7 @@ class IncrementalAggSpec extends SparkSpec {
     def est(batches: Seq[org.apache.spark.sql.DataFrame]): Map[String, Long] =
       IncrementalAgg.finalize(batches
         .map(b => IncrementalAgg.partial(b, Seq("k"), "v", Some("user")))
-        .reduce(IncrementalAgg.merge))
+        .reduce(IncrementalAgg.merge(_, _)))
         .select("k", "approx_distinct")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val oneShot = est(Seq(users))
@@ -105,6 +105,84 @@ class IncrementalAggSpec extends SparkSpec {
     val without = IncrementalAgg.partial(users, Seq("k"), "v")
     intercept[IllegalArgumentException] {
       IncrementalAgg.merge(withSketch, without)
+    }
+  }
+
+  // --- MG heavy-hitter + KLL quantile accumulators -------------------
+
+  // skewed items: item "h0" dominates group a, "h1" dominates group b —
+  // heavy enough to clear the n/(k+1) reporting threshold at k=8
+  private lazy val skewed = (0L until 4000L).map { i =>
+    val g = if (i % 2 == 0) "a" else "b"
+    val item = if (i % 3 != 2) s"h${i % 2}" else s"t${i % 97}"
+    (g, item, i.toDouble)
+  }.toDF("k", "item", "v")
+
+  /** MG bound + KLL rank bound of a state, verified against exact
+    * per-group truths — the invariant that must survive ANY batch
+    * split (summaries differ by merge order; the BOUNDS cannot). */
+  private def assertSketchState(state: org.apache.spark.sql.DataFrame,
+      k: Int): Unit = {
+    val exact = skewed.groupBy("k", "item").agg(count(lit(1)).as("true_n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val totals = skewed.groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = IncrementalAgg.finalize(state)
+      .select("k", "n", "top_items", "kll_sketch").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    rows.foreach { r =>
+      val g = r.getString(0)
+      val bound = totals(g).toDouble / (k + 1)
+      val items = r.getAs[Map[String, Long]]("top_items")
+      assert(items.size <= k)
+      items.foreach { case (item, est) =>
+        val truth = exact((g, item))
+        assert(est <= truth && truth - est <= bound,
+          s"MG bound violated for ($g, $item): est=$est true=$truth")
+      }
+      // every item above the threshold must be reported
+      exact.collect { case ((`g`, item), n) if n > bound => item }
+        .foreach(h => assert(items.contains(h), s"heavy $h missing in $g"))
+      // KLL: count matches the group, p50/p90 ranks within the bound
+      val bytes = r.getAs[Array[Byte]]("kll_sketch")
+      assert(graft.ops.QuantileSketch.countOf(bytes) == totals(g))
+      val vals = skewed.filter($"k" === g).select("v").as[Double]
+        .collect().sorted
+      Seq(0.5, 0.9).foreach { p =>
+        val est = graft.ops.QuantileSketch.quantilesOf(bytes, Seq(p)).head
+        val rank = vals.count(_ <= est).toDouble / vals.length
+        assert(math.abs(rank - p) <= 0.025, s"KLL rank $rank at p=$p in $g")
+      }
+    }
+  }
+
+  test("MG + KLL state bounds hold under any split and replay shape") {
+    val k = 8
+    def state(batches: Seq[org.apache.spark.sql.DataFrame]) = batches
+      .map(b => IncrementalAgg.partial(b, Seq("k"), "v",
+        heavyHitterCol = Some("item"), heavyHitterK = k, quantileK = 200))
+      .reduce((a, b) =>
+        IncrementalAgg.merge(a, b, heavyHitterK = k, quantileK = 200))
+    // one-shot, a 3-way split, and a split with an empty batch all
+    // satisfy the same bounds (summaries may differ; bounds cannot)
+    assertSketchState(state(Seq(skewed)), k)
+    assertSketchState(
+      state((0 to 2).map(i => skewed.filter($"v" % 3 === i))), k)
+    assertSketchState(state(Seq(skewed.limit(0), skewed)), k)
+  }
+
+  test("inconsistent sketch accumulator usage across batches throws") {
+    val withMg = IncrementalAgg.partial(skewed, Seq("k"), "v",
+      heavyHitterCol = Some("item"))
+    val without = IncrementalAgg.partial(skewed, Seq("k"), "v")
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.merge(withMg, without)
+    }
+    val withKll = IncrementalAgg.partial(skewed, Seq("k"), "v",
+      quantileK = 200)
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.merge(withKll, without)
     }
   }
 }

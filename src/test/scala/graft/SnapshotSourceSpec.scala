@@ -95,6 +95,39 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 4.0), ("b", 2L, 6.0), ("c", 1L, 5.0)))
   }
 
+  test("maxVersionsPerTrigger drains a backlog in capped exactly-once batches") {
+    val base = Files.createTempDirectory("snap-src-cap")
+    val table = s"$base/t"; val ckpt = s"$base/ckpt"
+    // a 10-version backlog, one row per version
+    (1 to 10).foreach(i => Snapshots.append(Seq(i.toLong).toDF("id"), table))
+    val batches = mutable.ArrayBuffer[Seq[Long]]()
+    def sinkTo(trigger: Trigger) = spark.readStream
+      .format("graft-snapshots")
+      .option("path", table).option("maxVersionsPerTrigger", 3).load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches.synchronized { batches += df.as[Long].collect().toSeq }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(trigger)
+      .start()
+    // two one-shot runs: each admits exactly k=3 versions (the
+    // documented Trigger.Once caveat) and the stop between them is a
+    // mid-drain restart — the persisted base must keep the next batch
+    // starting at the checkpointed version, never below it
+    val q1 = sinkTo(Trigger.Once()); q1.awaitTermination()
+    val q2 = sinkTo(Trigger.Once()); q2.awaitTermination()
+    val firstTwo = batches.synchronized(batches.filter(_.nonEmpty).toList)
+    assert(firstTwo.map(_.size) == Seq(3, 3))
+    // a running trigger drains the remaining 4 versions: ceil(4/3) = 2
+    val q3 = sinkTo(Trigger.ProcessingTime(0))
+    q3.processAllAvailable(); q3.stop()
+    val all = batches.synchronized(batches.filter(_.nonEmpty).toList)
+    assert(all.map(_.size) == Seq(3, 3, 3, 1)) // ceil(10/3) = 4 batches
+    assert(all.flatten.sorted == (1L to 10L)) // exactly once, no loss
+  }
+
   test("a rewritten history fails the stream rather than lying") {
     val base = Files.createTempDirectory("snap-src-rw")
     val table = s"$base/t"
