@@ -26,6 +26,11 @@ import org.apache.spark.sql.types.MapType
   */
 object Bucketing {
 
+  /** Auto mode's per-file target in OPTIMIZER-ESTIMATE bytes (raw
+    * column widths; on-disk parquet is typically several times
+    * smaller). 256 MB of plan bytes ≈ a healthy few-tens-of-MB file. */
+  val AutoTargetBytes: Long = 256L * 1024 * 1024
+
   /** Register `df` at `path` as external bucketed table `name`
     * (`buckets` buckets on `keys`, optionally bucket-sorted on
     * `sortCols` so downstream sort-merge joins skip their sorts).
@@ -42,13 +47,20 @@ object Bucketing {
     * zero-Exchange joins — is a property of the bucket spec, not the
     * file count) while a bucket's rows land in up to f files written by
     * f parallel tasks. The salt hashes all non-map columns, so even a
-    * single hot key splits across files. */
+    * single hot key splits across files.
+    *
+    * `filesPerBucket = 0` means AUTO: derive the factor from the
+    * optimizer's size estimate for `df` (no extra data pass) so each
+    * file targets ~[[AutoTargetBytes]] of plan bytes, clamped to
+    * [1, 32]. Plan bytes overestimate on-disk parquet (raw column
+    * widths, no compression), which errs toward more, smaller files —
+    * the safe side at scale. At fixture scales auto resolves to 1. */
   def writeBucketed(df: DataFrame, name: String, path: String,
       buckets: Int, keys: Seq[String], sortCols: Seq[String] = Nil,
       filesPerBucket: Int = 1): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    require(filesPerBucket >= 1,
-      s"filesPerBucket must be >= 1, got $filesPerBucket")
+    require(filesPerBucket >= 0,
+      s"filesPerBucket must be >= 1, or 0 for auto; got $filesPerBucket")
     require(keys.nonEmpty, "bucketing needs at least one key column")
     require(name.matches("[A-Za-z0-9_.]+"), s"unsafe table name '$name'")
     val spark = df.sparkSession
@@ -63,8 +75,11 @@ object Bucketing {
     // (tasks × buckets small files — the classic bucketing file
     // explosion); with it each per-bucket sort runs once, in parallel,
     // and the file count is bucket-aligned (≤ buckets × filesPerBucket)
+    val perBucketFiles =
+      if (filesPerBucket > 0) filesPerBucket
+      else autoFilesPerBucket(df, buckets)
     val pre =
-      if (filesPerBucket == 1) df.repartition(buckets, keys.map(df.col): _*)
+      if (perBucketFiles == 1) df.repartition(buckets, keys.map(df.col): _*)
       else {
         // Spark's bucket id is pmod(murmur3(keys), buckets) and hash()
         // IS that murmur3 (seed 42), so the derived split key never
@@ -74,9 +89,9 @@ object Bucketing {
           .filterNot(_.dataType.isInstanceOf[MapType]) // hash() rejects maps
           .map(f => df.col(f.name)).toSeq
         val salt = pmod(hash((lit("graft-split") +: saltCols): _*),
-          lit(filesPerBucket))
-        df.repartition(buckets * filesPerBucket,
-          bucketId * lit(filesPerBucket) + salt)
+          lit(perBucketFiles))
+        df.repartition(buckets * perBucketFiles,
+          bucketId * lit(perBucketFiles) + salt)
       }
     val w = pre
       .write.format("parquet").mode(SaveMode.Overwrite)
@@ -84,6 +99,16 @@ object Bucketing {
       .bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
      else w).saveAsTable(name)
+  }
+
+  /** The auto derivation behind `filesPerBucket = 0`: per-bucket plan
+    * bytes over [[AutoTargetBytes]], ceiling, clamped to [1, 32]. Uses
+    * only the optimizer's statistics — no job runs. */
+  private[graft] def autoFilesPerBucket(df: DataFrame, buckets: Int): Int = {
+    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perBucket = planBytes / buckets
+    ((perBucket + AutoTargetBytes - 1) / AutoTargetBytes)
+      .min(32).max(1).toInt
   }
 
   /** The catalog table written by [[writeBucketed]] — reads carry the

@@ -31,6 +31,32 @@ import graft.functions.VectorFns
   */
 object Similarity {
 
+  /** Occupancy-scaled LSH bit count: the smallest width that keeps
+    * expected bucket occupancy at or below the calibration density
+    * (`calibration` vectors over `2^baseBits` buckets — the density the
+    * base configuration was measured at). Each corpus doubling past
+    * `calibration` adds one bit, so the per-bucket pair volume — the
+    * quadratic term every bucket self-join pays — stays ~constant as
+    * the corpus grows instead of growing linearly (measured: fixed
+    * 4-bit buckets at a 100× corpus meant 2.5B candidate pairs and a
+    * disk-exhausting join; the same rule as the PQ codebook's
+    * cell-occupancy contract). Integer arithmetic throughout — the
+    * DuckDB oracle derives the same width from `count(*)` with the
+    * same comparisons, and a float log2 could round differently at
+    * exact powers of two. Capped at `maxBits` (axis-sign buckets use
+    * one embedding coordinate per bit, and 2^20 buckets ≈ 1M is past
+    * any fixture's occupancy needs). */
+  def occupancyBits(corpus: Long, baseBits: Int = 4,
+      calibration: Long = 2000L, maxBits: Int = 20): Int = {
+    require(baseBits >= 1 && baseBits <= maxBits,
+      s"baseBits $baseBits outside [1, $maxBits]")
+    require(calibration >= 1, s"calibration must be >= 1, got $calibration")
+    var bits = baseBits
+    var cap = calibration
+    while (cap < corpus && bits < maxBits) { bits += 1; cap *= 2 }
+    bits
+  }
+
   /** Exact top-k nearest to the vector of `queryId` (excluded from
     * results), by cosine. */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
@@ -103,6 +129,63 @@ object Similarity {
       .filter(m => Integer.bitCount(m) <= maxHamming)
     val probed = b.withColumn("probe", explode(array(
       masks.map(m => col("bucket").bitwiseXOR(lit(m.toLong))): _*)))
+    val pairs = probed.as("x").join(b.as("y"),
+        col("x.probe") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nb_id"),
+        pairCosine.as("cos_sim"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("nb_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Query-directed multi-probe (the Lv et al. VLDB'07 idea, adapted to
+    * axis-sign buckets): instead of the FULL Hamming ball, each vector
+    * probes the 2^`probeBits` buckets reached by flipping any subset of
+    * its `probeBits` LOWEST-MARGIN bits — the coordinates with the
+    * smallest |v_j|, which are exactly where a near neighbor's sign
+    * most plausibly differs (the flip probability of bit j falls with
+    * the margin |v_j|). Two properties make this the SCALE
+    * configuration of the multi-probe family:
+    *
+    *   - probe count is 2^probeBits REGARDLESS of the bucket width, so
+    *     under occupancy-preserving bits ([[occupancyBits]]) the
+    *     per-vector candidate volume stays ~constant as the corpus
+    *     grows — where a fixed Hamming radius h pays C(bits, ≤h) probes
+    *     (growing polynomially in bits) for coverage that still decays;
+    *   - the probes concentrate on the highest-flip-probability buckets
+    *     instead of spreading uniformly over the radius-h sphere, so
+    *     recall per probe is strictly better than uniform-ball probing
+    *     (measured: see BASELINE.md's scaled ANN certification).
+    *
+    * The low-margin positions are ranked deterministically (|v_j| asc,
+    * position asc on ties), so results stay exactly reproducible and
+    * oracle-replayable. `probeBits` ≤ 16 bounds the explode. */
+  def lshTopKNeighborsQueryDirected(emb: DataFrame, bits: Int, k: Int,
+      probeBits: Int, maxBucket: Int = 100000): DataFrame = {
+    require(probeBits >= 0 && probeBits <= bits && probeBits <= 16,
+      s"probeBits $probeBits outside [0, min(bits=$bits, 16)]")
+    val b = capBuckets(bucketed(emb, bits), maxBucket)
+    // positions of the probeBits smallest |v_j| among the bucket bits,
+    // ties broken by position: struct sort is field-order lexicographic
+    val ranked = array_sort(array((0 until bits).map(j =>
+      struct(abs(col("v").getItem(j)).as("a"), lit(j).as("j"))): _*))
+    val withLow = b.withColumn("__low",
+      slice(transform(ranked, s => s.getField("j")), 1, probeBits))
+    // mask of subset m = Σ 2^position over m's set bits; positions are
+    // distinct so the sum IS the bitwise OR (2^j via double pow: exact
+    // for j < 52, and j < 20 here)
+    val masks: Seq[Column] = (0 until (1 << probeBits)).map { m =>
+      val terms = (0 until probeBits).collect {
+        case t if ((m >> t) & 1) == 1 =>
+          pow(lit(2.0), element_at(col("__low"), t + 1).cast("double"))
+            .cast("long")
+      }
+      terms.reduceOption(_ + _).getOrElse(lit(0L))
+    }
+    val probed = withLow.withColumn("probe",
+      explode(array(masks.map(col("bucket").bitwiseXOR(_)): _*)))
     val pairs = probed.as("x").join(b.as("y"),
         col("x.probe") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
@@ -537,13 +620,13 @@ object Similarity {
     * Corpus growth: bucket occupancy (hence per-bucket pair volume,
     * quadratic in it) grows linearly at fixed `bits` — the measured
     * driver of d7's 11× step at the 100× ScaleGen corpus, where the
-    * SkewGuard cap is what keeps the join bounded (degrade-with-report).
-    * A deployment at a grown corpus should scale `bits` to hold
-    * occupancy constant (the cell-occupancy rule measured in
-    * BASELINE.md's round-5 findings; same rule as the PQ codebook and
-    * the recallBoundScaled LSH certification) and/or route embedding
-    * dedup through [[semDedup]], whose nCentroids ∝ corpus contract is
-    * the designed scale path. */
+    * SkewGuard cap is what kept the join bounded (degrade-with-report).
+    * The committed d4/d7 plans therefore derive `bits` from the corpus
+    * with [[occupancyBits]], holding occupancy ~constant so the cap
+    * stops binding (same cell-occupancy rule as the PQ codebook);
+    * [[semDedup]], whose nCentroids ∝ corpus contract is the other
+    * designed scale path, remains the alternative for recall-sensitive
+    * embedding dedup. */
   def nearDupPairs(emb: DataFrame, bits: Int, threshold: Double,
       maxBucket: Int = 100000): DataFrame = {
     val b = capBuckets(bucketed(emb, bits), maxBucket)

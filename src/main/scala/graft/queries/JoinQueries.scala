@@ -239,15 +239,19 @@ object JoinQueries {
       (s, dir) => {
         import graft.ops.Bucketing
         val stage = s"/tmp/graft_stage/${new java.io.File(dir).getName}"
+        // filesPerBucket = 0 (auto): file count follows the optimizer's
+        // size estimate, so a grown corpus splits each bucket across
+        // parallel write tasks while fixture scales stay one-file-per-
+        // bucket (bit-identical layout, oracle unchanged)
         Bucketing.writeBucketed(
           Tables.lineitem(s, dir)
             .select("l_orderkey", "l_quantity", "l_extendedprice"),
           "j11_lineitem", s"$stage/j11_li", 32,
-          Seq("l_orderkey"), Seq("l_orderkey"))
+          Seq("l_orderkey"), Seq("l_orderkey"), filesPerBucket = 0)
         Bucketing.writeBucketed(
           Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
           "j11_orders", s"$stage/j11_ord", 32,
-          Seq("o_orderkey"), Seq("o_orderkey"))
+          Seq("o_orderkey"), Seq("o_orderkey"), filesPerBucket = 0)
         Bucketing.table(s, "j11_lineitem")
           .join(Bucketing.table(s, "j11_orders"),
             col("l_orderkey") === col("o_orderkey"))

@@ -2,9 +2,10 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, GraftSql, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.Snapshots
@@ -54,9 +55,46 @@ import graft.ops.Snapshots
   * tick; this source is that loop with per-tick cost = per-tick data.
   */
 class SnapshotSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshots"
+
+  /** Streaming WRITE into a snapshot table — the sink-side of the same
+    * format, so `readStream.format("graft-snapshots")` →
+    * `writeStream.format("graft-snapshots")` composes multi-stage
+    * exactly-once pipelines without a hand-written foreachBatch.
+    * Append mode commits each micro-batch via
+    * `Snapshots.idempotentAppend`; Complete mode (aggregation results)
+    * replaces the table via `idempotentOverwrite`. Either way the
+    * (writerId, batchId) manifest tag makes a replayed epoch a no-op —
+    * exactly-once content under Spark's at-least-once replay. The
+    * writer identity defaults to a hash of the query's checkpoint
+    * location (stable across restarts, distinct across queries);
+    * `.option("writerId", ...)` pins it explicitly, e.g. when a
+    * checkpoint must be rebuilt without re-appending history. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-snapshots sink does not support partitionBy — snapshot " +
+        "layout is managed at OPTIMIZE/Layout time, not per-batch")
+    require(outputMode == OutputMode.Append()
+        || outputMode == OutputMode.Complete(),
+      s"graft-snapshots sink supports Append and Complete, got $outputMode" +
+        " (Update needs a merge key — use foreachBatch + Upsert.upsert)")
+    val dir = dirOf(parameters)
+    val writerId = parameters.get("writerId").getOrElse {
+      val ckpt = parameters.getOrElse("checkpointLocation",
+        throw new IllegalArgumentException(
+          "graft-snapshots sink needs .option(\"writerId\", ...) or a " +
+            "checkpointLocation to derive a stable replay identity"))
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(ckpt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s"sink-${h.take(16)}"
+    }
+    new SnapshotSink(dir, writerId,
+      complete = outputMode == OutputMode.Complete())
+  }
 
   private def dirOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -156,4 +194,24 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** The v1 sink behind `writeStream.format("graft-snapshots")` — see
+  * [[SnapshotSourceProvider.createSink]]. The micro-batch frame is
+  * re-rooted as a batch frame (its plan is streaming-tagged) and
+  * committed through the idempotent snapshot writers; a replayed
+  * epoch's (writerId, batchId) tag is already in the manifest, so the
+  * write degenerates to a no-op and content stays exactly-once. */
+private[graft] class SnapshotSink(dir: String, writerId: String,
+    complete: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = GraftSql.batchFrame(data)
+    if (complete)
+      Snapshots.idempotentOverwrite(batch, dir, writerId, batchId)
+    else
+      Snapshots.idempotentAppend(batch, dir, writerId, batchId)
+  }
+
+  override def toString: String = s"SnapshotSink[$dir, writer=$writerId]"
 }

@@ -22,6 +22,16 @@ object GraftSql {
       isStreaming = true)
   }
 
+  /** Re-root a streaming micro-batch frame as a BATCH frame — what a v1
+    * `Sink.addBatch` needs before handing rows to a batch writer (the
+    * incoming frame's plan is streaming-tagged; batch actions on it
+    * would re-plan against the source). [[streamingFrame]]'s inverse. */
+  def batchFrame(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession.asInstanceOf[classic.SparkSession]
+    ss.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
   /** Idempotent runtime registration of a SQL function on an existing
     * session (the config-time path is `spark.sql.extensions` →
     * `graft.GraftExtensions`; this one serves sessions the caller didn't

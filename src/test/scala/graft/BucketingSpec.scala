@@ -89,6 +89,21 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("auto filesPerBucket follows the optimizer size estimate, no job") {
+    import org.apache.spark.sql.functions.lit
+    // tiny frame: one file per bucket
+    assert(Bucketing.autoFilesPerBucket(facts, 4) == 1)
+    // spark.range carries exact size stats (8 bytes/row) without
+    // running anything: 2^27 rows ≈ 1 GiB of plan bytes over 2 buckets
+    // = 512 MiB/bucket → 2 files at the 256 MiB target; clamp at 32
+    val big = spark.range(1L << 27).toDF("id")
+    assert(Bucketing.autoFilesPerBucket(big, 2) == 2)
+    assert(Bucketing.autoFilesPerBucket(big.withColumn("pad", lit(0L)), 1)
+      >= 4)
+    assert(Bucketing.autoFilesPerBucket(spark.range(1L << 40).toDF("id"), 1)
+      == 32)
+  }
+
   test("rewrite replaces content; stale files do not resurface") {
     val d = tmp()
     Bucketing.writeBucketed(facts, "bkt_rw", s"$d/rw", 4, Seq("k"))

@@ -71,4 +71,85 @@ class VectorFnsSpec extends SparkSpec {
     val sims = top.map(_.getDouble(1))
     assert(sims.sameElements(sims.sorted.reverse), "descending order")
   }
+
+  test("occupancyBits: integer doubling rule, calibration edges, cap") {
+    import Similarity.occupancyBits
+    // at or below calibration: base width
+    assert(occupancyBits(0L) === 4)
+    assert(occupancyBits(2000L) === 4)
+    // one past calibration: first doubling
+    assert(occupancyBits(2001L) === 5)
+    assert(occupancyBits(4000L) === 5)
+    assert(occupancyBits(4001L) === 6)
+    // the two ScaleGen decades: 10× → +4 bits, 100× → +7
+    assert(occupancyBits(20000L) === 8)
+    assert(occupancyBits(200000L) === 11)
+    // exact powers of two of the calibration never over-round (the
+    // float-log2 failure mode this rule exists to avoid)
+    assert(occupancyBits(16000L) === 7)
+    // cap
+    assert(occupancyBits(Long.MaxValue) === 20)
+    assert(occupancyBits(100L, baseBits = 6, calibration = 10L,
+      maxBits = 8) === 8)
+  }
+
+  test("query-directed probing at probeBits = bits covers every bucket") {
+    // flipping ANY subset of all `bits` positions reaches every bucket,
+    // so the result must equal the exact per-vector top-k (the capped
+    // candidate space is the whole corpus)
+    val sub = emb.filter(col("vec_id") < 40)
+    val qd = Similarity.lshTopKNeighborsQueryDirected(sub, bits = 3,
+        k = 3, probeBits = 3)
+      .select("vec_id", "nb_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val v = VectorFns.toDouble(col("embedding"))
+    val x = sub.select(col("vec_id"), v.as("v"))
+    val exact = x.as("a").join(x.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb_id"),
+        VectorFns.cosine(col("a.v"), col("b.v")).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("cos_sim").desc, col("nb_id").asc)))
+      .filter(col("rank") <= 3)
+      .select("vec_id", "nb_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(qd === exact)
+  }
+
+  test("query-directed probing beats the Hamming ball per probe") {
+    // 4 bits: Hamming-1 spends 5 probes uniformly; query-directed
+    // spends 4 probes on the two lowest-margin bits. Recall PER PROBE
+    // (the quantity that decides what a fixed candidate budget buys at
+    // scale, where the ball needs C(bits,≤h) probes) must be strictly
+    // better for the directed probes — measured 0.112 vs 0.099 per
+    // probe on the sf0.001 fixture; pinned as a regression test. The
+    // absolute-recall-at-scale evidence lives in ScaleBench's scaled
+    // ANN certification (BASELINE.md).
+    val exact = {
+      val v = VectorFns.toDouble(col("embedding"))
+      val x = emb.select(col("vec_id"), v.as("v"))
+      x.as("a").join(x.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"),
+          col("b.vec_id").as("nb_id"),
+          VectorFns.cosine(col("a.v"), col("b.v")).as("cos_sim"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+            .orderBy(col("cos_sim").desc, col("nb_id").asc)))
+        .filter(col("rank") <= 3).select("vec_id", "nb_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def recall(got: org.apache.spark.sql.DataFrame): Double = {
+      val g = got.select("vec_id", "nb_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (g & exact).size.toDouble / exact.size
+    }
+    val qd = recall(Similarity.lshTopKNeighborsQueryDirected(
+      emb, bits = 4, k = 3, probeBits = 2))
+    val ball = recall(Similarity.lshTopKNeighborsMultiProbe(
+      emb, bits = 4, k = 3, maxHamming = 1))
+    assert(qd / 4.0 > ball / 5.0,
+      s"query-directed recall/probe ${qd / 4.0} should beat " +
+        s"Hamming-1's ${ball / 5.0}")
+  }
 }
