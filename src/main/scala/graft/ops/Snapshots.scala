@@ -295,9 +295,17 @@ object Snapshots {
           }
           mn.isNull || coalesce(miss, lit(false))
         case InSet(_, ls) =>
-          val any = ls.map(l => GraftSql.column(l))
-            .map(lv => mn <= lv && lv <= mx)
-            .reduce(_ || _)
+          // balanced OR fold: a left-deep chain over a large IN list
+          // (merge footprints run to 1024 literals) overflows the
+          // column-conversion stack; log-depth doesn't
+          def anyOf(cs: IndexedSeq[Column]): Column =
+            if (cs.length == 1) cs.head
+            else {
+              val (a, b) = cs.splitAt(cs.length / 2)
+              anyOf(a) || anyOf(b)
+            }
+          val any = anyOf(ls.toIndexedSeq.map(l => GraftSql.column(l))
+            .map(lv => mn <= lv && lv <= mx))
           mn.isNull || coalesce(!any, lit(false))
         case NullTest(_, true) =>
           coalesce(col(s"__nul_$c") <= 0L, lit(false))
@@ -679,6 +687,116 @@ object Snapshots {
         s"rewrite of $dir@v$base lost the commit race — a writer landed " +
           s"v$next first; re-run maintenance when the table is quiescent")
     next
+  }
+
+  /** File counts of a [[merge]]: how many data files the source's key
+    * footprint forced into the rewrite vs how many carried over
+    * untouched — the observability that makes the copy-on-write cost
+    * model auditable (untouched should dominate on a key-clustered
+    * table; see [[optimize]]). */
+  final case class MergeResult(version: Int, rewrittenFiles: Int,
+    untouchedFiles: Int)
+
+  /** Single-key merge sources up to this many distinct keys prune with
+    * an exact IN-set; beyond it (or with composite keys) pruning falls
+    * back to per-column [min, max] ranges — still sound, just coarser. */
+  private val MergeInSetLimit = 1024
+
+  /** MERGE INTO (upsert) — the copy-on-write row update for snapshot
+    * tables: table rows whose `keys` tuple matches a source row are
+    * replaced by that source row; unmatched source rows are inserted;
+    * everything else is untouched. Equivalent to the ANSI
+    * `MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    * INSERT *`, committed as ONE new version.
+    *
+    * The scale property is FILE-LEVEL pruning, same machinery as
+    * [[readWhere]]: the source's key footprint (exact IN-set up to
+    * [[MergeInSetLimit]] distinct single-column keys, per-column
+    * [min, max] ranges otherwise) is turned into a predicate, and only
+    * files whose manifest stats cannot DISPROVE a key match are read
+    * and rewritten (anti-join on `keys`, then union the source); every
+    * other file carries into the new manifest by name, stats lines
+    * included — never read, never copied. On a table clustered on the
+    * merge key ([[optimize]]), a narrow merge touches a handful of
+    * files out of a 100 TB history; pruning is fail-open, so at worst
+    * extra files are rewritten, never missed. Rows with a null in any
+    * key column never match (SQL equality), on either side.
+    *
+    * The source must be key-unique (checked — a key matched by two
+    * source rows has no deterministic MERGE semantics) and carry
+    * exactly the table's columns (any order). Concurrency follows
+    * [[compact]]/[[optimize]]: `expectedVersion` is the OCC token, and
+    * a lost CAS race throws rather than silently dropping the racing
+    * writer's rows. Merging into an empty table is the plain first
+    * append. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String], expectedVersion: Int = -1): MergeResult = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val base = if (expectedVersion >= 0) Some(expectedVersion)
+    else currentVersion(spark, dir)
+    base match {
+      case None =>
+        MergeResult(append(source, dir), rewrittenFiles = 0,
+          untouchedFiles = 0)
+      case Some(v) =>
+        val (fs, root) = fsFor(spark, dir)
+        val table = read(spark, dir, v)
+        require(table.columns.sorted.sameElements(source.columns.sorted),
+          s"merge source columns ${source.columns.toSeq} != table " +
+            s"columns ${table.columns.toSeq}")
+        val src = source.select(table.columns.map(source.col).toSeq: _*)
+        keys.foreach(k => require(src.columns.contains(k),
+          s"merge key '$k' is not a column: ${src.columns.toSeq}"))
+        val dup = src.na.drop(keys).groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+          .limit(1).count()
+        require(dup == 0L,
+          s"merge source has duplicate key tuples on $keys — " +
+            "MERGE semantics would be non-deterministic")
+        // the source's key footprint as a prune predicate: table rows
+        // that can match some source key all satisfy it (sound
+        // superset; see scaladoc)
+        val footprint: Option[Column] =
+          if (keys.lengthCompare(1) == 0) {
+            val vals = src.select(keys.head).na.drop()
+              .distinct().limit(MergeInSetLimit + 1).collect().map(_.get(0))
+            if (vals.isEmpty) None
+            else if (vals.length <= MergeInSetLimit)
+              Some(col(keys.head).isin(vals.toIndexedSeq: _*))
+            else {
+              val r = src.agg(min(col(keys.head)), max(col(keys.head)))
+                .head()
+              Some(col(keys.head).between(lit(r.get(0)), lit(r.get(1))))
+            }
+          } else {
+            val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+            val r = src.na.drop(keys).agg(aggs.head, aggs.tail: _*).head()
+            if (r.isNullAt(0)) None // source has no fully-non-null key
+            else Some(keys.zipWithIndex.map { case (k, i) =>
+              col(k).between(lit(r.get(2 * i)), lit(r.get(2 * i + 1)))
+            }.reduce(_ && _))
+          }
+        val (touched, untouched) = footprint match {
+          case None => (Nil, readManifest(fs, root, v)) // nothing matches
+          case Some(pred) => pruneFiles(spark, dir, pred, v)
+        }
+        val touchedRows =
+          if (touched.isEmpty) table.limit(0)
+          else spark.read.parquet(
+            touched.map(f => new HPath(root, f).toString): _*)
+        val rewritten = touchedRows
+          .join(src.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(src)
+        val staged = stage(rewritten, fs, root)
+        val next = v + 1
+        if (!casManifest(fs, root, next, untouched ++ staged.files,
+          statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
+          throw new java.util.ConcurrentModificationException(
+            s"merge into $dir@v$v lost the commit race — a writer " +
+              s"landed v$next first; re-read and re-merge")
+        MergeResult(next, rewrittenFiles = staged.files.length,
+          untouchedFiles = untouched.length)
+    }
   }
 
   /** Row-level change-data-capture between two committed versions:

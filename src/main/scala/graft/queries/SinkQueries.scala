@@ -558,6 +558,50 @@ object SinkQueries {
       """SELECT source, count(*)::BIGINT AS n_docs,
         |  sum(n_chars)::BIGINT AS sum_chars
         |FROM documents WHERE n_chars >= 2000 AND n_chars < 4000
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin),
+
+    // MERGE INTO (Snapshots.merge): copy-on-write upsert as one atomic
+    // version — matched keys update, unmatched source rows insert, and
+    // only files whose manifest stats intersect the source's key
+    // footprint are rewritten (SnapshotsSpec asserts the untouched-file
+    // carry; here the oracle pins the MERGE semantics themselves by
+    // replaying update ∪ insert over the same fixture slices).
+    QueryDef("s28_merge_upsert",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s28_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val base = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        // two appends = multiple files with interleaved key ranges
+        Snapshots.append(base.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+          root)
+        Snapshots.append(base.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+          root)
+        val updates = base
+          .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+          .withColumn("o_totalprice", -col("o_totalprice"))
+        val inserts = base
+          .filter(pmod(col("o_orderkey"), lit(97)) === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        Snapshots.merge(s, root, updates.unionByName(inserts),
+          Seq("o_orderkey"))
+        Snapshots.read(s, root).orderBy("o_orderkey")
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, -o_totalprice AS o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 1)
+        |SELECT * FROM (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }

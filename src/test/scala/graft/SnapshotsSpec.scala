@@ -550,4 +550,104 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.truncMinStat("c" * 100) == "c" * 64)
     assert(Snapshots.truncMinStat("c" * 100) <= "c" * 100)
   }
+
+  // --- MERGE INTO (copy-on-write upsert) -----------------------------
+
+  test("merge updates matched keys, inserts the rest, one new version") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      root)
+    val r = Snapshots.merge(spark, root,
+      Seq((2L, "B"), (9L, "I")).toDF("k", "v"), Seq("k"))
+    assert(r.version == 2)
+    assert(Snapshots.read(spark, root).orderBy("k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "I")))
+    // time travel still sees the pre-merge content
+    assert(Snapshots.read(spark, root, 1).orderBy("k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // source column order must not matter
+    Snapshots.merge(spark, root,
+      Seq(("Z", 3L)).toDF("v", "k"), Seq("k"))
+    assert(Snapshots.read(spark, root).filter($"k" === 3L)
+      .select("v").as[String].head() == "Z")
+  }
+
+  test("merge rewrites only files the key footprint touches") {
+    val root = freshRoot()
+    // three appends = three files with disjoint key ranges
+    Seq(0L until 10L, 100L until 110L, 200L until 210L).foreach(r =>
+      Snapshots.append(r.map(k => (k, "old")).toDF("k", "v"), root))
+    val before = Snapshots.read(spark, root).inputFiles.length
+    val r = Snapshots.merge(spark, root,
+      Seq((105L, "new")).toDF("k", "v"), Seq("k"))
+    assert(r.untouchedFiles == before - 1,
+      s"expected all but one file untouched, got $r")
+    assert(r.rewrittenFiles >= 1)
+    val got = Snapshots.read(spark, root)
+    assert(got.count() == 30)
+    assert(got.filter($"v" === "new").select("k").as[Long].head() == 105L)
+    // untouched files are carried by NAME: still the same physical files
+    val files = got.inputFiles.length
+    assert(files == before - 1 + r.rewrittenFiles)
+  }
+
+  test("merge with >1024 distinct keys falls back to range pruning") {
+    val root = freshRoot()
+    Snapshots.append((0L until 3000L).map(k => (k, 0L)).toDF("k", "v"),
+      root)
+    Snapshots.append((10000L until 10010L).map(k => (k, 0L)).toDF("k", "v"),
+      root)
+    val src = (0L until 1500L).map(k => (k, 1L)).toDF("k", "v")
+    val r = Snapshots.merge(spark, root, src, Seq("k"))
+    // the second file's range [10000, 10010) is outside [0, 1499]
+    assert(r.untouchedFiles >= 1)
+    val got = Snapshots.read(spark, root)
+    assert(got.count() == 3010)
+    assert(got.filter($"v" === 1L).count() == 1500)
+  }
+
+  test("merge composite keys and null-key rows never match") {
+    val root = freshRoot()
+    Snapshots.append(Seq((Some(1L), "x", "a"), (None, "x", "b"),
+      (Some(2L), "y", "c")).toDF("k1", "k2", "v"), root)
+    val src = Seq((Some(1L), "x", "A"), (None, "x", "NULLKEY"),
+      (Some(7L), "z", "N")).toDF("k1", "k2", "v")
+    Snapshots.merge(spark, root, src, Seq("k1", "k2"))
+    val got = Snapshots.read(spark, root).orderBy("v")
+      .select("v").as[String].collect().toSeq
+    // (1,x) updated; table's null-key row SURVIVES; source's null-key
+    // row inserts as a new row; (7,z) inserts
+    assert(got == Seq("A", "N", "NULLKEY", "b", "c"))
+  }
+
+  test("merge rejects duplicate source keys and schema drift") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a")).toDF("k", "v"), root)
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, root,
+        Seq((1L, "x"), (1L, "y")).toDF("k", "v"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, root,
+        Seq((1L, "x", 0)).toDF("k", "v", "extra"), Seq("k"))
+    }
+  }
+
+  test("merge into an empty table is the first append; OCC race throws") {
+    val root = freshRoot()
+    val r = Snapshots.merge(spark, root, Seq((1L, "a")).toDF("k", "v"),
+      Seq("k"))
+    assert(r.version == 1)
+    assert(Snapshots.read(spark, root).count() == 1)
+    // OCC: merging against a version that is no longer current loses
+    Snapshots.append(Seq((2L, "b")).toDF("k", "v"), root)
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.merge(spark, root, Seq((1L, "z")).toDF("k", "v"),
+        Seq("k"), expectedVersion = 1)
+    }
+    // and nothing was lost by the failed attempt
+    assert(Snapshots.read(spark, root).count() == 2)
+  }
 }
