@@ -730,14 +730,22 @@ object Snapshots {
     * writer's rows. Merging into an empty table is the plain first
     * append. */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
-      keys: Seq[String], expectedVersion: Int = -1): MergeResult = {
+      keys: Seq[String], expectedVersion: Int = -1): MergeResult =
+    mergeInternal(spark, dir, source, keys, expectedVersion, Nil)
+
+  private def mergeInternal(spark: SparkSession, dir: String,
+      source: DataFrame, keys: Seq[String], expectedVersion: Int,
+      header: Seq[String]): MergeResult = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val base = if (expectedVersion >= 0) Some(expectedVersion)
     else currentVersion(spark, dir)
     base match {
       case None =>
-        MergeResult(append(source, dir), rewrittenFiles = 0,
-          untouchedFiles = 0)
+        val (fs, root) = fsFor(spark, dir)
+        MergeResult(
+          commitLoop(fs, root, spark, dir, stage(source, fs, root),
+            carryBase = true, header = header),
+          rewrittenFiles = 0, untouchedFiles = 0)
       case Some(v) =>
         val (fs, root) = fsFor(spark, dir)
         val table = read(spark, dir, v)
@@ -790,13 +798,44 @@ object Snapshots {
         val staged = stage(rewritten, fs, root)
         val next = v + 1
         if (!casManifest(fs, root, next, untouched ++ staged.files,
-          statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
+          header ++ statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
           throw new java.util.ConcurrentModificationException(
             s"merge into $dir@v$v lost the commit race — a writer " +
               s"landed v$next first; re-read and re-merge")
         MergeResult(next, rewrittenFiles = staged.files.length,
           untouchedFiles = untouched.length)
     }
+  }
+
+  /** Exactly-once [[merge]] for streaming epochs — the upsert analogue
+    * of [[idempotentAppend]]: a replayed (writerId, batchId) is
+    * recognized from the manifest tag and skipped (None). Unlike the
+    * OCC-token batch merge, a lost CAS race here RETRIES against the
+    * new current version (up to 10 attempts): the racing commit is
+    * someone else's append/merge, and re-pruning + re-merging on top of
+    * it is exactly the serialization a streaming upsert wants — the
+    * source batch is this writer's to apply, in some order, once. */
+  def idempotentMerge(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String], writerId: String,
+      batchId: Long): Option[MergeResult] = {
+    require(writerId.matches("[A-Za-z0-9._-]+"),
+      s"writerId must be [A-Za-z0-9._-]+, got '$writerId'")
+    val (fs, root) = fsFor(spark, dir)
+    if (lastBatch(fs, root, spark, dir, writerId).exists(_ >= batchId))
+      return None
+    val header = Seq(s"#commit writer=$writerId batch=$batchId")
+    var attempts = 0
+    while (true) {
+      try {
+        return Some(
+          mergeInternal(spark, dir, source, keys, -1, header))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+      }
+    }
+    None // unreachable
   }
 
   /** Row-level change-data-capture between two committed versions:

@@ -65,23 +65,33 @@ class SnapshotSourceProvider extends StreamSourceProvider
     * exactly-once pipelines without a hand-written foreachBatch.
     * Append mode commits each micro-batch via
     * `Snapshots.idempotentAppend`; Complete mode (aggregation results)
-    * replaces the table via `idempotentOverwrite`. Either way the
-    * (writerId, batchId) manifest tag makes a replayed epoch a no-op —
-    * exactly-once content under Spark's at-least-once replay. The
-    * writer identity defaults to a hash of the query's checkpoint
-    * location (stable across restarts, distinct across queries);
-    * `.option("writerId", ...)` pins it explicitly, e.g. when a
-    * checkpoint must be rebuilt without re-appending history. */
+    * replaces the table via `idempotentOverwrite`; Update mode needs
+    * `.option("mergeKeys", "k1,k2")` and upserts each micro-batch via
+    * `Snapshots.idempotentMerge` — matched keys rewrite only the files
+    * their stats touch, the streaming MERGE a CDC consumer wants. In
+    * every mode the (writerId, batchId) manifest tag makes a replayed
+    * epoch a no-op — exactly-once content under Spark's at-least-once
+    * replay. The writer identity defaults to a hash of the query's
+    * checkpoint location (stable across restarts, distinct across
+    * queries); `.option("writerId", ...)` pins it explicitly, e.g.
+    * when a checkpoint must be rebuilt without re-appending history. */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
     require(partitionColumns.isEmpty,
       "graft-snapshots sink does not support partitionBy — snapshot " +
         "layout is managed at OPTIMIZE/Layout time, not per-batch")
-    require(outputMode == OutputMode.Append()
-        || outputMode == OutputMode.Complete(),
-      s"graft-snapshots sink supports Append and Complete, got $outputMode" +
-        " (Update needs a merge key — use foreachBatch + Upsert.upsert)")
+    val mergeKeys = parameters.get("mergeKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    if (outputMode == OutputMode.Update())
+      require(mergeKeys.exists(_.nonEmpty),
+        "graft-snapshots sink in Update mode needs " +
+          ".option(\"mergeKeys\", \"k1,k2\") — the upsert key")
+    else
+      require(outputMode == OutputMode.Append()
+          || outputMode == OutputMode.Complete(),
+        s"graft-snapshots sink supports Append, Complete and Update " +
+          s"(with mergeKeys), got $outputMode")
     val dir = dirOf(parameters)
     val writerId = parameters.get("writerId").getOrElse {
       val ckpt = parameters.getOrElse("checkpointLocation",
@@ -93,7 +103,8 @@ class SnapshotSourceProvider extends StreamSourceProvider
       s"sink-${h.take(16)}"
     }
     new SnapshotSink(dir, writerId,
-      complete = outputMode == OutputMode.Complete())
+      complete = outputMode == OutputMode.Complete(),
+      mergeKeys = if (outputMode == OutputMode.Update()) mergeKeys else None)
   }
 
   private def dirOf(parameters: Map[String, String]): String =
@@ -203,14 +214,24 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext,
   * epoch's (writerId, batchId) tag is already in the manifest, so the
   * write degenerates to a no-op and content stays exactly-once. */
 private[graft] class SnapshotSink(dir: String, writerId: String,
-    complete: Boolean) extends Sink {
+    complete: Boolean, mergeKeys: Option[Seq[String]] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = GraftSql.batchFrame(data)
-    if (complete)
-      Snapshots.idempotentOverwrite(batch, dir, writerId, batchId)
-    else
-      Snapshots.idempotentAppend(batch, dir, writerId, batchId)
+    mergeKeys match {
+      case Some(keys) =>
+        // merge multi-passes its source (key-uniqueness check, footprint,
+        // anti-join) — pin the epoch's rows once instead of recomputing
+        // the micro-batch lineage per pass
+        val pinned = batch.persist()
+        try Snapshots.idempotentMerge(pinned.sparkSession, dir, pinned,
+          keys, writerId, batchId)
+        finally pinned.unpersist()
+      case None if complete =>
+        Snapshots.idempotentOverwrite(batch, dir, writerId, batchId)
+      case None =>
+        Snapshots.idempotentAppend(batch, dir, writerId, batchId)
+    }
   }
 
   override def toString: String = s"SnapshotSink[$dir, writer=$writerId]"

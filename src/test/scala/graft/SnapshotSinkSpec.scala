@@ -78,6 +78,58 @@ class SnapshotSinkSpec extends SparkSpec {
       Seq((1L, 3L), (2L, 1L), (3L, 1L)))
   }
 
+  test("Update mode with mergeKeys upserts each epoch exactly-once") {
+    val base = Files.createTempDirectory("snap-sink-upd")
+    val src = s"$base/src"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+    // seed the destination, then stream upserts keyed on k
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dst)
+    Snapshots.append(Seq((2L, "B2"), (3L, "C")).toDF("k", "v"), src)
+    def run() = spark.readStream.format("graft-snapshots")
+      .option("path", src).load()
+      .writeStream.format("graft-snapshots")
+      .outputMode(OutputMode.Update())
+      .option("path", dst)
+      .option("mergeKeys", "k")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q1 = run(); q1.processAllAvailable(); q1.stop()
+    assert(Snapshots.read(spark, dst).orderBy("k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (3L, "C")))
+    // restart + more upstream: only the delta merges, once
+    Snapshots.append(Seq((1L, "A3"), (9L, "I")).toDF("k", "v"), src)
+    val q2 = run(); q2.processAllAvailable(); q2.stop()
+    assert(Snapshots.read(spark, dst).orderBy("k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "A3"), (2L, "B2"), (3L, "C"), (9L, "I")))
+  }
+
+  test("idempotentMerge skips replayed epochs, retries past CAS races") {
+    val base = Files.createTempDirectory("snap-idem-merge")
+    val dst = s"$base/t"
+    Snapshots.append(Seq((1L, "a")).toDF("k", "v"), dst)
+    val batch = Seq((1L, "A"), (2L, "B")).toDF("k", "v")
+    val r1 = Snapshots.idempotentMerge(spark, dst, batch, Seq("k"), "w", 0L)
+    assert(r1.isDefined)
+    // replay of epoch 0: recognized, no new version
+    val vAfter = Snapshots.currentVersion(spark, dst)
+    assert(Snapshots.idempotentMerge(spark, dst, batch, Seq("k"), "w", 0L)
+      .isEmpty)
+    assert(Snapshots.currentVersion(spark, dst) == vAfter)
+    assert(Snapshots.read(spark, dst).orderBy("k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "A"), (2L, "B")))
+  }
+
+  test("Update mode without mergeKeys is rejected") {
+    val ex = intercept[IllegalArgumentException] {
+      new graft.streaming.SnapshotSourceProvider().createSink(
+        spark.sqlContext, Map("path" -> "/tmp/x", "writerId" -> "w"),
+        Nil, OutputMode.Update())
+    }
+    assert(ex.getMessage.contains("mergeKeys"))
+  }
+
   test("sink requires a stable writer identity and rejects partitionBy") {
     val base = Files.createTempDirectory("snap-sink-req")
     val src = s"$base/src"
