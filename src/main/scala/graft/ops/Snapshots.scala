@@ -4,7 +4,7 @@ import scala.util.control.NonFatal
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
 import org.apache.spark.sql.catalyst.plans.logical.Filter
 import org.apache.spark.sql.GraftSql
 import org.apache.spark.sql.functions._
@@ -177,6 +177,34 @@ object Snapshots {
     case x => Seq(x)
   }
 
+  /** Negation normal form over the prune vocabulary — NOT pushed to the
+    * atoms so `filter(!pred)` shapes (deleteWhere's survivor proof, a
+    * user's NOT IN-range read) become recognizable conjuncts. Sound for
+    * the TRUE-set question pruning asks: in Kleene 3-valued logic
+    * ¬(a∧b) ≡ ¬a∨¬b identically, and a flipped comparison (¬(c<x) →
+    * c≥x) is TRUE on exactly the rows that make the negation TRUE —
+    * NULL rows satisfy neither side and stay unprovable either way.
+    * Negations with no vocabulary dual (¬=, ¬IN, anything opaque)
+    * remain wrapped in Not and simply never prune (fail-open). */
+  private def nnf(e: Expression, neg: Boolean = false): Expression =
+    e match {
+      case Not(x) => nnf(x, !neg)
+      case And(l, r) =>
+        if (neg) Or(nnf(l, neg = true), nnf(r, neg = true))
+        else And(nnf(l), nnf(r))
+      case Or(l, r) =>
+        if (neg) And(nnf(l, neg = true), nnf(r, neg = true))
+        else Or(nnf(l), nnf(r))
+      case x if !neg => x
+      case GreaterThan(a, b) => LessThanOrEqual(a, b)
+      case GreaterThanOrEqual(a, b) => LessThan(a, b)
+      case LessThan(a, b) => GreaterThanOrEqual(a, b)
+      case LessThanOrEqual(a, b) => GreaterThan(a, b)
+      case IsNull(a) => IsNotNull(a)
+      case IsNotNull(a) => IsNull(a)
+      case x => Not(x) // no dual in the vocabulary: fail-open
+    }
+
   private def disjunctsOf(e: Expression): Seq[Expression] = e match {
     case Or(l, r) => disjunctsOf(l) ++ disjunctsOf(r)
     case x => Seq(x)
@@ -241,7 +269,7 @@ object Snapshots {
     // makes its whole conjunct unable to prune (fail-open) — the fold
     // below encodes that naturally (empty OR-fold = false).
     val items: Seq[Seq[Seq[(Conj, DataType)]]] =
-      resolved.toSeq.flatMap(conjunctsOf).map { item =>
+      resolved.map(nnf(_)).toSeq.flatMap(conjunctsOf).map { item =>
         disjunctsOf(item).map(d => conjunctsOf(d).flatMap(resolveAtom))
       }
     val atoms = items.flatten.flatten
@@ -805,6 +833,70 @@ object Snapshots {
         MergeResult(next, rewrittenFiles = staged.files.length,
           untouchedFiles = untouched.length)
     }
+  }
+
+  /** File counts of a [[deleteWhere]]: `rewrittenFiles` had surviving
+    * rows next to deleted ones, `droppedFiles` were deleted whole
+    * without being read (every row provably matched — only when stats
+    * prove the COMPLEMENT empty), `untouchedFiles` carried by name. */
+  final case class DeleteResult(version: Int, rewrittenFiles: Int,
+    droppedFiles: Int, untouchedFiles: Int)
+
+  /** Copy-on-write DELETE — rows satisfying `pred` are removed as ONE
+    * new version; with [[merge]] and the append/overwrite pair this
+    * completes the DML surface. Same file-level machinery as
+    * [[readWhere]], pointed both ways:
+    *
+    *   - files whose stats DISPROVE `pred` carry into the new manifest
+    *     by name (stats included) — never read: the GDPR/user-delete on
+    *     a key-clustered 100 TB table touches the files holding that
+    *     key, not the table;
+    *   - files whose stats disprove `NOT pred` (provable on the same
+    *     conjunct vocabulary — e.g. a whole partition-month inside a
+    *     deleted range) are dropped whole — also never read;
+    *   - only files that may hold BOTH kinds of rows are read and
+    *     rewritten as `filter(NOT pred)`.
+    *
+    * Both prunings are fail-open: an unrecognized predicate shape just
+    * rewrites more files; content is always exactly
+    * `read(dir).filter(!pred)`. Null-predicate rows (pred evaluates
+    * NULL) are KEPT — SQL DELETE semantics: only rows where the
+    * predicate is TRUE are removed. Concurrency: `expectedVersion` OCC
+    * token, lost race throws (see [[compact]]). */
+  def deleteWhere(spark: SparkSession, dir: String, pred: Column,
+      expectedVersion: Int = -1): DeleteResult = {
+    val (fs, root) = fsFor(spark, dir)
+    val base = if (expectedVersion >= 0) expectedVersion
+    else currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"nothing to delete in $dir"))
+    // may-match vs provably-no-match: the no-match files carry
+    val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
+    // of the may-match files, those where NO row can SURVIVE (stats
+    // disprove the complement) drop whole. !pred is only provable for
+    // shapes the vocabulary recognizes; fail-open keeps the file in
+    // the rewrite set.
+    val (maySurvive, dropWhole) =
+      if (mayMatch.isEmpty) (Nil, Nil)
+      else {
+        val survivors = pruneFiles(spark, dir, !pred, base)._1.toSet
+        mayMatch.partition(survivors.contains)
+      }
+    val rewrittenRows =
+      if (maySurvive.isEmpty) read(spark, dir, base).limit(0)
+      else spark.read.parquet(
+        maySurvive.map(f => new HPath(root, f).toString): _*)
+        // SQL DELETE keeps NULL-predicate rows: survive = NOT TRUE(pred)
+        .filter(!coalesce(pred, lit(false)))
+    val staged = stage(rewrittenRows, fs, root)
+    val next = base + 1
+    if (!casManifest(fs, root, next, untouched ++ staged.files,
+      statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
+      throw new java.util.ConcurrentModificationException(
+        s"deleteWhere on $dir@v$base lost the commit race — a writer " +
+          s"landed v$next first; re-read and re-delete")
+    DeleteResult(next, rewrittenFiles = staged.files.length,
+      droppedFiles = dropWhole.length, untouchedFiles = untouched.length)
   }
 
   /** Exactly-once [[merge]] for streaming epochs — the upsert analogue

@@ -635,6 +635,61 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  // --- deleteWhere (copy-on-write DELETE) ----------------------------
+
+  test("deleteWhere removes matching rows; file classes are honest") {
+    val root = freshRoot()
+    // three files with disjoint ranges: [0,10), [100,110), [200,210)
+    Seq(0L until 10L, 100L until 110L, 200L until 210L).foreach(r =>
+      Snapshots.append(
+        r.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), root))
+    // range covering ALL of file 2 and HALF of file 1
+    val r = Snapshots.deleteWhere(spark, root,
+      $"k" >= 105L && $"k" < 300L)
+    // file 0 untouched (disproven), file 2 dropped whole (no row can
+    // survive — the NNF complement proof), file 1 rewritten
+    assert(r.untouchedFiles == 1, r.toString)
+    assert(r.droppedFiles == 1, r.toString)
+    assert(r.rewrittenFiles >= 1, r.toString)
+    val got = Snapshots.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(got == ((0L until 10L) ++ (100L until 105L)))
+    // identical to the filter contract, and history is intact
+    assert(Snapshots.read(spark, root, 3).count() == 30)
+  }
+
+  test("deleteWhere keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val root = freshRoot()
+    Snapshots.append(Seq((Some(1L), "a"), (None, "null-row"),
+      (Some(5L), "e")).toDF("k", "v"), root)
+    Snapshots.deleteWhere(spark, root, $"k" > 2L)
+    assert(Snapshots.read(spark, root).select("v").as[String]
+      .collect().sorted.toSeq == Seq("a", "null-row"))
+  }
+
+  test("deleteWhere matches read().filter(!pred) on an opaque predicate") {
+    val root = freshRoot()
+    Snapshots.append((0L until 100L).map(k => (k, k % 7)).toDF("k", "m"),
+      root)
+    // modulo is outside the prune vocabulary on BOTH sides: everything
+    // rewrites (fail-open), content still exact
+    val r = Snapshots.deleteWhere(spark, root, pmod($"m", lit(3)) === 1L)
+    assert(r.untouchedFiles == 0 && r.droppedFiles == 0)
+    assert(Snapshots.read(spark, root).count() ==
+      (0L until 100L).count(k => (k % 7) % 3 != 1))
+  }
+
+  test("NNF lets NOT-range reads prune too") {
+    val root = freshRoot()
+    Seq(0L until 10L, 100L until 110L).foreach(r =>
+      Snapshots.append(r.map(k => (k, 0L)).toDF("k", "v").coalesce(1),
+        root))
+    // !(k < 100): the second file may match, the first provably not
+    val (kept, skipped) = Snapshots.pruneFiles(spark, root, !($"k" < 100L))
+    assert(kept.size == 1 && skipped.size == 1)
+    assert(Snapshots.readWhere(spark, root, !($"k" < 100L)).count() == 10)
+  }
+
   test("merge into an empty table is the first append; OCC race throws") {
     val root = freshRoot()
     val r = Snapshots.merge(spark, root, Seq((1L, "a")).toDF("k", "v"),
