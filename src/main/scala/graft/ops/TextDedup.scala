@@ -212,20 +212,40 @@ object TextDedup {
     * ones is missed. */
   def ngramJaccardDups(docs: DataFrame, n: Int = 3, maxDF: Int = 10,
       threshold: Double = 0.5, minSharedRare: Int = 2): DataFrame = {
-    val sh = shingles(docs, n)
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    // the shingle frame feeds FIVE plan references (df agg, posting
+    // join, verify's two posting sides, sizes) and the posting frame
+    // two — unpersisted, the tokenize+explode pass re-runs per
+    // reference and dominates at scale (measured at the 100× corpus:
+    // 137 s → 72 s with both pinned, identical 25.5k output rows; one
+    // shingle pass alone is 12 s there). The small pair result is
+    // materialized through a flat-RDD barrier so both inputs release
+    // before returning — same lifecycle discipline as [[dedupClusters]].
+    val sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDF)
       .select("shingle")
     val posting = sh.join(rare, Seq("shingle"))
-    val cands = posting.select(col("shingle"), col("doc_id").as("doc_a"))
-      .join(posting.select(col("shingle"), col("doc_id").as("doc_b")),
-        Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("__shared"))
-      .filter(col("__shared") >= minSharedRare)
-      .select("doc_a", "doc_b")
-    verifyJaccard(cands, sh, threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = posting.select(col("shingle"), col("doc_id").as("doc_a"))
+        .join(posting.select(col("shingle"), col("doc_id").as("doc_b")),
+          Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("__shared"))
+        .filter(col("__shared") >= minSharedRare)
+        .select("doc_a", "doc_b")
+      val result = verifyJaccard(cands, sh, threshold)
+      val out = spark.createDataFrame(result.rdd, result.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally {
+      posting.unpersist(blocking = false)
+      sh.unpersist(blocking = false)
+    }
   }
 
   /** Near-dup PAIRS → dedup CLUSTERS: connected components over the pair
