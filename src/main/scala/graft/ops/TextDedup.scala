@@ -132,8 +132,14 @@ object TextDedup {
     * posting-list variant only when single documents are so large their
     * shingle arrays shouldn't ride through a join row. */
   def verifyJaccardArrays(cands: DataFrame, docs: DataFrame, n: Int,
-      threshold: Double): DataFrame = {
-    val arr = shingleArrays(docs, n)
+      threshold: Double): DataFrame =
+    verifyJaccardArraysOn(cands, shingleArrays(docs, n), threshold)
+
+  /** [[verifyJaccardArrays]] against an already-built (possibly pinned)
+    * shingle-array frame — the form a caller that reuses the arrays
+    * across plan references wants. */
+  def verifyJaccardArraysOn(cands: DataFrame, arr: DataFrame,
+      threshold: Double): DataFrame =
     cands
       .join(arr.toDF("doc_a", "shs_a"), Seq("doc_a"))
       .join(arr.toDF("doc_b", "shs_b"), Seq("doc_b"))
@@ -143,7 +149,6 @@ object TextDedup {
         (size(col("shs_a")).cast("long") + size(col("shs_b")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** Exact Jaccard verification of candidate pairs against the true
     * shingle sets; keeps pairs with similarity ≥ threshold. Posting-list
@@ -170,17 +175,34 @@ object TextDedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline:
-    * shingle → sign → band → candidate join → exact-Jaccard verify. */
+    * shingle → sign → band → candidate join → exact-Jaccard verify.
+    *
+    * The tokenize+shingle pass would otherwise run THREE times (the
+    * signature aggregation plus both verify array sides), so the
+    * per-document shingle arrays are pinned for the verify joins and
+    * the small pair result is re-rooted through a flat-RDD barrier
+    * before the pin releases — the same lifecycle discipline as
+    * [[ngramJaccardDups]] / [[dedupClusters]] (measured there: the
+    * recomputed pass dominated the 100× corpus cost). */
   def minHashNearDups(docs: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.4, maxBucket: Int = 10000,
       n: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
     // one n for BOTH signature shingling and verification — different
     // widths would verify pairs against a similarity the signatures
     // never estimated
     val sh = shingles(docs, n)
-    verifyJaccardArrays(
-      lshCandidates(minHashSignatures(sh, k), k, bands, maxBucket),
-      docs, n, threshold)
+    val arr = shingleArrays(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val result = verifyJaccardArraysOn(
+        lshCandidates(minHashSignatures(sh, k), k, bands, maxBucket),
+        arr, threshold)
+      val out = spark.createDataFrame(result.rdd, result.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally arr.unpersist(blocking = false)
   }
 
   /** Direct n-gram Jaccard near-dup pairs — no MinHash approximation in
