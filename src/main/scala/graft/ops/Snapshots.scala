@@ -100,7 +100,7 @@ object Snapshots {
         s"no committed version under $dir"))
     val files = readManifest(fs, root, v)
     require(files.nonEmpty, s"manifest v$v of $dir lists no files")
-    spark.read.parquet(files.map(f => new HPath(root, f).toString): _*)
+    readFilesAs(spark, fs, root, v, files)
   }
 
   /** The supported prune vocabulary: conjuncts of `col op literal`
@@ -363,16 +363,77 @@ object Snapshots {
   def readWhere(spark: SparkSession, dir: String, pred: Column,
       version: Int = -1): DataFrame = {
     val (kept, _) = pruneFiles(spark, dir, pred, version)
-    val (_, root) = fsFor(spark, dir)
+    val (fs, root) = fsFor(spark, dir)
+    val v = if (version >= 0) version else currentVersion(spark, dir).get
     val base =
       if (kept.isEmpty) read(spark, dir, version).limit(0)
-      else spark.read.parquet(kept.map(f => new HPath(root, f).toString): _*)
+      else readFilesAs(spark, fs, root, v, kept)
     base.filter(pred)
   }
 
+  // ---- pinned schema + additive evolution ---------------------------
+
+  private val SchemaPrefix = "#schema "
+
+  private def schemaHeader(s: StructType): String = SchemaPrefix + s.json
+
+  /** The schema a version's manifest pins (absent for manifests written
+    * before schema pinning — those read by footer inference). */
+  private def schemaOf(fs: FileSystem, root: HPath,
+      v: Int): Option[StructType] =
+    manifestLines(fs, root, v).collectFirst {
+      case l if l.startsWith(SchemaPrefix) =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix(SchemaPrefix)).asInstanceOf[StructType]
+    }
+
+  /** Every field nullable — the footer-inference convention this
+    * replaces, and the truth once files can predate a column. */
+  private def allNullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** ADDITIVE schema evolution for appends: columns shared with the
+    * table must keep their exact type (a type change is an explicit
+    * overwrite, never an implicit append); new columns join at the end
+    * and read as NULL from files that predate them; table columns the
+    * incoming frame lacks stay — its new files read NULL there. Order
+    * and name casing follow the table. */
+  private def evolveSchema(table: StructType, incoming: StructType,
+      dir: String): StructType = {
+    val byLower = table.fields.map(f => f.name.toLowerCase -> f).toMap
+    incoming.fields.foreach { f =>
+      byLower.get(f.name.toLowerCase).foreach { tf =>
+        require(tf.dataType == f.dataType,
+          s"schema conflict on column '${tf.name}' of $dir: table has " +
+            s"${tf.dataType.sql}, incoming frame has ${f.dataType.sql} — " +
+            "type changes require an explicit overwrite")
+        require(tf.name == f.name,
+          s"column case drift on '${tf.name}' vs '${f.name}' in $dir — " +
+            "rename to the table's casing")
+      }
+    }
+    val added = incoming.fields
+      .filterNot(f => byLower.contains(f.name.toLowerCase))
+    allNullable(StructType(table.fields ++ added))
+  }
+
+  /** Read `files` of version `v` under that version's pinned schema
+    * (files predating an added column yield NULL there); pre-pinning
+    * manifests fall back to footer inference. */
+  private def readFilesAs(spark: SparkSession, fs: FileSystem, root: HPath,
+      v: Int, files: Seq[String]): DataFrame = {
+    val paths = files.map(f => new HPath(root, f).toString)
+    schemaOf(fs, root, v) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
   /** A staged-but-uncommitted commit: the data files' root-relative
-    * paths plus their encoded per-file column-stats manifest lines. */
-  private case class Staged(files: Seq[String], stats: Seq[String])
+    * paths plus their encoded per-file column-stats manifest lines and
+    * the staged frame's schema (pinned into the manifest at commit). */
+  private case class Staged(files: Seq[String], stats: Seq[String],
+    schema: StructType)
 
   /** Stage `df`'s parquet files under an immutable commit dir; return
     * their root-relative paths and per-file column stats. Nothing
@@ -392,7 +453,8 @@ object Snapshots {
     // is detectable forever after
     val sizes = listed.map(st =>
       s"#size\t$rel/${st.getPath.getName}\t${st.getLen}").toSeq
-    Staged(files, sizes ++ collectStats(df.sparkSession, dir.toString, rel))
+    Staged(files, sizes ++ collectStats(df.sparkSession, dir.toString, rel),
+      df.schema)
   }
 
   /** Stats cover the first [[StatsMaxCols]] atomic-typed top-level
@@ -583,9 +645,19 @@ object Snapshots {
         if (carryBase && base.nonEmpty)
           statsLines(fs, root, base.get, carried.toSet)
         else Nil
+      // pin the committed schema: an append evolves the base's pinned
+      // schema additively (conflicts throw before anything commits); an
+      // overwrite replaces it with the staged frame's own
+      val pinned =
+        if (!carryBase || base.isEmpty) allNullable(staged.schema)
+        else evolveSchema(
+          schemaOf(fs, root, base.get)
+            .getOrElse(allNullable(read(spark, dir, base.get).schema)),
+          staged.schema, dir)
       val next = base.getOrElse(0) + 1
       if (casManifest(fs, root, next, files,
-        header ++ carriedStats ++ staged.stats)) return next
+        schemaHeader(pinned) +: (header ++ carriedStats ++ staged.stats)))
+        return next
       attempts += 1 // lost the race: re-read the winner's state and retry
     }
     throw new java.util.ConcurrentModificationException(
@@ -710,7 +782,8 @@ object Snapshots {
       throw new java.util.NoSuchElementException(s"nothing to rewrite in $dir"))
     val staged = stage(transform(read(spark, dir, base)), fs, root)
     val next = base + 1
-    if (!casManifest(fs, root, next, staged.files, staged.stats))
+    if (!casManifest(fs, root, next, staged.files,
+      schemaHeader(allNullable(staged.schema)) +: staged.stats))
       throw new java.util.ConcurrentModificationException(
         s"rewrite of $dir@v$base lost the commit race — a writer landed " +
           s"v$next first; re-run maintenance when the table is quiescent")
@@ -818,15 +891,15 @@ object Snapshots {
         }
         val touchedRows =
           if (touched.isEmpty) table.limit(0)
-          else spark.read.parquet(
-            touched.map(f => new HPath(root, f).toString): _*)
+          else readFilesAs(spark, fs, root, v, touched)
         val rewritten = touchedRows
           .join(src.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(src)
         val staged = stage(rewritten, fs, root)
         val next = v + 1
         if (!casManifest(fs, root, next, untouched ++ staged.files,
-          header ++ statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
+          schemaHeader(allNullable(staged.schema)) +: (header ++
+            statsLines(fs, root, v, untouched.toSet) ++ staged.stats)))
           throw new java.util.ConcurrentModificationException(
             s"merge into $dir@v$v lost the commit race — a writer " +
               s"landed v$next first; re-read and re-merge")
@@ -884,14 +957,14 @@ object Snapshots {
       }
     val rewrittenRows =
       if (maySurvive.isEmpty) read(spark, dir, base).limit(0)
-      else spark.read.parquet(
-        maySurvive.map(f => new HPath(root, f).toString): _*)
+      else readFilesAs(spark, fs, root, base, maySurvive)
         // SQL DELETE keeps NULL-predicate rows: survive = NOT TRUE(pred)
         .filter(!coalesce(pred, lit(false)))
     val staged = stage(rewrittenRows, fs, root)
     val next = base + 1
     if (!casManifest(fs, root, next, untouched ++ staged.files,
-      statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
+      schemaHeader(allNullable(staged.schema)) +:
+        (statsLines(fs, root, base, untouched.toSet) ++ staged.stats)))
       throw new java.util.ConcurrentModificationException(
         s"deleteWhere on $dir@v$base lost the commit race — a writer " +
           s"landed v$next first; re-read and re-delete")
@@ -956,11 +1029,14 @@ object Snapshots {
     val addedFiles = (toF -- fromF).toSeq.sorted
     val removedFiles = (fromF -- toF).toSeq.sorted
     // limit(0) keeps the schema but optimizes to an empty relation —
-    // no file of the pinned version is actually scanned for it
+    // no file of the pinned version is actually scanned for it. BOTH
+    // sides read under toVersion's pinned schema, so after an additive
+    // evolution the diff is expressed in the newer shape (older rows
+    // carry NULL in columns that postdate them).
     lazy val empty = read(spark, dir, toVersion).limit(0)
     def readFiles(files: Seq[String]): DataFrame =
       if (files.isEmpty) empty
-      else spark.read.parquet(files.map(f => new HPath(root, f).toString): _*)
+      else readFilesAs(spark, fs, root, toVersion, files)
     val added = readFiles(addedFiles)
     val removed = readFiles(removedFiles)
     val inserts =
@@ -1004,7 +1080,7 @@ object Snapshots {
           "change; re-sync from a full read")
     val added = (toF -- fromF).toSeq.sorted
     if (added.isEmpty) read(spark, dir, to).limit(0)
-    else spark.read.parquet(added.map(f => new HPath(root, f).toString): _*)
+    else readFilesAs(spark, fs, root, to, added)
   }
 
   /** Integrity audit (the fsck of a snapshot table): verifies every

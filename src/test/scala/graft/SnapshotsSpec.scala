@@ -551,6 +551,78 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.truncMinStat("c" * 100) <= "c" * 100)
   }
 
+  // --- pinned schema + additive evolution ----------------------------
+
+  test("additive append evolves the schema; old files read NULL") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a")).toDF("k", "v"), root)
+    // new column joins at the end; old rows carry NULL there
+    Snapshots.append(Seq((2L, "b", 7.5)).toDF("k", "v", "score"), root)
+    val got = Snapshots.read(spark, root)
+    assert(got.columns.toSeq == Seq("k", "v", "score"))
+    assert(got.orderBy("k").as[(Long, String, Option[Double])]
+      .collect().toSeq == Seq((1L, "a", None), (2L, "b", Some(7.5))))
+    // an append MISSING a table column also works: its rows read NULL
+    Snapshots.append(Seq((3L, 9.0)).toDF("k", "score"), root)
+    assert(Snapshots.read(spark, root).filter($"k" === 3L)
+      .select("v").as[Option[String]].head().isEmpty)
+    // time travel keeps each version's own pinned shape
+    assert(Snapshots.read(spark, root, 1).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("type conflicts refuse to append; overwrite replaces the schema") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a")).toDF("k", "v"), root)
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.append(Seq((2L, 3L)).toDF("k", "v"), root)
+    }
+    assert(ex.getMessage.contains("schema conflict"))
+    // nothing committed by the failed attempt
+    assert(Snapshots.currentVersion(spark, root).contains(1))
+    // overwrite is the explicit type-change path
+    Snapshots.overwrite(Seq((2L, 3L)).toDF("k", "v"), root)
+    assert(Snapshots.read(spark, root).schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("pre-pinning manifests (no #schema line) still read") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a")).toDF("k", "v"), root)
+    // simulate an older writer: strip the schema header from v1
+    val p = new HPath(s"$root/_manifests/v000000001")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val out = fs.create(p, true)
+    try out.write(lines.filterNot(_.startsWith("#schema "))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    assert(Snapshots.read(spark, root).as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a")))
+    // and an append on top re-pins via footer inference
+    Snapshots.append(Seq((2L, "b")).toDF("k", "v"), root)
+    assert(Snapshots.read(spark, root).count() == 2)
+  }
+
+  test("pruning stays sound across schema evolution") {
+    val root = freshRoot()
+    Snapshots.append(Seq(1L, 2L).toDF("k").coalesce(1), root)
+    Snapshots.append(Seq((3L, 100L), (4L, 200L)).toDF("k", "score")
+      .coalesce(1), root)
+    // the pre-evolution file has no score stats: fail-open keeps it
+    val (kept, skipped) = Snapshots.pruneFiles(spark, root, $"score" > 150L)
+    assert(kept.size == 2 && skipped.isEmpty)
+    assert(Snapshots.readWhere(spark, root, $"score" > 150L)
+      .select("k").as[Long].collect().toSeq == Seq(4L))
+    // on a score range disprovable from the evolved file's stats, only
+    // the stats-free old file survives pruning
+    val (kept2, skipped2) = Snapshots.pruneFiles(spark, root, $"score" > 300L)
+    assert(kept2.size == 1 && skipped2.size == 1)
+  }
+
   // --- MERGE INTO (copy-on-write upsert) -----------------------------
 
   test("merge updates matched keys, inserts the rest, one new version") {
