@@ -210,19 +210,41 @@ object Snapshots {
     case x => Seq(x)
   }
 
+  /** The comparison side as a Literal — folding deterministic constant
+    * expressions that ANALYSIS leaves unfolded (constant folding is an
+    * optimizer rule, and pruning runs on the analyzed plan): a
+    * date-range filter is typically `ts >= Cast('1994-01-01' as ts)`,
+    * which must prune exactly like the pre-folded literal would. */
+  private def litOf(e: Expression): Option[Literal] = e match {
+    case l: Literal => Some(l)
+    case x if x.foldable && x.deterministic =>
+      try Some(Literal.create(x.eval(), x.dataType))
+      catch { case NonFatal(_) => None } // un-evaluable: never prune
+    case _ => None
+  }
+
+  private object FoldedLit {
+    def unapply(e: Expression): Option[Literal] = litOf(e)
+  }
+
   private def recognize(e: Expression): Option[Conj] = e match {
-    case EqualTo(a, l: Literal) => attrName(a).map(Cmp(_, "=", l))
-    case EqualTo(l: Literal, a) => attrName(a).map(Cmp(_, "=", l))
-    case GreaterThan(a, l: Literal) => attrName(a).map(Cmp(_, ">", l))
-    case GreaterThan(l: Literal, a) => attrName(a).map(Cmp(_, "<", l))
-    case GreaterThanOrEqual(a, l: Literal) => attrName(a).map(Cmp(_, ">=", l))
-    case GreaterThanOrEqual(l: Literal, a) => attrName(a).map(Cmp(_, "<=", l))
-    case LessThan(a, l: Literal) => attrName(a).map(Cmp(_, "<", l))
-    case LessThan(l: Literal, a) => attrName(a).map(Cmp(_, ">", l))
-    case LessThanOrEqual(a, l: Literal) => attrName(a).map(Cmp(_, "<=", l))
-    case LessThanOrEqual(l: Literal, a) => attrName(a).map(Cmp(_, ">=", l))
-    case In(a, ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
-      attrName(a).map(InSet(_, ls.map(_.asInstanceOf[Literal])))
+    case EqualTo(a, FoldedLit(l)) => attrName(a).map(Cmp(_, "=", l))
+    case EqualTo(FoldedLit(l), a) => attrName(a).map(Cmp(_, "=", l))
+    case GreaterThan(a, FoldedLit(l)) => attrName(a).map(Cmp(_, ">", l))
+    case GreaterThan(FoldedLit(l), a) => attrName(a).map(Cmp(_, "<", l))
+    case GreaterThanOrEqual(a, FoldedLit(l)) =>
+      attrName(a).map(Cmp(_, ">=", l))
+    case GreaterThanOrEqual(FoldedLit(l), a) =>
+      attrName(a).map(Cmp(_, "<=", l))
+    case LessThan(a, FoldedLit(l)) => attrName(a).map(Cmp(_, "<", l))
+    case LessThan(FoldedLit(l), a) => attrName(a).map(Cmp(_, ">", l))
+    case LessThanOrEqual(a, FoldedLit(l)) => attrName(a).map(Cmp(_, "<=", l))
+    case LessThanOrEqual(FoldedLit(l), a) => attrName(a).map(Cmp(_, ">=", l))
+    case In(a, ls) if ls.nonEmpty =>
+      val folded = ls.map(litOf)
+      if (folded.forall(_.isDefined))
+        attrName(a).map(InSet(_, folded.map(_.get)))
+      else None
     case IsNull(a) => attrName(a).map(NullTest(_, isNull = true))
     case IsNotNull(a) => attrName(a).map(NullTest(_, isNull = false))
     case _ => None

@@ -602,6 +602,45 @@ object SinkQueries {
         |  SELECT * FROM base
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
         |  UNION ALL SELECT * FROM src)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Copy-on-write DELETE (Snapshots.deleteWhere): content after the
+    // delete must equal the complement filter exactly, including the
+    // kept NULL-predicate rows; SnapshotsSpec asserts the file-class
+    // behavior (untouched carry, whole-file drops), the oracle pins the
+    // row semantics. The date range makes both prune directions real:
+    // month-files outside it carry, files inside it drop whole.
+    QueryDef("s29_snapshot_delete",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s29_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val base = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+        // year-sliced appends = date-clustered files, so the delete's
+        // range prunes in BOTH directions (outside years carry
+        // untouched, the deleted year drops whole); the fixture's
+        // order dates span 1995-2001
+        (1995 to 2001).foreach(y => Snapshots.append(
+          base.filter(year(col("o_orderdate")) === y).coalesce(1), root))
+        Snapshots.deleteWhere(s, root,
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        Snapshots.read(s, root)
+          .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .orderBy("order_year")
+      },
+      """SELECT year(o_orderdate)::BIGINT AS order_year,
+        |  count(*)::BIGINT AS n_orders,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS sum_price
+        |FROM orders
+        |WHERE NOT (o_orderdate >= '1996-01-01'::TIMESTAMP
+        |  AND o_orderdate < '1997-01-01'::TIMESTAMP)
+        |GROUP BY 1 ORDER BY order_year""".stripMargin)
   )
 }

@@ -751,6 +751,22 @@ class SnapshotsSpec extends SparkSpec {
       (0L until 100L).count(k => (k % 7) % 3 != 1))
   }
 
+  test("unfolded constant literal sides (Cast of literal) still prune") {
+    val root = freshRoot()
+    Seq(("2020-01-05", 1L), ("2020-01-06", 2L)).zipWithIndex.foreach {
+      case ((d, k), _) => Snapshots.append(
+        Seq((k, java.time.LocalDateTime.parse(d + "T00:00")))
+          .toDF("k", "ts").coalesce(1), root)
+    }
+    // analysis leaves lit(...).cast(...) as Cast(Literal) — constant
+    // folding is an optimizer rule the analyzed prune plan never ran;
+    // litOf folds it so the range prunes like a pre-folded literal
+    val pred = $"ts" >= lit("2020-01-06").cast("timestamp_ntz")
+    val (kept, skipped) = Snapshots.pruneFiles(spark, root, pred)
+    assert(kept.size == 1 && skipped.size == 1)
+    assert(Snapshots.readWhere(spark, root, pred).count() == 1)
+  }
+
   test("NNF lets NOT-range reads prune too") {
     val root = freshRoot()
     Seq(0L until 10L, 100L until 110L).foreach(r =>
