@@ -1025,6 +1025,35 @@ object Snapshots {
     None // unreachable
   }
 
+  /** RESTORE: make `version`'s content the CURRENT version again, as a
+    * new commit — the rollback after a bad write. Purely file-level:
+    * the new manifest lists the old version's files (stats and schema
+    * carried), nothing is read or copied, and the bad versions stay in
+    * history for forensics until [[vacuum]]. Refuses if any of the
+    * target's files have been vacuumed away (restoring a hole would
+    * manufacture an unreadable current version). Same OCC discipline
+    * as [[compact]]: a racing commit wins and this throws. */
+  def restore(spark: SparkSession, dir: String, version: Int): Int = {
+    val (fs, root) = fsFor(spark, dir)
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(s"nothing to restore in $dir"))
+    require(versions(spark, dir).contains(version),
+      s"version $version does not exist in $dir")
+    val files = readManifest(fs, root, version)
+    val missing = files.filterNot(f => fs.exists(new HPath(root, f)))
+    require(missing.isEmpty,
+      s"cannot restore $dir to v$version: ${missing.size} of its files " +
+        s"were vacuumed (first: ${missing.headOption.getOrElse("")})")
+    val header =
+      schemaOf(fs, root, version).map(schemaHeader).toSeq ++
+        statsLines(fs, root, version, files.toSet)
+    val next = cur + 1
+    if (!casManifest(fs, root, next, files, header))
+      throw new java.util.ConcurrentModificationException(
+        s"restore of $dir to v$version lost the commit race")
+    next
+  }
+
   /** Row-level change-data-capture between two committed versions:
     * every row of `toVersion` not in `fromVersion` tagged
     * `change_type='insert'`, every row of `fromVersion` not in

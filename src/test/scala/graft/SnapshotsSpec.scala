@@ -623,6 +623,42 @@ class SnapshotsSpec extends SparkSpec {
     assert(kept2.size == 1 && skipped2.size == 1)
   }
 
+  test("restore rolls back file-level; vacuumed targets refuse") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a")).toDF("k", "v"), root)
+    Snapshots.append(Seq((2L, "b")).toDF("k", "v"), root)
+    Snapshots.overwrite(Seq((9L, "bad")).toDF("k", "v"), root)
+    val v = Snapshots.restore(spark, root, 2)
+    assert(v == 4)
+    assert(Snapshots.read(spark, root).orderBy("k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    // the restored version prunes and time-travels like any other
+    assert(Snapshots.read(spark, root, 3).as[(Long, String)]
+      .collect().toSeq == Seq((9L, "bad")))
+    // a vacuumed version vanishes with its manifest: restore refuses
+    Snapshots.overwrite(Seq((5L, "c")).toDF("k", "v"), root)
+    Snapshots.vacuum(spark, root, keepVersions = 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, root, 3)
+    }
+    // and a manifest whose data file is gone (external deletion)
+    // refuses with the missing-file diagnostic instead of committing
+    // an unreadable current version
+    val cur = Snapshots.currentVersion(spark, root).get
+    val (fs, rootP) = {
+      val p = new HPath(root)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    val victim = new HPath(rootP,
+      Snapshots.read(spark, root).inputFiles.head
+        .split("/t/", 2).last)
+    fs.delete(victim, false)
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, root, cur)
+    }
+    assert(ex.getMessage.contains("vacuumed"))
+  }
+
   // --- MERGE INTO (copy-on-write upsert) -----------------------------
 
   test("merge updates matched keys, inserts the rest, one new version") {
