@@ -28,6 +28,12 @@ import org.apache.spark.sql.types._
   *   data/<commit-uuid>/part-*.parquet   immutable once the manifest lands
   * }}}
   *
+  * Manifests come in two kinds: FULL (every data file of the version)
+  * and DELTA (`#delta` header — adds/removes on a base version), so an
+  * append's commit metadata is O(batch) rather than O(table); chains
+  * are depth-bounded by periodic full checkpoints. See the delta
+  * manifests section below.
+  *
   * Commit protocol: stage data files (never referenced until a
   * manifest names them), write the manifest body to a dot-temp file,
   * `rename` it to `v<next>` — rename-to-existing fails on Hadoop
@@ -83,9 +89,59 @@ object Snapshots {
     finally in.close()
   }
 
-  /** The data files of version `v` (metadata headers stripped). */
-  private def readManifest(fs: FileSystem, root: HPath, v: Int): Seq[String] =
-    manifestLines(fs, root, v).filterNot(_.startsWith("#"))
+  // ---- delta manifests ----------------------------------------------
+  //
+  // A manifest is either FULL (lists every data file of its version —
+  // the original format, still what overwrite/compact/optimize and the
+  // first commit write) or a DELTA: `#delta\t<base>\t<depth>` plus
+  // `#remove\t<file>` lines, with its plain file lines meaning files
+  // ADDED on top of the resolved base. An append's commit metadata is
+  // then O(batch), not O(table) — on a table with a million files and
+  // thousands of commits, full-manifest-per-commit metadata is
+  // O(commits × files) cumulative, the classic quadratic the
+  // lakehouse formats solve with a delta log + checkpoints. Chains are
+  // depth-bounded: a commit that would exceed [[CheckpointInterval]]
+  // writes a full manifest (checkpoint) instead, so resolving any
+  // version opens at most CheckpointInterval+1 manifests and the
+  // amortized metadata cost per commit is O(files/interval + batch).
+  // Stats/size lines for a file live in the manifest that ADDS it
+  // (checkpoints re-carry them), so pruning metadata chains the same
+  // way. Fully backward compatible: a manifest without the `#delta`
+  // header is full, and mixed histories resolve per-manifest.
+
+  /** Max delta-chain depth before a commit writes a full checkpoint. */
+  private val CheckpointInterval = 8
+
+  private val DeltaPrefix = "#delta\t"
+  private val RemovePrefix = "#remove\t"
+
+  /** (baseVersion, depth) if the lines are a delta manifest's. */
+  private def deltaHeader(lines: Seq[String]): Option[(Int, Int)] =
+    lines.collectFirst {
+      case l if l.startsWith(DeltaPrefix) =>
+        val f = l.split('\t')
+        (f(1).toInt, f(2).toInt)
+    }
+
+  /** Chain depth of version `v` (0 = full manifest). */
+  private def depthOf(fs: FileSystem, root: HPath, v: Int): Int =
+    deltaHeader(manifestLines(fs, root, v)).map(_._2).getOrElse(0)
+
+  /** The data files of version `v`, in commit order, resolving delta
+    * chains (base's surviving files first, then this commit's adds). */
+  private def readManifest(fs: FileSystem, root: HPath, v: Int): Seq[String] = {
+    val lines = manifestLines(fs, root, v)
+    val adds = lines.filterNot(_.startsWith("#"))
+    deltaHeader(lines) match {
+      case None => adds
+      case Some((base, _)) =>
+        val removed = lines.collect {
+          case l if l.startsWith(RemovePrefix) =>
+            l.substring(RemovePrefix.length)
+        }.toSet
+        readManifest(fs, root, base).filterNot(removed) ++ adds
+    }
+  }
 
   /** The table at `version` (default: latest). The returned plan names
     * this version's exact files — later commits, and even a concurrent
@@ -596,8 +652,9 @@ object Snapshots {
       nulls: Long, rows: Long)
 
   private def statsFor(fs: FileSystem, root: HPath,
-      v: Int): Map[String, Map[String, ColStats]] =
-    manifestLines(fs, root, v).filter(_.startsWith("#stats\t"))
+      v: Int): Map[String, Map[String, ColStats]] = {
+    val lines = manifestLines(fs, root, v)
+    val own = lines.filter(_.startsWith("#stats\t"))
       .flatMap { line =>
         line.split('\t') match {
           case Array(_, file, rows, colEnc, nulls, mnF, mxF) =>
@@ -610,29 +667,53 @@ object Snapshots {
       }
       .groupBy(_._1)
       .map { case (f, xs) => f -> xs.map(x => x._2 -> x._3).toMap }
+    deltaHeader(lines) match {
+      case None => own
+      // a file's stats live where it was added; entries for files the
+      // chain later removed are harmless (pruning looks up only the
+      // resolved file list)
+      case Some((base, _)) => statsFor(fs, root, base) ++ own
+    }
+  }
 
   /** The per-file metadata lines (`#stats`, `#size`) of version `v`,
     * restricted to `files` — what an append carries forward for the
     * files it keeps. */
   private def statsLines(fs: FileSystem, root: HPath, v: Int,
-      files: Set[String]): Seq[String] =
-    manifestLines(fs, root, v).filter { l =>
+      files: Set[String]): Seq[String] = {
+    val lines = manifestLines(fs, root, v)
+    val own = lines.filter { l =>
       (l.startsWith("#stats\t") || l.startsWith("#size\t")) && {
         val fields = l.split('\t')
         fields.length >= 2 && files.contains(fields(1))
       }
     }
+    deltaHeader(lines) match {
+      case None => own
+      // chain lines for the same (kind, file, column) are identical by
+      // construction (a file's metadata is written once, where it was
+      // added; checkpoints copy it verbatim) — distinct dedups them
+      case Some((base, _)) =>
+        (statsLines(fs, root, base, files) ++ own).distinct
+    }
+  }
 
   /** Recorded commit-time byte size per file of version `v`. */
   private def sizesFor(fs: FileSystem, root: HPath,
-      v: Int): Map[String, Long] =
-    manifestLines(fs, root, v).filter(_.startsWith("#size\t"))
+      v: Int): Map[String, Long] = {
+    val lines = manifestLines(fs, root, v)
+    val own = lines.filter(_.startsWith("#size\t"))
       .flatMap { l =>
         l.split('\t') match {
           case Array(_, file, bytes) => Some(file -> bytes.toLong)
           case _ => None
         }
       }.toMap
+    deltaHeader(lines) match {
+      case None => own
+      case Some((base, _)) => sizesFor(fs, root, base) ++ own
+    }
+  }
 
   /** CAS one manifest: true iff this writer won version `v`. */
   private def casManifest(fs: FileSystem, root: HPath, v: Int,
@@ -656,17 +737,6 @@ object Snapshots {
     var attempts = 0
     while (attempts < 10) {
       val base = currentVersion(spark, dir)
-      val carried =
-        if (carryBase) base.map(readManifest(fs, root, _)).getOrElse(Nil)
-        else Nil
-      val files = carried ++ staged.files
-      // stats ride in the manifest they describe: carried files keep
-      // their lines, staged files add theirs — an appended commit never
-      // recomputes history's stats
-      val carriedStats =
-        if (carryBase && base.nonEmpty)
-          statsLines(fs, root, base.get, carried.toSet)
-        else Nil
       // pin the committed schema: an append evolves the base's pinned
       // schema additively (conflicts throw before anything commits); an
       // overwrite replaces it with the staged frame's own
@@ -677,9 +747,30 @@ object Snapshots {
             .getOrElse(allNullable(read(spark, dir, base.get).schema)),
           staged.schema, dir)
       val next = base.getOrElse(0) + 1
-      if (casManifest(fs, root, next, files,
-        schemaHeader(pinned) +: (header ++ carriedStats ++ staged.stats)))
-        return next
+      val committed =
+        if (carryBase && base.nonEmpty &&
+          depthOf(fs, root, base.get) + 1 <= CheckpointInterval) {
+          // DELTA append: this commit's metadata is O(batch) — the
+          // staged files and their stats only, chained on the base
+          val d = depthOf(fs, root, base.get) + 1
+          casManifest(fs, root, next, staged.files,
+            s"#delta\t${base.get}\t$d" +: schemaHeader(pinned) +:
+              (header ++ staged.stats))
+        } else if (carryBase && base.nonEmpty) {
+          // CHECKPOINT: the chain hit its depth bound — write a full
+          // manifest so any version resolves in ≤ interval+1 opens.
+          // Stats ride in the manifest they describe: carried files
+          // keep their (chain-resolved) lines, staged files add theirs
+          val carried = readManifest(fs, root, base.get)
+          val carriedStats = statsLines(fs, root, base.get, carried.toSet)
+          casManifest(fs, root, next, carried ++ staged.files,
+            schemaHeader(pinned) +: (header ++ carriedStats ++ staged.stats))
+        } else {
+          // first commit / overwrite: full manifest of the staged files
+          casManifest(fs, root, next, staged.files,
+            schemaHeader(pinned) +: (header ++ staged.stats))
+        }
+      if (committed) return next
       attempts += 1 // lost the race: re-read the winner's state and retry
     }
     throw new java.util.ConcurrentModificationException(
@@ -919,9 +1010,21 @@ object Snapshots {
           .unionByName(src)
         val staged = stage(rewritten, fs, root)
         val next = v + 1
-        if (!casManifest(fs, root, next, untouched ++ staged.files,
-          schemaHeader(allNullable(staged.schema)) +: (header ++
-            statsLines(fs, root, v, untouched.toSet) ++ staged.stats)))
+        // delta commit when the chain allows: the touched files become
+        // #remove lines and the untouched carry IMPLICITLY through the
+        // base — a narrow merge into a million-file table writes
+        // O(touched) manifest lines, not O(table)
+        val won =
+          if (depthOf(fs, root, v) + 1 <= CheckpointInterval)
+            casManifest(fs, root, next, staged.files,
+              s"#delta\t$v\t${depthOf(fs, root, v) + 1}" +:
+                schemaHeader(allNullable(staged.schema)) +:
+                (header ++ touched.map(f => s"#remove\t$f") ++ staged.stats))
+          else
+            casManifest(fs, root, next, untouched ++ staged.files,
+              schemaHeader(allNullable(staged.schema)) +: (header ++
+                statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
+        if (!won)
           throw new java.util.ConcurrentModificationException(
             s"merge into $dir@v$v lost the commit race — a writer " +
               s"landed v$next first; re-read and re-merge")
@@ -984,9 +1087,19 @@ object Snapshots {
         .filter(!coalesce(pred, lit(false)))
     val staged = stage(rewrittenRows, fs, root)
     val next = base + 1
-    if (!casManifest(fs, root, next, untouched ++ staged.files,
-      schemaHeader(allNullable(staged.schema)) +:
-        (statsLines(fs, root, base, untouched.toSet) ++ staged.stats)))
+    // delta commit when the chain allows (see merge): rewritten and
+    // dropped-whole files are removes, untouched carry through the base
+    val won =
+      if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
+        casManifest(fs, root, next, staged.files,
+          s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
+            schemaHeader(allNullable(staged.schema)) +:
+            (mayMatch.map(f => s"#remove\t$f") ++ staged.stats))
+      else
+        casManifest(fs, root, next, untouched ++ staged.files,
+          schemaHeader(allNullable(staged.schema)) +:
+            (statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
+    if (!won)
       throw new java.util.ConcurrentModificationException(
         s"deleteWhere on $dir@v$base lost the commit race — a writer " +
           s"landed v$next first; re-read and re-delete")
@@ -1190,13 +1303,29 @@ object Snapshots {
   /** Drop manifests older than the newest `keepVersions` and delete
     * data files no retained manifest references. This is the ONLY
     * operation that deletes data — until it runs, every version ever
-    * committed is readable. Returns (versions dropped, files deleted). */
+    * committed is readable. A kept DELTA manifest resolves through its
+    * base chain, so the chain's manifests (and their data files) are
+    * retained too — vacuum may keep up to [[CheckpointInterval]] extra
+    * versions so that every version it leaves listed stays fully
+    * readable. Returns (versions dropped, files deleted). */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the current version")
     val (fs, root) = fsFor(spark, dir)
     val vs = versions(spark, dir)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val (dropCand, keepTail) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    if (dropCand.isEmpty) return (0, 0)
+    // chain closure: every manifest a kept version resolves through
+    val needed = scala.collection.mutable.Set[Int]()
+    def close(v: Int): Unit = if (!needed.contains(v)) {
+      needed += v
+      deltaHeader(manifestLines(fs, root, v)).foreach {
+        case (b, _) => close(b)
+      }
+    }
+    keepTail.foreach(close)
+    val drop = dropCand.filterNot(needed.contains)
     if (drop.isEmpty) return (0, 0)
+    val keep = vs.filter(needed.contains)
     val live = keep.flatMap(readManifest(fs, root, _)).toSet
     val dead = drop.flatMap(readManifest(fs, root, _)).filterNot(live).distinct
     // delete dead files FIRST, their manifests LAST: the dropped

@@ -641,6 +641,43 @@ object SinkQueries {
         |FROM orders
         |WHERE NOT (o_orderdate >= '1996-01-01'::TIMESTAMP
         |  AND o_orderdate < '1997-01-01'::TIMESTAMP)
-        |GROUP BY 1 ORDER BY order_year""".stripMargin)
+        |GROUP BY 1 ORDER BY order_year""".stripMargin),
+
+    // S30: the delta-manifest lifecycle end-to-end — ten appends (the
+    // chain crosses its depth bound, forcing a full checkpoint at
+    // v10), a MERGE and a DELETE that commit as delta manifests with
+    // `#remove` lines, then a vacuum that must retain the delta chain
+    // the surviving versions resolve through. The final read is
+    // byte-compared against the oracle's replay of the same
+    // update+delete from the source table — if chain resolution
+    // dropped, duplicated, or resurrected a single file anywhere in
+    // the 12-commit history, the row hash breaks. DeltaManifestSpec
+    // pins the metadata-boundedness property itself (a delta names
+    // only its own files); this row pins end-to-end content at SF.
+    QueryDef("s30_delta_chain",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s30_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val base = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        (0 until 10).foreach(i => Snapshots.append(
+          base.filter(pmod(col("o_orderkey"), lit(10)) === i), root))
+        val updates = base
+          .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+          .withColumn("o_totalprice", -col("o_totalprice"))
+        Snapshots.merge(s, root, updates, Seq("o_orderkey"))
+        Snapshots.deleteWhere(s, root,
+          pmod(col("o_orderkey"), lit(5)) === lit(4))
+        Snapshots.vacuum(s, root, 3)
+        Snapshots.read(s, root).orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 5 <> 4
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }

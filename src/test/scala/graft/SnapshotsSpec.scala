@@ -432,17 +432,21 @@ class SnapshotsSpec extends SparkSpec {
       val p = new HPath(root)
       (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
     }
-    // simulate a manifest written before stats existed: strip its lines
-    val v3 = new HPath(new HPath(rootP, "_manifests"), "v000000003")
-    val body = {
-      val in = fs.open(v3)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filterNot(_.startsWith("#stats")).mkString("\n") + "\n"
-      finally in.close()
+    // simulate a table written before stats existed: strip the lines
+    // from EVERY manifest (stats chain through delta bases, so one
+    // stripped manifest would still inherit its ancestors')
+    (1 to 3).foreach { v =>
+      val mp = new HPath(new HPath(rootP, "_manifests"), f"v$v%09d")
+      val body = {
+        val in = fs.open(mp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filterNot(_.startsWith("#stats")).mkString("\n") + "\n"
+        finally in.close()
+      }
+      fs.delete(mp, false)
+      val out = fs.create(mp, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
     }
-    fs.delete(v3, false)
-    val out = fs.create(v3, false)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
     val pred = $"id" < 50L
     val (kept, skipped) = Snapshots.pruneFiles(spark, root, pred)
     assert(skipped.isEmpty && kept.size == 3) // no stats → no skipping
