@@ -938,14 +938,37 @@ object Snapshots {
     *
     * The source must be key-unique (checked — a key matched by two
     * source rows has no deterministic MERGE semantics) and carry
-    * exactly the table's columns (any order). Concurrency follows
-    * [[compact]]/[[optimize]]: `expectedVersion` is the OCC token, and
-    * a lost CAS race throws rather than silently dropping the racing
-    * writer's rows. Merging into an empty table is the plain first
-    * append. */
+    * exactly the table's columns (any order). Concurrency: with an
+    * `expectedVersion` OCC token, a lost CAS race throws — the caller
+    * pinned a version and gets told its inspection is stale. UNPINNED
+    * (the default), a lost race RETRIES the whole merge against the
+    * new current version (up to 10 attempts, like [[append]]): the
+    * merge is a function of (table, source), so re-running it on top
+    * of the racing commit is exactly serializing after it — nothing of
+    * either writer is dropped. A content-identical rewrite cannot say
+    * the same, which is why [[compact]]/[[optimize]] always throw.
+    * Merging into an empty table is the plain first append. */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String], expectedVersion: Int = -1): MergeResult =
-    mergeInternal(spark, dir, source, keys, expectedVersion, Nil)
+    if (expectedVersion >= 0)
+      mergeInternal(spark, dir, source, keys, expectedVersion, Nil)
+    else retryOnRace("merge into " + dir)(
+      mergeInternal(spark, dir, source, keys, -1, Nil))
+
+  /** Re-run `body` (which re-resolves the current version itself) on a
+    * lost CAS race — the unpinned-DML serialization loop. */
+  private def retryOnRace[A](what: String)(body: => A): A = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $what")
+  }
 
   private def mergeInternal(spark: SparkSession, dir: String,
       source: DataFrame, keys: Seq[String], expectedVersion: Int,
@@ -1059,10 +1082,19 @@ object Snapshots {
     * rewrites more files; content is always exactly
     * `read(dir).filter(!pred)`. Null-predicate rows (pred evaluates
     * NULL) are KEPT — SQL DELETE semantics: only rows where the
-    * predicate is TRUE are removed. Concurrency: `expectedVersion` OCC
-    * token, lost race throws (see [[compact]]). */
+    * predicate is TRUE are removed. Concurrency mirrors [[merge]]:
+    * with an `expectedVersion` OCC token a lost race throws; unpinned
+    * (the default) it retries against the new current version — the
+    * delete is a function of (table, pred), so re-running serializes
+    * after the racing commit. */
   def deleteWhere(spark: SparkSession, dir: String, pred: Column,
-      expectedVersion: Int = -1): DeleteResult = {
+      expectedVersion: Int = -1): DeleteResult =
+    if (expectedVersion >= 0) deleteInternal(spark, dir, pred, expectedVersion)
+    else retryOnRace("deleteWhere on " + dir)(
+      deleteInternal(spark, dir, pred, -1))
+
+  private def deleteInternal(spark: SparkSession, dir: String, pred: Column,
+      expectedVersion: Int): DeleteResult = {
     val (fs, root) = fsFor(spark, dir)
     val base = if (expectedVersion >= 0) expectedVersion
     else currentVersion(spark, dir).getOrElse(
@@ -1124,18 +1156,8 @@ object Snapshots {
     if (lastBatch(fs, root, spark, dir, writerId).exists(_ >= batchId))
       return None
     val header = Seq(s"#commit writer=$writerId batch=$batchId")
-    var attempts = 0
-    while (true) {
-      try {
-        return Some(
-          mergeInternal(spark, dir, source, keys, -1, header))
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts >= 10) throw e
-      }
-    }
-    None // unreachable
+    Some(retryOnRace("idempotent merge into " + dir)(
+      mergeInternal(spark, dir, source, keys, -1, header)))
   }
 
   /** RESTORE: make `version`'s content the CURRENT version again, as a

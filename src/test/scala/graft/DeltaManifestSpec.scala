@@ -178,6 +178,46 @@ class DeltaManifestSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() == 6)
   }
 
+  test("unpinned concurrent DML all serialize; pinned stale token throws") {
+    val root = freshRoot()
+    Snapshots.append(
+      (0L until 400L).toDF("id").withColumn("v", lit(0L)).repartition(4),
+      root)
+    // four writers race unpinned merges on disjoint key slices — the
+    // retry loop must serialize every one of them (no lost updates,
+    // no aborts), in SOME order
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val merges = (0 until 4).map { w =>
+      Future {
+        val src = (0L until 400L).filter(_ % 4 == w)
+          .map(id => (id, id * 10 + w)).toDF("id", "v")
+        Snapshots.merge(spark, root, src, Seq("id"))
+      }
+    }
+    val results = Await.result(Future.sequence(merges), 120.seconds)
+    assert(results.map(_.version).distinct.size == 4, "each merge commits")
+    val got = Snapshots.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(got.size == 400)
+    (0L until 400L).foreach { id =>
+      assert(got(id) == id * 10 + id % 4, s"id $id")
+    }
+    // a racing unpinned DELETE also serializes
+    val before = Snapshots.currentVersion(spark, root).get
+    val deletes = (0 until 2).map { w =>
+      Future(Snapshots.deleteWhere(spark, root, $"id" % 2 === w.toLong))
+    }
+    Await.result(Future.sequence(deletes), 120.seconds)
+    assert(Snapshots.read(spark, root).count() == 0)
+    // pinned (OCC token) still fails fast on a stale inspection
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.deleteWhere(spark, root, $"id" >= 0L,
+        expectedVersion = before)
+    }
+  }
+
   test("schema evolution pins per-manifest through the chain") {
     val root = freshRoot()
     Snapshots.append(Seq(1L).toDF("id"), root)
