@@ -361,10 +361,15 @@ object Snapshots {
         StructField(s"__mxs_$c", StringType, true),
         StructField(s"__nul_$c", LongType, true),
         StructField(s"__row_$c", LongType, true))))
+    // stats lines are keyed by the files' PHYSICAL column names; the
+    // predicate's atoms are logical — translate at lookup (identity
+    // unless the column was renamed)
+    val physByLogical: Map[String, String] =
+      schema.fields.map(f => f.name -> physOf(f)).toMap
     val rows = files.map { f =>
       val perCol = stats.getOrElse(f, Map.empty)
       Row.fromSeq(f +: refCols.flatMap { c =>
-        perCol.get(c) match {
+        perCol.get(physByLogical.getOrElse(c, c)) match {
           case Some(s) =>
             Seq(true, s.min.orNull, s.max.orNull, s.nulls, s.rows)
           case None => Seq(false, null, null, null, null)
@@ -455,6 +460,169 @@ object Snapshots {
 
   private def schemaHeader(s: StructType): String = SchemaPrefix + s.json
 
+  // ---- column mapping (RENAME / DROP COLUMN) ------------------------
+  //
+  // A column has a LOGICAL name (what queries see — the pinned
+  // schema's field name) and a PHYSICAL name (what the parquet files
+  // and their stats lines carry — `graft.physical` field metadata;
+  // absent means they coincide, the common case and the pre-mapping
+  // format). RENAME changes only the logical name — zero files move on
+  // a 100 TB table, old and new era files read identically because
+  // every file of the lineage wrote the same physical. DROP removes
+  // the field from the pinned schema — files keep the bytes (older
+  // versions still read them), and the physical name goes into the
+  // `#dropped` header pinned by every subsequent commit so a later
+  // append can NEVER resurrect the stale bytes by reintroducing the
+  // name (re-use is refused; a full rewrite lineage restart —
+  // overwrite — clears the tombstones).
+
+  private val PhysicalKey = "graft.physical"
+  private val DroppedPrefix = "#dropped\t"
+
+  /** The parquet-file column name behind a pinned-schema field. */
+  private def physOf(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private def withPhysical(f: StructField, phys: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(PhysicalKey, phys).build())
+
+  private def stripPhysical(f: StructField): StructField =
+    if (!f.metadata.contains(PhysicalKey)) f
+    else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .remove(PhysicalKey).build())
+
+  /** logical → physical for the columns of `df` that exist in the
+    * current pinned schema (staging must write THEIR physical names;
+    * brand-new columns stage under their own name). Empty on a fresh
+    * table — staging is then the identity. */
+  private def physMapFor(spark: SparkSession, dir: String,
+      df: DataFrame): Map[String, String] =
+    currentVersion(spark, dir).flatMap { v =>
+      val (fs, root) = fsFor(spark, dir)
+      schemaOf(fs, root, v)
+    } match {
+      case None => Map.empty
+      case Some(ts) =>
+        val byLower = ts.fields.map(f => f.name.toLowerCase -> f).toMap
+        df.columns.flatMap { c =>
+          byLower.get(c.toLowerCase).map(tf => c -> physOf(tf))
+        }.toMap
+    }
+
+  /** Early, readable refusal of name resurrection — the same rules
+    * [[evolveSchema]] enforces at commit time, checked before any file
+    * is staged (a tombstone collision would otherwise surface as a
+    * confusing duplicate-physical-column failure inside the write). */
+  private def validateIncoming(spark: SparkSession, dir: String,
+      df: DataFrame): Unit =
+    currentVersion(spark, dir).foreach { v =>
+      val (fs, root) = fsFor(spark, dir)
+      schemaOf(fs, root, v).foreach { ts =>
+        val dropped = droppedOf(fs, root, v)
+        val byLower = ts.fields.map(_.name.toLowerCase).toSet
+        df.schema.fields.filterNot(f => byLower.contains(f.name.toLowerCase))
+          .foreach { f =>
+            require(!dropped.exists(_.equalsIgnoreCase(f.name)),
+              s"column name '${f.name}' was previously dropped from $dir " +
+                "— re-adding it would resurrect the dropped files' bytes; " +
+                "pick another name (or overwrite to restart the lineage)")
+            require(!ts.fields.exists(tf =>
+              physOf(tf).equalsIgnoreCase(f.name) && tf.name != f.name),
+              s"column name '${f.name}' is the physical name behind a " +
+                s"renamed column of $dir; pick another name")
+          }
+      }
+    }
+
+  private def droppedHeader(dropped: Set[String]): Seq[String] =
+    if (dropped.isEmpty) Nil
+    else Seq(DroppedPrefix +
+      dropped.toSeq.sorted.map(enc).mkString(","))
+
+  /** Physical names dropped at or before version `v` (pinned by every
+    * commit, like the schema — no chain walk needed). */
+  private def droppedOf(fs: FileSystem, root: HPath, v: Int): Set[String] =
+    manifestLines(fs, root, v).collectFirst {
+      case l if l.startsWith(DroppedPrefix) =>
+        l.substring(DroppedPrefix.length).split(',')
+          .filter(_.nonEmpty).map(dec).toSet
+    }.getOrElse(Set.empty)
+
+  /** RENAME COLUMN — a metadata-only commit: the new version pins the
+    * schema with the field's logical name changed and its physical
+    * name (the one every existing file wrote) recorded, and lists the
+    * SAME data files as the base. Nothing is read or copied; appends
+    * after the rename stage their files under the original physical
+    * name, so both eras read uniformly. Unpinned-DML concurrency: a
+    * lost race retries on the new current version. */
+  def renameColumn(spark: SparkSession, dir: String, existing: String,
+      newName: String): Int = retryOnRace(s"renameColumn on $dir") {
+    require(newName.nonEmpty && !newName.contains("\t"),
+      s"invalid column name '$newName'")
+    val (fs, root) = fsFor(spark, dir)
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(s"no table under $dir"))
+    val schema = schemaOf(fs, root, v)
+      .getOrElse(allNullable(read(spark, dir, v).schema))
+    val f = schema.fields.find(_.name.equalsIgnoreCase(existing))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$existing' in $dir: ${schema.fieldNames.toSeq}"))
+    require(!schema.fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists in $dir")
+    val evolved = StructType(schema.fields.map { x =>
+      if (x eq f) withPhysical(x, physOf(x)).copy(name = newName) else x
+    })
+    metadataCommit(fs, root, spark, dir, v, evolved, droppedOf(fs, root, v))
+  }
+
+  /** DROP COLUMN — a metadata-only commit: the field leaves the pinned
+    * schema (current and later versions stop seeing it; TIME TRAVEL to
+    * earlier versions still reads it — the bytes stay in the files),
+    * and its physical name is tombstoned so no later append can
+    * reintroduce the name over the stale bytes. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int =
+    retryOnRace(s"dropColumn on $dir") {
+      val (fs, root) = fsFor(spark, dir)
+      val v = currentVersion(spark, dir).getOrElse(
+        throw new java.util.NoSuchElementException(s"no table under $dir"))
+      val schema = schemaOf(fs, root, v)
+        .getOrElse(allNullable(read(spark, dir, v).schema))
+      val f = schema.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column '$name' in $dir: ${schema.fieldNames.toSeq}"))
+      require(schema.fields.length > 1,
+        s"cannot drop the only column of $dir")
+      val evolved = StructType(schema.fields.filterNot(_ eq f))
+      metadataCommit(fs, root, spark, dir, v, evolved,
+        droppedOf(fs, root, v) + physOf(f))
+    }
+
+  /** Commit a schema/tombstone change with the base's exact file list —
+    * pure DDL, a delta with no adds/removes when the chain allows. */
+  private def metadataCommit(fs: FileSystem, root: HPath,
+      spark: SparkSession, dir: String, base: Int, schema: StructType,
+      dropped: Set[String]): Int = {
+    val next = base + 1
+    val d = depthOf(fs, root, base) + 1
+    val won =
+      if (d <= CheckpointInterval)
+        casManifest(fs, root, next, Nil,
+          s"#delta\t$base\t$d" +: schemaHeader(schema) +:
+            droppedHeader(dropped))
+      else {
+        val files = readManifest(fs, root, base)
+        casManifest(fs, root, next, files,
+          schemaHeader(schema) +: (droppedHeader(dropped) ++
+            statsLines(fs, root, base, files.toSet)))
+      }
+    if (!won)
+      throw new java.util.ConcurrentModificationException(
+        s"DDL on $dir@v$base lost the commit race")
+    next
+  }
+
   /** The schema a version's manifest pins (absent for manifests written
     * before schema pinning — those read by footer inference). */
   private def schemaOf(fs: FileSystem, root: HPath,
@@ -475,34 +643,69 @@ object Snapshots {
     * overwrite, never an implicit append); new columns join at the end
     * and read as NULL from files that predate them; table columns the
     * incoming frame lacks stay — its new files read NULL there. Order
-    * and name casing follow the table. */
+    * and name casing follow the table. Column-mapping rules: shared
+    * columns keep the TABLE's physical metadata (a physical mismatch
+    * against what the batch staged means a rename landed mid-commit —
+    * loud failure, the staged files wrote the wrong physical); a new
+    * column's name must collide with neither a tombstoned physical
+    * (its bytes would resurrect from pre-drop files) nor a live
+    * physical behind a renamed column (its bytes would cross-feed). */
   private def evolveSchema(table: StructType, incoming: StructType,
-      dir: String): StructType = {
+      dir: String, dropped: Set[String]): StructType = {
     val byLower = table.fields.map(f => f.name.toLowerCase -> f).toMap
     incoming.fields.foreach { f =>
-      byLower.get(f.name.toLowerCase).foreach { tf =>
-        require(tf.dataType == f.dataType,
-          s"schema conflict on column '${tf.name}' of $dir: table has " +
-            s"${tf.dataType.sql}, incoming frame has ${f.dataType.sql} — " +
-            "type changes require an explicit overwrite")
-        require(tf.name == f.name,
-          s"column case drift on '${tf.name}' vs '${f.name}' in $dir — " +
-            "rename to the table's casing")
+      byLower.get(f.name.toLowerCase) match {
+        case Some(tf) =>
+          require(tf.dataType == f.dataType,
+            s"schema conflict on column '${tf.name}' of $dir: table has " +
+              s"${tf.dataType.sql}, incoming frame has ${f.dataType.sql} — " +
+              "type changes require an explicit overwrite")
+          require(tf.name == f.name,
+            s"column case drift on '${tf.name}' vs '${f.name}' in $dir — " +
+              "rename to the table's casing")
+          if (physOf(tf) != physOf(f))
+            throw new java.util.ConcurrentModificationException(
+              s"column '${tf.name}' of $dir was renamed while this batch " +
+                s"staged (staged physical '${physOf(f)}', table physical " +
+                s"'${physOf(tf)}') — re-run the write")
+        case None =>
+          require(!dropped.exists(_.equalsIgnoreCase(f.name)),
+            s"column name '${f.name}' was previously dropped from $dir — " +
+              "re-adding it would resurrect the dropped files' bytes; " +
+              "pick another name (or overwrite to restart the lineage)")
+          require(!table.fields.exists(tf =>
+            physOf(tf).equalsIgnoreCase(f.name) && tf.name != f.name),
+            s"column name '${f.name}' is the physical name behind a " +
+              s"renamed column of $dir; pick another name")
       }
     }
     val added = incoming.fields
       .filterNot(f => byLower.contains(f.name.toLowerCase))
-    allNullable(StructType(table.fields ++ added))
+    allNullable(StructType(table.fields.map(stripPhysicalIfRedundant) ++
+      added))
   }
+
+  private def stripPhysicalIfRedundant(f: StructField): StructField =
+    if (physOf(f) == f.name) stripPhysical(f) else f
 
   /** Read `files` of version `v` under that version's pinned schema
     * (files predating an added column yield NULL there); pre-pinning
-    * manifests fall back to footer inference. */
+    * manifests fall back to footer inference. Renamed columns read
+    * under their PHYSICAL file name and surface under the logical one
+    * (a Project over the scan — filters and column pruning push
+    * through it). */
   private def readFilesAs(spark: SparkSession, fs: FileSystem, root: HPath,
       v: Int, files: Seq[String]): DataFrame = {
     val paths = files.map(f => new HPath(root, f).toString)
     schemaOf(fs, root, v) match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case Some(s) if s.fields.forall(f => physOf(f) == f.name) =>
+        spark.read.schema(s).parquet(paths: _*)
+      case Some(s) =>
+        val phys = StructType(
+          s.fields.map(f => stripPhysical(f).copy(name = physOf(f))))
+        spark.read.schema(phys).parquet(paths: _*)
+          .select(s.fields.toSeq.map(f =>
+            col(physOf(f)).as(f.name, f.metadata)): _*)
       case None => spark.read.parquet(paths: _*)
     }
   }
@@ -516,12 +719,21 @@ object Snapshots {
   /** Stage `df`'s parquet files under an immutable commit dir; return
     * their root-relative paths and per-file column stats. Nothing
     * references them until a manifest does — a crash here leaves
-    * ignorable orphans only. */
-  private def stage(df: DataFrame, fs: FileSystem, root: HPath): Staged = {
+    * ignorable orphans only. `phys` maps the frame's logical column
+    * names to the physical names the files must write (the table's
+    * column mapping); columns it omits stage under their own name. The
+    * recorded [[Staged.schema]] is LOGICAL, carrying the physical name
+    * as field metadata where the two differ. */
+  private def stage(df: DataFrame, fs: FileSystem, root: HPath,
+      phys: Map[String, String] = Map.empty): Staged = {
+    val renamed = df.columns.filter(c => phys.getOrElse(c, c) != c)
+    val out =
+      if (renamed.isEmpty) df
+      else df.select(df.columns.toSeq.map(c => col(c).as(phys.getOrElse(c, c))): _*)
     val commitId = java.util.UUID.randomUUID.toString
     val rel = s"$DataDir/$commitId"
     val dir = new HPath(root, rel)
-    df.write.parquet(dir.toString)
+    out.write.parquet(dir.toString)
     val listed = fs.listStatus(dir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
@@ -531,8 +743,12 @@ object Snapshots {
     // is detectable forever after
     val sizes = listed.map(st =>
       s"#size\t$rel/${st.getPath.getName}\t${st.getLen}").toSeq
+    val logical = StructType(df.schema.fields.map { f =>
+      val p = phys.getOrElse(f.name, f.name)
+      if (p == f.name) stripPhysical(f) else withPhysical(stripPhysical(f), p)
+    })
     Staged(files, sizes ++ collectStats(df.sparkSession, dir.toString, rel),
-      df.schema)
+      logical)
   }
 
   /** Stats cover the first [[StatsMaxCols]] atomic-typed top-level
@@ -740,12 +956,15 @@ object Snapshots {
       // pin the committed schema: an append evolves the base's pinned
       // schema additively (conflicts throw before anything commits); an
       // overwrite replaces it with the staged frame's own
+      val dropped =
+        if (carryBase && base.nonEmpty) droppedOf(fs, root, base.get)
+        else Set.empty[String]
       val pinned =
         if (!carryBase || base.isEmpty) allNullable(staged.schema)
         else evolveSchema(
           schemaOf(fs, root, base.get)
             .getOrElse(allNullable(read(spark, dir, base.get).schema)),
-          staged.schema, dir)
+          staged.schema, dir, dropped)
       val next = base.getOrElse(0) + 1
       val committed =
         if (carryBase && base.nonEmpty &&
@@ -755,7 +974,7 @@ object Snapshots {
           val d = depthOf(fs, root, base.get) + 1
           casManifest(fs, root, next, staged.files,
             s"#delta\t${base.get}\t$d" +: schemaHeader(pinned) +:
-              (header ++ staged.stats))
+              (droppedHeader(dropped) ++ header ++ staged.stats))
         } else if (carryBase && base.nonEmpty) {
           // CHECKPOINT: the chain hit its depth bound — write a full
           // manifest so any version resolves in ≤ interval+1 opens.
@@ -764,9 +983,11 @@ object Snapshots {
           val carried = readManifest(fs, root, base.get)
           val carriedStats = statsLines(fs, root, base.get, carried.toSet)
           casManifest(fs, root, next, carried ++ staged.files,
-            schemaHeader(pinned) +: (header ++ carriedStats ++ staged.stats))
+            schemaHeader(pinned) +: (droppedHeader(dropped) ++ header ++
+              carriedStats ++ staged.stats))
         } else {
-          // first commit / overwrite: full manifest of the staged files
+          // first commit / overwrite: full manifest of the staged
+          // files; a fresh lineage has no tombstones
           casManifest(fs, root, next, staged.files,
             schemaHeader(pinned) +: (header ++ staged.stats))
         }
@@ -783,7 +1004,9 @@ object Snapshots {
   def append(df: DataFrame, dir: String): Int = {
     val spark = df.sparkSession
     val (fs, root) = fsFor(spark, dir)
-    commitLoop(fs, root, spark, dir, stage(df, fs, root), carryBase = true)
+    validateIncoming(spark, dir, df)
+    commitLoop(fs, root, spark, dir,
+      stage(df, fs, root, physMapFor(spark, dir, df)), carryBase = true)
   }
 
   /** Replace the table content with `df` as a new version. Last writer
@@ -827,7 +1050,8 @@ object Snapshots {
     val (fs, root) = fsFor(spark, dir)
     if (lastBatch(fs, root, spark, dir, writerId).exists(_ >= batchId))
       return None // replay of an already-committed batch
-    val staged = stage(df, fs, root)
+    validateIncoming(spark, dir, df)
+    val staged = stage(df, fs, root, physMapFor(spark, dir, df))
     Some(commitLoop(fs, root, spark, dir, staged, carryBase = true,
       header = Seq(s"#commit writer=$writerId batch=$batchId")))
   }
@@ -893,10 +1117,18 @@ object Snapshots {
     val base = if (expectedVersion >= 0) expectedVersion
     else currentVersion(spark, dir).getOrElse(
       throw new java.util.NoSuchElementException(s"nothing to rewrite in $dir"))
-    val staged = stage(transform(read(spark, dir, base)), fs, root)
+    // a content-identical rewrite keeps the base's pinned schema
+    // (column mapping included — the new files write the SAME physical
+    // names, so cross-version reads like diff stay era-uniform) and
+    // carries its tombstones
+    val baseSchema = schemaOf(fs, root, base)
+    val phys = baseSchema.map(s =>
+      s.fields.map(f => f.name -> physOf(f)).toMap).getOrElse(Map.empty)
+    val staged = stage(transform(read(spark, dir, base)), fs, root, phys)
     val next = base + 1
     if (!casManifest(fs, root, next, staged.files,
-      schemaHeader(allNullable(staged.schema)) +: staged.stats))
+      schemaHeader(baseSchema.getOrElse(allNullable(staged.schema))) +:
+        (droppedHeader(droppedOf(fs, root, base)) ++ staged.stats)))
       throw new java.util.ConcurrentModificationException(
         s"rewrite of $dir@v$base lost the commit race — a writer landed " +
           s"v$next first; re-run maintenance when the table is quiescent")
@@ -1031,7 +1263,12 @@ object Snapshots {
         val rewritten = touchedRows
           .join(src.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(src)
-        val staged = stage(rewritten, fs, root)
+        val basePinned = schemaOf(fs, root, v)
+        val staged = stage(rewritten, fs, root,
+          basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
+            .getOrElse(Map.empty))
+        val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+        val droppedSet = droppedOf(fs, root, v)
         val next = v + 1
         // delta commit when the chain allows: the touched files become
         // #remove lines and the untouched carry IMPLICITLY through the
@@ -1041,11 +1278,13 @@ object Snapshots {
           if (depthOf(fs, root, v) + 1 <= CheckpointInterval)
             casManifest(fs, root, next, staged.files,
               s"#delta\t$v\t${depthOf(fs, root, v) + 1}" +:
-                schemaHeader(allNullable(staged.schema)) +:
-                (header ++ touched.map(f => s"#remove\t$f") ++ staged.stats))
+                schemaHeader(pinnedSchema) +:
+                (droppedHeader(droppedSet) ++ header ++
+                  touched.map(f => s"#remove\t$f") ++ staged.stats))
           else
             casManifest(fs, root, next, untouched ++ staged.files,
-              schemaHeader(allNullable(staged.schema)) +: (header ++
+              schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
+                header ++
                 statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
         if (!won)
           throw new java.util.ConcurrentModificationException(
@@ -1117,7 +1356,12 @@ object Snapshots {
       else readFilesAs(spark, fs, root, base, maySurvive)
         // SQL DELETE keeps NULL-predicate rows: survive = NOT TRUE(pred)
         .filter(!coalesce(pred, lit(false)))
-    val staged = stage(rewrittenRows, fs, root)
+    val basePinned = schemaOf(fs, root, base)
+    val staged = stage(rewrittenRows, fs, root,
+      basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
+        .getOrElse(Map.empty))
+    val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+    val droppedSet = droppedOf(fs, root, base)
     val next = base + 1
     // delta commit when the chain allows (see merge): rewritten and
     // dropped-whole files are removes, untouched carry through the base
@@ -1125,12 +1369,13 @@ object Snapshots {
       if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
         casManifest(fs, root, next, staged.files,
           s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
-            schemaHeader(allNullable(staged.schema)) +:
-            (mayMatch.map(f => s"#remove\t$f") ++ staged.stats))
+            schemaHeader(pinnedSchema) +:
+            (droppedHeader(droppedSet) ++
+              mayMatch.map(f => s"#remove\t$f") ++ staged.stats))
       else
         casManifest(fs, root, next, untouched ++ staged.files,
-          schemaHeader(allNullable(staged.schema)) +:
-            (statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
+          schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
+            statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
     if (!won)
       throw new java.util.ConcurrentModificationException(
         s"deleteWhere on $dir@v$base lost the commit race — a writer " +
@@ -1181,6 +1426,7 @@ object Snapshots {
         s"were vacuumed (first: ${missing.headOption.getOrElse("")})")
     val header =
       schemaOf(fs, root, version).map(schemaHeader).toSeq ++
+        droppedHeader(droppedOf(fs, root, version)) ++
         statsLines(fs, root, version, files.toSet)
     val next = cur + 1
     if (!casManifest(fs, root, next, files, header))

@@ -678,6 +678,39 @@ object SinkQueries {
         |  CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders WHERE o_orderkey % 5 <> 4
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // S31: column mapping — RENAME COLUMN is a metadata-only commit
+    // (zero files move; the physical parquet column name never
+    // changes), so files written BEFORE the rename and files appended
+    // AFTER it (which arrive in the new logical shape but stage under
+    // the original physical name) must read as one uniform table.
+    // DROP COLUMN then removes a field going forward while history
+    // keeps it. The oracle replays the rename as a plain alias over
+    // the source — if either era's files fed the wrong column (the
+    // failure mode column mapping exists to prevent), every row after
+    // the rename boundary would hash-mismatch.
+    QueryDef("s31_rename_drop",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s31_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val base = Tables.orders(s, dir)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        Snapshots.append(
+          base.filter(pmod(col("o_orderkey"), lit(3)) === 0), root)
+        Snapshots.append(
+          base.filter(pmod(col("o_orderkey"), lit(3)) === 1), root)
+        Snapshots.renameColumn(s, root, "o_totalprice", "price")
+        Snapshots.append(
+          base.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+            .withColumnRenamed("o_totalprice", "price"), root)
+        Snapshots.dropColumn(s, root, "o_orderstatus")
+        Snapshots.read(s, root).orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_totalprice AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
   )
 }
