@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Snapshots
+
+/** Batch [[BaseRelation]] over a [[Snapshots]] table, so the standard
+  * reader API works alongside the streaming one:
+  *
+  *   spark.read.format("graft-snapshots").option("path", dir)
+  *     [.option("versionAsOf", 3)].load()
+  *
+  * Filters Spark pushes into [[buildScan]] are translated back to
+  * `Column` predicates and handed to [[Snapshots.readWhere]] — the
+  * manifest-stats FILE pruning runs before any data is opened, and the
+  * parquet scan below still sees the pushed filters (the translated
+  * predicate is part of the inner plan). All filters are also declared
+  * unhandled so Spark re-applies them above — pruning is a subset
+  * proof, not row-exact. `versionAsOf` is the reader-facing time
+  * travel.
+  *
+  * The scan surfaces through the DSv1 row interface (one extra
+  * row-conversion layer); for hot analytical paths prefer
+  * [[Snapshots.read]]/[[Snapshots.readWhere]], which return the native
+  * columnar scan. This relation is the interop surface — temp views,
+  * `spark.sql` over snapshot tables, tools that only speak
+  * `spark.read.format`.
+  */
+private[streaming] class SnapshotRelation(val sqlContext: SQLContext,
+    dir: String, version: Int) extends BaseRelation
+    with PrunedFilteredScan {
+
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType = Snapshots.read(spark, dir, version).schema
+
+  // pruning may read fewer FILES but never fewer matching rows; Spark
+  // re-applies every filter above the scan, so partial translation of
+  // a filter tree is always safe
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val pred = filters.flatMap(filterToColumn(_)).reduceOption(_ && _)
+    val base: DataFrame = pred match {
+      case Some(p) => Snapshots.readWhere(spark, dir, p, version)
+      case None => Snapshots.read(spark, dir, version)
+    }
+    base.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+
+  /** sources.Filter → Column, best-effort: an untranslatable node
+    * yields None (its conjunct just doesn't prune — Spark still
+    * filters rows). Inside OR/NOT, BOTH/the child must translate or
+    * the whole subtree is dropped (a partial OR would narrow it). */
+  private def filterToColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case sources.And(l, r) => // one translated side still narrows soundly
+      (filterToColumn(l), filterToColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, other) => one.orElse(other)
+      }
+    case sources.Or(l, r) =>
+      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+    case sources.Not(c) => filterToColumn(c).map(!_)
+    case _ => None
+  }
+}

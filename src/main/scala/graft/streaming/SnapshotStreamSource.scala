@@ -1,10 +1,10 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.{DataFrame, GraftSql, SQLContext}
+import org.apache.spark.sql.{DataFrame, GraftSql, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -55,9 +55,46 @@ import graft.ops.Snapshots
   * tick; this source is that loop with per-tick cost = per-tick data.
   */
 class SnapshotSourceProvider extends StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshots"
+
+  /** Batch READ through the standard reader API —
+    * `spark.read.format("graft-snapshots").option("path", dir)
+    * [.option("versionAsOf", n)].load()` — time travel included. The
+    * relation hands pushed filters to `Snapshots.readWhere` for
+    * manifest-stats file pruning (see [[SnapshotRelation]]). */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new SnapshotRelation(sqlContext, dirOf(parameters),
+      parameters.get("versionAsOf").map(_.toInt).getOrElse(-1))
+
+  /** Batch WRITE through the standard writer API —
+    * `df.write.format("graft-snapshots").mode(...).save(dir)`.
+    * SaveMode maps onto the commit protocol: Append →
+    * `Snapshots.append` (a new version, CAS-retried), Overwrite →
+    * `Snapshots.overwrite` (content replaced, history retained),
+    * ErrorIfExists → first commit only, Ignore → no-op on an existing
+    * table. The write side has no row-conversion overhead — the
+    * incoming frame commits through the same path as the library
+    * calls. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val dir = dirOf(parameters)
+    val exists =
+      Snapshots.currentVersion(sqlContext.sparkSession, dir).isDefined
+    mode match {
+      case SaveMode.Append => Snapshots.append(data, dir)
+      case SaveMode.Overwrite => Snapshots.overwrite(data, dir)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"snapshot table already exists under $dir (SaveMode.ErrorIfExists)")
+        Snapshots.append(data, dir)
+      case SaveMode.Ignore => if (!exists) Snapshots.append(data, dir)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   /** Streaming WRITE into a snapshot table — the sink-side of the same
     * format, so `readStream.format("graft-snapshots")` →
@@ -200,7 +237,19 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext,
     val to = version(end)
     // a replayed batch after restart also refreshes the sizing base
     if (lastOffered.forall(_ < to)) { writeBase(to); lastOffered = Some(to) }
-    GraftSql.streamingFrame(Snapshots.changesSince(spark, dir, from, to))
+    val delta = Snapshots.changesSince(spark, dir, from, to)
+    // a RENAME/DROP landing mid-stream changes the table's logical
+    // shape under the query's pinned schema — downstream operators
+    // would misbind columns. Fail loudly with the remedy instead.
+    if (delta.schema.map(f => (f.name, f.dataType)) !=
+        schema.map(f => (f.name, f.dataType)))
+      throw new IllegalStateException(
+        s"snapshot table $dir changed schema mid-stream (was " +
+          s"${schema.simpleString}, version $to has " +
+          s"${delta.schema.simpleString}) — a RENAME/DROP landed while " +
+          "this query ran; restart the streaming query to adopt the " +
+          "new shape")
+    GraftSql.streamingFrame(delta)
   }
 
   override def commit(end: Offset): Unit = ()

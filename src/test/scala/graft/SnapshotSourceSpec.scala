@@ -128,6 +128,32 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(all.flatten.sorted == (1L to 10L)) // exactly once, no loss
   }
 
+  test("a mid-stream RENAME fails the query rather than misbinding") {
+    val base = Files.createTempDirectory("snap-src-ren")
+    val table = s"$base/t"
+    Snapshots.append(spark.range(5).toDF("id"), table)
+    val got = mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", table).load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.synchronized { got ++= df.select("id").as[Long].collect() }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    assert(got.size == 5)
+    Snapshots.renameColumn(spark, table, "id", "ident")
+    Snapshots.append(spark.range(5, 9).toDF("ident"), table)
+    val ex = intercept[StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    assert(ex.getCause.getMessage.contains("changed schema mid-stream"))
+  }
+
   test("a rewritten history fails the stream rather than lying") {
     val base = Files.createTempDirectory("snap-src-rw")
     val table = s"$base/t"
