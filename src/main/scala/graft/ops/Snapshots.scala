@@ -351,40 +351,71 @@ object Snapshots {
         disjunctsOf(item).map(d => conjunctsOf(d).flatMap(resolveAtom))
       }
     val atoms = items.flatten.flatten
-    if (atoms.isEmpty || stats.isEmpty) return (files, Nil)
-    val colType = atoms.map { case (c, t) => c.colName -> t }.toMap
-    val refCols = atoms.map(_._1.colName).distinct
-    val rawSchema = StructType(StructField("__file", StringType, false) +:
-      refCols.flatMap(c => Seq(
-        StructField(s"__has_$c", BooleanType, false),
-        StructField(s"__mns_$c", StringType, true),
-        StructField(s"__mxs_$c", StringType, true),
-        StructField(s"__nul_$c", LongType, true),
-        StructField(s"__row_$c", LongType, true))))
+    if (atoms.isEmpty) return (files, Nil)
     // stats lines are keyed by the files' PHYSICAL column names; the
     // predicate's atoms are logical — translate at lookup (identity
     // unless the column was renamed)
     val physByLogical: Map[String, String] =
       schema.fields.map(f => f.name -> physOf(f)).toMap
+    // bloom probes: `=` / IN atoms over bloom-indexed columns, tested
+    // against per-file sidecars in executors ([[probeBlooms]])
+    val bloomCfg = bloomConfigOf(fs, root, v)
+    val bloomRefs: Map[String, Map[String, String]] =
+      if (bloomCfg.isEmpty) Map.empty else bloomRefsFor(fs, root, v)
+    def probeOf(conj: Conj): Option[(String, Seq[Any])] =
+      bloomCfg.flatMap { cfg =>
+        val phys = physByLogical.getOrElse(conj.colName, conj.colName)
+        if (!cfg.cols.contains(phys)) None
+        else conj match {
+          case Cmp(_, "=", l) => bloomValue(l).map(bv => phys -> Seq(bv))
+          case InSet(_, ls) =>
+            val vs = ls.map(bloomValue)
+            if (vs.nonEmpty && vs.forall(_.isDefined))
+              Some(phys -> vs.flatten)
+            else None
+          case _ => None
+        }
+      }
+    val probes: Seq[(Conj, String, Seq[Any])] = atoms.map(_._1).distinct
+      .flatMap(c => probeOf(c).map(pv => (c, pv._1, pv._2)))
+    val haveBloom = probes.nonEmpty && bloomRefs.nonEmpty
+    if (stats.isEmpty && !haveBloom) return (files, Nil)
+    val bloomKill: Map[String, Set[Int]] =
+      if (!haveBloom) Map.empty
+      else probeBlooms(spark, root.toString, files, bloomRefs, probes)
+    val probeIdx: Map[Conj, Int] =
+      probes.zipWithIndex.map { case ((c, _, _), i) => c -> i }.toMap
+    val colType = atoms.map { case (c, t) => c.colName -> t }.toMap
+    val refCols = atoms.map(_._1.colName).distinct
+    val rawSchema = StructType(StructField("__file", StringType, false) +:
+      (refCols.flatMap(c => Seq(
+        StructField(s"__has_$c", BooleanType, false),
+        StructField(s"__mns_$c", StringType, true),
+        StructField(s"__mxs_$c", StringType, true),
+        StructField(s"__nul_$c", LongType, true),
+        StructField(s"__row_$c", LongType, true))) ++
+        probes.indices.map(i =>
+          StructField(s"__bf_$i", BooleanType, false))))
     val rows = files.map { f =>
       val perCol = stats.getOrElse(f, Map.empty)
-      Row.fromSeq(f +: refCols.flatMap { c =>
+      val kills = bloomKill.getOrElse(f, Set.empty)
+      Row.fromSeq(f +: (refCols.flatMap { c =>
         perCol.get(physByLogical.getOrElse(c, c)) match {
           case Some(s) =>
             Seq(true, s.min.orNull, s.max.orNull, s.nulls, s.rows)
           case None => Seq(false, null, null, null, null)
         }
-      })
+      } ++ probes.indices.map(kills.contains)))
     }
     val typed = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), rawSchema)
-      .select(col("__file") +: refCols.flatMap { c =>
+      .select(col("__file") +: (refCols.flatMap { c =>
         val t = colType(c)
         Seq(col(s"__has_$c"),
           col(s"__mns_$c").cast(t).as(s"__mn_$c"),
           col(s"__mxs_$c").cast(t).as(s"__mx_$c"),
           col(s"__nul_$c"), col(s"__row_$c"))
-      }: _*)
+      } ++ probes.indices.map(i => col(s"__bf_$i"))): _*)
     // proven-empty for ONE atom; every null/unknown path defaults to
     // false (cannot disprove). mn/mx are BOUNDS, not necessarily
     // attained values (string stats are prefix-truncated — see
@@ -422,7 +453,12 @@ object Snapshots {
           coalesce(col(s"__nul_$c") <= 0L, lit(false))
         case NullTest(_, false) => mn.isNull
       }
-      has && coalesce(definitelyNot, lit(false))
+      val statsNot = has && coalesce(definitelyNot, lit(false))
+      // a bloom negative is its own proof — it needs no stats line
+      probeIdx.get(conj) match {
+        case Some(i) => statsNot || col(s"__bf_$i")
+        case None => statsNot
+      }
     }
     // keep = NOT (every disjunct of some conjunct disproven)
     val keepCond = items.map { disjuncts =>
@@ -511,6 +547,229 @@ object Snapshots {
         }.toMap
     }
 
+  // ---- per-file Bloom sidecar index ---------------------------------
+  //
+  // Min/max range stats cannot prune an EQUALITY probe when a
+  // high-cardinality key is scattered across every file's full range —
+  // the unclustered CDC-merge shape, where a single-key upsert would
+  // read the whole table. A bloom-indexed column writes one small
+  // sidecar file per data file at stage time (immutable, next to the
+  // data, referenced by a `#bloom` manifest line that chains exactly
+  // like `#stats`); pruning then tests `=`/`IN` atoms against the
+  // sidecars IN EXECUTORS (the driver never reads index bytes — at a
+  // million files the probe is a parallel map over file names, not a
+  // driver loop). Bloom negatives are exact, so skipping is sound;
+  // false positives and missing/unreadable sidecars only keep extra
+  // files (fail-open, same discipline as stats). The config names
+  // PHYSICAL columns, so probing survives RENAME; it is pinned per
+  // commit (like `#dropped`) and applies to files staged AFTER it —
+  // older files simply keep failing open until a rewrite
+  // ([[compact]]/[[optimize]]) rebuilds them with sidecars.
+
+  final case class BloomConfig(cols: Seq[String], expectedItems: Long,
+    fpp: Double)
+
+  private val BloomColsPrefix = "#bloomcols\t"
+  private val BloomLinePrefix = "#bloom\t"
+
+  private def bloomHeader(cfg: Option[BloomConfig]): Seq[String] =
+    cfg.toSeq.map(c => BloomColsPrefix + c.expectedItems + "\t" + c.fpp +
+      "\t" + c.cols.map(enc).mkString(","))
+
+  /** The bloom-index config pinned at version `v`, if any. */
+  private def bloomConfigOf(fs: FileSystem, root: HPath,
+      v: Int): Option[BloomConfig] =
+    manifestLines(fs, root, v).collectFirst {
+      case l if l.startsWith(BloomColsPrefix) =>
+        val f = l.substring(BloomColsPrefix.length).split('\t')
+        BloomConfig(f(2).split(',').filter(_.nonEmpty).map(dec).toSeq,
+          f(0).toLong, f(1).toDouble)
+    }.filter(_.cols.nonEmpty)
+
+  private def bloomConfigAt(spark: SparkSession,
+      dir: String): Option[BloomConfig] =
+    currentVersion(spark, dir).flatMap { v =>
+      val (fs, root) = fsFor(spark, dir)
+      bloomConfigOf(fs, root, v)
+    }
+
+  /** file → physCol → sidecar path, resolved through the delta chain
+    * (a file's bloom line lives where the file was added). */
+  private def bloomRefsFor(fs: FileSystem, root: HPath,
+      v: Int): Map[String, Map[String, String]] = {
+    val lines = manifestLines(fs, root, v)
+    val own = lines.filter(_.startsWith(BloomLinePrefix)).flatMap { l =>
+      l.split('\t') match {
+        case Array(_, file, colEnc, side) => Some((file, dec(colEnc), side))
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (f, xs) =>
+      f -> xs.map(x => x._2 -> x._3).toMap
+    }
+    deltaHeader(lines) match {
+      case None => own
+      case Some((base, _)) => bloomRefsFor(fs, root, base) ++ own
+    }
+  }
+
+  private def isBloomType(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** Enable (or, with an empty `cols`, disable) the bloom index: a
+    * metadata-only commit pinning the config. Columns must be integral
+    * or string (the two types with a stable insert/probe encoding).
+    * Applies to files staged after this commit; run
+    * [[compact]]/[[optimize]] to index existing files. */
+  def setBloomColumns(spark: SparkSession, dir: String, cols: Seq[String],
+      expectedItems: Long = 100000, fpp: Double = 0.03): Int =
+    retryOnRace(s"setBloomColumns on $dir") {
+      require(expectedItems > 0 && fpp > 0 && fpp < 1,
+        s"invalid bloom sizing: items=$expectedItems fpp=$fpp")
+      val (fs, root) = fsFor(spark, dir)
+      val v = currentVersion(spark, dir).getOrElse(
+        throw new java.util.NoSuchElementException(s"no table under $dir"))
+      val schema = schemaOf(fs, root, v)
+        .getOrElse(allNullable(read(spark, dir, v).schema))
+      val phys = cols.map { c =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column '$c' in $dir: ${schema.fieldNames.toSeq}"))
+        require(isBloomType(f.dataType),
+          s"bloom index on '$c' (${f.dataType.sql}) unsupported — " +
+            "integral and string columns only")
+        physOf(f)
+      }
+      val cfg =
+        if (phys.isEmpty) None
+        else Some(BloomConfig(phys, expectedItems, fpp))
+      metadataCommit(fs, root, spark, dir, v, schema,
+        droppedOf(fs, root, v), cfg)
+    }
+
+  private def serializeBloom(
+      bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  private def mergeBloomBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val x = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(a))
+    x.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b)))
+    serializeBloom(x)
+  }
+
+  /** Build one bloom sidecar per (staged file, configured column) and
+    * return their `#bloom` manifest lines. One job per column: the
+    * per-partition partials are keyed by file basename and merged, so
+    * the build is a map-reduce over the staged data, not a driver
+    * loop. */
+  private def buildBlooms(spark: SparkSession, fs: FileSystem, root: HPath,
+      rel: String, files: Seq[String], cfg: BloomConfig): Seq[String] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val stagedDir = new HPath(root, rel).toString
+    val parq = spark.read.parquet(stagedDir)
+    val present = cfg.cols.filter(c =>
+      parq.schema.fieldNames.contains(c) && isBloomType(parq.schema(c).dataType))
+    val byBase = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    present.flatMap { c =>
+      val isStr = parq.schema(c).dataType == StringType
+      val items = cfg.expectedItems
+      val fpp = cfg.fpp
+      val pairs = parq
+        .select(input_file_name().as("__f"), col(c).as("__v"))
+        .where(col("__v").isNotNull)
+        .rdd.mapPartitions { it =>
+          val m = scala.collection.mutable.Map[String, BloomFilter]()
+          it.foreach { r =>
+            val path = r.getString(0)
+            val base = path.substring(path.lastIndexOf('/') + 1)
+            val bf = m.getOrElseUpdate(base, BloomFilter.create(items, fpp))
+            if (isStr) bf.putString(r.getString(1))
+            else bf.putLong(r.get(1) match {
+              case l: java.lang.Long => l
+              case i: java.lang.Integer => i.toLong
+              case s: java.lang.Short => s.toLong
+              case b: java.lang.Byte => b.toLong
+              case other => other.toString.toLong
+            })
+          }
+          m.iterator.map { case (b, bf) => b -> serializeBloom(bf) }
+        }
+        .reduceByKey(mergeBloomBytes _)
+        .collect()
+      pairs.toSeq.flatMap { case (base, bytes) =>
+        byBase.get(base).map { fileRel =>
+          // the underscore prefix keeps sidecars out of parquet input
+          // listings (Hadoop hides _ and . files), so directory reads
+          // of the commit dir stay clean
+          val sideRel = s"$rel/_bloom.$base.${enc(c)}"
+          val out = fs.create(new HPath(root, sideRel), false)
+          try out.write(bytes) finally out.close()
+          s"#bloom\t$fileRel\t${enc(c)}\t$sideRel"
+        }
+      }
+    }
+  }
+
+  /** Executor-side sidecar probe: for each candidate file, which probe
+    * atoms its blooms DISPROVE. The driver ships file names and probe
+    * values; index bytes are read where the tasks run. */
+  private def probeBlooms(spark: SparkSession, rootStr: String,
+      files: Seq[String], refs: Map[String, Map[String, String]],
+      probes: Seq[(Conj, String, Seq[Any])]): Map[String, Set[Int]] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val sc = spark.sparkContext
+    val refsB = sc.broadcast(refs)
+    val probesB = sc.broadcast(probes.zipWithIndex.map {
+      case ((_, phys, vs), i) => (i, phys, vs)
+    })
+    sc.parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val cache =
+          scala.collection.mutable.Map[String, Option[BloomFilter]]()
+        def bloomAt(rel: String): Option[BloomFilter] =
+          cache.getOrElseUpdate(rel, {
+            try {
+              val p = new HPath(rootStr, rel)
+              val in = p.getFileSystem(conf).open(p)
+              try Some(BloomFilter.readFrom(in)) finally in.close()
+            } catch { case NonFatal(_) => None } // unreadable: fail-open
+          })
+        val kills = probesB.value.flatMap { case (i, phys, vs) =>
+          refsB.value.get(f).flatMap(_.get(phys)).flatMap(bloomAt) match {
+            case Some(bf) =>
+              val absent = vs.forall {
+                case l: java.lang.Long => !bf.mightContainLong(l)
+                case s: String => !bf.mightContainString(s)
+                case _ => false
+              }
+              if (absent) Some(i) else None
+            case None => None // no sidecar for this file/col: fail-open
+          }
+        }.toSet
+        f -> kills
+      }.collect().toMap
+  }
+
+  /** A literal in the bloom insert/probe encoding (integrals widen to
+    * long, strings probe verbatim); None = not bloom-probeable. */
+  private def bloomValue(l: Literal): Option[Any] = l.value match {
+    case null => None
+    case i: java.lang.Integer => Some(java.lang.Long.valueOf(i.toLong))
+    case x: java.lang.Long => Some(x)
+    case s: java.lang.Short => Some(java.lang.Long.valueOf(s.toLong))
+    case b: java.lang.Byte => Some(java.lang.Long.valueOf(b.toLong))
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
   /** Early, readable refusal of name resurrection — the same rules
     * [[evolveSchema]] enforces at commit time, checked before any file
     * is staged (a tombstone collision would otherwise surface as a
@@ -574,7 +833,8 @@ object Snapshots {
     val evolved = StructType(schema.fields.map { x =>
       if (x eq f) withPhysical(x, physOf(x)).copy(name = newName) else x
     })
-    metadataCommit(fs, root, spark, dir, v, evolved, droppedOf(fs, root, v))
+    metadataCommit(fs, root, spark, dir, v, evolved, droppedOf(fs, root, v),
+      bloomConfigOf(fs, root, v))
   }
 
   /** DROP COLUMN — a metadata-only commit: the field leaves the pinned
@@ -595,26 +855,31 @@ object Snapshots {
       require(schema.fields.length > 1,
         s"cannot drop the only column of $dir")
       val evolved = StructType(schema.fields.filterNot(_ eq f))
+      // the dropped column also leaves the bloom config, if indexed
+      val cfg = bloomConfigOf(fs, root, v)
+        .map(c => c.copy(cols = c.cols.filterNot(_ == physOf(f))))
+        .filter(_.cols.nonEmpty)
       metadataCommit(fs, root, spark, dir, v, evolved,
-        droppedOf(fs, root, v) + physOf(f))
+        droppedOf(fs, root, v) + physOf(f), cfg)
     }
 
   /** Commit a schema/tombstone change with the base's exact file list —
     * pure DDL, a delta with no adds/removes when the chain allows. */
   private def metadataCommit(fs: FileSystem, root: HPath,
       spark: SparkSession, dir: String, base: Int, schema: StructType,
-      dropped: Set[String]): Int = {
+      dropped: Set[String], bloom: Option[BloomConfig]): Int = {
     val next = base + 1
     val d = depthOf(fs, root, base) + 1
     val won =
       if (d <= CheckpointInterval)
         casManifest(fs, root, next, Nil,
           s"#delta\t$base\t$d" +: schemaHeader(schema) +:
-            droppedHeader(dropped))
+            (droppedHeader(dropped) ++ bloomHeader(bloom)))
       else {
         val files = readManifest(fs, root, base)
         casManifest(fs, root, next, files,
           schemaHeader(schema) +: (droppedHeader(dropped) ++
+            bloomHeader(bloom) ++
             statsLines(fs, root, base, files.toSet)))
       }
     if (!won)
@@ -725,7 +990,8 @@ object Snapshots {
     * recorded [[Staged.schema]] is LOGICAL, carrying the physical name
     * as field metadata where the two differ. */
   private def stage(df: DataFrame, fs: FileSystem, root: HPath,
-      phys: Map[String, String] = Map.empty): Staged = {
+      phys: Map[String, String] = Map.empty,
+      bloomCfg: Option[BloomConfig] = None): Staged = {
     val renamed = df.columns.filter(c => phys.getOrElse(c, c) != c)
     val out =
       if (renamed.isEmpty) df
@@ -747,7 +1013,10 @@ object Snapshots {
       val p = phys.getOrElse(f.name, f.name)
       if (p == f.name) stripPhysical(f) else withPhysical(stripPhysical(f), p)
     })
-    Staged(files, sizes ++ collectStats(df.sparkSession, dir.toString, rel),
+    val bloomLines = bloomCfg.map(
+      buildBlooms(df.sparkSession, fs, root, rel, files, _)).getOrElse(Nil)
+    Staged(files,
+      sizes ++ collectStats(df.sparkSession, dir.toString, rel) ++ bloomLines,
       logical)
   }
 
@@ -899,7 +1168,8 @@ object Snapshots {
       files: Set[String]): Seq[String] = {
     val lines = manifestLines(fs, root, v)
     val own = lines.filter { l =>
-      (l.startsWith("#stats\t") || l.startsWith("#size\t")) && {
+      (l.startsWith("#stats\t") || l.startsWith("#size\t") ||
+        l.startsWith("#bloom\t")) && {
         val fields = l.split('\t')
         fields.length >= 2 && files.contains(fields(1))
       }
@@ -959,6 +1229,9 @@ object Snapshots {
       val dropped =
         if (carryBase && base.nonEmpty) droppedOf(fs, root, base.get)
         else Set.empty[String]
+      val bloomCfg =
+        if (carryBase && base.nonEmpty) bloomConfigOf(fs, root, base.get)
+        else None
       val pinned =
         if (!carryBase || base.isEmpty) allNullable(staged.schema)
         else evolveSchema(
@@ -974,7 +1247,8 @@ object Snapshots {
           val d = depthOf(fs, root, base.get) + 1
           casManifest(fs, root, next, staged.files,
             s"#delta\t${base.get}\t$d" +: schemaHeader(pinned) +:
-              (droppedHeader(dropped) ++ header ++ staged.stats))
+              (droppedHeader(dropped) ++ bloomHeader(bloomCfg) ++
+                header ++ staged.stats))
         } else if (carryBase && base.nonEmpty) {
           // CHECKPOINT: the chain hit its depth bound — write a full
           // manifest so any version resolves in ≤ interval+1 opens.
@@ -983,7 +1257,8 @@ object Snapshots {
           val carried = readManifest(fs, root, base.get)
           val carriedStats = statsLines(fs, root, base.get, carried.toSet)
           casManifest(fs, root, next, carried ++ staged.files,
-            schemaHeader(pinned) +: (droppedHeader(dropped) ++ header ++
+            schemaHeader(pinned) +: (droppedHeader(dropped) ++
+              bloomHeader(bloomCfg) ++ header ++
               carriedStats ++ staged.stats))
         } else {
           // first commit / overwrite: full manifest of the staged
@@ -1006,7 +1281,8 @@ object Snapshots {
     val (fs, root) = fsFor(spark, dir)
     validateIncoming(spark, dir, df)
     commitLoop(fs, root, spark, dir,
-      stage(df, fs, root, physMapFor(spark, dir, df)), carryBase = true)
+      stage(df, fs, root, physMapFor(spark, dir, df),
+        bloomConfigAt(spark, dir)), carryBase = true)
   }
 
   /** Replace the table content with `df` as a new version. Last writer
@@ -1051,7 +1327,8 @@ object Snapshots {
     if (lastBatch(fs, root, spark, dir, writerId).exists(_ >= batchId))
       return None // replay of an already-committed batch
     validateIncoming(spark, dir, df)
-    val staged = stage(df, fs, root, physMapFor(spark, dir, df))
+    val staged = stage(df, fs, root, physMapFor(spark, dir, df),
+      bloomConfigAt(spark, dir))
     Some(commitLoop(fs, root, spark, dir, staged, carryBase = true,
       header = Seq(s"#commit writer=$writerId batch=$batchId")))
   }
@@ -1124,11 +1401,13 @@ object Snapshots {
     val baseSchema = schemaOf(fs, root, base)
     val phys = baseSchema.map(s =>
       s.fields.map(f => f.name -> physOf(f)).toMap).getOrElse(Map.empty)
-    val staged = stage(transform(read(spark, dir, base)), fs, root, phys)
+    val staged = stage(transform(read(spark, dir, base)), fs, root, phys,
+      bloomConfigOf(fs, root, base))
     val next = base + 1
     if (!casManifest(fs, root, next, staged.files,
       schemaHeader(baseSchema.getOrElse(allNullable(staged.schema))) +:
-        (droppedHeader(droppedOf(fs, root, base)) ++ staged.stats)))
+        (droppedHeader(droppedOf(fs, root, base)) ++
+          bloomHeader(bloomConfigOf(fs, root, base)) ++ staged.stats)))
       throw new java.util.ConcurrentModificationException(
         s"rewrite of $dir@v$base lost the commit race — a writer landed " +
           s"v$next first; re-run maintenance when the table is quiescent")
@@ -1264,9 +1543,10 @@ object Snapshots {
           .join(src.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(src)
         val basePinned = schemaOf(fs, root, v)
+        val bloomCfg = bloomConfigOf(fs, root, v)
         val staged = stage(rewritten, fs, root,
           basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-            .getOrElse(Map.empty))
+            .getOrElse(Map.empty), bloomCfg)
         val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
         val droppedSet = droppedOf(fs, root, v)
         val next = v + 1
@@ -1279,12 +1559,13 @@ object Snapshots {
             casManifest(fs, root, next, staged.files,
               s"#delta\t$v\t${depthOf(fs, root, v) + 1}" +:
                 schemaHeader(pinnedSchema) +:
-                (droppedHeader(droppedSet) ++ header ++
+                (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
+                  header ++
                   touched.map(f => s"#remove\t$f") ++ staged.stats))
           else
             casManifest(fs, root, next, untouched ++ staged.files,
               schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
-                header ++
+                bloomHeader(bloomCfg) ++ header ++
                 statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
         if (!won)
           throw new java.util.ConcurrentModificationException(
@@ -1357,9 +1638,10 @@ object Snapshots {
         // SQL DELETE keeps NULL-predicate rows: survive = NOT TRUE(pred)
         .filter(!coalesce(pred, lit(false)))
     val basePinned = schemaOf(fs, root, base)
+    val bloomCfg = bloomConfigOf(fs, root, base)
     val staged = stage(rewrittenRows, fs, root,
       basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty), bloomCfg)
     val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
     val droppedSet = droppedOf(fs, root, base)
     val next = base + 1
@@ -1370,11 +1652,12 @@ object Snapshots {
         casManifest(fs, root, next, staged.files,
           s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
             schemaHeader(pinnedSchema) +:
-            (droppedHeader(droppedSet) ++
+            (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
               mayMatch.map(f => s"#remove\t$f") ++ staged.stats))
       else
         casManifest(fs, root, next, untouched ++ staged.files,
           schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
+            bloomHeader(bloomCfg) ++
             statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
     if (!won)
       throw new java.util.ConcurrentModificationException(
@@ -1427,6 +1710,7 @@ object Snapshots {
     val header =
       schemaOf(fs, root, version).map(schemaHeader).toSeq ++
         droppedHeader(droppedOf(fs, root, version)) ++
+        bloomHeader(bloomConfigOf(fs, root, version)) ++
         statsLines(fs, root, version, files.toSet)
     val next = cur + 1
     if (!casManifest(fs, root, next, files, header))
@@ -1596,12 +1880,27 @@ object Snapshots {
     val keep = vs.filter(needed.contains)
     val live = keep.flatMap(readManifest(fs, root, _)).toSet
     val dead = drop.flatMap(readManifest(fs, root, _)).filterNot(live).distinct
+    // bloom sidecars of dead data files: a dead file's `#bloom` lines
+    // can only live in the dropped manifests (kept versions never list
+    // the file), so the dropped set is the complete sidecar map
+    val deadSet = dead.toSet
+    val deadSidecars = drop.flatMap { dv =>
+      manifestLines(fs, root, dv).filter(_.startsWith(BloomLinePrefix))
+        .flatMap { l =>
+          l.split('\t') match {
+            case Array(_, file, _, side) if deadSet.contains(file) =>
+              Some(side)
+            case _ => None
+          }
+        }
+    }.distinct
     // delete dead files FIRST, their manifests LAST: the dropped
     // manifests are the only map to the dead files, so a crash between
     // the two phases leaves a rerunnable state (the next vacuum re-lists
     // the same manifests and finishes) instead of unreachable orphans
     val deadManifests = drop.map(manifestPath(root, _))
     dead.foreach(f => fs.delete(new HPath(root, f), false))
+    deadSidecars.foreach(s => fs.delete(new HPath(root, s), false))
     deadManifests.foreach(m => fs.delete(m, false))
     (drop.size, dead.size)
   }

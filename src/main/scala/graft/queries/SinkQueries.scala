@@ -711,6 +711,38 @@ object SinkQueries {
         Snapshots.read(s, root).orderBy("o_orderkey")
       },
       """SELECT o_orderkey, o_totalprice AS price
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // S32: per-file bloom sidecar pruning — the point-lookup
+    // complement of s25's range skipping. Seven residue-class appends
+    // build an UNCLUSTERED table (every file spans the whole key
+    // range, so min/max stats cannot prune an equality), then
+    // readWhere on an IN-set of keys must still return exactly the
+    // oracle's rows while the sidecars prune the non-member files
+    // (BloomIndexSpec asserts the file-skipping property itself;
+    // bloom false positives can only ADD files, never rows — the row
+    // result is pruning-invariant by construction).
+    QueryDef("s32_bloom_point_lookup",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s32_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val base = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        Snapshots.append(
+          base.filter(pmod(col("o_orderkey"), lit(7)) === 0), root)
+        Snapshots.setBloomColumns(s, root, Seq("o_orderkey"),
+          expectedItems = 300000, fpp = 0.01)
+        (1 until 7).foreach(i => Snapshots.append(
+          base.filter(pmod(col("o_orderkey"), lit(7)) === i), root))
+        Snapshots.readWhere(s, root,
+          col("o_orderkey").isin(1L, 2L, 7L, 33L, 999999999L))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (1, 2, 7, 33, 999999999)
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }
