@@ -159,6 +159,32 @@ object Snapshots {
     readFilesAs(spark, fs, root, v, files)
   }
 
+  /** TIMESTAMP AS OF resolution: the newest version committed at or
+    * before `ts` (manifest modification time — the commit instant, set
+    * by the CAS rename). Completes the time-travel surface next to
+    * version pinning: "the table as of last night's report run"
+    * without the caller bookkeeping version numbers. Caveat shared
+    * with the lakehouse formats: commit instants are the storage
+    * system's clock; sub-second ordering between racing writers is as
+    * trustworthy as that clock. Throws if the table's oldest retained
+    * commit postdates `ts`. */
+  def versionAsOf(spark: SparkSession, dir: String,
+      ts: java.sql.Timestamp): Int = {
+    val (fs, root) = fsFor(spark, dir)
+    val vs = versions(spark, dir)
+    val at = vs.filter(v =>
+      fs.getFileStatus(manifestPath(root, v)).getModificationTime
+        <= ts.getTime)
+    at.lastOption.getOrElse(throw new java.util.NoSuchElementException(
+      s"no version of $dir committed at or before $ts " +
+        s"(oldest retained: ${vs.headOption.getOrElse(-1)})"))
+  }
+
+  /** [[read]] pinned by commit time instead of version number. */
+  def readAsOf(spark: SparkSession, dir: String,
+      ts: java.sql.Timestamp): DataFrame =
+    read(spark, dir, versionAsOf(spark, dir, ts))
+
   /** The supported prune vocabulary: conjuncts of `col op literal`
     * comparisons, `IN` lists, and null tests over a stat-carrying
     * column — and DISJUNCTIONS of (conjunctions of) those shapes
@@ -490,6 +516,84 @@ object Snapshots {
     base.filter(pred)
   }
 
+  /** Metadata-only aggregates: `count(*)`, and per requested column
+    * `count(col)` / `min(col)` / `max(col)`, answered ENTIRELY from the
+    * manifest's per-file stats — zero data files opened. On a 100 TB
+    * table this turns the most common observability queries (row
+    * counts, freshness watermarks like `max(event_ts)`, null audits)
+    * from full scans into a driver-side read of a few KB of manifest
+    * lines — the lakehouse "metadata-only query" optimization.
+    *
+    * EXACT-OR-REFUSE: returns None unless the manifest PROVES the
+    * exact answer — every file of the version must carry stats for
+    * every requested column. Missing stats (a column beyond the
+    * [[StatsMaxCols]] cap, files predating an added column, a
+    * pre-stats writer) and string columns (their manifest min/max are
+    * truncated BOUNDS, not attained values — see [[truncMinStat]])
+    * refuse rather than approximate; the caller falls back to a scan.
+    * Per-file minima/maxima are attained values for every accepted
+    * type, and their string rendering round-trips exactly through
+    * Spark's own cast (see [[collectStats]]), so the fold below equals
+    * the scan aggregate bit-for-bit.
+    *
+    * Result: one row — `n_rows` plus `n_<col>`, `min_<col>`,
+    * `max_<col>` (native column type; null when the column is null in
+    * every row). Columns resolve by logical name (rename-safe: stats
+    * are looked up under the physical name). */
+  def aggregateFromManifest(spark: SparkSession, dir: String,
+      cols: Seq[String], version: Int = -1): Option[DataFrame] = {
+    val (fs, root) = fsFor(spark, dir)
+    val vOpt = if (version >= 0) Some(version) else currentVersion(spark, dir)
+    vOpt.flatMap { v =>
+      schemaOf(fs, root, v).flatMap { schema =>
+        def statEligible(t: DataType): Boolean = t match {
+          case StringType => false // truncated bounds: never provably exact
+          case _: NumericType | DateType | TimestampType |
+               TimestampNTZType | BooleanType => true
+          case _ => false
+        }
+        val resolved: Seq[Option[StructField]] = cols.map(c =>
+          schema.fields.find(_.name.equalsIgnoreCase(c))
+            .filter(f => statEligible(f.dataType)))
+        val files = readManifest(fs, root, v)
+        if (resolved.exists(_.isEmpty) || files.isEmpty) None
+        else {
+          val fields = resolved.flatten
+          val stats = statsFor(fs, root, v)
+          // one raw row per file: rows + (min, max, nulls) per column,
+          // or None if any file lacks a required stats line
+          val raws: Seq[Option[Row]] = files.map { f =>
+            val per = stats.getOrElse(f, Map.empty)
+            val perCol = fields.map(fd => per.get(physOf(fd)))
+            if (per.isEmpty || perCol.exists(_.isEmpty)) None
+            else Some(Row.fromSeq(per.head._2.rows +:
+              perCol.flatten.flatMap(s =>
+                Seq(s.min.orNull, s.max.orNull, s.nulls))))
+          }
+          if (raws.exists(_.isEmpty)) None
+          else {
+            val rawSchema = StructType(
+              StructField("__rows", LongType, false) +:
+                fields.zipWithIndex.flatMap { case (_, i) => Seq(
+                  StructField(s"__mn_$i", StringType, true),
+                  StructField(s"__mx_$i", StringType, true),
+                  StructField(s"__nul_$i", LongType, false))
+                })
+            val df = spark.createDataFrame(
+              spark.sparkContext.parallelize(raws.flatten, 1), rawSchema)
+            val aggs = sum(col("__rows")).as("n_rows") +:
+              fields.zipWithIndex.flatMap { case (fd, i) => Seq(
+                sum(col("__rows") - col(s"__nul_$i")).as(s"n_${fd.name}"),
+                min(col(s"__mn_$i").cast(fd.dataType)).as(s"min_${fd.name}"),
+                max(col(s"__mx_$i").cast(fd.dataType)).as(s"max_${fd.name}"))
+              }
+            Some(df.agg(aggs.head, aggs.tail: _*))
+          }
+        }
+      }
+    }
+  }
+
   // ---- pinned schema + additive evolution ---------------------------
 
   private val SchemaPrefix = "#schema "
@@ -645,7 +749,8 @@ object Snapshots {
         if (phys.isEmpty) None
         else Some(BloomConfig(phys, expectedItems, fpp))
       metadataCommit(fs, root, spark, dir, v, schema,
-        droppedOf(fs, root, v), cfg)
+        droppedOf(fs, root, v), cfg, constraintsOf(fs, root, v),
+        op = "bloom-index")
     }
 
   private def serializeBloom(
@@ -770,6 +875,120 @@ object Snapshots {
     case _ => None
   }
 
+  // ---- CHECK constraints --------------------------------------------
+  //
+  // Row-local invariants pinned per commit (like `#dropped` and
+  // `#bloomcols`): every content-ADDING commit (append / streaming
+  // append / merge source) validates its incoming rows and fails
+  // loudly instead of committing bad data — the write-time data
+  // contract a 100 TB table needs, because a bad row found at READ
+  // time costs a table-scale repair. SQL CHECK semantics: a row
+  // violates only when the expression is FALSE; NULL passes. Row
+  // subsets and rewrites (delete / compact / optimize / restore) can
+  // not introduce violations and only CARRY the pinned set; OVERWRITE
+  // restarts the lineage and clears it (same rule as tombstones).
+
+  private val ConstraintPrefix = "#constraint\t"
+
+  /** `#op\t<name>`: which operation produced a commit — the DESCRIBE
+    * HISTORY record. Absent on pre-tag manifests (history shows
+    * `unknown`). */
+  private val OpPrefix = "#op\t"
+
+  private def opHeader(op: String): Seq[String] = Seq(OpPrefix + op)
+
+  private def opOf(lines: Seq[String]): Option[String] =
+    lines.collectFirst {
+      case l if l.startsWith(OpPrefix) => l.substring(OpPrefix.length)
+    }
+
+  private def constraintHeader(cs: Map[String, String]): Seq[String] =
+    cs.toSeq.sortBy(_._1).map { case (n, e) =>
+      ConstraintPrefix + enc(n) + "\t" + enc(e)
+    }
+
+  private def constraintsOf(fs: FileSystem, root: HPath,
+      v: Int): Map[String, String] =
+    manifestLines(fs, root, v).filter(_.startsWith(ConstraintPrefix))
+      .flatMap { l =>
+        l.split('\t') match {
+          case Array(_, n, e) => Some(dec(n) -> dec(e))
+          case _ => None
+        }
+      }.toMap
+
+  /** The CHECK constraints pinned at `version` (default: latest);
+    * empty for a table with none (or no table at all). */
+  def constraints(spark: SparkSession, dir: String,
+      version: Int = -1): Map[String, String] = {
+    val (fs, root) = fsFor(spark, dir)
+    val vOpt = if (version >= 0) Some(version) else currentVersion(spark, dir)
+    vOpt.map(constraintsOf(fs, root, _)).getOrElse(Map.empty)
+  }
+
+  /** ADD a CHECK constraint: validates the EXISTING data first (a
+    * constraint the current content violates is refused — it could
+    * never be trusted), then pins it with a metadata-only commit.
+    * `sqlExpr` is a boolean SQL expression over the table's columns
+    * (e.g. `"price >= 0"`, `"ts IS NOT NULL"`). */
+  def setConstraint(spark: SparkSession, dir: String, name: String,
+      sqlExpr: String): Int = retryOnRace(s"setConstraint on $dir") {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"constraint name must be [A-Za-z0-9._-]+, got '$name'")
+    val (fs, root) = fsFor(spark, dir)
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(s"no table under $dir"))
+    val bad = read(spark, dir, v).filter(!expr(sqlExpr)).take(1)
+    require(bad.isEmpty,
+      s"cannot add CHECK constraint '$name' ($sqlExpr) to $dir: existing " +
+        s"row violates it: ${bad.headOption.getOrElse("")}")
+    val schema = schemaOf(fs, root, v)
+      .getOrElse(allNullable(read(spark, dir, v).schema))
+    metadataCommit(fs, root, spark, dir, v, schema, droppedOf(fs, root, v),
+      bloomConfigOf(fs, root, v),
+      constraintsOf(fs, root, v) + (name -> sqlExpr),
+      op = "add-constraint")
+  }
+
+  /** DROP a CHECK constraint — a metadata-only commit. */
+  def dropConstraint(spark: SparkSession, dir: String,
+      name: String): Int = retryOnRace(s"dropConstraint on $dir") {
+    val (fs, root) = fsFor(spark, dir)
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(s"no table under $dir"))
+    val cs = constraintsOf(fs, root, v)
+    require(cs.contains(name),
+      s"no CHECK constraint '$name' on $dir: ${cs.keys.toSeq.sorted}")
+    val schema = schemaOf(fs, root, v)
+      .getOrElse(allNullable(read(spark, dir, v).schema))
+    metadataCommit(fs, root, spark, dir, v, schema, droppedOf(fs, root, v),
+      bloomConfigOf(fs, root, v), cs - name, op = "drop-constraint")
+  }
+
+  /** Validate `df` against the constraints pinned at version `v` and
+    * return that set (the commit re-checks it against its actual base —
+    * see [[commitLoop]]). Table columns the frame lacks read as NULL in
+    * its files, and NULL passes CHECK — they enforce as null literals. */
+  private def enforceConstraintsAt(spark: SparkSession, dir: String,
+      fs: FileSystem, root: HPath, v: Int,
+      df: DataFrame): Map[String, String] = {
+    val cs = constraintsOf(fs, root, v)
+    if (cs.nonEmpty) {
+      val have = df.columns.map(_.toLowerCase).toSet
+      val missing = schemaOf(fs, root, v).map(_.fields.toSeq).getOrElse(Nil)
+        .filterNot(f => have.contains(f.name.toLowerCase))
+      val full = missing.foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+      cs.foreach { case (n, e) =>
+        val bad = full.filter(!expr(e)).take(1)
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"CHECK constraint '$n' ($e) on $dir violated by incoming " +
+            s"row: ${bad.head} — nothing was committed")
+      }
+    }
+    cs
+  }
+
   /** Early, readable refusal of name resurrection — the same rules
     * [[evolveSchema]] enforces at commit time, checked before any file
     * is staged (a tombstone collision would otherwise surface as a
@@ -833,8 +1052,21 @@ object Snapshots {
     val evolved = StructType(schema.fields.map { x =>
       if (x eq f) withPhysical(x, physOf(x)).copy(name = newName) else x
     })
+    // a CHECK constraint written against the old logical name would
+    // fail analysis on every later write — refuse with the repair path
+    val cs = constraintsOf(fs, root, v)
+    cs.foreach { case (n, e) =>
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], evolved)
+      val resolves = try { probe.filter(expr(e)).queryExecution.analyzed; true }
+      catch { case NonFatal(_) => false }
+      require(resolves,
+        s"cannot rename column '$existing' of $dir: CHECK constraint " +
+          s"'$n' ($e) references it — drop the constraint first (and " +
+          "re-add it against the new name)")
+    }
     metadataCommit(fs, root, spark, dir, v, evolved, droppedOf(fs, root, v),
-      bloomConfigOf(fs, root, v))
+      bloomConfigOf(fs, root, v), cs, op = "rename-column")
   }
 
   /** DROP COLUMN — a metadata-only commit: the field leaves the pinned
@@ -855,31 +1087,46 @@ object Snapshots {
       require(schema.fields.length > 1,
         s"cannot drop the only column of $dir")
       val evolved = StructType(schema.fields.filterNot(_ eq f))
+      // a CHECK constraint referencing the dropped column would fail
+      // analysis on every later write — refuse with the repair path
+      // (probed by resolving each expression against the evolved shape)
+      val cs = constraintsOf(fs, root, v)
+      cs.foreach { case (n, e) =>
+        val probe = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], evolved)
+        val resolves = try { probe.filter(expr(e)).queryExecution.analyzed; true }
+        catch { case NonFatal(_) => false }
+        require(resolves,
+          s"cannot drop column '$name' of $dir: CHECK constraint '$n' " +
+            s"($e) references it — drop the constraint first")
+      }
       // the dropped column also leaves the bloom config, if indexed
       val cfg = bloomConfigOf(fs, root, v)
         .map(c => c.copy(cols = c.cols.filterNot(_ == physOf(f))))
         .filter(_.cols.nonEmpty)
       metadataCommit(fs, root, spark, dir, v, evolved,
-        droppedOf(fs, root, v) + physOf(f), cfg)
+        droppedOf(fs, root, v) + physOf(f), cfg, cs, op = "drop-column")
     }
 
   /** Commit a schema/tombstone change with the base's exact file list —
     * pure DDL, a delta with no adds/removes when the chain allows. */
   private def metadataCommit(fs: FileSystem, root: HPath,
       spark: SparkSession, dir: String, base: Int, schema: StructType,
-      dropped: Set[String], bloom: Option[BloomConfig]): Int = {
+      dropped: Set[String], bloom: Option[BloomConfig],
+      cs: Map[String, String], op: String): Int = {
     val next = base + 1
     val d = depthOf(fs, root, base) + 1
     val won =
       if (d <= CheckpointInterval)
         casManifest(fs, root, next, Nil,
           s"#delta\t$base\t$d" +: schemaHeader(schema) +:
-            (droppedHeader(dropped) ++ bloomHeader(bloom)))
+            (droppedHeader(dropped) ++ bloomHeader(bloom) ++
+              constraintHeader(cs) ++ opHeader(op)))
       else {
         val files = readManifest(fs, root, base)
         casManifest(fs, root, next, files,
           schemaHeader(schema) +: (droppedHeader(dropped) ++
-            bloomHeader(bloom) ++
+            bloomHeader(bloom) ++ constraintHeader(cs) ++ opHeader(op) ++
             statsLines(fs, root, base, files.toSet)))
       }
     if (!won)
@@ -1218,11 +1465,25 @@ object Snapshots {
   }
 
   private def commitLoop(fs: FileSystem, root: HPath, spark: SparkSession,
-      dir: String, staged: Staged, carryBase: Boolean,
-      header: Seq[String] = Nil): Int = {
+      dir: String, staged: Staged, carryBase: Boolean, op: String,
+      header: Seq[String] = Nil,
+      validated: Map[String, String] = Map.empty): Int = {
+    val hdr = opHeader(op) ++ header
     var attempts = 0
     while (attempts < 10) {
       val base = currentVersion(spark, dir)
+      // CHECK constraints pinned at the ACTUAL commit base: a
+      // constraint that landed after this batch was validated means
+      // the validation no longer covers the commit — loud failure, the
+      // caller re-runs (same discipline as the rename-mid-commit check)
+      val cs =
+        if (carryBase && base.nonEmpty) constraintsOf(fs, root, base.get)
+        else Map.empty[String, String]
+      if ((cs.toSet -- validated.toSet).nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"CHECK constraints on $dir changed while this batch staged " +
+            s"(unvalidated: ${(cs.toSet -- validated.toSet).map(_._1)
+              .toSeq.sorted.mkString(",")}) — re-run the write")
       // pin the committed schema: an append evolves the base's pinned
       // schema additively (conflicts throw before anything commits); an
       // overwrite replaces it with the staged frame's own
@@ -1248,7 +1509,7 @@ object Snapshots {
           casManifest(fs, root, next, staged.files,
             s"#delta\t${base.get}\t$d" +: schemaHeader(pinned) +:
               (droppedHeader(dropped) ++ bloomHeader(bloomCfg) ++
-                header ++ staged.stats))
+                constraintHeader(cs) ++ hdr ++ staged.stats))
         } else if (carryBase && base.nonEmpty) {
           // CHECKPOINT: the chain hit its depth bound — write a full
           // manifest so any version resolves in ≤ interval+1 opens.
@@ -1258,13 +1519,13 @@ object Snapshots {
           val carriedStats = statsLines(fs, root, base.get, carried.toSet)
           casManifest(fs, root, next, carried ++ staged.files,
             schemaHeader(pinned) +: (droppedHeader(dropped) ++
-              bloomHeader(bloomCfg) ++ header ++
+              bloomHeader(bloomCfg) ++ constraintHeader(cs) ++ hdr ++
               carriedStats ++ staged.stats))
         } else {
           // first commit / overwrite: full manifest of the staged
           // files; a fresh lineage has no tombstones
           casManifest(fs, root, next, staged.files,
-            schemaHeader(pinned) +: (header ++ staged.stats))
+            schemaHeader(pinned) +: (hdr ++ staged.stats))
         }
       if (committed) return next
       attempts += 1 // lost the race: re-read the winner's state and retry
@@ -1280,9 +1541,13 @@ object Snapshots {
     val spark = df.sparkSession
     val (fs, root) = fsFor(spark, dir)
     validateIncoming(spark, dir, df)
+    val validated = currentVersion(spark, dir)
+      .map(v => enforceConstraintsAt(spark, dir, fs, root, v, df))
+      .getOrElse(Map.empty[String, String])
     commitLoop(fs, root, spark, dir,
       stage(df, fs, root, physMapFor(spark, dir, df),
-        bloomConfigAt(spark, dir)), carryBase = true)
+        bloomConfigAt(spark, dir)), carryBase = true, op = "append",
+      validated = validated)
   }
 
   /** Replace the table content with `df` as a new version. Last writer
@@ -1291,7 +1556,8 @@ object Snapshots {
   def overwrite(df: DataFrame, dir: String): Int = {
     val spark = df.sparkSession
     val (fs, root) = fsFor(spark, dir)
-    commitLoop(fs, root, spark, dir, stage(df, fs, root), carryBase = false)
+    commitLoop(fs, root, spark, dir, stage(df, fs, root),
+      carryBase = false, op = "overwrite")
   }
 
   private val CommitTag = """#commit writer=([A-Za-z0-9._-]+) batch=(-?\d+)""".r
@@ -1327,10 +1593,15 @@ object Snapshots {
     if (lastBatch(fs, root, spark, dir, writerId).exists(_ >= batchId))
       return None // replay of an already-committed batch
     validateIncoming(spark, dir, df)
+    val validated = currentVersion(spark, dir)
+      .map(v => enforceConstraintsAt(spark, dir, fs, root, v, df))
+      .getOrElse(Map.empty[String, String])
     val staged = stage(df, fs, root, physMapFor(spark, dir, df),
       bloomConfigAt(spark, dir))
     Some(commitLoop(fs, root, spark, dir, staged, carryBase = true,
-      header = Seq(s"#commit writer=$writerId batch=$batchId")))
+      op = "append",
+      header = Seq(s"#commit writer=$writerId batch=$batchId"),
+      validated = validated))
   }
 
   /** Exactly-once OVERWRITE, same replay discipline as
@@ -1348,6 +1619,7 @@ object Snapshots {
       return None
     val staged = stage(df, fs, root)
     Some(commitLoop(fs, root, spark, dir, staged, carryBase = false,
+      op = "overwrite",
       header = Seq(s"#commit writer=$writerId batch=$batchId")))
   }
 
@@ -1365,7 +1637,8 @@ object Snapshots {
   def compact(spark: SparkSession, dir: String, numFiles: Int,
       expectedVersion: Int = -1): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    rewriteCurrent(spark, dir, _.coalesce(numFiles), expectedVersion)
+    rewriteCurrent(spark, dir, _.coalesce(numFiles), expectedVersion,
+      op = "compact")
   }
 
   /** OPTIMIZE ... ZORDER BY for snapshot tables: the current version
@@ -1378,7 +1651,8 @@ object Snapshots {
       numFiles: Int, bits: Int = 8, expectedVersion: Int = -1): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     rewriteCurrent(spark, dir,
-      Layout.cluster(_, cols, bits, numFiles), expectedVersion)
+      Layout.cluster(_, cols, bits, numFiles), expectedVersion,
+      op = "optimize")
   }
 
   /** Shared content-identical-rewrite commit: stage `transform(current)`
@@ -1389,7 +1663,8 @@ object Snapshots {
     * resolution. On a lost race the rewrite throws rather than retrying:
     * retrying would silently drop the racing writer's rows. */
   private def rewriteCurrent(spark: SparkSession, dir: String,
-      transform: DataFrame => DataFrame, expectedVersion: Int): Int = {
+      transform: DataFrame => DataFrame, expectedVersion: Int,
+      op: String): Int = {
     val (fs, root) = fsFor(spark, dir)
     val base = if (expectedVersion >= 0) expectedVersion
     else currentVersion(spark, dir).getOrElse(
@@ -1407,7 +1682,9 @@ object Snapshots {
     if (!casManifest(fs, root, next, staged.files,
       schemaHeader(baseSchema.getOrElse(allNullable(staged.schema))) +:
         (droppedHeader(droppedOf(fs, root, base)) ++
-          bloomHeader(bloomConfigOf(fs, root, base)) ++ staged.stats)))
+          bloomHeader(bloomConfigOf(fs, root, base)) ++
+          constraintHeader(constraintsOf(fs, root, base)) ++
+          opHeader(op) ++ staged.stats)))
       throw new java.util.ConcurrentModificationException(
         s"rewrite of $dir@v$base lost the commit race — a writer landed " +
           s"v$next first; re-run maintenance when the table is quiescent")
@@ -1492,7 +1769,7 @@ object Snapshots {
         val (fs, root) = fsFor(spark, dir)
         MergeResult(
           commitLoop(fs, root, spark, dir, stage(source, fs, root),
-            carryBase = true, header = header),
+            carryBase = true, op = "merge", header = header),
           rewrittenFiles = 0, untouchedFiles = 0)
       case Some(v) =>
         val (fs, root) = fsFor(spark, dir)
@@ -1509,6 +1786,9 @@ object Snapshots {
         require(dup == 0L,
           s"merge source has duplicate key tuples on $keys — " +
             "MERGE semantics would be non-deterministic")
+        // CHECK constraints: the rewrite keeps table rows (already
+        // valid) and adds source rows — only the source needs proof
+        val csPinned = enforceConstraintsAt(spark, dir, fs, root, v, src)
         // the source's key footprint as a prune predicate: table rows
         // that can match some source key all satisfy it (sound
         // superset; see scaladoc)
@@ -1560,12 +1840,14 @@ object Snapshots {
               s"#delta\t$v\t${depthOf(fs, root, v) + 1}" +:
                 schemaHeader(pinnedSchema) +:
                 (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
+                  constraintHeader(csPinned) ++ opHeader("merge") ++
                   header ++
                   touched.map(f => s"#remove\t$f") ++ staged.stats))
           else
             casManifest(fs, root, next, untouched ++ staged.files,
               schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
-                bloomHeader(bloomCfg) ++ header ++
+                bloomHeader(bloomCfg) ++ constraintHeader(csPinned) ++
+                opHeader("merge") ++ header ++
                 statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
         if (!won)
           throw new java.util.ConcurrentModificationException(
@@ -1653,11 +1935,15 @@ object Snapshots {
           s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
             schemaHeader(pinnedSchema) +:
             (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
+              constraintHeader(constraintsOf(fs, root, base)) ++
+              opHeader("delete") ++
               mayMatch.map(f => s"#remove\t$f") ++ staged.stats))
       else
         casManifest(fs, root, next, untouched ++ staged.files,
           schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
             bloomHeader(bloomCfg) ++
+            constraintHeader(constraintsOf(fs, root, base)) ++
+            opHeader("delete") ++
             statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
     if (!won)
       throw new java.util.ConcurrentModificationException(
@@ -1711,6 +1997,8 @@ object Snapshots {
       schemaOf(fs, root, version).map(schemaHeader).toSeq ++
         droppedHeader(droppedOf(fs, root, version)) ++
         bloomHeader(bloomConfigOf(fs, root, version)) ++
+        constraintHeader(constraintsOf(fs, root, version)) ++
+        opHeader("restore") ++
         statsLines(fs, root, version, files.toSet)
     val next = cur + 1
     if (!casManifest(fs, root, next, files, header))
@@ -1852,6 +2140,97 @@ object Snapshots {
     rows.toSeq.toDF("file", "status", "expected_bytes", "actual_bytes")
   }
 
+  /** Is this manifest file line a path the table root OWNS (relative —
+    * staged under this root), as opposed to an absolute reference into
+    * ANOTHER table's root written by [[shallowClone]]? Only owned files
+    * are ever deleted by [[vacuum]] — a clone must never reap its
+    * source's bytes. */
+  private def ownedByRoot(f: String): Boolean =
+    !f.startsWith("/") && !f.contains(":/")
+
+  /** DESCRIBE HISTORY: one row per committed version, newest first —
+    * version, committed_at (manifest mtime), operation (the `#op` tag;
+    * `unknown` for pre-tag commits), kind (full|delta manifest),
+    * n_added / n_removed (file-level change vs the previous version),
+    * n_files (total after the commit), bytes_added (commit-time sizes
+    * of the added files). Pure manifest metadata — nothing scanned;
+    * the driver-side cost is resolving each version's file list once
+    * (chain-bounded by the checkpoint interval). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, dir)
+    var prev = Set.empty[String]
+    val rows = versions(spark, dir).map { v =>
+      val lines = manifestLines(fs, root, v)
+      val resolved = readManifest(fs, root, v)
+      val cur = resolved.toSet
+      val added = cur -- prev
+      val removed = (prev -- cur).size
+      val sizes = sizesFor(fs, root, v)
+      val bytesAdded = added.toSeq.flatMap(sizes.get).sum
+      val ts = new java.sql.Timestamp(
+        fs.getFileStatus(manifestPath(root, v)).getModificationTime)
+      val kind = if (deltaHeader(lines).nonEmpty) "delta" else "full"
+      prev = cur
+      (v, ts, opOf(lines).getOrElse("unknown"), kind, added.size, removed,
+        resolved.size, bytesAdded)
+    }
+    rows.toDF("version", "committed_at", "operation", "kind", "n_added",
+        "n_removed", "n_files", "bytes_added")
+      .orderBy(col("version").desc)
+  }
+
+  /** SHALLOW CLONE: commit `srcDir`'s content (at `version`, default
+    * latest) as version 1 of a NEW table at `dstDir` — ZERO data bytes
+    * copied or read. The clone's manifest references the source's
+    * immutable data files by fully qualified absolute path, with the
+    * source's schema, stats, bloom sidecars, tombstones, and CHECK
+    * constraints carried — a 100 TB dev/test/experiment branch for the
+    * cost of one manifest write. The two tables then diverge freely:
+    * clone writes stage under the CLONE's root (the source is never
+    * touched), and the clone's [[vacuum]] deletes only files it owns —
+    * never source bytes. Lakehouse-standard caveat, loud here too:
+    * vacuuming the SOURCE can reap files the clone still references
+    * ([[audit]] on the clone reports them `missing`); run
+    * [[compact]]/[[optimize]] on the clone to materialize it into a
+    * self-contained table. Cloning a clone works — already-absolute
+    * references pass through verbatim. */
+  def shallowClone(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Int = -1): Int = {
+    val (sfs, sroot) = fsFor(spark, srcDir)
+    val v = if (version >= 0) version else currentVersion(spark, srcDir)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed version under $srcDir"))
+    require(currentVersion(spark, dstDir).isEmpty,
+      s"cannot clone into $dstDir: already a snapshot table")
+    val files = readManifest(sfs, sroot, v)
+    def abs(rel: String): String =
+      if (!ownedByRoot(rel)) rel // clone-of-clone: keep the original ref
+      else sfs.makeQualified(new HPath(sroot, rel)).toString
+    val meta = statsLines(sfs, sroot, v, files.toSet).flatMap { l =>
+      l.split('\t') match {
+        case Array(kind, f, rest @ _*) =>
+          // #bloom lines also carry a sidecar path in their last field
+          val fixed =
+            if (kind == "#bloom" && rest.length == 2)
+              Seq(kind, abs(f), rest.head, abs(rest(1)))
+            else kind +: abs(f) +: rest
+          Some(fixed.mkString("\t"))
+        case _ => None
+      }
+    }
+    val header = schemaOf(sfs, sroot, v).map(schemaHeader).toSeq ++
+      droppedHeader(droppedOf(sfs, sroot, v)) ++
+      bloomHeader(bloomConfigOf(sfs, sroot, v)) ++
+      constraintHeader(constraintsOf(sfs, sroot, v)) ++
+      opHeader("clone") ++ meta
+    val (dfs, droot) = fsFor(spark, dstDir)
+    if (!casManifest(dfs, droot, 1, files.map(abs), header))
+      throw new java.util.ConcurrentModificationException(
+        s"clone into $dstDir lost the commit race")
+    1
+  }
+
   /** Drop manifests older than the newest `keepVersions` and delete
     * data files no retained manifest references. This is the ONLY
     * operation that deletes data — until it runs, every version ever
@@ -1899,9 +2278,13 @@ object Snapshots {
     // the two phases leaves a rerunnable state (the next vacuum re-lists
     // the same manifests and finishes) instead of unreachable orphans
     val deadManifests = drop.map(manifestPath(root, _))
-    dead.foreach(f => fs.delete(new HPath(root, f), false))
-    deadSidecars.foreach(s => fs.delete(new HPath(root, s), false))
+    // ownership guard: absolute references written by shallowClone are
+    // ANOTHER table's bytes — drop the manifest lines, never the files
+    val deadOwned = dead.filter(ownedByRoot)
+    deadOwned.foreach(f => fs.delete(new HPath(root, f), false))
+    deadSidecars.filter(ownedByRoot)
+      .foreach(s => fs.delete(new HPath(root, s), false))
     deadManifests.foreach(m => fs.delete(m, false))
-    (drop.size, dead.size)
+    (drop.size, deadOwned.size)
   }
 }

@@ -743,6 +743,92 @@ object SinkQueries {
       },
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey IN (1, 2, 7, 33, 999999999)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // S33: metadata-only aggregates — Snapshots.aggregateFromManifest.
+    // Row count, null-aware column count, and min/max watermarks
+    // answered from manifest stats with ZERO data files opened (the
+    // oracle recomputes them the slow way, by scanning); at 100 TB this
+    // is the difference between a KB of manifest lines and a full
+    // table scan for the freshness/rowcount checks every pipeline runs.
+    // MetaAggSpec proves the no-data-read property itself (the answer
+    // survives deleting the data bytes) and the exact-or-refuse
+    // contract (missing stats → None, never an approximation).
+    QueryDef("s33_meta_aggregate",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s33_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true) // rebuild the fixture table each run
+        val base = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_quantity", "l_extendedprice",
+            "l_shipdate")
+        (0 to 2).foreach(i => Snapshots.append(
+          base.filter(pmod(col("l_orderkey"), lit(3)) === i), root))
+        Snapshots.aggregateFromManifest(s, root,
+            Seq("l_quantity", "l_shipdate")).get
+          .select(col("n_rows"),
+            col("n_l_quantity").as("n_qty"),
+            col("min_l_quantity").as("min_qty"),
+            col("max_l_quantity").as("max_qty"),
+            col("min_l_shipdate").cast("date").cast("string").as("min_ship"),
+            col("max_l_shipdate").cast("date").cast("string").as("max_ship"))
+      },
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  count(l_quantity)::BIGINT AS n_qty,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS min_ship,
+        |  CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS max_ship
+        |FROM lineitem""".stripMargin),
+
+    // S34: shallow clone — Snapshots.shallowClone. The clone is ONE
+    // manifest write referencing the source's immutable files by
+    // absolute path (zero data copied — on a 100 TB table, a free
+    // dev/test branch); writes then diverge per table. Two slices build
+    // the source, the third is appended to the CLONE only, so the
+    // result proves both the zero-copy read (clone sees the source's
+    // slices) and the divergence (source keeps 2/3, clone has 3/3 —
+    // the two sides of the output differ exactly by slice 2's rows).
+    // CloneHistorySpec proves the zero-bytes/ownership properties.
+    QueryDef("s34_shallow_clone",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val src = s"${stageDir(dir)}/s34_src"
+        val dst = s"${stageDir(dir)}/s34_clone"
+        Seq(src, dst).foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(p, true) // rebuild the fixture tables each run
+        }
+        val base = Tables.part(s, dir)
+          .select("p_partkey", "p_size", "p_retailprice")
+        Snapshots.append(
+          base.filter(pmod(col("p_partkey"), lit(3)) === 0), src)
+        Snapshots.append(
+          base.filter(pmod(col("p_partkey"), lit(3)) === 1), src)
+        Snapshots.shallowClone(s, src, dst)
+        Snapshots.append(
+          base.filter(pmod(col("p_partkey"), lit(3)) === 2), dst)
+        def agg(side: String, root: String) =
+          Snapshots.read(s, root).groupBy("p_size")
+            .agg(count(lit(1)).cast("long").as("n_parts"),
+              sum(col("p_retailprice").cast("decimal(18,4)")).cast("double")
+                .as("sum_price"))
+            .select(lit(side).as("side"), col("p_size"), col("n_parts"),
+              col("sum_price"))
+        agg("clone", dst).unionByName(agg("source", src))
+          .orderBy("side", "p_size")
+      },
+      """WITH sides AS (
+        |  SELECT 'clone' AS side, p_size, p_retailprice FROM part
+        |  UNION ALL
+        |  SELECT 'source', p_size, p_retailprice FROM part
+        |    WHERE p_partkey % 3 <> 2)
+        |SELECT side, p_size, count(*)::BIGINT AS n_parts,
+        |  (sum(CAST(p_retailprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM sides GROUP BY side, p_size
+        |ORDER BY side, p_size""".stripMargin)
   )
 }

@@ -327,7 +327,119 @@ object TimeSeriesQueries {
          |      )::BIGINT AS rank
          |  FROM n LEFT JOIN c$i USING (node))""").mkString(",\n")}
          |SELECT node, rank FROM r3
-         |ORDER BY rank DESC, node ASC""".stripMargin))
+         |ORDER BY rank DESC, node ASC""".stripMargin),
+
+    // g8: exponentially weighted moving average of the funding-rate
+    // series — the trailing-stats family's decay-weighted member (the
+    // reference's funding_stats_etl.py:63-120 computes flat trailing
+    // means; an EWMA is what the same monitor uses when recent ticks
+    // should dominate). Same one-shuffle shape as g3: dedup inside the
+    // symbol partitioning, then a lag-chain over the same sort — two
+    // window frames, one exchange, no re-sort.
+    //
+    // Determinism: λ = 1/2, so every weight 2^-k is an exact double and
+    // x * 2^-k is a pure exponent shift (no rounding); the sums run in
+    // the same left-associative order in both engines and the divisor
+    // Σλ^k = 1.9921875 is exact — the EWMA replays bit-identically in
+    // DuckDB, no tolerance needed. Rows are emitted at every 16th tick
+    // per symbol (row_number, integer-deterministic), which also
+    // guarantees all 8 taps are populated — no partial-window branch.
+    QueryDef("g8_ewma",
+      (s, dir) => {
+        val raw = Tables.events(s, dir)
+          .select(
+            concat(lit("SYM"), (col("user_id") % 20).cast("string"),
+              lit("USDTM")).as("symbol"),
+            col("ts"), col("value").cast("decimal(18,4)").as("vd"))
+        // duplicate-timestamp collapse exactly as g3: under
+        // (ts asc, vd desc) the first row of each ts-run is the max
+        val wD = Window.partitionBy("symbol")
+          .orderBy(col("ts").asc, col("vd").desc)
+        val obs = raw
+          .withColumn("__pts", lag("ts", 1).over(wD))
+          .filter(col("__pts").isNull || col("__pts") =!= col("ts"))
+          .drop("__pts")
+          .withColumn("v", col("vd").cast("double"))
+        val w = Window.partitionBy("symbol").orderBy(col("ts").asc)
+        val taps = (0 to 7).map { k =>
+          val x = if (k == 0) col("v") else lag(col("v"), k).over(w)
+          x * lit(1.0 / (1L << k))
+        }
+        obs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("ewma", taps.reduce(_ + _) / lit(1.9921875))
+          .filter(col("rn") % 16 === 0)
+          .select(col("symbol"), col("ts"), col("v").as("value"),
+            col("ewma"))
+          .orderBy("symbol", "ts")
+      },
+      """WITH obs AS (
+        |  SELECT 'SYM' || CAST(user_id % 20 AS VARCHAR) || 'USDTM' AS symbol,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    (max(CAST(value AS DECIMAL(18,4))))::DOUBLE AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT symbol, ts, v,
+        |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+        |    lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+        |    lag(v, 5) OVER w AS l5, lag(v, 6) OVER w AS l6,
+        |    lag(v, 7) OVER w AS l7,
+        |    row_number() OVER w AS rn
+        |  FROM obs WINDOW w AS (PARTITION BY symbol ORDER BY ts ASC))
+        |SELECT symbol, ts, v AS value,
+        |  (v * 1.0 + l1 * 0.5 + l2 * 0.25 + l3 * 0.125 + l4 * 0.0625
+        |    + l5 * 0.03125 + l6 * 0.015625 + l7 * 0.0078125)
+        |    / 1.9921875 AS ewma
+        |FROM l WHERE rn % 16 = 0
+        |ORDER BY symbol, ts""".stripMargin),
+
+    // g9: running-peak drawdown per symbol — the monitoring twin of
+    // g8's decay average (how far below its high-water mark is this
+    // series?). One window pass computes peak (running max) and the
+    // emission counter over the SAME (symbol, ts) sort — one exchange.
+    // Determinism: running max is exact (no accumulation), and the
+    // drawdown is two IEEE ops (subtract, divide) in the same order
+    // both engines — bit-identical, no tolerance. Frames are explicit
+    // ROWS on both sides so peer-row semantics can never differ.
+    QueryDef("g9_drawdown",
+      (s, dir) => {
+        val raw = Tables.events(s, dir)
+          .select(
+            concat(lit("SYM"), (col("user_id") % 20).cast("string"),
+              lit("USDTM")).as("symbol"),
+            col("ts"), col("value").cast("decimal(18,4)").as("vd"))
+        val wD = Window.partitionBy("symbol")
+          .orderBy(col("ts").asc, col("vd").desc)
+        val obs = raw
+          .withColumn("__pts", lag("ts", 1).over(wD))
+          .filter(col("__pts").isNull || col("__pts") =!= col("ts"))
+          .drop("__pts")
+          .withColumn("v", col("vd").cast("double"))
+        val w = Window.partitionBy("symbol").orderBy(col("ts").asc)
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        obs
+          .withColumn("peak", max(col("v")).over(run))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") % 16 === 0)
+          .withColumn("drawdown",
+            when(col("peak") =!= 0.0, (col("v") - col("peak")) / col("peak")))
+          .select(col("symbol"), col("ts"), col("v").as("value"),
+            col("peak"), col("drawdown"))
+          .orderBy("symbol", "ts")
+      },
+      """WITH obs AS (
+        |  SELECT 'SYM' || CAST(user_id % 20 AS VARCHAR) || 'USDTM' AS symbol,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    (max(CAST(value AS DECIMAL(18,4))))::DOUBLE AS v
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT symbol, ts, v,
+        |    max(v) OVER (PARTITION BY symbol ORDER BY ts ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY ts ASC) AS rn
+        |  FROM obs)
+        |SELECT symbol, ts, v AS value, peak,
+        |  CASE WHEN peak <> 0 THEN (v - peak) / peak END AS drawdown
+        |FROM w WHERE rn % 16 = 0
+        |ORDER BY symbol, ts""".stripMargin))
 
   /** Shared input frame for the correlation pair (g5/g6): the per-symbol
     * hourly series, duplicate timestamps collapsed by max — exact
