@@ -1247,23 +1247,33 @@ object Snapshots {
     val rel = s"$DataDir/$commitId"
     val dir = new HPath(root, rel)
     out.write.parquet(dir.toString)
-    val listed = fs.listStatus(dir)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-    val files = listed.map(st => s"$rel/${st.getPath.getName}").toSeq
-    // byte sizes recorded at commit time are what audit() verifies
-    // against — silent truncation/corruption of an immutable data file
-    // is detectable forever after
-    val sizes = listed.map(st =>
-      s"#size\t$rel/${st.getPath.getName}\t${st.getLen}").toSeq
     val logical = StructType(df.schema.fields.map { f =>
       val p = phys.getOrElse(f.name, f.name)
       if (p == f.name) stripPhysical(f) else withPhysical(stripPhysical(f), p)
     })
+    finalizeStaged(df.sparkSession, fs, root, rel, logical, bloomCfg)
+  }
+
+  /** Turn an already-written commit dir into a [[Staged]]: list its
+    * parquet files, record commit-time sizes (what [[audit]] verifies
+    * against — silent truncation/corruption of an immutable data file
+    * is detectable forever after), collect stats, build bloom
+    * sidecars. Shared by [[stage]] and writers with their own write
+    * path (the bucketed layout writer). */
+  private def finalizeStaged(spark: SparkSession, fs: FileSystem,
+      root: HPath, rel: String, logical: StructType,
+      bloomCfg: Option[BloomConfig]): Staged = {
+    val dir = new HPath(root, rel)
+    val listed = fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val files = listed.map(st => s"$rel/${st.getPath.getName}").toSeq
+    val sizes = listed.map(st =>
+      s"#size\t$rel/${st.getPath.getName}\t${st.getLen}").toSeq
     val bloomLines = bloomCfg.map(
-      buildBlooms(df.sparkSession, fs, root, rel, files, _)).getOrElse(Nil)
+      buildBlooms(spark, fs, root, rel, files, _)).getOrElse(Nil)
     Staged(files,
-      sizes ++ collectStats(df.sparkSession, dir.toString, rel) ++ bloomLines,
+      sizes ++ collectStats(spark, dir.toString, rel, files) ++ bloomLines,
       logical)
   }
 
@@ -1339,7 +1349,7 @@ object Snapshots {
     * with min/max either `v:<encoded>` or `null` (no non-null values).
     */
   private def collectStats(spark: SparkSession, dir: String,
-      rel: String): Seq[String] = {
+      rel: String, staged: Seq[String]): Seq[String] = {
     val data = spark.read.parquet(dir)
     val cols = statColumns(data.schema)
     if (cols.isEmpty) return Nil
@@ -1355,7 +1365,7 @@ object Snapshots {
         bounded(max(col(f.name))).as(s"__mx"),
         count(col(f.name)).as(s"__nn"))
     }
-    data.groupBy(input_file_name().as("__f"))
+    val withRows = data.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per staged file, values prefix-capped
       .flatMap { r =>
@@ -1375,6 +1385,15 @@ object Snapshots {
             s"${nrows - nonNull}\t${opt(mnV)}\t${opt(mxV)}"
         }
       }.toSeq
+    // EMPTY staged files (a write with empty partitions emits zero-row
+    // part files) have no aggregate row — record them as explicit
+    // rows=0 lines so (a) pruning can always skip them and (b) the
+    // metadata-only aggregate keeps its every-file-proven contract
+    val covered = withRows.map(_.split('\t')(1)).toSet
+    val zeroLines = staged.filterNot(covered).flatMap { f =>
+      cols.map(c => s"#stats\t$f\t0\t${enc(c.name)}\t0\tnull\tnull")
+    }
+    withRows ++ zeroLines
   }
 
   /** Per-file, per-column stats of version `v`'s manifest. Files or
@@ -1653,6 +1672,137 @@ object Snapshots {
     rewriteCurrent(spark, dir,
       Layout.cluster(_, cols, bits, numFiles), expectedVersion,
       op = "optimize")
+  }
+
+  // ---- bucketed layout commits --------------------------------------
+  //
+  // [[optimize]] solves the SCAN problem (narrow per-file ranges →
+  // stats skipping); a bucketed commit solves the JOIN problem: two
+  // 100 TB snapshot tables bucketed on the same key with the same
+  // bucket count join bucket-i-against-bucket-i with ZERO Exchange —
+  // the shuffle is paid once, at layout time, not on every join. The
+  // bucketed files live in ONE commit dir written by Spark's native
+  // bucketed writer (bucket ids in the file names — the contract
+  // Catalyst needs), the manifest records the spec in a `#bucketspec`
+  // header, and [[bucketedTable]] re-exposes the CURRENT version as a
+  // catalog-backed bucketed table. The spec is a property of that
+  // exact commit: any later append/merge/delete produces a version
+  // whose content is no longer the bucketed dir, so the read path
+  // refuses (re-run [[optimizeBucketed]] — the maintenance loop, same
+  // as re-optimizing after appends).
+
+  final case class BucketSpec(buckets: Int, keys: Seq[String],
+    sortCols: Seq[String], rel: String)
+
+  private val BucketSpecPrefix = "#bucketspec\t"
+
+  private def bucketSpecHeader(s: BucketSpec): Seq[String] =
+    Seq(BucketSpecPrefix + s.buckets + "\t" +
+      s.keys.map(enc).mkString(",") + "\t" +
+      s.sortCols.map(enc).mkString(",") + "\t" + enc(s.rel))
+
+  /** The bucket spec of version `v` ITSELF (not chain-resolved: a spec
+    * describes exactly the commit that wrote the layout). */
+  def bucketSpecOf(spark: SparkSession, dir: String,
+      version: Int = -1): Option[BucketSpec] = {
+    val (fs, root) = fsFor(spark, dir)
+    val vOpt = if (version >= 0) Some(version) else currentVersion(spark, dir)
+    vOpt.flatMap { v =>
+      manifestLines(fs, root, v).collectFirst {
+        case l if l.startsWith(BucketSpecPrefix) =>
+          val f = l.substring(BucketSpecPrefix.length).split('\t')
+          BucketSpec(f(0).toInt,
+            f(1).split(',').filter(_.nonEmpty).map(dec).toSeq,
+            f(2).split(',').filter(_.nonEmpty).map(dec).toSeq, dec(f(3)))
+      }
+    }
+  }
+
+  /** Rewrite the current version bucketed on `keys` (Spark's native
+    * bucketed layout — [[Bucketing.writeBucketed]] machinery) and
+    * commit it as a new content-identical version carrying a
+    * `#bucketspec` header. Same OCC discipline as [[optimize]]. The
+    * table must not use column mapping (bucket files must carry the
+    * queryable names; run after an [[overwrite]]-rooted lineage or
+    * before renames). */
+  def optimizeBucketed(spark: SparkSession, dir: String, keys: Seq[String],
+      buckets: Int, sortCols: Seq[String] = Nil,
+      filesPerBucket: Int = 1, expectedVersion: Int = -1): Int = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    val (fs, root) = fsFor(spark, dir)
+    val base = if (expectedVersion >= 0) expectedVersion
+    else currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(s"nothing to bucket in $dir"))
+    val baseSchema = schemaOf(fs, root, base)
+    require(baseSchema.forall(_.fields.forall(f => physOf(f) == f.name)),
+      s"bucketed layout on a column-mapped table is unsupported for $dir " +
+        "— restart the lineage (overwrite) before bucketing")
+    val df = read(spark, dir, base)
+    keys.foreach(k => require(df.columns.contains(k),
+      s"bucket key '$k' is not a column: ${df.columns.toSeq}"))
+    val commitId = java.util.UUID.randomUUID.toString
+    val rel = s"$DataDir/$commitId"
+    val tmpName = "graft_snap_bkt_" + commitId.replace("-", "_")
+    try {
+      Bucketing.writeBucketed(df, tmpName, new HPath(root, rel).toString,
+        buckets, keys, sortCols, filesPerBucket)
+    } finally {
+      // the catalog entry is write scaffolding; the manifest owns the
+      // files, and bucketedTable registers its own entry at read time
+      spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    }
+    val staged = finalizeStaged(spark, fs, root, rel,
+      baseSchema.getOrElse(allNullable(df.schema)),
+      bloomConfigOf(fs, root, base))
+    val next = base + 1
+    if (!casManifest(fs, root, next, staged.files,
+      schemaHeader(baseSchema.getOrElse(allNullable(staged.schema))) +:
+        (droppedHeader(droppedOf(fs, root, base)) ++
+          bloomHeader(bloomConfigOf(fs, root, base)) ++
+          constraintHeader(constraintsOf(fs, root, base)) ++
+          bucketSpecHeader(BucketSpec(buckets, keys, sortCols, rel)) ++
+          opHeader("optimize-bucketed") ++ staged.stats)))
+      throw new java.util.ConcurrentModificationException(
+        s"bucketed rewrite of $dir@v$base lost the commit race — a writer " +
+          s"landed v$next first; re-run maintenance when the table is " +
+          "quiescent")
+    next
+  }
+
+  /** The CURRENT version as a catalog-registered bucketed table named
+    * `name` — the zero-Exchange join surface: two tables bucketed on
+    * the same keys/count join (or aggregate on the bucket key) with no
+    * shuffle, which Catalyst proves FROM the catalog's bucket spec.
+    * Refuses unless the current version is exactly a bucketed-layout
+    * commit (any later content commit invalidates the layout — re-run
+    * [[optimizeBucketed]]); time travel to the bucketed version keeps
+    * working after later appends via `version`. */
+  def bucketedTable(spark: SparkSession, dir: String, name: String,
+      version: Int = -1): DataFrame = {
+    require(name.matches("[A-Za-z0-9_.]+"), s"unsafe table name '$name'")
+    val (fs, root) = fsFor(spark, dir)
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed version under $dir"))
+    val spec = bucketSpecOf(spark, dir, v).getOrElse(
+      throw new IllegalStateException(
+        s"version $v of $dir is not a bucketed-layout commit — run " +
+          "Snapshots.optimizeBucketed (appends after a bucketed commit " +
+          "invalidate its layout)"))
+    val schema = schemaOf(fs, root, v).getOrElse(
+      allNullable(read(spark, dir, v).schema))
+    val loc = fs.makeQualified(new HPath(root, spec.rel)).toString
+    val sorted =
+      if (spec.sortCols.isEmpty) ""
+      else s" SORTED BY (${spec.sortCols.mkString(", ")})"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name (${StructType(schema.map(stripPhysical)).toDDL})
+         |USING parquet
+         |CLUSTERED BY (${spec.keys.mkString(", ")})$sorted
+         |INTO ${spec.buckets} BUCKETS
+         |LOCATION '$loc'""".stripMargin)
+    spark.table(name)
   }
 
   /** Shared content-identical-rewrite commit: stage `transform(current)`
@@ -2229,6 +2379,53 @@ object Snapshots {
       throw new java.util.ConcurrentModificationException(
         s"clone into $dstDir lost the commit race")
     1
+  }
+
+  /** Delete orphaned data files — parquet files under `data/` that NO
+    * retained manifest references (staging dirs of crashed commits,
+    * post-vacuum stragglers) — and any commit dir left empty. The
+    * missing half of [[vacuum]]: vacuum reaps files of DROPPED
+    * versions, but a commit that died before its manifest CAS leaves
+    * files no version ever referenced, invisible to readers yet
+    * accumulating storage forever on a long-lived table.
+    *
+    * `olderThanMs` is the safety window (default 24 h): a file younger
+    * than it is spared, because an IN-FLIGHT commit's staged files are
+    * indistinguishable from crash garbage until its manifest lands —
+    * deleting them would break the commit mid-stage. Same discipline
+    * as the lakehouse formats' uncommitted-file retention. Sidecar
+    * (non-parquet, underscore-hidden) files of an orphaned commit dir
+    * are reclaimed with it. Returns the number of files deleted. */
+  def cleanOrphans(spark: SparkSession, dir: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val (fs, root) = fsFor(spark, dir)
+    val live = versions(spark, dir)
+      .flatMap(readManifest(fs, root, _)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val dataRoot = new HPath(root, DataDir)
+    if (!fs.exists(dataRoot)) return 0
+    var deleted = 0
+    fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
+      val entries = fs.listStatus(d.getPath)
+      val parquets = entries.filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val orphaned = parquets.filter { st =>
+        val rel = s"$DataDir/${d.getPath.getName}/${st.getPath.getName}"
+        !live.contains(rel) && st.getModificationTime < cutoff
+      }
+      orphaned.foreach { st => fs.delete(st.getPath, false); deleted += 1 }
+      // a commit dir with no referenced parquet left is pure residue
+      // (_SUCCESS markers, orphan bloom sidecars): reclaim it whole —
+      // but only once every parquet inside was provably orphaned, and
+      // nothing younger than the window remains
+      val keptParquet = parquets.length - orphaned.length
+      val youngRest = fs.listStatus(d.getPath).exists(
+        _.getModificationTime >= cutoff)
+      if (keptParquet == 0 && !youngRest &&
+        fs.listStatus(d.getPath).forall(_.isFile))
+        fs.delete(d.getPath, true)
+    }
+    deleted
   }
 
   /** Drop manifests older than the newest `keepVersions` and delete

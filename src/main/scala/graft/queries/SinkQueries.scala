@@ -829,6 +829,44 @@ object SinkQueries {
         |SELECT side, p_size, count(*)::BIGINT AS n_parts,
         |  (sum(CAST(p_retailprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
         |FROM sides GROUP BY side, p_size
-        |ORDER BY side, p_size""".stripMargin)
+        |ORDER BY side, p_size""".stripMargin),
+
+    // S35: bucketed snapshot layout — Snapshots.optimizeBucketed +
+    // bucketedTable. Two versioned tables bucketed alike on the join
+    // key plan their fact-fact join with ZERO shuffle exchanges
+    // (BucketedSnapshotSpec asserts the plan property with broadcast
+    // disabled); the shuffle is paid once at layout time, not on every
+    // join — at two 100 TB tables meeting daily, that is the
+    // difference between one network pass ever and one per run. The
+    // oracle is the PLAIN join: layout must never change content.
+    QueryDef("s35_bucketed_snapshot_join",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val rootO = s"${stageDir(dir)}/s35_orders"
+        val rootC = s"${stageDir(dir)}/s35_customer"
+        Seq(rootO, rootC).foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(p, true) // rebuild the fixture tables each run
+        }
+        Snapshots.append(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice"), rootO)
+        Snapshots.append(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment"), rootC)
+        Snapshots.optimizeBucketed(s, rootO, Seq("o_custkey"), 8)
+        Snapshots.optimizeBucketed(s, rootC, Seq("c_custkey"), 8)
+        Snapshots.bucketedTable(s, rootO, "s35_bkt_orders")
+          .join(Snapshots.bucketedTable(s, rootC, "s35_bkt_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   )
 }

@@ -129,6 +129,27 @@ class CloneHistorySpec extends SparkSpec {
     }
   }
 
+  test("cleanOrphans reclaims aged crash garbage, spares live and young") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, 2.0)).toDF("id", "v"), root)
+    val fs = fsOf(root)
+    // plant a crashed commit: staged parquet no manifest references
+    val ghost = new HPath(s"$root/data/ghost-commit/part-0.parquet")
+    val out = fs.create(ghost, false)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    // young window: the orphan is spared (could be an in-flight stage)
+    assert(Snapshots.cleanOrphans(spark, root) == 0)
+    assert(fs.exists(ghost))
+    // aged out (negative window puts the cutoff in the future): reaped,
+    // together with its now-empty commit dir; live files untouched
+    assert(Snapshots.cleanOrphans(spark, root, olderThanMs = -60000) == 1)
+    assert(!fs.exists(new HPath(s"$root/data/ghost-commit")))
+    assert(Snapshots.read(spark, root).count() == 1)
+    // audit agrees: no orphans left
+    assert(!Snapshots.audit(spark, root).collect()
+      .exists(_.getString(1) == "orphan"))
+  }
+
   test("history on a clone starts at the clone commit") {
     val src = freshRoot(); val dst = freshRoot()
     Snapshots.append(Seq((1L, 2.0)).toDF("id", "v"), src)

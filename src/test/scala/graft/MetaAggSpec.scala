@@ -57,6 +57,16 @@ class MetaAggSpec extends SparkSpec {
     assert(after == before && before == Row(3L, 3L, -1.0, 9.0))
   }
 
+  test("empty part-files (empty write partitions) stay provable") {
+    val root = freshRoot()
+    // 2 rows forced through 8 partitions → ~6 zero-row parquet files
+    Snapshots.append(
+      Seq((1L, 5.0), (2L, 9.0)).toDF("id", "v").repartition(8), root)
+    val meta = Snapshots.aggregateFromManifest(spark, root, Seq("v"))
+      .get.head()
+    assert(meta == Row(2L, 2L, 5.0, 9.0))
+  }
+
   test("exact-or-refuse: string columns and unknown columns refuse") {
     val root = freshRoot()
     Snapshots.append(Seq((1L, "alpha")).toDF("id", "s"), root)
