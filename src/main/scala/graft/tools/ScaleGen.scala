@@ -142,6 +142,15 @@ object ScaleGen {
         p.withColumn("p_partkey", col("p_partkey") + lit(r * dimStride))
       }.reduce(_ unionByName _)
     }
+    // customer strides on the SAME dimStride as orders' o_custkey, so
+    // the orders⋈customer join (s35) stays replica-consistent: each
+    // replica's orders join exactly their replica's customers
+    val customerN = {
+      val c = spark.read.parquet(s"$src/customer.parquet")
+      (0 until replicas).map { r =>
+        c.withColumn("c_custkey", col("c_custkey") + lit(r * dimStride))
+      }.reduce(_ unionByName _)
+    }
 
     docsN.repartition(32).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
@@ -155,6 +164,8 @@ object ScaleGen {
       .parquet(s"$out/lineitem.parquet")
     partN.repartition(32).write.mode("overwrite")
       .parquet(s"$out/part.parquet")
+    customerN.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/customer.parquet")
     println(s"SCALEGEN docs=${spark.read.parquet(s"$out/documents.parquet").count()} " +
       s"emb=${spark.read.parquet(s"$out/embeddings.parquet").count()} " +
       s"events=${spark.read.parquet(s"$out/events.parquet").count()} " +

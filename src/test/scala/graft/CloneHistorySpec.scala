@@ -82,6 +82,23 @@ class CloneHistorySpec extends SparkSpec {
     assert(Snapshots.constraints(spark, dst1).isEmpty)
   }
 
+  test("bloom sidecars carry into the clone and still prune point reads") {
+    val src = freshRoot(); val dst = freshRoot()
+    Snapshots.append((0L until 50L).map(i => (i, i * 2.0)).toDF("id", "v"),
+      src)
+    Snapshots.setBloomColumns(spark, src, Seq("id"))
+    (1 to 3).foreach(i => Snapshots.append(
+      (0L until 50L).map(j => (i * 1000L + j, j * 1.0)).toDF("id", "v"),
+      src))
+    Snapshots.shallowClone(spark, src, dst)
+    // the probe resolves absolute sidecar refs; rows must equal the scan
+    val got = Snapshots.readWhere(spark, dst, col("id") === 2001L)
+      .collect().toSeq
+    assert(got == Snapshots.read(spark, dst).filter(col("id") === 2001L)
+      .collect().toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("clone refuses a destination that is already a table") {
     val src = freshRoot(); val dst = freshRoot()
     Snapshots.append(Seq((1L, 2.0)).toDF("id", "v"), src)

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Snapshots
+
+/** Model-based randomized testing of the snapshot DML surface: a fixed-seed
+  * random sequence of append / overwrite / merge / deleteWhere / compact /
+  * optimize / restore / clone runs against both the real table and a
+  * driver-side model (a Map keyed like the table); after EVERY op the real
+  * read must equal the model, and at the end every recorded historical
+  * version must still read back exactly — the interaction coverage
+  * (delta chains × checkpoints × removes × restores) no hand-written
+  * case list reaches. */
+class SnapshotModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_model").toFile.toString + "/t"
+
+  private type Model = Map[Long, (Long, Double)] // id -> (id, v)
+
+  private def toDf(m: Seq[(Long, Double)]) = m.toDF("id", "v")
+
+  private def readBack(root: String): Set[(Long, Double)] =
+    Snapshots.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+  test("random op sequences agree with the model at every step (seed 42)") {
+    val rnd = new Random(42)
+    val root = freshRoot()
+    var model: Model = Map.empty
+    // version -> model snapshot at that version, for end-of-run time travel
+    var history = Map.empty[Int, Model]
+    def batch(n: Int): Seq[(Long, Double)] =
+      Seq.fill(n)((rnd.nextInt(40).toLong, (rnd.nextInt(1000) / 4.0)))
+        .groupBy(_._1).map(_._2.head).toSeq // key-unique within a batch
+    Snapshots.append(toDf(batch(6)
+      .map { case (k, v) => (k, v) }), root) match {
+      case v =>
+        model = readBack(root).map(r => r._1 -> r).toMap // seed from real
+        history += v -> model
+    }
+    (1 to 28).foreach { step =>
+      val op = rnd.nextInt(10)
+      op match {
+        case 0 | 1 | 2 => // append (may duplicate keys: multiset-free test
+          // frame is keyed, so appends use fresh negative keys instead)
+          val fresh = batch(4).map { case (k, v) => (-(step * 100 + k), v) }
+          val ver = Snapshots.append(toDf(fresh), root)
+          model = model ++ fresh.map(r => r._1 -> r)
+          history += ver -> model
+        case 3 | 4 => // merge: update-or-insert on id
+          val src = batch(5)
+          val r = Snapshots.merge(spark, root, toDf(src), Seq("id"))
+          model = model ++ src.map(x => x._1 -> x)
+          history += r.version -> model
+        case 5 | 6 => // delete a key range
+          val lo = rnd.nextInt(40).toLong
+          val hi = lo + rnd.nextInt(10)
+          val r = Snapshots.deleteWhere(spark, root,
+            col("id") >= lo && col("id") <= hi)
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+          history += r.version -> model
+        case 7 => // content-identical maintenance
+          val ver =
+            if (rnd.nextBoolean()) Snapshots.compact(spark, root, 2)
+            else Snapshots.optimize(spark, root, Seq("id", "v"), 3)
+          history += ver -> model
+        case 8 => // overwrite with a fresh small state
+          val next = batch(3)
+          val ver = Snapshots.overwrite(toDf(next), root)
+          model = next.map(r => r._1 -> r).toMap
+          history += ver -> model
+        case 9 => // restore a random retained version
+          val vs = Snapshots.versions(spark, root)
+          val target = vs(rnd.nextInt(vs.size))
+          val ver = Snapshots.restore(spark, root, target)
+          model = history(target)
+          history += ver -> model
+      }
+      assert(readBack(root) == model.values.toSet,
+        s"divergence after step $step (op $op)")
+    }
+    // every retained version still reads exactly its recorded state
+    history.foreach { case (v, m) =>
+      val got = Snapshots.read(spark, root, v).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == m.values.toSet, s"time travel to v$v diverged")
+    }
+    // and the audit is clean: nothing missing, nothing corrupted
+    val bad = Snapshots.audit(spark, root).collect()
+      .filter(r => r.getString(1) == "missing" ||
+        r.getString(1) == "size_mismatch")
+    assert(bad.isEmpty, s"audit: ${bad.toSeq}")
+  }
+
+  test("model run survives interleaved clones and vacuum (seed 7)") {
+    val rnd = new Random(7)
+    val root = freshRoot()
+    Snapshots.append(
+      (0L until 20L).map(i => (i, i / 2.0)).toDF("id", "v"), root)
+    var model: Set[(Long, Double)] = readBack(root)
+    (1 to 10).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 =>
+          val fresh = Seq((-step.toLong, step * 1.5))
+          Snapshots.append(toDf(fresh), root)
+          model = model ++ fresh
+        case 1 =>
+          val k = rnd.nextInt(20).toLong
+          Snapshots.deleteWhere(spark, root, col("id") === k)
+          model = model.filterNot(_._1 == k)
+        case 2 => // a clone is an independent branch: mutating it must
+          // never affect the source
+          val dst = freshRoot()
+          Snapshots.shallowClone(spark, root, dst)
+          Snapshots.append(toDf(Seq((9999L, 1.0))), dst)
+          Snapshots.deleteWhere(spark, dst, col("id") >= 0L)
+          assert(readBack(root) == model, s"clone mutated source, step $step")
+        case 3 =>
+          Snapshots.vacuum(spark, root, keepVersions = 3)
+      }
+      assert(readBack(root) == model, s"divergence after step $step")
+    }
+  }
+}
