@@ -1674,6 +1674,60 @@ object Snapshots {
       op = "optimize")
   }
 
+  /** Incremental OPTIMIZE — re-cluster ONLY the files `pred` may touch
+    * (Delta's `OPTIMIZE ... WHERE`): on a 100 TB table the maintenance
+    * loop never re-clusters the whole history, it optimizes the region
+    * the last day's appends landed in. Same file machinery as
+    * [[readWhere]]: files whose stats DISPROVE `pred` carry into the
+    * new manifest by name (never read); the rest rewrite through
+    * [[Layout.cluster]] as a content-identical delta commit
+    * (`#remove` lines for the rewritten files — O(touched) metadata).
+    * Unrecognized predicates fail open into a full optimize. Returns
+    * the committed version, or `base` untouched when nothing matches.
+    * OCC discipline of [[compact]]: a racing commit throws. */
+  def optimizeWhere(spark: SparkSession, dir: String, pred: Column,
+      cols: Seq[String], numFiles: Int, bits: Int = 8,
+      expectedVersion: Int = -1): Int = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val (fs, root) = fsFor(spark, dir)
+    val base = if (expectedVersion >= 0) expectedVersion
+    else currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(s"nothing to optimize in $dir"))
+    val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
+    if (mayMatch.isEmpty) return base
+    val basePinned = schemaOf(fs, root, base)
+    val bloomCfg = bloomConfigOf(fs, root, base)
+    val rows = readFilesAs(spark, fs, root, base, mayMatch)
+    val staged = stage(Layout.cluster(rows, cols, bits, numFiles), fs, root,
+      basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
+        .getOrElse(Map.empty), bloomCfg)
+    val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+    val droppedSet = droppedOf(fs, root, base)
+    val next = base + 1
+    val won =
+      if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
+        casManifest(fs, root, next, staged.files,
+          s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
+            schemaHeader(pinnedSchema) +:
+            (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
+              constraintHeader(constraintsOf(fs, root, base)) ++
+              opHeader("optimize-where") ++
+              mayMatch.map(f => s"#remove\t$f") ++ staged.stats))
+      else
+        casManifest(fs, root, next, untouched ++ staged.files,
+          schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
+            bloomHeader(bloomCfg) ++
+            constraintHeader(constraintsOf(fs, root, base)) ++
+            opHeader("optimize-where") ++
+            statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
+    if (!won)
+      throw new java.util.ConcurrentModificationException(
+        s"optimizeWhere on $dir@v$base lost the commit race — a writer " +
+          s"landed v$next first; re-run maintenance when the table is " +
+          "quiescent")
+    next
+  }
+
   // ---- bucketed layout commits --------------------------------------
   //
   // [[optimize]] solves the SCAN problem (narrow per-file ranges →
@@ -2379,6 +2433,36 @@ object Snapshots {
       throw new java.util.ConcurrentModificationException(
         s"clone into $dstDir lost the commit race")
     1
+  }
+
+  /** What one [[maintain]] pass did. */
+  final case class MaintainResult(compactedTo: Option[Int],
+    versionsDropped: Int, filesDeleted: Int, orphansDeleted: Int)
+
+  /** The one-call maintenance policy an append-heavy (streaming) table
+    * needs on a schedule: compact when the file count crosses
+    * `maxFiles` (thousands of tiny per-epoch commits are the failure
+    * mode of every streaming sink), then retire history beyond
+    * `keepVersions`, then reclaim aged crash orphans. Each step is its
+    * own atomic commit/deletion with the same guarantees as calling
+    * [[compact]]/[[vacuum]]/[[cleanOrphans]] directly; run it when the
+    * table is quiescent (a racing writer makes the compact step throw,
+    * like compact itself — the vacuum/orphan steps still ran-or-not
+    * atomically per file and are always safe to re-run). */
+  def maintain(spark: SparkSession, dir: String, maxFiles: Int = 64,
+      targetFiles: Int = 8, keepVersions: Int = 10,
+      orphanOlderThanMs: Long = 24L * 3600 * 1000): MaintainResult = {
+    require(targetFiles >= 1 && maxFiles >= targetFiles,
+      s"need maxFiles >= targetFiles >= 1, got $maxFiles/$targetFiles")
+    val (fs, root) = fsFor(spark, dir)
+    val compacted = currentVersion(spark, dir).flatMap { v =>
+      if (readManifest(fs, root, v).size > maxFiles)
+        Some(compact(spark, dir, targetFiles, expectedVersion = v))
+      else None
+    }
+    val (dropped, deleted) = vacuum(spark, dir, keepVersions)
+    val orphans = cleanOrphans(spark, dir, orphanOlderThanMs)
+    MaintainResult(compacted, dropped, deleted, orphans)
   }
 
   /** Delete orphaned data files — parquet files under `data/` that NO

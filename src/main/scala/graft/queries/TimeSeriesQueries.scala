@@ -439,7 +439,50 @@ object TimeSeriesQueries {
         |SELECT symbol, ts, v AS value, peak,
         |  CASE WHEN peak <> 0 THEN (v - peak) / peak END AS drawdown
         |FROM w WHERE rn % 16 = 0
-        |ORDER BY symbol, ts""".stripMargin))
+        |ORDER BY symbol, ts""".stripMargin),
+
+    // g10: OHLC candle resample — the exchange-data aggregation the
+    // reference's funding monitor sits next to: per (symbol, hour),
+    // open = value at the earliest tick, high/low = extrema, close =
+    // value at the latest tick, plus the tick count. ONE shuffle on
+    // (symbol, hour) does everything — open/close via min_by/max_by on
+    // the tick timestamp (deterministic: per-ts dedup makes ts unique
+    // inside a candle), extrema are exact double comparisons, and no
+    // value is ever summed — bit-identical oracle replay, no tolerance.
+    QueryDef("g10_ohlc",
+      (s, dir) => {
+        val raw = Tables.events(s, dir)
+          .select(
+            concat(lit("SYM"), (col("user_id") % 20).cast("string"),
+              lit("USDTM")).as("symbol"),
+            col("ts"), col("value").cast("decimal(18,4)").as("vd"))
+        val wD = Window.partitionBy("symbol")
+          .orderBy(col("ts").asc, col("vd").desc)
+        val obs = raw
+          .withColumn("__pts", lag("ts", 1).over(wD))
+          .filter(col("__pts").isNull || col("__pts") =!= col("ts"))
+          .drop("__pts")
+          .withColumn("v", col("vd").cast("double"))
+        obs
+          .groupBy(col("symbol"), date_trunc("hour", col("ts")).as("h"))
+          .agg(
+            min_by(col("v"), col("ts")).as("open"),
+            max(col("v")).as("high"),
+            min(col("v")).as("low"),
+            max_by(col("v"), col("ts")).as("close"),
+            count(lit(1)).cast("long").as("n_ticks"))
+          .orderBy("symbol", "h")
+      },
+      """WITH obs AS (
+        |  SELECT 'SYM' || CAST(user_id % 20 AS VARCHAR) || 'USDTM' AS symbol,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    (max(CAST(value AS DECIMAL(18,4))))::DOUBLE AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT symbol, date_trunc('hour', ts) AS h,
+        |  arg_min(v, ts) AS open, max(v) AS high, min(v) AS low,
+        |  arg_max(v, ts) AS close, count(*)::BIGINT AS n_ticks
+        |FROM obs GROUP BY symbol, date_trunc('hour', ts)
+        |ORDER BY symbol, h""".stripMargin))
 
   /** Shared input frame for the correlation pair (g5/g6): the per-symbol
     * hourly series, duplicate timestamps collapsed by max — exact
