@@ -556,7 +556,15 @@ object Snapshots {
           schema.fields.find(_.name.equalsIgnoreCase(c))
             .filter(f => statEligible(f.dataType)))
         val files = readManifest(fs, root, v)
-        if (resolved.exists(_.isEmpty) || files.isEmpty) None
+        // deletion vectors make per-file stats bounds, not attained
+        // values, and row counts overcounts — exact-or-refuse refuses
+        val hasDv = {
+          val fileSet = files.toSet
+          dvFor(fs, root, v).exists { case (f, (_, n)) =>
+            n > 0 && fileSet.contains(f)
+          }
+        }
+        if (resolved.exists(_.isEmpty) || files.isEmpty || hasDv) None
         else {
           val fields = resolved.flatten
           val stats = statsFor(fs, root, v)
@@ -1200,26 +1208,258 @@ object Snapshots {
   private def stripPhysicalIfRedundant(f: StructField): StructField =
     if (physOf(f) == f.name) stripPhysical(f) else f
 
+  // ---- deletion vectors ---------------------------------------------
+  //
+  // The write-amplification escape hatch for NARROW deletes: a
+  // copy-on-write [[deleteWhere]] of 1k rows scattered over 1k files
+  // rewrites 1k files; [[deleteWhereLight]] instead records the
+  // deleted ROW POSITIONS per file in a small sidecar (`#dv` manifest
+  // line — file, sidecar path, count) and readers anti-join them out
+  // by `_metadata.row_index`. The data files stay immutable (time
+  // travel to pre-delete versions needs them verbatim); a file's
+  // CURRENT vector is the newest `#dv` line along the delta chain,
+  // and any rewrite of the file (merge/delete/compact/optimize)
+  // retires the vector with it. This is the lakehouse deletion-vector
+  // design reduced to its sound core: positions are original file row
+  // indices (stable forever), a bounded sorted-long sidecar, loaded in
+  // EXECUTORS at read time.
+
+  private val DvPrefix = "#dv\t"
+  private val GfCol = "__graft_dv_file"
+  private val GposCol = "__graft_dv_pos"
+
+  /** file → (sidecar, deleted-count) at version `v` — newest line along
+    * the chain wins (a vector UPDATES as deletes accrete). Entries for
+    * files the chain later removed are harmless: every lookup
+    * restricts to a resolved file list. */
+  private def dvFor(fs: FileSystem, root: HPath,
+      v: Int): Map[String, (String, Long)] = {
+    val lines = manifestLines(fs, root, v)
+    val own = lines.filter(_.startsWith(DvPrefix)).flatMap { l =>
+      l.split('\t') match {
+        case Array(_, f, side, n) => Some(f -> (side, n.toLong))
+        case _ => None
+      }
+    }.toMap
+    deltaHeader(lines) match {
+      case None => own
+      case Some((base, _)) => dvFor(fs, root, base) ++ own
+    }
+  }
+
+  private def dvLines(m: Map[String, (String, Long)],
+      files: Set[String]): Seq[String] =
+    m.filter { case (f, _) => files.contains(f) }.toSeq.sortBy(_._1)
+      .map { case (f, (s, n)) => s"#dv\t$f\t$s\t$n" }
+
+  private def writeDvSidecar(fs: FileSystem, root: HPath, rel: String,
+      positions: Array[Long]): Unit = {
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(new HPath(root, rel), false)))
+    try {
+      out.writeLong(positions.length.toLong)
+      positions.foreach(out.writeLong)
+    } finally out.close()
+  }
+
+  private def readDvSidecar(fs: FileSystem, root: HPath,
+      rel: String): Array[Long] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(new HPath(root, rel))))
+    try {
+      val n = in.readLong().toInt
+      Array.fill(n)(in.readLong())
+    } finally in.close()
+  }
+
+  /** The (file basename, deleted position) pairs of a DV set as a
+    * DataFrame, sidecar bytes read WHERE THE TASKS RUN — the driver
+    * ships names, never positions. */
+  private def dvPositions(spark: SparkSession, root: HPath,
+      dv: Map[String, (String, Long)]): DataFrame = {
+    val rootStr = root.toString
+    val refs = dv.toSeq.map { case (f, (side, _)) =>
+      (f.substring(f.lastIndexOf('/') + 1), side)
+    }
+    import org.apache.spark.sql.Encoders
+    spark.createDataset(refs)(Encoders.product[(String, String)])
+      .flatMap { case (base, side) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p = new HPath(rootStr, side)
+        val fs = p.getFileSystem(conf)
+        readDvSidecar(fs, new HPath(rootStr), side).map(pos => (base, pos))
+      }(Encoders.product[(String, Long)])
+      .toDF("__dv_file", "__dv_pos")
+  }
+
   /** Read `files` of version `v` under that version's pinned schema
     * (files predating an added column yield NULL there); pre-pinning
     * manifests fall back to footer inference. Renamed columns read
     * under their PHYSICAL file name and surface under the logical one
     * (a Project over the scan — filters and column pruning push
-    * through it). */
+    * through it). Deletion vectors of `v` are anti-joined out. */
   private def readFilesAs(spark: SparkSession, fs: FileSystem, root: HPath,
-      v: Int, files: Seq[String]): DataFrame = {
+      v: Int, files: Seq[String]): DataFrame =
+    readFilesWith(spark, fs, root, v, v, files)
+
+  /** [[readFilesAs]] with the schema and DV state pinned SEPARATELY —
+    * [[diff]] reads a removed file under the newer schema but its OWN
+    * version's deletion vectors. */
+  private def readFilesWith(spark: SparkSession, fs: FileSystem,
+      root: HPath, schemaV: Int, dvV: Int, files: Seq[String]): DataFrame =
+    scanWithMeta(spark, fs, root, schemaV, dvV, files).drop(GfCol, GposCol)
+
+  /** The DV-filtered scan with two helper columns kept: the file
+    * basename ([[GfCol]]) and original row index ([[GposCol]]) —
+    * [[deleteWhereLight]] needs them to NAME the rows it deletes. */
+  private def scanWithMeta(spark: SparkSession, fs: FileSystem,
+      root: HPath, schemaV: Int, dvV: Int, files: Seq[String]): DataFrame = {
     val paths = files.map(f => new HPath(root, f).toString)
-    schemaOf(fs, root, v) match {
+    val fileSet = files.toSet
+    val dv = dvFor(fs, root, dvV).filter { case (f, (_, n)) =>
+      n > 0 && fileSet.contains(f)
+    }
+    def attach(scan: DataFrame): DataFrame = {
+      val withMeta = scan
+        .withColumn(GfCol, col("_metadata.file_name"))
+        .withColumn(GposCol, col("_metadata.row_index"))
+      if (dv.isEmpty) withMeta
+      else withMeta.join(dvPositions(spark, root, dv),
+        col(GfCol) === col("__dv_file") && col(GposCol) === col("__dv_pos"),
+        "left_anti")
+    }
+    schemaOf(fs, root, schemaV) match {
       case Some(s) if s.fields.forall(f => physOf(f) == f.name) =>
-        spark.read.schema(s).parquet(paths: _*)
+        attach(spark.read.schema(s).parquet(paths: _*))
       case Some(s) =>
         val phys = StructType(
           s.fields.map(f => stripPhysical(f).copy(name = physOf(f))))
-        spark.read.schema(phys).parquet(paths: _*)
-          .select(s.fields.toSeq.map(f =>
-            col(physOf(f)).as(f.name, f.metadata)): _*)
-      case None => spark.read.parquet(paths: _*)
+        attach(spark.read.schema(phys).parquet(paths: _*))
+          .select((s.fields.toSeq.map(f =>
+            col(physOf(f)).as(f.name, f.metadata)) :+
+            col(GfCol) :+ col(GposCol)): _*)
+      case None => attach(spark.read.parquet(paths: _*))
     }
+  }
+
+  /** What a [[deleteWhereLight]] did: files that gained/updated a
+    * deletion vector, files dropped whole (every original row now
+    * deleted), files untouched, and the number of NEW positions. */
+  final case class LightDeleteResult(version: Int, dvFiles: Int,
+    droppedFiles: Int, untouchedFiles: Int, positionsDeleted: Long)
+
+  /** DELETE by deletion vector — rows matching `pred` are removed from
+    * the CURRENT version by recording their file row positions, with
+    * NO data file read-and-rewritten: commit cost is O(matching rows),
+    * not O(touched files' bytes). Identical result semantics to
+    * [[deleteWhere]] (NULL-predicate rows kept); file-level pruning
+    * still carries disproven files untouched; a file whose every
+    * original row is now deleted leaves the manifest whole. Refuses
+    * beyond `maxPositions` matches — the BULK path is the
+    * copy-on-write [[deleteWhere]]; vectors are for the narrow,
+    * scattered deletes (GDPR keys, bad-record surgeries) where CoW
+    * write amplification is the problem. Vectors retire when
+    * [[compact]]/[[optimize]]/[[merge]] rewrite their file;
+    * [[aggregateFromManifest]] refuses on DV'd tables (stats no
+    * longer attained); [[changesSince]]/the streaming source fail
+    * loudly on DV drift (file identity no longer implies content
+    * identity); [[diff]] handles it row-level. Unpinned races retry
+    * like [[deleteWhere]]. */
+  def deleteWhereLight(spark: SparkSession, dir: String, pred: Column,
+      expectedVersion: Int = -1,
+      maxPositions: Int = 1000000): LightDeleteResult =
+    if (expectedVersion >= 0)
+      lightDeleteInternal(spark, dir, pred, expectedVersion, maxPositions)
+    else retryOnRace("deleteWhereLight on " + dir)(
+      lightDeleteInternal(spark, dir, pred, -1, maxPositions))
+
+  private def lightDeleteInternal(spark: SparkSession, dir: String,
+      pred: Column, expectedVersion: Int,
+      maxPositions: Int): LightDeleteResult = {
+    val (fs, root) = fsFor(spark, dir)
+    val base = if (expectedVersion >= 0) expectedVersion
+    else currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"nothing to delete in $dir"))
+    val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
+    if (mayMatch.isEmpty)
+      return LightDeleteResult(base, 0, 0, untouched.size, 0L)
+    // TRUE-predicate rows among rows still live under the current DVs,
+    // named by (file basename, original row index)
+    val hits = scanWithMeta(spark, fs, root, base, base, mayMatch)
+      .filter(coalesce(pred, lit(false)))
+      .select(col(GfCol), col(GposCol))
+      .limit(maxPositions + 1).collect()
+    require(hits.length <= maxPositions,
+      s"deleteWhereLight on $dir matches more than $maxPositions rows — " +
+        "use deleteWhere (copy-on-write) for bulk deletes")
+    if (hits.isEmpty)
+      return LightDeleteResult(base, 0, 0,
+        untouched.size + mayMatch.size, 0L)
+    val byBase: Map[String, Array[Long]] = hits
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+    val relByBase = mayMatch
+      .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    val oldDv = dvFor(fs, root, base)
+    val stats = statsFor(fs, root, base)
+    val commitId = java.util.UUID.randomUUID.toString
+    val rel = s"$DataDir/$commitId"
+    fs.mkdirs(new HPath(root, rel))
+    var dropWhole = List.empty[String]
+    var newLines = List.empty[String]
+    var dvFiles = 0
+    byBase.foreach { case (b, fresh) =>
+      val file = relByBase(b)
+      val old = oldDv.get(file)
+        .map { case (side, _) => readDvSidecar(fs, root, side) }
+        .getOrElse(Array.empty[Long])
+      val merged = (old ++ fresh).distinct.sorted
+      // rows recorded at stage time count ORIGINAL rows — a full cover
+      // means no live row remains and the file leaves the manifest
+      val originalRows = stats.get(file).flatMap(_.headOption.map(_._2.rows))
+      if (originalRows.contains(merged.length.toLong)) dropWhole ::= file
+      else {
+        val side = s"$rel/_dv.$b.bin"
+        writeDvSidecar(fs, root, side, merged)
+        newLines ::= s"#dv\t$file\t$side\t${merged.length}"
+        dvFiles += 1
+      }
+    }
+    val pinnedSchema = schemaOf(fs, root, base)
+      .getOrElse(allNullable(read(spark, dir, base).schema))
+    val droppedSet = droppedOf(fs, root, base)
+    val bloomCfg = bloomConfigOf(fs, root, base)
+    val next = base + 1
+    val won =
+      if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
+        casManifest(fs, root, next, Nil,
+          s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
+            schemaHeader(pinnedSchema) +:
+            (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
+              constraintHeader(constraintsOf(fs, root, base)) ++
+              opHeader("delete-light") ++
+              dropWhole.map(f => s"#remove\t$f") ++ newLines))
+      else {
+        val keptFiles = readManifest(fs, root, base)
+          .filterNot(dropWhole.toSet)
+        val dvAll = (oldDv ++ newLines.map { l =>
+          val f = l.split('\t'); f(1) -> (f(2), f(3).toLong)
+        }) -- dropWhole
+        casManifest(fs, root, next, keptFiles,
+          schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
+            bloomHeader(bloomCfg) ++
+            constraintHeader(constraintsOf(fs, root, base)) ++
+            opHeader("delete-light") ++
+            dvLines(dvAll, keptFiles.toSet) ++
+            statsLines(fs, root, base, keptFiles.toSet)))
+      }
+    if (!won)
+      throw new java.util.ConcurrentModificationException(
+        s"deleteWhereLight on $dir@v$base lost the commit race — a " +
+          s"writer landed v$next first; re-read and re-delete")
+    LightDeleteResult(next, dvFiles, dropWhole.size, untouched.size,
+      hits.length.toLong)
   }
 
   /** A staged-but-uncommitted commit: the data files' root-relative
@@ -1539,6 +1779,7 @@ object Snapshots {
           casManifest(fs, root, next, carried ++ staged.files,
             schemaHeader(pinned) +: (droppedHeader(dropped) ++
               bloomHeader(bloomCfg) ++ constraintHeader(cs) ++ hdr ++
+              dvLines(dvFor(fs, root, base.get), carried.toSet) ++
               carriedStats ++ staged.stats))
         } else {
           // first commit / overwrite: full manifest of the staged
@@ -1719,6 +1960,7 @@ object Snapshots {
             bloomHeader(bloomCfg) ++
             constraintHeader(constraintsOf(fs, root, base)) ++
             opHeader("optimize-where") ++
+            dvLines(dvFor(fs, root, base), untouched.toSet) ++
             statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
     if (!won)
       throw new java.util.ConcurrentModificationException(
@@ -2052,6 +2294,7 @@ object Snapshots {
               schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
                 bloomHeader(bloomCfg) ++ constraintHeader(csPinned) ++
                 opHeader("merge") ++ header ++
+                dvLines(dvFor(fs, root, v), untouched.toSet) ++
                 statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
         if (!won)
           throw new java.util.ConcurrentModificationException(
@@ -2148,6 +2391,7 @@ object Snapshots {
             bloomHeader(bloomCfg) ++
             constraintHeader(constraintsOf(fs, root, base)) ++
             opHeader("delete") ++
+            dvLines(dvFor(fs, root, base), untouched.toSet) ++
             statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
     if (!won)
       throw new java.util.ConcurrentModificationException(
@@ -2203,6 +2447,7 @@ object Snapshots {
         bloomHeader(bloomConfigOf(fs, root, version)) ++
         constraintHeader(constraintsOf(fs, root, version)) ++
         opHeader("restore") ++
+        dvLines(dvFor(fs, root, version), files.toSet) ++
         statsLines(fs, root, version, files.toSet)
     val next = cur + 1
     if (!casManifest(fs, root, next, files, header))
@@ -2234,19 +2479,27 @@ object Snapshots {
     val (fs, root) = fsFor(spark, dir)
     val fromF = readManifest(fs, root, fromVersion).toSet
     val toF = readManifest(fs, root, toVersion).toSet
-    val addedFiles = (toF -- fromF).toSeq.sorted
-    val removedFiles = (fromF -- toF).toSeq.sorted
+    // a file in both versions whose deletion vector CHANGED no longer
+    // contributes identical rows to both sides: it re-enters the scan
+    // on both, each side read under its own DV state, and the row-level
+    // exceptAll cancels what survived on both
+    val dvFromM = dvFor(fs, root, fromVersion)
+    val dvToM = dvFor(fs, root, toVersion)
+    val drifted = (fromF intersect toF)
+      .filter(f => dvFromM.get(f) != dvToM.get(f))
+    val addedFiles = ((toF -- fromF) ++ drifted).toSeq.sorted
+    val removedFiles = ((fromF -- toF) ++ drifted).toSeq.sorted
     // limit(0) keeps the schema but optimizes to an empty relation —
     // no file of the pinned version is actually scanned for it. BOTH
     // sides read under toVersion's pinned schema, so after an additive
     // evolution the diff is expressed in the newer shape (older rows
     // carry NULL in columns that postdate them).
     lazy val empty = read(spark, dir, toVersion).limit(0)
-    def readFiles(files: Seq[String]): DataFrame =
+    def readFiles(files: Seq[String], dvV: Int): DataFrame =
       if (files.isEmpty) empty
-      else readFilesAs(spark, fs, root, toVersion, files)
-    val added = readFiles(addedFiles)
-    val removed = readFiles(removedFiles)
+      else readFilesWith(spark, fs, root, toVersion, dvV, files)
+    val added = readFiles(addedFiles, toVersion)
+    val removed = readFiles(removedFiles, fromVersion)
     val inserts =
       (if (removedFiles.isEmpty) added else added.exceptAll(removed))
         .withColumn("change_type", lit("insert"))
@@ -2286,6 +2539,19 @@ object Snapshots {
           "file(s) of the base version were rewritten (overwrite/compact " +
           "landed in between) — appended files no longer describe the " +
           "change; re-sync from a full read")
+    // deletion vectors break the file-identity-implies-content-identity
+    // premise the same way a rewrite does — fail as loudly
+    if (fromVersion != 0) {
+      val dvFromM = dvFor(fs, root, fromVersion)
+      val dvToM = dvFor(fs, root, to)
+      val drifted = fromF.filter(f => dvFromM.get(f) != dvToM.get(f))
+      if (drifted.nonEmpty)
+        throw new IllegalStateException(
+          s"changesSince($fromVersion -> $to) on $dir: deletion vectors " +
+            s"changed on ${drifted.size} base file(s) (deleteWhereLight " +
+            "landed in between) — appended files no longer describe the " +
+            "change; re-sync from a full read")
+    }
     val added = (toF -- fromF).toSeq.sorted
     if (added.isEmpty) read(spark, dir, to).limit(0)
     else readFilesAs(spark, fs, root, to, added)
@@ -2411,13 +2677,17 @@ object Snapshots {
     def abs(rel: String): String =
       if (!ownedByRoot(rel)) rel // clone-of-clone: keep the original ref
       else sfs.makeQualified(new HPath(sroot, rel)).toString
-    val meta = statsLines(sfs, sroot, v, files.toSet).flatMap { l =>
+    val meta = (statsLines(sfs, sroot, v, files.toSet) ++
+      dvLines(dvFor(sfs, sroot, v), files.toSet)).flatMap { l =>
       l.split('\t') match {
         case Array(kind, f, rest @ _*) =>
-          // #bloom lines also carry a sidecar path in their last field
+          // #bloom lines carry a sidecar path LAST, #dv lines carry one
+          // FIRST after the file — absolutize both
           val fixed =
             if (kind == "#bloom" && rest.length == 2)
               Seq(kind, abs(f), rest.head, abs(rest(1)))
+            else if (kind == "#dv" && rest.length == 2)
+              Seq(kind, abs(f), abs(rest.head), rest(1))
             else kind +: abs(f) +: rest
           Some(fixed.mkString("\t"))
         case _ => None
@@ -2540,20 +2810,26 @@ object Snapshots {
     val keep = vs.filter(needed.contains)
     val live = keep.flatMap(readManifest(fs, root, _)).toSet
     val dead = drop.flatMap(readManifest(fs, root, _)).filterNot(live).distinct
-    // bloom sidecars of dead data files: a dead file's `#bloom` lines
-    // can only live in the dropped manifests (kept versions never list
-    // the file), so the dropped set is the complete sidecar map
-    val deadSet = dead.toSet
-    val deadSidecars = drop.flatMap { dv =>
-      manifestLines(fs, root, dv).filter(_.startsWith(BloomLinePrefix))
-        .flatMap { l =>
-          l.split('\t') match {
-            case Array(_, file, _, side) if deadSet.contains(file) =>
-              Some(side)
-            case _ => None
-          }
-        }
-    }.distinct
+    // sidecars (bloom indexes, deletion vectors): one is dead exactly
+    // when NO kept manifest line still references it — covers both a
+    // dead file's sidecars and SUPERSEDED vectors of a live file whose
+    // only referencing manifests are dropped
+    def sidecarRefOf(l: String): Option[String] =
+      if (l.startsWith(BloomLinePrefix)) l.split('\t') match {
+        case Array(_, _, _, side) => Some(side)
+        case _ => None
+      }
+      else if (l.startsWith(DvPrefix)) l.split('\t') match {
+        case Array(_, _, side, _) => Some(side)
+        case _ => None
+      }
+      else None
+    val keptSidecars = keep
+      .flatMap(kv => manifestLines(fs, root, kv).flatMap(sidecarRefOf))
+      .toSet
+    val deadSidecars = drop
+      .flatMap(dv => manifestLines(fs, root, dv).flatMap(sidecarRefOf))
+      .distinct.filterNot(keptSidecars)
     // delete dead files FIRST, their manifests LAST: the dropped
     // manifests are the only map to the dead files, so a crash between
     // the two phases leaves a rerunnable state (the next vacuum re-lists

@@ -867,6 +867,37 @@ object SinkQueries {
       """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
         |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // S36: deletion-vector DELETE — Snapshots.deleteWhereLight. The
+    // scattered-narrow-delete shape (every 1000th key) that makes
+    // copy-on-write rewrite nearly every file; the vector path commits
+    // O(matching rows) of sidecar positions and rewrites NOTHING
+    // (DeletionVectorSpec asserts the zero-rewrite property; this
+    // oracle asserts the semantics: the read equals the predicate
+    // complement exactly, through the anti-join read path).
+    QueryDef("s36_deletion_vector",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s36_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        (0 to 1).foreach(i => Snapshots.append(
+          orders.filter(pmod(col("o_orderkey"), lit(2)) === i), root))
+        Snapshots.deleteWhereLight(s, root,
+          pmod(col("o_orderkey"), lit(1000)) === 7L)
+        Snapshots.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM orders WHERE o_orderkey % 1000 <> 7
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   )
 }

@@ -1,0 +1,73 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Snapshots
+
+/** Write-amplification evidence for deletion-vector DELETE: the same
+  * scattered narrow delete (a handful of rows in EVERY file) applied to
+  * two identical snapshot tables via copy-on-write [[Snapshots.deleteWhere]]
+  * vs [[Snapshots.deleteWhereLight]], reporting wall time and bytes
+  * written by the delete commit. Reads after both must agree exactly.
+  *
+  * Usage: runMain graft.tools.DvBench [sfDir]
+  */
+object DvBench {
+  private def ms[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e6)
+  }
+
+  private def bytesUnder(spark: SparkSession, dir: String): Long = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) n += it.next().getLen
+    n
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+    def build(): String = {
+      val root = Files.createTempDirectory("graft_dvb").toFile.toString + "/t"
+      (0 until 8).foreach(i => Snapshots.append(
+        base.filter(pmod(col("l_orderkey"), lit(8)) === i), root))
+      root
+    }
+    val cow = build(); val dv = build()
+    // a few rows in EVERY file: the CoW worst case
+    val pred = pmod(col("l_orderkey"), lit(37501)) === 7L
+    val nMatch = Snapshots.read(spark, cow).filter(pred).count()
+    val bytesBeforeCow = bytesUnder(spark, cow)
+    val bytesBeforeDv = bytesUnder(spark, dv)
+    val (rc, tCow) = ms(Snapshots.deleteWhere(spark, cow, pred))
+    val (rl, tDv) = ms(Snapshots.deleteWhereLight(spark, dv, pred))
+    val wroteCow = bytesUnder(spark, cow) - bytesBeforeCow
+    val wroteDv = bytesUnder(spark, dv) - bytesBeforeDv
+    val same = Snapshots.read(spark, cow).collect().map(_.toString).sorted
+      .sameElements(Snapshots.read(spark, dv).collect().map(_.toString).sorted)
+    println(s"deleted_rows=$nMatch files_rewritten_cow=${rc.rewrittenFiles} " +
+      s"dv_files=${rl.dvFiles}")
+    println(f"cow_ms=$tCow%.0f cow_bytes_written=$wroteCow " +
+      f"dv_ms=$tDv%.0f dv_bytes_written=$wroteDv " +
+      f"bytes_ratio=${wroteCow.toDouble / math.max(1, wroteDv)}%.0fx " +
+      s"reads_agree=$same")
+    spark.stop()
+  }
+}

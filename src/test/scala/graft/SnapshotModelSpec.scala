@@ -59,13 +59,17 @@ class SnapshotModelSpec extends SparkSpec {
           val r = Snapshots.merge(spark, root, toDf(src), Seq("id"))
           model = model ++ src.map(x => x._1 -> x)
           history += r.version -> model
-        case 5 | 6 => // delete a key range
+        case 5 | 6 => // delete a key range — randomly copy-on-write or
+          // deletion-vector: identical semantics, one model tracks both
           val lo = rnd.nextInt(40).toLong
           val hi = lo + rnd.nextInt(10)
-          val r = Snapshots.deleteWhere(spark, root,
-            col("id") >= lo && col("id") <= hi)
+          val pred = col("id") >= lo && col("id") <= hi
+          val ver =
+            if (rnd.nextBoolean()) Snapshots.deleteWhere(spark, root, pred)
+              .version
+            else Snapshots.deleteWhereLight(spark, root, pred).version
           model = model.filterNot { case (k, _) => k >= lo && k <= hi }
-          history += r.version -> model
+          history += ver -> model
         case 7 => // content-identical maintenance
           val ver =
             if (rnd.nextBoolean()) Snapshots.compact(spark, root, 2)
