@@ -997,6 +997,167 @@ object Snapshots {
     cs
   }
 
+  /** What a [[mergeLight]] did: files that gained a deletion vector
+    * (their matched rows retired), files dropped whole, the appended
+    * source files, and the count of replaced table rows. */
+  final case class LightMergeResult(version: Int, dvFiles: Int,
+    droppedFiles: Int, insertedFiles: Int, rowsReplaced: Long)
+
+  /** MERGE by deletion vector — same semantics as [[merge]] (matched
+    * keys replaced by the source row, unmatched source rows inserted,
+    * everything else untouched), with the REPLACE half done by
+    * recording the matched rows' positions instead of rewriting their
+    * files: commit cost is O(source rows + matched positions), zero
+    * table files rewritten. This is the modern lakehouse MERGE shape —
+    * a CDC trickle of single-key upserts against a 100 TB table
+    * commits kilobytes per epoch where copy-on-write rewrote a file
+    * per touched key. The source must be key-unique and carry exactly
+    * the table's columns; CHECK constraints validate the source;
+    * refuses beyond `maxPositions` matched rows (the bulk path is the
+    * copy-on-write [[merge]]). Same honesty guards as
+    * [[deleteWhereLight]] — the vector commit trips the changesSince /
+    * streaming-source drift detection and metadata-aggregate refusal.
+    * Unpinned races retry; an `expectedVersion` token fails fast. */
+  def mergeLight(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String], expectedVersion: Int = -1,
+      maxPositions: Int = 1000000): LightMergeResult =
+    if (expectedVersion >= 0)
+      lightMergeInternal(spark, dir, source, keys, expectedVersion,
+        maxPositions)
+    else retryOnRace("mergeLight into " + dir)(
+      lightMergeInternal(spark, dir, source, keys, -1, maxPositions))
+
+  private def lightMergeInternal(spark: SparkSession, dir: String,
+      source: DataFrame, keys: Seq[String], expectedVersion: Int,
+      maxPositions: Int): LightMergeResult = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val base = if (expectedVersion >= 0) Some(expectedVersion)
+    else currentVersion(spark, dir)
+    val (fs, root) = fsFor(spark, dir)
+    base match {
+      case None => // empty table: the plain first append
+        val r = merge(spark, dir, source, keys)
+        LightMergeResult(r.version, 0, 0, r.rewrittenFiles, 0L)
+      case Some(v) =>
+        val table = read(spark, dir, v)
+        require(table.columns.sorted.sameElements(source.columns.sorted),
+          s"merge source columns ${source.columns.toSeq} != table " +
+            s"columns ${table.columns.toSeq}")
+        val src = source.select(table.columns.map(source.col).toSeq: _*)
+        keys.foreach(k => require(src.columns.contains(k),
+          s"merge key '$k' is not a column: ${src.columns.toSeq}"))
+        val dup = src.na.drop(keys).groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+          .limit(1).count()
+        require(dup == 0L,
+          s"merge source has duplicate key tuples on $keys — " +
+            "MERGE semantics would be non-deterministic")
+        val csPinned = enforceConstraintsAt(spark, dir, fs, root, v, src)
+        // the source's key footprint prunes which files can hold a
+        // matched row — identical machinery to [[merge]]
+        val srcKeys = src.select(keys.map(col): _*).na.drop(keys).distinct()
+        val footprint: Option[Column] =
+          if (keys.lengthCompare(1) == 0) {
+            val vals = srcKeys.limit(MergeInSetLimit + 1).collect()
+              .map(_.get(0))
+            if (vals.isEmpty) None
+            else if (vals.length <= MergeInSetLimit)
+              Some(col(keys.head).isin(vals.toIndexedSeq: _*))
+            else {
+              val r = src.agg(min(col(keys.head)), max(col(keys.head)))
+                .head()
+              Some(col(keys.head).between(lit(r.get(0)), lit(r.get(1))))
+            }
+          } else {
+            val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+            val r = src.na.drop(keys).agg(aggs.head, aggs.tail: _*).head()
+            if (r.isNullAt(0)) None
+            else Some(keys.zipWithIndex.map { case (k, i) =>
+              col(k).between(lit(r.get(2 * i)), lit(r.get(2 * i + 1)))
+            }.reduce(_ && _))
+          }
+        val (mayMatch, _) = footprint match {
+          case None => (Nil, readManifest(fs, root, v))
+          case Some(pred) => pruneFiles(spark, dir, pred, v)
+        }
+        // matched LIVE rows, named by (file basename, row index)
+        val hits =
+          if (mayMatch.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else scanWithMeta(spark, fs, root, v, v, mayMatch)
+            .join(srcKeys, keys, "left_semi")
+            .select(col(GfCol), col(GposCol))
+            .limit(maxPositions + 1).collect()
+        require(hits.length <= maxPositions,
+          s"mergeLight into $dir matches more than $maxPositions table " +
+            "rows — use merge (copy-on-write) for bulk upserts")
+        val byBase: Map[String, Array[Long]] = hits
+          .map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+        val relByBase = mayMatch
+          .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+        val oldDv = dvFor(fs, root, v)
+        val stats = statsFor(fs, root, v)
+        val basePinned = schemaOf(fs, root, v)
+        val bloomCfg = bloomConfigOf(fs, root, v)
+        val staged = stage(src, fs, root,
+          basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
+            .getOrElse(Map.empty), bloomCfg)
+        var dropWhole = List.empty[String]
+        var newLines = List.empty[String]
+        var dvFiles = 0
+        byBase.foreach { case (b, fresh) =>
+          val file = relByBase(b)
+          val old = oldDv.get(file)
+            .map { case (side, _) => readDvSidecar(fs, root, side) }
+            .getOrElse(Array.empty[Long])
+          val merged = (old ++ fresh).distinct.sorted
+          val originalRows =
+            stats.get(file).flatMap(_.headOption.map(_._2.rows))
+          if (originalRows.contains(merged.length.toLong)) dropWhole ::= file
+          else {
+            // the vector rides in the staged commit's own dir
+            val side = s"${staged.files.head.substring(0,
+              staged.files.head.lastIndexOf('/'))}/_dv.$b.bin"
+            writeDvSidecar(fs, root, side, merged)
+            newLines ::= s"#dv\t$file\t$side\t${merged.length}"
+            dvFiles += 1
+          }
+        }
+        val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+        val droppedSet = droppedOf(fs, root, v)
+        val next = v + 1
+        val won =
+          if (depthOf(fs, root, v) + 1 <= CheckpointInterval)
+            casManifest(fs, root, next, staged.files,
+              s"#delta\t$v\t${depthOf(fs, root, v) + 1}" +:
+                schemaHeader(pinnedSchema) +:
+                (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
+                  constraintHeader(csPinned) ++
+                  opHeader("merge-light") ++
+                  dropWhole.map(f => s"#remove\t$f") ++ newLines ++
+                  staged.stats))
+          else {
+            val keptFiles = readManifest(fs, root, v)
+              .filterNot(dropWhole.toSet)
+            val dvAll = (oldDv ++ newLines.map { l =>
+              val f = l.split('\t'); f(1) -> (f(2), f(3).toLong)
+            }) -- dropWhole
+            casManifest(fs, root, next, keptFiles ++ staged.files,
+              schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
+                bloomHeader(bloomCfg) ++ constraintHeader(csPinned) ++
+                opHeader("merge-light") ++
+                dvLines(dvAll, keptFiles.toSet) ++
+                statsLines(fs, root, v, keptFiles.toSet) ++ staged.stats))
+          }
+        if (!won)
+          throw new java.util.ConcurrentModificationException(
+            s"mergeLight into $dir@v$v lost the commit race — a writer " +
+              s"landed v$next first; re-read and re-merge")
+        LightMergeResult(next, dvFiles, dropWhole.size,
+          staged.files.length, hits.length.toLong)
+    }
+  }
+
   /** Early, readable refusal of name resurrection — the same rules
     * [[evolveSchema]] enforces at commit time, checked before any file
     * is staged (a tombstone collision would otherwise surface as a

@@ -898,6 +898,47 @@ object SinkQueries {
       """SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
         |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
         |FROM orders WHERE o_orderkey % 1000 <> 7
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // S37: deletion-vector MERGE — Snapshots.mergeLight. The s28 upsert
+    // replayed through the O(source + matched-positions) path: matched
+    // table rows retire by vector, the source appends, nothing
+    // rewrites — the CDC-trickle MERGE shape at 100 TB. Oracle is
+    // s28's: both MERGE paths must produce the identical table.
+    QueryDef("s37_merge_light",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s37_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        Snapshots.append(base.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+          root)
+        Snapshots.append(base.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+          root)
+        val updates = base
+          .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+          .withColumn("o_totalprice", -col("o_totalprice"))
+        val inserts = base
+          .filter(pmod(col("o_orderkey"), lit(97)) === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        Snapshots.mergeLight(s, root, updates.unionByName(inserts),
+          Seq("o_orderkey"))
+        Snapshots.read(s, root).orderBy("o_orderkey")
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, -o_totalprice AS o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 1)
+        |SELECT * FROM (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }

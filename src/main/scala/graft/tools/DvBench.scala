@@ -68,6 +68,29 @@ object DvBench {
       f"dv_ms=$tDv%.0f dv_bytes_written=$wroteDv " +
       f"bytes_ratio=${wroteCow.toDouble / math.max(1, wroteDv)}%.0fx " +
       s"reads_agree=$same")
+
+    // the same comparison for MERGE: a narrow scattered upsert
+    val mcow = build(); val mdv = build()
+    val src = base.filter(pmod(col("l_orderkey"), lit(37501)) === 7L)
+      .withColumn("l_quantity", -col("l_quantity"))
+      .dropDuplicates("l_orderkey", "l_shipdate", "l_extendedprice")
+    val mBytesBeforeCow = bytesUnder(spark, mcow)
+    val mBytesBeforeDv = bytesUnder(spark, mdv)
+    val (mc, tMCow) = ms(Snapshots.merge(spark, mcow, src,
+      Seq("l_orderkey", "l_shipdate", "l_extendedprice")))
+    val (ml, tMDv) = ms(Snapshots.mergeLight(spark, mdv, src,
+      Seq("l_orderkey", "l_shipdate", "l_extendedprice")))
+    val mWroteCow = bytesUnder(spark, mcow) - mBytesBeforeCow
+    val mWroteDv = bytesUnder(spark, mdv) - mBytesBeforeDv
+    val mSame = Snapshots.read(spark, mcow).collect().map(_.toString).sorted
+      .sameElements(
+        Snapshots.read(spark, mdv).collect().map(_.toString).sorted)
+    println(s"merge_rows=${ml.rowsReplaced} " +
+      s"files_rewritten_cow=${mc.rewrittenFiles} dv_files=${ml.dvFiles}")
+    println(f"merge_cow_ms=$tMCow%.0f merge_cow_bytes=$mWroteCow " +
+      f"merge_dv_ms=$tMDv%.0f merge_dv_bytes=$mWroteDv " +
+      f"bytes_ratio=${mWroteCow.toDouble / math.max(1, mWroteDv)}%.0fx " +
+      s"reads_agree=$mSame")
     spark.stop()
   }
 }

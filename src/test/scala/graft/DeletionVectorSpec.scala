@@ -162,6 +162,44 @@ class DeletionVectorSpec extends SparkSpec {
       .exists(_.getString(1) == "missing"))
   }
 
+  test("mergeLight equals CoW merge semantics with zero rewrites") {
+    val root = freshRoot()
+    Snapshots.append((0L until 50L).map(i => (i, i * 1.0)).toDF("k", "v"),
+      root)
+    Snapshots.append((50L until 100L).map(i => (i, i * 1.0)).toDF("k", "v"),
+      root)
+    val filesBefore = manifestFiles(root)
+    val src = Seq((7L, 700.0), (63L, 630.0), (500L, 5.0)).toDF("k", "v")
+    val r = Snapshots.mergeLight(spark, root, src, Seq("k"))
+    assert(r.rowsReplaced == 2L && r.insertedFiles > 0)
+    // old files all still present; only source files were added
+    assert(filesBefore.subsetOf(manifestFiles(root)))
+    val got = Snapshots.read(spark, root).as[(Long, Double)]
+      .collect().toSet
+    val want = (0L until 100L).filterNot(i => i == 7L || i == 63L)
+      .map(i => (i, i * 1.0)).toSet ++
+      Set((7L, 700.0), (63L, 630.0), (500L, 5.0))
+    assert(got == want)
+  }
+
+  test("mergeLight composes with prior vectors and accretes correctly") {
+    val root = freshRoot()
+    Snapshots.append((0L until 20L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .coalesce(1), root)
+    Snapshots.deleteWhereLight(spark, root, col("k") === 3L)
+    Snapshots.mergeLight(spark, root, Seq((4L, 44.0)).toDF("k", "v"),
+      Seq("k"))
+    // a second upsert of the SAME key must replace the first upsert's
+    // row (which lives in an appended file), not resurrect anything
+    Snapshots.mergeLight(spark, root, Seq((4L, 444.0)).toDF("k", "v"),
+      Seq("k"))
+    val got = Snapshots.read(spark, root).as[(Long, Double)]
+      .collect().toSet
+    val want = (0L until 20L).filterNot(i => i == 3L || i == 4L)
+      .map(i => (i, i * 1.0)).toSet + ((4L, 444.0))
+    assert(got == want)
+  }
+
   test("bulk guard: beyond maxPositions the light path refuses") {
     val root = freshRoot()
     Snapshots.append((0L until 100L).map(i => (i, i * 1.0)).toDF("k", "v"),

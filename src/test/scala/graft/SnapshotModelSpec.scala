@@ -54,11 +54,16 @@ class SnapshotModelSpec extends SparkSpec {
           val ver = Snapshots.append(toDf(fresh), root)
           model = model ++ fresh.map(r => r._1 -> r)
           history += ver -> model
-        case 3 | 4 => // merge: update-or-insert on id
+        case 3 | 4 => // merge: update-or-insert on id — randomly
+          // copy-on-write or deletion-vector; identical semantics
           val src = batch(5)
-          val r = Snapshots.merge(spark, root, toDf(src), Seq("id"))
+          val ver =
+            if (rnd.nextBoolean())
+              Snapshots.merge(spark, root, toDf(src), Seq("id")).version
+            else Snapshots.mergeLight(spark, root, toDf(src), Seq("id"))
+              .version
           model = model ++ src.map(x => x._1 -> x)
-          history += r.version -> model
+          history += ver -> model
         case 5 | 6 => // delete a key range — randomly copy-on-write or
           // deletion-vector: identical semantics, one model tracks both
           val lo = rnd.nextInt(40).toLong
