@@ -170,4 +170,24 @@ class SnapshotSourceSpec extends SparkSpec {
     }
     assert(ex.getCause.getMessage.contains("rewritten"))
   }
+
+  test("a deletion-vector commit mid-stream fails the query, not the data") {
+    val base = Files.createTempDirectory("snap-src-dv")
+    val table = s"$base/t"
+    Snapshots.append(spark.range(50).toDF(), table)
+    val got = mutable.ArrayBuffer[Long]()
+    val q = startCollecting(table, s"$base/ckpt", got)
+    q.processAllAvailable()
+    assert(got.size == 50)
+    Snapshots.append(spark.range(50, 60).toDF(), table)
+    // a vector delete changes base-file CONTENT without changing the
+    // file list — an append-only consumer can no longer be correct
+    Snapshots.deleteWhereLight(spark, table,
+      org.apache.spark.sql.functions.col("id") === 3L)
+    val ex = intercept[StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    assert(ex.getCause.getMessage.contains("deletion vectors"))
+  }
 }
