@@ -1443,11 +1443,19 @@ object Snapshots {
       (f.substring(f.lastIndexOf('/') + 1), side)
     }
     import org.apache.spark.sql.Encoders
+    // ship the SESSION's Hadoop configuration to the tasks: a bare
+    // `new Configuration()` loses every spark.hadoop.* setting (s3a
+    // credentials, custom filesystems), and unlike the bloom probe's
+    // fail-open pruning this read is correctness-critical — it must
+    // open the sidecar with the same FS config the driver resolved
+    // the table with, and fail closed if it can't
+    val hconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     spark.createDataset(refs)(Encoders.product[(String, String)])
       .flatMap { case (base, side) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val p = new HPath(rootStr, side)
-        val fs = p.getFileSystem(conf)
+        val fs = p.getFileSystem(hconf.value.value)
         readDvSidecar(fs, new HPath(rootStr), side).map(pos => (base, pos))
       }(Encoders.product[(String, Long)])
       .toDF("__dv_file", "__dv_pos")
@@ -2562,6 +2570,100 @@ object Snapshots {
       droppedFiles = dropWhole.length, untouchedFiles = untouched.length)
   }
 
+  final case class UpdateResult(version: Int, rewrittenFiles: Int,
+    untouchedFiles: Int)
+
+  /** Copy-on-write UPDATE — rows satisfying `pred` get `assignments`
+    * applied (each value cast to the column's declared type, SQL
+    * UPDATE semantics), as ONE new version. File-level pruning is the
+    * same as [[deleteWhere]]'s may-match split: files whose stats
+    * disprove `pred` carry into the new manifest untouched (at 100 TB
+    * a point update rewrites a handful of files, not the table), only
+    * may-match files are read (their deletion vectors applied) and
+    * rewritten whole. Rows NOT matching inside a rewritten file pass
+    * through byte-identical values; a NULL predicate leaves the row
+    * unchanged (UPDATE touches only rows where `pred` IS TRUE). CHECK
+    * constraints are enforced on the rewritten rows before anything
+    * commits. A predicate no file can match commits nothing and
+    * returns the current version. Assignment targets must be existing
+    * top-level columns — UPDATE never evolves schema. */
+  def updateWhere(spark: SparkSession, dir: String, pred: Column,
+      assignments: Seq[(String, Column)],
+      expectedVersion: Int = -1): UpdateResult =
+    if (expectedVersion >= 0)
+      updateInternal(spark, dir, pred, assignments, expectedVersion)
+    else retryOnRace("updateWhere on " + dir)(
+      updateInternal(spark, dir, pred, assignments, -1))
+
+  private def updateInternal(spark: SparkSession, dir: String, pred: Column,
+      assignments: Seq[(String, Column)],
+      expectedVersion: Int): UpdateResult = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    val (fs, root) = fsFor(spark, dir)
+    val base = if (expectedVersion >= 0) expectedVersion
+    else currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"nothing to update in $dir"))
+    val cols = read(spark, dir, base).schema
+    val byName = cols.fields.map(f => f.name.toLowerCase -> f).toMap
+    assignments.foreach { case (c, _) =>
+      require(byName.contains(c.toLowerCase),
+        s"UPDATE target '$c' is not a column of $dir: " +
+          s"${cols.fieldNames.toSeq}")
+    }
+    val assigned = assignments.map { case (c, v) =>
+      byName(c.toLowerCase).name -> v
+    }.toMap
+    val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
+    if (mayMatch.isEmpty)
+      return UpdateResult(base, 0, untouched.length)
+    val hit = coalesce(pred, lit(false))
+    val rewrittenRows = {
+      val in = readFilesAs(spark, fs, root, base, mayMatch)
+      in.select(cols.fields.toSeq.map { f =>
+        assigned.get(f.name) match {
+          case Some(v) =>
+            when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    }
+    // updated values are NEW data: they must prove the table's CHECK
+    // constraints before the commit, exactly like an append's rows
+    enforceConstraintsAt(spark, dir, fs, root, base, rewrittenRows)
+    val basePinned = schemaOf(fs, root, base)
+    val bloomCfg = bloomConfigOf(fs, root, base)
+    val staged = stage(rewrittenRows, fs, root,
+      basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
+        .getOrElse(Map.empty), bloomCfg)
+    val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+    val droppedSet = droppedOf(fs, root, base)
+    val next = base + 1
+    val won =
+      if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
+        casManifest(fs, root, next, staged.files,
+          s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
+            schemaHeader(pinnedSchema) +:
+            (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
+              constraintHeader(constraintsOf(fs, root, base)) ++
+              opHeader("update") ++
+              mayMatch.map(f => s"#remove\t$f") ++ staged.stats))
+      else
+        casManifest(fs, root, next, untouched ++ staged.files,
+          schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
+            bloomHeader(bloomCfg) ++
+            constraintHeader(constraintsOf(fs, root, base)) ++
+            opHeader("update") ++
+            dvLines(dvFor(fs, root, base), untouched.toSet) ++
+            statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
+    if (!won)
+      throw new java.util.ConcurrentModificationException(
+        s"updateWhere on $dir@v$base lost the commit race — a writer " +
+          s"landed v$next first; re-read and re-update")
+    UpdateResult(next, rewrittenFiles = staged.files.length,
+      untouchedFiles = untouched.length)
+  }
+
   /** Exactly-once [[merge]] for streaming epochs — the upsert analogue
     * of [[idempotentAppend]]: a replayed (writerId, batchId) is
     * recognized from the manifest tag and skipped (None). Unlike the
@@ -2771,6 +2873,23 @@ object Snapshots {
     rows.toSeq.toDF("file", "status", "expected_bytes", "actual_bytes")
   }
 
+  /** The sidecar path a manifest metadata line references, if any —
+    * `#bloom` lines carry the sidecar LAST, `#dv` lines carry it FIRST
+    * after the data file. Shared by [[vacuum]] (dead-sidecar reaping)
+    * and [[cleanOrphans]] (live-sidecar sparing): both must agree on
+    * what "referenced" means or a sidecar can be deleted while a
+    * retained manifest still points at it. */
+  private def sidecarRefOf(l: String): Option[String] =
+    if (l.startsWith(BloomLinePrefix)) l.split('\t') match {
+      case Array(_, _, _, side) => Some(side)
+      case _ => None
+    }
+    else if (l.startsWith(DvPrefix)) l.split('\t') match {
+      case Array(_, _, side, _) => Some(side)
+      case _ => None
+    }
+    else None
+
   /** Is this manifest file line a path the table root OWNS (relative —
     * staged under this root), as opposed to an absolute reference into
     * ANOTHER table's root written by [[shallowClone]]? Only owned files
@@ -2790,11 +2909,20 @@ object Snapshots {
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (fs, root) = fsFor(spark, dir)
+    val vs = versions(spark, dir)
+    val retained = vs.toSet
     var prev = Set.empty[String]
-    val rows = versions(spark, dir).map { v =>
+    val rows = vs.map { v =>
       val lines = manifestLines(fs, root, v)
       val resolved = readManifest(fs, root, v)
       val cur = resolved.toSet
+      // the file-level delta is only meaningful against the TRUE
+      // previous version: after a vacuum the oldest surviving commit
+      // (and any chain-closure gap) has no retained v-1, and a delta
+      // against the prior RETAINED version would attribute every
+      // carried file to the wrong operation — emit NULL deltas there.
+      // v == 1 is genesis: its delta against the empty table is real.
+      val haveDelta = v == 1 || retained.contains(v - 1)
       val added = cur -- prev
       val removed = (prev -- cur).size
       val sizes = sizesFor(fs, root, v)
@@ -2803,8 +2931,11 @@ object Snapshots {
         fs.getFileStatus(manifestPath(root, v)).getModificationTime)
       val kind = if (deltaHeader(lines).nonEmpty) "delta" else "full"
       prev = cur
-      (v, ts, opOf(lines).getOrElse("unknown"), kind, added.size, removed,
-        resolved.size, bytesAdded)
+      (v, ts, opOf(lines).getOrElse("unknown"), kind,
+        if (haveDelta) Some(added.size) else None,
+        if (haveDelta) Some(removed) else None,
+        resolved.size,
+        if (haveDelta) Some(bytesAdded) else None)
     }
     rows.toDF("version", "committed_at", "operation", "kind", "n_added",
         "n_removed", "n_files", "bytes_added")
@@ -2914,30 +3045,45 @@ object Snapshots {
   def cleanOrphans(spark: SparkSession, dir: String,
       olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val (fs, root) = fsFor(spark, dir)
-    val live = versions(spark, dir)
-      .flatMap(readManifest(fs, root, _)).toSet
+    val vs = versions(spark, dir)
+    val live = vs.flatMap(readManifest(fs, root, _)).toSet
+    // live SIDECARS too: a deletion-vector commit stages `_dv.*.bin`
+    // files in a parquet-less commit dir, and a bloom index lives
+    // beside data files other manifests own — a dir holding a sidecar
+    // any retained manifest references is NOT residue, even though it
+    // contains zero referenced parquet. (Every manifest a retained
+    // delta resolves through is itself retained — vacuum keeps the
+    // chain closure — so the union of retained versions' own lines
+    // covers all chain-referenced sidecars.)
+    val liveSidecars = vs
+      .flatMap(v => manifestLines(fs, root, v).flatMap(sidecarRefOf))
+      .toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val dataRoot = new HPath(root, DataDir)
     if (!fs.exists(dataRoot)) return 0
     var deleted = 0
     fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
+      def relOf(name: String) = s"$DataDir/${d.getPath.getName}/$name"
       val entries = fs.listStatus(d.getPath)
       val parquets = entries.filter(st =>
         st.isFile && st.getPath.getName.endsWith(".parquet"))
       val orphaned = parquets.filter { st =>
-        val rel = s"$DataDir/${d.getPath.getName}/${st.getPath.getName}"
-        !live.contains(rel) && st.getModificationTime < cutoff
+        !live.contains(relOf(st.getPath.getName)) &&
+          st.getModificationTime < cutoff
       }
       orphaned.foreach { st => fs.delete(st.getPath, false); deleted += 1 }
       // a commit dir with no referenced parquet left is pure residue
       // (_SUCCESS markers, orphan bloom sidecars): reclaim it whole —
-      // but only once every parquet inside was provably orphaned, and
-      // nothing younger than the window remains
+      // but only once every parquet inside was provably orphaned,
+      // nothing younger than the window remains, and NO file inside is
+      // a sidecar the current manifest chain still references
       val keptParquet = parquets.length - orphaned.length
-      val youngRest = fs.listStatus(d.getPath).exists(
-        _.getModificationTime >= cutoff)
-      if (keptParquet == 0 && !youngRest &&
-        fs.listStatus(d.getPath).forall(_.isFile))
+      val rest = fs.listStatus(d.getPath)
+      val youngRest = rest.exists(_.getModificationTime >= cutoff)
+      val liveRest = rest.exists(st =>
+        st.isFile && liveSidecars.contains(relOf(st.getPath.getName)))
+      if (keptParquet == 0 && !youngRest && !liveRest &&
+        rest.forall(_.isFile))
         fs.delete(d.getPath, true)
     }
     deleted
@@ -2975,16 +3121,6 @@ object Snapshots {
     // when NO kept manifest line still references it — covers both a
     // dead file's sidecars and SUPERSEDED vectors of a live file whose
     // only referencing manifests are dropped
-    def sidecarRefOf(l: String): Option[String] =
-      if (l.startsWith(BloomLinePrefix)) l.split('\t') match {
-        case Array(_, _, _, side) => Some(side)
-        case _ => None
-      }
-      else if (l.startsWith(DvPrefix)) l.split('\t') match {
-        case Array(_, _, side, _) => Some(side)
-        case _ => None
-      }
-      else None
     val keptSidecars = keep
       .flatMap(kv => manifestLines(fs, root, kv).flatMap(sidecarRefOf))
       .toSet

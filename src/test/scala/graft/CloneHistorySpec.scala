@@ -167,6 +167,41 @@ class CloneHistorySpec extends SparkSpec {
       .exists(_.getString(1) == "orphan"))
   }
 
+  test("cleanOrphans spares live deletion-vector sidecars") {
+    val root = freshRoot()
+    Snapshots.append((1L to 20L).map(i => (i, i * 2.0)).toDF("id", "v"),
+      root)
+    // a light delete stages ONLY a _dv sidecar — its commit dir holds
+    // zero parquet, which is exactly the shape cleanOrphans used to
+    // mistake for crash residue and reclaim wholesale
+    Snapshots.deleteWhereLight(spark, root, col("id") <= 5L)
+    assert(Snapshots.cleanOrphans(spark, root, olderThanMs = -60000) == 0)
+    // the table must still read, with the vector applied
+    assert(Snapshots.read(spark, root).count() == 15)
+    assert(Snapshots.read(spark, root).agg(min(col("id")))
+      .head().getLong(0) == 6L)
+  }
+
+  test("history after vacuum reports NULL deltas for the oldest survivor") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, 2.0)).toDF("id", "v"), root)
+    Snapshots.append(Seq((2L, 3.0)).toDF("id", "v"), root)
+    // overwrite starts a fresh (full-manifest) lineage, so vacuum can
+    // actually drop v1/v2 — delta chains retain their closure
+    Snapshots.overwrite(Seq((3L, 4.0)).toDF("id", "v"), root)
+    Snapshots.append(Seq((4L, 5.0)).toDF("id", "v"), root)
+    Snapshots.vacuum(spark, root, keepVersions = 2)
+    val h = Snapshots.history(spark, root).orderBy("version").collect()
+    val oldest = h.head
+    assert(oldest.getInt(0) > 1) // v1 was vacuumed
+    // its v-1 is gone: the file delta cannot be attributed — NULL, not
+    // "every carried file added"
+    assert(oldest.isNullAt(4) && oldest.isNullAt(5) && oldest.isNullAt(7))
+    assert(oldest.getInt(6) > 0) // running totals still real
+    // the newest retained version still has a retained v-1: real delta
+    assert(!h.last.isNullAt(4) && h.last.getInt(4) == 1)
+  }
+
   test("history on a clone starts at the clone commit") {
     val src = freshRoot(); val dst = freshRoot()
     Snapshots.append(Seq((1L, 2.0)).toDF("id", "v"), src)
