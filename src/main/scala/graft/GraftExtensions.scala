@@ -6,22 +6,30 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{ArrayCosine, ArrayDotProduct}
 
-/** SQL-surface registration of graft's custom expressions.
+/** SQL-surface registration of the graft library: custom expressions
+  * plus the snapshot-table SQL bridge.
   *
   * Two paths:
   *   - config-time: `--conf spark.sql.extensions=graft.GraftExtensions`
-  *     injects the functions into every session of the application;
-  *   - runtime: [[GraftFunctions.register]] adds them to an already-built
-  *     session (used by the verify harness, whose session we may not own).
+  *     injects everything into every session of the application;
+  *   - runtime: [[GraftFunctions.register]] adds the functions to an
+  *     already-built session (used by the verify harness, whose session
+  *     we may not own). The snapshot SQL bridge is config-time only —
+  *     analyzer rules cannot be injected after session build.
   *
   * Functions:
   *   - `array_dot(a, b)` — codegen'd left-fold dot product
   *     ([[ArrayDotProduct]]);
   *   - `array_cosine(a, b)` — dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b))),
   *     the same operation order as [[graft.functions.VectorFns.cosine]].
-  */
+  *
+  * Snapshot SQL bridge ([[graft.sql.GraftResolution]], paired with
+  * [[graft.sql.GraftCatalog]]): compiles reads of catalog-registered
+  * snapshot tables to the native vectorized parquet scan and routes
+  * `MERGE INTO`/`DELETE FROM`/`UPDATE` to the snapshot commit
+  * machinery. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       // catalog metadata must name each function's OWN implementing class
       val implClass = name match {
@@ -31,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(implClass, name), builder))
     }
+    ext.injectPostHocResolutionRule(session =>
+      graft.sql.GraftResolution(session))
+  }
 }
 
 object GraftFunctions {

@@ -96,7 +96,19 @@ object Similarity {
   private def pairCosine: Column =
     VectorFns.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))
 
-  /** Per-vector top-k neighbors *within the same LSH bucket*. */
+  /** Per-vector top-k neighbors *within the same LSH bucket*.
+    *
+    * SCALE ENVELOPE — calibration/fixture scale only. A fixed-`bits`
+    * single-bucket probe has a recall that COLLAPSES as the corpus
+    * grows (measured: identity 0.007 at 100× under
+    * occupancy-preserving bits — BASELINE.md), because one Hamming
+    * ball covers an ever-smaller fraction of each vector's true
+    * neighborhood. The production entry point is
+    * [[lshTopKNeighborsQueryDirected]] (query-directed multi-probe
+    * with [[occupancyBits]]), whose quality floor IS asserted at
+    * 10×/100× by the scale certification (`tools/ScaleBench`). Use
+    * this variant only to calibrate bucket occupancy or on corpora
+    * small enough that the certification's fixture tier covers them. */
   def lshTopKNeighbors(emb: DataFrame, bits: Int, k: Int,
       maxBucket: Int = 100000): DataFrame = {
     val b = capBuckets(bucketed(emb, bits), maxBucket)

@@ -42,8 +42,11 @@ import org.apache.spark.sql.types._
   * orphan data dir); a crash after is a completed commit. [[append]]
   * auto-retries a lost race (re-reading the new base — appends
   * commute); [[overwrite]] retries as last-writer-wins, its documented
-  * semantic. Requires atomic rename (HDFS/local/ABFS; on raw S3 use a
-  * rename-consistent commit layer).
+  * semantic. The CAS itself is PLUGGABLE per filesystem scheme
+  * ([[CommitCoordinator]], [[setCommitCoordinator]]): rename-based by
+  * default (atomic on HDFS/local/ABFS/GCS), conditional-create for
+  * object stores without atomic rename (raw S3), or an external
+  * lock/commit service.
   *
   * At 100 TB: a manifest is KB-per-thousand-files, the driver touches
   * only manifests, and readers open exactly the files of their
@@ -556,15 +559,20 @@ object Snapshots {
           schema.fields.find(_.name.equalsIgnoreCase(c))
             .filter(f => statEligible(f.dataType)))
         val files = readManifest(fs, root, v)
-        // deletion vectors make per-file stats bounds, not attained
-        // values, and row counts overcounts — exact-or-refuse refuses
-        val hasDv = {
+        // deletion vectors make per-file COLUMN stats bounds, not
+        // attained values (the deleted rows' values are unknown), so
+        // min/max/count(col) refuse — but count(*) stays exact: each
+        // `#dv` line records its vector's exact distinct-position
+        // count, so n_rows = Σ file rows − Σ vector positions. A
+        // GDPR-trickle table keeps its metadata-only row count.
+        val dvTotal = {
           val fileSet = files.toSet
-          dvFor(fs, root, v).exists { case (f, (_, n)) =>
-            n > 0 && fileSet.contains(f)
-          }
+          dvFor(fs, root, v).iterator.collect {
+            case (f, (_, n)) if n > 0 && fileSet.contains(f) => n
+          }.sum
         }
-        if (resolved.exists(_.isEmpty) || files.isEmpty || hasDv) None
+        if (resolved.exists(_.isEmpty) || files.isEmpty ||
+          (dvTotal > 0 && cols.nonEmpty)) None
         else {
           val fields = resolved.flatten
           val stats = statsFor(fs, root, v)
@@ -589,7 +597,8 @@ object Snapshots {
                 })
             val df = spark.createDataFrame(
               spark.sparkContext.parallelize(raws.flatten, 1), rawSchema)
-            val aggs = sum(col("__rows")).as("n_rows") +:
+            val aggs =
+              (sum(col("__rows")) - lit(dvTotal)).as("n_rows") +:
               fields.zipWithIndex.flatMap { case (fd, i) => Seq(
                 sum(col("__rows") - col(s"__nul_$i")).as(s"n_${fd.name}"),
                 min(col(s"__mn_$i").cast(fd.dataType)).as(s"min_${fd.name}"),
@@ -830,32 +839,47 @@ object Snapshots {
   }
 
   /** Executor-side sidecar probe: for each candidate file, which probe
-    * atoms its blooms DISPROVE. The driver ships file names and probe
-    * values; index bytes are read where the tasks run. */
+    * atoms its blooms DISPROVE. Driver footprint stays bounded on
+    * million-file tables: only files that HAVE a sidecar for a probed
+    * column are shipped (others are fail-open by construction), each
+    * task receives just its slice's (file, refs) records rather than a
+    * full-table broadcast map, and only non-empty kill sets return
+    * (the common point-lookup collects a handful of entries, not one
+    * per file). Index bytes are read where the tasks run, under the
+    * session's Hadoop configuration. */
   private def probeBlooms(spark: SparkSession, rootStr: String,
       files: Seq[String], refs: Map[String, Map[String, String]],
       probes: Seq[(Conj, String, Seq[Any])]): Map[String, Set[Int]] = {
     import org.apache.spark.util.sketch.BloomFilter
     val sc = spark.sparkContext
-    val refsB = sc.broadcast(refs)
+    val probedCols = probes.map(_._2).toSet
+    // (file, per-probed-col sidecar refs) — records travel with their
+    // partition slice; files with no relevant sidecar never ship
+    val candidates: Seq[(String, Map[String, String])] = files.flatMap { f =>
+      refs.get(f).map(_.view.filterKeys(probedCols).toMap)
+        .filter(_.nonEmpty).map(f -> _)
+    }
+    if (candidates.isEmpty) return Map.empty
     val probesB = sc.broadcast(probes.zipWithIndex.map {
       case ((_, phys, vs), i) => (i, phys, vs)
     })
-    sc.parallelize(files, math.max(1, math.min(files.size, 64)))
-      .map { f =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+    val hconf = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        sc.hadoopConfiguration))
+    sc.parallelize(candidates, math.max(1, math.min(candidates.size, 64)))
+      .map { case (f, colRefs) =>
         val cache =
           scala.collection.mutable.Map[String, Option[BloomFilter]]()
         def bloomAt(rel: String): Option[BloomFilter] =
           cache.getOrElseUpdate(rel, {
             try {
               val p = new HPath(rootStr, rel)
-              val in = p.getFileSystem(conf).open(p)
+              val in = p.getFileSystem(hconf.value.value).open(p)
               try Some(BloomFilter.readFrom(in)) finally in.close()
             } catch { case NonFatal(_) => None } // unreadable: fail-open
           })
         val kills = probesB.value.flatMap { case (i, phys, vs) =>
-          refsB.value.get(f).flatMap(_.get(phys)).flatMap(bloomAt) match {
+          colRefs.get(phys).flatMap(bloomAt) match {
             case Some(bf) =>
               val absent = vs.forall {
                 case l: java.lang.Long => !bf.mightContainLong(l)
@@ -867,7 +891,9 @@ object Snapshots {
           }
         }.toSet
         f -> kills
-      }.collect().toMap
+      }
+      .filter(_._2.nonEmpty) // only killers come home to the driver
+      .collect().toMap
   }
 
   /** A literal in the bloom insert/probe encoding (integrals widen to
@@ -1529,8 +1555,9 @@ object Snapshots {
     * scattered deletes (GDPR keys, bad-record surgeries) where CoW
     * write amplification is the problem. Vectors retire when
     * [[compact]]/[[optimize]]/[[merge]] rewrite their file;
-    * [[aggregateFromManifest]] refuses on DV'd tables (stats no
-    * longer attained); [[changesSince]]/the streaming source fail
+    * [[aggregateFromManifest]] on DV'd tables keeps `count(*)` exact
+    * (vector cardinalities are exact) but refuses per-column stats
+    * (no longer attained); [[changesSince]]/the streaming source fail
     * loudly on DV drift (file identity no longer implies content
     * identity); [[diff]] handles it row-level. Unpinned races retry
     * like [[deleteWhere]]. */
@@ -1877,20 +1904,30 @@ object Snapshots {
   }
 
   /** CAS one manifest: true iff this writer won version `v`. */
+  /** Route a manifest publication for `fs`'s scheme to the configured
+    * [[CommitCoordinator]] — the storage-specific CAS. Rename-based by
+    * default; see [[setCommitCoordinator]] for object stores. */
   private def casManifest(fs: FileSystem, root: HPath, v: Int,
       files: Seq[String], header: Seq[String]): Boolean = {
     val md = new HPath(root, ManifestDir)
     fs.mkdirs(md)
-    val tmp = new HPath(md, s".tmp-${java.util.UUID.randomUUID}")
-    val out = fs.create(tmp, false)
-    try out.write(((header ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    val won =
-      try fs.rename(tmp, manifestPath(root, v))
-      catch { case NonFatal(_) => false }
-    if (!won) fs.delete(tmp, false)
-    won
+    CommitCoordinators.forFs(fs).publish(fs, manifestPath(root, v),
+      ((header ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
   }
+
+  /** Install `coordinator` for every table on filesystems of `scheme`
+    * (e.g. `"s3a" -> ConditionalCreateCommitCoordinator`). The
+    * default for unregistered schemes stays [[RenameCommitCoordinator]]
+    * — correct on HDFS/local/ABFS/GCS, NOT on raw S3, whose rename is
+    * copy+delete; this hook is how that deployment hole closes.
+    * Process-wide; set it before the first commit of the process. */
+  def setCommitCoordinator(scheme: String,
+      coordinator: CommitCoordinator): Unit =
+    CommitCoordinators.set(scheme, coordinator)
+
+  /** Remove a per-scheme coordinator (tests; falls back to default). */
+  def clearCommitCoordinator(scheme: String): Unit =
+    CommitCoordinators.clear(scheme)
 
   private def commitLoop(fs: FileSystem, root: HPath, spark: SparkSession,
       dir: String, staged: Staged, carryBase: Boolean, op: String,
@@ -2791,6 +2828,19 @@ object Snapshots {
     val to = if (toVersion >= 0) toVersion else currentVersion(spark, dir)
       .getOrElse(throw new java.util.NoSuchElementException(
         s"no committed version under $dir"))
+    val (fromF, toF) = appendOnlyGuard(fs, root, dir, fromVersion, to)
+    val added = (toF -- fromF).toSeq.sorted
+    if (added.isEmpty) read(spark, dir, to).limit(0)
+    else readFilesAs(spark, fs, root, to, added)
+  }
+
+  /** The shared [[changesSince]] precondition: between `fromVersion`
+    * and `to`, nothing of the base may have been rewritten (files) or
+    * re-characterized (deletion vectors) — otherwise appended-files no
+    * longer describe the change and the consumer must re-sync. Returns
+    * the two manifests' file sets. */
+  private def appendOnlyGuard(fs: FileSystem, root: HPath, dir: String,
+      fromVersion: Int, to: Int): (Set[String], Set[String]) = {
     val fromF =
       if (fromVersion == 0) Set.empty[String]
       else readManifest(fs, root, fromVersion).toSet
@@ -2815,9 +2865,52 @@ object Snapshots {
             "landed in between) — appended files no longer describe the " +
             "change; re-sync from a full read")
     }
-    val added = (toF -- fromF).toSeq.sorted
-    if (added.isEmpty) read(spark, dir, to).limit(0)
-    else readFilesAs(spark, fs, root, to, added)
+    (fromF, toF)
+  }
+
+  /** The file-level decomposition of [[changesSince]]: for each
+    * retained version in `(fromVersion, toVersion]`, the data files
+    * that FIRST APPEARED at that version (deterministic: sorted within
+    * a version), so an admission-controlled consumer can draw down a
+    * backlog in file-sized slices. Guards are [[changesSince]]'s plus
+    * one STRICTER check: every attributed file must still be in
+    * `toVersion`'s manifest — a mid-window rewrite (a merge that
+    * retired a file appended inside the window) makes per-version
+    * slicing ill-defined, and this fails loudly where the net-state
+    * [[changesSince]] could still answer. Driver-side manifest walk
+    * only; no data touched. */
+  def appendedFilesByVersion(spark: SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int): Seq[(Int, Seq[String])] = {
+    val (fs, root) = fsFor(spark, dir)
+    val (fromF, toF) = appendOnlyGuard(fs, root, dir, fromVersion, toVersion)
+    val walk = versions(spark, dir)
+      .filter(v => v > fromVersion && v <= toVersion)
+    var prev = fromF
+    val seen = scala.collection.mutable.Set[String]()
+    walk.map { v =>
+      val cur = readManifest(fs, root, v).toSet
+      val appeared = (cur -- prev).filterNot(seen).toSeq.sorted
+      val gone = appeared.filterNot(toF)
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"appendedFilesByVersion($fromVersion -> $toVersion) on $dir: " +
+            s"${gone.size} file(s) appended at v$v were rewritten before " +
+            s"v$toVersion (a merge/compact landed mid-window) — " +
+            "per-version slicing is ill-defined; re-sync from a full read")
+      seen ++= appeared
+      prev = cur
+      v -> appeared
+    }
+  }
+
+  /** Read a slice of the files [[appendedFilesByVersion]] named, under
+    * `toVersion`'s pinned schema and deletion vectors — the
+    * partial-batch reader behind `maxFilesPerTrigger`. */
+  def readAppendedSlice(spark: SparkSession, dir: String,
+      toVersion: Int, files: Seq[String]): DataFrame = {
+    val (fs, root) = fsFor(spark, dir)
+    if (files.isEmpty) read(spark, dir, toVersion).limit(0)
+    else readFilesAs(spark, fs, root, toVersion, files)
   }
 
   /** Integrity audit (the fsck of a snapshot table): verifies every

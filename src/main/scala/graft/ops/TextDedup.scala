@@ -194,15 +194,24 @@ object TextDedup {
     // never estimated
     val sh = shingles(docs, n)
     val arr = shingleArrays(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    // the signature frame feeds FOUR plan references downstream (the
+    // skew guard's size aggregation + join-back inside lshCandidates,
+    // then both sides of the band self-join) — unpinned, each re-runs
+    // the tokenize+shingle+groupBy pass. One row of k longs per doc:
+    // tiny to pin, and the banding that re-derives from it is a plain
+    // projection+explode.
+    val sigs = minHashSignatures(sh, k).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val result = verifyJaccardArraysOn(
-        lshCandidates(minHashSignatures(sh, k), k, bands, maxBucket),
-        arr, threshold)
+        lshCandidates(sigs, k, bands, maxBucket), arr, threshold)
       val out = spark.createDataFrame(result.rdd, result.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
       out.count()
       out
-    } finally arr.unpersist(blocking = false)
+    } finally {
+      sigs.unpersist(blocking = false)
+      arr.unpersist(blocking = false)
+    }
   }
 
   /** Direct n-gram Jaccard near-dup pairs — no MinHash approximation in

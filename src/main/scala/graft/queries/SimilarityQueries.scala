@@ -345,8 +345,14 @@ object SimilarityQueries {
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT $AnnK""".stripMargin),
 
     // LSH-bucketed ANN: per-vector top-3 neighbors within the same
-    // axis-sign bucket — the scale path (candidate space shrinks from
-    // O(n²) to O(Σ bucket²); bucket join is a plain equality shuffle).
+    // axis-sign bucket (candidate space shrinks from O(n²) to
+    // O(Σ bucket²); bucket join is a plain equality shuffle).
+    // CALIBRATION-SCALE ROW: the fixed single-bucket probe's recall
+    // collapses as the corpus grows (identity 0.007 at 100× —
+    // BASELINE.md); it stays registered as the mechanism-correctness
+    // oracle for the bucketing itself. The ASSERTED-at-scale ANN rows
+    // are e5/e10 (query-directed multi-probe, quality floor certified
+    // at 10×/100× by tools/ScaleBench).
     QueryDef("e2_ann_lsh_topk",
       (s, dir) => Similarity.lshTopKNeighbors(
         Tables.embeddings(s, dir), bits = LshBits, k = LshK)

@@ -939,6 +939,76 @@ object SinkQueries {
         |  SELECT * FROM base
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
         |  UNION ALL SELECT * FROM src)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // The SQL-over-catalog surface end-to-end: a snapshot table
+    // created, loaded, and mutated PURELY through spark.sql against
+    // the DSv2 catalog (graft.sql.GraftCatalog + the GraftResolution
+    // bridge) — CTAS, INSERT INTO, DELETE FROM, MERGE INTO, UPDATE,
+    // then a read that time-travels with VERSION AS OF next to the
+    // current state. Versions are deterministic: CTAS commits v1
+    // (schema) + v2 (rows), INSERT v3, DELETE v4, MERGE v5, UPDATE
+    // v6. The oracle replays every step from the source predicates.
+    QueryDef("s38_sql_catalog_dml",
+      (s, dir) => {
+        // per-process warehouse: stable across the warm/timed phases
+        // of one Bench session (the catalog instance caches its
+        // warehouse at first use), unique across concurrent JVMs
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s38_wh_" +
+          ProcessHandle.current().pid()
+        s.conf.set("spark.sql.catalog.gsq", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsq.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS gsq.default.s38")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView("s38_base")
+        s.sql("""CREATE TABLE gsq.default.s38 AS
+          SELECT * FROM s38_base WHERE o_orderkey % 2 = 0""")
+        s.sql("""INSERT INTO gsq.default.s38
+          SELECT * FROM s38_base WHERE o_orderkey % 2 = 1""")
+        s.sql("DELETE FROM gsq.default.s38 WHERE o_custkey % 10 = 3")
+        s.sql("""SELECT o_orderkey, o_custkey, -o_totalprice AS o_totalprice
+          FROM s38_base WHERE o_orderkey % 97 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+          FROM s38_base WHERE o_orderkey % 97 = 1""")
+          .createOrReplaceTempView("s38_src")
+        s.sql("""MERGE INTO gsq.default.s38 t USING s38_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("""UPDATE gsq.default.s38 SET o_totalprice = o_totalprice * 2
+          WHERE o_orderkey % 5 = 0""")
+        s.sql("""SELECT 'v5' AS at_version, o_orderkey, o_custkey,
+            o_totalprice
+          FROM gsq.default.s38 VERSION AS OF 5
+          UNION ALL
+          SELECT 'cur' AS at_version, o_orderkey, o_custkey, o_totalprice
+          FROM gsq.default.s38
+          ORDER BY at_version, o_orderkey""")
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |v4 AS (
+        |  SELECT * FROM base WHERE NOT (o_custkey % 10 = 3)),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, -o_totalprice AS o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 1),
+        |v5 AS (
+        |  SELECT * FROM v4
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src),
+        |v6 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM v5)
+        |SELECT * FROM (
+        |  SELECT 'v5' AS at_version, * FROM v5
+        |  UNION ALL SELECT 'cur' AS at_version, * FROM v6)
+        |ORDER BY at_version, o_orderkey""".stripMargin)
   )
 }

@@ -346,20 +346,7 @@ object TimeSeriesQueries {
     // guarantees all 8 taps are populated — no partial-window branch.
     QueryDef("g8_ewma",
       (s, dir) => {
-        val raw = Tables.events(s, dir)
-          .select(
-            concat(lit("SYM"), (col("user_id") % 20).cast("string"),
-              lit("USDTM")).as("symbol"),
-            col("ts"), col("value").cast("decimal(18,4)").as("vd"))
-        // duplicate-timestamp collapse exactly as g3: under
-        // (ts asc, vd desc) the first row of each ts-run is the max
-        val wD = Window.partitionBy("symbol")
-          .orderBy(col("ts").asc, col("vd").desc)
-        val obs = raw
-          .withColumn("__pts", lag("ts", 1).over(wD))
-          .filter(col("__pts").isNull || col("__pts") =!= col("ts"))
-          .drop("__pts")
-          .withColumn("v", col("vd").cast("double"))
+        val obs = tickSeries(s, dir)
         val w = Window.partitionBy("symbol").orderBy(col("ts").asc)
         val taps = (0 to 7).map { k =>
           val x = if (k == 0) col("v") else lag(col("v"), k).over(w)
@@ -402,18 +389,7 @@ object TimeSeriesQueries {
     // ROWS on both sides so peer-row semantics can never differ.
     QueryDef("g9_drawdown",
       (s, dir) => {
-        val raw = Tables.events(s, dir)
-          .select(
-            concat(lit("SYM"), (col("user_id") % 20).cast("string"),
-              lit("USDTM")).as("symbol"),
-            col("ts"), col("value").cast("decimal(18,4)").as("vd"))
-        val wD = Window.partitionBy("symbol")
-          .orderBy(col("ts").asc, col("vd").desc)
-        val obs = raw
-          .withColumn("__pts", lag("ts", 1).over(wD))
-          .filter(col("__pts").isNull || col("__pts") =!= col("ts"))
-          .drop("__pts")
-          .withColumn("v", col("vd").cast("double"))
+        val obs = tickSeries(s, dir)
         val w = Window.partitionBy("symbol").orderBy(col("ts").asc)
         val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         obs
@@ -451,19 +427,7 @@ object TimeSeriesQueries {
     // value is ever summed — bit-identical oracle replay, no tolerance.
     QueryDef("g10_ohlc",
       (s, dir) => {
-        val raw = Tables.events(s, dir)
-          .select(
-            concat(lit("SYM"), (col("user_id") % 20).cast("string"),
-              lit("USDTM")).as("symbol"),
-            col("ts"), col("value").cast("decimal(18,4)").as("vd"))
-        val wD = Window.partitionBy("symbol")
-          .orderBy(col("ts").asc, col("vd").desc)
-        val obs = raw
-          .withColumn("__pts", lag("ts", 1).over(wD))
-          .filter(col("__pts").isNull || col("__pts") =!= col("ts"))
-          .drop("__pts")
-          .withColumn("v", col("vd").cast("double"))
-        obs
+        tickSeries(s, dir)
           .groupBy(col("symbol"), date_trunc("hour", col("ts")).as("h"))
           .agg(
             min_by(col("v"), col("ts")).as("open"),
@@ -483,6 +447,30 @@ object TimeSeriesQueries {
         |  arg_max(v, ts) AS close, count(*)::BIGINT AS n_ticks
         |FROM obs GROUP BY symbol, date_trunc('hour', ts)
         |ORDER BY symbol, h""".stripMargin))
+
+  /** Shared input frame for the per-tick monitors (g8/g9/g10), the
+    * tick-level sibling of [[hourlySeries]]: per-symbol series with
+    * duplicate timestamps collapsed to the max value — under
+    * (ts asc, vd desc) the first row of each ts-run is the max,
+    * discovered INSIDE the same symbol partitioning the downstream
+    * windows reuse (no extra exchange). Decimal-exact until the final
+    * double cast, so the collapse replays bit-identically in the
+    * oracle's `GROUP BY ts, max(v)`. */
+  private def tickSeries(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val raw = Tables.events(s, dir)
+      .select(
+        concat(lit("SYM"), (col("user_id") % 20).cast("string"),
+          lit("USDTM")).as("symbol"),
+        col("ts"), col("value").cast("decimal(18,4)").as("vd"))
+    val wD = Window.partitionBy("symbol")
+      .orderBy(col("ts").asc, col("vd").desc)
+    raw
+      .withColumn("__pts", lag("ts", 1).over(wD))
+      .filter(col("__pts").isNull || col("__pts") =!= col("ts"))
+      .drop("__pts")
+      .withColumn("v", col("vd").cast("double"))
+  }
 
   /** Shared input frame for the correlation pair (g5/g6): the per-symbol
     * hourly series, duplicate timestamps collapsed by max — exact

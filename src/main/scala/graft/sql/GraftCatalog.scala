@@ -1,0 +1,236 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.Snapshots
+
+/** A Spark `TableCatalog` over a warehouse directory of graft snapshot
+  * tables — the surface that makes the format speakable by anything
+  * that speaks SQL-over-catalog (notebooks, BI, dbt-style pipelines):
+  *
+  * {{{
+  * spark.sql.catalog.graft          = graft.sql.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /data/graft
+  * spark.sql.extensions             = graft.GraftExtensions
+  *
+  * CREATE TABLE graft.db.t (id BIGINT, v DOUBLE);
+  * INSERT INTO graft.db.t SELECT ...;
+  * SELECT * FROM graft.db.t VERSION AS OF 3;
+  * MERGE INTO graft.db.t USING s ON t.id = s.id WHEN MATCHED ...;
+  * DELETE FROM graft.db.t WHERE id < 100;
+  * UPDATE graft.db.t SET v = v * 2 WHERE id = 7;
+  * ALTER TABLE graft.db.t RENAME COLUMN v TO val; -- metadata-only
+  * }}}
+  *
+  * Identifier → path mapping is `warehouse/ns.../name`; a table IS a
+  * snapshot directory (its `_manifests/` is the existence test), so
+  * Scala-API users and SQL users address the same bytes. Time travel
+  * (`VERSION AS OF` / `TIMESTAMP AS OF`) resolves here at load time
+  * via the manifest chain / commit instants.
+  *
+  * At 100 TB the catalog stays driver-light: every operation is
+  * manifest metadata (list a directory, read a manifest head) — no
+  * data files are opened by any catalog call. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs: FileSystem =
+    new HPath(warehouse).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def checkLevel(part: String): String = {
+    require(part.nonEmpty && !part.contains("/") && !part.contains("\\") &&
+      part != "." && part != ".." && !part.startsWith("_"),
+      s"invalid identifier level '$part'")
+    part
+  }
+
+  private def nsPath(namespace: Array[String]): HPath =
+    namespace.foldLeft(new HPath(warehouse))((p, n) =>
+      new HPath(p, checkLevel(n)))
+
+  private def dirFor(ident: Identifier): String =
+    new HPath(nsPath(ident.namespace), checkLevel(ident.name)).toString
+
+  private def isTableDir(p: HPath): Boolean =
+    fs.exists(new HPath(p, "_manifests"))
+
+  // ---- tables -------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(isTableDir)
+      .map(d => Identifier.of(namespace, d.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(new HPath(dirFor(ident)))
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftTable(fullName(ident), dirFor(ident), None)
+  }
+
+  /** `VERSION AS OF <v>` — the handle pinned at that committed
+    * version; reads resolve through the manifest chain exactly as
+    * [[Snapshots.read]] does. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirFor(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft version must be an integer commit number, got '$version'")
+    }
+    require(Snapshots.versions(spark, dir).contains(v),
+      s"version $v of ${fullName(ident)} does not exist " +
+        s"(retained: ${Snapshots.versions(spark, dir).mkString(",")})")
+    new GraftTable(fullName(ident), dir, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch; resolve
+    * to the newest version committed at or before it. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirFor(ident)
+    val v = Snapshots.versionAsOf(spark, dir,
+      new java.sql.Timestamp(timestampMicros / 1000L))
+    new GraftTable(fullName(ident), dir, Some(v))
+  }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    require(info.partitions().isEmpty,
+      "graft tables manage layout via OPTIMIZE/ZORDER, not declared " +
+        "partitioning — CREATE TABLE ... PARTITIONED BY is not supported")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = dirFor(ident)
+    // commit the schema as version 1: one empty parquet file pins it
+    // (the format's invariant — a manifest lists at least one file)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 1), info.schema())
+    Snapshots.append(empty, dir)
+    new GraftTable(fullName(ident), dir, None)
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN / DROP COLUMN` route to the
+    * metadata-only column-mapping commits — zero data rewritten. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirFor(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft column mapping renames top-level columns only")
+        Snapshots.renameColumn(spark, dir, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft column mapping drops top-level columns only")
+        Snapshots.dropColumn(spark, dir, d.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
+          "supported on graft tables (supported: RENAME COLUMN, DROP " +
+          "COLUMN; schema ADDs evolve automatically on write)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new HPath(dirFor(ident))
+    if (!isTableDir(p)) false
+    else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val dst = new HPath(dirFor(newIdent))
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(new HPath(dirFor(oldIdent)), dst))
+      throw new IllegalStateException(
+        s"rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
+  }
+
+  // ---- namespaces ---------------------------------------------------
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val w = new HPath(warehouse)
+    if (!fs.exists(w)) return Array(Array("default"))
+    val found = fs.listStatus(w).filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || isTableDir(p))
+      .map(p => Array(p.getName))
+    if (found.exists(_.sameElements(Array("default")))) found
+    else found :+ Array("default")
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      namespace.sameElements(Array("default")) ||
+      (namespace.length == 1 && fs.exists(nsPath(namespace)) &&
+        !isTableDir(nsPath(namespace)))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"graft namespaces are one level, got ${namespace.mkString(".")}")
+    if (namespaceExists(namespace) && fs.exists(nsPath(namespace)))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) return false
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(p, true)
+  }
+}

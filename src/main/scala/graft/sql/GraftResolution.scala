@@ -1,0 +1,223 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** The analysis bridge between Spark SQL and the graft snapshot
+  * format, injected by [[GraftExtensions]] as a post-hoc resolution
+  * rule (runs once, after the plan is fully resolved):
+  *
+  *   - READ relations over a [[GraftTable]] are replaced by the native
+  *     parquet plan [[graft.ops.Snapshots.read]] builds — so a
+  *     `SELECT` against `graft.db.t` compiles to the same vectorized
+  *     columnar `FileSourceScanExec` (with filter pushdown, column
+  *     pruning, deletion vectors, column mapping) a Scala-API read
+  *     gets. Output attribute ids of the replaced relation are
+  *     preserved via an aliasing Project, so the surrounding resolved
+  *     plan is untouched.
+  *   - `DELETE FROM` / `UPDATE` / `MERGE INTO` over a [[GraftTable]]
+  *     become runnable commands over the existing Snapshots DML
+  *     machinery (copy-on-write by default; deletion vectors when
+  *     `spark.graft.sql.deletionVectors=true`).
+  *
+  * Write targets (`INSERT`) are deliberately NOT rewritten — they
+  * flow through the table's V1 write bridge (see
+  * [[GraftTable.newWriteBuilder]]). */
+final case class GraftResolution(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  /** A (possibly aliased) DSv2 relation over a graft table. */
+  private object GraftRel {
+    def unapply(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
+      plan match {
+        case r: DataSourceV2Relation => r.table match {
+          case t: GraftTable => Some((r, t))
+          case _ => None
+        }
+        case SubqueryAlias(_, child) => unapply(child)
+        case _ => None
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: DeleteFromTable => d.table match {
+      case GraftRel(_, t) =>
+        requireCurrent(t, "DELETE FROM")
+        GraftDeleteCommand(t.dir, t.identName, d.condition)
+      case _ => convertReads(plan)
+    }
+    case u: UpdateTable => u.table match {
+      case GraftRel(_, t) =>
+        requireCurrent(t, "UPDATE")
+        GraftUpdateCommand(t.dir, t.identName,
+          u.assignments.map(a => topLevelName(a.key, "UPDATE") -> a.value),
+          u.condition)
+      case _ => convertReads(plan)
+    }
+    case m: MergeIntoTable => m.targetTable match {
+      case GraftRel(rel, t) => translateMerge(m, rel, t)
+      case _ => convertReads(plan)
+    }
+    case other => convertReads(other)
+  }
+
+  private def requireCurrent(t: GraftTable, what: String): Unit =
+    if (t.pinnedVersion.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$what cannot target '${t.identName}' pinned at VERSION AS OF " +
+          s"${t.pinnedVersion.get} — DML applies to the current version")
+
+  private def topLevelName(key: Expression, what: String): String =
+    key match {
+      case a: AttributeReference => a.name
+      case other => throw new UnsupportedOperationException(
+        s"$what on graft tables assigns top-level columns only, got " +
+          s"'${other.sql}'")
+    }
+
+  // ---- reads --------------------------------------------------------
+
+  /** Replace every graft DSv2 READ relation in `plan` (including under
+    * subquery expressions) with the native Snapshots scan, leaving the
+    * `table` slot of v2 write commands (`INSERT` targets) alone. */
+  private def convertReads(plan: LogicalPlan): LogicalPlan = plan match {
+    case w: V2WriteCommand =>
+      w.withNewQuery(convertReads(w.query))
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable => readPlan(r, t)
+      case _ => r
+    }
+    case other =>
+      other.mapChildren(convertReads).transformExpressionsDown {
+        case se: SubqueryExpression => se.withNewPlan(convertReads(se.plan))
+      }
+  }
+
+  /** The native scan for a relation, output attribute ids preserved:
+    * an aliasing Project maps the fresh scan's columns (by
+    * case-insensitive name) onto the relation's resolved attributes,
+    * so every consumer above keeps its references. Filters and column
+    * pruning push through the Project into the parquet scan. */
+  private def readPlan(r: DataSourceV2Relation, t: GraftTable): LogicalPlan = {
+    val scan = t.readDF().queryExecution.analyzed
+    val resolver = session.sessionState.conf.resolver
+    Project(r.output.map { a =>
+      val src = scan.output.find(o => resolver(o.name, a.name)).getOrElse(
+        throw new IllegalStateException(
+          s"column '${a.name}' of ${t.identName} is missing from the " +
+            "snapshot scan — catalog and manifest disagree"))
+      Alias(src, a.name)(exprId = a.exprId)
+    }, scan)
+  }
+
+  // ---- merge --------------------------------------------------------
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Translate the canonical upsert MERGE to [[GraftMergeCommand]]:
+    * ON must be a conjunction of target-column = source-column
+    * equalities; WHEN MATCHED must be an unconditional UPDATE SET *
+    * (or assignments mapping every non-key target column to a source
+    * column); WHEN NOT MATCHED an unconditional INSERT * (or a
+    * consistent full-column mapping). Everything else — conditional
+    * actions, WHEN MATCHED DELETE, NOT MATCHED BY SOURCE, schema
+    * evolution — refuses loudly: [[graft.ops.Snapshots.merge]] is an
+    * upsert, and pretending otherwise would silently change row
+    * semantics. */
+  private def translateMerge(m: MergeIntoTable, rel: DataSourceV2Relation,
+      t: GraftTable): LogicalPlan = {
+    requireCurrent(t, "MERGE INTO")
+    def refuse(why: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"MERGE INTO '${t.identName}': $why (graft SQL MERGE supports the " +
+          "upsert shape: ON conjunctive column equalities, WHEN MATCHED " +
+          "THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *)")
+    if (m.schemaEvolutionEnabled) refuse("WITH SCHEMA EVOLUTION is not supported")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      refuse("WHEN NOT MATCHED BY SOURCE is not supported")
+    if (m.mergeCondition.exists(_.isInstanceOf[SubqueryExpression]))
+      refuse("ON with a subquery is not supported")
+    val tAttrs = AttributeSet(rel.output)
+    val sAttrs = AttributeSet(m.sourceTable.output)
+    val keyPairs = splitConjuncts(m.mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tAttrs.contains(a) && sAttrs.contains(b) => a.name -> b.name
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if tAttrs.contains(a) && sAttrs.contains(b) => a.name -> b.name
+      case other => refuse(
+        s"ON clause term '${other.sql}' is not a target = source " +
+          "column equality")
+    }
+    val resolver = session.sessionState.conf.resolver
+    val targetCols = rel.output.map(_.name)
+    val keyByTarget = keyPairs.toMap
+
+    // an assignment list as target-col -> source-col, refusing
+    // anything but plain source-column values
+    def mapping(assigns: Seq[Assignment], act: String): Map[String, String] =
+      assigns.map { as =>
+        val tName = topLevelName(as.key, s"MERGE $act")
+        val sName = as.value match {
+          case a: AttributeReference if sAttrs.contains(a) => a.name
+          case other => refuse(
+            s"$act assigns '${tName}' from '${other.sql}' — only plain " +
+              "source columns are supported")
+        }
+        tName -> sName
+      }.toMap
+
+    def starMapping(act: String): Map[String, String] =
+      targetCols.map { c =>
+        m.sourceTable.output.find(o => resolver(o.name, c)) match {
+          case Some(o) => c -> o.name
+          case None => refuse(s"$act SET * needs source column '$c'")
+        }
+      }.toMap
+
+    val updMap = m.matchedActions match {
+      case Seq(u: UpdateStarAction) if u.condition.isEmpty =>
+        starMapping("WHEN MATCHED")
+      case Seq(u: UpdateAction) if u.condition.isEmpty =>
+        mapping(u.assignments, "MATCHED UPDATE")
+      case Seq() => refuse("a WHEN MATCHED THEN UPDATE action is required")
+      case _ => refuse("exactly one unconditional WHEN MATCHED THEN UPDATE " +
+        "action is supported")
+    }
+    val insMap = m.notMatchedActions match {
+      case Seq(i: InsertStarAction) if i.condition.isEmpty =>
+        starMapping("WHEN NOT MATCHED")
+      case Seq(i: InsertAction) if i.condition.isEmpty =>
+        mapping(i.assignments, "NOT MATCHED INSERT")
+      case Seq() => refuse("a WHEN NOT MATCHED THEN INSERT action is required")
+      case _ => refuse("exactly one unconditional WHEN NOT MATCHED THEN " +
+        "INSERT action is supported")
+    }
+
+    // the full target-shape projection: keys come from ON, the rest
+    // from the (agreeing) UPDATE and INSERT mappings
+    val colMap = targetCols.map { c =>
+      val fromKey = keyByTarget.collectFirst {
+        case (tc, sc) if resolver(tc, c) => sc
+      }
+      val fromUpd = updMap.collectFirst { case (tc, sc) if resolver(tc, c) => sc }
+      val fromIns = insMap.collectFirst { case (tc, sc) if resolver(tc, c) => sc }
+      (fromUpd, fromIns) match {
+        case (Some(u), Some(i)) if u != i =>
+          refuse(s"UPDATE and INSERT disagree on '$c' ($u vs $i) — " +
+            "Snapshots.merge writes one row shape")
+        case _ =>
+      }
+      val src = fromKey.orElse(fromUpd).orElse(fromIns).getOrElse(
+        refuse(s"no source mapping for target column '$c'"))
+      c -> src
+    }
+    GraftMergeCommand(t.dir, t.identName, convertReads(m.sourceTable),
+      colMap, keyPairs.map(_._1))
+  }
+}

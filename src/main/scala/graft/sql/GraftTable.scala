@@ -1,0 +1,108 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.Snapshots
+
+/** A graft snapshot table surfaced through DataSource V2 — the handle
+  * [[GraftCatalog]] returns and [[GraftResolution]] rewrites.
+  *
+  * The division of labor is deliberate (the Delta-style split):
+  *
+  *   - READS never execute through this class. [[GraftResolution]]
+  *     replaces the `DataSourceV2Relation` with the native parquet
+  *     scan [[Snapshots.read]] builds (stats pruning, deletion
+  *     vectors, column mapping applied), so the physical plan is the
+  *     vectorized columnar `FileSourceScanExec` with pushed filters —
+  *     not a row-interface DSv2 scan. [[newScanBuilder]] therefore
+  *     fails loudly if the extensions are not installed, rather than
+  *     silently running a slow fallback.
+  *   - WRITES go through the V1 write bridge ([[InsertableRelation]]):
+  *     `INSERT INTO` → [[Snapshots.append]], `INSERT OVERWRITE` →
+  *     [[Snapshots.overwrite]]. The input is a full DataFrame, so the
+  *     existing commit protocol (CAS manifest, CHECK constraints,
+  *     schema evolution, stats collection) applies unchanged.
+  *   - DML (`MERGE INTO`/`DELETE FROM`/`UPDATE`) is rewritten by
+  *     [[GraftResolution]] to commands over [[Snapshots.merge]] /
+  *     [[Snapshots.deleteWhere]] / [[Snapshots.updateWhere]].
+  *
+  * `pinnedVersion` carries `VERSION AS OF` / `TIMESTAMP AS OF` — the
+  * catalog resolves the time-travel spec to a concrete version at
+  * load, and every read of this handle sees exactly that version.
+  *
+  * Spark-first rationale per the reference's ETL surface
+  * (`scripts/funding_rates_etl.py:100-111` upserts via SQL ON
+  * CONFLICT): the reference's users speak SQL-over-catalog; this class
+  * is what lets them keep doing so against the snapshot format. */
+final class GraftTable(
+    val identName: String,
+    val dir: String,
+    val pinnedVersion: Option[Int]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = identName
+
+  override lazy val schema: StructType =
+    Snapshots.read(spark, dir, pinnedVersion.getOrElse(-1)).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] = {
+    val cs = Snapshots.constraints(spark, dir)
+    (Map("format" -> "graft-snapshots", "location" -> dir) ++
+      pinnedVersion.map(v => "pinnedVersion" -> v.toString).toMap ++
+      cs.map { case (n, e) => s"constraint.$n" -> e }).asJava
+  }
+
+  /** The version-pinned DataFrame behind this handle — what
+    * [[GraftResolution]] splices in place of the relation. */
+  def readDF(): DataFrame =
+    Snapshots.read(spark, dir, pinnedVersion.getOrElse(-1))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => throw new IllegalStateException(
+      s"graft table '$identName' was planned through the generic DSv2 " +
+        "scan path, which would row-convert a columnar format. Install " +
+        "the graft extensions (spark.sql.extensions=" +
+        "graft.GraftExtensions) so reads compile to the native " +
+        "vectorized parquet scan with stats pruning and deletion vectors.")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: Dataset[Row], ow: Boolean): Unit = {
+              if (pinnedVersion.nonEmpty)
+                throw new UnsupportedOperationException(
+                  s"cannot write to '$identName' pinned at VERSION AS OF " +
+                    s"${pinnedVersion.get} — writes target the current " +
+                    "version only")
+              if (overwrite || ow) Snapshots.overwrite(data.toDF(), dir)
+              else Snapshots.append(data.toDF(), dir)
+            }
+          }
+      }
+    }
+
+  override def toString: String =
+    s"GraftTable($identName${pinnedVersion.map("@v" + _).getOrElse("")})"
+}

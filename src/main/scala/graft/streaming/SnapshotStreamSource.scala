@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, GraftSql, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
@@ -49,6 +48,19 @@ import graft.ops.Snapshots
   * it). Note `Trigger.Once` processes a single batch, hence at most k
   * versions when capped — drain a backlog with a running trigger, not
   * one-shot runs.
+  *
+  * `maxFilesPerTrigger` (default unlimited) caps admission at FILE
+  * granularity, closing the burst case versions can't: one giant
+  * backfill commit is still one version, and a version cap admits it
+  * whole. With a file cap, offsets advance through a version
+  * (`v#n` = first n of v's appended files, deterministic order), so
+  * even a single multi-thousand-file commit drains across triggers
+  * exactly-once. Composes with the version cap (version cap first,
+  * then files). The capped path is stricter than [[Snapshots
+  * .changesSince]]: a rewrite landing INSIDE the admission window
+  * fails the query loudly (per-version slicing would be ill-defined)
+  * — pause maintenance while consumers stream, as the class contract
+  * already requires.
   *
   * Reference anchor: the 5-minute tick pipelines
   * (dags/kucoin_main_dag.py:27-28) re-read their upstream tables each
@@ -157,47 +169,74 @@ class SnapshotSourceProvider extends StreamSourceProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map { s =>
+    def cap(name: String): Option[Int] = parameters.get(name).map { s =>
       val k = s.toInt
-      require(k >= 1, s"maxVersionsPerTrigger must be >= 1, got $k")
+      require(k >= 1, s"$name must be >= 1, got $k")
       k
     }
     new SnapshotSource(sqlContext, dirOf(parameters),
       parameters.get("startingVersion").map(_.toInt).getOrElse(0),
-      maxPerTrigger, metadataPath)
+      cap("maxVersionsPerTrigger"), cap("maxFilesPerTrigger"),
+      metadataPath)
   }
 }
 
 private[streaming] class SnapshotSource(sqlContext: SQLContext,
     dir: String, startVersion: Int, maxVersionsPerTrigger: Option[Int],
-    metadataPath: String) extends Source {
+    maxFilesPerTrigger: Option[Int], metadataPath: String) extends Source {
 
   private val spark = sqlContext.sparkSession
 
   override val schema: StructType = Snapshots.read(spark, dir).schema
 
+  /** An offset position: `consumed = -1` means version `v` fully
+    * consumed (json is the bare number — LongOffset-compatible, so
+    * pre-cap checkpoints replay unchanged); `consumed = n >= 0` means
+    * the first n of v's appended files (json `v#n`) — the
+    * file-granular admission point that lets ONE giant backfill
+    * version drain across several triggers. Slicing is deterministic:
+    * manifests are immutable and files sort within their version
+    * ([[Snapshots.appendedFilesByVersion]]), so a replayed (start,
+    * end] re-reads exactly the same files. */
+  private case class Slice(v: Int, consumed: Int) {
+    def full: Boolean = consumed < 0
+  }
+  private object Slice {
+    def parse(s: String): Slice = s.split('#') match {
+      case Array(v, n) => Slice(v.trim.toInt, n.trim.toInt)
+      case _ => Slice(s.trim.toInt, -1)
+    }
+  }
+  private def lt(a: Slice, b: Slice): Boolean =
+    a.v < b.v ||
+      (a.v == b.v && !a.full && (b.full || a.consumed < b.consumed))
+  private case class SliceOffset(s: Slice) extends Offset {
+    override def json: String =
+      if (s.full) s.v.toString else s"${s.v}#${s.consumed}"
+  }
+
   // ---- admission-control base (sizing state only; see class doc) ----
   private val baseFile = new HPath(metadataPath, "graft-last-offered")
   private val fs = baseFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readBase(): Option[Int] =
+  private def readBase(): Option[Slice] =
     try {
       if (!fs.exists(baseFile)) None
       else {
         val in = fs.open(baseFile)
         val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-        Some(s.toInt)
+        Some(Slice.parse(s))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def writeBase(v: Int): Unit =
+  private def writeBase(s: Slice): Unit =
     try {
       val out = fs.create(baseFile, true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      try out.write(SliceOffset(s).json.getBytes("UTF-8")) finally out.close()
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  private var lastOffered: Option[Int] = readBase().orElse {
+  private var lastOffered: Option[Slice] = readBase().orElse {
     // Fresh query (no offsets logged yet): the first trigger caps from
     // startVersion. A RESTART whose checkpoint predates the base file
     // leaves None — that first post-restart trigger admits uncapped,
@@ -207,20 +246,49 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext,
     val hasHistory =
       try fs.exists(offsetsDir) && fs.listStatus(offsetsDir).nonEmpty
       catch { case scala.util.control.NonFatal(_) => true }
-    if (hasHistory) None else Some(startVersion)
+    if (hasHistory) None else Some(Slice(startVersion, -1))
   }
 
-  /** Restart hands offsets back as SerializedOffset json — LongOffset's
-    * json is just the number, so parsing json covers both forms. */
-  private def version(o: Offset): Int = o.json.trim.toInt
+  /** The retained version whose manifest precedes `v` — the walk base
+    * that makes v's OWN appended files visible to the slicer. */
+  private def prevRetained(v: Int): Int =
+    Snapshots.versions(spark, dir).filter(_ < v).lastOption.getOrElse(0)
+
+  /** File-budgeted admission: walk the backlog's per-version appended
+    * files from `base`, admit up to `budget0` files, stop at `vCap`.
+    * Zero-file versions (DDL commits) pass through for free. */
+  private def admitFiles(base: Slice, vCap: Int, budget0: Int): Slice = {
+    val from = if (base.full) base.v else prevRetained(base.v)
+    var budget = budget0
+    var end = base
+    var done = false
+    Snapshots.appendedFilesByVersion(spark, dir, from, vCap).foreach {
+      case (v, files) =>
+        if (!done && (v > base.v || (v == base.v && !base.full))) {
+          val lo = if (v == base.v) base.consumed else 0
+          val rem = files.size - lo
+          if (rem <= 0) end = Slice(v, -1)
+          else if (budget >= rem) {
+            budget -= rem; end = Slice(v, -1); done = budget == 0
+          } else { end = Slice(v, lo + budget); budget = 0; done = true }
+        }
+    }
+    end
+  }
 
   override def getOffset: Option[Offset] = {
     val current = Snapshots.currentVersion(spark, dir)
       .filter(_ > startVersion)
-    current.map { v =>
-      val off = (maxVersionsPerTrigger, lastOffered) match {
-        case (Some(k), Some(base)) => math.min(v, base + k)
-        case _ => v // uncapped, or no sizing memory (fail-open once)
+    current.flatMap { head =>
+      val off: Slice = lastOffered match {
+        case None => Slice(head, -1) // no sizing memory: fail-open once
+        case Some(base) =>
+          val vCap = maxVersionsPerTrigger
+            .map(k => math.min(head, base.v + k)).getOrElse(head)
+          maxFilesPerTrigger match {
+            case None => Slice(math.max(vCap, base.v), -1)
+            case Some(f) => admitFiles(base, vCap, f)
+          }
       }
       if (!lastOffered.contains(off)) {
         // persist BEFORE returning: the base file must always be >= any
@@ -228,16 +296,35 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext,
         writeBase(off)
         lastOffered = Some(off)
       }
-      LongOffset(off.toLong)
+      // an offset equal to the last committed one is Spark's own
+      // no-new-data signal — it skips the batch
+      Some(SliceOffset(off))
     }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(version).getOrElse(startVersion)
-    val to = version(end)
+    val s = start.map(o => Slice.parse(o.json.trim))
+      .getOrElse(Slice(startVersion, -1))
+    val to = Slice.parse(end.json.trim)
     // a replayed batch after restart also refreshes the sizing base
-    if (lastOffered.forall(_ < to)) { writeBase(to); lastOffered = Some(to) }
-    val delta = Snapshots.changesSince(spark, dir, from, to)
+    if (lastOffered.forall(lt(_, to))) { writeBase(to); lastOffered = Some(to) }
+    val delta =
+      if (s.full && to.full)
+        // the uncapped path keeps changesSince's net-state semantics
+        Snapshots.changesSince(spark, dir, s.v, to.v)
+      else {
+        val from = if (s.full) s.v else prevRetained(s.v)
+        val files = Snapshots.appendedFilesByVersion(spark, dir, from, to.v)
+          .flatMap { case (v, fl) =>
+            if (v < s.v || (v == s.v && s.full)) Nil
+            else {
+              val lo = if (v == s.v) math.max(0, s.consumed) else 0
+              val hi = if (v == to.v && !to.full) to.consumed else fl.size
+              fl.slice(lo, hi)
+            }
+          }
+        Snapshots.readAppendedSlice(spark, dir, to.v, files)
+      }
     // a RENAME/DROP landing mid-stream changes the table's logical
     // shape under the query's pinned schema — downstream operators
     // would misbind columns. Fail loudly with the remedy instead.

@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** The one deliberate `org.apache.spark.sql` residency in this
+  * library: three Spark-internal helpers (`private[sql]` in their
+  * Scala signatures, stable across the 4.x line) that the graft SQL
+  * layer needs and that have no public equivalent. Everything here is
+  * a one-line forwarder — no behavior lives in this package. */
+object GraftSparkBridge {
+
+  /** Wrap a resolved Catalyst expression as a user-facing Column
+    * (Spark 4's Column is ColumnNode-backed; this is the supported
+    * internal bridge). */
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** A DataFrame over an arbitrary logical plan. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -1,0 +1,238 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Snapshots
+
+/** The SQL-over-catalog surface: DSv2 catalog + post-hoc resolution
+  * bridge. Contracts under test:
+  *
+  *   - catalog DDL (CREATE/DROP/RENAME TABLE, namespaces) maps
+  *     identifiers to snapshot directories;
+  *   - reads compile to the NATIVE parquet scan (no DSv2 BatchScan,
+  *     no row conversion) with filters pushed to the file scan;
+  *   - time travel via VERSION AS OF / TIMESTAMP AS OF;
+  *   - INSERT INTO/OVERWRITE route through append/overwrite;
+  *   - MERGE/DELETE/UPDATE route to the snapshot DML machinery and
+  *     hash-match their Scala-API twins;
+  *   - Scala API and SQL address the same bytes (interop both ways).
+  */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_sql_wh").toFile.toString
+    spark.conf.set("spark.sql.catalog.gs", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gs.warehouse", w)
+    w
+  }
+
+  private def dirOf(ns: String, t: String) = s"$warehouse/$ns/$t"
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trip") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.rt (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.rt VALUES (1, 2.0), (2, 3.0)")
+    assert(spark.sql("SELECT * FROM gs.default.rt ORDER BY id")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 2.0), (2L, 3.0)))
+    // the same bytes through the Scala API
+    assert(Snapshots.read(spark, dirOf("default", "rt")).count() == 2)
+  }
+
+  test("reads compile to the native parquet scan, not a DSv2 row scan") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.plan_t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.plan_t SELECT id, id * 1.0 FROM range(100)")
+    val df = spark.sql("SELECT id FROM gs.default.plan_t WHERE id = 7")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("FileScan parquet"), phys)
+    assert(!phys.contains("BatchScan"), phys)
+    assert(!phys.contains("RowToColumnar"), phys)
+    // the filter reached the parquet scan
+    assert(phys.contains("PushedFilters") &&
+      phys.replaceAll("\\s", "").contains("EqualTo(id,7)"), phys)
+    assert(df.as[Long].collect().toSeq == Seq(7L))
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.tt (id BIGINT)")
+    spark.sql("INSERT INTO gs.default.tt VALUES (1)") // v2
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.sql("INSERT INTO gs.default.tt VALUES (2)") // v3
+    assert(spark.sql("SELECT count(*) FROM gs.default.tt").head().getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) FROM gs.default.tt VERSION AS OF 2")
+      .head().getLong(0) == 1)
+    val ts = new java.sql.Timestamp(between).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM gs.default.tt TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) == 1)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gs.default.tt VERSION AS OF 99").collect()
+    }
+  }
+
+  test("INSERT OVERWRITE replaces content") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.ow (id BIGINT)")
+    spark.sql("INSERT INTO gs.default.ow VALUES (1), (2)")
+    spark.sql("INSERT OVERWRITE gs.default.ow VALUES (9)")
+    assert(spark.sql("SELECT id FROM gs.default.ow").as[Long]
+      .collect().toSeq == Seq(9L))
+  }
+
+  test("DELETE FROM matches the Scala-API deleteWhere") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.del_sql (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.del_sql SELECT id, id*1.0 FROM range(20)")
+    // twin table through the Scala API
+    val twin = Files.createTempDirectory("graft_twin").toFile.toString + "/t"
+    Snapshots.append(spark.range(20).select(col("id"), (col("id") * 1.0).as("v")), twin)
+    spark.sql("DELETE FROM gs.default.del_sql WHERE id < 5 OR v > 15.0")
+    Snapshots.deleteWhere(spark, twin, col("id") < 5 || col("v") > 15.0)
+    val got = spark.sql("SELECT * FROM gs.default.del_sql ORDER BY id").collect()
+    val want = Snapshots.read(spark, twin).orderBy("id").collect()
+    assert(got.toSeq == want.toSeq)
+    assert(Snapshots.history(spark, dirOf("default", "del_sql"))
+      .head().getString(2) == "delete")
+  }
+
+  test("UPDATE matches the Scala-API updateWhere") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.upd_sql (id BIGINT, v DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO gs.default.upd_sql " +
+      "SELECT id, id*1.0, concat('s', id) FROM range(10)")
+    spark.sql("UPDATE gs.default.upd_sql SET v = v * 100, tag = 'hit' WHERE id <= 3")
+    val got = spark.sql("SELECT * FROM gs.default.upd_sql ORDER BY id")
+      .as[(Long, Double, String)].collect()
+    assert(got.take(4).forall(r => r._2 == r._1 * 100.0 && r._3 == "hit"))
+    assert(got.drop(4).forall(r => r._2 == r._1 * 1.0 && r._3 == s"s${r._1}"))
+    assert(Snapshots.history(spark, dirOf("default", "upd_sql"))
+      .head().getString(2) == "update")
+  }
+
+  test("MERGE INTO upsert matches the Scala-API merge") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.mrg (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.mrg SELECT id, id*1.0 FROM range(10)")
+    Seq((5L, 555.0), (6L, 666.0), (20L, 200.0)).toDF("id", "v")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql("""MERGE INTO gs.default.mrg t USING mrg_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val twin = Files.createTempDirectory("graft_twin2").toFile.toString + "/t"
+    Snapshots.append(spark.range(10).select(col("id"), (col("id") * 1.0).as("v")), twin)
+    Snapshots.merge(spark, twin,
+      Seq((5L, 555.0), (6L, 666.0), (20L, 200.0)).toDF("id", "v"), Seq("id"))
+    assert(spark.sql("SELECT * FROM gs.default.mrg ORDER BY id").collect().toSeq ==
+      Snapshots.read(spark, twin).orderBy("id").collect().toSeq)
+  }
+
+  test("MERGE with explicit renamed-source assignments") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.mrg2 (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.mrg2 VALUES (1, 1.0), (2, 2.0)")
+    Seq((2L, 22.0), (3L, 33.0)).toDF("key", "value")
+      .createOrReplaceTempView("mrg2_src")
+    spark.sql("""MERGE INTO gs.default.mrg2 t USING mrg2_src s ON t.id = s.key
+      WHEN MATCHED THEN UPDATE SET v = s.value
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.key, s.value)""")
+    assert(spark.sql("SELECT * FROM gs.default.mrg2 ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (2L, 22.0), (3L, 33.0)))
+  }
+
+  test("unsupported MERGE shapes refuse loudly") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.mrg3 (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.mrg3 VALUES (1, 1.0)")
+    Seq((1L, 9.0)).toDF("id", "v").createOrReplaceTempView("mrg3_src")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO gs.default.mrg3 t USING mrg3_src s ON t.id = s.id
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.contains("MERGE") || e.getMessage.contains("upsert"))
+  }
+
+  test("deletion-vector mode: DELETE commits a vector, no rewrite") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.dvm (id BIGINT)")
+    spark.sql("INSERT INTO gs.default.dvm SELECT id FROM range(50)")
+    spark.conf.set("spark.graft.sql.deletionVectors", "true")
+    try {
+      spark.sql("DELETE FROM gs.default.dvm WHERE id = 13")
+      assert(Snapshots.history(spark, dirOf("default", "dvm"))
+        .head().getString(2) == "delete-light")
+      assert(spark.sql("SELECT count(*) FROM gs.default.dvm")
+        .head().getLong(0) == 49)
+    } finally spark.conf.unset("spark.graft.sql.deletionVectors")
+  }
+
+  test("DML refuses a VERSION AS OF pinned target") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.pin (id BIGINT)")
+    spark.sql("INSERT INTO gs.default.pin VALUES (1)")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM gs.default.pin VERSION AS OF 1 WHERE id = 1")
+    }
+    assert(e.getMessage.toLowerCase.contains("version") ||
+      e.getMessage.toLowerCase.contains("time travel"))
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN are metadata-only and readable") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.alt (id BIGINT, v DOUBLE, junk STRING)")
+    spark.sql("INSERT INTO gs.default.alt VALUES (1, 2.0, 'x')")
+    spark.sql("ALTER TABLE gs.default.alt RENAME COLUMN v TO val")
+    spark.sql("ALTER TABLE gs.default.alt DROP COLUMN junk")
+    assert(spark.sql("SELECT id, val FROM gs.default.alt")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 2.0)))
+    assert(spark.table("gs.default.alt").columns.toSeq == Seq("id", "val"))
+  }
+
+  test("CTAS creates and populates in one statement") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.ctas AS SELECT id, id*2 AS dbl FROM range(5)")
+    assert(spark.sql("SELECT sum(dbl) FROM gs.default.ctas")
+      .head().getLong(0) == 20)
+  }
+
+  test("catalog DDL: SHOW TABLES, DROP TABLE, RENAME TABLE, namespaces") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gs.nsx")
+    spark.sql("CREATE TABLE gs.nsx.a (id BIGINT)")
+    spark.sql("INSERT INTO gs.nsx.a VALUES (1)")
+    val tables = spark.sql("SHOW TABLES IN gs.nsx").select("tableName")
+      .as[String].collect().toSet
+    assert(tables.contains("a"))
+    // RENAME TO takes a catalog-relative name (same catalog by contract)
+    spark.sql("ALTER TABLE gs.nsx.a RENAME TO nsx.b")
+    assert(spark.sql("SELECT id FROM gs.nsx.b").as[Long].collect().toSeq == Seq(1L))
+    spark.sql("DROP TABLE gs.nsx.b")
+    assert(spark.sql("SHOW TABLES IN gs.nsx").count() == 0)
+  }
+
+  test("Scala-API tables surface through the catalog unchanged") {
+    warehouse
+    // write through the Scala API directly into the warehouse layout
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      dirOf("default", "interop"))
+    assert(spark.sql("SELECT s FROM gs.default.interop WHERE id = 2")
+      .as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("joins between catalog tables broadcast and stay columnar") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.jbig AS SELECT id, id % 5 AS k FROM range(1000)")
+    spark.sql("CREATE TABLE gs.default.jdim AS SELECT id AS k, concat('g', id) AS name FROM range(5)")
+    val df = spark.sql("""SELECT b.id, d.name FROM gs.default.jbig b
+      JOIN gs.default.jdim d ON b.k = d.k""")
+    assert(df.count() == 1000)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), phys)
+    assert(!phys.contains("BatchScan"), phys)
+  }
+}

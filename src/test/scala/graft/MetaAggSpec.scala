@@ -106,4 +106,24 @@ class MetaAggSpec extends SparkSpec {
       .get.head()
     assert(v1 == Row(1L, 1L, 5.0, 5.0))
   }
+
+  test("deletion vectors: count(*) stays exact, per-column refuses") {
+    val root = freshRoot()
+    Snapshots.append((1L to 50L).map(i => (i, i * 1.0)).toDF("id", "v"), root)
+    Snapshots.deleteWhereLight(spark, root,
+      org.apache.spark.sql.functions.col("id") % 7 === 0)
+    // overlapping second trickle on the same file's positions
+    Snapshots.deleteWhereLight(spark, root,
+      org.apache.spark.sql.functions.col("id") % 14 === 0 ||
+        org.apache.spark.sql.functions.col("id") === 1L)
+    val scanned = Snapshots.read(spark, root).count()
+    val meta = Snapshots.aggregateFromManifest(spark, root, Nil).get.head()
+    assert(meta.getLong(0) == scanned)
+    // per-column stats are bounds under a vector: exact-or-refuse
+    assert(Snapshots.aggregateFromManifest(spark, root, Seq("v")).isEmpty)
+    // a rewrite retires the vectors: full stats provable again
+    Snapshots.compact(spark, root, numFiles = 1)
+    assert(Snapshots.aggregateFromManifest(spark, root, Seq("v"))
+      .get.head().getLong(0) == scanned)
+  }
 }

@@ -128,6 +128,70 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(all.flatten.sorted == (1L to 10L)) // exactly once, no loss
   }
 
+  test("maxFilesPerTrigger splits ONE multi-file version across triggers") {
+    val base = Files.createTempDirectory("snap-src-fcap")
+    val table = s"$base/t"; val ckpt = s"$base/ckpt"
+    // one giant backfill commit: a single version of 8 files — the
+    // burst case a version cap cannot split
+    Snapshots.append(spark.range(80).toDF("id").repartition(8), table)
+    val batches = mutable.ArrayBuffer[Seq[Long]]()
+    def sinkTo(trigger: Trigger) = spark.readStream
+      .format("graft-snapshots")
+      .option("path", table).option("maxFilesPerTrigger", 3).load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches.synchronized { batches += df.as[Long].collect().toSeq }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(trigger)
+      .start()
+    // one-shot run: admits 3 of the version's 8 files, then STOPS —
+    // the restart resumes mid-version from the checkpointed slice
+    val q1 = sinkTo(Trigger.Once()); q1.awaitTermination()
+    val first = batches.synchronized(batches.filter(_.nonEmpty).toList)
+    assert(first.size == 1)
+    assert(first.head.size < 80 && first.head.nonEmpty) // version split!
+    // a running trigger drains the rest: ceil(5/3) = 2 more batches
+    val q2 = sinkTo(Trigger.ProcessingTime(0))
+    q2.processAllAvailable()
+    // new commits while capped keep draining file-wise across versions
+    Snapshots.append(spark.range(80, 100).toDF("id").repartition(2), table)
+    q2.processAllAvailable(); q2.stop()
+    val all = batches.synchronized(batches.filter(_.nonEmpty).toList)
+    // 8 files at 3/trigger = 3 batches for v1, then v2's 2 files
+    assert(all.size == 4, all.map(_.size).toString)
+    assert(all.flatten.sorted == (0L until 100L)) // exactly once
+  }
+
+  test("version and file caps compose") {
+    val base = Files.createTempDirectory("snap-src-both")
+    val table = s"$base/t"
+    // 4 versions x 2 files each
+    (0 until 4).foreach(i => Snapshots.append(
+      spark.range(i * 10L, i * 10L + 10L).toDF("id").repartition(2), table))
+    val batches = mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", table)
+      .option("maxVersionsPerTrigger", 2)
+      .option("maxFilesPerTrigger", 3).load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches.synchronized { batches += df.as[Long].collect().toSeq }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable(); q.stop()
+    val all = batches.synchronized(batches.filter(_.nonEmpty).toList)
+    // every batch admits <= 3 files AND <= 2 versions: with ~5-row
+    // files (10 rows over 2 partitions) no batch may exceed ~3 files'
+    // worth — far below the uncapped 40-row swallow
+    assert(all.size >= 2 && all.forall(_.size < 25), all.map(_.size).toString)
+    assert(all.flatten.sorted == (0L until 40L))
+  }
+
   test("a mid-stream RENAME fails the query rather than misbinding") {
     val base = Files.createTempDirectory("snap-src-ren")
     val table = s"$base/t"
