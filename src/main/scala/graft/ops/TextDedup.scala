@@ -194,24 +194,27 @@ object TextDedup {
     // never estimated
     val sh = shingles(docs, n)
     val arr = shingleArrays(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
-    // the signature frame feeds FOUR plan references downstream (the
+    // The signature frame feeds four plan references downstream (the
     // skew guard's size aggregation + join-back inside lshCandidates,
-    // then both sides of the band self-join) — unpinned, each re-runs
-    // the tokenize+shingle+groupBy pass. One row of k longs per doc:
-    // tiny to pin, and the banding that re-derives from it is a plain
-    // projection+explode.
-    val sigs = minHashSignatures(sh, k).persist(StorageLevel.MEMORY_AND_DISK)
+    // then both sides of the band self-join) — but it is DELIBERATELY
+    // not persisted: the groupBy behind it ends in a shuffle exchange,
+    // and ReuseExchange dedups identical exchanges across those
+    // references, so the tokenize+shingle+aggregate pass runs once
+    // regardless. A controlled A/B at the 100× corpus (BASELINE.md
+    // round 8) measured pinning it as a 10-25% NET LOSS (d6 17.7-19.5 s
+    // unpinned vs 19.7-24.7 s pinned, identical rows) — the persist
+    // materialization costs more than the already-deduplicated reuse.
+    // Contrast d5/ngramJaccardDups, whose recomputed references sit
+    // BELOW different shuffles and genuinely re-ran the text pass.
     try {
       val result = verifyJaccardArraysOn(
-        lshCandidates(sigs, k, bands, maxBucket), arr, threshold)
+        lshCandidates(minHashSignatures(sh, k), k, bands, maxBucket),
+        arr, threshold)
       val out = spark.createDataFrame(result.rdd, result.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
       out.count()
       out
-    } finally {
-      sigs.unpersist(blocking = false)
-      arr.unpersist(blocking = false)
-    }
+    } finally arr.unpersist(blocking = false)
   }
 
   /** Direct n-gram Jaccard near-dup pairs — no MinHash approximation in
