@@ -7,7 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableCatalogCapability, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -41,7 +43,8 @@ import graft.ops.Snapshots
   * At 100 TB the catalog stays driver-light: every operation is
   * manifest metadata (list a directory, read a manifest head) — no
   * data files are opened by any catalog call. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -140,8 +143,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(fullName(ident), dir, None)
   }
 
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   /** `ALTER TABLE ... RENAME COLUMN / DROP COLUMN` route to the
-    * metadata-only column-mapping commits — zero data rewritten. */
+    * metadata-only column-mapping commits — zero data rewritten;
+    * `ADD CONSTRAINT name CHECK (...)` / `DROP CONSTRAINT` route to
+    * the write-time data contracts (the ADD scans once to prove
+    * existing rows comply, exactly like the Scala API). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirFor(ident)
@@ -154,13 +163,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(d.fieldNames.length == 1,
           "graft column mapping drops top-level columns only")
         Snapshots.dropColumn(spark, dir, d.fieldNames.head)
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: Check =>
+          Snapshots.setConstraint(spark, dir, c.name, c.predicateSql)
+        case other: Constraint => throw new UnsupportedOperationException(
+          s"graft tables enforce CHECK constraints only, got " +
+            s"${other.getClass.getSimpleName} '${other.name}' — primary/" +
+            "foreign keys are not enforceable in an analytics store")
+      }
+      case d: TableChange.DropConstraint =>
+        val had = Snapshots.constraints(spark, dir).contains(d.name)
+        if (!had && !d.ifExists)
+          throw new IllegalArgumentException(
+            s"no CHECK constraint '${d.name}' on ${fullName(ident)}")
+        if (had) Snapshots.dropConstraint(spark, dir, d.name)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
           "supported on graft tables (supported: RENAME COLUMN, DROP " +
-          "COLUMN; schema ADDs evolve automatically on write)")
+          "COLUMN, ADD/DROP CONSTRAINT ... CHECK; schema ADDs evolve " +
+          "automatically on write)")
     }
     loadTable(ident)
   }
+
+  // ---- procedures (CALL graft.system.*) -----------------------------
+
+  private lazy val procedures: Map[String, UnboundProcedure] =
+    GraftProcedures.all { table =>
+      val parts = table.split('.')
+      require(parts.nonEmpty && parts.forall(_.nonEmpty),
+        s"bad table reference '$table' — use 'namespace.table' or 'table'")
+      if (parts.length == 1)
+        dirFor(Identifier.of(defaultNamespace(), parts.head))
+      else dirFor(Identifier.of(parts.init, parts.last))
+    }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"graft procedures live under the 'system' namespace, got " +
+        s"${fullName(ident)}")
+    procedures.getOrElse(ident.name, throw new IllegalArgumentException(
+      s"unknown procedure '${ident.name}' — available: " +
+        procedures.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      procedures.keys.toSeq.sorted
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new HPath(dirFor(ident))

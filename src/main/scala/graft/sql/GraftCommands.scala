@@ -64,6 +64,18 @@ final case class GraftUpdateCommand(dir: String, tableName: String,
   }
 }
 
+/** `ALTER TABLE graft.db.t ADD CONSTRAINT name CHECK (cond)` →
+  * [[Snapshots.setConstraint]] — which validates every existing row
+  * against the predicate before the metadata commit, the same
+  * existing-rows proof Spark's native constraint flow performs. */
+final case class GraftAddConstraintCommand(dir: String, tableName: String,
+    name: String, conditionSql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    Snapshots.setConstraint(spark, dir, name, conditionSql)
+    Seq.empty
+  }
+}
+
 /** `MERGE INTO graft.db.t USING s ON t.k = s.k WHEN MATCHED THEN
   * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` →
   * [[Snapshots.merge]] — the canonical upsert, which is exactly the

@@ -1,0 +1,179 @@
+package graft.sql
+
+import java.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.graft.GraftSparkBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+
+import graft.ops.Snapshots
+
+/** The `CALL`-able maintenance surface of the snapshot format —
+  * Iceberg-style SQL procedures under the catalog's `system`
+  * namespace, so the operations that were Scala-API-only (OPTIMIZE,
+  * VACUUM, RESTORE, CLONE, history, audit, the one-call maintenance
+  * policy) are reachable from any SQL client:
+  *
+  * {{{
+  * CALL graft.system.optimize(table => 'db.t', zorder_by => 'ts,sym')
+  * CALL graft.system.vacuum(table => 'db.t', keep_versions => 30)
+  * CALL graft.system.restore(table => 'db.t', version => 7)
+  * CALL graft.system.clone(source => 'db.t', target => 'db.t_dev')
+  * CALL graft.system.history(table => 'db.t')
+  * CALL graft.system.maintain(table => 'db.t')
+  * }}}
+  *
+  * Every procedure returns a small result relation (the new version,
+  * counts, or the metadata rows themselves) via a [[LocalScan]] —
+  * results are driver-sized by construction (these are metadata
+  * operations; the heavy lifting happens in the cluster jobs the
+  * underlying Snapshots calls launch). */
+private[sql] object GraftProcedures {
+
+  /** One procedure: unbound and bound are the same object — binding
+    * is trivial because every parameter is a scalar `IN`. */
+  private final class Proc(
+      val procName: String,
+      params: Seq[ProcedureParameter],
+      body: (SparkSession, InternalRow) => DataFrame)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft system procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val df = body(SparkSession.active, input)
+      val (resultSchema, resultRows) = GraftSparkBridge.collectInternal(df)
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = resultRows
+      }
+      util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  private def p(name: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, t).build()
+  private def pd(name: String, t: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(name, t).defaultValue(default).build()
+
+  private def str(in: InternalRow, i: Int): String =
+    in.getUTF8String(i).toString
+  private def csv(in: InternalRow, i: Int): Seq[String] =
+    str(in, i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def oneRow(spark: SparkSession, names: Seq[String],
+      values: Seq[Any]): DataFrame = {
+    val schema = StructType(names.zip(values).map { case (n, v) =>
+      org.apache.spark.sql.types.StructField(n, v match {
+        case _: Int => IntegerType
+        case _: Long => LongType
+        case _ => StringType
+      }, nullable = false)
+    })
+    spark.createDataFrame(
+      util.Collections.singletonList(org.apache.spark.sql.Row(values: _*)),
+      schema)
+  }
+
+  /** Build the procedure set against a resolver from the owning
+    * catalog ('db.t' or 't' → snapshot directory). */
+  def all(dirOf: String => String): Map[String, UnboundProcedure] = Seq(
+
+    new Proc("optimize",
+      Seq(p("table", StringType), p("zorder_by", StringType),
+        pd("num_files", IntegerType, "8"), pd("bits", IntegerType, "8")),
+      (s, in) => {
+        val v = Snapshots.optimize(s, dirOf(str(in, 0)), csv(in, 1),
+          in.getInt(2), in.getInt(3))
+        oneRow(s, Seq("version"), Seq(v))
+      }),
+
+    new Proc("optimize_where",
+      Seq(p("table", StringType), p("predicate", StringType),
+        p("zorder_by", StringType), pd("num_files", IntegerType, "1"),
+        pd("bits", IntegerType, "8")),
+      (s, in) => {
+        val v = Snapshots.optimizeWhere(s, dirOf(str(in, 0)),
+          expr(str(in, 1)), csv(in, 2), in.getInt(3), in.getInt(4))
+        oneRow(s, Seq("version"), Seq(v))
+      }),
+
+    new Proc("compact",
+      Seq(p("table", StringType), pd("num_files", IntegerType, "8")),
+      (s, in) => {
+        val v = Snapshots.compact(s, dirOf(str(in, 0)), in.getInt(1))
+        oneRow(s, Seq("version"), Seq(v))
+      }),
+
+    new Proc("vacuum",
+      Seq(p("table", StringType), p("keep_versions", IntegerType)),
+      (s, in) => {
+        val (dropped, deleted) =
+          Snapshots.vacuum(s, dirOf(str(in, 0)), in.getInt(1))
+        oneRow(s, Seq("dropped_versions", "deleted_files"),
+          Seq(dropped, deleted))
+      }),
+
+    new Proc("clean_orphans",
+      Seq(p("table", StringType), pd("older_than_hours", IntegerType, "24")),
+      (s, in) => {
+        val n = Snapshots.cleanOrphans(s, dirOf(str(in, 0)),
+          in.getInt(1) * 3600L * 1000L)
+        oneRow(s, Seq("deleted_files"), Seq(n))
+      }),
+
+    new Proc("restore",
+      Seq(p("table", StringType), p("version", IntegerType)),
+      (s, in) => {
+        val v = Snapshots.restore(s, dirOf(str(in, 0)), in.getInt(1))
+        oneRow(s, Seq("version"), Seq(v))
+      }),
+
+    new Proc("clone",
+      Seq(p("source", StringType), p("target", StringType),
+        pd("version", IntegerType, "-1")),
+      (s, in) => {
+        val v = Snapshots.shallowClone(s, dirOf(str(in, 0)),
+          dirOf(str(in, 1)), in.getInt(2))
+        oneRow(s, Seq("version"), Seq(v))
+      }),
+
+    new Proc("set_bloom_columns",
+      Seq(p("table", StringType), p("columns", StringType)),
+      (s, in) => {
+        val v = Snapshots.setBloomColumns(s, dirOf(str(in, 0)), csv(in, 1))
+        oneRow(s, Seq("version"), Seq(v))
+      }),
+
+    new Proc("history",
+      Seq(p("table", StringType)),
+      (s, in) => Snapshots.history(s, dirOf(str(in, 0)))),
+
+    new Proc("audit",
+      Seq(p("table", StringType)),
+      (s, in) => Snapshots.audit(s, dirOf(str(in, 0)))),
+
+    new Proc("maintain",
+      Seq(p("table", StringType), pd("max_files", IntegerType, "64"),
+        pd("target_files", IntegerType, "8"),
+        pd("keep_versions", IntegerType, "10"),
+        pd("orphan_older_than_hours", IntegerType, "24")),
+      (s, in) => {
+        val r = Snapshots.maintain(s, dirOf(str(in, 0)), in.getInt(1),
+          in.getInt(2), in.getInt(3), in.getInt(4) * 3600L * 1000L)
+        oneRow(s,
+          Seq("compacted_to", "dropped_versions", "deleted_files",
+            "orphans_deleted"),
+          Seq(r.compactedTo.getOrElse(-1), r.versionsDropped,
+            r.filesDeleted, r.orphansDeleted))
+      })
+  ).map(pr => pr.procName -> (pr: UnboundProcedure)).toMap
+}

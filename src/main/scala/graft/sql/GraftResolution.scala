@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -61,6 +61,24 @@ final case class GraftResolution(session: SparkSession)
       case GraftRel(rel, t) => translateMerge(m, rel, t)
       case _ => convertReads(plan)
     }
+    // ALTER TABLE ... ADD CONSTRAINT name CHECK (...): Spark's native
+    // plan is a validation scan + an exec tied to the DSv2 relation,
+    // which the read conversion would orphan — route it to
+    // Snapshots.setConstraint instead, which performs the same
+    // existing-rows validation inside its own commit protocol.
+    case a: AddCheckConstraint =>
+      a.child.collectFirst {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+          r.table.asInstanceOf[GraftTable]
+      } match {
+        case Some(t) =>
+          requireCurrent(t, "ADD CONSTRAINT")
+          val cc = a.checkConstraint
+          val name = Option(cc.userProvidedName).getOrElse(
+            "chk_" + Integer.toHexString(cc.condition.hashCode))
+          GraftAddConstraintCommand(t.dir, t.identName, name, cc.condition)
+        case None => convertReads(plan)
+      }
     case other => convertReads(other)
   }
 

@@ -21,4 +21,13 @@ object GraftSparkBridge {
   /** A DataFrame over an arbitrary logical plan. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A driver-sized DataFrame's schema + InternalRow content — what a
+    * DSv2 `LocalScan` (procedure results) wants. */
+  def collectInternal(df: DataFrame)
+      : (org.apache.spark.sql.types.StructType,
+         Array[org.apache.spark.sql.catalyst.InternalRow]) = {
+    val d = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    (d.schema, d.queryExecution.executedPlan.executeCollect())
+  }
 }

@@ -224,6 +224,77 @@ class GraftSqlSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("b"))
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT ... CHECK is a data contract") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.ck (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.ck VALUES (1, 2.0)")
+    spark.sql("ALTER TABLE gs.default.ck ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gs.default.ck VALUES (2, -1.0)")
+    }
+    assert(e.getMessage.contains("v_pos"))
+    assert(spark.sql("SELECT count(*) FROM gs.default.ck")
+      .head().getLong(0) == 1)
+    // adding a constraint existing rows violate refuses
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gs.default.ck ADD CONSTRAINT v_big CHECK (v > 10)")
+    }
+    spark.sql("ALTER TABLE gs.default.ck DROP CONSTRAINT v_pos")
+    spark.sql("INSERT INTO gs.default.ck VALUES (2, -1.0)")
+    assert(spark.sql("SELECT count(*) FROM gs.default.ck")
+      .head().getLong(0) == 2)
+  }
+
+  test("CALL graft.system.* maintenance procedures") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.proc_t (id BIGINT, v DOUBLE)")
+    (1 to 4).foreach(i => spark.sql(
+      s"INSERT INTO gs.default.proc_t SELECT id, id*$i.0 FROM range(${i * 10})"))
+    // history: one row per commit, through SQL
+    val h = spark.sql("CALL gs.system.history(table => 'default.proc_t')")
+    assert(h.count() == 5) // create + 4 inserts
+    assert(h.columns.contains("operation"))
+    // optimize: cluster by id into 2 files; table content unchanged
+    val ov = spark.sql(
+      "CALL gs.system.optimize(table => 'default.proc_t', " +
+        "zorder_by => 'id,v', num_files => 2)").head().getInt(0)
+    assert(ov == 6)
+    assert(spark.sql("SELECT count(*) FROM gs.default.proc_t")
+      .head().getLong(0) == 100)
+    // restore to pre-optimize, then vacuum history down
+    spark.sql("CALL gs.system.restore(table => 'default.proc_t', version => 5)")
+    val vac = spark.sql(
+      "CALL gs.system.vacuum(table => 'default.proc_t', keep_versions => 1)")
+      .head()
+    assert(vac.getInt(0) > 0) // dropped some versions
+    assert(spark.sql("SELECT count(*) FROM gs.default.proc_t")
+      .head().getLong(0) == 100)
+    // audit is clean after vacuum
+    val bad = spark.sql("CALL gs.system.audit(table => 'default.proc_t')")
+      .filter(col("status") =!= "ok")
+    assert(bad.count() == 0)
+    // maintain: one-call policy runs end-to-end
+    val m = spark.sql("CALL gs.system.maintain(table => 'default.proc_t')")
+    assert(m.columns.toSeq == Seq("compacted_to", "dropped_versions",
+      "deleted_files", "orphans_deleted"))
+  }
+
+  test("CALL graft.system.clone branches a table zero-copy") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.cl_src (id BIGINT)")
+    spark.sql("INSERT INTO gs.default.cl_src SELECT id FROM range(25)")
+    spark.sql("CALL gs.system.clone(source => 'default.cl_src', " +
+      "target => 'default.cl_dev')")
+    assert(spark.sql("SELECT count(*) FROM gs.default.cl_dev")
+      .head().getLong(0) == 25)
+    // clone diverges independently via SQL DML
+    spark.sql("DELETE FROM gs.default.cl_dev WHERE id < 20")
+    assert(spark.sql("SELECT count(*) FROM gs.default.cl_dev")
+      .head().getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) FROM gs.default.cl_src")
+      .head().getLong(0) == 25)
+  }
+
   test("joins between catalog tables broadcast and stay columnar") {
     warehouse
     spark.sql("CREATE TABLE gs.default.jbig AS SELECT id, id % 5 AS k FROM range(1000)")
