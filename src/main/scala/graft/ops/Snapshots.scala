@@ -2518,6 +2518,100 @@ object Snapshots {
   final case class DeleteResult(version: Int, rewrittenFiles: Int,
     droppedFiles: Int, untouchedFiles: Int)
 
+  /** CDC tombstone application — delete every table row whose `keys`
+    * tuple appears in `tombstones`: the `MERGE ... WHEN MATCHED THEN
+    * DELETE` shape, where the delete predicate is a FRAME of keys
+    * rather than a [[Column]] ([[deleteWhere]]'s in-set predicate
+    * caps at a literal list; a CDC feed's tombstone batch does not).
+    * File-level pruning reuses [[merge]]'s key-footprint machinery:
+    * only files whose stats intersect the tombstones' key range/set
+    * are read and rewritten (anti-join on the keys), the rest carry
+    * by name — a narrow tombstone batch against a key-clustered
+    * 100 TB table touches the keys' files, not the table. NULL key
+    * tuples in `tombstones` never match (SQL ON-clause equality);
+    * duplicate tombstones are harmless and deduplicated. Unpinned
+    * calls retry a lost CAS race like [[deleteWhere]]. */
+  def deleteMatching(spark: SparkSession, dir: String,
+      tombstones: DataFrame, keys: Seq[String],
+      expectedVersion: Int = -1): DeleteResult =
+    if (expectedVersion >= 0)
+      deleteMatchingInternal(spark, dir, tombstones, keys, expectedVersion)
+    else retryOnRace("deleteMatching on " + dir)(
+      deleteMatchingInternal(spark, dir, tombstones, keys, -1))
+
+  private def deleteMatchingInternal(spark: SparkSession, dir: String,
+      tombstones: DataFrame, keys: Seq[String],
+      expectedVersion: Int): DeleteResult = {
+    require(keys.nonEmpty, "deleteMatching needs at least one key column")
+    val (fs, root) = fsFor(spark, dir)
+    val base = if (expectedVersion >= 0) expectedVersion
+    else currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"nothing to delete in $dir"))
+    keys.foreach(k => require(tombstones.columns.contains(k),
+      s"tombstone key '$k' is not a column: ${tombstones.columns.toSeq}"))
+    val src = tombstones.select(keys.map(col): _*).na.drop(keys).distinct()
+    // the same sound-superset footprint as merge: in-set for few keys,
+    // min/max range otherwise — table rows that can match all satisfy it
+    val footprint: Option[Column] =
+      if (keys.lengthCompare(1) == 0) {
+        val vals = src.limit(MergeInSetLimit + 1).collect().map(_.get(0))
+        if (vals.isEmpty) None
+        else if (vals.length <= MergeInSetLimit)
+          Some(col(keys.head).isin(vals.toIndexedSeq: _*))
+        else {
+          val r = src.agg(min(col(keys.head)), max(col(keys.head))).head()
+          Some(col(keys.head).between(lit(r.get(0)), lit(r.get(1))))
+        }
+      } else {
+        val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+        val r = src.agg(aggs.head, aggs.tail: _*).head()
+        if (r.isNullAt(0)) None
+        else Some(keys.zipWithIndex.map { case (k, i) =>
+          col(k).between(lit(r.get(2 * i)), lit(r.get(2 * i + 1)))
+        }.reduce(_ && _))
+      }
+    val (touched, untouched) = footprint match {
+      case None => (Nil, readManifest(fs, root, base))
+      case Some(pred) => pruneFiles(spark, dir, pred, base)
+    }
+    if (touched.isEmpty) // nothing can match: no commit
+      return DeleteResult(base, 0, 0, untouched.length)
+    val rewritten = readFilesAs(spark, fs, root, base, touched)
+      .join(src, keys, "left_anti")
+    val basePinned = schemaOf(fs, root, base)
+    val bloomCfg = bloomConfigOf(fs, root, base)
+    val staged = stage(rewritten, fs, root,
+      basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
+        .getOrElse(Map.empty), bloomCfg)
+    val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+    val droppedSet = droppedOf(fs, root, base)
+    val next = base + 1
+    val won =
+      if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
+        casManifest(fs, root, next, staged.files,
+          s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
+            schemaHeader(pinnedSchema) +:
+            (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
+              constraintHeader(constraintsOf(fs, root, base)) ++
+              opHeader("merge-delete") ++
+              touched.map(f => s"#remove\t$f") ++ staged.stats))
+      else
+        casManifest(fs, root, next, untouched ++ staged.files,
+          schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
+            bloomHeader(bloomCfg) ++
+            constraintHeader(constraintsOf(fs, root, base)) ++
+            opHeader("merge-delete") ++
+            dvLines(dvFor(fs, root, base), untouched.toSet) ++
+            statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
+    if (!won)
+      throw new java.util.ConcurrentModificationException(
+        s"deleteMatching on $dir@v$base lost the commit race — a writer " +
+          s"landed v$next first; re-read and re-delete")
+    DeleteResult(next, rewrittenFiles = staged.files.length,
+      droppedFiles = 0, untouchedFiles = untouched.length)
+  }
+
   /** Copy-on-write DELETE — rows satisfying `pred` are removed as ONE
     * new version; with [[merge]] and the append/overwrite pair this
     * completes the DML surface. Same file-level machinery as

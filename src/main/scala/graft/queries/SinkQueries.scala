@@ -1009,6 +1009,35 @@ object SinkQueries {
         |SELECT * FROM (
         |  SELECT 'v5' AS at_version, * FROM v5
         |  UNION ALL SELECT 'cur' AS at_version, * FROM v6)
-        |ORDER BY at_version, o_orderkey""".stripMargin)
+        |ORDER BY at_version, o_orderkey""".stripMargin),
+
+    // CDC tombstone application (Snapshots.deleteMatching / SQL
+    // MERGE ... WHEN MATCHED THEN DELETE): delete-by-key-frame with
+    // merge-style footprint pruning — the tombstone batch is far
+    // beyond any in-set literal cap, which is exactly why the
+    // predicate is a frame, not a Column. Oracle replays as NOT IN.
+    QueryDef("s39_merge_delete",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s39_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        // two key-interleaved appends, like s28
+        Snapshots.append(base.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+          root)
+        Snapshots.append(base.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+          root)
+        val tombstones = base
+          .filter(pmod(col("o_custkey"), lit(7)) === 3)
+          .select("o_orderkey")
+        Snapshots.deleteMatching(s, root, tombstones, Seq("o_orderkey"))
+        Snapshots.read(s, root).orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey NOT IN (
+        |  SELECT o_orderkey FROM orders WHERE o_custkey % 7 = 3)
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }

@@ -64,6 +64,23 @@ final case class GraftUpdateCommand(dir: String, tableName: String,
   }
 }
 
+/** `MERGE INTO graft.db.t USING s ON t.k = s.k WHEN MATCHED THEN
+  * DELETE` (alone) → [[Snapshots.deleteMatching]] — CDC tombstone
+  * application, file-level pruned by the tombstones' key footprint. */
+final case class GraftMergeDeleteCommand(dir: String, tableName: String,
+    source: LogicalPlan, keys: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src0 = GraftSparkBridge.ofRows(spark, source)
+    val shaped = src0.select(keys.map { case (tCol, sCol) =>
+      src0.col(sCol).as(tCol)
+    }: _*)
+    Snapshots.deleteMatching(spark, dir, shaped, keys.map(_._1))
+    Seq.empty
+  }
+}
+
 /** `ALTER TABLE graft.db.t ADD CONSTRAINT name CHECK (cond)` →
   * [[Snapshots.setConstraint]] — which validates every existing row
   * against the predicate before the metadata commit, the same

@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -175,6 +175,15 @@ final case class GraftResolution(session: SparkSession)
     val resolver = session.sessionState.conf.resolver
     val targetCols = rel.output.map(_.name)
     val keyByTarget = keyPairs.toMap
+
+    // WHEN MATCHED THEN DELETE (alone): the CDC tombstone shape —
+    // matched rows go, nothing inserts
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(d: DeleteAction), Seq()) if d.condition.isEmpty =>
+        return GraftMergeDeleteCommand(t.dir, t.identName,
+          convertReads(m.sourceTable), keyPairs)
+      case _ =>
+    }
 
     // an assignment list as target-col -> source-col, refusing
     // anything but plain source-column values

@@ -145,6 +145,21 @@ class GraftSqlSpec extends SparkSpec {
       Seq((1L, 1.0), (2L, 22.0), (3L, 33.0)))
   }
 
+  test("MERGE WHEN MATCHED THEN DELETE applies CDC tombstones") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.mrgd (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.mrgd SELECT id, id*1.0 FROM range(20)")
+    // tombstones: some matching keys, one non-matching (no-op)
+    Seq(3L, 7L, 11L, 99L).toDF("id").createOrReplaceTempView("mrgd_ts")
+    spark.sql("""MERGE INTO gs.default.mrgd t USING mrgd_ts s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT id FROM gs.default.mrgd ORDER BY id")
+      .as[Long].collect().toSeq ==
+      (0L until 20L).filterNot(Set(3L, 7L, 11L)))
+    assert(Snapshots.history(spark, dirOf("default", "mrgd"))
+      .head().getString(2) == "merge-delete")
+  }
+
   test("unsupported MERGE shapes refuse loudly") {
     warehouse
     spark.sql("CREATE TABLE gs.default.mrg3 (id BIGINT, v DOUBLE)")
@@ -152,7 +167,8 @@ class GraftSqlSpec extends SparkSpec {
     Seq((1L, 9.0)).toDF("id", "v").createOrReplaceTempView("mrg3_src")
     val e = intercept[Exception] {
       spark.sql("""MERGE INTO gs.default.mrg3 t USING mrg3_src s ON t.id = s.id
-        WHEN MATCHED THEN DELETE""")
+        WHEN MATCHED AND s.v > 5.0 THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
     }
     assert(e.getMessage.contains("MERGE") || e.getMessage.contains("upsert"))
   }
