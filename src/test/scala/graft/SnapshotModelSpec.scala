@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 import graft.ops.Snapshots
 
 /** Model-based randomized testing of the snapshot DML surface: a fixed-seed
-  * random sequence of append / overwrite / merge / deleteWhere / compact /
+  * random sequence of append / overwrite / merge(±light) /
+  * deleteWhere(±light) / updateWhere / deleteMatching / compact /
   * optimize / restore / clone runs against both the real table and a
   * driver-side model (a Map keyed like the table); after EVERY op the real
   * read must equal the model, and at the end every recorded historical
@@ -45,8 +46,8 @@ class SnapshotModelSpec extends SparkSpec {
         model = readBack(root).map(r => r._1 -> r).toMap // seed from real
         history += v -> model
     }
-    (1 to 28).foreach { step =>
-      val op = rnd.nextInt(10)
+    (1 to 34).foreach { step =>
+      val op = rnd.nextInt(12)
       op match {
         case 0 | 1 | 2 => // append (may duplicate keys: multiset-free test
           // frame is keyed, so appends use fresh negative keys instead)
@@ -91,6 +92,32 @@ class SnapshotModelSpec extends SparkSpec {
           val ver = Snapshots.restore(spark, root, target)
           model = history(target)
           history += ver -> model
+        case 10 => // copy-on-write UPDATE on a key range
+          val lo = rnd.nextInt(40).toLong
+          val hi = lo + rnd.nextInt(10)
+          val bump = rnd.nextInt(100) * 1.0
+          val r = Snapshots.updateWhere(spark, root,
+            col("id") >= lo && col("id") <= hi,
+            Seq("v" -> (col("v") + bump)))
+          model = model.map { case (k, (id, v)) =>
+            if (k >= lo && k <= hi) k -> (id, v + bump) else k -> (id, v)
+          }
+          // no-match updates commit nothing: only record real versions
+          if (r.rewrittenFiles > 0) history += r.version -> model
+        case 11 => // CDC tombstones: delete-by-key-frame
+          val present = model.keys.toSeq
+          val hits =
+            if (present.isEmpty) Nil
+            else Seq.fill(rnd.nextInt(4))(
+              present(rnd.nextInt(present.size)))
+          val misses = Seq.fill(rnd.nextInt(3))(9000L + rnd.nextInt(50))
+          val ts = (hits ++ misses).distinct
+          if (ts.nonEmpty) {
+            val r = Snapshots.deleteMatching(spark, root,
+              ts.toDF("id"), Seq("id"))
+            model = model -- hits
+            if (r.rewrittenFiles > 0) history += r.version -> model
+          }
       }
       assert(readBack(root) == model.values.toSet,
         s"divergence after step $step (op $op)")
