@@ -96,14 +96,22 @@ object Layout {
     }.reduce[Column](_.bitwiseOR(_))
   }
 
-  /** `df` clustered for multi-column data skipping: range-partitioned
-    * and sorted by the Z key of `cols`, key dropped. Write the result
-    * with `.write.parquet(...)` (or hand it to [[Compact]]'s swap for an
-    * in-place OPTIMIZE) and per-file min/max footers become narrow on
-    * every clustered column at once. */
+  /** `df` clustered for data skipping: range-partitioned and sorted by
+    * the Z key of `cols` (multi-column — per-file min/max footers
+    * become narrow on every clustered column at once), or plain
+    * RANGE-clustered when `cols` is a single column — Z-ordering a key
+    * with nothing to interleave against is just a sort, and a pure
+    * range layout is strictly better for single-key point DML (see
+    * DmlScaleProbe / BASELINE.md round 8: 1 file touched under range
+    * vs 11 under an unrelated interleave). Write the result with
+    * `.write.parquet(...)` (or hand it to [[Compact]]'s swap for an
+    * in-place OPTIMIZE). */
   def cluster(df: DataFrame, cols: Seq[String], bits: Int = 8,
       numFiles: Int = 0): DataFrame = {
-    val keyed = df.withColumn("__zkey", zorderKey(df, cols, bits))
+    require(cols.nonEmpty, "cluster needs at least one column")
+    val keyed =
+      if (cols.size == 1) df.withColumn("__zkey", col(cols.head))
+      else df.withColumn("__zkey", zorderKey(df, cols, bits))
     val parted =
       if (numFiles > 0) keyed.repartitionByRange(numFiles, col("__zkey"))
       else keyed.repartitionByRange(col("__zkey"))

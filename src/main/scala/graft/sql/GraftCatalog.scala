@@ -130,9 +130,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    require(info.partitions().isEmpty,
-      "graft tables manage layout via OPTIMIZE/ZORDER, not declared " +
-        "partitioning — CREATE TABLE ... PARTITIONED BY is not supported")
+    // PARTITIONED BY (col, ...) maps to the table's CLUSTERING keys
+    // (the `cluster.columns` property): physical hive-style partition
+    // directories on high-cardinality keys are the 100 TB small-file
+    // anti-pattern, while a clustering declaration gives [[Snapshots
+    // .maintain]] the keys to OPTIMIZE by and stats pruning the narrow
+    // per-file ranges that make point reads and DML touch one file.
+    // Only identity transforms are accepted — bucket/temporal
+    // transforms would promise a physical layout this format
+    // deliberately does not keep.
+    val clusterCols = info.partitions().toSeq.map { t =>
+      val refs = t.references()
+      require(t.name() == "identity" && refs.length == 1 &&
+        refs.head.fieldNames.length == 1,
+        s"graft tables support PARTITIONED BY plain columns only " +
+          s"(mapped to clustering keys), got transform '$t'")
+      refs.head.fieldNames.head
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = dirFor(ident)
     // commit the schema as version 1: one empty parquet file pins it
@@ -140,8 +154,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val empty = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq.empty[Row], 1), info.schema())
     Snapshots.append(empty, dir)
+    if (clusterCols.nonEmpty)
+      Snapshots.setProperty(spark, dir, "cluster.columns",
+        clusterCols.mkString(","))
+    info.properties().asScala.foreach { case (k, v) =>
+      if (!ReservedTableProps.contains(k))
+        Snapshots.setProperty(spark, dir, k, v)
+    }
     new GraftTable(fullName(ident), dir, None)
   }
+
+  /** Keys Spark itself injects into createTable properties — catalog
+    * bookkeeping, not user table properties. */
+  private val ReservedTableProps =
+    Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
 
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
@@ -177,6 +206,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new IllegalArgumentException(
             s"no CHECK constraint '${d.name}' on ${fullName(ident)}")
         if (had) Snapshots.dropConstraint(spark, dir, d.name)
+      case s: TableChange.SetProperty =>
+        Snapshots.setProperty(spark, dir, s.property, s.value)
+      case r: TableChange.RemoveProperty =>
+        if (Snapshots.tableProperties(spark, dir).contains(r.property))
+          Snapshots.unsetProperty(spark, dir, r.property)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
           "supported on graft tables (supported: RENAME COLUMN, DROP " +

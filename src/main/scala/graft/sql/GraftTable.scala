@@ -65,7 +65,8 @@ final class GraftTable(
 
   override def properties(): util.Map[String, String] = {
     val cs = Snapshots.constraints(spark, dir)
-    (Map("format" -> "graft-snapshots", "location" -> dir) ++
+    (Snapshots.tableProperties(spark, dir) ++
+      Map("format" -> "graft-snapshots", "location" -> dir) ++
       pinnedVersion.map(v => "pinnedVersion" -> v.toString).toMap ++
       cs.map { case (n, e) => s"constraint.$n" -> e }).asJava
   }

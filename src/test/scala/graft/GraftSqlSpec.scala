@@ -311,6 +311,31 @@ class GraftSqlSpec extends SparkSpec {
       .head().getLong(0) == 25)
   }
 
+  test("PARTITIONED BY maps to clustering keys; TBLPROPERTIES round-trip") {
+    warehouse
+    spark.sql("""CREATE TABLE gs.default.clus (id BIGINT, v DOUBLE)
+      PARTITIONED BY (id) TBLPROPERTIES ('owner.team' = 'data-eng')""")
+    val dir = dirOf("default", "clus")
+    assert(Snapshots.clusterColumns(spark, dir) == Seq("id"))
+    assert(Snapshots.tableProperties(spark, dir).get("owner.team")
+      .contains("data-eng"))
+    // NOT hive partitioning: inserts land as plain files, no id= dirs
+    spark.sql("INSERT INTO gs.default.clus SELECT id, id*1.0 FROM range(100)")
+    assert(!spark.table("gs.default.clus").inputFiles.exists(_.contains("id=")))
+    // properties survive SQL DML and steer CALL maintain
+    spark.sql("DELETE FROM gs.default.clus WHERE id = 5")
+    assert(Snapshots.clusterColumns(spark, dir) == Seq("id"))
+    spark.sql("ALTER TABLE gs.default.clus SET TBLPROPERTIES ('a' = 'b')")
+    assert(Snapshots.tableProperties(spark, dir).get("a").contains("b"))
+    spark.sql("ALTER TABLE gs.default.clus UNSET TBLPROPERTIES ('a')")
+    assert(!Snapshots.tableProperties(spark, dir).contains("a"))
+    // non-identity transforms refuse
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE gs.default.clus2 (id BIGINT, ts TIMESTAMP)
+        PARTITIONED BY (days(ts))""")
+    }
+  }
+
   test("joins between catalog tables broadcast and stay columnar") {
     warehouse
     spark.sql("CREATE TABLE gs.default.jbig AS SELECT id, id % 5 AS k FROM range(1000)")
