@@ -1748,6 +1748,147 @@ object Snapshots {
       hits.length.toLong)
   }
 
+  final case class LightUpdateResult(version: Int, dvFiles: Int,
+    droppedFiles: Int, untouchedFiles: Int, updatedRows: Long)
+
+  /** UPDATE by deletion vector — the merge-on-read twin of
+    * [[updateWhere]], completing the light DML trio next to
+    * [[deleteWhereLight]] and [[mergeLight]]: matched rows retire from
+    * their files by POSITION (no rewrite of the untouched neighbors),
+    * and the updated row images append as new files. Commit cost is
+    * O(matching rows), not O(touched files' bytes) — the
+    * narrow-update-on-wide-files shape (a GDPR field redaction, a
+    * mispriced-tick correction) where copy-on-write amplification is
+    * the problem. Same semantics as [[updateWhere]] (IS-TRUE
+    * predicate, declared-type casts, CHECK constraints enforced on the
+    * updated rows); same `maxPositions` bulk-refusal and vector
+    * lifecycle as [[deleteWhereLight]] (vectors retire when a rewrite
+    * touches their file; the usual honesty guards treat the commit as
+    * content-changing). Updated rows relocate to the commit's new
+    * files — row order within a snapshot table is not part of any
+    * read contract. */
+  def updateWhereLight(spark: SparkSession, dir: String, pred: Column,
+      assignments: Seq[(String, Column)], expectedVersion: Int = -1,
+      maxPositions: Int = 1000000): LightUpdateResult =
+    if (expectedVersion >= 0)
+      lightUpdateInternal(spark, dir, pred, assignments, expectedVersion,
+        maxPositions)
+    else retryOnRace("updateWhereLight on " + dir)(
+      lightUpdateInternal(spark, dir, pred, assignments, -1, maxPositions))
+
+  private def lightUpdateInternal(spark: SparkSession, dir: String,
+      pred: Column, assignments: Seq[(String, Column)],
+      expectedVersion: Int, maxPositions: Int): LightUpdateResult = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    val (fs, root) = fsFor(spark, dir)
+    val base = if (expectedVersion >= 0) expectedVersion
+    else currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"nothing to update in $dir"))
+    val cols = read(spark, dir, base).schema
+    val byName = cols.fields.map(f => f.name.toLowerCase -> f).toMap
+    assignments.foreach { case (c, _) =>
+      require(byName.contains(c.toLowerCase),
+        s"UPDATE target '$c' is not a column of $dir: " +
+          s"${cols.fieldNames.toSeq}")
+    }
+    val assigned = assignments.map { case (c, v) =>
+      byName(c.toLowerCase).name -> v
+    }.toMap
+    val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
+    if (mayMatch.isEmpty)
+      return LightUpdateResult(base, 0, 0, untouched.size, 0L)
+    // matched rows feed TWO consumers — the position collect and the
+    // updated-image staging — pin them once
+    val matched = scanWithMeta(spark, fs, root, base, base, mayMatch)
+      .filter(coalesce(pred, lit(false))).persist()
+    try {
+      val hits = matched.select(col(GfCol), col(GposCol))
+        .limit(maxPositions + 1).collect()
+      require(hits.length <= maxPositions,
+        s"updateWhereLight on $dir matches more than $maxPositions rows " +
+          "— use updateWhere (copy-on-write) for bulk updates")
+      if (hits.isEmpty)
+        return LightUpdateResult(base, 0, 0,
+          untouched.size + mayMatch.size, 0L)
+      // the updated row images (every matched row, pred already TRUE)
+      val updated = matched.select(cols.fields.toSeq.map { f =>
+        assigned.get(f.name) match {
+          case Some(v) => v.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      enforceConstraintsAt(spark, dir, fs, root, base, updated)
+      val byBase: Map[String, Array[Long]] = hits
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+      val relByBase = mayMatch
+        .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+      val oldDv = dvFor(fs, root, base)
+      val stats = statsFor(fs, root, base)
+      val basePinned = schemaOf(fs, root, base)
+      val bloomCfg = bloomConfigOf(fs, root, base)
+      val staged = stage(updated, fs, root,
+        basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
+          .getOrElse(Map.empty), bloomCfg)
+      val commitId = java.util.UUID.randomUUID.toString
+      val rel = s"$DataDir/$commitId"
+      fs.mkdirs(new HPath(root, rel))
+      var dropWhole = List.empty[String]
+      var newLines = List.empty[String]
+      var dvFiles = 0
+      byBase.foreach { case (b, fresh) =>
+        val file = relByBase(b)
+        val old = oldDv.get(file)
+          .map { case (side, _) => readDvSidecar(fs, root, side) }
+          .getOrElse(Array.empty[Long])
+        val merged = (old ++ fresh).distinct.sorted
+        val originalRows =
+          stats.get(file).flatMap(_.headOption.map(_._2.rows))
+        if (originalRows.contains(merged.length.toLong)) dropWhole ::= file
+        else {
+          val side = s"$rel/_dv.$b.bin"
+          writeDvSidecar(fs, root, side, merged)
+          newLines ::= s"#dv\t$file\t$side\t${merged.length}"
+          dvFiles += 1
+        }
+      }
+      val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+      val droppedSet = droppedOf(fs, root, base)
+      val next = base + 1
+      val won =
+        if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
+          casManifest(fs, root, next, staged.files,
+            s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
+              schemaHeader(pinnedSchema) +:
+              (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
+                carriedMeta(fs, root, base) ++
+                opHeader("update-light") ++
+                dropWhole.map(f => s"#remove\t$f") ++ newLines ++
+                staged.stats))
+        else {
+          val keptFiles = readManifest(fs, root, base)
+            .filterNot(dropWhole.toSet)
+          val dvAll = (oldDv ++ newLines.map { l =>
+            val f = l.split('\t'); f(1) -> (f(2), f(3).toLong)
+          }) -- dropWhole
+          casManifest(fs, root, next, keptFiles ++ staged.files,
+            schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
+              bloomHeader(bloomCfg) ++
+              carriedMeta(fs, root, base) ++
+              opHeader("update-light") ++
+              dvLines(dvAll, keptFiles.toSet) ++
+              statsLines(fs, root, base, keptFiles.toSet) ++ staged.stats))
+        }
+      if (!won)
+        throw new java.util.ConcurrentModificationException(
+          s"updateWhereLight on $dir@v$base lost the commit race — a " +
+            s"writer landed v$next first; re-read and re-update")
+      LightUpdateResult(next, dvFiles, dropWhole.size, untouched.size,
+        hits.length.toLong)
+    } finally matched.unpersist(blocking = false)
+  }
+
   /** A staged-but-uncommitted commit: the data files' root-relative
     * paths plus their encoded per-file column-stats manifest lines and
     * the staged frame's schema (pinned into the manifest at commit). */

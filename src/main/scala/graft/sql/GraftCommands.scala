@@ -49,17 +49,21 @@ final case class GraftDeleteCommand(dir: String, tableName: String,
 }
 
 /** `UPDATE graft.db.t SET c = e, ... WHERE p` →
-  * [[Snapshots.updateWhere]] (copy-on-write, file-level pruned). */
+  * [[Snapshots.updateWhere]] (copy-on-write, file-level pruned), or
+  * the deletion-vector [[Snapshots.updateWhereLight]] when
+  * `spark.graft.sql.deletionVectors=true`. */
 final case class GraftUpdateCommand(dir: String, tableName: String,
     assignments: Seq[(String, Expression)],
     cond: Option[Expression]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.lit
     val pred = cond.map(GraftDml.toColumn(_, "UPDATE")).getOrElse(lit(true))
-    Snapshots.updateWhere(spark, dir, pred,
-      assignments.map { case (c, e) =>
-        c -> GraftDml.toColumn(e, "UPDATE")
-      })
+    val assigns = assignments.map { case (c, e) =>
+      c -> GraftDml.toColumn(e, "UPDATE")
+    }
+    if (GraftDml.useDv(spark))
+      Snapshots.updateWhereLight(spark, dir, pred, assigns)
+    else Snapshots.updateWhere(spark, dir, pred, assigns)
     Seq.empty
   }
 }

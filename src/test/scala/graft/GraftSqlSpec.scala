@@ -184,6 +184,15 @@ class GraftSqlSpec extends SparkSpec {
         .head().getString(2) == "delete-light")
       assert(spark.sql("SELECT count(*) FROM gs.default.dvm")
         .head().getLong(0) == 49)
+      // UPDATE routes to the vector path too
+      spark.sql("UPDATE gs.default.dvm SET id = id + 1000 WHERE id = 17")
+      assert(Snapshots.history(spark, dirOf("default", "dvm"))
+        .head().getString(2) == "update-light")
+      assert(spark.sql(
+        "SELECT count(*) FROM gs.default.dvm WHERE id = 1017")
+        .head().getLong(0) == 1)
+      assert(spark.sql("SELECT count(*) FROM gs.default.dvm")
+        .head().getLong(0) == 49)
     } finally spark.conf.unset("spark.graft.sql.deletionVectors")
   }
 

@@ -92,18 +92,26 @@ class SnapshotModelSpec extends SparkSpec {
           val ver = Snapshots.restore(spark, root, target)
           model = history(target)
           history += ver -> model
-        case 10 => // copy-on-write UPDATE on a key range
+        case 10 => // UPDATE on a key range — randomly copy-on-write or
+          // deletion-vector: identical semantics, one model tracks both
           val lo = rnd.nextInt(40).toLong
           val hi = lo + rnd.nextInt(10)
           val bump = rnd.nextInt(100) * 1.0
-          val r = Snapshots.updateWhere(spark, root,
-            col("id") >= lo && col("id") <= hi,
-            Seq("v" -> (col("v") + bump)))
+          val pred = col("id") >= lo && col("id") <= hi
+          val assigns = Seq("v" -> (col("v") + bump))
+          val (ver, changed) =
+            if (rnd.nextBoolean()) {
+              val r = Snapshots.updateWhere(spark, root, pred, assigns)
+              (r.version, r.rewrittenFiles > 0)
+            } else {
+              val r = Snapshots.updateWhereLight(spark, root, pred, assigns)
+              (r.version, r.updatedRows > 0 || r.droppedFiles > 0)
+            }
           model = model.map { case (k, (id, v)) =>
             if (k >= lo && k <= hi) k -> (id, v + bump) else k -> (id, v)
           }
           // no-match updates commit nothing: only record real versions
-          if (r.rewrittenFiles > 0) history += r.version -> model
+          if (changed) history += ver -> model
         case 11 => // CDC tombstones: delete-by-key-frame
           val present = model.keys.toSeq
           val hits =

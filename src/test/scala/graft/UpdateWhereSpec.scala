@@ -104,6 +104,61 @@ class UpdateWhereSpec extends SparkSpec {
     assert(got.filter(col("v") === 1.0).count() == 3) // ids 3,4,5
   }
 
+  test("updateWhereLight: same content as CoW, vectors not rewrites") {
+    val root = freshRoot(); val twin = freshRoot()
+    val base = (1L to 50L).map(i => (i, i * 1.0, s"s$i"))
+    Snapshots.append(base.toDF("id", "v", "tag"), root)
+    Snapshots.append(base.toDF("id", "v", "tag"), twin)
+    val r = Snapshots.updateWhereLight(spark, root, col("id") % 10 === 3L,
+      Seq("v" -> (col("v") * -1), "tag" -> lit("hit")))
+    Snapshots.updateWhere(spark, twin, col("id") % 10 === 3L,
+      Seq("v" -> (col("v") * -1), "tag" -> lit("hit")))
+    assert(r.updatedRows == 5 && r.dvFiles >= 1)
+    assert(Snapshots.read(spark, root).orderBy("id").collect().toSeq ==
+      Snapshots.read(spark, twin).orderBy("id").collect().toSeq)
+    assert(Snapshots.history(spark, root).head().getString(2)
+      == "update-light")
+  }
+
+  test("updateWhereLight composes with prior vectors and retires whole files") {
+    val root = freshRoot()
+    Snapshots.append((1L to 10L).map(i => (i, 0.0)).toDF("id", "v"), root)
+    Snapshots.append((11L to 20L).map(i => (i, 0.0)).toDF("id", "v"), root)
+    Snapshots.deleteWhereLight(spark, root, col("id").isin(1L, 2L))
+    // update EVERY surviving row of file 1: its originals fully retire
+    val r = Snapshots.updateWhereLight(spark, root, col("id") <= 10L,
+      Seq("v" -> lit(7.0)))
+    assert(r.updatedRows == 8)
+    // every first-append file had all surviving rows updated: originals
+    // fully retire and leave the manifest whole (count depends on how
+    // many part-files the append wrote)
+    assert(r.droppedFiles >= 1)
+    val got = Snapshots.read(spark, root)
+    assert(got.count() == 18)
+    assert(got.filter(col("v") === 7.0).count() == 8)
+  }
+
+  test("updateWhereLight refuses bulk beyond maxPositions") {
+    val root = freshRoot()
+    Snapshots.append((1L to 100L).map(i => (i, 0.0)).toDF("id", "v"), root)
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhereLight(spark, root, lit(true),
+        Seq("v" -> lit(1.0)), maxPositions = 10)
+    }
+    assert(Snapshots.versions(spark, root) == Seq(1)) // nothing committed
+  }
+
+  test("updateWhereLight enforces CHECK constraints") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, 2.0)).toDF("id", "v"), root)
+    Snapshots.setConstraint(spark, root, "v_pos", "v > 0")
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhereLight(spark, root, col("id") === 1L,
+        Seq("v" -> lit(-1.0)))
+    }
+    assert(Snapshots.read(spark, root).head().getDouble(1) == 2.0)
+  }
+
   test("history records the update operation") {
     val root = freshRoot()
     Snapshots.append(Seq((1L, 2.0)).toDF("id", "v"), root)
