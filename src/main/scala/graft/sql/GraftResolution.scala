@@ -108,6 +108,22 @@ final case class GraftResolution(session: SparkSession)
       case t: GraftTable => readPlan(r, t)
       case _ => r
     }
+    // spark.readStream.table("graft.db.t"): route to the v1 snapshot
+    // stream source (offsets-as-versions, file-granular admission
+    // control, exactly-once) — DataStreamReader options (e.g.
+    // maxFilesPerTrigger, startingVersion) pass through
+    case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+        if s.table.isInstanceOf[GraftTable] =>
+      val t = s.table.asInstanceOf[GraftTable]
+      if (t.pinnedVersion.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"cannot stream from '${t.identName}' pinned at VERSION AS OF " +
+            s"${t.pinnedVersion.get} — a stream follows the current " +
+            "version; use startingVersion to begin from history")
+      import scala.jdk.CollectionConverters._
+      org.apache.spark.sql.graft.GraftSparkBridge.streamingSourceRelation(
+        session, "graft-snapshots",
+        s.extraOptions.asScala.toMap + ("path" -> t.dir), s.output)
     case other =>
       other.mapChildren(convertReads).transformExpressionsDown {
         case se: SubqueryExpression => se.withNewPlan(convertReads(se.plan))

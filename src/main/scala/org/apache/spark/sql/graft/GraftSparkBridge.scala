@@ -30,4 +30,17 @@ object GraftSparkBridge {
     val d = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
     (d.schema, d.queryExecution.executedPlan.executeCollect())
   }
+
+  /** A V1 streaming source relation for `format` with `options`,
+    * emitting exactly `output` (attribute ids preserved, so a resolved
+    * plan can swap a `StreamingRelationV2` for this in place). */
+  def streamingSourceRelation(spark: SparkSession, format: String,
+      options: Map[String, String],
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+      : LogicalPlan = {
+    val ds = org.apache.spark.sql.execution.datasources.DataSource(
+      spark, className = format, options = options)
+    org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+      ds, format, output)
+  }
 }

@@ -345,6 +345,29 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("readStream.table streams a catalog table exactly-once") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.st (id BIGINT)")
+    spark.sql("INSERT INTO gs.default.st SELECT id FROM range(10)")
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val ckpt = Files.createTempDirectory("graft_sql_st").toFile.toString
+    val q = spark.readStream.table("gs.default.st")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.as[Long].collect() }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    assert(got.synchronized(got.sorted.toSeq) == (0L until 10L))
+    // commits through SQL land in the running stream
+    spark.sql("INSERT INTO gs.default.st SELECT id FROM range(10, 15)")
+    q.processAllAvailable(); q.stop()
+    assert(got.synchronized(got.sorted.toSeq) == (0L until 15L))
+  }
+
   test("joins between catalog tables broadcast and stay columnar") {
     warehouse
     spark.sql("CREATE TABLE gs.default.jbig AS SELECT id, id % 5 AS k FROM range(1000)")
