@@ -91,6 +91,29 @@ object DvBench {
       f"merge_dv_ms=$tMDv%.0f merge_dv_bytes=$mWroteDv " +
       f"bytes_ratio=${mWroteCow.toDouble / math.max(1, mWroteDv)}%.0fx " +
       s"reads_agree=$mSame")
+
+    // the same comparison for UPDATE: a narrow scattered field
+    // correction (the GDPR-redaction / bad-tick-fix shape). The DV
+    // path writes new files for the UPDATED rows only, plus vectors.
+    val ucow = build(); val udv = build()
+    val uPred = pmod(col("l_orderkey"), lit(37501)) === 7L
+    val uAssign = Seq("l_quantity" -> -col("l_quantity"))
+    val uBytesBeforeCow = bytesUnder(spark, ucow)
+    val uBytesBeforeDv = bytesUnder(spark, udv)
+    val (uc, tUCow) = ms(Snapshots.updateWhere(spark, ucow, uPred, uAssign))
+    val (ul, tUDv) = ms(Snapshots.updateWhereLight(spark, udv, uPred,
+      uAssign))
+    val uWroteCow = bytesUnder(spark, ucow) - uBytesBeforeCow
+    val uWroteDv = bytesUnder(spark, udv) - uBytesBeforeDv
+    val uSame = Snapshots.read(spark, ucow).collect().map(_.toString).sorted
+      .sameElements(
+        Snapshots.read(spark, udv).collect().map(_.toString).sorted)
+    println(s"update_rows=${ul.updatedRows} " +
+      s"files_rewritten_cow=${uc.rewrittenFiles} dv_files=${ul.dvFiles}")
+    println(f"update_cow_ms=$tUCow%.0f update_cow_bytes=$uWroteCow " +
+      f"update_dv_ms=$tUDv%.0f update_dv_bytes=$uWroteDv " +
+      f"bytes_ratio=${uWroteCow.toDouble / math.max(1, uWroteDv)}%.0fx " +
+      s"reads_agree=$uSame")
     spark.stop()
   }
 }
