@@ -157,6 +157,28 @@ private[sql] object GraftProcedures {
       Seq(p("table", StringType)),
       (s, in) => Snapshots.history(s, dirOf(str(in, 0)))),
 
+    new Proc("detail",
+      Seq(p("table", StringType)),
+      (s, in) => {
+        val dir = dirOf(str(in, 0))
+        val v = Snapshots.currentVersion(s, dir).getOrElse(
+          throw new java.util.NoSuchElementException(s"no table under $dir"))
+        val df = Snapshots.read(s, dir)
+        val files = df.inputFiles
+        val props = Snapshots.tableProperties(s, dir)
+        val meta = Snapshots.aggregateFromManifest(s, dir, Nil)
+        oneRow(s,
+          Seq("location", "version", "n_versions_retained", "n_files",
+            "n_rows_meta", "cluster_columns", "constraints", "properties"),
+          Seq(dir, v, Snapshots.versions(s, dir).size, files.length,
+            meta.map(_.head().getLong(0)).getOrElse(-1L),
+            Snapshots.clusterColumns(s, dir).mkString(","),
+            Snapshots.constraints(s, dir).toSeq.sorted
+              .map { case (n, e) => s"$n: $e" }.mkString("; "),
+            props.toSeq.sorted.map { case (k, pv) => s"$k=$pv" }
+              .mkString("; ")))
+      }),
+
     new Proc("audit",
       Seq(p("table", StringType)),
       (s, in) => Snapshots.audit(s, dirOf(str(in, 0)))),

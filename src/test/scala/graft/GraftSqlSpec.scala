@@ -302,6 +302,11 @@ class GraftSqlSpec extends SparkSpec {
     val m = spark.sql("CALL gs.system.maintain(table => 'default.proc_t')")
     assert(m.columns.toSeq == Seq("compacted_to", "dropped_versions",
       "deleted_files", "orphans_deleted"))
+    // detail: the one-row operator summary
+    val det = spark.sql("CALL gs.system.detail(table => 'default.proc_t')")
+      .head()
+    assert(det.getAs[Long]("n_rows_meta") == 100L)
+    assert(det.getAs[Int]("n_files") > 0)
   }
 
   test("CALL graft.system.clone branches a table zero-copy") {
