@@ -62,11 +62,39 @@ object RenameCommitCoordinator extends CommitCoordinator {
   }
 }
 
+/** A commit whose outcome is UNKNOWABLE from this process: the
+  * store's exclusive-create PUT failed after the body was handed off,
+  * so version `target` may or may not now exist — and if it exists,
+  * it may be THIS writer's bytes or a racing winner's. The only safe
+  * reaction is to surface it: retrying would risk double-appending
+  * the same rows, and deleting the target would risk destroying a
+  * racing writer's committed manifest (breaking the delta chain). The
+  * operator resolves it by reading the table tip: if the version is
+  * present and carries this commit's content, the commit succeeded. */
+final class AmbiguousCommitException(msg: String, cause: Throwable)
+  extends RuntimeException(msg, cause)
+
 /** Exclusive create of the target itself — for object stores whose
   * create-if-absent is atomic AND whose objects become visible only
-  * complete at close (S3 conditional PUT). NOT correct on filesystems
-  * with progressive write visibility (a reader could see a prefix);
-  * those use [[RenameCommitCoordinator]]. */
+  * complete at close (the S3 conditional `If-None-Match: *` PUT; on
+  * s3a that is `fs.s3a.create.conditional.enabled=true`, available
+  * since Hadoop 3.4.1 — REQUIRED, because a plain s3a create is
+  * check-then-PUT and gives no exclusivity). NOT correct on
+  * filesystems with progressive write visibility (a reader could see
+  * a prefix); those use [[RenameCommitCoordinator]].
+  *
+  * Failure semantics are deliberately asymmetric:
+  *
+  *   - `create` refused up front (target exists / `If-None-Match`
+  *     precondition observed early): a clean LOSS — return false, the
+  *     commit loop re-reads the tip and retries at the next version.
+  *   - `write`/`close` failed AFTER the body was handed off: on a
+  *     store that enforces exclusivity at close, the outcome is
+  *     ambiguous — the PUT may have landed anyway, and a RACING
+  *     writer may publish this very version between our failure and
+  *     any cleanup. Throw [[AmbiguousCommitException]]; NEVER delete
+  *     `target` (we cannot prove we own it) and never return false
+  *     (a false would let the caller re-append the same rows). */
 object ConditionalCreateCommitCoordinator extends CommitCoordinator {
   override def publish(fs: FileSystem, target: HPath,
       body: Array[Byte]): Boolean = {
@@ -75,13 +103,16 @@ object ConditionalCreateCommitCoordinator extends CommitCoordinator {
       catch { case NonFatal(_) => return false }
     try { out.write(body); out.close(); true }
     catch {
-      case NonFatal(_) =>
+      case NonFatal(e) =>
         try out.close() catch { case NonFatal(_) => }
-        // a failed close may or may not have published on a given
-        // store; fail loudly rather than guess — the commit loop
-        // re-reads the current version and retries or surfaces
-        try fs.delete(target, false) catch { case NonFatal(_) => }
-        false
+        throw new AmbiguousCommitException(
+          s"commit of $target failed after the manifest body was " +
+            "handed to the store — the version may or may not have " +
+            "been published, and a racing writer may own it now. " +
+            "Not retrying (double-append risk) and not deleting " +
+            "(could destroy a racing winner's manifest). Inspect the " +
+            "table tip: if this version exists with this commit's " +
+            "content, the commit succeeded.", e)
     }
   }
 }

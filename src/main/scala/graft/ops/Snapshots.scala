@@ -860,13 +860,26 @@ object Snapshots {
         .filter(_.nonEmpty).map(f -> _)
     }
     if (candidates.isEmpty) return Map.empty
+    // resolve foreign (clone-source) sidecar refs through _moved
+    // markers ONCE on the driver (one batched call — one probe per
+    // distinct foreign root) — tasks then open final paths
+    val fs0 = new HPath(rootStr).getFileSystem(sc.hadoopConfiguration)
+    val flat = candidates.flatMap { case (f, m) =>
+      m.toSeq.map { case (c, ref) => (f, c, ref) }
+    }
+    val resolvedRefs = resolveForeign(fs0, flat.map(_._3))
+    val resolvedCandidates = flat.zip(resolvedRefs)
+      .groupBy(_._1._1).toSeq.map { case (f, xs) =>
+        f -> xs.map { case ((_, c, _), r) => c -> r }.toMap
+      }
     val probesB = sc.broadcast(probes.zipWithIndex.map {
       case ((_, phys, vs), i) => (i, phys, vs)
     })
     val hconf = sc.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         sc.hadoopConfiguration))
-    sc.parallelize(candidates, math.max(1, math.min(candidates.size, 64)))
+    sc.parallelize(resolvedCandidates,
+        math.max(1, math.min(resolvedCandidates.size, 64)))
       .map { case (f, colRefs) =>
         val cache =
           scala.collection.mutable.Map[String, Option[BloomFilter]]()
@@ -1391,6 +1404,45 @@ object Snapshots {
         op = "drop-column")
     }
 
+  /** ADD COLUMN — a metadata-only commit: the new version pins the
+    * schema with one more nullable field at the end; ZERO data is
+    * rewritten (every pre-evolution file reads NULL for it, exactly
+    * the additive evolution [[append]] performs implicitly — this is
+    * the explicit DDL spelling for widening a table before any write
+    * carries the column). TIME TRAVEL to earlier versions keeps the
+    * old shape. The name must collide with nothing: an existing
+    * column (case-insensitive), a dropped column's tombstoned
+    * physical (its bytes would resurrect from pre-drop files), or a
+    * live physical behind a renamed column (its bytes would
+    * cross-feed) — the same rules [[evolveSchema]] enforces on
+    * writes. */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+      dataType: DataType): Int = retryOnRace(s"addColumn on $dir") {
+    require(name.nonEmpty && !name.contains("\t"),
+      s"invalid column name '$name'")
+    val (fs, root) = fsFor(spark, dir)
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(s"no table under $dir"))
+    val schema = schemaOf(fs, root, v)
+      .getOrElse(allNullable(read(spark, dir, v).schema))
+    require(!schema.fields.exists(_.name.equalsIgnoreCase(name)),
+      s"column '$name' already exists in $dir")
+    val dropped = droppedOf(fs, root, v)
+    require(!dropped.exists(_.equalsIgnoreCase(name)),
+      s"column name '$name' was previously dropped from $dir — " +
+        "re-adding it would resurrect the dropped files' bytes; " +
+        "pick another name (or overwrite to restart the lineage)")
+    require(!schema.fields.exists(tf =>
+      physOf(tf).equalsIgnoreCase(name) && tf.name != name),
+      s"column name '$name' is the physical name behind a renamed " +
+        s"column of $dir; pick another name")
+    val evolved = allNullable(StructType(
+      schema.fields :+ StructField(name, dataType, nullable = true)))
+    metadataCommit(fs, root, spark, dir, v, evolved, dropped,
+      bloomConfigOf(fs, root, v), constraintsOf(fs, root, v),
+      propsOf(fs, root, v), op = "add-column")
+  }
+
   /** Commit a schema/tombstone change with the base's exact file list —
     * pure DDL, a delta with no adds/removes when the chain allows. */
   private def metadataCommit(fs: FileSystem, root: HPath,
@@ -1541,8 +1593,11 @@ object Snapshots {
 
   private def readDvSidecar(fs: FileSystem, root: HPath,
       rel: String): Array[Long] = {
+    // a clone's foreign sidecar ref resolves through _moved markers
+    // like every other read (no-op for owned refs)
     val in = new java.io.DataInputStream(
-      new java.io.BufferedInputStream(fs.open(new HPath(root, rel))))
+      new java.io.BufferedInputStream(
+        fs.open(new HPath(root, resolveForeign(fs, Seq(rel)).head))))
     try {
       val n = in.readLong().toInt
       Array.fill(n)(in.readLong())
@@ -1599,7 +1654,10 @@ object Snapshots {
     * [[deleteWhereLight]] needs them to NAME the rows it deletes. */
   private def scanWithMeta(spark: SparkSession, fs: FileSystem,
       root: HPath, schemaV: Int, dvV: Int, files: Seq[String]): DataFrame = {
-    val paths = files.map(f => new HPath(root, f).toString)
+    // foreign (clone-source) refs resolve through _moved markers —
+    // one metadata probe per distinct foreign root, none for owned refs
+    val paths = resolveForeign(fs, files).map(f =>
+      new HPath(root, f).toString)
     val fileSet = files.toSet
     val dv = dvFor(fs, root, dvV).filter { case (f, (_, n)) =>
       n > 0 && fileSet.contains(f)
@@ -2234,6 +2292,52 @@ object Snapshots {
     }
     throw new java.util.ConcurrentModificationException(
       s"snapshot commit on $dir lost ${attempts} CAS races; giving up")
+  }
+
+  /** CREATE TABLE as ONE atomic commit: version 1 pins the schema,
+    * the table properties (e.g. `cluster.columns`, `comment`), and
+    * the CHECK constraints together — there is never a moment when
+    * the table exists half-configured (the multi-commit alternative
+    * leaves a crash window where the table is created but its
+    * declared clustering/constraints are not yet attached, and a
+    * racing writer could commit v2 between them). The schema is
+    * pinned via one empty parquet file (the format's invariant — a
+    * manifest lists at least one file); all columns commit nullable
+    * (files may predate later-added columns), so a NOT NULL contract
+    * arrives here as an explicit `col IS NOT NULL` CHECK constraint,
+    * enforced on every subsequent write.
+    *
+    * Constraint expressions are ANALYZED against the schema before
+    * the commit — a predicate referencing a missing column refuses
+    * here, not on the first write. Returns the committed version (1).
+    * Loses loudly to a racing creator of the same directory. */
+  def createTable(spark: SparkSession, dir: String, schema: StructType,
+      properties: Map[String, String] = Map.empty,
+      checkConstraints: Map[String, String] = Map.empty): Int = {
+    require(schema.fields.nonEmpty, s"CREATE TABLE $dir needs columns")
+    require(currentVersion(spark, dir).isEmpty,
+      s"already a snapshot table under $dir")
+    checkConstraints.keys.foreach(n => require(n.matches("[A-Za-z0-9._-]+"),
+      s"constraint name must be [A-Za-z0-9._-]+, got '$n'"))
+    val (fs, root) = fsFor(spark, dir)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)
+    checkConstraints.foreach { case (n, e) =>
+      try empty.filter(expr(e)).queryExecution.analyzed
+      catch {
+        case NonFatal(t) => throw new IllegalArgumentException(
+          s"CHECK constraint '$n' ($e) does not resolve against the " +
+            s"schema of $dir: ${t.getMessage}")
+      }
+    }
+    val staged = stage(empty, fs, root)
+    val won = casManifest(fs, root, 1, staged.files,
+      schemaHeader(allNullable(schema)) +:
+        (constraintHeader(checkConstraints) ++ propsHeader(properties) ++
+          opHeader("create-table") ++ staged.stats))
+    if (!won) throw new java.util.ConcurrentModificationException(
+      s"CREATE TABLE at $dir lost the commit race")
+    1
   }
 
   /** Append `df` as a new version (previous files + the new ones).
@@ -3245,13 +3349,97 @@ object Snapshots {
     else readFilesAs(spark, fs, root, toVersion, files)
   }
 
+  /** The row-level CHANGE FEED across `(fromVersion, toVersion]`:
+    * every retained commit contributes its rows tagged `_change_type`
+    * (`insert` | `delete`) and `_commit_version` — the read that lets
+    * a CDC consumer FOLLOW a table that receives merges, deletes,
+    * updates, and deletion-vector drift, exactly where the net-state
+    * [[changesSince]] must refuse. An UPDATE surfaces as its
+    * delete+insert pair (position-level preimage tracking is a
+    * rewrite cost this format deliberately avoids).
+    *
+    * Cost model, built for backlogs: maximal runs of APPEND-ONLY
+    * commits coalesce into ONE scan of exactly the appended files
+    * (per-row `_commit_version` attached by a broadcast join on the
+    * file identity the scan already carries — the plan stays O(runs),
+    * not O(versions)); each DML commit decomposes row-level via
+    * [[diff]], file-pruned to the files that commit actually touched.
+    * Versions vacuumed mid-window fold their changes into the next
+    * retained commit (file-set attribution — net effect preserved).
+    * `fromVersion` must be 0 or retained; re-sync from a full read
+    * otherwise. Schema evolution mid-window NULL-fills columns that
+    * postdate a segment. */
+  def changeFeed(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val (fs, root) = fsFor(spark, dir)
+    val to = if (toVersion >= 0) toVersion else currentVersion(spark, dir)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed version under $dir"))
+    val vs = versions(spark, dir)
+    require(fromVersion == 0 || vs.contains(fromVersion),
+      s"change feed base v$fromVersion of $dir is not retained " +
+        "(vacuumed?) — re-sync from a full read")
+    val walk = vs.filter(v => v > fromVersion && v <= to)
+    val segs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // (version, appended files) of the current append-only run
+    var run = List.empty[(Int, Seq[String])]
+    def flushRun(): Unit = {
+      val files = run.reverse.flatMap(_._2)
+      if (files.nonEmpty) {
+        val endV = run.head._1
+        import spark.implicits._
+        val byBase = run.reverse.flatMap { case (v, fl) =>
+          fl.map(f => (f.substring(f.lastIndexOf('/') + 1), v))
+        }.toDF("__cf_file", "_commit_version")
+        segs += scanWithMeta(spark, fs, root, endV, endV, files)
+          .join(broadcast(byBase), col(GfCol) === col("__cf_file"))
+          .drop(GfCol, GposCol, "__cf_file")
+          .withColumn("_change_type", lit("insert"))
+      }
+      run = Nil
+    }
+    var prev = fromVersion
+    var prevF =
+      if (fromVersion == 0) Set.empty[String]
+      else readManifest(fs, root, fromVersion).toSet
+    walk.foreach { v =>
+      val curF = readManifest(fs, root, v).toSet
+      val common = prevF intersect curF
+      val dvDrift = prev != 0 && common.nonEmpty && {
+        val a = dvFor(fs, root, prev); val b = dvFor(fs, root, v)
+        common.exists(f => a.get(f) != b.get(f))
+      }
+      if ((prevF -- curF).isEmpty && !dvDrift)
+        run = (v, (curF -- prevF).toSeq.sorted) :: run
+      else {
+        flushRun()
+        segs += diff(spark, dir, prev, v)
+          .withColumnRenamed("change_type", "_change_type")
+          .withColumn("_commit_version", lit(v))
+      }
+      prev = v
+      prevF = curF
+    }
+    flushRun()
+    if (segs.isEmpty)
+      read(spark, dir, to).limit(0)
+        .withColumn("_change_type", lit(null).cast(StringType))
+        .withColumn("_commit_version", lit(null).cast(IntegerType))
+    else segs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Integrity audit (the fsck of a snapshot table): verifies every
     * file of every RETAINED version exists with its commit-time byte
     * size, and reports orphaned data files no manifest references
     * (crash leftovers / vacuum candidates). Returns one row per
     * finding-worthy file: (file, status, expected_bytes, actual_bytes)
     * with status ∈ ok | missing | size_mismatch | unknown_size (file
-    * committed by a pre-size writer) | orphan. Pure metadata — the
+    * committed by a pre-size writer) | orphan |
+    * source_moved_or_dropped (a clone's absolute reference whose
+    * source root is gone and left no `_moved` forwarding marker — the
+    * source table was vacuumed, dropped, or physically renamed
+    * without [[recordMove]]). Pure metadata — the
     * driver touches manifests and file listings, never data bytes, so
     * auditing a 100 TB table costs a directory walk. Read-only: the
     * repair for `missing`/`size_mismatch` is restoring the file or
@@ -3264,18 +3452,38 @@ object Snapshots {
     val rows = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
     vs.foreach { v =>
       val sizes = sizesFor(fs, root, v)
-      readManifest(fs, root, v).foreach { f =>
+      val listed = readManifest(fs, root, v)
+      // foreign (clone-source) refs resolve through _moved markers
+      // exactly as reads do — but audit DIAGNOSES a dead unmarked
+      // source (`source_moved_or_dropped`) instead of throwing: the
+      // usual cause is the source table being vacuumed, dropped, or
+      // physically renamed without a forwarding marker
+      val foreignLive: Map[String, Option[String]] = listed
+        .filterNot(ownedByRoot).flatMap(rootOfRef).distinct
+        .map(r => r -> followMoved(fs.getConf, r)).toMap
+      listed.foreach { f =>
         if (!referenced.contains(f)) {
           referenced(f) = sizes.getOrElse(f, -1L)
-          val p = new HPath(root, f)
           val expected = sizes.getOrElse(f, -1L)
-          val status =
-            if (!fs.exists(p)) "missing"
-            else if (expected < 0) "unknown_size"
-            else if (fs.getFileStatus(p).getLen != expected) "size_mismatch"
-            else "ok"
-          val actual = if (fs.exists(p)) fs.getFileStatus(p).getLen else -1L
-          rows += ((f, status, expected, actual))
+          val resolved: Option[String] =
+            if (ownedByRoot(f)) Some(f)
+            else rootOfRef(f).flatMap(r =>
+              foreignLive(r).map(live => live + f.substring(r.length)))
+          resolved match {
+            case None =>
+              rows += ((f, "source_moved_or_dropped", expected, -1L))
+            case Some(rf) =>
+              val p = new HPath(root, rf)
+              val status =
+                if (!fs.exists(p)) "missing"
+                else if (expected < 0) "unknown_size"
+                else if (fs.getFileStatus(p).getLen != expected)
+                  "size_mismatch"
+                else "ok"
+              val actual =
+                if (fs.exists(p)) fs.getFileStatus(p).getLen else -1L
+              rows += ((f, status, expected, actual))
+          }
         }
       }
     }
@@ -3322,6 +3530,102 @@ object Snapshots {
     * source's bytes. */
   private def ownedByRoot(f: String): Boolean =
     !f.startsWith("/") && !f.contains(":/")
+
+  // ---- moved-root forwarding ------------------------------------------
+  //
+  // A shallow clone references its source's data files by ABSOLUTE
+  // path (vacuum safety is ownership-based — see [[shallowClone]]).
+  // If the source table's DIRECTORY is then physically moved (the SQL
+  // catalog's `ALTER TABLE RENAME` moves the directory), every clone
+  // ref dangles. [[recordMove]] leaves a `_moved` forwarding marker at
+  // the old root, and every read path resolves foreign refs through
+  // markers ([[resolveForeign]]): one metadata probe per DISTINCT
+  // foreign root per scan — zero cost for non-clone tables, O(1)
+  // driver-side for clones. Markers chain (rename A→B→C) with a hop
+  // bound; a dead foreign root with NO marker fails the scan loudly
+  // with the remedy instead of a bare file-not-found.
+
+  private val MovedMarker = "_moved"
+
+  /** Leave a forwarding marker at `oldDir` pointing to `newDir` —
+    * call IMMEDIATELY after physically moving a table directory, so
+    * shallow clones holding absolute references into the old root
+    * keep resolving. The marker is a plain file (`_moved`) holding
+    * the fully qualified new root; it does NOT make the old path a
+    * table (`_manifests` is the existence test). Creating a NEW table
+    * at the old path later shadows the marker — avoid reusing a
+    * renamed table's old name while clones of it live. */
+  def recordMove(spark: SparkSession, oldDir: String, newDir: String): Unit = {
+    val (ofs, oldRoot) = fsFor(spark, oldDir)
+    val (nfs, newRoot) = fsFor(spark, newDir)
+    ofs.mkdirs(oldRoot)
+    val out = ofs.create(new HPath(oldRoot, MovedMarker), true)
+    try out.write(nfs.makeQualified(newRoot).toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The table root a manifest file reference lives under — refs are
+    * `<root>/data/<commit-uuid>/<name>`, so the root is the prefix
+    * before the LAST `/data/` that leaves exactly two components
+    * after it (a root path may itself contain a `data` segment). */
+  private def rootOfRef(ref: String): Option[String] = {
+    var i = ref.lastIndexOf(s"/$DataDir/")
+    while (i > 0) {
+      if (ref.substring(i + 1).split('/').length == 3)
+        return Some(ref.substring(0, i))
+      i = ref.lastIndexOf(s"/$DataDir/", i - 1)
+    }
+    None
+  }
+
+  /** Follow `_moved` markers from `root` to the live root (bounded
+    * hops). Some(root) if the root is live as-is; None if neither
+    * live nor marked (dropped / vacuumed / renamed pre-marker). */
+  private def followMoved(conf: org.apache.hadoop.conf.Configuration,
+      root: String): Option[String] = {
+    var cur = root
+    var hops = 0
+    while (hops < 8) {
+      val p = new HPath(cur)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(new HPath(p, ManifestDir))) return Some(cur)
+      val marker = new HPath(p, MovedMarker)
+      if (!fs.exists(marker)) return None
+      val in = fs.open(marker)
+      cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      hops += 1
+    }
+    None
+  }
+
+  /** Resolve foreign (absolute, clone-source) refs through `_moved`
+    * forwarding markers. Owned (relative) refs pass through untouched
+    * — the common case costs nothing. A foreign root that is neither
+    * live nor marked fails loudly with the remedy: a bare
+    * file-not-found from the scan would hide WHY the bytes are gone. */
+  private def resolveForeign(fs: FileSystem,
+      files: Seq[String]): Seq[String] = {
+    val foreign = files.filterNot(ownedByRoot)
+    if (foreign.isEmpty) return files
+    val conf = fs.getConf
+    val mapping = foreign.flatMap(rootOfRef).distinct.map { r =>
+      followMoved(conf, r) match {
+        case Some(live) => r -> live
+        case None => throw new IllegalStateException(
+          s"clone source root $r no longer exists and left no _moved " +
+            "forwarding marker — the source table was dropped, " +
+            "vacuumed, or physically renamed without Snapshots" +
+            ".recordMove. Restore the source, or re-create this table " +
+            "from a full copy of the data")
+      }
+    }.toMap
+    files.map { f =>
+      if (ownedByRoot(f)) f
+      else rootOfRef(f).flatMap(r => mapping.get(r).filter(_ != r)
+        .map(live => live + f.substring(r.length))).getOrElse(f)
+    }
+  }
 
   /** DESCRIBE HISTORY: one row per committed version, newest first —
     * version, committed_at (manifest mtime), operation (the `#op` tag;
@@ -3380,7 +3684,12 @@ object Snapshots {
     * vacuuming the SOURCE can reap files the clone still references
     * ([[audit]] on the clone reports them `missing`); run
     * [[compact]]/[[optimize]] on the clone to materialize it into a
-    * self-contained table. Cloning a clone works — already-absolute
+    * self-contained table. Physically MOVING the source directory
+    * (the SQL catalog's `ALTER TABLE RENAME`) is safe only when a
+    * `_moved` forwarding marker is left behind ([[recordMove]] — the
+    * catalog writes it automatically); clone reads resolve through
+    * the marker, and a dead unmarked source fails the scan loudly
+    * with the remedy. Cloning a clone works — already-absolute
     * references pass through verbatim. */
   def shallowClone(spark: SparkSession, srcDir: String, dstDir: String,
       version: Int = -1): Int = {

@@ -5,7 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableCatalogCapability, TableChange, TableInfo}
 import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
@@ -82,6 +82,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def isTableDir(p: HPath): Boolean =
     fs.exists(new HPath(p, "_manifests"))
 
+  /** A renamed-away table's old root: holds only the `_moved`
+    * forwarding marker clones resolve through — not a table, not a
+    * namespace, and not reusable while clones may reference it. */
+  private def isMovedTombstone(p: HPath): Boolean =
+    fs.exists(new HPath(p, "_moved"))
+
   // ---- tables -------------------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -149,18 +155,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = dirFor(ident)
-    // commit the schema as version 1: one empty parquet file pins it
-    // (the format's invariant — a manifest lists at least one file)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq.empty[Row], 1), info.schema())
-    Snapshots.append(empty, dir)
-    if (clusterCols.nonEmpty)
-      Snapshots.setProperty(spark, dir, "cluster.columns",
-        clusterCols.mkString(","))
-    info.properties().asScala.foreach { case (k, v) =>
-      if (!ReservedTableProps.contains(k))
-        Snapshots.setProperty(spark, dir, k, v)
+    if (isMovedTombstone(new HPath(dir)))
+      throw new IllegalStateException(
+        s"'${fullName(ident)}' is the old name of a renamed table and " +
+          "holds a _moved forwarding marker that shallow clones may " +
+          "still resolve through — creating a new table here would " +
+          "shadow it. Pick another name, or delete the marker once no " +
+          "clone references the renamed table")
+    // CHECK constraints declared at CREATE time route to the same
+    // write-time data contracts as ALTER TABLE ADD CONSTRAINT; any
+    // other constraint kind refuses loudly — capabilities() advertises
+    // SUPPORT_TABLE_CONSTRAINT, so silently dropping one would be an
+    // unenforced contract the user believes exists
+    val declared = info.constraints().toSeq.map {
+      case c: Check => c.name -> c.predicateSql
+      case other: Constraint => throw new UnsupportedOperationException(
+        s"graft tables enforce CHECK constraints only, got " +
+          s"${other.getClass.getSimpleName} '${other.name}' — primary/" +
+          "foreign keys are not enforceable in an analytics store")
     }
+    // NOT NULL columns: the format stores every column nullable (files
+    // may predate later-added columns), so the contract is honored as
+    // an explicit write-enforced CHECK — not silently dropped
+    val notNull = info.schema().fields.toSeq.filterNot(_.nullable)
+      .map(f => s"nn_${f.name}" -> s"${f.name} IS NOT NULL")
+    // user properties + declared clustering + COMMENT, all in the ONE
+    // v1 commit — no crash window where the table exists unconfigured
+    val props = info.properties().asScala.toMap
+      .filterNot { case (k, _) => ReservedTableProps.contains(k) } ++
+      Option(info.properties().get(TableCatalog.PROP_COMMENT))
+        .map("comment" -> _).toMap ++
+      (if (clusterCols.nonEmpty)
+        Map("cluster.columns" -> clusterCols.mkString(",")) else Map.empty)
+    Snapshots.createTable(spark, dir, info.schema(), props,
+      (declared ++ notNull).toMap)
     new GraftTable(fullName(ident), dir, None)
   }
 
@@ -175,8 +203,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
-  /** `ALTER TABLE ... RENAME COLUMN / DROP COLUMN` route to the
-    * metadata-only column-mapping commits — zero data rewritten;
+  /** `ALTER TABLE ... ADD COLUMN / RENAME COLUMN / DROP COLUMN` route
+    * to the metadata-only column-mapping commits — zero data
+    * rewritten (ADD widens the pinned schema; pre-evolution files
+    * read NULL for the new column, time travel keeps the old shape);
     * `ADD CONSTRAINT name CHECK (...)` / `DROP CONSTRAINT` route to
     * the write-time data contracts (the ADD scans once to prove
     * existing rows comply, exactly like the Scala API). */
@@ -184,6 +214,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirFor(ident)
     changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft tables add top-level columns only")
+        require(a.isNullable,
+          s"ADD COLUMN ${a.fieldNames.head} NOT NULL is unsatisfiable: " +
+            "existing rows have no value for it — add it nullable, " +
+            "backfill, then ALTER TABLE ADD CONSTRAINT ... CHECK " +
+            s"(${a.fieldNames.head} IS NOT NULL)")
+        require(a.position() == null,
+          "graft tables add columns at the end only (FIRST/AFTER would " +
+            "reorder the pinned physical schema)")
+        require(a.defaultValue() == null,
+          "graft tables do not store column DEFAULT values — backfill " +
+            "with UPDATE after the add")
+        Snapshots.addColumn(spark, dir, a.fieldNames.head, a.dataType())
+        // a comment is real metadata: persist it where DESCRIBE finds
+        // it rather than dropping it silently
+        if (a.comment() != null)
+          Snapshots.setProperty(spark, dir,
+            s"column.comment.${a.fieldNames.head}", a.comment())
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "graft column mapping renames top-level columns only")
@@ -213,9 +263,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Snapshots.unsetProperty(spark, dir, r.property)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
-          "supported on graft tables (supported: RENAME COLUMN, DROP " +
-          "COLUMN, ADD/DROP CONSTRAINT ... CHECK; schema ADDs evolve " +
-          "automatically on write)")
+          "supported on graft tables (supported: ADD COLUMN, RENAME " +
+          "COLUMN, DROP COLUMN, ADD/DROP CONSTRAINT ... CHECK, " +
+          "SET/UNSET TBLPROPERTIES)")
     }
     loadTable(ident)
   }
@@ -253,14 +303,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else fs.delete(p, true)
   }
 
+  /** `ALTER TABLE ... RENAME TO ...` physically moves the table
+    * directory, then leaves a `_moved` forwarding marker at the old
+    * root ([[Snapshots.recordMove]]) so SHALLOW CLONES of this table —
+    * which reference its data files by absolute path — keep resolving
+    * through the marker instead of dangling. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    val dst = new HPath(dirFor(newIdent))
+    val src = dirFor(oldIdent)
+    val dstDir = dirFor(newIdent)
+    val dst = new HPath(dstDir)
     fs.mkdirs(dst.getParent)
-    if (!fs.rename(new HPath(dirFor(oldIdent)), dst))
+    if (!fs.rename(new HPath(src), dst))
       throw new IllegalStateException(
         s"rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
+    Snapshots.recordMove(spark, src, dstDir)
   }
 
   // ---- namespaces ---------------------------------------------------
@@ -271,7 +329,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val w = new HPath(warehouse)
     if (!fs.exists(w)) return Array(Array("default"))
     val found = fs.listStatus(w).filter(_.isDirectory).map(_.getPath)
-      .filterNot(p => p.getName.startsWith("_") || isTableDir(p))
+      .filterNot(p => p.getName.startsWith("_") || isTableDir(p) ||
+        isMovedTombstone(p))
       .map(p => Array(p.getName))
     if (found.exists(_.sameElements(Array("default")))) found
     else found :+ Array("default")
@@ -286,7 +345,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     namespace.isEmpty ||
       namespace.sameElements(Array("default")) ||
       (namespace.length == 1 && fs.exists(nsPath(namespace)) &&
-        !isTableDir(nsPath(namespace)))
+        !isTableDir(nsPath(namespace)) &&
+        !isMovedTombstone(nsPath(namespace)))
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] = {

@@ -5,7 +5,10 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.graft.GraftSparkBridge
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
@@ -48,7 +51,8 @@ final class GraftTable(
     val identName: String,
     val dir: String,
     val pinnedVersion: Option[Int]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with GraftSparkBridge.V1FallbackTable {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -103,6 +107,33 @@ final class GraftTable(
           }
       }
     }
+
+  /** `df.writeStream.format("graft-snapshots").toTable("graft.db.t")`
+    * — the streaming-WRITE surface of the catalog. Spark's
+    * `DataStreamWriter.toTable` routes a [[V2TableWithV1Fallback]]
+    * table to its v1 provider with the table's location as the path,
+    * which lands on [[graft.streaming.SnapshotSourceProvider
+    * .createSink]]: the SAME exactly-once epoch machinery
+    * (checkpoint-derived writer identity, Append/Complete/Update with
+    * `mergeKeys`, replayed-batch no-op) path-based streaming writers
+    * already get — rather than a DSv2 row-interface StreamingWrite
+    * that would bypass the commit protocol's DataFrame-level
+    * constraint enforcement, schema evolution, and stats collection.
+    * The `.format("graft-snapshots")` spelling is required (Spark
+    * verifies the writer's source against the table's provider — the
+    * Delta-style contract). */
+  override def v1Table: CatalogTable = {
+    val parts = identName.split('.')
+    CatalogTable(
+      identifier = TableIdentifier(parts.last,
+        if (parts.length >= 2) Some(parts(parts.length - 2)) else None,
+        if (parts.length >= 3) Some(parts.head) else None),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(dir).toUri)),
+      schema = schema,
+      provider = Some("graft-snapshots"))
+  }
 
   override def toString: String =
     s"GraftTable($identName${pinnedVersion.map("@v" + _).getOrElse("")})"

@@ -62,9 +62,26 @@ import graft.ops.Snapshots
   * — pause maintenance while consumers stream, as the class contract
   * already requires.
   *
+  * `readChangeFeed` (default false) turns the source into a ROW-LEVEL
+  * CHANGE FEED: instead of failing on a merge/delete/update/DV commit
+  * (the append-only contract above), each micro-batch emits
+  * [[Snapshots.changeFeed]] rows tagged `_change_type`
+  * (insert | delete) and `_commit_version` — the mode that lets a CDC
+  * consumer FOLLOW a table that receives upserts, which at 100 TB is
+  * every table. Append-only stretches keep the fast path (one scan of
+  * exactly the appended files); only DML commits pay the file-pruned
+  * row-level diff. Composes with `maxVersionsPerTrigger`; refuses
+  * `maxFilesPerTrigger` (file slices cannot cut a row-level
+  * decomposition). Without the option, the loud-failure contract is
+  * unchanged — net-state consumers must not be silently fed deltas
+  * they would misinterpret.
+  *
   * Reference anchor: the 5-minute tick pipelines
   * (dags/kucoin_main_dag.py:27-28) re-read their upstream tables each
   * tick; this source is that loop with per-tick cost = per-tick data.
+  * The reference's funding upserts feeding derived stats
+  * (scripts/funding_rates_etl.py:100-111) are exactly the CDC-consumer
+  * loop `readChangeFeed` exists for.
   */
 class SnapshotSourceProvider extends StreamSourceProvider
     with StreamSinkProvider with RelationProvider
@@ -160,11 +177,23 @@ class SnapshotSourceProvider extends StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshots source requires .option(\"path\", <tableDir>)"))
 
+  private def changeFeedOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      Snapshots.read(sqlContext.sparkSession, dirOf(parameters)).schema))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      Snapshots.read(sqlContext.sparkSession, dirOf(parameters)).schema)
+    val out =
+      if (!changeFeedOf(parameters)) base
+      else StructType(base.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.IntegerType))
+    (shortName(), out)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -174,45 +203,74 @@ class SnapshotSourceProvider extends StreamSourceProvider
       require(k >= 1, s"$name must be >= 1, got $k")
       k
     }
+    val changeFeed = changeFeedOf(parameters)
+    require(!(changeFeed && parameters.contains("maxFilesPerTrigger")),
+      "readChangeFeed composes with maxVersionsPerTrigger only — " +
+        "file-granular admission is append-attribution-based and " +
+        "cannot slice a DML commit's row-level decomposition")
     new SnapshotSource(sqlContext, dirOf(parameters),
       parameters.get("startingVersion").map(_.toInt).getOrElse(0),
       cap("maxVersionsPerTrigger"), cap("maxFilesPerTrigger"),
-      metadataPath)
+      metadataPath, changeFeed)
   }
 }
 
 private[streaming] class SnapshotSource(sqlContext: SQLContext,
     dir: String, startVersion: Int, maxVersionsPerTrigger: Option[Int],
-    maxFilesPerTrigger: Option[Int], metadataPath: String) extends Source {
+    maxFilesPerTrigger: Option[Int], metadataPath: String,
+    changeFeed: Boolean = false) extends Source {
 
   private val spark = sqlContext.sparkSession
 
-  override val schema: StructType = Snapshots.read(spark, dir).schema
+  private val tableSchema: StructType = Snapshots.read(spark, dir).schema
+
+  override val schema: StructType =
+    if (!changeFeed) tableSchema
+    else StructType(tableSchema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.IntegerType))
 
   /** An offset position: `consumed = -1` means version `v` fully
     * consumed (json is the bare number — LongOffset-compatible, so
     * pre-cap checkpoints replay unchanged); `consumed = n >= 0` means
-    * the first n of v's appended files (json `v#n`) — the
+    * the first n of v's appended files (json `v#n#h`) — the
     * file-granular admission point that lets ONE giant backfill
     * version drain across several triggers. Slicing is deterministic:
     * manifests are immutable and files sort within their version
     * ([[Snapshots.appendedFilesByVersion]]), so a replayed (start,
-    * end] re-reads exactly the same files. */
-  private case class Slice(v: Int, consumed: Int) {
+    * end] re-reads exactly the same files — PROVIDED the attribution
+    * walk still sees the same retained versions. `h` pins that: it is
+    * a hash of v's full attributed file list at offset-creation time,
+    * and [[getBatch]] fails loudly if replaying the walk no longer
+    * reproduces it (a vacuum of an intra-window version silently
+    * shifts slice indices otherwise — duplicates or skips the
+    * append-only guard cannot see, because net file sets are
+    * unchanged). Pre-hash checkpoints (`v#n`) parse with no hash and
+    * replay under the documented pause-maintenance contract. */
+  private case class Slice(v: Int, consumed: Int,
+      attribHash: Option[String] = None) {
     def full: Boolean = consumed < 0
   }
   private object Slice {
     def parse(s: String): Slice = s.split('#') match {
+      case Array(v, n, h) => Slice(v.trim.toInt, n.trim.toInt, Some(h.trim))
       case Array(v, n) => Slice(v.trim.toInt, n.trim.toInt)
       case _ => Slice(s.trim.toInt, -1)
     }
   }
+  private def attribHashOf(files: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(files.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
   private def lt(a: Slice, b: Slice): Boolean =
     a.v < b.v ||
       (a.v == b.v && !a.full && (b.full || a.consumed < b.consumed))
   private case class SliceOffset(s: Slice) extends Offset {
     override def json: String =
-      if (s.full) s.v.toString else s"${s.v}#${s.consumed}"
+      if (s.full) s.v.toString
+      else s"${s.v}#${s.consumed}${s.attribHash.map("#" + _).getOrElse("")}"
   }
 
   // ---- admission-control base (sizing state only; see class doc) ----
@@ -270,7 +328,12 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext,
           if (rem <= 0) end = Slice(v, -1)
           else if (budget >= rem) {
             budget -= rem; end = Slice(v, -1); done = budget == 0
-          } else { end = Slice(v, lo + budget); budget = 0; done = true }
+          } else {
+            // partial slice: pin the attribution this index is
+            // relative to, so a replay can PROVE it still holds
+            end = Slice(v, lo + budget, Some(attribHashOf(files)))
+            budget = 0; done = true
+          }
         }
     }
     end
@@ -309,13 +372,42 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext,
     // a replayed batch after restart also refreshes the sizing base
     if (lastOffered.forall(lt(_, to))) { writeBase(to); lastOffered = Some(to) }
     val delta =
-      if (s.full && to.full)
+      if (changeFeed) {
+        // DML commits in (s, to] decompose row-level instead of
+        // failing the query — file caps are refused in this mode, so
+        // both slices are full versions
+        val cf = Snapshots.changeFeed(spark, dir, s.v, to.v)
+        if (cf.columns.toSet == schema.fieldNames.toSet)
+          cf.select(schema.fieldNames.toSeq
+            .map(org.apache.spark.sql.functions.col): _*)
+        else cf
+      } else if (s.full && to.full)
         // the uncapped path keeps changesSince's net-state semantics
         Snapshots.changesSince(spark, dir, s.v, to.v)
       else {
         val from = if (s.full) s.v else prevRetained(s.v)
-        val files = Snapshots.appendedFilesByVersion(spark, dir, from, to.v)
-          .flatMap { case (v, fl) =>
+        val walk = Snapshots.appendedFilesByVersion(spark, dir, from, to.v)
+        // slice indices are only meaningful under the attribution the
+        // offset was created with — a vacuum of an intra-window
+        // version shifts per-version file lists with NO net file-set
+        // change, which the append-only guard cannot see. The hash
+        // pinned in the offset proves the walk still reproduces it.
+        Seq(s, to).filter(!_.full).foreach { sl =>
+          sl.attribHash.foreach { h =>
+            val now = walk.collectFirst { case (v, fl) if v == sl.v => fl }
+              .getOrElse(Seq.empty)
+            if (attribHashOf(now) != h)
+              throw new IllegalStateException(
+                s"offset ${SliceOffset(sl).json} of $dir no longer " +
+                  "matches the table's retained-version walk — a " +
+                  "vacuum removed an intra-window version after this " +
+                  "offset was logged, so file-slice indices would " +
+                  "misattribute rows. Re-sync the consumer from a " +
+                  "full read (and pause maintenance while consumers " +
+                  "stream, per the source contract)")
+          }
+        }
+        val files = walk.flatMap { case (v, fl) =>
             if (v < s.v || (v == s.v && s.full)) Nil
             else {
               val lo = if (v == s.v) math.max(0, s.consumed) else 0

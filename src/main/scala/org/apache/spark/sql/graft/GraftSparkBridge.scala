@@ -31,6 +31,17 @@ object GraftSparkBridge {
     (d.schema, d.queryExecution.executedPlan.executeCollect())
   }
 
+  /** [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]]
+    * re-exported for extension: the trait is `private[sql]` (public
+    * bytecode), and it is THE seam `DataStreamWriter.toTable` offers a
+    * v2 table whose streaming writes should route through its v1 sink
+    * provider (the Delta-style fallback). A graft table extends this
+    * alias so `writeStream.format("graft-snapshots").toTable(...)`
+    * lands on the exactly-once SnapshotSink instead of needing a
+    * row-interface DSv2 StreamingWrite. */
+  trait V1FallbackTable
+    extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
   /** A V1 streaming source relation for `format` with `options`,
     * emitting exactly `output` (attribute ids preserved, so a resolved
     * plan can swap a `StreamingRelationV2` for this in place). */

@@ -54,6 +54,50 @@ class CloneHistorySpec extends SparkSpec {
     assert(Snapshots.read(spark, src).count() == 1) // source intact
   }
 
+  test("a clone follows its renamed source through the _moved marker") {
+    val src = freshRoot(); val dst = freshRoot()
+    Snapshots.append(Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v"), src)
+    // a narrow delete gives the clone a foreign DV sidecar too
+    Snapshots.deleteWhereLight(spark, src, col("id") === 2L)
+    Snapshots.shallowClone(spark, src, dst)
+    // physically move the source (what ALTER TABLE RENAME does) and
+    // leave the forwarding marker
+    val moved = freshRoot()
+    val fs = fsOf(src)
+    fs.mkdirs(new HPath(moved).getParent)
+    assert(fs.rename(new HPath(src), new HPath(moved)))
+    Snapshots.recordMove(spark, src, moved)
+    // the clone resolves data AND sidecar refs through the marker
+    assert(Snapshots.read(spark, dst).orderBy("id")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 2.0)))
+    // audit agrees: every reference resolves, nothing missing
+    assert(Snapshots.audit(spark, dst)
+      .filter(col("status") =!= "ok").count() == 0)
+    // chained rename: move AGAIN, marker chain still resolves
+    val moved2 = freshRoot()
+    assert(fs.rename(new HPath(moved), new HPath(moved2)))
+    Snapshots.recordMove(spark, moved, moved2)
+    assert(Snapshots.read(spark, dst).count() == 1)
+  }
+
+  test("a dead unmarked source fails the clone read loudly, " +
+      "and audit names the diagnosis") {
+    val src = freshRoot(); val dst = freshRoot()
+    Snapshots.append(Seq((1L, 2.0)).toDF("id", "v"), src)
+    Snapshots.shallowClone(spark, src, dst)
+    val fs = fsOf(src)
+    // the hazard: a rename that left NO marker (pre-marker tooling)
+    val moved = freshRoot()
+    assert(fs.rename(new HPath(src), new HPath(moved)))
+    val e = intercept[IllegalStateException] {
+      Snapshots.read(spark, dst).collect()
+    }
+    assert(e.getMessage.contains("_moved") &&
+      e.getMessage.contains("renamed"))
+    assert(Snapshots.audit(spark, dst)
+      .filter(col("status") === "source_moved_or_dropped").count() > 0)
+  }
+
   test("compact materializes the clone into a self-contained table") {
     val src = freshRoot(); val dst = freshRoot()
     Snapshots.append(Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v"), src)

@@ -117,6 +117,39 @@ class CommitCoordinatorSpec extends SparkSpec {
     assert(got == "winner\n")
   }
 
+  test("conditional-create: a post-handoff failure throws ambiguous " +
+      "and never deletes a racing winner's manifest") {
+    val root = freshRoot()
+    val fs = fsOf(root)
+    val target = new HPath(s"$root/_manifests/v000000001")
+    fs.mkdirs(target.getParent)
+    // the racing writer publishes version 1 inside this writer's
+    // failure window — on a store enforcing exclusivity at close,
+    // both writers can be past create() at once
+    val out0 = fs.create(target, false)
+    try out0.write("winner\n".getBytes("UTF-8")) finally out0.close()
+    // a store handle whose PUT fails after the body was handed off
+    val failing = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def create(f: HPath, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream =
+        new org.apache.hadoop.fs.FSDataOutputStream(
+          new java.io.OutputStream {
+            override def write(b: Int): Unit =
+              throw new java.io.IOException("injected store failure")
+          }, null)
+    }
+    intercept[graft.ops.AmbiguousCommitException] {
+      ConditionalCreateCommitCoordinator.publish(failing, target,
+        "loser\n".getBytes("UTF-8"))
+    }
+    // the winner's committed manifest must be untouched: deleting it
+    // would break the delta chain for every reader
+    val in = fs.open(target)
+    val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    assert(got == "winner\n")
+  }
+
   test("scheme routing: clearing restores the rename default") {
     val root = freshRoot()
     Snapshots.setCommitCoordinator("file", ConditionalCreateCommitCoordinator)

@@ -350,6 +350,83 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("CREATE TABLE is ONE commit carrying schema, clustering, " +
+      "properties, comment, and constraints") {
+    warehouse
+    spark.sql("""CREATE TABLE gs.default.one (id BIGINT NOT NULL, v DOUBLE)
+      PARTITIONED BY (id) COMMENT 'funding ticks'
+      TBLPROPERTIES ('owner.team' = 'data-eng')""")
+    val dir = dirOf("default", "one")
+    // everything landed in v1 — no half-configured crash window
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+    assert(Snapshots.clusterColumns(spark, dir) == Seq("id"))
+    val props = Snapshots.tableProperties(spark, dir)
+    assert(props.get("owner.team").contains("data-eng"))
+    assert(props.get("comment").contains("funding ticks"))
+    // NOT NULL is a real write-enforced contract, not a silent drop
+    assert(Snapshots.constraints(spark, dir).get("nn_id")
+      .contains("id IS NOT NULL"))
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gs.default.one VALUES (NULL, 1.0)")
+    }
+    assert(e.getMessage.contains("nn_id"))
+    spark.sql("INSERT INTO gs.default.one VALUES (1, 1.0)")
+    assert(spark.sql("SELECT count(*) FROM gs.default.one")
+      .head().getLong(0) == 1)
+  }
+
+  test("CREATE TABLE ... CHECK (...) is enforced, not silently dropped") {
+    warehouse
+    spark.sql("""CREATE TABLE gs.default.ckc (id BIGINT, v DOUBLE,
+      CONSTRAINT v_pos CHECK (v > 0))""")
+    assert(Snapshots.constraints(spark, dirOf("default", "ckc"))
+      .get("v_pos").exists(_.contains("v")))
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gs.default.ckc VALUES (1, -2.0)")
+    }
+    assert(e.getMessage.contains("v_pos"))
+    spark.sql("INSERT INTO gs.default.ckc VALUES (1, 2.0)")
+    assert(spark.sql("SELECT count(*) FROM gs.default.ckc")
+      .head().getLong(0) == 1)
+    // a CHECK over a column the schema lacks refuses at CREATE time
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE gs.default.ckc2 (id BIGINT,
+        CONSTRAINT ghost CHECK (nope > 0))""")
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMN is metadata-only; old files read NULL") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.addc (id BIGINT)")
+    spark.sql("INSERT INTO gs.default.addc VALUES (1), (2)") // v2
+    val dir = dirOf("default", "addc")
+    val filesBefore = spark.table("gs.default.addc").inputFiles.toSet
+    spark.sql("ALTER TABLE gs.default.addc ADD COLUMN score DOUBLE") // v3
+    // zero data rewritten, shape widened, pre-evolution rows read NULL
+    assert(spark.table("gs.default.addc").inputFiles.toSet == filesBefore)
+    assert(spark.table("gs.default.addc").columns.toSeq ==
+      Seq("id", "score"))
+    assert(spark.sql(
+      "SELECT count(*) FROM gs.default.addc WHERE score IS NULL")
+      .head().getLong(0) == 2)
+    // time travel keeps the old shape
+    assert(spark.sql("SELECT * FROM gs.default.addc VERSION AS OF 2")
+      .columns.toSeq == Seq("id"))
+    // new writes carry the column; old files still read NULL
+    spark.sql("INSERT INTO gs.default.addc VALUES (3, 0.5)")
+    assert(spark.sql(
+      "SELECT score FROM gs.default.addc WHERE id = 3")
+      .head().getDouble(0) == 0.5)
+    // conflicting / unsupported adds refuse loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gs.default.addc ADD COLUMN id STRING")
+    }
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gs.default.addc ADD COLUMN req DOUBLE NOT NULL")
+    }
+  }
+
   test("readStream.table streams a catalog table exactly-once") {
     warehouse
     spark.sql("CREATE TABLE gs.default.st (id BIGINT)")
