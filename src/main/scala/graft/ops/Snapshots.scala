@@ -3731,9 +3731,84 @@ object Snapshots {
     1
   }
 
+  /** What a [[foldDeletionVectors]] pass did. */
+  final case class DvFoldResult(version: Int, foldedFiles: Int,
+    positionsRetired: Long, untouchedFiles: Int)
+
+  /** Retire HIGH-DEBT deletion vectors: every file whose deleted
+    * positions exceed `maxDeletedFraction` of its original rows is
+    * rewritten — with its vector applied — into fresh vector-free
+    * bytes; every other file (and its vector) carries untouched, by
+    * name. Perpetual trickle DML accretes vectors, and every read
+    * pays their anti-join forever; a full [[compact]]/[[optimize]]
+    * retires them at whole-table cost, while this is O(over-threshold
+    * files) — the maintenance middle ground, the lakehouse
+    * "purge"/"rewrite_data_files" shape. ONE atomic commit
+    * (`dv-fold`), content-identical by construction, OCC like
+    * [[compact]] (run quiescent or catch the race). */
+  def foldDeletionVectors(spark: SparkSession, dir: String,
+      maxDeletedFraction: Double = 0.1,
+      expectedVersion: Int = -1): DvFoldResult = {
+    require(maxDeletedFraction > 0 && maxDeletedFraction < 1,
+      s"maxDeletedFraction must be in (0, 1), got $maxDeletedFraction")
+    val (fs, root) = fsFor(spark, dir)
+    val base = if (expectedVersion >= 0) expectedVersion
+    else currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(s"no table under $dir"))
+    val files = readManifest(fs, root, base)
+    val fileSet = files.toSet
+    val stats = statsFor(fs, root, base)
+    val dv = dvFor(fs, root, base).filter { case (f, (_, n)) =>
+      n > 0 && fileSet.contains(f)
+    }
+    val target = dv.filter { case (f, (_, n)) =>
+      // no recorded row count (pre-stats writer): over-threshold by
+      // definition unknowable — fold it, the safe-and-finite choice
+      stats.get(f).flatMap(_.headOption.map(_._2.rows)) match {
+        case Some(rows) if rows > 0 => n.toDouble / rows > maxDeletedFraction
+        case _ => true
+      }
+    }
+    if (target.isEmpty) return DvFoldResult(base, 0, 0, files.size)
+    val folded = target.keys.toSeq.sorted
+    val untouched = files.filterNot(target.keySet)
+    val basePinned = schemaOf(fs, root, base)
+    val bloomCfg = bloomConfigOf(fs, root, base)
+    // the read applies the vectors — the rewrite IS the fold
+    val rewritten = readFilesAs(spark, fs, root, base, folded)
+    val staged = stage(rewritten, fs, root,
+      basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
+        .getOrElse(Map.empty), bloomCfg)
+    val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+    val droppedSet = droppedOf(fs, root, base)
+    val next = base + 1
+    val won =
+      if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
+        casManifest(fs, root, next, staged.files,
+          s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
+            schemaHeader(pinnedSchema) +:
+            (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
+              carriedMeta(fs, root, base) ++ opHeader("dv-fold") ++
+              folded.map(f => s"#remove\t$f") ++ staged.stats))
+      else
+        casManifest(fs, root, next, untouched ++ staged.files,
+          schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
+            bloomHeader(bloomCfg) ++ carriedMeta(fs, root, base) ++
+            opHeader("dv-fold") ++
+            dvLines(dvFor(fs, root, base), untouched.toSet) ++
+            statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
+    if (!won)
+      throw new java.util.ConcurrentModificationException(
+        s"foldDeletionVectors on $dir@v$base lost the commit race — " +
+          "re-run maintenance when the table is quiescent")
+    DvFoldResult(next, folded.size, target.values.map(_._2).sum,
+      untouched.size)
+  }
+
   /** What one [[maintain]] pass did. */
   final case class MaintainResult(compactedTo: Option[Int],
-    versionsDropped: Int, filesDeleted: Int, orphansDeleted: Int)
+    versionsDropped: Int, filesDeleted: Int, orphansDeleted: Int,
+    dvFoldedFiles: Int = 0)
 
   /** The one-call maintenance policy an append-heavy (streaming) table
     * needs on a schedule: compact when the file count crosses
@@ -3755,7 +3830,8 @@ object Snapshots {
     * 1 file touched vs 11 under an unrelated layout). */
   def maintain(spark: SparkSession, dir: String, maxFiles: Int = 64,
       targetFiles: Int = 8, keepVersions: Int = 10,
-      orphanOlderThanMs: Long = 24L * 3600 * 1000): MaintainResult = {
+      orphanOlderThanMs: Long = 24L * 3600 * 1000,
+      dvFoldFraction: Double = 0.1): MaintainResult = {
     require(targetFiles >= 1 && maxFiles >= targetFiles,
       s"need maxFiles >= targetFiles >= 1, got $maxFiles/$targetFiles")
     val (fs, root) = fsFor(spark, dir)
@@ -3769,9 +3845,15 @@ object Snapshots {
         else Some(compact(spark, dir, targetFiles, expectedVersion = v))
       } else None
     }
+    // a compact/optimize above already retired every vector; otherwise
+    // fold only the over-threshold files — trickle-DML debt retired at
+    // O(debt) cost, not O(table)
+    val folded =
+      if (compacted.nonEmpty) 0
+      else foldDeletionVectors(spark, dir, dvFoldFraction).foldedFiles
     val (dropped, deleted) = vacuum(spark, dir, keepVersions)
     val orphans = cleanOrphans(spark, dir, orphanOlderThanMs)
-    MaintainResult(compacted, dropped, deleted, orphans)
+    MaintainResult(compacted, dropped, deleted, orphans, folded)
   }
 
   /** Delete orphaned data files — parquet files under `data/` that NO

@@ -1038,6 +1038,141 @@ object SinkQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey NOT IN (
         |  SELECT o_orderkey FROM orders WHERE o_custkey % 7 = 3)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // The row-level CHANGE FEED across DML commits
+    // (Snapshots.changeFeed / readChangeFeed on the stream source):
+    // a table receives two appends, a MERGE upsert (updates + new
+    // keys), and a tombstone DELETE; the feed decomposes every commit
+    // into _change_type-tagged rows — the CDC-consumer read the
+    // reference's funding-upsert → derived-stats loop needs
+    // (scripts/funding_rates_etl.py:100-111). The rollup aggregates
+    // the feed per (commit, change type); the oracle replays each
+    // commit's exact row-level delta from the source predicates.
+    QueryDef("s40_change_feed_rollup",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s40_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        Snapshots.append(base.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+          root) // v1
+        Snapshots.append(base.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+          root) // v2
+        val src = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+          .withColumn("o_totalprice", -col("o_totalprice"))
+          .unionByName(base.filter(pmod(col("o_orderkey"), lit(97)) === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        Snapshots.merge(s, root, src, Seq("o_orderkey")) // v3: upsert
+        val v3state = base.withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(97)) === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+          .unionByName(base.filter(pmod(col("o_orderkey"), lit(97)) === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        Snapshots.deleteMatching(s, root,
+          v3state.filter(pmod(col("o_custkey"), lit(7)) === 3)
+            .select("o_orderkey"), Seq("o_orderkey")) // v4: tombstones
+        Snapshots.changeFeed(s, root, 0)
+          .groupBy(col("_change_type"), col("_commit_version"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+          .orderBy("_commit_version", "_change_type")
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |v3_state AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 1),
+        |feed AS (
+        |  SELECT 'insert' AS _change_type, 1 AS _commit_version,
+        |    o_totalprice FROM base WHERE o_orderkey % 2 = 0
+        |  UNION ALL SELECT 'insert', 2, o_totalprice
+        |    FROM base WHERE o_orderkey % 2 = 1
+        |  UNION ALL SELECT 'insert', 3, -o_totalprice
+        |    FROM base WHERE o_orderkey % 97 = 0
+        |  UNION ALL SELECT 'insert', 3, o_totalprice
+        |    FROM base WHERE o_orderkey % 97 = 1
+        |  UNION ALL SELECT 'delete', 3, o_totalprice
+        |    FROM base WHERE o_orderkey % 97 = 0
+        |  UNION ALL SELECT 'delete', 4, o_totalprice
+        |    FROM v3_state WHERE o_custkey % 7 = 3)
+        |SELECT _change_type, _commit_version, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM feed GROUP BY 1, 2
+        |ORDER BY _commit_version, _change_type""".stripMargin),
+
+    // SQL DML completeness end-to-end: IN-subquery DELETE (the pure
+    // shape routes to the DISTRIBUTED deleteMatching — no driver
+    // materialization), a conditional MIXED MERGE (guarded DELETE +
+    // fallthrough UPDATE over both sides' columns + guarded INSERT),
+    // and an UPDATE with a scalar-subquery predicate — all purely via
+    // spark.sql against the DSv2 catalog. The oracle replays every
+    // step from source predicates with standard SQL.
+    QueryDef("s41_sql_dml_subquery",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s41_wh_" +
+          ProcessHandle.current().pid()
+        s.conf.set("spark.sql.catalog.gsq", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsq.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS gsq.default.s41")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView("s41_base")
+        s.sql("CREATE TABLE gsq.default.s41 AS SELECT * FROM s41_base")
+        s.sql("""DELETE FROM gsq.default.s41 WHERE o_orderkey IN (
+          SELECT o_orderkey FROM s41_base WHERE o_custkey % 9 = 4)""")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+          FROM s41_base WHERE o_orderkey % 53 = 1
+          UNION ALL
+          SELECT o_orderkey + 20000000, o_custkey, o_totalprice
+          FROM s41_base WHERE o_orderkey % 53 = 2""")
+          .createOrReplaceTempView("s41_src")
+        s.sql("""MERGE INTO gsq.default.s41 t USING s41_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.o_totalprice > 300000.0 THEN DELETE
+          WHEN MATCHED THEN
+            UPDATE SET o_totalprice = t.o_totalprice + s.o_totalprice
+          WHEN NOT MATCHED AND s.o_custkey % 2 = 0 THEN INSERT *""")
+        s.sql("""UPDATE gsq.default.s41 SET o_totalprice = o_totalprice * 2
+          WHERE o_custkey > (SELECT max(o_custkey) FROM s41_base) - 500""")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+          FROM gsq.default.s41 ORDER BY o_orderkey""")
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |after_del AS (
+        |  SELECT * FROM base WHERE o_orderkey NOT IN (
+        |    SELECT o_orderkey FROM base WHERE o_custkey % 9 = 4)),
+        |m_src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 53 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 53 = 2),
+        |keep AS (
+        |  SELECT * FROM after_del
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM m_src)),
+        |upd AS (
+        |  SELECT t.o_orderkey, t.o_custkey,
+        |    t.o_totalprice + s.o_totalprice AS o_totalprice
+        |  FROM after_del t JOIN m_src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE NOT (s.o_totalprice > 300000.0)),
+        |ins AS (
+        |  SELECT s.* FROM m_src s
+        |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM after_del)
+        |    AND s.o_custkey % 2 = 0),
+        |merged AS (
+        |  SELECT * FROM keep UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey > (SELECT max(o_custkey) FROM base) - 500
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |FROM merged ORDER BY o_orderkey""".stripMargin)
   )
 }

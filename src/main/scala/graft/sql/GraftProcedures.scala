@@ -193,9 +193,9 @@ private[sql] object GraftProcedures {
           in.getInt(2), in.getInt(3), in.getInt(4) * 3600L * 1000L)
         oneRow(s,
           Seq("compacted_to", "dropped_versions", "deleted_files",
-            "orphans_deleted"),
+            "orphans_deleted", "dv_folded_files"),
           Seq(r.compactedTo.getOrElse(-1), r.versionsDropped,
-            r.filesDeleted, r.orphansDeleted))
+            r.filesDeleted, r.orphansDeleted, r.dvFoldedFiles))
       })
   ).map(pr => pr.procName -> (pr: UnboundProcedure)).toMap
 }

@@ -46,15 +46,17 @@ final case class GraftResolution(session: SparkSession)
     case d: DeleteFromTable => d.table match {
       case GraftRel(_, t) =>
         requireCurrent(t, "DELETE FROM")
-        GraftDeleteCommand(t.dir, t.identName, d.condition)
+        GraftDeleteCommand(t.dir, t.identName,
+          ShieldedExpr(convertExprReads(d.condition)))
       case _ => convertReads(plan)
     }
     case u: UpdateTable => u.table match {
       case GraftRel(_, t) =>
         requireCurrent(t, "UPDATE")
         GraftUpdateCommand(t.dir, t.identName,
-          u.assignments.map(a => topLevelName(a.key, "UPDATE") -> a.value),
-          u.condition)
+          u.assignments.map(a => topLevelName(a.key, "UPDATE") ->
+            ShieldedExpr(convertExprReads(a.value))),
+          u.condition.map(e => ShieldedExpr(convertExprReads(e))))
       case _ => convertReads(plan)
     }
     case m: MergeIntoTable => m.targetTable match {
@@ -134,9 +136,17 @@ final case class GraftResolution(session: SparkSession)
     * an aliasing Project maps the fresh scan's columns (by
     * case-insensitive name) onto the relation's resolved attributes,
     * so every consumer above keeps its references. Filters and column
-    * pruning push through the Project into the parquet scan. */
+    * pruning push through the Project into the parquet scan. The
+    * scan's `LogicalRelation`s carry the table's catalog identity —
+    * `spark.catalog.refreshTable` (which Spark's v1 streaming-write
+    * epilogue calls) walks the resolved plan and dereferences
+    * `catalogTable` on every file relation it finds. */
   private def readPlan(r: DataSourceV2Relation, t: GraftTable): LogicalPlan = {
-    val scan = t.readDF().queryExecution.analyzed
+    val scan = t.readDF().queryExecution.analyzed.transform {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.catalogTable.isEmpty =>
+        lr.copy(catalogTable = Some(t.v1Table))
+    }
     val resolver = session.sessionState.conf.resolver
     Project(r.output.map { a =>
       val src = scan.output.find(o => resolver(o.name, a.name)).getOrElse(
@@ -154,24 +164,39 @@ final case class GraftResolution(session: SparkSession)
     case x => Seq(x)
   }
 
-  /** Translate the canonical upsert MERGE to [[GraftMergeCommand]]:
-    * ON must be a conjunction of target-column = source-column
-    * equalities; WHEN MATCHED must be an unconditional UPDATE SET *
-    * (or assignments mapping every non-key target column to a source
-    * column); WHEN NOT MATCHED an unconditional INSERT * (or a
-    * consistent full-column mapping). Everything else — conditional
-    * actions, WHEN MATCHED DELETE, NOT MATCHED BY SOURCE, schema
-    * evolution — refuses loudly: [[graft.ops.Snapshots.merge]] is an
-    * upsert, and pretending otherwise would silently change row
-    * semantics. */
+  /** Convert graft READ relations inside an expression's subquery
+    * plans — a `DELETE ... WHERE k IN (SELECT ... FROM graft.db.s)`
+    * carries a whole plan inside its predicate. */
+  private def convertExprReads(e: Expression): Expression =
+    e.transform {
+      case se: SubqueryExpression => se.withNewPlan(convertReads(se.plan))
+    }
+
+  /** Translate MERGE. ON must be a conjunction of target-column =
+    * source-column equalities. Three routes, fastest first:
+    *
+    *   - lone unconditional `WHEN MATCHED THEN DELETE` → the
+    *     one-commit CDC tombstone ([[GraftMergeDeleteCommand]]);
+    *   - exactly one unconditional UPDATE + one unconditional INSERT
+    *     with plain source-column values → the one-commit upsert
+    *     ([[GraftMergeCommand]] over [[graft.ops.Snapshots.merge]]);
+    *   - everything else with equi-ON — conditional guards
+    *     (`WHEN MATCHED AND c`), mixed UPDATE+DELETE, partial action
+    *     lists, expression values over both sides — → the classified
+    *     composition ([[GraftMergeActionsCommand]], at most two
+    *     commits, documented there).
+    *
+    * Still refused loudly: WHEN NOT MATCHED BY SOURCE, WITH SCHEMA
+    * EVOLUTION, subqueries anywhere in the statement's conditions. */
   private def translateMerge(m: MergeIntoTable, rel: DataSourceV2Relation,
       t: GraftTable): LogicalPlan = {
     requireCurrent(t, "MERGE INTO")
     def refuse(why: String): Nothing =
       throw new UnsupportedOperationException(
-        s"MERGE INTO '${t.identName}': $why (graft SQL MERGE supports the " +
-          "upsert shape: ON conjunctive column equalities, WHEN MATCHED " +
-          "THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *)")
+        s"MERGE INTO '${t.identName}': $why (graft SQL MERGE supports " +
+          "ON conjunctive column equalities with conditional or " +
+          "unconditional WHEN MATCHED UPDATE/DELETE and WHEN NOT " +
+          "MATCHED INSERT actions)")
     if (m.schemaEvolutionEnabled) refuse("WITH SCHEMA EVOLUTION is not supported")
     if (m.notMatchedBySourceActions.nonEmpty)
       refuse("WHEN NOT MATCHED BY SOURCE is not supported")
@@ -223,44 +248,155 @@ final case class GraftResolution(session: SparkSession)
         }
       }.toMap
 
-    val updMap = m.matchedActions match {
-      case Seq(u: UpdateStarAction) if u.condition.isEmpty =>
-        starMapping("WHEN MATCHED")
-      case Seq(u: UpdateAction) if u.condition.isEmpty =>
-        mapping(u.assignments, "MATCHED UPDATE")
-      case Seq() => refuse("a WHEN MATCHED THEN UPDATE action is required")
-      case _ => refuse("exactly one unconditional WHEN MATCHED THEN UPDATE " +
-        "action is supported")
+    // the ONE-COMMIT fast path: exactly one unconditional UPDATE +
+    // one unconditional INSERT, both with plain source-column values
+    // → Snapshots.merge directly. Everything else (conditional
+    // guards, mixed UPDATE+DELETE, partial action lists, expressions
+    // over both sides) takes the general classified path below.
+    val simple = (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(u: UpdateStarAction), Seq(i: InsertStarAction))
+          if u.condition.isEmpty && i.condition.isEmpty =>
+        Some((starMapping("WHEN MATCHED"), starMapping("WHEN NOT MATCHED")))
+      case (Seq(u: UpdateAction), Seq(i: InsertStarAction))
+          if u.condition.isEmpty && i.condition.isEmpty &&
+            u.assignments.forall(_.value.isInstanceOf[AttributeReference]) =>
+        Some((mapping(u.assignments, "MATCHED UPDATE"),
+          starMapping("WHEN NOT MATCHED")))
+      case (Seq(u: UpdateStarAction), Seq(i: InsertAction))
+          if u.condition.isEmpty && i.condition.isEmpty &&
+            i.assignments.forall(_.value.isInstanceOf[AttributeReference]) =>
+        Some((starMapping("WHEN MATCHED"),
+          mapping(i.assignments, "NOT MATCHED INSERT")))
+      case (Seq(u: UpdateAction), Seq(i: InsertAction))
+          if u.condition.isEmpty && i.condition.isEmpty &&
+            (u.assignments ++ i.assignments)
+              .forall(_.value.isInstanceOf[AttributeReference]) =>
+        Some((mapping(u.assignments, "MATCHED UPDATE"),
+          mapping(i.assignments, "NOT MATCHED INSERT")))
+      case _ => None
     }
-    val insMap = m.notMatchedActions match {
-      case Seq(i: InsertStarAction) if i.condition.isEmpty =>
-        starMapping("WHEN NOT MATCHED")
-      case Seq(i: InsertAction) if i.condition.isEmpty =>
-        mapping(i.assignments, "NOT MATCHED INSERT")
-      case Seq() => refuse("a WHEN NOT MATCHED THEN INSERT action is required")
-      case _ => refuse("exactly one unconditional WHEN NOT MATCHED THEN " +
-        "INSERT action is supported")
+    simple match {
+      case Some((updMap, insMap)) =>
+        // the full target-shape projection: keys come from ON, the
+        // rest from the (agreeing) UPDATE and INSERT mappings
+        val colMap = targetCols.map { c =>
+          val fromKey = keyByTarget.collectFirst {
+            case (tc, sc) if resolver(tc, c) => sc
+          }
+          val fromUpd = updMap.collectFirst {
+            case (tc, sc) if resolver(tc, c) => sc
+          }
+          val fromIns = insMap.collectFirst {
+            case (tc, sc) if resolver(tc, c) => sc
+          }
+          (fromUpd, fromIns) match {
+            case (Some(u), Some(i)) if u != i =>
+              refuse(s"UPDATE and INSERT disagree on '$c' ($u vs $i) — " +
+                "Snapshots.merge writes one row shape")
+            case _ =>
+          }
+          val src = fromKey.orElse(fromUpd).orElse(fromIns).getOrElse(
+            refuse(s"no source mapping for target column '$c'"))
+          c -> src
+        }
+        GraftMergeCommand(t.dir, t.identName, convertReads(m.sourceTable),
+          colMap, keyPairs.map(_._1))
+      case None =>
+        translateMergeActions(m, rel, t, keyPairs, refuse)
+    }
+  }
+
+  /** The general MERGE: conditional / mixed / partial action lists,
+    * expressions over both sides — translated to
+    * [[GraftMergeActionsCommand]]'s classified two-verb composition.
+    * Conditions and assignment values are rerooted by name: target
+    * references become `__t_<name>` (the classification join's
+    * target-side columns), source references stay bare. Subqueries
+    * inside MERGE actions refuse (materialize them into the source). */
+  private def translateMergeActions(m: MergeIntoTable,
+      rel: DataSourceV2Relation, t: GraftTable,
+      keyPairs: Seq[(String, String)], refuse: String => Nothing)
+      : LogicalPlan = {
+    val tAttrs = AttributeSet(rel.output)
+    val sAttrs = AttributeSet(m.sourceTable.output)
+    val resolver = session.sessionState.conf.resolver
+    val targetCols = rel.output.map(_.name)
+    val keyTargets = keyPairs.map(_._1).toSet
+
+    def reroot(e: Expression, ctx: String,
+        allowTarget: Boolean): ShieldedExpr = {
+      if (e.exists(_.isInstanceOf[SubqueryExpression]))
+        refuse(s"$ctx contains a subquery — materialize it into the " +
+          "MERGE source")
+      ShieldedExpr(e.transform {
+        case a: AttributeReference if tAttrs.contains(a) =>
+          if (!allowTarget)
+            refuse(s"$ctx references target column '${a.name}' — a NOT " +
+              "MATCHED clause sees only the source")
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted("__t_" + a.name)
+        case a: AttributeReference if sAttrs.contains(a) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      })
     }
 
-    // the full target-shape projection: keys come from ON, the rest
-    // from the (agreeing) UPDATE and INSERT mappings
-    val colMap = targetCols.map { c =>
-      val fromKey = keyByTarget.collectFirst {
-        case (tc, sc) if resolver(tc, c) => sc
+    def srcOf(c: String, ctx: String): ShieldedExpr =
+      m.sourceTable.output.find(o => resolver(o.name, c))
+        .map(o => ShieldedExpr(org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute.quoted(o.name)))
+        .getOrElse(refuse(s"$ctx SET * needs source column '$c'"))
+
+    def updAssigns(assigns: Seq[Assignment],
+        ctx: String): Seq[(String, ShieldedExpr)] =
+      assigns.map { as =>
+        val tName = topLevelName(as.key, s"MERGE $ctx")
+        if (keyTargets.exists(resolver(_, tName)))
+          refuse(s"$ctx assigns ON key column '$tName' — a merge key " +
+            "identifies the row and cannot be reassigned")
+        tName -> reroot(as.value, ctx, allowTarget = true)
       }
-      val fromUpd = updMap.collectFirst { case (tc, sc) if resolver(tc, c) => sc }
-      val fromIns = insMap.collectFirst { case (tc, sc) if resolver(tc, c) => sc }
-      (fromUpd, fromIns) match {
-        case (Some(u), Some(i)) if u != i =>
-          refuse(s"UPDATE and INSERT disagree on '$c' ($u vs $i) — " +
-            "Snapshots.merge writes one row shape")
-        case _ =>
-      }
-      val src = fromKey.orElse(fromUpd).orElse(fromIns).getOrElse(
-        refuse(s"no source mapping for target column '$c'"))
-      c -> src
+
+    val matched = m.matchedActions.map {
+      case u: UpdateStarAction =>
+        (u.condition.map(reroot(_, "WHEN MATCHED AND", allowTarget = true)),
+          GraftMergeUpd(targetCols.filterNot(keyTargets.contains)
+            .map(c => c -> srcOf(c, "WHEN MATCHED UPDATE"))))
+      case u: UpdateAction =>
+        (u.condition.map(reroot(_, "WHEN MATCHED AND", allowTarget = true)),
+          GraftMergeUpd(updAssigns(u.assignments, "MATCHED UPDATE")))
+      case d: DeleteAction =>
+        (d.condition.map(reroot(_, "WHEN MATCHED AND", allowTarget = true)),
+          GraftMergeDel)
+      case other: MergeAction =>
+        refuse(s"unsupported WHEN MATCHED action ${other.getClass.getSimpleName}")
     }
-    GraftMergeCommand(t.dir, t.identName, convertReads(m.sourceTable),
-      colMap, keyPairs.map(_._1))
+    val notMatched = m.notMatchedActions.map {
+      case i: InsertStarAction =>
+        (i.condition.map(reroot(_, "WHEN NOT MATCHED AND",
+          allowTarget = false)),
+          GraftMergeIns(targetCols.map(c =>
+            c -> srcOf(c, "WHEN NOT MATCHED INSERT"))))
+      case i: InsertAction =>
+        (i.condition.map(reroot(_, "WHEN NOT MATCHED AND",
+          allowTarget = false)),
+          GraftMergeIns(i.assignments.map { as =>
+            topLevelName(as.key, "MERGE INSERT") ->
+              reroot(as.value, "NOT MATCHED INSERT", allowTarget = false)
+          }))
+      case other: MergeAction =>
+        refuse(s"unsupported WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
+    }
+    // every NOT MATCHED INSERT must set all ON keys — a NULL-keyed
+    // insert can never be matched by a later merge and is almost
+    // always a mistranslated statement
+    notMatched.foreach { case (_, ins) =>
+      keyPairs.foreach { case (tc, _) =>
+        if (!ins.assigns.exists { case (n, _) => resolver(n, tc) })
+          refuse(s"WHEN NOT MATCHED INSERT must set ON key column '$tc'")
+      }
+    }
+    GraftMergeActionsCommand(t.dir, t.identName,
+      convertReads(m.sourceTable), keyPairs, matched, notMatched)
   }
 }

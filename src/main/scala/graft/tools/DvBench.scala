@@ -114,6 +114,36 @@ object DvBench {
       f"update_dv_ms=$tUDv%.0f update_dv_bytes=$uWroteDv " +
       f"bytes_ratio=${uWroteCow.toDouble / math.max(1, uWroteDv)}%.0fx " +
       s"reads_agree=$uSame")
+
+    // DV-debt FOLD cost: after trickle deletes leave one file heavily
+    // vectored (40%) and the rest lightly (scattered few rows), a
+    // maintain-style fold rewrites ONLY the over-threshold file —
+    // compare its cost/bytes against the full compact alternative.
+    val fold = build(); val full = build()
+    Seq(fold, full).foreach { r =>
+      // heavy debt on the l_orderkey%8==0 file, light debt everywhere
+      Snapshots.deleteWhereLight(spark, r,
+        pmod(col("l_orderkey"), lit(8)) === 0 &&
+          pmod(col("l_orderkey"), lit(5)) < 2, maxPositions = 10000000)
+      Snapshots.deleteWhereLight(spark, r,
+        pmod(col("l_orderkey"), lit(37501)) === 9L)
+    }
+    val fBytesBefore = bytesUnder(spark, fold)
+    val cBytesBefore = bytesUnder(spark, full)
+    val (fr, tFold) = ms(Snapshots.foldDeletionVectors(spark, fold, 0.1))
+    val (_, tFull) = ms(Snapshots.compact(spark, full, numFiles = 8))
+    val fWrote = bytesUnder(spark, fold) - fBytesBefore
+    val cWrote = bytesUnder(spark, full) - cBytesBefore
+    val fSame = Snapshots.read(spark, fold).collect().map(_.toString).sorted
+      .sameElements(
+        Snapshots.read(spark, full).collect().map(_.toString).sorted)
+    println(s"fold_files=${fr.foldedFiles} " +
+      s"fold_positions_retired=${fr.positionsRetired} " +
+      s"fold_untouched=${fr.untouchedFiles}")
+    println(f"fold_ms=$tFold%.0f fold_bytes=$fWrote " +
+      f"compact_ms=$tFull%.0f compact_bytes=$cWrote " +
+      f"bytes_ratio=${cWrote.toDouble / math.max(1, fWrote)}%.1fx " +
+      s"reads_agree=$fSame")
     spark.stop()
   }
 }

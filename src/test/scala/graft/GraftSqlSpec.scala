@@ -167,10 +167,101 @@ class GraftSqlSpec extends SparkSpec {
     Seq((1L, 9.0)).toDF("id", "v").createOrReplaceTempView("mrg3_src")
     val e = intercept[Exception] {
       spark.sql("""MERGE INTO gs.default.mrg3 t USING mrg3_src s ON t.id = s.id
-        WHEN MATCHED AND s.v > 5.0 THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT *""")
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
     }
-    assert(e.getMessage.contains("MERGE") || e.getMessage.contains("upsert"))
+    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+  }
+
+  test("conditional and mixed MERGE actions classify and compose") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.mrgc (id BIGINT, v DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO gs.default.mrgc " +
+      "SELECT id, id * 1.0, 'old' FROM range(10)")
+    // source overlaps ids 3..9 (matched) and brings 10..12 (not matched)
+    spark.sql("SELECT id, id * 100.0 AS nv FROM range(3, 13)")
+      .createOrReplaceTempView("mrgc_src")
+    spark.sql("""MERGE INTO gs.default.mrgc t USING mrgc_src s
+      ON t.id = s.id
+      WHEN MATCHED AND s.nv >= 800.0 THEN DELETE
+      WHEN MATCHED AND t.v < 4.0 THEN UPDATE SET v = t.v + s.nv, tag = 'upd'
+      WHEN NOT MATCHED AND s.nv < 1200.0 THEN
+        INSERT (id, v, tag) VALUES (s.id, s.nv, 'new')""")
+    val got = spark.sql("SELECT id, v, tag FROM gs.default.mrgc ORDER BY id")
+      .as[(Long, Double, String)].collect().toSeq
+    // ids 8,9 deleted (nv 800,900); id 3 updated (t.v=3.0 < 4.0, first
+    // matching clause after the DELETE guard fails); ids 4..7 matched
+    // but fail every guard → untouched; ids 10,11 inserted (nv < 1200);
+    // id 12 fails the insert guard → not inserted
+    val want = Seq(
+      (0L, 0.0, "old"), (1L, 1.0, "old"), (2L, 2.0, "old"),
+      (3L, 303.0, "upd"),
+      (4L, 4.0, "old"), (5L, 5.0, "old"), (6L, 6.0, "old"),
+      (7L, 7.0, "old"),
+      (10L, 1000.0, "new"), (11L, 1100.0, "new"))
+    assert(got == want)
+    // UPDATE-only conditional merge (no INSERT action at all)
+    spark.sql("""MERGE INTO gs.default.mrgc t USING mrgc_src s
+      ON t.id = s.id
+      WHEN MATCHED AND t.tag = 'upd' THEN UPDATE SET tag = 'upd2'""")
+    assert(spark.sql(
+      "SELECT count(*) FROM gs.default.mrgc WHERE tag = 'upd2'")
+      .head().getLong(0) == 1)
+  }
+
+  test("DELETE WHERE k IN (subquery) is a distributed tombstone delete") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.dsub (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.dsub SELECT id, id*1.0 FROM range(100)")
+    spark.sql("CREATE TABLE gs.default.dsub_keys AS " +
+      "SELECT id * 3 AS kid FROM range(34)")
+    spark.sql("""DELETE FROM gs.default.dsub
+      WHERE id IN (SELECT kid FROM gs.default.dsub_keys)""")
+    // the pure IN-subquery shape routes to deleteMatching — visible in
+    // history as the tombstone op, not a predicate delete
+    assert(Snapshots.history(spark, dirOf("default", "dsub"))
+      .head().getString(2) == "merge-delete")
+    assert(spark.sql("SELECT id FROM gs.default.dsub ORDER BY id")
+      .as[Long].collect().toSeq == (0L until 100L).filterNot(_ % 3 == 0))
+  }
+
+  test("NOT IN, EXISTS, and scalar subqueries evaluate with SQL " +
+      "three-valued logic") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.dsub2 (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.dsub2 SELECT id, id*1.0 FROM range(10)")
+    // NOT IN over a null-bearing subquery deletes NOTHING (3VL)
+    Seq(Some(1L), None).toDF("kid").createOrReplaceTempView("dsub2_null")
+    spark.sql("""DELETE FROM gs.default.dsub2
+      WHERE id NOT IN (SELECT kid FROM dsub2_null)""")
+    assert(spark.sql("SELECT count(*) FROM gs.default.dsub2")
+      .head().getLong(0) == 10)
+    // NOT IN over a clean subquery deletes the complement
+    Seq(1L, 3L, 5L, 7L, 9L).toDF("kid").createOrReplaceTempView("dsub2_odd")
+    spark.sql("""DELETE FROM gs.default.dsub2
+      WHERE id NOT IN (SELECT kid FROM dsub2_odd)""")
+    assert(spark.sql("SELECT id FROM gs.default.dsub2 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L, 5L, 7L, 9L))
+    // scalar subquery in UPDATE predicate and assignment
+    spark.sql("""UPDATE gs.default.dsub2
+      SET v = v + (SELECT max(kid) * 1.0 FROM dsub2_odd)
+      WHERE id > (SELECT min(kid) FROM dsub2_odd)""")
+    assert(spark.sql("SELECT v FROM gs.default.dsub2 WHERE id = 3")
+      .head().getDouble(0) == 12.0)
+    assert(spark.sql("SELECT v FROM gs.default.dsub2 WHERE id = 1")
+      .head().getDouble(0) == 1.0)
+    // IN-subquery among conjuncts (not the pure shape) also works
+    spark.sql("""DELETE FROM gs.default.dsub2
+      WHERE id IN (SELECT kid FROM dsub2_odd) AND v > 15.0""")
+    assert(spark.sql("SELECT id FROM gs.default.dsub2 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L, 5L))
+    // correlated subqueries still refuse loudly
+    val e = intercept[Exception] {
+      spark.sql("""DELETE FROM gs.default.dsub2 t WHERE EXISTS (
+        SELECT 1 FROM dsub2_odd o WHERE o.kid = t.id AND o.kid > 3)""")
+    }
+    assert(e.getMessage.toUpperCase.contains("CORRELATED"))
   }
 
   test("deletion-vector mode: DELETE commits a vector, no rewrite") {
@@ -301,7 +392,7 @@ class GraftSqlSpec extends SparkSpec {
     // maintain: one-call policy runs end-to-end
     val m = spark.sql("CALL gs.system.maintain(table => 'default.proc_t')")
     assert(m.columns.toSeq == Seq("compacted_to", "dropped_versions",
-      "deleted_files", "orphans_deleted"))
+      "deleted_files", "orphans_deleted", "dv_folded_files"))
     // detail: the one-row operator summary
     val det = spark.sql("CALL gs.system.detail(table => 'default.proc_t')")
       .head()
@@ -448,6 +539,37 @@ class GraftSqlSpec extends SparkSpec {
     spark.sql("INSERT INTO gs.default.st SELECT id FROM range(10, 15)")
     q.processAllAvailable(); q.stop()
     assert(got.synchronized(got.sorted.toSeq) == (0L until 15L))
+  }
+
+  test("writeStream.toTable routes through the exactly-once snapshot sink") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.wst (id BIGINT)")
+    val src = Files.createTempDirectory("wst_src").toFile.toString + "/t"
+    Snapshots.append(spark.range(5).toDF("id"), src)
+    val ckpt = Files.createTempDirectory("wst_ck").toFile.toString
+    def run() = spark.readStream.format("graft-snapshots")
+      .option("path", src).load()
+      .writeStream.format("graft-snapshots")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .toTable("gs.default.wst")
+    val q1 = run(); q1.processAllAvailable(); q1.stop()
+    assert(spark.sql("SELECT count(*) FROM gs.default.wst")
+      .head().getLong(0) == 5)
+    // a restart replays nothing: the (writerId, batchId) manifest tag
+    // makes the epoch a no-op — content stays exactly-once
+    val q2 = run(); q2.processAllAvailable()
+    assert(spark.sql("SELECT count(*) FROM gs.default.wst")
+      .head().getLong(0) == 5)
+    // new source commits flow through to the catalog table
+    Snapshots.append(spark.range(5, 8).toDF("id"), src)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.sql("SELECT id FROM gs.default.wst ORDER BY id")
+      .as[Long].collect().toSeq == (0L until 8L))
+    // the streaming write went through the snapshot commit protocol:
+    // every version is an append with a writer tag, readable by version
+    assert(graft.ops.Snapshots.history(spark, dirOf("default", "wst"))
+      .filter(col("operation") === "append").count() >= 2)
   }
 
   test("joins between catalog tables broadcast and stay columnar") {

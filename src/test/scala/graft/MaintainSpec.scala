@@ -15,6 +15,37 @@ class MaintainSpec extends SparkSpec {
   private def freshRoot(): String =
     Files.createTempDirectory("graft_maint").toFile.toString + "/t"
 
+  test("folds high-debt deletion vectors without touching healthy files") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    // two files: ids 0..49 and 50..99
+    Snapshots.append(spark.range(50).toDF("id").coalesce(1), root)
+    Snapshots.append(spark.range(50, 100).toDF("id").coalesce(1), root)
+    // trickle deletes: heavy debt on file 1 (20/50 = 40%), light debt
+    // on file 2 (1/50 = 2%)
+    Snapshots.deleteWhereLight(spark, root, col("id") < 20)
+    Snapshots.deleteWhereLight(spark, root, col("id") === 99L)
+    val before = Snapshots.read(spark, root)
+      .as[Long].collect().sorted.toSeq
+    val filesBefore = Snapshots.read(spark, root).inputFiles.toSet
+    val r = Snapshots.maintain(spark, root, maxFiles = 64,
+      keepVersions = 100, dvFoldFraction = 0.1)
+    assert(r.compactedTo.isEmpty) // under the file threshold: no compact
+    assert(r.dvFoldedFiles == 1) // only the 40% file folded
+    // content identical; the light-debt file untouched by name
+    assert(Snapshots.read(spark, root).as[Long].collect().sorted.toSeq ==
+      before)
+    val filesAfter = Snapshots.read(spark, root).inputFiles.toSet
+    assert(filesAfter.intersect(filesBefore).size == 1)
+    // the folded file's vector is retired; the light one's remains
+    val hist = Snapshots.history(spark, root)
+    assert(hist.head().getString(2) == "dv-fold")
+    // a second pass is a no-op (debt below threshold everywhere)
+    val r2 = Snapshots.maintain(spark, root, maxFiles = 64,
+      keepVersions = 100, dvFoldFraction = 0.1)
+    assert(r2.dvFoldedFiles == 0)
+  }
+
   test("compacts past maxFiles, vacuums history, reaps aged orphans") {
     val root = freshRoot()
     (0 until 12).foreach(i =>

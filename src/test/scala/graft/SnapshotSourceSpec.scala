@@ -192,6 +192,98 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(all.flatten.sorted == (0L until 40L))
   }
 
+  test("readChangeFeed streams THROUGH merge/delete/update/DV commits " +
+      "exactly-once") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("snap-cdc")
+    val table = s"$base/t"; val ckpt = s"$base/ckpt"
+    Snapshots.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), table)
+    val events = mutable.ArrayBuffer[(String, Long, Double)]()
+    def start() = spark.readStream.format("graft-snapshots")
+      .option("path", table).option("readChangeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        events.synchronized {
+          events ++= df.select("_change_type", "k", "v")
+            .as[(String, Long, Double)].collect()
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(events.synchronized(events.toSet) ==
+      Set(("insert", 1L, 10.0), ("insert", 2L, 20.0)))
+    // an upsert: the feed must emit k=2's delete+insert pair, where the
+    // plain source would have killed the query
+    Snapshots.merge(spark, table,
+      Seq((2L, 22.0), (3L, 30.0)).toDF("k", "v"), Seq("k"))
+    q1.processAllAvailable()
+    assert(events.synchronized(events.toSet).contains(("delete", 2L, 20.0)))
+    assert(events.synchronized(events.toSet).contains(("insert", 2L, 22.0)))
+    Snapshots.deleteWhere(spark, table, col("k") === 1L)
+    Snapshots.append(Seq((4L, 40.0)).toDF("k", "v"), table)
+    q1.processAllAvailable(); q1.stop()
+    // commits while the consumer is DOWN — including deletion-vector
+    // drift — arrive exactly once on restart
+    Snapshots.updateWhereLight(spark, table, col("k") === 3L,
+      Seq("v" -> (col("v") + 1)))
+    val q2 = start()
+    q2.processAllAvailable()
+    // a compaction decomposes to ZERO change rows (content identical)
+    val before = events.synchronized(events.size)
+    Snapshots.compact(spark, table, numFiles = 1)
+    q2.processAllAvailable(); q2.stop()
+    assert(events.synchronized(events.size) == before)
+    // the materialized feed equals the table: multiset inserts − deletes
+    val net = mutable.Map[(Long, Double), Int]().withDefaultValue(0)
+    events.synchronized(events.toList).foreach {
+      case ("insert", k, v) => net((k, v)) += 1
+      case ("delete", k, v) => net((k, v)) -= 1
+      case other => fail(s"unexpected change type $other")
+    }
+    assert(net.values.forall(n => n == 0 || n == 1), net.toString)
+    val materialized = net.collect { case (kv, 1) => kv }.toSet
+    assert(materialized ==
+      Snapshots.read(spark, table).as[(Long, Double)].collect().toSet)
+  }
+
+  test("a partial file-slice offset detects a vacuum-shifted attribution") {
+    val base = Files.createTempDirectory("snap-attrib")
+    val table = s"$base/t"
+    // v1..v9: one file each; v10: three files AND a checkpoint (full
+    // manifest — the delta chain's depth bound), so a vacuum can drop
+    // every earlier version while keeping v10 readable
+    (1 to 9).foreach(i => Snapshots.append(Seq(i.toLong).toDF("id"), table))
+    Snapshots.append(
+      spark.range(100, 130).toDF("id").repartition(3), table)
+    val provider = new graft.streaming.SnapshotSourceProvider()
+    val meta = Files.createTempDirectory("snap-attrib-meta").toString
+    val src = provider.createSource(spark.sqlContext, meta, None,
+      "graft-snapshots", Map("path" -> table, "maxFilesPerTrigger" -> "2"))
+    // drive admission until the offered offset slices INTO v10
+    var cur = src.getOffset
+    var guard = 0
+    while (cur.exists(o => !o.json.contains("#")) && guard < 20) {
+      cur = src.getOffset; guard += 1
+    }
+    assert(cur.exists(_.json.startsWith("10#1#")), cur.map(_.json).toString)
+    // pre-vacuum: the slice replays fine (attribution reproduces; the
+    // guard runs at getBatch plan time, driver-side)
+    assert(src.getBatch(None, cur.get).schema.fieldNames.contains("id"))
+    // vacuum drops v1..v9: the retained-version walk now attributes
+    // ALL files to v10 — the net file set is unchanged, so only the
+    // pinned hash can catch the shifted slice indices
+    val (dropped, _) = Snapshots.vacuum(spark, table, keepVersions = 1)
+    assert(dropped == 9)
+    val e = intercept[IllegalStateException] {
+      src.getBatch(None, cur.get)
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+  }
+
   test("a mid-stream RENAME fails the query rather than misbinding") {
     val base = Files.createTempDirectory("snap-src-ren")
     val table = s"$base/t"
