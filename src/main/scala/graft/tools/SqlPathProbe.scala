@@ -70,8 +70,15 @@ object SqlPathProbe {
     planOnly(q.format("small")) // warm classloading
     val pSmall = minOf(5)(planOnly(q.format("small")))
     val pBig = if (haveBig) minOf(5)(planOnly(q.format("big"))) else -1.0
-    println(f"plan_ms_1x=$pSmall%.1f plan_ms_10x=$pBig%.1f " +
-      f"ratio=${pBig / pSmall}%.2f (manifest-bounded => ~1)")
+    val fSmall = Snapshots.read(spark, s"$wh/default/small").inputFiles.length
+    val fBig = if (haveBig)
+      Snapshots.read(spark, s"$wh/default/big").inputFiles.length else -1
+    // planning is MANIFEST-bounded: O(listed files), never O(rows) —
+    // the honest check is ms-per-file staying flat across the decade
+    println(f"plan_ms_1x=$pSmall%.1f (files=$fSmall) " +
+      f"plan_ms_10x=$pBig%.1f (files=$fBig) " +
+      f"ms_per_file_1x=${pSmall / fSmall}%.2f " +
+      f"ms_per_file_10x=${pBig / math.max(1, fBig)}%.2f")
 
     // 2. end-to-end SQL vs Scala, same point query
     val eSql = minOf(3)(spark.sql(q.format("small")).collect())

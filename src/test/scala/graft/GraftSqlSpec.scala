@@ -541,6 +541,37 @@ class GraftSqlSpec extends SparkSpec {
     assert(got.synchronized(got.sorted.toSeq) == (0L until 15L))
   }
 
+  test("readStream.table with readChangeFeed follows catalog DML") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.cdc (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.cdc VALUES (1, 1.0), (2, 2.0)")
+    val events = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val ckpt = Files.createTempDirectory("graft_sql_cdc").toFile.toString
+    val q = spark.readStream.option("readChangeFeed", "true")
+      .table("gs.default.cdc")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        events.synchronized {
+          events ++= df.select("_change_type", "id")
+            .as[(String, Long)].collect()
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    // SQL DML lands in the running feed as row-level changes — where
+    // the plain source would kill the query
+    spark.sql("UPDATE gs.default.cdc SET v = 9.0 WHERE id = 2")
+    spark.sql("DELETE FROM gs.default.cdc WHERE id = 1")
+    q.processAllAvailable(); q.stop()
+    val got = events.synchronized(events.toList)
+    assert(got.count(_ == ("insert", 2L)) == 2) // original + updated image
+    assert(got.count(_ == ("delete", 2L)) == 1) // pre-update image
+    assert(got.count(_ == ("delete", 1L)) == 1)
+  }
+
   test("writeStream.toTable routes through the exactly-once snapshot sink") {
     warehouse
     spark.sql("CREATE TABLE gs.default.wst (id BIGINT)")
