@@ -2735,6 +2735,26 @@ object Snapshots {
     else retryOnRace("merge into " + dir)(
       mergeInternal(spark, dir, source, keys, -1, Nil))
 
+  /** [[merge]] + [[deleteMatching]] as ONE atomic commit — the general
+    * SQL MERGE's executor: table rows whose `keys` tuple appears in
+    * `tombstones` are deleted, rows matching a `source` row are
+    * replaced by it, unmatched source rows insert, everything else
+    * carries untouched. The file-level footprint covers BOTH key sets
+    * (a narrow mixed merge still touches only its keys' files), and
+    * the whole mutation is a single CAS — no crash window between a
+    * delete half and an upsert half. A key in both frames resolves as
+    * the upsert (the anti-join removes it once; the source re-adds
+    * it) — the SQL translation never produces that overlap
+    * (first-match-wins classification). */
+  def mergeMixed(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String], tombstones: DataFrame,
+      expectedVersion: Int = -1): MergeResult =
+    if (expectedVersion >= 0)
+      mergeInternal(spark, dir, source, keys, expectedVersion, Nil,
+        Some(tombstones))
+    else retryOnRace("mergeMixed into " + dir)(
+      mergeInternal(spark, dir, source, keys, -1, Nil, Some(tombstones)))
+
   /** Re-run `body` (which re-resolves the current version itself) on a
     * lost CAS race — the unpinned-DML serialization loop. */
   private def retryOnRace[A](what: String)(body: => A): A = {
@@ -2752,12 +2772,15 @@ object Snapshots {
 
   private def mergeInternal(spark: SparkSession, dir: String,
       source: DataFrame, keys: Seq[String], expectedVersion: Int,
-      header: Seq[String]): MergeResult = {
+      header: Seq[String],
+      tombstones: Option[DataFrame] = None): MergeResult = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val base = if (expectedVersion >= 0) Some(expectedVersion)
     else currentVersion(spark, dir)
     base match {
       case None =>
+        // empty table: tombstones have nothing to delete, the merge
+        // is the first append
         val (fs, root) = fsFor(spark, dir)
         MergeResult(
           commitLoop(fs, root, spark, dir, stage(source, fs, root),
@@ -2772,6 +2795,9 @@ object Snapshots {
         val src = source.select(table.columns.map(source.col).toSeq: _*)
         keys.foreach(k => require(src.columns.contains(k),
           s"merge key '$k' is not a column: ${src.columns.toSeq}"))
+        tombstones.foreach(t => keys.foreach(k =>
+          require(t.columns.contains(k),
+            s"tombstone key '$k' is not a column: ${t.columns.toSeq}")))
         val dup = src.na.drop(keys).groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
           .limit(1).count()
@@ -2781,25 +2807,34 @@ object Snapshots {
         // CHECK constraints: the rewrite keeps table rows (already
         // valid) and adds source rows — only the source needs proof
         val csPinned = enforceConstraintsAt(spark, dir, fs, root, v, src)
-        // the source's key footprint as a prune predicate: table rows
-        // that can match some source key all satisfy it (sound
+        // ALL keys the mutation names — upsert keys plus tombstones:
+        // both retire their matching table rows from the rewrite
+        val mutKeys = tombstones match {
+          case None => src.select(keys.map(col): _*)
+          case Some(t) => src.select(keys.map(col): _*)
+            .unionByName(t.select(keys.map(col): _*))
+            .na.drop(keys).distinct()
+        }
+        // the mutation's key footprint as a prune predicate: table
+        // rows that can match some named key all satisfy it (sound
         // superset; see scaladoc)
         val footprint: Option[Column] =
           if (keys.lengthCompare(1) == 0) {
-            val vals = src.select(keys.head).na.drop()
+            val vals = mutKeys.select(keys.head).na.drop()
               .distinct().limit(MergeInSetLimit + 1).collect().map(_.get(0))
             if (vals.isEmpty) None
             else if (vals.length <= MergeInSetLimit)
               Some(col(keys.head).isin(vals.toIndexedSeq: _*))
             else {
-              val r = src.agg(min(col(keys.head)), max(col(keys.head)))
+              val r = mutKeys.agg(min(col(keys.head)), max(col(keys.head)))
                 .head()
               Some(col(keys.head).between(lit(r.get(0)), lit(r.get(1))))
             }
           } else {
             val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
-            val r = src.na.drop(keys).agg(aggs.head, aggs.tail: _*).head()
-            if (r.isNullAt(0)) None // source has no fully-non-null key
+            val r = mutKeys.na.drop(keys).agg(aggs.head, aggs.tail: _*)
+              .head()
+            if (r.isNullAt(0)) None // no fully-non-null key named
             else Some(keys.zipWithIndex.map { case (k, i) =>
               col(k).between(lit(r.get(2 * i)), lit(r.get(2 * i + 1)))
             }.reduce(_ && _))
@@ -2812,7 +2847,7 @@ object Snapshots {
           if (touched.isEmpty) table.limit(0)
           else readFilesAs(spark, fs, root, v, touched)
         val rewritten = touchedRows
-          .join(src.select(keys.map(col): _*), keys, "left_anti")
+          .join(mutKeys, keys, "left_anti")
           .unionByName(src)
         val basePinned = schemaOf(fs, root, v)
         val bloomCfg = bloomConfigOf(fs, root, v)
@@ -2821,6 +2856,7 @@ object Snapshots {
             .getOrElse(Map.empty), bloomCfg)
         val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
         val droppedSet = droppedOf(fs, root, v)
+        val opName = if (tombstones.isDefined) "merge-mixed" else "merge"
         val next = v + 1
         // delta commit when the chain allows: the touched files become
         // #remove lines and the untouched carry IMPLICITLY through the
@@ -2833,7 +2869,7 @@ object Snapshots {
                 schemaHeader(pinnedSchema) +:
                 (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
                   constraintHeader(csPinned) ++
-                  propsHeader(propsOf(fs, root, v)) ++ opHeader("merge") ++
+                  propsHeader(propsOf(fs, root, v)) ++ opHeader(opName) ++
                   header ++
                   touched.map(f => s"#remove\t$f") ++ staged.stats))
           else
@@ -2841,7 +2877,7 @@ object Snapshots {
               schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
                 bloomHeader(bloomCfg) ++ constraintHeader(csPinned) ++
                 propsHeader(propsOf(fs, root, v)) ++
-                opHeader("merge") ++ header ++
+                opHeader(opName) ++ header ++
                 dvLines(dvFor(fs, root, v), untouched.toSet) ++
                 statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
         if (!won)

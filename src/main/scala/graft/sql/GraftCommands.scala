@@ -217,20 +217,19 @@ private[sql] final case class GraftMergeIns(
   *      order), building one target-shaped upsert frame (UPDATE rows
   *      keep unassigned columns at their target values; INSERT rows
   *      NULL-fill unassigned columns) and one tombstone key frame;
-  *   3. [[Snapshots.deleteMatching]] for the tombstones, then
-  *      [[Snapshots.merge]] for the upsert frame — each skipped when
-  *      empty.
+  *   3. ONE atomic commit: [[Snapshots.mergeMixed]] applies the
+  *      upsert frame AND the tombstone keys together (footprint over
+  *      both key sets; `merge-mixed` in history); a merge with only
+  *      one half takes the matching single verb.
   *
-  * HONESTY NOTE, stated loudly rather than hidden: a mixed MERGE is
-  * ONE statement but (at most) TWO commits here — a crash between
-  * them leaves the deletes applied and the upserts not (each half is
-  * itself atomic, exactly like running the two verbs by hand; the
-  * history tags `merge-delete` + `merge` make the partial state
-  * visible). The single-commit shapes — pure upsert, pure tombstone —
-  * keep their dedicated one-commit paths in [[GraftResolution]].
   * Source rows matching NO clause (and matched rows failing every
   * guard) are untouched, per SQL MERGE. Duplicate source keys fail
-  * [[Snapshots.merge]]'s uniqueness check, as in every merge path. */
+  * [[Snapshots.merge]]'s uniqueness check, as in every merge path.
+  * `spark.graft.sql.deletionVectors` does not change this path: a
+  * mixed merge always commits copy-on-write (the DV variants cover
+  * the pure-upsert and pure-delete shapes; a mixed mutation's
+  * rewrite-vs-vector split would be per-file anyway, and atomicity
+  * comes first). */
 final case class GraftMergeActionsCommand(dir: String, tableName: String,
     source: LogicalPlan, keys: Seq[(String, String)],
     matched: Seq[(Option[ShieldedExpr], GraftMergeAct)],
@@ -313,9 +312,16 @@ final case class GraftMergeActionsCommand(dir: String, tableName: String,
         .filter(_.take(1).nonEmpty)
       val ups = upserts.reduceOption(_.unionByName(_))
         .filter(_.take(1).nonEmpty)
-      del.foreach(d =>
-        Snapshots.deleteMatching(spark, dir, d, keys.map(_._1)))
-      ups.foreach(u => Snapshots.merge(spark, dir, u, keys.map(_._1)))
+      (ups, del) match {
+        case (Some(u), Some(d)) =>
+          // both halves → ONE atomic commit (merge-mixed)
+          Snapshots.mergeMixed(spark, dir, u, keys.map(_._1), d)
+        case (Some(u), None) =>
+          Snapshots.merge(spark, dir, u, keys.map(_._1))
+        case (None, Some(d)) =>
+          Snapshots.deleteMatching(spark, dir, d, keys.map(_._1))
+        case (None, None) => // nothing matched any clause: no-op
+      }
     } finally joined.unpersist()
     Seq.empty
   }

@@ -183,8 +183,9 @@ final case class GraftResolution(session: SparkSession)
     *   - everything else with equi-ON — conditional guards
     *     (`WHEN MATCHED AND c`), mixed UPDATE+DELETE, partial action
     *     lists, expression values over both sides — → the classified
-    *     composition ([[GraftMergeActionsCommand]], at most two
-    *     commits, documented there).
+    *     path ([[GraftMergeActionsCommand]]): one classification
+    *     join, then ONE atomic commit via
+    *     [[graft.ops.Snapshots.mergeMixed]].
     *
     * Still refused loudly: WHEN NOT MATCHED BY SOURCE, WITH SCHEMA
     * EVOLUTION, subqueries anywhere in the statement's conditions. */

@@ -201,6 +201,13 @@ class GraftSqlSpec extends SparkSpec {
       (7L, 7.0, "old"),
       (10L, 1000.0, "new"), (11L, 1100.0, "new"))
     assert(got == want)
+    // deletes + upserts landed as ONE atomic commit, not a
+    // delete-then-merge pair with a crash window between them
+    val hist = Snapshots.history(spark, dirOf("default", "mrgc"))
+      .select("version", "operation")
+      .as[(Int, String)].collect().toMap
+    assert(hist(3) == "merge-mixed") // create=1, insert=2, merge=3
+    assert(hist.size == 3)
     // UPDATE-only conditional merge (no INSERT action at all)
     spark.sql("""MERGE INTO gs.default.mrgc t USING mrgc_src s
       ON t.id = s.id

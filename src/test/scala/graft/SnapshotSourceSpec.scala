@@ -250,6 +250,55 @@ class SnapshotSourceSpec extends SparkSpec {
       Snapshots.read(spark, table).as[(Long, Double)].collect().toSet)
   }
 
+  test("readChangeFeed composes with maxVersionsPerTrigger and " +
+      "startingVersion; refuses the file cap") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("snap-cdc-cap")
+    val table = s"$base/t"
+    // v1..v6 appends, v7 a merge — a capped CDC consumer drains the
+    // backlog in bounded windows and still crosses the DML commit
+    (1 to 6).foreach(i => Snapshots.append(Seq(i.toLong, i + 100L)
+      .toDF("k").coalesce(1), table))
+    Snapshots.merge(spark, table, Seq(3L, 999L).toDF("k"), Seq("k"))
+    val batches = mutable.ArrayBuffer[Seq[(String, Long)]]()
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", table)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2) // history before v3 handled elsewhere
+      .option("maxVersionsPerTrigger", 2)
+      .load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += df.select("_change_type", "k")
+            .as[(String, Long)].collect().toSeq
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable(); q.stop()
+    val all = batches.synchronized(batches.filter(_.nonEmpty).toList)
+    // 5 versions (3..7) at 2/trigger: 3 bounded batches, exactly once
+    assert(all.size == 3, all.map(_.size).toString)
+    val events = all.flatten
+    // v3..v6 inserts + the merge's insert of 999 (3 matched: same
+    // content replaces itself — diff cancels it row-level)
+    assert(events.count(_._1 == "insert") >= 9)
+    assert(events.contains(("insert", 999L)))
+    assert(events.map(_._2).count(_ == 999L) == 1)
+    // the file cap is refused in change-feed mode (file slices cannot
+    // cut a row-level decomposition)
+    val e = intercept[IllegalArgumentException] {
+      new graft.streaming.SnapshotSourceProvider().createSource(
+        spark.sqlContext, s"$base/meta2", None, "graft-snapshots",
+        Map("path" -> table, "readChangeFeed" -> "true",
+          "maxFilesPerTrigger" -> "2"))
+    }
+    assert(e.getMessage.contains("maxVersionsPerTrigger"))
+  }
+
   test("a partial file-slice offset detects a vacuum-shifted attribution") {
     val base = Files.createTempDirectory("snap-attrib")
     val table = s"$base/t"

@@ -818,6 +818,36 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readWhere(spark, root, !($"k" < 100L)).count() == 10)
   }
 
+  test("mergeMixed: upserts + tombstones in ONE commit, file-pruned " +
+      "over both key sets") {
+    val root = freshRoot()
+    // three one-file appends clustered by key range: 0-9, 10-19, 20-29
+    Snapshots.append((0L until 10L).map(i => (i, i * 1.0))
+      .toDF("id", "v").coalesce(1), root)
+    Snapshots.append((10L until 20L).map(i => (i, i * 1.0))
+      .toDF("id", "v").coalesce(1), root)
+    Snapshots.append((20L until 30L).map(i => (i, i * 1.0))
+      .toDF("id", "v").coalesce(1), root)
+    // upsert id 3 (update) + id 35 (insert); delete ids 5, 7
+    val r = Snapshots.mergeMixed(spark, root,
+      Seq((3L, 300.0), (35L, 350.0)).toDF("id", "v"), Seq("id"),
+      Seq(5L, 7L).toDF("id"))
+    assert(r.version == 4) // exactly one commit for the whole mutation
+    assert(Snapshots.versions(spark, root) == Seq(1, 2, 3, 4))
+    val got = Snapshots.read(spark, root).as[(Long, Double)]
+      .collect().toMap
+    assert(got(3L) == 300.0 && got(35L) == 350.0)
+    assert(!got.contains(5L) && !got.contains(7L))
+    assert(got.size == 29) // 30 - 2 deleted + 1 inserted
+    assert(got(12L) == 12.0) // untouched rows intact
+    // footprint pruning: every named key (3, 5, 7, 35) lives outside
+    // the 10-19 and 20-29 files — they carry by name, unread
+    assert(r.untouchedFiles == 2, r.toString)
+    // history names the op
+    assert(Snapshots.history(spark, root).head().getString(2) ==
+      "merge-mixed")
+  }
+
   test("merge into an empty table is the first append; OCC race throws") {
     val root = freshRoot()
     val r = Snapshots.merge(spark, root, Seq((1L, "a")).toDF("k", "v"),
