@@ -3399,12 +3399,26 @@ object Snapshots {
     * (per-row `_commit_version` attached by a broadcast join on the
     * file identity the scan already carries — the plan stays O(runs),
     * not O(versions)); each DML commit decomposes row-level via
-    * [[diff]], file-pruned to the files that commit actually touched.
+    * [[diff]], file-pruned to the files that commit actually touched;
+    * and a commit whose own op tag DECLARES it a content-identical
+    * rewrite (compact / optimize / optimize-where / optimize-bucketed
+    * / dv-fold / bloom-index — tags this library's own rewrite paths
+    * write, each guaranteeing content identity by construction)
+    * contributes zero rows WITHOUT scanning a byte — in-window
+    * maintenance is free to the feed. The skip applies only when the
+    * commit's predecessor is retained (a vacuum gap could fold real
+    * changes into the tagged version — those decompose via [[diff]]).
     * Versions vacuumed mid-window fold their changes into the next
     * retained commit (file-set attribution — net effect preserved).
     * `fromVersion` must be 0 or retained; re-sync from a full read
     * otherwise. Schema evolution mid-window NULL-fills columns that
     * postdate a segment. */
+  /** Op tags whose commits are content-identical rewrites by
+    * construction (every writer of these tags in this library
+    * guarantees it) — the change feed skips them scan-free. */
+  private val ContentIdenticalOps = Set("compact", "optimize",
+    "optimize-where", "optimize-bucketed", "dv-fold", "bloom-index")
+
   def changeFeed(spark: SparkSession, dir: String, fromVersion: Int,
       toVersion: Int = -1): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, lit}
@@ -3448,7 +3462,13 @@ object Snapshots {
       }
       if ((prevF -- curF).isEmpty && !dvDrift)
         run = (v, (curF -- prevF).toSeq.sorted) :: run
-      else {
+      else if (prev == v - 1 &&
+          opOf(manifestLines(fs, root, v)).exists(ContentIdenticalOps)) {
+        // a declared content-identical rewrite: zero change rows by
+        // construction — no scan, and it does not break a run's
+        // neighbors into separate scans more than necessary
+        flushRun()
+      } else {
         flushRun()
         segs += diff(spark, dir, prev, v)
           .withColumnRenamed("change_type", "_change_type")

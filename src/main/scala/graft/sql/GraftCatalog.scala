@@ -154,6 +154,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       refs.head.fieldNames.head
     }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // refuse-loudly, never silently repurpose: `USING <provider>` for
+    // anything but this format would create a graft table the user
+    // believes is something else, and `LOCATION` would be ignored —
+    // a table living somewhere other than where the user declared
+    // "parquet" passes because Spark injects spark.sql.sources.default
+    // as the provider when no USING clause was written at all
+    val provider = Option(info.properties().get(TableCatalog.PROP_PROVIDER))
+    provider.filterNot(p => p.equalsIgnoreCase("graft") ||
+        p.equalsIgnoreCase("graft-snapshots") || p.equalsIgnoreCase("parquet"))
+      .foreach(p => throw new UnsupportedOperationException(
+        s"catalog '$catalogName' creates graft snapshot tables only — " +
+          s"USING $p is not supported here (omit USING, or use " +
+          "USING graft)"))
+    if (info.properties().get(TableCatalog.PROP_LOCATION) != null)
+      throw new UnsupportedOperationException(
+        s"catalog '$catalogName' manages table locations under its " +
+          "warehouse — CREATE TABLE ... LOCATION is not supported; to " +
+          "address an existing snapshot directory, read it by path " +
+          "(spark.read.format(\"graft-snapshots\")) or clone it in")
     val dir = dirFor(ident)
     if (isMovedTombstone(new HPath(dir)))
       throw new IllegalStateException(

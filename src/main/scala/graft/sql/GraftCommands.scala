@@ -123,14 +123,22 @@ private[sql] object GraftDml {
 final case class GraftDeleteCommand(dir: String, tableName: String,
     shieldedCond: ShieldedExpr) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.col
     val cond = shieldedCond.e
     cond match {
-      case InSubquery(Seq(a: AttributeReference), lq: ListQuery)
-          if lq.outerAttrs.isEmpty =>
+      // the pure IN-subquery shape — single OR composite key
+      // `(a, b) IN (SELECT x, y ...)` — is a distributed tombstone
+      // delete at any cardinality
+      case InSubquery(vals, lq: ListQuery)
+          if lq.outerAttrs.isEmpty &&
+            vals.forall(_.isInstanceOf[AttributeReference]) =>
+        val names = vals.map(_.asInstanceOf[AttributeReference].name)
         val frame = GraftSparkBridge.ofRows(spark, lq.plan)
-        Snapshots.deleteMatching(spark, dir,
-          frame.select(col(frame.columns.head).as(a.name)), Seq(a.name))
+        require(frame.columns.length == names.length,
+          s"IN (subquery) arity mismatch: ${names.length} key columns " +
+            s"vs ${frame.columns.length} subquery columns")
+        // positional rename: subquery output columns may carry
+        // expression-derived names (dots included) col() would mangle
+        Snapshots.deleteMatching(spark, dir, frame.toDF(names: _*), names)
       case _ =>
         val pred = GraftDml.toColumn(
           GraftDml.evaluateSubqueries(spark, cond, "DELETE"), "DELETE")

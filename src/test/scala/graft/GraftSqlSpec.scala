@@ -231,6 +231,15 @@ class GraftSqlSpec extends SparkSpec {
       .head().getString(2) == "merge-delete")
     assert(spark.sql("SELECT id FROM gs.default.dsub ORDER BY id")
       .as[Long].collect().toSeq == (0L until 100L).filterNot(_ % 3 == 0))
+    // composite-key IN subquery is the same distributed path:
+    // kid+1 hits the ids congruent to 1 mod 3 (all still present)
+    spark.sql("""DELETE FROM gs.default.dsub WHERE (id, v) IN (
+      SELECT kid + 1, (kid + 1) * 1.0 FROM gs.default.dsub_keys)""")
+    assert(Snapshots.history(spark, dirOf("default", "dsub"))
+      .head().getString(2) == "merge-delete")
+    assert(spark.sql("SELECT id FROM gs.default.dsub ORDER BY id")
+      .as[Long].collect().toSeq ==
+      (0L until 100L).filter(_ % 3 == 2))
   }
 
   test("NOT IN, EXISTS, and scalar subqueries evaluate with SQL " +
@@ -470,6 +479,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("nn_id"))
     spark.sql("INSERT INTO gs.default.one VALUES (1, 1.0)")
     assert(spark.sql("SELECT count(*) FROM gs.default.one")
+      .head().getLong(0) == 1)
+  }
+
+  test("CREATE TABLE refuses foreign USING providers and LOCATION") {
+    warehouse
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE gs.default.ref1 (id BIGINT) USING delta")
+    }
+    assert(e1.getMessage.contains("USING"))
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE gs.default.ref2 (id BIGINT) " +
+        "LOCATION '/tmp/somewhere_else'")
+    }
+    assert(e2.getMessage.contains("LOCATION"))
+    // explicit USING graft works, as does no USING at all
+    spark.sql("CREATE TABLE gs.default.ref3 (id BIGINT) USING graft")
+    spark.sql("INSERT INTO gs.default.ref3 VALUES (1)")
+    assert(spark.sql("SELECT count(*) FROM gs.default.ref3")
       .head().getLong(0) == 1)
   }
 

@@ -848,6 +848,29 @@ class SnapshotsSpec extends SparkSpec {
       "merge-mixed")
   }
 
+  test("changeFeed skips declared content-identical rewrites scan-free") {
+    val root = freshRoot()
+    Snapshots.append(Seq(1L, 2L).toDF("id").coalesce(1), root)
+    Snapshots.append(Seq(3L).toDF("id").coalesce(1), root)
+    Snapshots.compact(spark, root, numFiles = 1) // v3: content-identical
+    Snapshots.append(Seq(4L).toDF("id").coalesce(1), root)
+    val feed = Snapshots.changeFeed(spark, root, 0)
+    // the compact contributes ZERO rows and ZERO scans: two append
+    // runs (around the compact), no diff legs at all
+    val scans = feed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size
+    assert(scans == 2, s"expected 2 run scans, got $scans")
+    assert(feed.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(feed.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // a REAL rewrite (restore) still decomposes row-level
+    Snapshots.restore(spark, root, 2) // back to {1,2,3}
+    val feed2 = Snapshots.changeFeed(spark, root, 4)
+    assert(feed2.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("merge into an empty table is the first append; OCC race throws") {
     val root = freshRoot()
     val r = Snapshots.merge(spark, root, Seq((1L, "a")).toDF("k", "v"),
