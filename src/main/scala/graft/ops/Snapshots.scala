@@ -1607,6 +1607,38 @@ object Snapshots {
   /** The (file basename, deleted position) pairs of a DV set as a
     * DataFrame, sidecar bytes read WHERE THE TASKS RUN — the driver
     * ships names, never positions. */
+  /** The positions NEWLY deleted between two DV states, per file —
+    * (file basename, position) pairs, sidecars read and set-diffed in
+    * EXECUTORS ([[dvPositions]]' shipping discipline). Vectors only
+    * accrete between rewrites, so cur ⊇ prev per file; a file whose
+    * prev state had no vector diffs against the empty set. */
+  private def dvNewPositions(spark: SparkSession, root: HPath,
+      prevDv: Map[String, (String, Long)],
+      curDv: Map[String, (String, Long)],
+      files: Seq[String]): DataFrame = {
+    val rootStr = root.toString
+    val refs = files.map { f =>
+      (f.substring(f.lastIndexOf('/') + 1),
+        prevDv.get(f).map(_._1).getOrElse(""), curDv(f)._1)
+    }
+    import org.apache.spark.sql.Encoders
+    val hconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(refs)(Encoders.product[(String, String, String)])
+      .flatMap { case (base, prevSide, curSide) =>
+        val p = new HPath(rootStr, curSide)
+        val fs = p.getFileSystem(hconf.value.value)
+        val cur = readDvSidecar(fs, new HPath(rootStr), curSide)
+        val prev =
+          if (prevSide.isEmpty) Array.empty[Long]
+          else readDvSidecar(fs, new HPath(rootStr), prevSide)
+        val prevSet = prev.toSet
+        cur.iterator.filterNot(prevSet).map(pos => (base, pos))
+      }(Encoders.product[(String, Long)])
+      .toDF("__dv_file", "__dv_pos")
+  }
+
   private def dvPositions(spark: SparkSession, root: HPath,
       dv: Map[String, (String, Long)]): DataFrame = {
     val rootStr = root.toString
@@ -3398,9 +3430,13 @@ object Snapshots {
     * commits coalesce into ONE scan of exactly the appended files
     * (per-row `_commit_version` attached by a broadcast join on the
     * file identity the scan already carries — the plan stays O(runs),
-    * not O(versions)); each DML commit decomposes row-level via
-    * [[diff]], file-pruned to the files that commit actually touched;
-    * and a commit whose own op tag DECLARES it a content-identical
+    * not O(versions)); a DV-ACCRETIVE commit (delete-light /
+    * update-light / merge-light, per its own op tag) decomposes
+    * POSITIONALLY — deletes are the rows at its newly vectored
+    * positions, read once, O(new positions); every other DML commit
+    * decomposes row-level via [[diff]], file-pruned to the files that
+    * commit actually touched; and a commit whose own op tag DECLARES
+    * it a content-identical
     * rewrite (compact / optimize / optimize-where / optimize-bucketed
     * / dv-fold / bloom-index — tags this library's own rewrite paths
     * write, each guaranteeing content identity by construction)
@@ -3418,6 +3454,15 @@ object Snapshots {
     * guarantees it) — the change feed skips them scan-free. */
   private val ContentIdenticalOps = Set("compact", "optimize",
     "optimize-where", "optimize-bucketed", "dv-fold", "bloom-index")
+
+  /** Op tags whose commits mutate ONLY by accreting deletion vectors
+    * (plus possibly appending image files) — every writer guarantees
+    * per-file vectors grow monotonically (a RESTORE can shrink one,
+    * which is why this is an op allowlist, not a shape inference).
+    * The feed decomposes these positionally: deletes are the rows at
+    * the NEWLY vectored positions — O(new positions), no diff. */
+  private val DvAccretiveOps = Set("delete-light", "update-light",
+    "merge-light")
 
   def changeFeed(spark: SparkSession, dir: String, fromVersion: Int,
       toVersion: Int = -1): DataFrame = {
@@ -3468,6 +3513,32 @@ object Snapshots {
         // construction — no scan, and it does not break a run's
         // neighbors into separate scans more than necessary
         flushRun()
+      } else if (prev == v - 1 && (prevF -- curF).isEmpty &&
+          opOf(manifestLines(fs, root, v)).exists(DvAccretiveOps)) {
+        // DV-accretive DML: inserts are the appended image files
+        // (live rows under v's vectors), deletes are the rows at the
+        // newly vectored positions of the drifted files — read ONCE
+        // positionally, instead of diff's two-sided exceptAll over
+        // the drifted files' full bytes
+        flushRun()
+        val appended = (curF -- prevF).toSeq.sorted
+        if (appended.nonEmpty)
+          segs += readFilesAs(spark, fs, root, v, appended)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+        val prevDv = dvFor(fs, root, prev)
+        val curDv = dvFor(fs, root, v)
+        val drifted = (prevF intersect curF)
+          .filter(f => prevDv.get(f) != curDv.get(f)).toSeq.sorted
+        if (drifted.nonEmpty) {
+          val newPos = dvNewPositions(spark, root, prevDv, curDv, drifted)
+          segs += scanWithMeta(spark, fs, root, v, prev, drifted)
+            .join(newPos, col(GfCol) === col("__dv_file") &&
+              col(GposCol) === col("__dv_pos"))
+            .drop(GfCol, GposCol, "__dv_file", "__dv_pos")
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v))
+        }
       } else {
         flushRun()
         segs += diff(spark, dir, prev, v)

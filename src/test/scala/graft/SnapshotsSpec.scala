@@ -871,6 +871,32 @@ class SnapshotsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq == Seq(4L))
   }
 
+  test("changeFeed decomposes DV-accretive commits positionally, " +
+      "not via two-sided diffs") {
+    val root = freshRoot()
+    Snapshots.append((0L until 10L).map(i => (i, i * 1.0))
+      .toDF("id", "v").coalesce(1), root)
+    Snapshots.append((10L until 20L).map(i => (i, i * 1.0))
+      .toDF("id", "v").coalesce(1), root)
+    Snapshots.deleteWhereLight(spark, root, col("id") === 5L) // v3
+    Snapshots.updateWhereLight(spark, root, col("id") === 12L,
+      Seq("v" -> lit(999.0))) // v4: drift + appended image file
+    val feed = Snapshots.changeFeed(spark, root, 2)
+    val got = feed.select("_change_type", "id", "v", "_commit_version")
+      .as[(String, Long, Double, Int)].collect().toSet
+    assert(got == Set(
+      ("delete", 5L, 5.0, 3),
+      ("delete", 12L, 12.0, 4),
+      ("insert", 12L, 999.0, 4)))
+    // plan shape: v3 = one positional scan of the drifted file; v4 =
+    // one appended-image scan + one positional scan — 3 parquet
+    // scans total, where the diff path pays two-sided exceptAll legs
+    val scans = feed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size
+    assert(scans == 3, s"expected 3 scans, got $scans")
+  }
+
   test("merge into an empty table is the first append; OCC race throws") {
     val root = freshRoot()
     val r = Snapshots.merge(spark, root, Seq((1L, "a")).toDF("k", "v"),
