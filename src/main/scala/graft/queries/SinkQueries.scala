@@ -1173,6 +1173,67 @@ object SinkQueries {
         |SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_custkey > (SELECT max(o_custkey) FROM base) - 500
         |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
-        |FROM merged ORDER BY o_orderkey""".stripMargin)
+        |FROM merged ORDER BY o_orderkey""".stripMargin),
+
+    // The COMPLETE MERGE matrix in one statement — matched UPDATE,
+    // not-matched INSERT, and both WHEN NOT MATCHED BY SOURCE verbs
+    // (guarded DELETE + fallthrough UPDATE over target-only rows).
+    // BY SOURCE clauses classify every target row by definition, so
+    // the classification join runs FULL OUTER with point-merge
+    // pruning forfeited; all four verdicts still land as ONE atomic
+    // merge-mixed commit. The oracle replays each classification from
+    // the source predicates.
+    QueryDef("s42_merge_by_source",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s42_wh_" +
+          ProcessHandle.current().pid()
+        s.conf.set("spark.sql.catalog.gsq", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsq.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS gsq.default.s42")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView("s42_base")
+        s.sql("CREATE TABLE gsq.default.s42 AS SELECT * FROM s42_base")
+        s.sql("""SELECT o_orderkey, o_custkey,
+            o_totalprice * 0.5 AS o_totalprice
+          FROM s42_base WHERE o_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_orderkey + 30000000, o_custkey, o_totalprice
+          FROM s42_base WHERE o_orderkey % 101 = 7""")
+          .createOrReplaceTempView("s42_src")
+        s.sql("""MERGE INTO gsq.default.s42 t USING s42_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE AND t.o_custkey % 11 = 0 THEN DELETE
+          WHEN NOT MATCHED BY SOURCE THEN
+            UPDATE SET o_totalprice = -t.o_totalprice""")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+          FROM gsq.default.s42 ORDER BY o_orderkey""")
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 0.5 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 101 = 7),
+        |matched AS (
+        |  SELECT t.o_orderkey, t.o_custkey, s.o_totalprice
+        |  FROM base t JOIN src s ON t.o_orderkey = s.o_orderkey),
+        |ins AS (
+        |  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice FROM src s
+        |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM base)),
+        |by_src AS (
+        |  SELECT * FROM base WHERE o_orderkey NOT IN (
+        |    SELECT o_orderkey FROM src)),
+        |by_src_kept AS (
+        |  SELECT o_orderkey, o_custkey, -o_totalprice AS o_totalprice
+        |  FROM by_src WHERE NOT (o_custkey % 11 = 0))
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM matched
+        |UNION ALL SELECT o_orderkey, o_custkey, o_totalprice FROM ins
+        |UNION ALL SELECT o_orderkey, o_custkey, o_totalprice FROM by_src_kept
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }

@@ -214,17 +214,27 @@ private[sql] final case class GraftMergeIns(
   assigns: Seq[(String, ShieldedExpr)]) extends GraftMergeAct
 
 /** The GENERAL MERGE shape — conditional and mixed WHEN MATCHED
-  * actions, conditional INSERTs — composed from the existing verbs:
+  * actions, conditional INSERTs, NOT MATCHED BY SOURCE actions —
+  * composed from the existing verbs:
   *
-  *   1. ONE classification join: source LEFT JOIN target on the ON
-  *      keys (target pre-pruned by the source keys' in-set footprint
-  *      when small — a point-merge never scans the table), target
-  *      columns carried under `__t_` names so conditions and
-  *      assignments may reference BOTH sides;
+  *   1. ONE classification join: source ⋈ target on the ON keys
+  *      (LEFT when every clause is source-driven, with the target
+  *      pre-pruned by the source keys' in-set footprint when small —
+  *      a point-merge never scans the table; FULL OUTER when a
+  *      `WHEN NOT MATCHED BY SOURCE` clause is present, which by
+  *      definition inspects EVERY target row, so pruning is
+  *      disabled), target columns carried under `__t_` names so
+  *      conditions and assignments may reference BOTH sides, and
+  *      presence markers on each side so NULL join-key values never
+  *      masquerade as the other classification;
   *   2. first-match-wins action index per row (SQL MERGE clause
-  *      order), building one target-shaped upsert frame (UPDATE rows
-  *      keep unassigned columns at their target values; INSERT rows
-  *      NULL-fill unassigned columns) and one tombstone key frame;
+  *      order, per classification list), building one target-shaped
+  *      upsert frame (UPDATE rows keep unassigned columns at their
+  *      target values; INSERT rows NULL-fill unassigned columns;
+  *      NOT-MATCHED-BY-SOURCE UPDATE rows draw keys and unassigned
+  *      columns from the TARGET side — the source side is absent)
+  *      and one tombstone key frame (matched DELETEs keyed from the
+  *      source side, BY SOURCE DELETEs from the target side);
   *   3. ONE atomic commit: [[Snapshots.mergeMixed]] applies the
   *      upsert frame AND the tombstone keys together (footprint over
   *      both key sets; `merge-mixed` in history); a merge with only
@@ -241,36 +251,48 @@ private[sql] final case class GraftMergeIns(
 final case class GraftMergeActionsCommand(dir: String, tableName: String,
     source: LogicalPlan, keys: Seq[(String, String)],
     matched: Seq[(Option[ShieldedExpr], GraftMergeAct)],
-    notMatched: Seq[(Option[ShieldedExpr], GraftMergeIns)])
+    notMatched: Seq[(Option[ShieldedExpr], GraftMergeIns)],
+    notMatchedBySource: Seq[(Option[ShieldedExpr], GraftMergeAct)] = Nil)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, lit, when}
-    val src = GraftSparkBridge.ofRows(spark, source)
-    require(!src.columns.exists(_.startsWith("__t_")),
-      "MERGE source columns may not start with the reserved __t_ prefix")
+    val src0 = GraftSparkBridge.ofRows(spark, source)
+    require(!src0.columns.exists(c =>
+        c.startsWith("__t_") || c == "__s_mark"),
+      "MERGE source columns may not start with the reserved __t_ " +
+        "prefix or be named __s_mark")
+    val src = src0.withColumn("__s_mark", lit(true))
+    val hasBySource = notMatchedBySource.nonEmpty
     val tgt0 = Snapshots.read(spark, dir)
     val tSchema = tgt0.schema
     // point-merge pruning: a small source key set filters the target
     // BEFORE the classification join (matched rows are the only target
-    // rows the join can use — src LEFT JOIN tgt never needs the rest)
+    // rows the join can use — src LEFT JOIN tgt never needs the rest).
+    // A NOT MATCHED BY SOURCE clause classifies every target row, so
+    // it forfeits the pruning and pays the full-outer scan.
     val tgt =
-      if (keys.lengthCompare(1) == 0) {
+      if (!hasBySource && keys.lengthCompare(1) == 0) {
         val vals = src.select(col(keys.head._2)).na.drop().distinct()
           .limit(10001).collect().map(_.get(0))
         if (vals.length <= 10000)
           tgt0.filter(col(keys.head._1).isin(vals.toIndexedSeq: _*))
         else tgt0
       } else tgt0
+    // __tgt_mark cannot collide with a renamed target column: every
+    // rename is "__t_" + name, whose fourth character is '_'
     val tRenamed = tgt.select(tSchema.fieldNames.toSeq.map(c =>
-      col(c).as(s"__t_$c")): _*)
+      col(c).as(s"__t_$c")): _*).withColumn("__tgt_mark", lit(true))
     val joinCond = keys.map { case (tc, sc) =>
       col(sc) === col(s"__t_$tc")
     }.reduce(_ && _)
-    val joined = src.join(tRenamed, joinCond, "left").persist()
+    val joined = src.join(tRenamed, joinCond,
+      if (hasBySource) "full_outer" else "left").persist()
     try {
-      val isMatched = col(s"__t_${keys.head._1}").isNotNull
+      val srcPresent = col("__s_mark").isNotNull
+      val tgtPresent = col("__tgt_mark").isNotNull
+      val isMatched = srcPresent && tgtPresent
       val keyOf = keys.toMap // target col -> source col
       def exprCol(se: ShieldedExpr): Column = GraftSparkBridge.column(se.e)
       def actionIdx(conds: Seq[Option[ShieldedExpr]]): Column =
@@ -295,6 +317,14 @@ final case class GraftMergeActionsCommand(dir: String, tableName: String,
             case (n, e) if n.equalsIgnoreCase(f.name) => exprCol(e)
           }.getOrElse(lit(null)).cast(f.dataType).as(f.name)
         }
+      // NOT MATCHED BY SOURCE UPDATE: the source side is absent — keys
+      // and unassigned columns both come from the target's own values
+      def updShapeBySource(assigns: Map[String, ShieldedExpr]): Seq[Column] =
+        tSchema.fields.toSeq.map { f =>
+          assigns.get(f.name).map(exprCol)
+            .getOrElse(col(s"__t_${f.name}"))
+            .cast(f.dataType).as(f.name)
+        }
       val m = joined.filter(isMatched)
         .withColumn("__action", actionIdx(matched.map(_._1)))
       val upserts = scala.collection.mutable.ArrayBuffer[
@@ -308,13 +338,45 @@ final case class GraftMergeActionsCommand(dir: String, tableName: String,
         case ((_, GraftMergeDel), i) =>
           tombstones += m.filter(col("__action") === i)
             .select(keys.map { case (tc, sc) => col(sc).as(tc) }: _*)
+        case ((_, ins: GraftMergeIns), _) =>
+          throw new IllegalStateException(
+            s"INSERT is not a WHEN MATCHED action: $ins")
       }
-      val um = joined.filter(!isMatched)
+      val um = joined.filter(srcPresent && !tgtPresent)
         .withColumn("__action", actionIdx(notMatched.map(_._1)))
       notMatched.zipWithIndex.foreach {
         case ((_, GraftMergeIns(assigns)), i) =>
           upserts += um.filter(col("__action") === i)
             .select(insShape(assigns.toMap): _*)
+      }
+      if (hasBySource) {
+        val tm = joined.filter(tgtPresent && !srcPresent)
+          .withColumn("__action", actionIdx(notMatchedBySource.map(_._1)))
+        // a NULL-keyed target row cannot round-trip through the
+        // key-addressed upsert/tombstone verbs (a NULL key matches
+        // nothing, so its rewrite would DUPLICATE the row) — refuse
+        // rather than corrupt
+        val nullKeyed = tm.filter(col("__action") >= 0 &&
+          keys.map { case (tc, _) => col(s"__t_$tc").isNull }
+            .reduce(_ || _))
+        if (nullKeyed.take(1).nonEmpty)
+          throw new UnsupportedOperationException(
+            s"MERGE INTO '$tableName': a WHEN NOT MATCHED BY SOURCE " +
+              "action selected a target row with a NULL ON-key value — "
+              + "key-addressed DML cannot express it; DELETE/UPDATE " +
+              "those rows with a predicate statement first")
+        notMatchedBySource.zipWithIndex.foreach {
+          case ((_, GraftMergeUpd(assigns)), i) =>
+            upserts += tm.filter(col("__action") === i)
+              .select(updShapeBySource(assigns.toMap): _*)
+          case ((_, GraftMergeDel), i) =>
+            tombstones += tm.filter(col("__action") === i)
+              .select(keys.map { case (tc, _) =>
+                col(s"__t_$tc").as(tc) }: _*)
+          case ((_, ins: GraftMergeIns), _) =>
+            throw new IllegalStateException(
+              s"INSERT is not a NOT MATCHED BY SOURCE action: $ins")
+        }
       }
       val del = tombstones.reduceOption(_.unionByName(_))
         .filter(_.take(1).nonEmpty)

@@ -182,13 +182,16 @@ final case class GraftResolution(session: SparkSession)
     *     ([[GraftMergeCommand]] over [[graft.ops.Snapshots.merge]]);
     *   - everything else with equi-ON — conditional guards
     *     (`WHEN MATCHED AND c`), mixed UPDATE+DELETE, partial action
-    *     lists, expression values over both sides — → the classified
-    *     path ([[GraftMergeActionsCommand]]): one classification
-    *     join, then ONE atomic commit via
+    *     lists, expression values over both sides, `WHEN NOT MATCHED
+    *     BY SOURCE UPDATE/DELETE` (which force the classification
+    *     join full-outer and forfeit point-merge pruning — a BY
+    *     SOURCE clause inspects every target row by definition) — →
+    *     the classified path ([[GraftMergeActionsCommand]]): one
+    *     classification join, then ONE atomic commit via
     *     [[graft.ops.Snapshots.mergeMixed]].
     *
-    * Still refused loudly: WHEN NOT MATCHED BY SOURCE, WITH SCHEMA
-    * EVOLUTION, subqueries anywhere in the statement's conditions. */
+    * Still refused loudly: WITH SCHEMA EVOLUTION, subqueries anywhere
+    * in the statement's conditions. */
   private def translateMerge(m: MergeIntoTable, rel: DataSourceV2Relation,
       t: GraftTable): LogicalPlan = {
     requireCurrent(t, "MERGE INTO")
@@ -196,11 +199,10 @@ final case class GraftResolution(session: SparkSession)
       throw new UnsupportedOperationException(
         s"MERGE INTO '${t.identName}': $why (graft SQL MERGE supports " +
           "ON conjunctive column equalities with conditional or " +
-          "unconditional WHEN MATCHED UPDATE/DELETE and WHEN NOT " +
-          "MATCHED INSERT actions)")
+          "unconditional WHEN MATCHED UPDATE/DELETE, WHEN NOT " +
+          "MATCHED INSERT, and WHEN NOT MATCHED BY SOURCE " +
+          "UPDATE/DELETE actions)")
     if (m.schemaEvolutionEnabled) refuse("WITH SCHEMA EVOLUTION is not supported")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      refuse("WHEN NOT MATCHED BY SOURCE is not supported")
     if (m.mergeCondition.exists(_.isInstanceOf[SubqueryExpression]))
       refuse("ON with a subquery is not supported")
     val tAttrs = AttributeSet(rel.output)
@@ -217,6 +219,11 @@ final case class GraftResolution(session: SparkSession)
     val resolver = session.sessionState.conf.resolver
     val targetCols = rel.output.map(_.name)
     val keyByTarget = keyPairs.toMap
+
+    // a BY SOURCE clause always takes the classified path (it needs
+    // the full-outer classification join)
+    if (m.notMatchedBySourceActions.nonEmpty)
+      return translateMergeActions(m, rel, t, keyPairs, refuse)
 
     // WHEN MATCHED THEN DELETE (alone): the CDC tombstone shape —
     // matched rows go, nothing inserts
@@ -324,12 +331,25 @@ final case class GraftResolution(session: SparkSession)
     val targetCols = rel.output.map(_.name)
     val keyTargets = keyPairs.map(_._1).toSet
 
-    def reroot(e: Expression, ctx: String,
-        allowTarget: Boolean): ShieldedExpr = {
+    def reroot(e: Expression, ctx: String, allowTarget: Boolean,
+        allowSource: Boolean = true): ShieldedExpr = {
       if (e.exists(_.isInstanceOf[SubqueryExpression]))
         refuse(s"$ctx contains a subquery — materialize it into the " +
           "MERGE source")
       ShieldedExpr(e.transform {
+        // the analyzer resolves each merge clause against its LEGAL
+        // scope only (a BY SOURCE clause: the target alone) and
+        // leaves out-of-scope references unresolved rather than
+        // failing the statement — were it let through, it would
+        // resolve BY NAME at run time against the classification
+        // join and silently evaluate over the absent side's NULLs
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          refuse(s"$ctx references '${u.name}', which is not in this " +
+            "clause's scope" + (if (!allowSource)
+              " — a NOT MATCHED BY SOURCE clause sees only the target"
+            else if (!allowTarget)
+              " — a NOT MATCHED clause sees only the source"
+            else ""))
         case a: AttributeReference if tAttrs.contains(a) =>
           if (!allowTarget)
             refuse(s"$ctx references target column '${a.name}' — a NOT " +
@@ -337,6 +357,9 @@ final case class GraftResolution(session: SparkSession)
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
             .quoted("__t_" + a.name)
         case a: AttributeReference if sAttrs.contains(a) =>
+          if (!allowSource)
+            refuse(s"$ctx references source column '${a.name}' — a NOT " +
+              "MATCHED BY SOURCE clause sees only the target")
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
             .quoted(a.name)
       })
@@ -348,14 +371,33 @@ final case class GraftResolution(session: SparkSession)
           .UnresolvedAttribute.quoted(o.name)))
         .getOrElse(refuse(s"$ctx SET * needs source column '$c'"))
 
-    def updAssigns(assigns: Seq[Assignment],
-        ctx: String): Seq[(String, ShieldedExpr)] =
-      assigns.map { as =>
+    def updAssigns(assigns: Seq[Assignment], ctx: String,
+        allowSource: Boolean = true): Seq[(String, ShieldedExpr)] =
+      assigns.flatMap { as =>
         val tName = topLevelName(as.key, s"MERGE $ctx")
-        if (keyTargets.exists(resolver(_, tName)))
-          refuse(s"$ctx assigns ON key column '$tName' — a merge key " +
-            "identifies the row and cannot be reassigned")
-        tName -> reroot(as.value, ctx, allowTarget = true)
+        keyTargets.find(resolver(_, tName)) match {
+          case Some(kt) =>
+            // `UPDATE SET *` analyzer-expands to explicit assignments
+            // that include the ON key from its own source column (or,
+            // BY SOURCE, from itself) — an identity no-op; drop it.
+            // Any OTHER value for a key refuses: the key addresses
+            // the row and cannot be reassigned.
+            val identity = as.value match {
+              case a: AttributeReference if sAttrs.contains(a) =>
+                keyPairs.exists { case (tc, sc) =>
+                  resolver(tc, kt) && resolver(sc, a.name) }
+              case a: AttributeReference if tAttrs.contains(a) =>
+                resolver(a.name, kt)
+              case _ => false
+            }
+            if (!identity)
+              refuse(s"$ctx assigns ON key column '$tName' — a merge " +
+                "key identifies the row and cannot be reassigned")
+            None
+          case None =>
+            Some(tName -> reroot(as.value, ctx, allowTarget = true,
+              allowSource))
+        }
       }
 
     val matched = m.matchedActions.map {
@@ -397,7 +439,23 @@ final case class GraftResolution(session: SparkSession)
           refuse(s"WHEN NOT MATCHED INSERT must set ON key column '$tc'")
       }
     }
+    // WHEN NOT MATCHED BY SOURCE: target-only rows — guards and
+    // assignment values may reference ONLY target columns (the
+    // source side does not exist for these rows)
+    val bySource = m.notMatchedBySourceActions.map {
+      case u: UpdateAction =>
+        (u.condition.map(reroot(_, "WHEN NOT MATCHED BY SOURCE AND",
+          allowTarget = true, allowSource = false)),
+          GraftMergeUpd(updAssigns(u.assignments,
+            "NOT MATCHED BY SOURCE UPDATE", allowSource = false)))
+      case d: DeleteAction =>
+        (d.condition.map(reroot(_, "WHEN NOT MATCHED BY SOURCE AND",
+          allowTarget = true, allowSource = false)), GraftMergeDel)
+      case other: MergeAction =>
+        refuse("unsupported WHEN NOT MATCHED BY SOURCE action " +
+          other.getClass.getSimpleName)
+    }
     GraftMergeActionsCommand(t.dir, t.identName,
-      convertReads(m.sourceTable), keyPairs, matched, notMatched)
+      convertReads(m.sourceTable), keyPairs, matched, notMatched, bySource)
   }
 }

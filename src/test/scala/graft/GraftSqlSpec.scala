@@ -165,13 +165,65 @@ class GraftSqlSpec extends SparkSpec {
     spark.sql("CREATE TABLE gs.default.mrg3 (id BIGINT, v DOUBLE)")
     spark.sql("INSERT INTO gs.default.mrg3 VALUES (1, 1.0)")
     Seq((1L, 9.0)).toDF("id", "v").createOrReplaceTempView("mrg3_src")
+    // non-equality ON term
     val e = intercept[Exception] {
+      spark.sql("""MERGE INTO gs.default.mrg3 t USING mrg3_src s ON t.id > s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("column equality"))
+    // a BY SOURCE guard may not read the (absent) source side
+    val e2 = intercept[Exception] {
       spark.sql("""MERGE INTO gs.default.mrg3 t USING mrg3_src s ON t.id = s.id
         WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT *
-        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE""")
     }
-    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+    assert(e2.getMessage.contains("sees only the target"))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE updates and deletes " +
+      "target-only rows in the same atomic commit") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.mrgns (id BIGINT, v DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO gs.default.mrgns " +
+      "SELECT id, id * 1.0, 'old' FROM range(10)")
+    // source covers ids 4..7 (matched) and brings 10, 11 (not matched);
+    // ids 0..3, 8, 9 are NOT MATCHED BY SOURCE
+    spark.sql("""SELECT id, id * 10.0 AS nv FROM range(4, 8)
+      UNION ALL SELECT id, id * 10.0 FROM range(10, 12)""")
+      .createOrReplaceTempView("mrgns_src")
+    spark.sql("""MERGE INTO gs.default.mrgns t USING mrgns_src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.nv, tag = 'upd'
+      WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.nv, 'new')
+      WHEN NOT MATCHED BY SOURCE AND t.id >= 8 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE AND t.v > 1.0 THEN
+        UPDATE SET tag = 'stale'""")
+    val got = spark.sql("SELECT id, v, tag FROM gs.default.mrgns ORDER BY id")
+      .as[(Long, Double, String)].collect().toSeq
+    // 8, 9 deleted (first BY SOURCE clause wins); 2, 3 marked stale
+    // (second clause); 0, 1 fail both guards → untouched
+    val want = Seq(
+      (0L, 0.0, "old"), (1L, 1.0, "old"),
+      (2L, 2.0, "stale"), (3L, 3.0, "stale"),
+      (4L, 40.0, "upd"), (5L, 50.0, "upd"), (6L, 60.0, "upd"),
+      (7L, 70.0, "upd"),
+      (10L, 100.0, "new"), (11L, 110.0, "new"))
+    assert(got == want)
+    // updates + deletes landed as ONE commit
+    val hist = Snapshots.history(spark, dirOf("default", "mrgns"))
+      .select("version", "operation").as[(Int, String)].collect().toMap
+    assert(hist(3) == "merge-mixed")
+    assert(hist.size == 3)
+    // pure BY-SOURCE retention sweep: no matched/not-matched actions
+    // at all — everything the source doesn't vouch for goes
+    spark.sql("SELECT id FROM range(4, 8) UNION ALL SELECT 10")
+      .createOrReplaceTempView("mrgns_keep")
+    spark.sql("""MERGE INTO gs.default.mrgns t USING mrgns_keep s
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql("SELECT id FROM gs.default.mrgns ORDER BY id")
+      .as[Long].collect().toSeq == Seq(4L, 5L, 6L, 7L, 10L))
   }
 
   test("conditional and mixed MERGE actions classify and compose") {
