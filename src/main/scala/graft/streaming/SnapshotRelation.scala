@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan, TableScan}
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.Snapshots
@@ -79,4 +79,41 @@ private[streaming] class SnapshotRelation(val sqlContext: SQLContext,
     case sources.Not(c) => filterToColumn(c).map(!_)
     case _ => None
   }
+}
+
+/** Batch CHANGE FEED relation —
+  *
+  *   spark.read.format("graft-snapshots").option("path", dir)
+  *     .option("readChangeFeed", "true")
+  *     .option("startingVersion", 2)[.option("endingVersion", 7)].load()
+  *
+  * — the table's committed history over [startingVersion,
+  * endingVersion] (both INCLUSIVE; endingVersion defaults to the
+  * current version) decomposed to row-level `_change_type`
+  * (insert|delete) + `_commit_version` rows via
+  * [[Snapshots.changeFeed]]: the batch twin of the streaming source's
+  * `readChangeFeed` option, for catch-up CDC jobs and audits that
+  * replay a known version range without checkpoint machinery.
+  *
+  * The DSv1 row interface converts at the TOP of the feed — O(emitted
+  * change rows), not O(table): underneath, append runs coalesce into
+  * single columnar scans of exactly the appended files, DV-accretive
+  * commits decompose positionally, and content-identical rewrites
+  * contribute zero rows scan-free, exactly as in the API/stream
+  * paths. Native-plan consumers call [[Snapshots.changeFeed]]
+  * directly. A vacuumed base version fails loudly (re-sync from a
+  * full read). */
+private[streaming] class ChangeFeedRelation(val sqlContext: SQLContext,
+    dir: String, startingVersion: Int, endingVersion: Int)
+    extends BaseRelation with TableScan {
+
+  // changeFeed's fromVersion is EXCLUSIVE; the reader option is the
+  // first INCLUDED commit, matching the streaming option's meaning
+  private def feed(): DataFrame =
+    Snapshots.changeFeed(sqlContext.sparkSession, dir,
+      startingVersion - 1, endingVersion)
+
+  override val schema: StructType = feed().schema
+
+  override def buildScan(): RDD[Row] = feed().rdd
 }

@@ -93,10 +93,26 @@ class SnapshotSourceProvider extends StreamSourceProvider
     * `spark.read.format("graft-snapshots").option("path", dir)
     * [.option("versionAsOf", n)].load()` — time travel included. The
     * relation hands pushed filters to `Snapshots.readWhere` for
-    * manifest-stats file pruning (see [[SnapshotRelation]]). */
+    * manifest-stats file pruning (see [[SnapshotRelation]]).
+    * `readChangeFeed=true` + `startingVersion` (inclusive; optional
+    * inclusive `endingVersion`) returns the row-level change feed
+    * instead — the batch twin of the streaming option (see
+    * [[ChangeFeedRelation]]). */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
-    new SnapshotRelation(sqlContext, dirOf(parameters),
+    if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
+      require(!parameters.contains("versionAsOf"),
+        "readChangeFeed and versionAsOf conflict — the feed IS a " +
+          "version range; bound it with startingVersion/endingVersion")
+      val from = parameters.get("startingVersion").map(_.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          "batch readChangeFeed requires startingVersion (the first " +
+            "commit INCLUDED in the feed); endingVersion bounds it " +
+            "(default: current version)"))
+      require(from >= 1, s"startingVersion must be >= 1, got $from")
+      new ChangeFeedRelation(sqlContext, dirOf(parameters), from,
+        parameters.get("endingVersion").map(_.toInt).getOrElse(-1))
+    } else new SnapshotRelation(sqlContext, dirOf(parameters),
       parameters.get("versionAsOf").map(_.toInt).getOrElse(-1))
 
   /** Batch WRITE through the standard writer API —

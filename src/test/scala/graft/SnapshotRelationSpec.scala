@@ -73,6 +73,45 @@ class SnapshotRelationSpec extends SparkSpec {
     assert(df.select("tag").distinct().count() == 7)
   }
 
+  test("batch readChangeFeed replays a version range as change rows") {
+    val root = freshRoot()
+    Snapshots.append((0L until 10L).map(i => (i, i * 1.0))
+      .toDF("id", "v").coalesce(1), root) // v1
+    Snapshots.append((10L until 20L).map(i => (i, i * 1.0))
+      .toDF("id", "v").coalesce(1), root) // v2
+    Snapshots.merge(spark, root,
+      Seq((5L, 500.0), (20L, 20.0)).toDF("id", "v"), Seq("id")) // v3
+    Snapshots.deleteMatching(spark, root,
+      Seq(Tuple1(1L)).toDF("id"), Seq("id")) // v4
+    def feed(from: Int, to: Int = -1) = {
+      val r = spark.read.format("graft-snapshots").option("path", root)
+        .option("readChangeFeed", "true").option("startingVersion", from)
+      (if (to >= 0) r.option("endingVersion", to) else r).load()
+        .select("_change_type", "_commit_version", "id", "v")
+        .as[(String, Int, Long, Double)].collect().toSet
+    }
+    // startingVersion is INCLUSIVE; v3 upsert = delete(old)+insert(new)
+    assert(feed(3) == Set(
+      ("delete", 3, 5L, 5.0), ("insert", 3, 5L, 500.0),
+      ("insert", 3, 20L, 20.0), ("delete", 4, 1L, 1.0)))
+    // endingVersion bounds the range inclusively
+    assert(feed(3, 3) == Set(
+      ("delete", 3, 5L, 5.0), ("insert", 3, 5L, 500.0),
+      ("insert", 3, 20L, 20.0)))
+    // full-history replay folds to the table's current content
+    assert(feed(1).size == 10 + 10 + 3 + 1)
+    // option validation is loud
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshots").option("path", root)
+        .option("readChangeFeed", "true").load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshots").option("path", root)
+        .option("readChangeFeed", "true").option("startingVersion", 2)
+        .option("versionAsOf", 3).load()
+    }
+  }
+
   test("reader surfaces renamed columns in the current logical shape") {
     val root = freshRoot()
     Seq((1L, "a")).toDF("k", "v").write.format("graft-snapshots")
