@@ -1141,6 +1141,12 @@ object SinkQueries {
           WHEN NOT MATCHED AND s.o_custkey % 2 = 0 THEN INSERT *""")
         s.sql("""UPDATE gsq.default.s41 SET o_totalprice = o_totalprice * 2
           WHERE o_custkey > (SELECT max(o_custkey) FROM s41_base) - 500""")
+        // correlated-equality EXISTS: decomposes to the DISTRIBUTED
+        // key-frame delete (semi-join = tombstone match), any
+        // cardinality, no driver materialization
+        s.sql("""DELETE FROM gsq.default.s41 t WHERE EXISTS (
+          SELECT 1 FROM s41_base b
+          WHERE b.o_orderkey = t.o_orderkey AND b.o_custkey % 13 = 6)""")
         s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
           FROM gsq.default.s41 ORDER BY o_orderkey""")
       },
@@ -1173,7 +1179,10 @@ object SinkQueries {
         |SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_custkey > (SELECT max(o_custkey) FROM base) - 500
         |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
-        |FROM merged ORDER BY o_orderkey""".stripMargin),
+        |FROM merged
+        |WHERE o_orderkey NOT IN (
+        |  SELECT o_orderkey FROM base WHERE o_custkey % 13 = 6)
+        |ORDER BY o_orderkey""".stripMargin),
 
     // The COMPLETE MERGE matrix in one statement — matched UPDATE,
     // not-matched INSERT, and both WHEN NOT MATCHED BY SOURCE verbs

@@ -1,9 +1,9 @@
 package graft.sql
 
-import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Exists, Expression, In, InSubquery, ListQuery, Literal, ScalarSubquery, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Exists, Expression, In, InSubquery, ListQuery, Literal, NamedExpression, OuterReference, ScalarSubquery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project => LProject}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.GraftSparkBridge
 
@@ -55,9 +55,11 @@ private[sql] object GraftDml {
   private def refuseCorrelated(se: SubqueryExpression, what: String): Unit =
     if (se.getOuterAttrs.nonEmpty)
       throw new UnsupportedOperationException(
-        s"$what with a CORRELATED subquery is not supported on graft " +
-          "tables — rewrite as an uncorrelated IN (subquery), or " +
-          "materialize the correlation as a source table and MERGE")
+        s"$what with a CORRELATED subquery in this position is not " +
+          "supported on graft tables — DELETE supports a standing-alone " +
+          "EXISTS/IN with equality correlation (distributed); otherwise " +
+          "rewrite as an uncorrelated IN (subquery), or materialize the " +
+          "correlation as a source table and MERGE")
 
   /** Evaluate every UNCORRELATED subquery in `e` to a literal form —
     * what makes `DELETE/UPDATE ... WHERE k IN (SELECT ...)`,
@@ -105,6 +107,67 @@ private[sql] object GraftDml {
   def useDv(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.sql.deletionVectors")
       .exists(_.equalsIgnoreCase("true"))
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case x => Seq(x)
+  }
+
+  /** Any correlation anywhere in `p` — a bare [[OuterReference]] or a
+    * nested subquery that itself captures outer attributes. */
+  private def hasOuter(p: LogicalPlan): Boolean =
+    p.exists(_.expressions.exists(_.exists {
+      case _: OuterReference => true
+      case s: SubqueryExpression => s.getOuterAttrs.nonEmpty
+      case _ => false
+    }))
+
+  /** Decompose a CORRELATED subquery plan whose only correlation is a
+    * conjunction of `inner-column = outer-column` equalities in its
+    * top Filter (under the SELECT-list Project) into a DISTRIBUTED
+    * key frame: the subquery's residual rows projected to the
+    * SELECT-list values (aliased to `valNames` — the target columns an
+    * enclosing IN compares them to; empty for EXISTS) plus the
+    * correlated inner columns (aliased to the target columns they
+    * equate to). `None` when the correlation doesn't fit that shape —
+    * the caller keeps its loud refusal. The frame feeds
+    * [[Snapshots.deleteMatching]], which NULL-drops and dedups keys
+    * itself, so EXISTS/IN null-and-multiplicity semantics are
+    * preserved: a NULL never equals, duplicates never double-delete. */
+  def equalityCorrelationFrame(spark: SparkSession, plan: LogicalPlan,
+      valNames: Seq[String]): Option[(DataFrame, Seq[String])] = {
+    val (projList, cond, child) = plan match {
+      case LProject(pl, LFilter(c, ch)) => (pl, c, ch)
+      case LFilter(c, ch) => (Nil, c, ch)
+      case _ => return None
+    }
+    if (valNames.nonEmpty && projList.length != valNames.length)
+      return None
+    val (corr, residual) =
+      splitConj(cond).partition(_.exists(_.isInstanceOf[OuterReference]))
+    val pairs: Seq[Option[(Attribute, String)]] = corr.map {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: AttributeReference, OuterReference(o)) => Some(a -> o.name)
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          OuterReference(o), a: AttributeReference) => Some(a -> o.name)
+      case _ => None
+    }
+    if (pairs.isEmpty || pairs.exists(_.isEmpty)) return None
+    // no correlation may survive outside the extracted equalities
+    val residualPlan =
+      residual.reduceOption(And).map(LFilter(_, child)).getOrElse(child)
+    if (hasOuter(residualPlan) ||
+        projList.exists(_.exists(_.isInstanceOf[OuterReference])))
+      return None
+    val keyCols: Seq[NamedExpression] =
+      valNames.zip(projList).map { case (n, pe) =>
+        Alias(pe match { case Alias(c, _) => c; case e => e }, n)()
+      } ++ pairs.flatten.map { case (a, n) => Alias(a, n)() }
+    val names = keyCols.map(_.name)
+    if (names.distinct.length != names.length) return None
+    Some((GraftSparkBridge.ofRows(spark,
+      LProject(keyCols, residualPlan)), names))
+  }
 }
 
 /** `DELETE FROM graft.db.t WHERE p` → [[Snapshots.deleteWhere]] (or
@@ -112,14 +175,20 @@ private[sql] object GraftDml {
   * `spark.graft.sql.deletionVectors=true`). Returns the count of a
   * post-delete... nothing: Spark's DELETE returns no rows.
   *
-  * Subquery predicates are first-class: the single most common CDC
-  * cleanup — `DELETE FROM t WHERE k IN (SELECT ...)` standing alone —
-  * routes to [[Snapshots.deleteMatching]] with the subquery as the
-  * DISTRIBUTED tombstone frame (no driver materialization, any
-  * cardinality, merge-style footprint pruning). Every other
-  * uncorrelated subquery shape (IN among conjuncts, NOT IN, EXISTS,
-  * scalar comparisons) evaluates via
-  * [[GraftDml.evaluateSubqueries]]'s capped literal path. */
+  * Subquery predicates are first-class: the most common CDC cleanups
+  * — `DELETE FROM t WHERE k IN (SELECT ...)` standing alone, and the
+  * CORRELATED `WHERE EXISTS (SELECT .. FROM s WHERE s.a = t.a [AND
+  * s-only predicates])` / `WHERE k IN (SELECT x FROM s WHERE s.y =
+  * t.y)` with pure-equality correlation — route to
+  * [[Snapshots.deleteMatching]] with the subquery as the DISTRIBUTED
+  * tombstone frame (no driver materialization, any cardinality,
+  * merge-style footprint pruning): a correlated-equality semi-join IS
+  * a key-frame match. Other uncorrelated shapes (IN among conjuncts,
+  * NOT IN, EXISTS, scalar comparisons) evaluate via
+  * [[GraftDml.evaluateSubqueries]]'s capped literal path; non-equality
+  * correlation refuses loudly, and `NOT EXISTS` anti-semantics refuse
+  * with the retention-sweep remedy (`MERGE ... WHEN NOT MATCHED BY
+  * SOURCE THEN DELETE`). */
 final case class GraftDeleteCommand(dir: String, tableName: String,
     shieldedCond: ShieldedExpr) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
@@ -139,6 +208,25 @@ final case class GraftDeleteCommand(dir: String, tableName: String,
         // positional rename: subquery output columns may carry
         // expression-derived names (dots included) col() would mangle
         Snapshots.deleteMatching(spark, dir, frame.toDF(names: _*), names)
+      // correlated EXISTS standing alone: equality correlation → the
+      // same distributed tombstone frame, any cardinality
+      case ex: Exists if ex.getOuterAttrs.nonEmpty =>
+        GraftDml.equalityCorrelationFrame(spark, ex.plan, Nil) match {
+          case Some((frame, names)) =>
+            Snapshots.deleteMatching(spark, dir, frame, names)
+          case None => refuseCorrelatedShape("EXISTS")
+        }
+      // correlated IN standing alone: SELECT-list values pair with
+      // the IN columns, correlation equalities join the key set
+      case InSubquery(vals, lq: ListQuery)
+          if lq.getOuterAttrs.nonEmpty &&
+            vals.forall(_.isInstanceOf[AttributeReference]) =>
+        GraftDml.equalityCorrelationFrame(spark, lq.plan,
+          vals.map(_.asInstanceOf[AttributeReference].name)) match {
+          case Some((frame, names)) =>
+            Snapshots.deleteMatching(spark, dir, frame, names)
+          case None => refuseCorrelatedShape("IN (subquery)")
+        }
       case _ =>
         val pred = GraftDml.toColumn(
           GraftDml.evaluateSubqueries(spark, cond, "DELETE"), "DELETE")
@@ -147,6 +235,16 @@ final case class GraftDeleteCommand(dir: String, tableName: String,
     }
     Seq.empty
   }
+
+  private def refuseCorrelatedShape(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"DELETE FROM '$tableName' WHERE $what: only a standing-alone " +
+        "subquery whose correlation is a conjunction of `inner = " +
+        "outer` column equalities in its WHERE clause is supported " +
+        "(it runs as a distributed key-frame delete); for NOT EXISTS " +
+        "retention sweeps use MERGE ... WHEN NOT MATCHED BY SOURCE " +
+        "THEN DELETE, otherwise materialize the correlation as a " +
+        "source table and MERGE")
 }
 
 /** `UPDATE graft.db.t SET c = e, ... WHERE p` →

@@ -324,12 +324,61 @@ class GraftSqlSpec extends SparkSpec {
       WHERE id IN (SELECT kid FROM dsub2_odd) AND v > 15.0""")
     assert(spark.sql("SELECT id FROM gs.default.dsub2 ORDER BY id")
       .as[Long].collect().toSeq == Seq(1L, 3L, 5L))
-    // correlated subqueries still refuse loudly
+    // correlated UPDATE subqueries still refuse loudly (DELETE has
+    // the distributed equality-correlation path — next test)
     val e = intercept[Exception] {
-      spark.sql("""DELETE FROM gs.default.dsub2 t WHERE EXISTS (
-        SELECT 1 FROM dsub2_odd o WHERE o.kid = t.id AND o.kid > 3)""")
+      spark.sql("""UPDATE gs.default.dsub2 SET v = 0.0 WHERE EXISTS (
+        SELECT 1 FROM dsub2_odd o WHERE o.kid = id)""")
     }
     assert(e.getMessage.toUpperCase.contains("CORRELATED"))
+  }
+
+  test("correlated-equality EXISTS/IN DELETE runs as a distributed " +
+      "key-frame delete") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.dcor (id BIGINT, grp BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.dcor " +
+      "SELECT id, id % 3, id * 1.0 FROM range(30)")
+    spark.sql("SELECT id * 2 AS rid, id % 3 AS rgrp FROM range(15)")
+      .createOrReplaceTempView("dcor_src")
+    // composite equality correlation + an inner-only residual
+    // predicate; EXISTS = semi-join = deleteMatching's tombstone op
+    spark.sql("""DELETE FROM gs.default.dcor t WHERE EXISTS (
+      SELECT 1 FROM dcor_src s
+      WHERE s.rid = t.id AND s.rgrp = t.grp AND s.rid < 20)""")
+    assert(Snapshots.history(spark, dirOf("default", "dcor"))
+      .head().getString(2) == "merge-delete")
+    val gone = (0L until 15L).map(i => (i * 2, i % 3))
+      .filter { case (rid, rgrp) => rid < 20 && rid % 3 == rgrp }
+      .map(_._1).toSet
+    assert(spark.sql("SELECT id FROM gs.default.dcor ORDER BY id")
+      .as[Long].collect().toSeq == (0L until 30L).filterNot(gone))
+    // correlated IN: the SELECT-list value pairs with the IN column,
+    // the correlation equality joins the key set
+    val before = spark.sql("SELECT id FROM gs.default.dcor")
+      .as[Long].collect().toSet
+    spark.sql("""DELETE FROM gs.default.dcor t WHERE id IN (
+      SELECT s.rid + 1 FROM dcor_src s WHERE s.rgrp = t.grp)""")
+    val goneIn = (0L until 30L).filter { id =>
+      before(id) && (0L until 15L).exists(i =>
+        i * 2 + 1 == id && i % 3 == id % 3)
+    }.toSet
+    assert(spark.sql("SELECT id FROM gs.default.dcor ORDER BY id")
+      .as[Long].collect().toSeq ==
+      (0L until 30L).filter(i => before(i) && !goneIn(i)))
+    // non-equality correlation refuses with the shape named
+    val e = intercept[Exception] {
+      spark.sql("""DELETE FROM gs.default.dcor t WHERE EXISTS (
+        SELECT 1 FROM dcor_src s WHERE s.rid > t.id)""")
+    }
+    assert(e.getMessage.contains("column equalities"))
+    // NOT EXISTS refuses pointing at the retention-sweep MERGE
+    val e2 = intercept[Exception] {
+      spark.sql("""DELETE FROM gs.default.dcor t WHERE NOT EXISTS (
+        SELECT 1 FROM dcor_src s WHERE s.rid = t.id)""")
+    }
+    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE") ||
+      e2.getMessage.toUpperCase.contains("CORRELATED"))
   }
 
   test("deletion-vector mode: DELETE commits a vector, no rewrite") {
