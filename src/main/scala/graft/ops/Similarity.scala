@@ -46,6 +46,12 @@ object Similarity {
     * exact powers of two. Capped at `maxBits` (axis-sign buckets use
     * one embedding coordinate per bit, and 2^20 buckets ≈ 1M is past
     * any fixture's occupancy needs). */
+  /** The widest bucket width at which the SINGLE-probe sign-LSH join
+    * ([[lshTopKNeighbors]]) still has an oracle-assertable recall
+    * floor — under the [[occupancyBits]] rule, ≈ 2000·2^(8−4) ≈ 32k
+    * vectors. Past it the method refuses (see its scaladoc). */
+  val CalibrationMaxBits: Int = 8
+
   def occupancyBits(corpus: Long, baseBits: Int = 4,
       calibration: Long = 2000L, maxBits: Int = 20): Int = {
     require(baseBits >= 1 && baseBits <= maxBits,
@@ -98,19 +104,29 @@ object Similarity {
 
   /** Per-vector top-k neighbors *within the same LSH bucket*.
     *
-    * SCALE ENVELOPE — calibration/fixture scale only. A fixed-`bits`
-    * single-bucket probe has a recall that COLLAPSES as the corpus
-    * grows (measured: identity 0.007 at 100× under
+    * SCALE ENVELOPE — calibration/fixture scale only, now ENFORCED:
+    * a fixed-`bits` single-bucket probe has a recall that COLLAPSES
+    * as the corpus grows (measured: identity 0.007 at 100× under
     * occupancy-preserving bits — BASELINE.md), because one Hamming
     * ball covers an ever-smaller fraction of each vector's true
-    * neighborhood. The production entry point is
-    * [[lshTopKNeighborsQueryDirected]] (query-directed multi-probe
-    * with [[occupancyBits]]), whose quality floor IS asserted at
-    * 10×/100× by the scale certification (`tools/ScaleBench`). Use
-    * this variant only to calibrate bucket occupancy or on corpora
-    * small enough that the certification's fixture tier covers them. */
+    * neighborhood — and no fixed-small-probe variant escapes that
+    * argument (probe count must SCALE with the bit width, which is
+    * precisely [[lshTopKNeighborsQueryDirected]]'s scaled
+    * configuration). So rather than documenting the trap, the method
+    * refuses `bits` above the calibration ceiling: at calibration
+    * occupancy (≤ [[CalibrationMaxBits]] bucket bits ≈ a few hundred
+    * thousand vectors) the single-probe recall floor is
+    * oracle-asserted (`e7_recall_bound`); past it, the query-directed
+    * prober — whose quality floor IS asserted at 10×/100× by the
+    * scale certification (`tools/ScaleBench`) — is the entry point. */
   def lshTopKNeighbors(emb: DataFrame, bits: Int, k: Int,
       maxBucket: Int = 100000): DataFrame = {
+    require(bits <= CalibrationMaxBits,
+      s"single-probe sign-LSH with $bits bucket bits is past the " +
+        s"calibration envelope (<= $CalibrationMaxBits): its recall " +
+        "collapses as bits grow (measured 0.007 at 100× — BASELINE.md); " +
+        "use lshTopKNeighborsQueryDirected, whose probe count scales " +
+        "with the bit width and whose floor is certified at scale")
     val b = capBuckets(bucketed(emb, bits), maxBucket)
     val pairs = b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") &&

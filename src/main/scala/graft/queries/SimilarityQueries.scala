@@ -349,8 +349,10 @@ object SimilarityQueries {
     // O(Σ bucket²); bucket join is a plain equality shuffle).
     // CALIBRATION-SCALE ROW: the fixed single-bucket probe's recall
     // collapses as the corpus grows (identity 0.007 at 100× —
-    // BASELINE.md); it stays registered as the mechanism-correctness
-    // oracle for the bucketing itself. The ASSERTED-at-scale ANN rows
+    // BASELINE.md), so the method now REFUSES bucket widths past
+    // Similarity.CalibrationMaxBits — this row stays registered as
+    // the mechanism-correctness oracle for the bucketing itself,
+    // inside the enforced envelope. The ASSERTED-at-scale ANN rows
     // are e5/e10 (query-directed multi-probe, quality floor certified
     // at 10×/100× by tools/ScaleBench).
     QueryDef("e2_ann_lsh_topk",
@@ -772,15 +774,14 @@ object SimilarityQueries {
         .withColumn("pass",
           bound.map(b => col("recall") >= lit(b)).getOrElse(lit(true)))
 
-    // e2 stays an OBSERVABILITY row at scale (no asserted floor):
-    // sign-LSH SINGLE-probe recall under occupancy-preserving bits
-    // decays with corpus size by construction (P[shared bucket] falls
-    // per added bit) — the honest-weak tier.
-    val r2 = identityRow("e2_ann_lsh",
-      Similarity.lshTopKNeighbors(emb, bits = lshBits, k = LshK)
-        .select("vec_id", "nb_id"),
-      ex3, Seq("vec_id", "nb_id"),
-      if (mult <= 1L) Some(0.10) else None)
+    // e2 (single-probe sign-LSH) no longer appears at scale: its
+    // recall decays with corpus size by construction (P[shared
+    // bucket] falls per added bit — measured 0.007 at 100×), and no
+    // fixed-small-probe config escapes that argument, so rather than
+    // reporting a floor-less observability row the METHOD now refuses
+    // bucket widths past Similarity.CalibrationMaxBits. The
+    // fixture-scale floor stays oracle-asserted in e7_recall_bound;
+    // the at-scale LSH row is the query-directed prober below.
     // e5's SCALE configuration is the query-directed prober: 2^5 = 32
     // probes spent on the lowest-margin bit subsets, so per-vector
     // candidate volume stays ~constant under occupancy-preserving bits
@@ -849,7 +850,7 @@ object SimilarityQueries {
         (col("got_cos") / col("exact_cos")).as("quality"))
       .withColumn("pass", col("quality") >= lit(0.95))
 
-    r2.unionByName(r5).unionByName(r3).unionByName(r6)
+    r5.unionByName(r3).unionByName(r6)
       .orderBy("method")
   }
 }

@@ -93,6 +93,23 @@ class VectorFnsSpec extends SparkSpec {
       maxBits = 8) === 8)
   }
 
+  test("single-probe LSH refuses bucket widths past the calibration " +
+      "envelope") {
+    // the measured at-scale recall collapse (0.007 at 100×) is now an
+    // enforced envelope, not a documented trap: occupancy-preserved
+    // widths past CalibrationMaxBits refuse with the prober named
+    val few = emb.limit(8)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopKNeighbors(few,
+        bits = Similarity.CalibrationMaxBits + 1, k = 3)
+    }
+    assert(e.getMessage.contains("QueryDirected"))
+    // at the ceiling it still runs
+    assert(Similarity.lshTopKNeighbors(few,
+      bits = Similarity.CalibrationMaxBits, k = 3).columns
+      .contains("nb_id"))
+  }
+
   test("query-directed probing at probeBits = bits covers every bucket") {
     // flipping ANY subset of all `bits` positions reaches every bucket,
     // so the result must equal the exact per-vector top-k (the capped
