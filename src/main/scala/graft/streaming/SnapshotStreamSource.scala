@@ -110,9 +110,9 @@ class SnapshotSourceProvider extends StreamSourceProvider
             "commit INCLUDED in the feed); endingVersion bounds it " +
             "(default: current version)"))
       require(from >= 1, s"startingVersion must be >= 1, got $from")
-      new ChangeFeedRelation(sqlContext, dirOf(parameters), from,
+      new ChangeFeedRelation(sqlContext, dirOf(sqlContext, parameters), from,
         parameters.get("endingVersion").map(_.toInt).getOrElse(-1))
-    } else new SnapshotRelation(sqlContext, dirOf(parameters),
+    } else new SnapshotRelation(sqlContext, dirOf(sqlContext, parameters),
       parameters.get("versionAsOf").map(_.toInt).getOrElse(-1))
 
   /** Batch WRITE through the standard writer API —
@@ -126,7 +126,7 @@ class SnapshotSourceProvider extends StreamSourceProvider
     * calls. */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
-    val dir = dirOf(parameters)
+    val dir = dirOf(sqlContext, parameters)
     val exists =
       Snapshots.currentVersion(sqlContext.sparkSession, dir).isDefined
     mode match {
@@ -174,7 +174,7 @@ class SnapshotSourceProvider extends StreamSourceProvider
           || outputMode == OutputMode.Complete(),
         s"graft-snapshots sink supports Append, Complete and Update " +
           s"(with mergeKeys), got $outputMode")
-    val dir = dirOf(parameters)
+    val dir = dirOf(sqlContext, parameters)
     val writerId = parameters.get("writerId").getOrElse {
       val ckpt = parameters.getOrElse("checkpointLocation",
         throw new IllegalArgumentException(
@@ -189,9 +189,41 @@ class SnapshotSourceProvider extends StreamSourceProvider
       mergeKeys = if (outputMode == OutputMode.Update()) mergeKeys else None)
   }
 
-  private def dirOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-snapshots source requires .option(\"path\", <tableDir>)"))
+  /** The table directory: `.option("path", <dir>)`, or
+    * `.option("table", "<catalog>.<ns...>.<name>")` resolved through
+    * a registered [[graft.sql.GraftCatalog]] — so batch change-feed
+    * reads (and every other path-based surface) address catalog
+    * tables by NAME without the caller dereferencing the warehouse
+    * layout. Exactly one of the two must be present. */
+  private def dirOf(sqlContext: SQLContext,
+      parameters: Map[String, String]): String =
+    (parameters.get("path"), parameters.get("table")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "graft-snapshots: .option(\"path\") and .option(\"table\") " +
+          "are mutually exclusive")
+      case (Some(p), None) => p
+      case (None, Some(ident)) =>
+        val parts = ident.split('.')
+        require(parts.length >= 3, "graft-snapshots .option(\"table\") " +
+          s"wants '<catalog>.<namespace...>.<table>', got '$ident'")
+        val cat = org.apache.spark.sql.graft.GraftSparkBridge
+          .catalogByName(sqlContext.sparkSession, parts.head)
+        cat match {
+          case g: graft.sql.GraftCatalog =>
+            g.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+              .of(parts.tail.init, parts.last)) match {
+              case t: graft.sql.GraftTable => t.dir
+              case other => throw new IllegalArgumentException(
+                s"'$ident' is not a graft snapshot table: $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"catalog '${parts.head}' is not a GraftCatalog " +
+              s"(${other.getClass.getName})")
+        }
+      case (None, None) => throw new IllegalArgumentException(
+        "graft-snapshots source requires .option(\"path\", <tableDir>) " +
+          "or .option(\"table\", <catalog.db.table>)")
+    }
 
   private def changeFeedOf(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
@@ -200,7 +232,7 @@ class SnapshotSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val base = schema.getOrElse(
-      Snapshots.read(sqlContext.sparkSession, dirOf(parameters)).schema)
+      Snapshots.read(sqlContext.sparkSession, dirOf(sqlContext, parameters)).schema)
     val out =
       if (!changeFeedOf(parameters)) base
       else StructType(base.fields :+
@@ -224,7 +256,7 @@ class SnapshotSourceProvider extends StreamSourceProvider
       "readChangeFeed composes with maxVersionsPerTrigger only — " +
         "file-granular admission is append-attribution-based and " +
         "cannot slice a DML commit's row-level decomposition")
-    new SnapshotSource(sqlContext, dirOf(parameters),
+    new SnapshotSource(sqlContext, dirOf(sqlContext, parameters),
       parameters.get("startingVersion").map(_.toInt).getOrElse(0),
       cap("maxVersionsPerTrigger"), cap("maxFilesPerTrigger"),
       metadataPath, changeFeed)

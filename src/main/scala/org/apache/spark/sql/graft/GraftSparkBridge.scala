@@ -42,6 +42,14 @@ object GraftSparkBridge {
   trait V1FallbackTable
     extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
 
+  /** A registered session catalog plugin by name
+    * (`sessionState.catalogManager` is `private[sql]`) — what lets
+    * the path-based reader accept `.option("table", "cat.db.t")` and
+    * resolve it to the table's directory. */
+  def catalogByName(spark: SparkSession, name: String)
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.sessionState.catalogManager.catalog(name)
+
   /** A V1 streaming source relation for `format` with `options`,
     * emitting exactly `output` (attribute ids preserved, so a resolved
     * plan can swap a `StreamingRelationV2` for this in place). */

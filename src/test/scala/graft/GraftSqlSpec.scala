@@ -381,6 +381,34 @@ class GraftSqlSpec extends SparkSpec {
       e2.getMessage.toUpperCase.contains("CORRELATED"))
   }
 
+  test("path-based reader resolves catalog tables via option(\"table\")") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.byname (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.byname SELECT id, id*1.0 FROM range(5)")
+    spark.sql("DELETE FROM gs.default.byname WHERE id = 2")
+    // plain batch read by NAME — no warehouse-layout dereference
+    assert(spark.read.format("graft-snapshots")
+      .option("table", "gs.default.byname").load()
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 3L, 4L))
+    // batch change feed by name: the CDC catch-up surface
+    val feed = spark.read.format("graft-snapshots")
+      .option("table", "gs.default.byname")
+      .option("readChangeFeed", "true").option("startingVersion", 3)
+      .load().select("_change_type", "id")
+      .as[(String, Long)].collect().toSet
+    assert(feed == Set(("delete", 2L)))
+    // path and table are mutually exclusive; unknown tables are loud
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshots")
+        .option("table", "gs.default.byname")
+        .option("path", "/tmp/x").load()
+    }
+    intercept[Exception] {
+      spark.read.format("graft-snapshots")
+        .option("table", "gs.default.no_such_table").load().count()
+    }
+  }
+
   test("deletion-vector mode: DELETE commits a vector, no rewrite") {
     warehouse
     spark.sql("CREATE TABLE gs.default.dvm (id BIGINT)")
