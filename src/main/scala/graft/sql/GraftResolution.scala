@@ -202,7 +202,15 @@ final case class GraftResolution(session: SparkSession)
           "unconditional WHEN MATCHED UPDATE/DELETE, WHEN NOT " +
           "MATCHED INSERT, and WHEN NOT MATCHED BY SOURCE " +
           "UPDATE/DELETE actions)")
-    if (m.schemaEvolutionEnabled) refuse("WITH SCHEMA EVOLUTION is not supported")
+    // WITH SCHEMA EVOLUTION: Spark's ResolveMergeIntoSchemaEvolution
+    // already ran (GraftTable advertises AUTOMATIC_SCHEMA_EVOLUTION),
+    // committing new-source-column adds through GraftCatalog.alterTable
+    // (metadata-only; non-AddColumn changes throw there/in Spark) and
+    // reloading the target relation widened. If evolution is still
+    // pending here, the rule could not apply — refuse rather than
+    // silently drop columns.
+    if (m.needSchemaEvolution)
+      refuse("WITH SCHEMA EVOLUTION could not be applied to this target")
     if (m.mergeCondition.exists(_.isInstanceOf[SubqueryExpression]))
       refuse("ON with a subquery is not supported")
     val tAttrs = AttributeSet(rel.output)

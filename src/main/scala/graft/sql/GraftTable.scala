@@ -61,11 +61,23 @@ final class GraftTable(
   override lazy val schema: StructType =
     Snapshots.read(spark, dir, pinnedVersion.getOrElse(-1)).schema
 
+  // AUTOMATIC_SCHEMA_EVOLUTION is MERGE-scoped (the only consumer in
+  // Spark 4.1 is MergeIntoTable.schemaEvolutionEnabled): it lets
+  // Spark's own ResolveMergeIntoSchemaEvolution route `MERGE WITH
+  // SCHEMA EVOLUTION` new-source-column adds through this catalog's
+  // alterTable — which commits the metadata-only widened #schema this
+  // format already supports (old files read NULL). Any change beyond
+  // a nullable top-level ADD COLUMN is refused loudly, by Spark for
+  // non-AddColumn shapes and by GraftCatalog.alterTable otherwise.
+  // Note the evolution commit happens at ANALYSIS time (Spark's rule
+  // design); a merge that subsequently fails leaves only the benign
+  // additive schema commit behind.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def properties(): util.Map[String, String] = {
     val cs = Snapshots.constraints(spark, dir)

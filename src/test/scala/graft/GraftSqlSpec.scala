@@ -381,6 +381,41 @@ class GraftSqlSpec extends SparkSpec {
       e2.getMessage.toUpperCase.contains("CORRELATED"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the schema metadata-only") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.mse (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.mse VALUES (1, 1.0), (2, 2.0)")
+    Seq((2L, 20.0, "x"), (3L, 30.0, "y")).toDF("id", "v", "tag")
+      .createOrReplaceTempView("mse_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gs.default.mse t
+      USING mse_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // new column landed; pre-evolution rows read NULL
+    assert(spark.sql("SELECT id, v, tag FROM gs.default.mse ORDER BY id")
+      .as[(Long, Double, Option[String])].collect().toSeq == Seq(
+        (1L, 1.0, None), (2L, 20.0, Some("x")), (3L, 30.0, Some("y"))))
+    // the evolution is its own metadata-only add-column commit
+    // (Spark's rule applies it through GraftCatalog.alterTable at
+    // analysis), then the merge commits
+    val ops = Snapshots.history(spark, dirOf("default", "mse"))
+      .select("operation").as[String].collect().toSeq
+    assert(ops.contains("add-column"))
+    // time travel keeps the pre-evolution shape
+    assert(spark.sql(
+      "SELECT * FROM gs.default.mse VERSION AS OF 2").columns.toSeq ==
+      Seq("id", "v"))
+    // WITHOUT the keyword a wider source does NOT evolve: star means
+    // "all target columns" (standard SQL), extra source columns are
+    // simply unused
+    spark.sql("""MERGE INTO gs.default.mse t
+      USING (SELECT id, v, tag, 1 AS extra FROM mse_src) s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.table("gs.default.mse").columns.toSeq ==
+      Seq("id", "v", "tag"))
+  }
+
   test("path-based reader resolves catalog tables via option(\"table\")") {
     warehouse
     spark.sql("CREATE TABLE gs.default.byname (id BIGINT, v DOUBLE)")
