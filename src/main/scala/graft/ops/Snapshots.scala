@@ -2372,6 +2372,136 @@ object Snapshots {
     1
   }
 
+  /** A staged-but-uncommitted data set for the two-phase
+    * CREATE/REPLACE TABLE protocol ([[stageReplaceData]] →
+    * [[commitReplaceTable]] | [[abortStagedData]]) — the seam Spark's
+    * `StagingTableCatalog` needs for ATOMIC `CREATE OR REPLACE TABLE
+    * ... AS SELECT`: data files exist on disk but nothing references
+    * them until the one commit manifest lands; a crash anywhere before
+    * that leaves ignorable orphans (vacuum/clean_orphans reaps them),
+    * never a half-replaced table. Opaque outside this object. */
+  final class StagedReplace private[Snapshots] (
+      private[Snapshots] val files: Seq[String],
+      private[Snapshots] val stats: Seq[String])
+
+  /** Phase one of an atomic CREATE/REPLACE: write `df`'s parquet files
+    * under the table's data dir WITHOUT committing a manifest. */
+  def stageReplaceData(df: DataFrame, dir: String): StagedReplace = {
+    val (fs, root) = fsFor(df.sparkSession, dir)
+    val staged = stage(df, fs, root)
+    new StagedReplace(staged.files, staged.stats)
+  }
+
+  /** Phase two: land schema + properties + CHECK constraints + the
+    * staged data as ONE commit. On an existing table this REPLACES the
+    * content (op `replace-table`, next version — previous versions
+    * stay readable until [[vacuum]], the snapshot-native REPLACE);
+    * on an empty directory it is the atomic CTAS (op `create-table`,
+    * v1). Table configuration (properties, constraints, clustering,
+    * bloom columns, column mapping) RESETS to what the statement
+    * declares — REPLACE is by definition a fresh table contract.
+    * `mustExist` / `mustNotExist` pin the DDL verb's semantics
+    * (REPLACE / CREATE) against racing creators; constraints are
+    * analyzed against the new schema and ENFORCED on the staged rows
+    * before the commit. A lost CAS race throws — a REPLACE that raced
+    * another writer must not silently clobber its commit. */
+  def commitReplaceTable(spark: SparkSession, dir: String,
+      schema: StructType, properties: Map[String, String],
+      checkConstraints: Map[String, String],
+      staged: Seq[StagedReplace],
+      mustExist: Boolean = false, mustNotExist: Boolean = false): Int = {
+    require(schema.fields.nonEmpty, s"REPLACE TABLE $dir needs columns")
+    checkConstraints.keys.foreach(n => require(n.matches("[A-Za-z0-9._-]+"),
+      s"constraint name must be [A-Za-z0-9._-]+, got '$n'"))
+    val (fs, root) = fsFor(spark, dir)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)
+    checkConstraints.foreach { case (n, e) =>
+      try empty.filter(expr(e)).queryExecution.analyzed
+      catch {
+        case NonFatal(t) => throw new IllegalArgumentException(
+          s"CHECK constraint '$n' ($e) does not resolve against the " +
+            s"schema of $dir: ${t.getMessage}")
+      }
+    }
+    var files = staged.flatMap(_.files)
+    var stats = staged.flatMap(_.stats)
+    if (checkConstraints.nonEmpty && files.nonEmpty) {
+      val data = spark.read.schema(schema)
+        .parquet(files.map(f => new HPath(root, f).toString): _*)
+      checkConstraints.foreach { case (n, e) =>
+        val bad = data.filter(!expr(e)).take(1)
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"CHECK constraint '$n' ($e) on $dir violated by incoming " +
+            s"row: ${bad.head} — nothing was committed")
+      }
+    }
+    if (files.isEmpty) { // plain REPLACE TABLE (no AS SELECT)
+      val s = stage(empty, fs, root)
+      files = s.files; stats = s.stats
+    }
+    val base = currentVersion(spark, dir)
+    if (mustNotExist && base.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"CREATE TABLE at $dir lost the race — the table now exists")
+    if (mustExist && base.isEmpty) throw new java.util.NoSuchElementException(
+      s"REPLACE TABLE: no snapshot table under $dir")
+    val next = base.getOrElse(0) + 1
+    val won = casManifest(fs, root, next, files,
+      schemaHeader(allNullable(schema)) +:
+        (constraintHeader(checkConstraints) ++ propsHeader(properties) ++
+          opHeader(if (base.isEmpty) "create-table" else "replace-table") ++
+          stats))
+    if (!won) throw new java.util.ConcurrentModificationException(
+      s"REPLACE TABLE at $dir@v${base.getOrElse(0)} lost the commit " +
+        s"race — a writer landed v$next first; re-run the statement " +
+        "against the current table")
+    next
+  }
+
+  /** Abandon staged CREATE/REPLACE data: delete the staged commit
+    * dirs. Safe to skip — unreferenced files are invisible to readers
+    * and reaped by [[cleanOrphans]] — but a polite abort keeps the
+    * directory walk small. */
+  def abortStagedData(spark: SparkSession, dir: String,
+      staged: Seq[StagedReplace]): Unit = {
+    val (fs, root) = fsFor(spark, dir)
+    staged.flatMap(_.files).map(f => f.take(f.lastIndexOf('/')))
+      .distinct.foreach(rel => fs.delete(new HPath(root, rel), true))
+  }
+
+  /** TRUNCATE TABLE — remove every row, keep the table: schema,
+    * properties, CHECK constraints, clustering declaration, column
+    * mapping and bloom config all carry; ONE commit (op `truncate`).
+    * Unlike [[overwrite]] (which resets table configuration by
+    * design), truncate is a DATA verb: the table contract survives,
+    * only the rows leave. Previous versions stay readable until
+    * [[vacuum]]; the change feed decomposes the commit as row-level
+    * deletes via the diff path. Idempotent under the race retry
+    * (truncating a truncated table is a no-op in content). */
+  def truncate(spark: SparkSession, dir: String): Int =
+    retryOnRace("truncate of " + dir) {
+      val (fs, root) = fsFor(spark, dir)
+      val base = currentVersion(spark, dir).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"nothing to truncate in $dir"))
+      val basePinned = schemaOf(fs, root, base)
+      val bloomCfg = bloomConfigOf(fs, root, base)
+      val staged = stage(read(spark, dir, base).limit(0), fs, root,
+        basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
+          .getOrElse(Map.empty), bloomCfg)
+      val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+      val next = base + 1
+      val won = casManifest(fs, root, next, staged.files,
+        schemaHeader(pinnedSchema) +:
+          (droppedHeader(droppedOf(fs, root, base)) ++
+            bloomHeader(bloomCfg) ++ carriedMeta(fs, root, base) ++
+            opHeader("truncate") ++ staged.stats))
+      if (!won) throw new java.util.ConcurrentModificationException(
+        s"truncate of $dir@v$base lost the commit race")
+      next
+    }
+
   /** Append `df` as a new version (previous files + the new ones).
     * Returns the committed version. Concurrent appends both land, in
     * some order — appends commute, so the retry is lossless. */
@@ -3108,6 +3238,114 @@ object Snapshots {
         s"deleteWhere on $dir@v$base lost the commit race — a writer " +
           s"landed v$next first; re-read and re-delete")
     DeleteResult(next, rewrittenFiles = staged.files.length,
+      droppedFiles = dropWhole.length, untouchedFiles = untouched.length)
+  }
+
+  /** What a [[replaceWhere]] did: `stagedFiles` covers both the
+    * rewritten survivors and the incoming rows (staged together as one
+    * file set); dropped/untouched mirror [[DeleteResult]]. */
+  final case class ReplaceResult(version: Int, stagedFiles: Int,
+    droppedFiles: Int, untouchedFiles: Int)
+
+  /** Scoped overwrite — `INSERT INTO t REPLACE WHERE pred`: rows
+    * satisfying `pred` are removed and `data` takes their place, as
+    * ONE atomic commit (op `replace-where`). This is the 100 TB-safe
+    * spelling of truncate-and-reload (the reference reloads whole
+    * dimension tables per tick — `scripts/dim_refresh.py` semantics):
+    * an idempotent backfill replaces exactly its own slice — re-running
+    * yesterday's load rewrites yesterday's files, never the table, and
+    * a crash mid-job leaves the previous version fully readable.
+    *
+    * File-level cost is [[deleteWhere]]'s pruning: files whose stats
+    * disprove `pred` carry by name (never read), may-match files with
+    * no provable survivor drop whole, only genuinely mixed files are
+    * read (deletion vectors applied) and rewritten as `filter(NOT
+    * pred)`; `data` stages alongside. On a table clustered on the
+    * replace key (e.g. event date), a daily re-load touches the day's
+    * files out of years of history.
+    *
+    * CONTRACT: every incoming row must itself satisfy `pred` —
+    * refused loudly otherwise, because an out-of-scope row would
+    * silently survive the next reload of its own scope (the silent-
+    * drift failure this op exists to prevent). NULL-predicate incoming
+    * rows refuse for the same reason; NULL-predicate existing rows are
+    * KEPT (SQL DELETE semantics — only provably-TRUE rows leave).
+    * CHECK constraints are enforced on `data` before anything commits.
+    * Columns must match the table's (any order); schema never evolves.
+    * Concurrency mirrors [[deleteWhere]]: pinned `expectedVersion`
+    * throws on a lost race, unpinned retries against the new current
+    * version (the replace is a function of (table, pred, data)). */
+  def replaceWhere(spark: SparkSession, dir: String, pred: Column,
+      data: DataFrame, expectedVersion: Int = -1): ReplaceResult =
+    if (expectedVersion >= 0)
+      replaceInternal(spark, dir, pred, data, expectedVersion)
+    else retryOnRace("replaceWhere on " + dir)(
+      replaceInternal(spark, dir, pred, data, -1))
+
+  private def replaceInternal(spark: SparkSession, dir: String,
+      pred: Column, data: DataFrame,
+      expectedVersion: Int): ReplaceResult = {
+    val (fs, root) = fsFor(spark, dir)
+    val base = if (expectedVersion >= 0) expectedVersion
+    else currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"nothing to replace in $dir — the first load of a table is a " +
+          "plain append/overwrite"))
+    val table = read(spark, dir, base)
+    require(table.columns.sorted.sameElements(data.columns.sorted),
+      s"replaceWhere data columns ${data.columns.toSeq} != table " +
+        s"columns ${table.columns.toSeq}")
+    val aligned = data.select(table.columns.map(data.col).toSeq: _*)
+    // scope containment: a row outside `pred` would survive the next
+    // reload of its own scope — the silent drift this op prevents
+    val outOfScope = aligned.filter(!coalesce(pred, lit(false))).take(1)
+    if (outOfScope.nonEmpty) throw new IllegalArgumentException(
+      s"replaceWhere into $dir: incoming row does not satisfy the " +
+        s"replace predicate (${outOfScope.head}) — every inserted row " +
+        "must be inside the replaced scope; widen the predicate or " +
+        "filter the load")
+    enforceConstraintsAt(spark, dir, fs, root, base, aligned)
+    val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
+    val (maySurvive, dropWhole) =
+      if (mayMatch.isEmpty) (Nil, Nil)
+      else {
+        val survivors = pruneFiles(spark, dir, !pred, base)._1.toSet
+        mayMatch.partition(survivors.contains)
+      }
+    val survivors =
+      if (maySurvive.isEmpty) table.limit(0)
+      else readFilesAs(spark, fs, root, base, maySurvive)
+        .filter(!coalesce(pred, lit(false)))
+    val basePinned = schemaOf(fs, root, base)
+    val bloomCfg = bloomConfigOf(fs, root, base)
+    val staged = stage(survivors.unionByName(aligned), fs, root,
+      basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
+        .getOrElse(Map.empty), bloomCfg)
+    val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+    val droppedSet = droppedOf(fs, root, base)
+    val next = base + 1
+    val won =
+      if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
+        casManifest(fs, root, next, staged.files,
+          s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
+            schemaHeader(pinnedSchema) +:
+            (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
+              carriedMeta(fs, root, base) ++
+              opHeader("replace-where") ++
+              mayMatch.map(f => s"#remove\t$f") ++ staged.stats))
+      else
+        casManifest(fs, root, next, untouched ++ staged.files,
+          schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
+            bloomHeader(bloomCfg) ++
+            carriedMeta(fs, root, base) ++
+            opHeader("replace-where") ++
+            dvLines(dvFor(fs, root, base), untouched.toSet) ++
+            statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
+    if (!won)
+      throw new java.util.ConcurrentModificationException(
+        s"replaceWhere on $dir@v$base lost the commit race — a writer " +
+          s"landed v$next first; re-read and re-replace")
+    ReplaceResult(next, stagedFiles = staged.files.length,
       droppedFiles = dropWhole.length, untouchedFiles = untouched.length)
   }
 

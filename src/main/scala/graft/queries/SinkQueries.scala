@@ -947,8 +947,9 @@ object SinkQueries {
     // bridge) — CTAS, INSERT INTO, DELETE FROM, MERGE INTO, UPDATE,
     // then a read that time-travels with VERSION AS OF next to the
     // current state. Versions are deterministic: CTAS commits v1
-    // (schema) + v2 (rows), INSERT v3, DELETE v4, MERGE v5, UPDATE
-    // v6. The oracle replays every step from the source predicates.
+    // (ONE atomic commit — schema + rows, via the staging catalog),
+    // INSERT v2, DELETE v3, MERGE v4, UPDATE v5. The oracle replays
+    // every step from the source predicates.
     QueryDef("s38_sql_catalog_dml",
       (s, dir) => {
         // per-process warehouse: stable across the warm/timed phases
@@ -979,9 +980,9 @@ object SinkQueries {
           WHEN NOT MATCHED THEN INSERT *""")
         s.sql("""UPDATE gsq.default.s38 SET o_totalprice = o_totalprice * 2
           WHERE o_orderkey % 5 = 0""")
-        s.sql("""SELECT 'v5' AS at_version, o_orderkey, o_custkey,
+        s.sql("""SELECT 'postmerge' AS at_version, o_orderkey, o_custkey,
             o_totalprice
-          FROM gsq.default.s38 VERSION AS OF 5
+          FROM gsq.default.s38 VERSION AS OF 4
           UNION ALL
           SELECT 'cur' AS at_version, o_orderkey, o_custkey, o_totalprice
           FROM gsq.default.s38
@@ -1007,7 +1008,7 @@ object SinkQueries {
         |         ELSE o_totalprice END AS o_totalprice
         |  FROM v5)
         |SELECT * FROM (
-        |  SELECT 'v5' AS at_version, * FROM v5
+        |  SELECT 'postmerge' AS at_version, * FROM v5
         |  UNION ALL SELECT 'cur' AS at_version, * FROM v6)
         |ORDER BY at_version, o_orderkey""".stripMargin),
 
@@ -1243,6 +1244,58 @@ object SinkQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM matched
         |UNION ALL SELECT o_orderkey, o_custkey, o_totalprice FROM ins
         |UNION ALL SELECT o_orderkey, o_custkey, o_totalprice FROM by_src_kept
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Scoped overwrite (REPLACE WHERE) — the 100 TB-safe
+    // truncate-and-reload: an idempotent backfill replaces exactly its
+    // own slice as ONE atomic commit, file-pruned to the slice's
+    // files. Exercised through BOTH surfaces: the SQL
+    // `INSERT INTO ... REPLACE WHERE` (range predicate, translated
+    // exactly to source filters) and the Scala API
+    // `Snapshots.replaceWhere` (arbitrary Column predicate the SQL
+    // filter vocabulary cannot express). The oracle replays each
+    // replace as delete-scope + insert-load.
+    QueryDef("s43_replace_where",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s43_wh_" +
+          ProcessHandle.current().pid()
+        s.conf.set("spark.sql.catalog.g43", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g43.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS g43.default.s43")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView("s43_base")
+        s.sql("CREATE TABLE g43.default.s43 AS SELECT * FROM s43_base")
+        // SQL surface: re-load the low-key slice (range predicate)
+        s.sql("""INSERT INTO g43.default.s43 REPLACE WHERE o_orderkey < 30000
+          SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+          FROM s43_base WHERE o_orderkey < 30000 AND o_custkey % 3 = 0""")
+        // Scala surface: a predicate outside the SQL filter vocabulary
+        Snapshots.replaceWhere(s, s"$wh/default/s43",
+          pmod(col("o_custkey"), lit(7)) === 2,
+          Tables.orders(s, dir)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .filter(pmod(col("o_custkey"), lit(7)) === 2 &&
+              pmod(col("o_orderkey"), lit(5)) === 1)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+          FROM g43.default.s43 ORDER BY o_orderkey""")
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |s1 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM base
+        |  WHERE o_orderkey >= 30000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey < 30000 AND o_custkey % 3 = 0),
+        |s2 AS (
+        |  SELECT * FROM s1 WHERE NOT (o_custkey % 7 = 2)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice
+        |  FROM base WHERE o_custkey % 7 = 2 AND o_orderkey % 5 = 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM s2
         |ORDER BY o_orderkey""".stripMargin)
   )
 }

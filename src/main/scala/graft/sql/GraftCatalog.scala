@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableCatalogCapability, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableCatalogCapability, TableChange, TableInfo}
 import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
@@ -44,7 +44,7 @@ import graft.ops.Snapshots
   * manifest metadata (list a directory, read a manifest head) — no
   * data files are opened by any catalog call. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with StagingTableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -135,7 +135,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(fullName(ident), dir, Some(v))
   }
 
-  override def createTable(ident: Identifier, info: TableInfo): Table = {
+  /** The CREATE/REPLACE TABLE statement translation shared by
+    * [[createTable]] and the staged (atomic) variants: validates the
+    * provider/location/tombstone rules and renders (properties
+    * incl. clustering + comment, CHECK constraints incl. NOT NULL). */
+  private def translateInfo(ident: Identifier,
+      info: TableInfo): (Map[String, String], Map[String, String]) = {
     // PARTITIONED BY (col, ...) maps to the table's CLUSTERING keys
     // (the `cluster.columns` property): physical hive-style partition
     // directories on high-cardinality keys are the 100 TB small-file
@@ -153,7 +158,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"(mapped to clustering keys), got transform '$t'")
       refs.head.fieldNames.head
     }
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     // refuse-loudly, never silently repurpose: `USING <provider>` for
     // anything but this format would create a graft table the user
     // believes is something else, and `LOCATION` would be ignored —
@@ -206,9 +210,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map("comment" -> _).toMap ++
       (if (clusterCols.nonEmpty)
         Map("cluster.columns" -> clusterCols.mkString(",")) else Map.empty)
-    Snapshots.createTable(spark, dir, info.schema(), props,
-      (declared ++ notNull).toMap)
-    new GraftTable(fullName(ident), dir, None)
+    (props, (declared ++ notNull).toMap)
+  }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val (props, constraints) = translateInfo(ident, info)
+    Snapshots.createTable(spark, dirFor(ident), info.schema(), props,
+      constraints)
+    new GraftTable(fullName(ident), dir = dirFor(ident), None)
+  }
+
+  // ---- StagingTableCatalog: atomic CTAS / REPLACE / CREATE OR
+  // REPLACE. The staged table writes data files under the target
+  // directory WITHOUT a manifest; commitStagedChanges lands schema +
+  // properties + constraints + data as ONE CAS commit. On an existing
+  // table the commit is the snapshot-native REPLACE: a new version on
+  // the SAME history (op `replace-table`), so time travel still reads
+  // the pre-replace content until vacuum — strictly stronger than the
+  // non-atomic drop+create Spark falls back to without this interface
+  // (which has a window where the table does not exist, and loses
+  // history). A crash before commit leaves ignorable orphan files.
+
+  override def stageCreate(ident: Identifier,
+      info: TableInfo): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val (props, constraints) = translateInfo(ident, info)
+    new GraftStagedTable(fullName(ident), dirFor(ident), info.schema(),
+      props, constraints, mustExist = false, mustNotExist = true)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: TableInfo): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val (props, constraints) = translateInfo(ident, info)
+    new GraftStagedTable(fullName(ident), dirFor(ident), info.schema(),
+      props, constraints, mustExist = true, mustNotExist = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable = {
+    val (props, constraints) = translateInfo(ident, info)
+    new GraftStagedTable(fullName(ident), dirFor(ident), info.schema(),
+      props, constraints, mustExist = false, mustNotExist = false)
   }
 
   /** Keys Spark itself injects into createTable properties — catalog

@@ -7,11 +7,13 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TruncatableTable}
 import org.apache.spark.sql.graft.GraftSparkBridge
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{sources, Column}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -51,8 +53,23 @@ final class GraftTable(
     val identName: String,
     val dir: String,
     val pinnedVersion: Option[Int]) extends Table
-    with SupportsRead with SupportsWrite
+    with SupportsRead with SupportsWrite with TruncatableTable
     with GraftSparkBridge.V1FallbackTable {
+
+  /** `TRUNCATE TABLE t` — a DATA verb, not a config reset: schema,
+    * properties, constraints, clustering and bloom config carry; one
+    * `truncate` commit removes every row (previous versions stay
+    * readable until vacuum). Contrast `INSERT OVERWRITE`, which
+    * replaces content through [[Snapshots.overwrite]] and resets
+    * carried configuration by design. */
+  override def truncateTable(): Boolean = {
+    if (pinnedVersion.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"cannot truncate '$identName' pinned at VERSION AS OF " +
+          s"${pinnedVersion.get} — writes target the current version only")
+    Snapshots.truncate(spark, dir)
+    true
+  }
 
   private def spark: SparkSession = SparkSession.active
 
@@ -77,6 +94,7 @@ final class GraftTable(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def properties(): util.Map[String, String] = {
@@ -101,9 +119,19 @@ final class GraftTable(
         "vectorized parquet scan with stats pruning and deletion vectors.")
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+    new WriteBuilder with SupportsOverwrite {
+      private var truncateAll = false
+      private var replaceFilters: Option[Array[Filter]] = None
+      override def truncate(): WriteBuilder = { truncateAll = true; this }
+      // `INSERT INTO t REPLACE WHERE cond` / DataFrameWriterV2
+      // .overwrite(cond) — the scoped overwrite. Spark hands the
+      // condition as source filters; [[exactFilterColumn]] refuses any
+      // untranslatable node because dropping a conjunct on a WRITE
+      // would WIDEN the replaced scope (silent data loss) — unlike the
+      // read path, where partial translation only prunes less.
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        replaceFilters = Some(filters); this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -113,12 +141,47 @@ final class GraftTable(
                   s"cannot write to '$identName' pinned at VERSION AS OF " +
                     s"${pinnedVersion.get} — writes target the current " +
                     "version only")
-              if (overwrite || ow) Snapshots.overwrite(data.toDF(), dir)
-              else Snapshots.append(data.toDF(), dir)
+              if (truncateAll || ow) Snapshots.overwrite(data.toDF(), dir)
+              else replaceFilters match {
+                case Some(fs) =>
+                  val pred = fs.map(exactFilterColumn)
+                    .reduceOption(_ && _).getOrElse(lit(true))
+                  Snapshots.replaceWhere(spark, dir, pred, data.toDF())
+                case None => Snapshots.append(data.toDF(), dir)
+              }
             }
           }
       }
     }
+
+  /** sources.Filter → Column, EXACT: every node must translate or the
+    * write refuses. Best-effort translation (the read path's
+    * [[graft.streaming.SnapshotRelation]] converter) is unsound here —
+    * a dropped conjunct would widen a REPLACE WHERE's deleted scope. */
+  private def exactFilterColumn(f: Filter): Column = f match {
+    case sources.EqualTo(a, v) => col(a) === lit(v)
+    case sources.EqualNullSafe(a, v) => col(a) <=> lit(v)
+    case sources.GreaterThan(a, v) => col(a) > lit(v)
+    case sources.GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case sources.LessThan(a, v) => col(a) < lit(v)
+    case sources.LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case sources.In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+    case sources.IsNull(a) => col(a).isNull
+    case sources.IsNotNull(a) => col(a).isNotNull
+    case sources.StringStartsWith(a, p) => col(a).startsWith(p)
+    case sources.StringEndsWith(a, p) => col(a).endsWith(p)
+    case sources.StringContains(a, p) => col(a).contains(p)
+    case sources.AlwaysTrue() => lit(true)
+    case sources.AlwaysFalse() => lit(false)
+    case sources.And(l, r) => exactFilterColumn(l) && exactFilterColumn(r)
+    case sources.Or(l, r) => exactFilterColumn(l) || exactFilterColumn(r)
+    case sources.Not(c) => !exactFilterColumn(c)
+    case other => throw new UnsupportedOperationException(
+      s"REPLACE WHERE condition '$other' does not translate to a " +
+        "source filter on graft tables — use column comparisons over " +
+        "literals, or the Scala API Snapshots.replaceWhere for " +
+        "arbitrary Column predicates")
+  }
 
   /** `df.writeStream.format("graft-snapshots").toTable("graft.db.t")`
     * — the streaming-WRITE surface of the catalog. Spark's

@@ -801,6 +801,136 @@ class GraftSqlSpec extends SparkSpec {
       .filter(col("operation") === "append").count() >= 2)
   }
 
+  test("INSERT INTO ... REPLACE WHERE is an atomic scoped overwrite") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.rw (day BIGINT, x BIGINT)")
+    spark.sql("INSERT INTO gs.default.rw " +
+      "SELECT id % 3 AS day, id AS x FROM range(30)")
+    // re-load day 1 idempotently: its rows are replaced, others kept
+    spark.sql("""INSERT INTO gs.default.rw REPLACE WHERE day = 1
+      SELECT 1 AS day, id + 100 AS x FROM range(2)""")
+    assert(spark.sql(
+      "SELECT count(*) FROM gs.default.rw WHERE day = 1")
+      .head().getLong(0) == 2)
+    assert(spark.sql(
+      "SELECT count(*) FROM gs.default.rw WHERE day <> 1")
+      .head().getLong(0) == 20)
+    // ONE commit, op recorded; previous version time-travels intact
+    val dir = dirOf("default", "rw")
+    assert(Snapshots.history(spark, dir)
+      .filter(col("operation") === "replace-where").count() == 1)
+    assert(spark.sql(
+      "SELECT count(*) FROM gs.default.rw VERSION AS OF 2 WHERE day = 1")
+      .head().getLong(0) == 10)
+    // out-of-scope incoming rows refuse (scope-containment contract)
+    val e = intercept[Exception] {
+      spark.sql("""INSERT INTO gs.default.rw REPLACE WHERE day = 1
+        SELECT 2 AS day, 0 AS x""")
+    }
+    assert(e.getMessage.contains("replace predicate") ||
+      Option(e.getCause).exists(_.getMessage.contains("replace predicate")),
+      e.getMessage)
+    // a compound condition translates exactly
+    spark.sql("""INSERT INTO gs.default.rw
+      REPLACE WHERE day = 2 AND x >= 20
+      SELECT 2 AS day, id + 200 AS x FROM range(2)""")
+    assert(spark.sql(
+      "SELECT x FROM gs.default.rw WHERE day = 2 AND x >= 20 ORDER BY x")
+      .as[Long].collect().toSeq == Seq(200L, 201L))
+    // full INSERT OVERWRITE still truncates (the TRUNCATE path)
+    spark.sql("INSERT OVERWRITE gs.default.rw SELECT 0, 0")
+    assert(spark.sql("SELECT count(*) FROM gs.default.rw")
+      .head().getLong(0) == 1)
+  }
+
+  test("TRUNCATE TABLE removes rows, keeps the table contract") {
+    warehouse
+    spark.sql("""CREATE TABLE gs.default.trnc (id BIGINT NOT NULL, v DOUBLE)
+      PARTITIONED BY (id) TBLPROPERTIES ('owner.team' = 'data-eng')""")
+    spark.sql("INSERT INTO gs.default.trnc SELECT id, id*1.0 FROM range(10)")
+    spark.sql("TRUNCATE TABLE gs.default.trnc")
+    assert(spark.sql("SELECT count(*) FROM gs.default.trnc")
+      .head().getLong(0) == 0)
+    val dir = dirOf("default", "trnc")
+    // a DATA verb: schema, clustering, properties, constraints carry
+    assert(spark.table("gs.default.trnc").columns.toSeq == Seq("id", "v"))
+    assert(Snapshots.clusterColumns(spark, dir) == Seq("id"))
+    assert(Snapshots.tableProperties(spark, dir)
+      .get("owner.team").contains("data-eng"))
+    assert(Snapshots.constraints(spark, dir).contains("nn_id"))
+    // the constraint still enforces after the truncate
+    intercept[Exception] {
+      spark.sql("INSERT INTO gs.default.trnc VALUES (NULL, 1.0)")
+    }
+    // history records it; previous version time-travels intact
+    assert(Snapshots.history(spark, dir)
+      .filter(col("operation") === "truncate").count() == 1)
+    assert(spark.sql(
+      "SELECT count(*) FROM gs.default.trnc VERSION AS OF 2")
+      .head().getLong(0) == 10)
+  }
+
+  test("CTAS is ONE atomic commit (staging catalog)") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.actas AS " +
+      "SELECT id, id * 3 AS trip FROM range(7)")
+    val dir = dirOf("default", "actas")
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+    assert(Snapshots.history(spark, dir)
+      .select("operation").as[String].collect().toSeq ==
+      Seq("create-table"))
+    assert(spark.sql("SELECT sum(trip) FROM gs.default.actas")
+      .head().getLong(0) == 63)
+  }
+
+  test("CREATE OR REPLACE TABLE replaces atomically on the same " +
+      "history; REPLACE TABLE requires existence") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.corp AS " +
+      "SELECT id, 'old' AS tag FROM range(5)")
+    // replace with a DIFFERENT schema — one commit, history preserved
+    spark.sql("CREATE OR REPLACE TABLE gs.default.corp AS " +
+      "SELECT id * 10 AS key, id * 1.0 AS score FROM range(3)")
+    val dir = dirOf("default", "corp")
+    assert(spark.table("gs.default.corp").columns.toSeq ==
+      Seq("key", "score"))
+    assert(spark.sql("SELECT count(*) FROM gs.default.corp")
+      .head().getLong(0) == 3)
+    // snapshot-native REPLACE: v1 still readable (time travel), op tagged
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+    assert(Snapshots.history(spark, dir)
+      .filter(col("operation") === "replace-table").count() == 1)
+    assert(spark.sql(
+      "SELECT tag FROM gs.default.corp VERSION AS OF 1 LIMIT 1")
+      .head().getString(0) == "old")
+    // REPLACE TABLE on a missing table refuses
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gs.default.corp_missing AS " +
+        "SELECT 1 AS a")
+    }
+    // CREATE OR REPLACE on a missing table creates
+    spark.sql("CREATE OR REPLACE TABLE gs.default.corp2 AS " +
+      "SELECT 1 AS a")
+    assert(spark.sql("SELECT a FROM gs.default.corp2")
+      .head().getInt(0) == 1)
+  }
+
+  test("a failed REPLACE leaves the previous table intact (abort)") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.rfail AS " +
+      "SELECT id FROM range(4)")
+    // the CTAS query itself fails mid-write → abortStagedChanges
+    intercept[Exception] {
+      spark.sql("""CREATE OR REPLACE TABLE gs.default.rfail AS
+        SELECT assert_true(id < 2, 'boom') AS chk, id FROM range(10)""")
+    }
+    val dir = dirOf("default", "rfail")
+    // old content fully readable, no replace commit, no orphan manifest
+    assert(Snapshots.versions(spark, dir) == Seq(1))
+    assert(spark.sql("SELECT count(*) FROM gs.default.rfail")
+      .head().getLong(0) == 4)
+  }
+
   test("joins between catalog tables broadcast and stay columnar") {
     warehouse
     spark.sql("CREATE TABLE gs.default.jbig AS SELECT id, id % 5 AS k FROM range(1000)")
