@@ -466,17 +466,16 @@ object Snapshots {
           }
           mn.isNull || coalesce(miss, lit(false))
         case InSet(_, ls) =>
-          // balanced OR fold: a left-deep chain over a large IN list
-          // (merge footprints run to 1024 literals) overflows the
-          // column-conversion stack; log-depth doesn't
-          def anyOf(cs: IndexedSeq[Column]): Column =
-            if (cs.length == 1) cs.head
-            else {
-              val (a, b) = cs.splitAt(cs.length / 2)
-              anyOf(a) || anyOf(b)
-            }
-          val any = anyOf(ls.toIndexedSeq.map(l => GraftSql.column(l))
-            .map(lv => mn <= lv && lv <= mx))
+          // ONE exists() over an array literal, not |ls| inlined
+          // comparisons: merge footprints run to 1024 literals, and
+          // the expanded disjunction blows the JVM's 64 KB generated-
+          // method limit — janino refuses, and Spark pays a failed
+          // whole-stage compile (~300 ms + an ERROR log) before
+          // falling back to the interpreter on every big-IN prune.
+          // The higher-order form keeps the generated code O(1) in
+          // the list size (the loop is runtime data, not source).
+          val arr = array(ls.toIndexedSeq.map(l => GraftSql.column(l)): _*)
+          val any = exists(arr, lv => mn <= lv && lv <= mx)
           mn.isNull || coalesce(!any, lit(false))
         case NullTest(_, true) =>
           coalesce(col(s"__nul_$c") <= 0L, lit(false))

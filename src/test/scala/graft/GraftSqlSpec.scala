@@ -931,6 +931,31 @@ class GraftSqlSpec extends SparkSpec {
       .head().getLong(0) == 4)
   }
 
+  test("DataFrameWriterV2: writeTo append / overwrite(cond) / " +
+      "createOrReplace address the same machinery as SQL") {
+    warehouse
+    spark.range(6).select(col("id"), (col("id") % 2).as("day"))
+      .writeTo("gs.default.wtv2").create()
+    val dir = dirOf("default", "wtv2")
+    assert(Snapshots.versions(spark, dir) == Seq(1)) // atomic CTAS
+    spark.range(6, 8).select(col("id"), lit(0L).as("day"))
+      .writeTo("gs.default.wtv2").append()
+    assert(spark.table("gs.default.wtv2").count() == 8)
+    // scoped overwrite through the V2 writer — the REPLACE WHERE twin
+    spark.range(100, 102).select(col("id"), lit(1L).as("day"))
+      .writeTo("gs.default.wtv2").overwrite(col("day") === 1L)
+    assert(spark.table("gs.default.wtv2").filter(col("day") === 1L)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(100L, 101L))
+    assert(Snapshots.history(spark, dir)
+      .filter(col("operation") === "replace-where").count() == 1)
+    // createOrReplace: new schema, same history
+    spark.range(3).select(col("id").as("k"), lit("x").as("tag"))
+      .writeTo("gs.default.wtv2").createOrReplace()
+    assert(spark.table("gs.default.wtv2").columns.toSeq == Seq("k", "tag"))
+    assert(Snapshots.history(spark, dir)
+      .filter(col("operation") === "replace-table").count() == 1)
+  }
+
   test("joins between catalog tables broadcast and stay columnar") {
     warehouse
     spark.sql("CREATE TABLE gs.default.jbig AS SELECT id, id % 5 AS k FROM range(1000)")

@@ -123,6 +123,16 @@ class ReplaceWhereSpec extends SparkSpec {
       (1L, "A", "insert"), (2L, "B", "insert")))
   }
 
+  test("change feed decomposes a truncate into row-level deletes") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), root)
+    Snapshots.truncate(spark, root)
+    val feed = Snapshots.changeFeed(spark, root, 1)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Int)].collect().toSet
+    assert(feed == Set((1L, "delete", 2), (2L, "delete", 2)))
+  }
+
   test("history records the replace-where op; time travel keeps v1") {
     val root = freshRoot()
     Snapshots.append(Seq((1L, "a")).toDF("id", "tag"), root)
