@@ -58,10 +58,22 @@ object DmlScaleProbe {
       val (d, tDel) = ms(Snapshots.deleteMatching(spark, root, ts,
         Seq("o_orderkey")))
 
+      // scoped overwrite: re-load a tight key range (the daily
+      // backfill shape) — staged/dropped should track the SLICE, the
+      // untouched remainder the table
+      val lo = maxKey / 2; val hi = maxKey / 2 + 400
+      val load = spark.range(lo, hi, 4).coalesce(1)
+        .select(col("id").as("o_orderkey"), lit(7L).as("o_custkey"),
+          lit(1.0).as("o_totalprice"))
+      val (rp, tRpl) = ms(Snapshots.replaceWhere(spark, root,
+        col("o_orderkey") >= lo && col("o_orderkey") < hi, load))
+
       println(f"$tag%-4s rows=$n%-9d update: ${tUpd / 1000}%.2fs " +
         f"rewritten=${u.rewrittenFiles} untouched=${u.untouchedFiles}  " +
         f"tombstones: ${tDel / 1000}%.2fs rewritten=${d.rewrittenFiles} " +
-        f"untouched=${d.untouchedFiles}")
+        f"untouched=${d.untouchedFiles}  " +
+        f"replace: ${tRpl / 1000}%.2fs staged=${rp.stagedFiles} " +
+        f"dropped=${rp.droppedFiles} untouched=${rp.untouchedFiles}")
     }
     spark.stop()
   }
