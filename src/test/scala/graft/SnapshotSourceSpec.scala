@@ -250,6 +250,50 @@ class SnapshotSourceSpec extends SparkSpec {
       Snapshots.read(spark, table).as[(Long, Double)].collect().toSet)
   }
 
+  test("readChangeFeed streams THROUGH replace-where and truncate " +
+      "commits") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("snap-cdc-rw")
+    val table = s"$base/t"; val ckpt = s"$base/ckpt"
+    Snapshots.append(Seq((0L, 1L), (1L, 2L)).toDF("day", "x"), table)
+    val events = mutable.ArrayBuffer[(String, Long, Long)]()
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", table).option("readChangeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        events.synchronized {
+          events ++= df.select("_change_type", "day", "x")
+            .as[(String, Long, Long)].collect()
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    // an idempotent day-1 reload: delete+insert pairs, not a dead query
+    Snapshots.replaceWhere(spark, table, col("day") === 1L,
+      Seq((1L, 20L), (1L, 21L)).toDF("day", "x"))
+    q.processAllAvailable()
+    assert(events.synchronized(events.toSet)
+      .contains(("delete", 1L, 2L)))
+    assert(events.synchronized(events.toSet)
+      .contains(("insert", 1L, 20L)))
+    // truncate: every live row arrives as a delete
+    Snapshots.truncate(spark, table)
+    Snapshots.append(Seq((2L, 9L)).toDF("day", "x"), table)
+    q.processAllAvailable(); q.stop()
+    val net = mutable.Map[(Long, Long), Int]().withDefaultValue(0)
+    events.synchronized(events.toList).foreach {
+      case ("insert", d, x) => net((d, x)) += 1
+      case ("delete", d, x) => net((d, x)) -= 1
+      case other => fail(s"unexpected change type $other")
+    }
+    assert(net.values.forall(n => n == 0 || n == 1), net.toString)
+    assert(net.collect { case (kv, 1) => kv }.toSet ==
+      Snapshots.read(spark, table).as[(Long, Long)].collect().toSet)
+  }
+
   test("readChangeFeed composes with maxVersionsPerTrigger and " +
       "startingVersion; refuses the file cap") {
     import org.apache.spark.sql.functions.col
