@@ -956,6 +956,19 @@ class GraftSqlSpec extends SparkSpec {
       .filter(col("operation") === "replace-table").count() == 1)
   }
 
+  test("SHOW CREATE TABLE and DESCRIBE render the v2 table surface") {
+    warehouse
+    spark.sql("""CREATE TABLE gs.default.sct (id BIGINT, v DOUBLE)
+      PARTITIONED BY (id) TBLPROPERTIES ('owner.team' = 'data-eng')""")
+    val ddl = spark.sql("SHOW CREATE TABLE gs.default.sct")
+      .head().getString(0)
+    assert(ddl.contains("CREATE TABLE") && ddl.contains("id BIGINT"), ddl)
+    assert(ddl.contains("owner.team"), ddl)
+    val desc = spark.sql("DESCRIBE TABLE gs.default.sct")
+      .select("col_name").as[String].collect().toSeq
+    assert(desc.contains("id") && desc.contains("v"), desc.toString)
+  }
+
   test("joins between catalog tables broadcast and stay columnar") {
     warehouse
     spark.sql("CREATE TABLE gs.default.jbig AS SELECT id, id % 5 AS k FROM range(1000)")

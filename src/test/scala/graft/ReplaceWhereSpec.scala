@@ -123,6 +123,21 @@ class ReplaceWhereSpec extends SparkSpec {
       (1L, "A", "insert"), (2L, "B", "insert")))
   }
 
+  test("rewritten survivors apply deletion vectors — no resurrection") {
+    val root = freshRoot()
+    Snapshots.append((1L to 10L).map(i => (i, s"s$i")).toDF("id", "tag"),
+      root)
+    // a DV-deleted row inside the file the replace must rewrite
+    Snapshots.deleteWhereLight(spark, root, col("id") === 4L)
+    Snapshots.replaceWhere(spark, root, col("id") <= 2L,
+      Seq((1L, "A"), (2L, "B")).toDF("id", "tag"))
+    val got = Snapshots.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    // 4 stays deleted, 1-2 replaced, 3 and 5..10 byte-identical
+    assert(got == Seq(1L -> "A", 2L -> "B", 3L -> "s3") ++
+      (5L to 10L).map(i => i -> s"s$i"))
+  }
+
   test("change feed decomposes a truncate into row-level deletes") {
     val root = freshRoot()
     Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), root)
