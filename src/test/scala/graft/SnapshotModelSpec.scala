@@ -47,7 +47,7 @@ class SnapshotModelSpec extends SparkSpec {
         history += v -> model
     }
     (1 to 34).foreach { step =>
-      val op = rnd.nextInt(12)
+      val op = rnd.nextInt(14)
       op match {
         case 0 | 1 | 2 => // append (may duplicate keys: multiset-free test
           // frame is keyed, so appends use fresh negative keys instead)
@@ -126,6 +126,24 @@ class SnapshotModelSpec extends SparkSpec {
             model = model -- hits
             if (r.rewrittenFiles > 0) history += r.version -> model
           }
+        case 12 => // scoped overwrite: replace a key range with a
+          // fresh in-scope load (the idempotent-backfill verb)
+          val lo = rnd.nextInt(40).toLong
+          val hi = lo + rnd.nextInt(10)
+          val load = Seq.fill(rnd.nextInt(4))(
+            ((lo + rnd.nextInt((hi - lo + 1).toInt)),
+              rnd.nextInt(1000) / 4.0))
+            .groupBy(_._1).map(_._2.head).toSeq
+            .map { case (k, v) => (k.toLong, v) }
+          val r = Snapshots.replaceWhere(spark, root,
+            col("id") >= lo && col("id") <= hi, toDf(load))
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi } ++
+            load.map(x => x._1 -> x)
+          history += r.version -> model
+        case 13 => // truncate: rows leave, the table (and history) stays
+          val ver = Snapshots.truncate(spark, root)
+          model = Map.empty
+          history += ver -> model
       }
       assert(readBack(root) == model.values.toSet,
         s"divergence after step $step (op $op)")
