@@ -2501,6 +2501,51 @@ object Snapshots {
       next
     }
 
+  /** The DATA-verb overwrite — what SQL `INSERT OVERWRITE` means on a
+    * catalog table: replace every row with `df`, KEEP the table
+    * contract (schema pinning, CHECK constraints — enforced on the
+    * incoming rows — properties, clustering declaration, bloom config,
+    * column mapping), as ONE commit (op `overwrite`). Contrast
+    * [[overwrite]], the table-RELOAD primitive the path-based API
+    * keeps: that one starts a fresh lineage and resets carried
+    * configuration by design (the S8 truncate-and-reload shape, where
+    * the reload IS the new table definition). A SQL user who declared
+    * a CHECK constraint must not lose it to a routine INSERT
+    * OVERWRITE — that would be a silently-dropped data contract.
+    * Columns must match the table's (any order); refuses on an empty
+    * directory (no contract to keep — the first load is a create or
+    * an append). */
+  def overwriteData(spark: SparkSession, dir: String,
+      df: DataFrame): Int =
+    retryOnRace("overwriteData of " + dir) {
+      val (fs, root) = fsFor(spark, dir)
+      val base = currentVersion(spark, dir).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"no snapshot table under $dir — the first load is a plain " +
+            "append/overwrite"))
+      val table = read(spark, dir, base)
+      require(table.columns.sorted.sameElements(df.columns.sorted),
+        s"INSERT OVERWRITE columns ${df.columns.toSeq} != table " +
+          s"columns ${table.columns.toSeq}")
+      val aligned = df.select(table.columns.map(df.col).toSeq: _*)
+      enforceConstraintsAt(spark, dir, fs, root, base, aligned)
+      val basePinned = schemaOf(fs, root, base)
+      val bloomCfg = bloomConfigOf(fs, root, base)
+      val staged = stage(aligned, fs, root,
+        basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
+          .getOrElse(Map.empty), bloomCfg)
+      val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+      val next = base + 1
+      val won = casManifest(fs, root, next, staged.files,
+        schemaHeader(pinnedSchema) +:
+          (droppedHeader(droppedOf(fs, root, base)) ++
+            bloomHeader(bloomCfg) ++ carriedMeta(fs, root, base) ++
+            opHeader("overwrite") ++ staged.stats))
+      if (!won) throw new java.util.ConcurrentModificationException(
+        s"overwriteData of $dir@v$base lost the commit race")
+      next
+    }
+
   /** Append `df` as a new version (previous files + the new ones).
     * Returns the committed version. Concurrent appends both land, in
     * some order — appends commute, so the retry is lossless. */

@@ -59,9 +59,9 @@ final class GraftTable(
   /** `TRUNCATE TABLE t` — a DATA verb, not a config reset: schema,
     * properties, constraints, clustering and bloom config carry; one
     * `truncate` commit removes every row (previous versions stay
-    * readable until vacuum). Contrast `INSERT OVERWRITE`, which
-    * replaces content through [[Snapshots.overwrite]] and resets
-    * carried configuration by design. */
+    * readable until vacuum). `INSERT OVERWRITE` is the same verb with
+    * rows ([[Snapshots.overwriteData]]); only the path-based reload
+    * primitive [[Snapshots.overwrite]] resets carried config. */
   override def truncateTable(): Boolean = {
     if (pinnedVersion.nonEmpty)
       throw new UnsupportedOperationException(
@@ -141,7 +141,12 @@ final class GraftTable(
                   s"cannot write to '$identName' pinned at VERSION AS OF " +
                     s"${pinnedVersion.get} — writes target the current " +
                     "version only")
-              if (truncateAll || ow) Snapshots.overwrite(data.toDF(), dir)
+              // the DATA-verb overwrite: INSERT OVERWRITE on a catalog
+              // table keeps the table contract (constraints enforced
+              // on the new rows, properties/clustering/bloom carried) —
+              // only the path-based reload primitive resets config
+              if (truncateAll || ow)
+                Snapshots.overwriteData(spark, dir, data.toDF())
               else replaceFilters match {
                 case Some(fs) =>
                   val pred = fs.map(exactFilterColumn)

@@ -956,6 +956,34 @@ class GraftSqlSpec extends SparkSpec {
       .filter(col("operation") === "replace-table").count() == 1)
   }
 
+  test("INSERT OVERWRITE keeps the table contract and enforces it " +
+      "on the new rows") {
+    warehouse
+    spark.sql("""CREATE TABLE gs.default.iow (id BIGINT NOT NULL, v DOUBLE)
+      PARTITIONED BY (id) TBLPROPERTIES ('owner.team' = 'data-eng')""")
+    spark.sql("INSERT INTO gs.default.iow SELECT id, id*1.0 FROM range(5)")
+    spark.sql("INSERT OVERWRITE gs.default.iow SELECT id, -1.0 FROM range(3)")
+    val dir = dirOf("default", "iow")
+    // a routine INSERT OVERWRITE must NOT drop declared contracts
+    assert(Snapshots.constraints(spark, dir).contains("nn_id"))
+    assert(Snapshots.clusterColumns(spark, dir) == Seq("id"))
+    assert(Snapshots.tableProperties(spark, dir)
+      .get("owner.team").contains("data-eng"))
+    assert(spark.sql("SELECT count(*) FROM gs.default.iow")
+      .head().getLong(0) == 3)
+    // ...and the contract applies to the OVERWRITING rows themselves
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE gs.default.iow VALUES (NULL, 0.0)")
+    }
+    assert(e.getMessage.contains("nn_id") ||
+      Option(e.getCause).exists(_.getMessage.contains("nn_id")),
+      e.getMessage)
+    // previous content still time-travels
+    assert(spark.sql(
+      "SELECT count(*) FROM gs.default.iow VERSION AS OF 2")
+      .head().getLong(0) == 5)
+  }
+
   test("SHOW CREATE TABLE and DESCRIBE render the v2 table surface") {
     warehouse
     spark.sql("""CREATE TABLE gs.default.sct (id BIGINT, v DOUBLE)
