@@ -4335,6 +4335,25 @@ object Snapshots {
     * retained too — vacuum may keep up to [[CheckpointInterval]] extra
     * versions so that every version it leaves listed stays fully
     * readable. Returns (versions dropped, files deleted). */
+  /** Time-based retention — [[vacuum]] by AGE, the production
+    * spelling (`retain N hours`): keep every version COMMITTED within
+    * the window (manifest mtime, the same instant `TIMESTAMP AS OF`
+    * resolves against) plus always the current one, vacuum the rest.
+    * Commit instants are monotone per table, so the young versions
+    * are exactly the trailing ones and the count reduces to
+    * [[vacuum]]'s keep-last-K — chain closure, sidecar reaping and
+    * delete ordering all apply unchanged. */
+  def vacuumOlderThan(spark: SparkSession, dir: String,
+      retainMs: Long): (Int, Int) = {
+    require(retainMs >= 0, "retention must be non-negative")
+    val (fs, root) = fsFor(spark, dir)
+    val cutoff = System.currentTimeMillis() - retainMs
+    val young = versions(spark, dir).count(v =>
+      fs.getFileStatus(manifestPath(root, v)).getModificationTime
+        >= cutoff)
+    vacuum(spark, dir, math.max(young, 1))
+  }
+
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the current version")
     val (fs, root) = fsFor(spark, dir)

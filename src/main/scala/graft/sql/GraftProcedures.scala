@@ -114,10 +114,18 @@ private[sql] object GraftProcedures {
       }),
 
     new Proc("vacuum",
-      Seq(p("table", StringType), p("keep_versions", IntegerType)),
+      Seq(p("table", StringType),
+        pd("keep_versions", IntegerType, "-1"),
+        pd("retain_hours", IntegerType, "-1")),
       (s, in) => {
+        val kv = in.getInt(1); val rh = in.getInt(2)
+        require((kv >= 0) != (rh >= 0),
+          "vacuum takes exactly one of keep_versions (count-based) or " +
+            "retain_hours (age-based)")
         val (dropped, deleted) =
-          Snapshots.vacuum(s, dirOf(str(in, 0)), in.getInt(1))
+          if (kv >= 0) Snapshots.vacuum(s, dirOf(str(in, 0)), kv)
+          else Snapshots.vacuumOlderThan(s, dirOf(str(in, 0)),
+            rh * 3600L * 1000L)
         oneRow(s, Seq("dropped_versions", "deleted_files"),
           Seq(dropped, deleted))
       }),

@@ -984,6 +984,24 @@ class GraftSqlSpec extends SparkSpec {
       .head().getLong(0) == 5)
   }
 
+  test("CALL vacuum takes exactly one of keep_versions / retain_hours") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.vac AS SELECT 1 AS a")
+    spark.sql("INSERT INTO gs.default.vac VALUES (2)")
+    // age-based: everything is young, nothing drops
+    val r = spark.sql(
+      "CALL gs.system.vacuum(table => 'default.vac', retain_hours => 24)")
+      .head()
+    assert(r.getInt(0) == 0)
+    intercept[Exception] {
+      spark.sql("CALL gs.system.vacuum(table => 'default.vac')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("""CALL gs.system.vacuum(table => 'default.vac',
+        keep_versions => 1, retain_hours => 24)""").collect()
+    }
+  }
+
   test("SHOW CREATE TABLE and DESCRIBE render the v2 table surface") {
     warehouse
     spark.sql("""CREATE TABLE gs.default.sct (id BIGINT, v DOUBLE)

@@ -148,6 +148,29 @@ class ReplaceWhereSpec extends SparkSpec {
     assert(feed == Set((1L, "delete", 2), (2L, "delete", 2)))
   }
 
+  test("age-based vacuum keeps the in-window versions plus current") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a")).toDF("id", "tag"), root) // v1
+    Snapshots.append(Seq((2L, "b")).toDF("id", "tag"), root) // v2
+    // v3 is a full manifest (no delta chain into v1/v2), so the aged
+    // versions are genuinely droppable
+    Snapshots.overwrite(Seq((3L, "c")).toDF("id", "tag"), root) // v3
+    // age v1/v2 out of a 1-hour window; v3 stays young
+    val twoHoursAgo = System.currentTimeMillis() - 2 * 3600 * 1000L
+    Seq(1, 2).foreach { v =>
+      new java.io.File(f"$root/_manifests/v$v%09d")
+        .setLastModified(twoHoursAgo)
+    }
+    val (dropped, _) =
+      Snapshots.vacuumOlderThan(spark, root, 3600 * 1000L)
+    assert(dropped == 2)
+    assert(Snapshots.versions(spark, root) == Seq(3))
+    assert(Snapshots.read(spark, root).count() == 1) // content intact
+    // a huge window drops nothing
+    assert(Snapshots.vacuumOlderThan(spark, root, 24 * 3600 * 1000L)
+      ._1 == 0)
+  }
+
   test("history records the replace-where op; time travel keeps v1") {
     val root = freshRoot()
     Snapshots.append(Seq((1L, "a")).toDF("id", "tag"), root)
