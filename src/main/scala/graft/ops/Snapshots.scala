@@ -183,6 +183,25 @@ object Snapshots {
         s"(oldest retained: ${vs.headOption.getOrElse(-1)})"))
   }
 
+  /** The FIRST version committed at or after `ts` — the resolution
+    * behind `startingTimestamp` on the change feed (a CDC consumer
+    * that knows WHEN it last synced, not which version). Refuses when
+    * every retained commit predates `ts` — an empty feed would look
+    * like "no changes" when the truth is "nothing committed since",
+    * and the two need different consumer reactions. */
+  def versionAtOrAfter(spark: SparkSession, dir: String,
+      ts: java.sql.Timestamp): Int = {
+    val (fs, root) = fsFor(spark, dir)
+    val vs = versions(spark, dir)
+    vs.find(v =>
+      fs.getFileStatus(manifestPath(root, v)).getModificationTime
+        >= ts.getTime)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"no version of $dir committed at or after $ts (newest: " +
+          s"${vs.lastOption.getOrElse(-1)}) — nothing to replay; " +
+          "sync from startingVersion, or wait for a commit"))
+  }
+
   /** [[read]] pinned by commit time instead of version number. */
   def readAsOf(spark: SparkSession, dir: String,
       ts: java.sql.Timestamp): DataFrame =

@@ -98,22 +98,55 @@ class SnapshotSourceProvider extends StreamSourceProvider
     * inclusive `endingVersion`) returns the row-level change feed
     * instead — the batch twin of the streaming option (see
     * [[ChangeFeedRelation]]). */
+  /** `yyyy-MM-dd HH:mm:ss[.f]` or ISO `T`-separated — the spellings a
+    * CDC scheduler writes down. */
+  private def tsOf(opt: String, s: String): java.sql.Timestamp =
+    try java.sql.Timestamp.valueOf(s.replace('T', ' '))
+    catch {
+      case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"$opt must be 'yyyy-MM-dd HH:mm:ss[.fff]' (T separator " +
+            s"accepted), got '$s'")
+    }
+
   override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation =
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    def exclusive(a: String, b: String): Unit =
+      require(!(parameters.contains(a) && parameters.contains(b)),
+        s"$a and $b conflict — give one")
     if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
       require(!parameters.contains("versionAsOf"),
         "readChangeFeed and versionAsOf conflict — the feed IS a " +
           "version range; bound it with startingVersion/endingVersion")
-      val from = parameters.get("startingVersion").map(_.toInt).getOrElse(
-        throw new IllegalArgumentException(
+      exclusive("startingVersion", "startingTimestamp")
+      exclusive("endingVersion", "endingTimestamp")
+      val dir = dirOf(sqlContext, parameters)
+      val from = parameters.get("startingVersion").map(_.toInt)
+        .orElse(parameters.get("startingTimestamp").map(s =>
+          Snapshots.versionAtOrAfter(spark, dir,
+            tsOf("startingTimestamp", s))))
+        .getOrElse(throw new IllegalArgumentException(
           "batch readChangeFeed requires startingVersion (the first " +
-            "commit INCLUDED in the feed); endingVersion bounds it " +
-            "(default: current version)"))
+            "commit INCLUDED in the feed) or startingTimestamp (first " +
+            "commit at-or-after); endingVersion/endingTimestamp bound " +
+            "it (default: current version)"))
       require(from >= 1, s"startingVersion must be >= 1, got $from")
-      new ChangeFeedRelation(sqlContext, dirOf(sqlContext, parameters), from,
-        parameters.get("endingVersion").map(_.toInt).getOrElse(-1))
-    } else new SnapshotRelation(sqlContext, dirOf(sqlContext, parameters),
-      parameters.get("versionAsOf").map(_.toInt).getOrElse(-1))
+      val to = parameters.get("endingVersion").map(_.toInt)
+        .orElse(parameters.get("endingTimestamp").map(s =>
+          Snapshots.versionAsOf(spark, dir, tsOf("endingTimestamp", s))))
+        .getOrElse(-1)
+      new ChangeFeedRelation(sqlContext, dir, from, to)
+    } else {
+      exclusive("versionAsOf", "timestampAsOf")
+      val dir = dirOf(sqlContext, parameters)
+      val v = parameters.get("versionAsOf").map(_.toInt)
+        .orElse(parameters.get("timestampAsOf").map(s =>
+          Snapshots.versionAsOf(spark, dir, tsOf("timestampAsOf", s))))
+        .getOrElse(-1)
+      new SnapshotRelation(sqlContext, dir, v)
+    }
+  }
 
   /** Batch WRITE through the standard writer API —
     * `df.write.format("graft-snapshots").mode(...).save(dir)`.
@@ -256,8 +289,19 @@ class SnapshotSourceProvider extends StreamSourceProvider
       "readChangeFeed composes with maxVersionsPerTrigger only — " +
         "file-granular admission is append-attribution-based and " +
         "cannot slice a DML commit's row-level decomposition")
-    new SnapshotSource(sqlContext, dirOf(sqlContext, parameters),
-      parameters.get("startingVersion").map(_.toInt).getOrElse(0),
+    require(!(parameters.contains("startingVersion") &&
+      parameters.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp conflict — give one")
+    val dir = dirOf(sqlContext, parameters)
+    // startingTimestamp: the commit at-or-after the instant is the
+    // FIRST one replayed (versionAtOrAfter − 1 is the exclusive base,
+    // matching startingVersion's everything-after semantics)
+    val startV = parameters.get("startingVersion").map(_.toInt)
+      .orElse(parameters.get("startingTimestamp").map(s =>
+        Snapshots.versionAtOrAfter(sqlContext.sparkSession, dir,
+          tsOf("startingTimestamp", s)) - 1))
+      .getOrElse(0)
+    new SnapshotSource(sqlContext, dir, startV,
       cap("maxVersionsPerTrigger"), cap("maxFilesPerTrigger"),
       metadataPath, changeFeed)
   }

@@ -112,6 +112,58 @@ class SnapshotRelationSpec extends SparkSpec {
     }
   }
 
+  test("timestamp twins: timestampAsOf pins a read, " +
+      "startingTimestamp/endingTimestamp bound a change feed") {
+    val root = freshRoot()
+    def fmt(ms: Long) = new java.sql.Timestamp(ms).toString
+    Seq((1L, "a")).toDF("k", "v").write.format("graft-snapshots")
+      .mode(SaveMode.Append).save(root) // v1
+    Thread.sleep(60)
+    val betweenV1V2 = System.currentTimeMillis()
+    Thread.sleep(60)
+    Seq((2L, "b")).toDF("k", "v").write.format("graft-snapshots")
+      .mode(SaveMode.Append).save(root) // v2
+    // a read pinned between the commits sees only v1
+    assert(spark.read.format("graft-snapshots").option("path", root)
+      .option("timestampAsOf", fmt(betweenV1V2)).load().count() == 1)
+    // the feed FROM that instant replays v2 only
+    val feed = spark.read.format("graft-snapshots").option("path", root)
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", fmt(betweenV1V2)).load()
+    assert(feed.select("k").as[Long].collect().toSeq == Seq(2L))
+    // ...and bounded to BEFORE v2 by endingTimestamp refuses nothing
+    // but yields the empty pre-v2 range → startingVersion must win:
+    // conflicting twin options refuse loudly
+    intercept[Exception] {
+      spark.read.format("graft-snapshots").option("path", root)
+        .option("readChangeFeed", "true").option("startingVersion", 1)
+        .option("startingTimestamp", fmt(betweenV1V2)).load()
+    }
+    // a future startingTimestamp refuses (empty feed ≠ no commits yet)
+    intercept[Exception] {
+      spark.read.format("graft-snapshots").option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp",
+          fmt(System.currentTimeMillis() + 3600_000L)).load()
+    }
+    // streaming: startingTimestamp replays v2 onward, exactly-once
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", root)
+      .option("startingTimestamp", fmt(betweenV1V2)).load()
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          out.synchronized { out ++= df.select("k").as[Long].collect() }
+          ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_tsck").toFile.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(out.synchronized(out.toSeq) == Seq(2L))
+  }
+
   test("reader surfaces renamed columns in the current logical shape") {
     val root = freshRoot()
     Seq((1L, "a")).toDF("k", "v").write.format("graft-snapshots")
