@@ -1461,6 +1461,59 @@ object Snapshots {
       propsOf(fs, root, v), op = "add-column")
   }
 
+  /** Value-preserving widenings the parquet reader performs natively
+    * when the read schema is wider than a file's physical type
+    * (verified against Spark 4.1's vectorized AND row-based readers).
+    * Integral up-widening and float→double only: these are exact
+    * injections, bloom sidecars are unaffected (both build and probe
+    * normalize integrals to long before hashing), and manifest stats
+    * re-cast losslessly (min/max are stored as strings and cast back
+    * through the CURRENT schema type at prune time). */
+  private val Widenings: Map[DataType, Set[DataType]] = Map(
+    ByteType -> Set(ShortType, IntegerType, LongType),
+    ShortType -> Set(IntegerType, LongType),
+    IntegerType -> Set[DataType](LongType),
+    FloatType -> Set[DataType](DoubleType))
+
+  /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — a METADATA-ONLY
+    * commit (op `widen-column`): the pinned schema's field widens,
+    * zero data files are touched. Pre-widen files keep their narrow
+    * physical type and read through the upcast the parquet reader
+    * does natively; post-widen appends write the wide type — both
+    * coexist in one table. Time travel keeps each version's own
+    * shape. Anything outside [[Widenings]] refuses with the remedy
+    * (narrowing or type CHANGES need a rewrite — CREATE OR REPLACE).
+    * Widening to the current type is an idempotent no-op. */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+      newType: DataType): Int = retryOnRace(s"widenColumn on $dir") {
+    val (fs, root) = fsFor(spark, dir)
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(s"no table under $dir"))
+    val schema = schemaOf(fs, root, v)
+      .getOrElse(allNullable(read(spark, dir, v).schema))
+    val f = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$name' in $dir: ${schema.fieldNames.toSeq}"))
+    if (f.dataType == newType) v
+    else {
+      require(Widenings.get(f.dataType).exists(_.contains(newType)),
+        s"ALTER COLUMN TYPE on graft tables is metadata-only and " +
+          s"supports value-preserving widenings (TINYINT→SMALLINT/INT/" +
+          s"BIGINT, SMALLINT→INT/BIGINT, INT→BIGINT, FLOAT→DOUBLE); " +
+          s"'${f.name}' is ${f.dataType.sql} and ${newType.sql} is not " +
+          "a widening of it — changing or narrowing a type rewrites " +
+          "data: use CREATE OR REPLACE TABLE ... AS SELECT with casts")
+      // copy keeps field metadata — the physical-name mapping of a
+      // renamed column must survive its widening
+      val evolved = StructType(schema.fields.map(x =>
+        if (x.name == f.name) x.copy(dataType = newType) else x))
+      metadataCommit(fs, root, spark, dir, v, evolved,
+        droppedOf(fs, root, v), bloomConfigOf(fs, root, v),
+        constraintsOf(fs, root, v), propsOf(fs, root, v),
+        op = "widen-column")
+    }
+  }
+
   /** Commit a schema/tombstone change with the base's exact file list —
     * pure DDL, a delta with no adds/removes when the chain allows. */
   private def metadataCommit(fs: FileSystem, root: HPath,

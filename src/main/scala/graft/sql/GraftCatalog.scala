@@ -305,6 +305,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(d.fieldNames.length == 1,
           "graft column mapping drops top-level columns only")
         Snapshots.dropColumn(spark, dir, d.fieldNames.head)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "graft tables widen top-level columns only")
+        Snapshots.widenColumn(spark, dir, u.fieldNames.head,
+          u.newDataType())
       case a: TableChange.AddConstraint => a.constraint() match {
         case c: Check =>
           Snapshots.setConstraint(spark, dir, c.name, c.predicateSql)
@@ -327,8 +332,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
           "supported on graft tables (supported: ADD COLUMN, RENAME " +
-          "COLUMN, DROP COLUMN, ADD/DROP CONSTRAINT ... CHECK, " +
-          "SET/UNSET TBLPROPERTIES)")
+          "COLUMN, DROP COLUMN, ALTER COLUMN TYPE (widening), " +
+          "ADD/DROP CONSTRAINT ... CHECK, SET/UNSET TBLPROPERTIES)")
     }
     loadTable(ident)
   }
