@@ -1464,16 +1464,22 @@ object Snapshots {
   /** Value-preserving widenings the parquet reader performs natively
     * when the read schema is wider than a file's physical type
     * (verified against Spark 4.1's vectorized AND row-based readers).
-    * Integral up-widening and float→double only: these are exact
-    * injections, bloom sidecars are unaffected (both build and probe
-    * normalize integrals to long before hashing), and manifest stats
-    * re-cast losslessly (min/max are stored as strings and cast back
-    * through the CURRENT schema type at prune time). */
+    * INTEGRAL up-widening only: integers are exact injections, bloom
+    * sidecars are unaffected (both build and probe normalize
+    * integrals to long before hashing), and manifest stats re-cast
+    * losslessly (min/max are stored as decimal strings, which
+    * round-trip exactly for integers through the CURRENT schema type
+    * at prune time). FLOAT→DOUBLE is deliberately ABSENT even though
+    * the reader supports it: a float stat stringified as "0.1" re-cast
+    * as double gives 0.1d, but the reader's upcast of the stored
+    * 0.1f is 0.10000000149011612d — the re-cast bound can EXCLUDE a
+    * value the file attains, and stats pruning would silently drop
+    * matching rows. Widening a float column needs a data rewrite
+    * (CREATE OR REPLACE ... AS SELECT CAST(...)). */
   private val Widenings: Map[DataType, Set[DataType]] = Map(
     ByteType -> Set(ShortType, IntegerType, LongType),
     ShortType -> Set(IntegerType, LongType),
-    IntegerType -> Set[DataType](LongType),
-    FloatType -> Set[DataType](DoubleType))
+    IntegerType -> Set[DataType](LongType))
 
   /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — a METADATA-ONLY
     * commit (op `widen-column`): the pinned schema's field widens,
@@ -1498,10 +1504,11 @@ object Snapshots {
     else {
       require(Widenings.get(f.dataType).exists(_.contains(newType)),
         s"ALTER COLUMN TYPE on graft tables is metadata-only and " +
-          s"supports value-preserving widenings (TINYINT→SMALLINT/INT/" +
-          s"BIGINT, SMALLINT→INT/BIGINT, INT→BIGINT, FLOAT→DOUBLE); " +
-          s"'${f.name}' is ${f.dataType.sql} and ${newType.sql} is not " +
-          "a widening of it — changing or narrowing a type rewrites " +
+          s"supports integral widenings (TINYINT→SMALLINT/INT/BIGINT, " +
+          s"SMALLINT→INT/BIGINT, INT→BIGINT); '${f.name}' is " +
+          s"${f.dataType.sql} and ${newType.sql} is not an integral " +
+          "widening of it — other type changes (incl. FLOAT→DOUBLE, " +
+          "whose stat bounds do not survive the re-cast) rewrite " +
           "data: use CREATE OR REPLACE TABLE ... AS SELECT with casts")
       // copy keeps field metadata — the physical-name mapping of a
       // renamed column must survive its widening
@@ -2556,21 +2563,8 @@ object Snapshots {
       val base = currentVersion(spark, dir).getOrElse(
         throw new java.util.NoSuchElementException(
           s"nothing to truncate in $dir"))
-      val basePinned = schemaOf(fs, root, base)
-      val bloomCfg = bloomConfigOf(fs, root, base)
-      val staged = stage(read(spark, dir, base).limit(0), fs, root,
-        basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-          .getOrElse(Map.empty), bloomCfg)
-      val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
-      val next = base + 1
-      val won = casManifest(fs, root, next, staged.files,
-        schemaHeader(pinnedSchema) +:
-          (droppedHeader(droppedOf(fs, root, base)) ++
-            bloomHeader(bloomCfg) ++ carriedMeta(fs, root, base) ++
-            opHeader("truncate") ++ staged.stats))
-      if (!won) throw new java.util.ConcurrentModificationException(
-        s"truncate of $dir@v$base lost the commit race")
-      next
+      commitContentReplace(spark, dir, fs, root, base,
+        read(spark, dir, base).limit(0), op = "truncate")
     }
 
   /** The DATA-verb overwrite — what SQL `INSERT OVERWRITE` means on a
@@ -2601,22 +2595,36 @@ object Snapshots {
           s"columns ${table.columns.toSeq}")
       val aligned = df.select(table.columns.map(df.col).toSeq: _*)
       enforceConstraintsAt(spark, dir, fs, root, base, aligned)
-      val basePinned = schemaOf(fs, root, base)
-      val bloomCfg = bloomConfigOf(fs, root, base)
-      val staged = stage(aligned, fs, root,
-        basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-          .getOrElse(Map.empty), bloomCfg)
-      val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
-      val next = base + 1
-      val won = casManifest(fs, root, next, staged.files,
-        schemaHeader(pinnedSchema) +:
-          (droppedHeader(droppedOf(fs, root, base)) ++
-            bloomHeader(bloomCfg) ++ carriedMeta(fs, root, base) ++
-            opHeader("overwrite") ++ staged.stats))
-      if (!won) throw new java.util.ConcurrentModificationException(
-        s"overwriteData of $dir@v$base lost the commit race")
-      next
+      commitContentReplace(spark, dir, fs, root, base, aligned,
+        op = "overwrite")
     }
+
+  /** Shared commit of the content-replacing DATA verbs ([[truncate]],
+    * [[overwriteData]]): stage `frame` under the base's physical map
+    * and bloom config, then CAS a FULL manifest of exactly the staged
+    * files with every carried header (pinned schema, tombstones,
+    * bloom config, constraints/properties via carriedMeta) — one
+    * spelling to keep the carried-metadata list in, so the next
+    * header kind cannot be forgotten by one verb. */
+  private def commitContentReplace(spark: SparkSession, dir: String,
+      fs: FileSystem, root: HPath, base: Int, frame: DataFrame,
+      op: String): Int = {
+    val basePinned = schemaOf(fs, root, base)
+    val bloomCfg = bloomConfigOf(fs, root, base)
+    val staged = stage(frame, fs, root,
+      basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
+        .getOrElse(Map.empty), bloomCfg)
+    val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+    val next = base + 1
+    val won = casManifest(fs, root, next, staged.files,
+      schemaHeader(pinnedSchema) +:
+        (droppedHeader(droppedOf(fs, root, base)) ++
+          bloomHeader(bloomCfg) ++ carriedMeta(fs, root, base) ++
+          opHeader(op) ++ staged.stats))
+    if (!won) throw new java.util.ConcurrentModificationException(
+      s"$op of $dir@v$base lost the commit race")
+    next
+  }
 
   /** Append `df` as a new version (previous files + the new ones).
     * Returns the committed version. Concurrent appends both land, in
@@ -3298,6 +3306,39 @@ object Snapshots {
     else retryOnRace("deleteWhere on " + dir)(
       deleteInternal(spark, dir, pred, -1))
 
+  /** Of `mayMatch` files, those provably holding NO surviving row
+    * under a SQL DELETE of `pred`: stats disprove `!pred` AND every
+    * column `pred` references is NULL-FREE in the file. The null
+    * guard is what makes the interval disproof sufficient — a row
+    * with a NULL input satisfies neither `pred` nor `!pred` (it
+    * SURVIVES: only provably-TRUE rows leave), and min/max intervals
+    * are blind to it, so without the guard a file holding both
+    * matching rows and NULL-predicate rows would drop whole and
+    * silently delete the NULL rows its verb's contract keeps. Every
+    * unknown (missing stats, unresolvable reference, no references)
+    * is fail-open: the file stays in the rewrite set, where the row
+    * filter gets the semantics exactly right. Returns
+    * (maySurvive → rewrite, dropWhole). */
+  private def splitDropWhole(spark: SparkSession, dir: String,
+      fs: FileSystem, root: HPath, pred: Column, base: Int,
+      mayMatch: Seq[String]): (Seq[String], Seq[String]) =
+    if (mayMatch.isEmpty) (Nil, Nil)
+    else {
+      val survivors = pruneFiles(spark, dir, !pred, base)._1.toSet
+      val table = read(spark, dir, base)
+      val refs = table.filter(pred).queryExecution.analyzed
+        .collectFirst { case f: Filter => f.condition }
+        .map(_.references.map(_.name).toSeq.distinct).getOrElse(Nil)
+      val physByLogical: Map[String, String] =
+        table.schema.fields.map(f => f.name -> physOf(f)).toMap
+      val stats = statsFor(fs, root, base)
+      def nullFree(f: String): Boolean = refs.nonEmpty && refs.forall {
+        c => stats.get(f).flatMap(_.get(physByLogical.getOrElse(c, c)))
+          .exists(_.nulls == 0L)
+      }
+      mayMatch.partition(f => survivors.contains(f) || !nullFree(f))
+    }
+
   private def deleteInternal(spark: SparkSession, dir: String, pred: Column,
       expectedVersion: Int): DeleteResult = {
     val (fs, root) = fsFor(spark, dir)
@@ -3307,16 +3348,11 @@ object Snapshots {
         s"nothing to delete in $dir"))
     // may-match vs provably-no-match: the no-match files carry
     val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
-    // of the may-match files, those where NO row can SURVIVE (stats
-    // disprove the complement) drop whole. !pred is only provable for
-    // shapes the vocabulary recognizes; fail-open keeps the file in
-    // the rewrite set.
+    // of the may-match files, those where NO row can SURVIVE drop
+    // whole ([[splitDropWhole]] — interval disproof of !pred plus the
+    // null-free guard); fail-open keeps files in the rewrite set
     val (maySurvive, dropWhole) =
-      if (mayMatch.isEmpty) (Nil, Nil)
-      else {
-        val survivors = pruneFiles(spark, dir, !pred, base)._1.toSet
-        mayMatch.partition(survivors.contains)
-      }
+      splitDropWhole(spark, dir, fs, root, pred, base, mayMatch)
     val rewrittenRows =
       if (maySurvive.isEmpty) read(spark, dir, base).limit(0)
       else readFilesAs(spark, fs, root, base, maySurvive)
@@ -3412,32 +3448,54 @@ object Snapshots {
       s"replaceWhere data columns ${data.columns.toSeq} != table " +
         s"columns ${table.columns.toSeq}")
     val aligned = data.select(table.columns.map(data.col).toSeq: _*)
-    // scope containment: a row outside `pred` would survive the next
-    // reload of its own scope — the silent drift this op prevents
-    val outOfScope = aligned.filter(!coalesce(pred, lit(false))).take(1)
-    if (outOfScope.nonEmpty) throw new IllegalArgumentException(
-      s"replaceWhere into $dir: incoming row does not satisfy the " +
-        s"replace predicate (${outOfScope.head}) — every inserted row " +
-        "must be inside the replaced scope; widen the predicate or " +
-        "filter the load")
-    enforceConstraintsAt(spark, dir, fs, root, base, aligned)
-    val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
-    val (maySurvive, dropWhole) =
-      if (mayMatch.isEmpty) (Nil, Nil)
-      else {
-        val survivors = pruneFiles(spark, dir, !pred, base)._1.toSet
-        mayMatch.partition(survivors.contains)
-      }
-    val survivors =
-      if (maySurvive.isEmpty) table.limit(0)
-      else readFilesAs(spark, fs, root, base, maySurvive)
-        .filter(!coalesce(pred, lit(false)))
     val basePinned = schemaOf(fs, root, base)
     val bloomCfg = bloomConfigOf(fs, root, base)
-    val staged = stage(survivors.unionByName(aligned), fs, root,
-      basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-        .getOrElse(Map.empty), bloomCfg)
-    val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+    val physMap = basePinned
+      .map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
+      .getOrElse(Map.empty)
+    // stage the load FIRST, validate the STAGED BYTES: the incoming
+    // plan executes exactly once, so a non-deterministic source
+    // cannot pass validation with one sample and commit another (and
+    // a large backfill is not computed three times over). A failed
+    // check deletes the staged files and commits nothing.
+    val stagedLoad = stage(aligned, fs, root, physMap, bloomCfg)
+    def dropStaged(): Unit = stagedLoad.files
+      .map(f => f.take(f.lastIndexOf('/'))).distinct
+      .foreach(rel => fs.delete(new HPath(root, rel), true))
+    val physToLogical = table.schema.fields
+      .map(f => physOf(f) -> f.name).toMap
+    val loadBack =
+      if (stagedLoad.files.isEmpty) table.limit(0)
+      else {
+        val raw = spark.read.parquet(
+          stagedLoad.files.map(f => new HPath(root, f).toString): _*)
+        raw.select(raw.columns.toSeq.map(c =>
+          col(c).as(physToLogical.getOrElse(c, c))): _*)
+      }
+    try {
+      // scope containment: a row outside `pred` would survive the
+      // next reload of its own scope — the silent drift this op
+      // prevents
+      val outOfScope = loadBack.filter(!coalesce(pred, lit(false))).take(1)
+      if (outOfScope.nonEmpty) throw new IllegalArgumentException(
+        s"replaceWhere into $dir: incoming row does not satisfy the " +
+          s"replace predicate (${outOfScope.head}) — every inserted " +
+          "row must be inside the replaced scope; widen the predicate " +
+          "or filter the load")
+      enforceConstraintsAt(spark, dir, fs, root, base, loadBack)
+    } catch { case NonFatal(t) => dropStaged(); throw t }
+    val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
+    val (maySurvive, dropWhole) =
+      splitDropWhole(spark, dir, fs, root, pred, base, mayMatch)
+    val stagedSurvivors =
+      if (maySurvive.isEmpty) None
+      else Some(stage(readFilesAs(spark, fs, root, base, maySurvive)
+        .filter(!coalesce(pred, lit(false))), fs, root, physMap, bloomCfg))
+    val staged = Staged(
+      stagedSurvivors.map(_.files).getOrElse(Nil) ++ stagedLoad.files,
+      stagedSurvivors.map(_.stats).getOrElse(Nil) ++ stagedLoad.stats,
+      stagedLoad.schema)
+    val pinnedSchema = basePinned.getOrElse(allNullable(table.schema))
     val droppedSet = droppedOf(fs, root, base)
     val next = base + 1
     val won =
@@ -4399,14 +4457,6 @@ object Snapshots {
     deleted
   }
 
-  /** Drop manifests older than the newest `keepVersions` and delete
-    * data files no retained manifest references. This is the ONLY
-    * operation that deletes data — until it runs, every version ever
-    * committed is readable. A kept DELTA manifest resolves through its
-    * base chain, so the chain's manifests (and their data files) are
-    * retained too — vacuum may keep up to [[CheckpointInterval]] extra
-    * versions so that every version it leaves listed stays fully
-    * readable. Returns (versions dropped, files deleted). */
   /** Time-based retention — [[vacuum]] by AGE, the production
     * spelling (`retain N hours`): keep every version COMMITTED within
     * the window (manifest mtime, the same instant `TIMESTAMP AS OF`
@@ -4426,6 +4476,14 @@ object Snapshots {
     vacuum(spark, dir, math.max(young, 1))
   }
 
+  /** Drop manifests older than the newest `keepVersions` and delete
+    * data files no retained manifest references. This is the ONLY
+    * operation that deletes data — until it runs, every version ever
+    * committed is readable. A kept DELTA manifest resolves through its
+    * base chain, so the chain's manifests (and their data files) are
+    * retained too — vacuum may keep up to [[CheckpointInterval]] extra
+    * versions so that every version it leaves listed stays fully
+    * readable. Returns (versions dropped, files deleted). */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the current version")
     val (fs, root) = fsFor(spark, dir)

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.{DataFrame, GraftSql, SQLContext, SaveMode}
+import org.apache.spark.sql.{DataFrame, GraftSql, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
@@ -99,11 +99,20 @@ class SnapshotSourceProvider extends StreamSourceProvider
     * instead — the batch twin of the streaming option (see
     * [[ChangeFeedRelation]]). */
   /** `yyyy-MM-dd HH:mm:ss[.f]` or ISO `T`-separated — the spellings a
-    * CDC scheduler writes down. */
+    * CDC scheduler writes down. The wall-clock resolves in the
+    * SESSION timezone (`spark.sql.session.timeZone`), exactly like
+    * SQL `TIMESTAMP AS OF` — `java.sql.Timestamp.valueOf` would use
+    * the JVM default zone instead, silently shifting the resolved
+    * version by the zone offset on any machine whose JVM zone
+    * differs from the session's. */
   private def tsOf(opt: String, s: String): java.sql.Timestamp =
-    try java.sql.Timestamp.valueOf(s.replace('T', ' '))
-    catch {
-      case _: IllegalArgumentException =>
+    try {
+      val local = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      val zone = java.time.ZoneId.of(
+        SparkSession.active.conf.get("spark.sql.session.timeZone"))
+      java.sql.Timestamp.from(local.atZone(zone).toInstant)
+    } catch {
+      case _: java.time.format.DateTimeParseException =>
         throw new IllegalArgumentException(
           s"$opt must be 'yyyy-MM-dd HH:mm:ss[.fff]' (T separator " +
             s"accepted), got '$s'")

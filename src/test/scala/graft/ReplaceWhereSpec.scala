@@ -74,6 +74,37 @@ class ReplaceWhereSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq("new", "nullrow"))
   }
 
+  test("a single file holding matching AND NULL-predicate rows is " +
+      "rewritten, not dropped whole — NULL rows survive") {
+    val root = freshRoot()
+    // ONE data file: min/max stats disprove !pred (id > 3) while a
+    // NULL row hides inside the interval's blind spot
+    Snapshots.append(Seq((Some(1L), "a"), (Option.empty[Long], "nullrow"))
+      .toDF("id", "tag").coalesce(1), root)
+    Snapshots.replaceWhere(spark, root, col("id") <= 3L,
+      Seq((Some(2L), "new")).toDF("id", "tag"))
+    assert(Snapshots.read(spark, root).select("tag").as[String]
+      .collect().sorted.toSeq == Seq("new", "nullrow"))
+  }
+
+  test("deleteWhere shares the null-guarded drop-whole split") {
+    val root = freshRoot()
+    Snapshots.append(Seq((Some(1L), "a"), (Option.empty[Long], "nullrow"))
+      .toDF("id", "tag").coalesce(1), root)
+    Snapshots.deleteWhere(spark, root, col("id") <= 3L)
+    assert(Snapshots.read(spark, root).select("tag").as[String]
+      .collect().toSeq == Seq("nullrow"))
+    // and a genuinely all-matching null-free file still drops whole
+    val root2 = freshRoot()
+    Snapshots.append((1L to 5L).map(i => (i, "x")).toDF("id", "tag")
+      .coalesce(1), root2)
+    Snapshots.append((11L to 15L).map(i => (i, "y")).toDF("id", "tag")
+      .coalesce(1), root2)
+    val r = Snapshots.deleteWhere(spark, root2, col("id") <= 5L)
+    assert(r.droppedFiles == 1 && r.untouchedFiles == 1)
+    assert(Snapshots.read(spark, root2).count() == 5)
+  }
+
   test("idempotent re-load: running the same replace twice is a no-op " +
       "in content") {
     val root = freshRoot()

@@ -162,6 +162,26 @@ class SnapshotRelationSpec extends SparkSpec {
       .start()
     q.processAllAvailable(); q.stop()
     assert(out.synchronized(out.toSeq) == Seq(2L))
+    // the wall-clock resolves in the SESSION timezone (like SQL
+    // TIMESTAMP AS OF), not the JVM default: "now" written in a +9
+    // zone must still resolve — JVM-default parsing would read it as
+    // a future instant and refuse
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      // the between-commits instant written as a Tokyo wall-clock:
+      // session-zone parsing lands between v1 and v2 (feed = v2);
+      // JVM-default (UTC) parsing would shift it ~9h into the future
+      // and refuse the feed outright
+      val betweenTokyo = java.time.Instant.ofEpochMilli(betweenV1V2)
+        .atZone(java.time.ZoneId.of("Asia/Tokyo")).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      assert(spark.read.format("graft-snapshots").option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", betweenTokyo).load()
+        .select("k").as[Long].collect().toSeq == Seq(2L))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("reader surfaces renamed columns in the current logical shape") {
