@@ -1296,6 +1296,70 @@ object SinkQueries {
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice
         |  FROM base WHERE o_custkey % 7 = 2 AND o_orderkey % 5 = 1)
         |SELECT o_orderkey, o_custkey, o_totalprice FROM s2
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Metadata-only aggregates on the SQL path — the 100 TB count(*):
+    // whole-table count/count(col)/min/max over a catalog snapshot
+    // table answer from manifest stats without opening a data file
+    // (GraftResolution.metadataAggregate, exact-or-fall-through). t1
+    // is append-only (every aggregate metadata-answered — enforced
+    // in-query: the plan must carry no FileScan); t2 received a
+    // deletion-vector DELETE, so count(*) stays metadata (exact
+    // per-vector position counts subtract) while min/max fall through
+    // to the DV-applying scan — both sides oracle-replayed.
+    QueryDef("s44_meta_agg_sql",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s44_wh_" +
+          ProcessHandle.current().pid()
+        s.conf.set("spark.sql.catalog.g44", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g44.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS g44.default.t1")
+        s.sql("DROP TABLE IF EXISTS g44.default.t2")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView("s44_base")
+        s.sql("""CREATE TABLE g44.default.t1 AS
+          SELECT * FROM s44_base WHERE o_orderkey % 2 = 0""")
+        s.sql("""INSERT INTO g44.default.t1 SELECT * FROM s44_base
+          WHERE o_orderkey % 2 = 1 AND o_custkey % 3 = 0""")
+        s.sql("""CREATE TABLE g44.default.t2 AS
+          SELECT * FROM s44_base WHERE o_orderkey % 5 < 3""")
+        val prev = s.conf.getOption("spark.graft.sql.deletionVectors")
+        s.conf.set("spark.graft.sql.deletionVectors", "true")
+        try s.sql("DELETE FROM g44.default.t2 WHERE o_custkey % 7 = 3")
+        finally prev match {
+          case Some(v) => s.conf.set("spark.graft.sql.deletionVectors", v)
+          case None => s.conf.unset("spark.graft.sql.deletionVectors")
+        }
+        val a = s.sql("""SELECT count(*) AS t1_n,
+          count(o_custkey) AS t1_nc, min(o_totalprice) AS t1_min_price,
+          max(o_orderkey) AS t1_max_key FROM g44.default.t1""")
+        val b = s.sql("SELECT count(*) AS t2_n FROM g44.default.t2")
+        // self-verifying fast path: these two must never scan data
+        Seq(a, b).foreach(df => require(
+          !df.queryExecution.executedPlan.toString.contains("FileScan"),
+          "s44: whole-table aggregate was not metadata-answered"))
+        val c = s.sql("""SELECT min(o_totalprice) AS t2_min_price,
+          max(o_orderkey) AS t2_max_key FROM g44.default.t2""")
+        a.crossJoin(b).crossJoin(c)
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |t1 AS (
+        |  SELECT * FROM base WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT * FROM base WHERE o_orderkey % 2 = 1 AND o_custkey % 3 = 0),
+        |t2 AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey % 5 < 3 AND NOT (o_custkey % 7 = 3)),
+        |a AS (
+        |  SELECT count(*) AS t1_n, count(o_custkey) AS t1_nc,
+        |         min(o_totalprice) AS t1_min_price,
+        |         max(o_orderkey) AS t1_max_key FROM t1),
+        |b AS (SELECT count(*) AS t2_n FROM t2),
+        |c AS (
+        |  SELECT min(o_totalprice) AS t2_min_price,
+        |         max(o_orderkey) AS t2_max_key FROM t2)
+        |SELECT * FROM a, b, c""".stripMargin)
   )
 }

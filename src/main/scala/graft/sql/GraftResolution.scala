@@ -1,10 +1,13 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, Aggregate, Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.ops.Snapshots
 
 /** The analysis bridge between Spark SQL and the graft snapshot
   * format, injected by [[GraftExtensions]] as a post-hoc resolution
@@ -106,6 +109,14 @@ final case class GraftResolution(session: SparkSession)
   private def convertReads(plan: LogicalPlan): LogicalPlan = plan match {
     case w: V2WriteCommand =>
       w.withNewQuery(convertReads(w.query))
+    // whole-table count(*)/count(col)/min/max: answered from manifest
+    // stats when provably exact, falling through to the scan otherwise
+    case agg: Aggregate =>
+      metadataAggregate(agg).getOrElse {
+        agg.mapChildren(convertReads).transformExpressionsDown {
+          case se: SubqueryExpression => se.withNewPlan(convertReads(se.plan))
+        }
+      }
     case r: DataSourceV2Relation => r.table match {
       case t: GraftTable => readPlan(r, t)
       case _ => r
@@ -155,6 +166,71 @@ final case class GraftResolution(session: SparkSession)
             "snapshot scan — catalog and manifest disagree"))
       Alias(src, a.name)(exprId = a.exprId)
     }, scan)
+  }
+
+  /** Metadata-only aggregates — the 100 TB `count(*)`.
+    *
+    * A whole-table `SELECT count(*) / count(col) / min(col) / max(col)
+    * FROM graft.db.t` (no WHERE, no GROUP BY, no DISTINCT, no FILTER
+    * clause) is answerable from the manifest's per-file stats lines
+    * without opening a single data file:
+    * [[graft.ops.Snapshots.aggregateFromManifest]] is exact-or-refuse
+    * (every file must carry a stats line for every requested column;
+    * strings refuse — truncated bounds are never provably attained;
+    * deletion vectors refuse column stats but keep `count(*)` exact
+    * via recorded per-vector position counts). When it refuses, this
+    * rewrite falls through to the normal scan — correctness never
+    * depends on the fast path. Opt out with
+    * `spark.graft.sql.metadataAggregates=false`.
+    *
+    * The one-row result plan is spliced the same way [[readPlan]]
+    * splices scans: aliases map its columns onto the Aggregate's
+    * output attributes, exprIds preserved, so Sort/Project/subquery
+    * consumers above are untouched. A type-mismatch guard falls
+    * through rather than miscast. */
+  private def metadataAggregate(agg: Aggregate): Option[LogicalPlan] = {
+    if (!java.lang.Boolean.parseBoolean(session.conf
+        .get("spark.graft.sql.metadataAggregates", "true"))) return None
+    if (agg.groupingExpressions.nonEmpty) return None
+    // derived-table aliases wrap the projection (SELECT agg FROM
+    // (SELECT cols FROM t)): strip them, then accept the relation or a
+    // pass-through projection of plain columns — names and ids carry
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case x => x
+    }
+    val table: GraftTable = strip(agg.child) match {
+      case GraftRel(_, t) => t
+      case Project(ps, GraftRel(_, t))
+          if ps.forall(_.isInstanceOf[AttributeReference]) => t
+      case _ => return None
+    }
+    // map every aggregate to the manifest-frame column that answers it
+    val specs: Seq[(Alias, String)] = agg.aggregateExpressions.map {
+      case al @ Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) if l.value != null => al -> "n_rows"
+          case Count(Seq(a: AttributeReference)) => al -> s"n_${a.name}"
+          case Min(a: AttributeReference) => al -> s"min_${a.name}"
+          case Max(a: AttributeReference) => al -> s"max_${a.name}"
+          case _ => return None
+        }
+      case _ => return None
+    }
+    val cols = specs.collect {
+      case (_, c) if c != "n_rows" => c.substring(c.indexOf('_') + 1)
+    }.distinct
+    Snapshots.aggregateFromManifest(session, table.dir, cols,
+      table.pinnedVersion.getOrElse(-1)).flatMap { mdf =>
+      val meta = mdf.queryExecution.analyzed
+      val outs = specs.map { case (al, c) =>
+        meta.output.find(_.name == c).filter(_.dataType == al.dataType)
+          .map(src => Alias(src, al.name)(exprId = al.exprId))
+      }
+      if (outs.exists(_.isEmpty)) None
+      else Some(Project(outs.flatten, meta))
+    }
   }
 
   // ---- merge --------------------------------------------------------
