@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPostHocResolutionRule(session =>
       graft.sql.GraftResolution(session))
+    // SQL table-valued functions: the batch change feed from pure SQL
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
+        "table_changes"),
+      (es: Seq[Expression]) => graft.sql.GraftTableFunctions.tableChanges(es)))
   }
 }
 

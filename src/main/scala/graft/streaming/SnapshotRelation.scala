@@ -55,11 +55,19 @@ private[streaming] class SnapshotRelation(val sqlContext: SQLContext,
     base.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 
-  /** sources.Filter → Column, best-effort: an untranslatable node
-    * yields None (its conjunct just doesn't prune — Spark still
-    * filters rows). Inside OR/NOT, BOTH/the child must translate or
-    * the whole subtree is dropped (a partial OR would narrow it). */
-  private def filterToColumn(f: Filter): Option[Column] = f match {
+  private def filterToColumn(f: Filter): Option[Column] =
+    SourceFilters.toColumn(f)
+}
+
+/** sources.Filter → Column, best-effort: an untranslatable node
+  * yields None (its conjunct just doesn't prune — Spark still
+  * filters rows). Inside OR/NOT, BOTH/the child must translate or
+  * the whole subtree is dropped (a partial OR would narrow it).
+  * Shared by the snapshot and change-feed relations; WRITE-side
+  * translation must NOT use this (partial translation widens a
+  * replace scope — see [[graft.sql.GraftTable]]'s exact variant). */
+private[streaming] object SourceFilters {
+  def toColumn(f: Filter): Option[Column] = f match {
     case sources.EqualTo(a, v) => Some(col(a) === lit(v))
     case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
     case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
@@ -70,13 +78,13 @@ private[streaming] class SnapshotRelation(val sqlContext: SQLContext,
     case sources.IsNotNull(a) => Some(col(a).isNotNull)
     case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
     case sources.And(l, r) => // one translated side still narrows soundly
-      (filterToColumn(l), filterToColumn(r)) match {
+      (toColumn(l), toColumn(r)) match {
         case (Some(a), Some(b)) => Some(a && b)
         case (one, other) => one.orElse(other)
       }
     case sources.Or(l, r) =>
-      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
-    case sources.Not(c) => filterToColumn(c).map(!_)
+      for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case sources.Not(c) => toColumn(c).map(!_)
     case _ => None
   }
 }
@@ -102,10 +110,18 @@ private[streaming] class SnapshotRelation(val sqlContext: SQLContext,
   * contribute zero rows scan-free, exactly as in the API/stream
   * paths. Native-plan consumers call [[Snapshots.changeFeed]]
   * directly. A vacuumed base version fails loudly (re-sync from a
-  * full read). */
+  * full read).
+  *
+  * Pruned + filtered: a CDC consumer typically wants few columns
+  * (keys + `_change_type`) of few commits — pushed filters (notably
+  * on `_commit_version`/`_change_type`) and the column selection land
+  * INSIDE the feed plan, below the row conversion, where Catalyst
+  * pushes them through the per-commit union into the parquet scans.
+  * All filters stay declared unhandled (Spark re-applies above) —
+  * translation is best-effort narrowing, never row-exact. */
 private[streaming] class ChangeFeedRelation(val sqlContext: SQLContext,
     dir: String, startingVersion: Int, endingVersion: Int)
-    extends BaseRelation with TableScan {
+    extends BaseRelation with PrunedFilteredScan {
 
   // changeFeed's fromVersion is EXCLUSIVE; the reader option is the
   // first INCLUDED commit, matching the streaming option's meaning
@@ -115,5 +131,14 @@ private[streaming] class ChangeFeedRelation(val sqlContext: SQLContext,
 
   override val schema: StructType = feed().schema
 
-  override def buildScan(): RDD[Row] = feed().rdd
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val pred = filters.flatMap(SourceFilters.toColumn(_))
+      .reduceOption(_ && _)
+    val base = pred.map(feed().filter).getOrElse(feed())
+    base.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
 }
