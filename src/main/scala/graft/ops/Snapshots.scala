@@ -629,6 +629,95 @@ object Snapshots {
     }
   }
 
+  /** What a [[countWhere]] decided from stats alone: `count` is the
+    * exact answer; `allMatchFiles` contributed their full live row
+    * count without being opened, `prunedFiles` contributed zero
+    * without being opened, and only `scannedFiles` were read. */
+  final case class CountWhereResult(count: Long, allMatchFiles: Int,
+    scannedFiles: Int, prunedFiles: Int)
+
+  /** Exact `count(*) WHERE pred` with stats-DECIDED files — the
+    * metadata fast path [[aggregateFromManifest]] cannot take once a
+    * predicate is present. Files split three ways against the
+    * manifest's per-file stats:
+    *
+    *   - provably NO row matches ([[pruneFiles]]) → contribute 0;
+    *   - provably EVERY row matches (interval disproof of `!pred`
+    *     plus the null-free guard on referenced columns — the
+    *     [[deleteWhere]] drop-whole test) → contribute their live
+    *     row count (manifest rows − deletion-vector positions) with
+    *     no data file opened;
+    *   - undecided (typically the boundary files of a range
+    *     predicate) → one distributed scan of exactly those files.
+    *
+    * On a range-clustered 100 TB table a time-window count opens the
+    * window's BOUNDARY files only — cost is O(boundary), not
+    * O(window). Every proof obligation fails open into the scan set,
+    * so the count is exact for arbitrary deterministic predicates.
+    * See [[countWhereFrame]] for the lazy single-row-frame form. */
+  def countWhere(spark: SparkSession, dir: String, pred: Column,
+      version: Int = -1): CountWhereResult = {
+    val (decided, allMatch, undecided, pruned) =
+      countWhereParts(spark, dir, pred, version)
+    val scanned =
+      if (undecided.isEmpty) 0L
+      else {
+        val (fs, root) = fsFor(spark, dir)
+        val v = if (version >= 0) version
+        else currentVersion(spark, dir).get
+        readFilesAs(spark, fs, root, v, undecided).filter(pred).count()
+      }
+    CountWhereResult(decided + scanned, allMatch, undecided.size,
+      pruned)
+  }
+
+  /** [[countWhere]] as a LAZY one-row frame (`cnt: bigint`): the
+    * stats-decided total is a literal, the undecided files are an
+    * ordinary filtered scan, and no job runs until the frame is
+    * executed — what the SQL metadata-aggregate rewrite splices in
+    * place of a whole-table scan. */
+  def countWhereFrame(spark: SparkSession, dir: String, pred: Column,
+      version: Int = -1): DataFrame = {
+    val (decided, _, undecided, _) =
+      countWhereParts(spark, dir, pred, version)
+    if (undecided.isEmpty)
+      spark.range(1).select(lit(decided).as("cnt"))
+    else {
+      val (fs, root) = fsFor(spark, dir)
+      val v = if (version >= 0) version
+      else currentVersion(spark, dir).get
+      readFilesAs(spark, fs, root, v, undecided).filter(pred)
+        .agg((count(lit(1)) + lit(decided)).as("cnt"))
+    }
+  }
+
+  /** (stats-decided row total, #all-match files, undecided files,
+    * #pruned files) — shared by [[countWhere]]/[[countWhereFrame]].
+    * An all-match file missing its manifest row count falls back into
+    * the scan set (fail-open, like every proof here). */
+  private def countWhereParts(spark: SparkSession, dir: String,
+      pred: Column, version: Int)
+      : (Long, Int, Seq[String], Int) = {
+    val (fs, root) = fsFor(spark, dir)
+    val v = if (version >= 0) version
+    else currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed version under $dir"))
+    val (mayMatch, pruned) = pruneFiles(spark, dir, pred, v)
+    val (undecided, allMatch) =
+      splitDropWhole(spark, dir, fs, root, pred, v, mayMatch)
+    val stats = statsFor(fs, root, v)
+    val dv = dvFor(fs, root, v)
+    def liveRows(f: String): Option[Long] =
+      stats.get(f).flatMap(_.headOption).map(_._2.rows -
+        dv.get(f).filter(_._2 > 0).map(_._2).getOrElse(0L))
+    val counted = allMatch.map(f => f -> liveRows(f))
+    val decided = counted.collect { case (_, Some(n)) => n }.sum
+    val statless = counted.collect { case (f, None) => f }
+    (decided, counted.size - statless.size, undecided ++ statless,
+      pruned.size)
+  }
+
   // ---- pinned schema + additive evolution ---------------------------
 
   private val SchemaPrefix = "#schema "

@@ -1360,6 +1360,56 @@ object SinkQueries {
         |c AS (
         |  SELECT min(o_totalprice) AS t2_min_price,
         |         max(o_orderkey) AS t2_max_key FROM t2)
-        |SELECT * FROM a, b, c""".stripMargin)
+        |SELECT * FROM a, b, c""".stripMargin),
+
+    // The change feed from pure SQL: the `table_changes` table-valued
+    // function ([[graft.sql.GraftTableFunctions]]) over a catalog
+    // table whose history is CTAS (one commit), an INSERT, and a
+    // deletion-vector DELETE — the feed decomposes all three into
+    // _change_type rows that a SQL consumer rolls up or joins with no
+    // Scala in the loop. The oracle replays each commit's exact
+    // row-level delta from the source predicates.
+    QueryDef("s45_table_changes_tvf",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s45_wh_" +
+          ProcessHandle.current().pid()
+        s.conf.set("spark.sql.catalog.g45", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g45.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS g45.default.t")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView("s45_base")
+        s.sql("""CREATE TABLE g45.default.t AS
+          SELECT * FROM s45_base WHERE o_orderkey % 2 = 0""") // v1
+        s.sql("""INSERT INTO g45.default.t SELECT * FROM s45_base
+          WHERE o_orderkey % 2 = 1 AND o_custkey % 5 = 0""") // v2
+        val prev = s.conf.getOption("spark.graft.sql.deletionVectors")
+        s.conf.set("spark.graft.sql.deletionVectors", "true")
+        try s.sql("DELETE FROM g45.default.t WHERE o_custkey % 11 = 4") // v3
+        finally prev match {
+          case Some(v) => s.conf.set("spark.graft.sql.deletionVectors", v)
+          case None => s.conf.unset("spark.graft.sql.deletionVectors")
+        }
+        s.sql("""SELECT _change_type, _commit_version,
+            o_orderkey, o_custkey, o_totalprice
+          FROM table_changes('g45.default.t', 1)
+          ORDER BY _commit_version, _change_type, o_orderkey""")
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |v1 AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+        |v2 AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey % 2 = 1 AND o_custkey % 5 = 0),
+        |state AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+        |feed AS (
+        |  SELECT 'insert' AS _change_type, 1 AS _commit_version, *
+        |  FROM v1
+        |  UNION ALL SELECT 'insert', 2, * FROM v2
+        |  UNION ALL SELECT 'delete', 3, * FROM state
+        |  WHERE o_custkey % 11 = 4)
+        |SELECT _change_type, _commit_version,
+        |  o_orderkey, o_custkey, o_totalprice FROM feed
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin)
   )
 }

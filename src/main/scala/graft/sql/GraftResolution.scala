@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, EqualTo, Expression, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, Aggregate, Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, Aggregate, Assignment, DeleteAction, DeleteFromTable, Filter => LogicalFilter, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -203,6 +203,11 @@ final case class GraftResolution(session: SparkSession)
       case GraftRel(_, t) => t
       case Project(ps, GraftRel(_, t))
           if ps.forall(_.isInstanceOf[AttributeReference]) => t
+      // count(*) under a WHERE: the stats-DECIDED count — files the
+      // manifest proves all-match or no-match are never opened; only
+      // the undecided (boundary) files scan
+      case LogicalFilter(cond, GraftRel(_, t)) =>
+        return filteredCount(agg, cond, t)
       case _ => return None
     }
     // map every aggregate to the manifest-frame column that answers it
@@ -221,6 +226,9 @@ final case class GraftResolution(session: SparkSession)
     val cols = specs.collect {
       case (_, c) if c != "n_rows" => c.substring(c.indexOf('_') + 1)
     }.distinct
+    // a column literally named "rows" would make count(rows) collide
+    // with the count(*) spelling n_rows — fall through to the scan
+    if (cols.exists(_.equalsIgnoreCase("rows"))) return None
     Snapshots.aggregateFromManifest(session, table.dir, cols,
       table.pinnedVersion.getOrElse(-1)).flatMap { mdf =>
       val meta = mdf.queryExecution.analyzed
@@ -231,6 +239,44 @@ final case class GraftResolution(session: SparkSession)
       if (outs.exists(_.isEmpty)) None
       else Some(Project(outs.flatten, meta))
     }
+  }
+
+  /** `SELECT count(*) FROM t WHERE pred` → the stats-decided count
+    * ([[Snapshots.countWhereFrame]]): the manifest proves most files
+    * entirely inside or outside a range predicate; only the boundary
+    * files scan. Exact for arbitrary DETERMINISTIC predicates (every
+    * stats proof fails open into the scan set); non-deterministic
+    * conditions, subqueries, and any aggregate beyond plain `count(*)`
+    * (whose bounds would not be attained under a filter) fall through
+    * to the normal plan. */
+  private def filteredCount(agg: Aggregate, cond: Expression,
+      t: GraftTable): Option[LogicalPlan] = {
+    if (!cond.deterministic ||
+      cond.exists(_.isInstanceOf[SubqueryExpression])) return None
+    val counts: Seq[Alias] = agg.aggregateExpressions.map {
+      case al @ Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) if l.value != null => al
+          case _ => return None
+        }
+      case _ => return None
+    }
+    // re-root the resolved condition by NAME so it resolves against
+    // the fresh native frame (same table, same logical schema)
+    val pred = org.apache.spark.sql.graft.GraftSparkBridge.column(
+      cond.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      })
+    val frame = Snapshots.countWhereFrame(session, t.dir, pred,
+      t.pinnedVersion.getOrElse(-1))
+    val meta = frame.queryExecution.analyzed
+    val src = meta.output.find(_.name == "cnt")
+      .filter(_.dataType == counts.head.dataType).getOrElse(return None)
+    Some(Project(
+      counts.map(al => Alias(src, al.name)(exprId = al.exprId)), meta))
   }
 
   // ---- merge --------------------------------------------------------

@@ -66,21 +66,25 @@ class SqlMetaAggSpec extends SparkSpec {
       .as[(Long, Long)].head() == ((5L, 5L)))
   }
 
-  test("WHERE, GROUP BY, DISTINCT, FILTER, string bounds fall through") {
+  test("GROUP BY, DISTINCT, FILTER, string bounds, sum fall through") {
     mk("m3")
     val cases = Seq(
-      "SELECT count(*) FROM gm.default.m3 WHERE id > 2",
       "SELECT id, count(*) FROM gm.default.m3 GROUP BY id",
       "SELECT count(DISTINCT id) FROM gm.default.m3",
       "SELECT count(*) FILTER (WHERE v > 0) FROM gm.default.m3",
       "SELECT min(s) FROM gm.default.m3",
-      "SELECT sum(v) FROM gm.default.m3")
+      "SELECT sum(v) FROM gm.default.m3",
+      // min/max bounds are not attained under a predicate
+      "SELECT min(id) FROM gm.default.m3 WHERE v > 0")
     cases.foreach { q =>
       assert(scansData(spark.sql(q)), s"expected a scan for: $q")
     }
     // and the fallen-through answers are right
-    assert(spark.sql(cases.head).as[Long].head() == 3L)
-    assert(spark.sql(cases(4)).as[String].head() == "a")
+    assert(spark.sql(cases(3)).as[String].head() == "a")
+    // count(*) under a WHERE is the stats-DECIDED count (exact either
+    // way — files it cannot decide scan; see CountWhereSpec)
+    assert(spark.sql("SELECT count(*) FROM gm.default.m3 WHERE id > 2")
+      .as[Long].head() == 3L)
   }
 
   test("deletion vectors: count(*) stays metadata-only, column stats scan") {
