@@ -567,12 +567,6 @@ object Snapshots {
     val vOpt = if (version >= 0) Some(version) else currentVersion(spark, dir)
     vOpt.flatMap { v =>
       schemaOf(fs, root, v).flatMap { schema =>
-        def statEligible(t: DataType): Boolean = t match {
-          case StringType => false // truncated bounds: never provably exact
-          case _: NumericType | DateType | TimestampType |
-               TimestampNTZType | BooleanType => true
-          case _ => false
-        }
         val resolved: Seq[Option[StructField]] = cols.map(c =>
           schema.fields.find(_.name.equalsIgnoreCase(c))
             .filter(f => statEligible(f.dataType)))
@@ -627,6 +621,16 @@ object Snapshots {
         }
       }
     }
+  }
+
+  /** Whether a column's manifest min/max are provably-exact ATTAINED
+    * values: strings are excluded (their stat bounds are truncated —
+    * never provably attained). */
+  private def statEligible(t: DataType): Boolean = t match {
+    case StringType => false
+    case _: NumericType | DateType | TimestampType |
+         TimestampNTZType | BooleanType => true
+    case _ => false
   }
 
   /** What a [[countWhere]] decided from stats alone: `count` is the
@@ -688,6 +692,116 @@ object Snapshots {
       else currentVersion(spark, dir).get
       readFilesAs(spark, fs, root, v, undecided).filter(pred)
         .agg((count(lit(1)) + lit(decided)).as("cnt"))
+    }
+  }
+
+  /** [[countWhereFrame]] generalized to `min`/`max`/`count(col)` over
+    * the `pred`-matching rows — the stats-decided filtered aggregate.
+    *
+    * The key fact: an ALL-MATCH file's per-column min/max are attained
+    * by rows that all satisfy `pred`, so they participate in the
+    * filtered min/max exactly; its `rows − nulls` is the file's exact
+    * `count(col)` contribution. Files that break any proof demote to
+    * the scan set rather than refuse the query: a deletion-vectored
+    * all-match file (bounds no longer attained by LIVE rows), a file
+    * missing a stats line, plus all the undecided boundary files —
+    * one distributed scan covers them and a final one-row combine
+    * merges both sides. Returns None when a requested column is
+    * unknown, not stat-eligible (strings — truncated bounds), or the
+    * table pre-dates schema pinning; the caller falls back to its
+    * full scan. Result columns: `n_rows`, then `n_/min_/max_<col>`
+    * per requested column — [[aggregateFromManifest]]'s naming. */
+  def aggregateWhereFrame(spark: SparkSession, dir: String, pred: Column,
+      cols: Seq[String], version: Int = -1): Option[DataFrame] = {
+    val (fs, root) = fsFor(spark, dir)
+    val vOpt = if (version >= 0) Some(version)
+    else currentVersion(spark, dir)
+    vOpt.flatMap { v =>
+      schemaOf(fs, root, v).flatMap { schema =>
+        val resolved = cols.map(c =>
+          schema.fields.find(_.name.equalsIgnoreCase(c))
+            .filter(f => statEligible(f.dataType)))
+        if (resolved.exists(_.isEmpty)) None
+        else Some(buildWhereAggregate(spark, dir, fs, root, v, pred,
+          resolved.flatten))
+      }
+    }
+  }
+
+  private def buildWhereAggregate(spark: SparkSession, dir: String,
+      fs: FileSystem, root: HPath, v: Int, pred: Column,
+      fields: Seq[StructField]): DataFrame = {
+    val (mayMatch, _) = pruneFiles(spark, dir, pred, v)
+    val (undecided0, allMatch) =
+      splitDropWhole(spark, dir, fs, root, pred, v, mayMatch)
+    val stats = statsFor(fs, root, v)
+    val dv = dvFor(fs, root, v)
+    def dvCount(f: String): Long =
+      dv.get(f).filter(_._2 > 0).map(_._2).getOrElse(0L)
+    // fail-open demotions: no stats line, a required column's stats
+    // missing, or (when column bounds are needed) a deletion vector
+    def decidable(f: String): Boolean = {
+      val per = stats.getOrElse(f, Map.empty[String, ColStats])
+      per.nonEmpty && (fields.isEmpty || dvCount(f) == 0) &&
+        fields.forall(fd => per.contains(physOf(fd)))
+    }
+    val (statted, demoted) = allMatch.partition(decidable)
+    val undecided = undecided0 ++ demoted
+    val metaSide: Option[DataFrame] =
+      if (statted.isEmpty) None
+      else {
+        val rawSchema = StructType(
+          StructField("__rows", LongType, false) +:
+            fields.zipWithIndex.flatMap { case (_, i) => Seq(
+              StructField(s"__mn_$i", StringType, true),
+              StructField(s"__mx_$i", StringType, true),
+              StructField(s"__nul_$i", LongType, false))
+            })
+        val raws = statted.map { f =>
+          val per = stats(f)
+          Row.fromSeq((per.head._2.rows - dvCount(f)) +:
+            fields.flatMap { fd =>
+              val s = per(physOf(fd))
+              Seq(s.min.orNull, s.max.orNull, s.nulls)
+            })
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(raws, 1), rawSchema)
+        val aggs = sum(col("__rows")).as("n_rows") +:
+          fields.zipWithIndex.flatMap { case (fd, i) => Seq(
+            sum(col("__rows") - col(s"__nul_$i")).as(s"n_${fd.name}"),
+            min(col(s"__mn_$i").cast(fd.dataType)).as(s"min_${fd.name}"),
+            max(col(s"__mx_$i").cast(fd.dataType)).as(s"max_${fd.name}"))
+          }
+        Some(df.agg(aggs.head, aggs.tail: _*))
+      }
+    val scanSide: Option[DataFrame] =
+      if (undecided.isEmpty) None
+      else {
+        val base = readFilesAs(spark, fs, root, v, undecided).filter(pred)
+        val aggs = count(lit(1)).as("n_rows") +:
+          fields.flatMap(fd => Seq(
+            count(col(fd.name)).as(s"n_${fd.name}"),
+            min(col(fd.name)).as(s"min_${fd.name}"),
+            max(col(fd.name)).as(s"max_${fd.name}")))
+        Some(base.agg(aggs.head, aggs.tail: _*))
+      }
+    (metaSide, scanSide) match {
+      case (Some(a), Some(b)) =>
+        val combine = sum(col("n_rows")).as("n_rows") +:
+          fields.flatMap(fd => Seq(
+            sum(col(s"n_${fd.name}")).as(s"n_${fd.name}"),
+            min(col(s"min_${fd.name}")).as(s"min_${fd.name}"),
+            max(col(s"max_${fd.name}")).as(s"max_${fd.name}")))
+        a.unionByName(b).agg(combine.head, combine.tail: _*)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => // every file pruned: the empty aggregate
+        spark.range(1).select(lit(0L).as("n_rows") +:
+          fields.flatMap(fd => Seq(
+            lit(0L).as(s"n_${fd.name}"),
+            lit(null).cast(fd.dataType).as(s"min_${fd.name}"),
+            lit(null).cast(fd.dataType).as(s"max_${fd.name}"))): _*)
     }
   }
 

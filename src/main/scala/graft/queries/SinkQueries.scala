@@ -1341,7 +1341,14 @@ object SinkQueries {
           "s44: whole-table aggregate was not metadata-answered"))
         val c = s.sql("""SELECT min(o_totalprice) AS t2_min_price,
           max(o_orderkey) AS t2_max_key FROM g44.default.t2""")
-        a.crossJoin(b).crossJoin(c)
+        // the stats-DECIDED filtered path: aggregates under a WHERE —
+        // files proven all-match/no-match decide from stats, boundary
+        // files scan, exact either way
+        val d = s.sql("""SELECT count(*) AS w_n,
+          min(o_totalprice) AS w_min_price, max(o_orderkey) AS w_max_key
+          FROM g44.default.t1
+          WHERE o_orderkey >= 3000 AND o_orderkey < 9000""")
+        a.crossJoin(b).crossJoin(c).crossJoin(d)
       },
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
@@ -1359,8 +1366,12 @@ object SinkQueries {
         |b AS (SELECT count(*) AS t2_n FROM t2),
         |c AS (
         |  SELECT min(o_totalprice) AS t2_min_price,
-        |         max(o_orderkey) AS t2_max_key FROM t2)
-        |SELECT * FROM a, b, c""".stripMargin),
+        |         max(o_orderkey) AS t2_max_key FROM t2),
+        |d AS (
+        |  SELECT count(*) AS w_n, min(o_totalprice) AS w_min_price,
+        |         max(o_orderkey) AS w_max_key FROM t1
+        |  WHERE o_orderkey >= 3000 AND o_orderkey < 9000)
+        |SELECT * FROM a, b, c, d""".stripMargin),
 
     // The change feed from pure SQL: the `table_changes` table-valued
     // function ([[graft.sql.GraftTableFunctions]]) over a catalog

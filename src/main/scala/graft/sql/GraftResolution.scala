@@ -168,19 +168,27 @@ final case class GraftResolution(session: SparkSession)
     }, scan)
   }
 
-  /** Metadata-only aggregates — the 100 TB `count(*)`.
+  /** Metadata-only and stats-decided aggregates — the 100 TB
+    * `count(*)`.
     *
     * A whole-table `SELECT count(*) / count(col) / min(col) / max(col)
-    * FROM graft.db.t` (no WHERE, no GROUP BY, no DISTINCT, no FILTER
-    * clause) is answerable from the manifest's per-file stats lines
-    * without opening a single data file:
+    * FROM graft.db.t` (no GROUP BY, no DISTINCT, no FILTER clause) is
+    * answerable from the manifest's per-file stats lines without
+    * opening a single data file:
     * [[graft.ops.Snapshots.aggregateFromManifest]] is exact-or-refuse
     * (every file must carry a stats line for every requested column;
     * strings refuse — truncated bounds are never provably attained;
     * deletion vectors refuse column stats but keep `count(*)` exact
-    * via recorded per-vector position counts). When it refuses, this
-    * rewrite falls through to the normal scan — correctness never
-    * depends on the fast path. Opt out with
+    * via recorded per-vector position counts). With a WHERE, the same
+    * aggregates take the stats-DECIDED path
+    * ([[graft.ops.Snapshots.aggregateWhereFrame]]): provably-all-match
+    * files contribute their stats (attained by matching rows) without
+    * being opened, provably-none files contribute nothing, and only
+    * the undecided boundary files scan — every broken proof demotes
+    * its file into the scan set, so the answer stays exact for
+    * arbitrary deterministic predicates. When either path refuses,
+    * this rewrite falls through to the normal scan — correctness
+    * never depends on the fast path. Opt out with
     * `spark.graft.sql.metadataAggregates=false`.
     *
     * The one-row result plan is spliced the same way [[readPlan]]
@@ -199,17 +207,21 @@ final case class GraftResolution(session: SparkSession)
       case SubqueryAlias(_, c) => strip(c)
       case x => x
     }
-    val table: GraftTable = strip(agg.child) match {
-      case GraftRel(_, t) => t
-      case Project(ps, GraftRel(_, t))
-          if ps.forall(_.isInstanceOf[AttributeReference]) => t
-      // count(*) under a WHERE: the stats-DECIDED count — files the
-      // manifest proves all-match or no-match are never opened; only
-      // the undecided (boundary) files scan
-      case LogicalFilter(cond, GraftRel(_, t)) =>
-        return filteredCount(agg, cond, t)
-      case _ => return None
-    }
+    val (table, cond): (GraftTable, Option[Expression]) =
+      strip(agg.child) match {
+        case GraftRel(_, t) => (t, None)
+        case Project(ps, GraftRel(_, t))
+            if ps.forall(_.isInstanceOf[AttributeReference]) => (t, None)
+        // aggregates under a WHERE: the stats-DECIDED path — files the
+        // manifest proves all-match or no-match are never opened; only
+        // the undecided (boundary) files scan
+        case LogicalFilter(c, GraftRel(_, t)) => (t, Some(c))
+        case _ => return None
+      }
+    // a non-deterministic or subquery-bearing predicate cannot be
+    // re-rooted/re-evaluated soundly — fall through to the scan
+    if (cond.exists(c => !c.deterministic ||
+      c.exists(_.isInstanceOf[SubqueryExpression]))) return None
     // map every aggregate to the manifest-frame column that answers it
     val specs: Seq[(Alias, String)] = agg.aggregateExpressions.map {
       case al @ Alias(ae: AggregateExpression, _)
@@ -229,8 +241,23 @@ final case class GraftResolution(session: SparkSession)
     // a column literally named "rows" would make count(rows) collide
     // with the count(*) spelling n_rows — fall through to the scan
     if (cols.exists(_.equalsIgnoreCase("rows"))) return None
-    Snapshots.aggregateFromManifest(session, table.dir, cols,
-      table.pinnedVersion.getOrElse(-1)).flatMap { mdf =>
+    val version = table.pinnedVersion.getOrElse(-1)
+    val mdfOpt = cond match {
+      case None =>
+        Snapshots.aggregateFromManifest(session, table.dir, cols, version)
+      case Some(c) =>
+        // re-root the resolved condition by NAME so it resolves against
+        // the fresh native frame (same table, same logical schema)
+        val pred = org.apache.spark.sql.graft.GraftSparkBridge.column(
+          c.transform {
+            case a: AttributeReference =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                .quoted(a.name)
+          })
+        Snapshots.aggregateWhereFrame(session, table.dir, pred, cols,
+          version)
+    }
+    mdfOpt.flatMap { mdf =>
       val meta = mdf.queryExecution.analyzed
       val outs = specs.map { case (al, c) =>
         meta.output.find(_.name == c).filter(_.dataType == al.dataType)
@@ -239,44 +266,6 @@ final case class GraftResolution(session: SparkSession)
       if (outs.exists(_.isEmpty)) None
       else Some(Project(outs.flatten, meta))
     }
-  }
-
-  /** `SELECT count(*) FROM t WHERE pred` → the stats-decided count
-    * ([[Snapshots.countWhereFrame]]): the manifest proves most files
-    * entirely inside or outside a range predicate; only the boundary
-    * files scan. Exact for arbitrary DETERMINISTIC predicates (every
-    * stats proof fails open into the scan set); non-deterministic
-    * conditions, subqueries, and any aggregate beyond plain `count(*)`
-    * (whose bounds would not be attained under a filter) fall through
-    * to the normal plan. */
-  private def filteredCount(agg: Aggregate, cond: Expression,
-      t: GraftTable): Option[LogicalPlan] = {
-    if (!cond.deterministic ||
-      cond.exists(_.isInstanceOf[SubqueryExpression])) return None
-    val counts: Seq[Alias] = agg.aggregateExpressions.map {
-      case al @ Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Count(Seq(l: Literal)) if l.value != null => al
-          case _ => return None
-        }
-      case _ => return None
-    }
-    // re-root the resolved condition by NAME so it resolves against
-    // the fresh native frame (same table, same logical schema)
-    val pred = org.apache.spark.sql.graft.GraftSparkBridge.column(
-      cond.transform {
-        case a: AttributeReference =>
-          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            .quoted(a.name)
-      })
-    val frame = Snapshots.countWhereFrame(session, t.dir, pred,
-      t.pinnedVersion.getOrElse(-1))
-    val meta = frame.queryExecution.analyzed
-    val src = meta.output.find(_.name == "cnt")
-      .filter(_.dataType == counts.head.dataType).getOrElse(return None)
-    Some(Project(
-      counts.map(al => Alias(src, al.name)(exprId = al.exprId)), meta))
   }
 
   // ---- merge --------------------------------------------------------

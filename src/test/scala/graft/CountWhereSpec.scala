@@ -78,6 +78,61 @@ class CountWhereSpec extends SparkSpec {
     assert(r.allMatchFiles == 1 && r.scannedFiles == 1, r)
   }
 
+  test("aggregateWhereFrame: filtered min/max/count(col) match the scan") {
+    val root = rangeTable()
+    val preds = Seq(
+      $"id" >= 15 && $"id" < 30,  // boundary + all-match mix
+      $"id" >= 10 && $"id" < 30,  // fully decided
+      $"id" % 7 === 3,            // fully scanned
+      $"id" < -5)                 // fully pruned (empty aggregate)
+    preds.foreach { p =>
+      val got = Snapshots.aggregateWhereFrame(spark, root, p,
+        Seq("id", "v")).get.head()
+      val want = Snapshots.read(spark, root).filter(p)
+        .agg(count(lit(1)), count($"id"), min($"id"), max($"id"),
+          count($"v"), min($"v"), max($"v")).head()
+      assert(got == want, s"$p: $got vs $want")
+    }
+    // unknown and string columns refuse (caller falls back)
+    assert(Snapshots.aggregateWhereFrame(spark, root,
+      $"id" > 0, Seq("nope")).isEmpty)
+  }
+
+  test("aggregateWhereFrame: DV'd all-match files demote, stay exact") {
+    val root = rangeTable()
+    assert(Snapshots.deleteWhereLight(spark, root,
+      $"id".isin(22, 25)).dvFiles == 1)
+    val p = $"id" >= 15 && $"id" < 30
+    val got = Snapshots.aggregateWhereFrame(spark, root, p, Seq("v"))
+      .get.head()
+    val want = Snapshots.read(spark, root).filter(p)
+      .agg(count(lit(1)), count($"v"), min($"v"), max($"v")).head()
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("SQL min/max/count under WHERE: decided plans carry no FileScan") {
+    val w = Files.createTempDirectory("graft_cw_wh2").toFile.toString
+    spark.conf.set("spark.sql.catalog.gcx", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcx.warehouse", w)
+    spark.sql("CREATE TABLE gcx.default.t (id BIGINT, v DOUBLE)")
+    (0 until 4).foreach { b =>
+      Snapshots.append(
+        spark.range(b * 10L, b * 10L + 10).select($"id",
+          ($"id" * 2.0).as("v")).coalesce(1), s"$w/default/t")
+    }
+    val decided = spark.sql("""SELECT count(*) AS n, count(v) AS nv,
+      min(v) AS mn, max(id) AS mx
+      FROM gcx.default.t WHERE id >= 10 AND id < 30""")
+    assert(!decided.queryExecution.executedPlan.toString.contains("FileScan"),
+      decided.queryExecution.executedPlan.toString)
+    assert(decided.as[(Long, Long, Double, Long)].head() ==
+      ((20L, 20L, 20.0, 29L)))
+    // boundary shape: exact, with the undecided file scanned
+    val boundary = spark.sql("""SELECT min(v) AS mn, max(v) AS mx
+      FROM gcx.default.t WHERE id >= 15 AND id < 30""")
+    assert(boundary.as[(Double, Double)].head() == ((30.0, 58.0)))
+  }
+
   test("SQL count(*) WHERE: zero FileScan when every file is decided") {
     val w = Files.createTempDirectory("graft_cw_wh").toFile.toString
     spark.conf.set("spark.sql.catalog.gcw", "graft.sql.GraftCatalog")
@@ -97,11 +152,11 @@ class CountWhereSpec extends SparkSpec {
     val boundary = spark.sql(
       "SELECT count(*) AS n FROM gcw.default.t WHERE id >= 15 AND id < 30")
     assert(boundary.as[Long].head() == 15L)
-    // non-count aggregates under a filter fall through (bounds are not
-    // attained under a predicate)
+    // mixed count + max under a fully-decided filter: also scan-free
+    // (an all-match file's bounds ARE attained by matching rows)
     val mixed = spark.sql(
       "SELECT count(*) AS n, max(id) AS mx FROM gcw.default.t WHERE id < 30")
-    assert(mixed.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(!mixed.queryExecution.executedPlan.toString.contains("FileScan"))
     assert(mixed.as[(Long, Long)].head() == ((30L, 29L)))
     // non-deterministic predicates fall through
     val rnd = spark.sql(

@@ -73,18 +73,18 @@ class SqlMetaAggSpec extends SparkSpec {
       "SELECT count(DISTINCT id) FROM gm.default.m3",
       "SELECT count(*) FILTER (WHERE v > 0) FROM gm.default.m3",
       "SELECT min(s) FROM gm.default.m3",
-      "SELECT sum(v) FROM gm.default.m3",
-      // min/max bounds are not attained under a predicate
-      "SELECT min(id) FROM gm.default.m3 WHERE v > 0")
+      "SELECT sum(v) FROM gm.default.m3")
     cases.foreach { q =>
       assert(scansData(spark.sql(q)), s"expected a scan for: $q")
     }
     // and the fallen-through answers are right
     assert(spark.sql(cases(3)).as[String].head() == "a")
-    // count(*) under a WHERE is the stats-DECIDED count (exact either
-    // way — files it cannot decide scan; see CountWhereSpec)
+    // aggregates under a WHERE take the stats-DECIDED path (exact
+    // either way — files it cannot decide scan; see CountWhereSpec)
     assert(spark.sql("SELECT count(*) FROM gm.default.m3 WHERE id > 2")
       .as[Long].head() == 3L)
+    assert(spark.sql("SELECT min(id) FROM gm.default.m3 WHERE v > 0")
+      .as[Long].head() == 1L)
   }
 
   test("deletion vectors: count(*) stays metadata-only, column stats scan") {
