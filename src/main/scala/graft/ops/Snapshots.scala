@@ -2796,7 +2796,8 @@ object Snapshots {
       require(table.columns.sorted.sameElements(df.columns.sorted),
         s"INSERT OVERWRITE columns ${df.columns.toSeq} != table " +
           s"columns ${table.columns.toSeq}")
-      val aligned = df.select(table.columns.map(df.col).toSeq: _*)
+      val aligned = clusterForWrite(spark, dir,
+        df.select(table.columns.map(df.col).toSeq: _*))
       enforceConstraintsAt(spark, dir, fs, root, base, aligned)
       commitContentReplace(spark, dir, fs, root, base, aligned,
         op = "overwrite")
@@ -2835,14 +2836,50 @@ object Snapshots {
   def append(df: DataFrame, dir: String): Int = {
     val spark = df.sparkSession
     val (fs, root) = fsFor(spark, dir)
-    validateIncoming(spark, dir, df)
+    val shaped = clusterForWrite(spark, dir, df)
+    validateIncoming(spark, dir, shaped)
     val validated = currentVersion(spark, dir)
-      .map(v => enforceConstraintsAt(spark, dir, fs, root, v, df))
+      .map(v => enforceConstraintsAt(spark, dir, fs, root, v, shaped))
       .getOrElse(Map.empty[String, String])
     commitLoop(fs, root, spark, dir,
-      stage(df, fs, root, physMapFor(spark, dir, df),
+      stage(shaped, fs, root, physMapFor(spark, dir, shaped),
         bloomConfigAt(spark, dir)), carryBase = true, op = "append",
       validated = validated)
+  }
+
+  /** Shape an INGEST frame for the table's DECLARED clustering keys
+    * before staging: range-partition on the keys across the incoming
+    * partition count, then sort within partitions — each staged file
+    * covers a tight, (near-)disjoint key range, so stats pruning
+    * (scans, [[countWhere]], DML footprints, [[pruneFiles]]) works
+    * from the FIRST append rather than only after OPTIMIZE, which on
+    * a 100 TB ingest table may never get to run between writes.
+    *
+    * Deliberate bounds: the incoming partition count is preserved (a
+    * small streaming tick never explodes into shuffle-partition-many
+    * tiny files); a single-partition input skips the shuffle and only
+    * sorts; a frame missing a declared key (schema-evolution lag)
+    * passes through untouched; tables without declared clustering are
+    * unaffected. Applies to the pure data-ingest verbs only
+    * (append / exactly-once streaming append / INSERT OVERWRITE) —
+    * DML rewrites keep their footprint-sized staging and rely on
+    * maintain/OPTIMIZE for layout, as before. The range sampling pass
+    * re-evaluates the input (the standard Spark range-exchange cost —
+    * Iceberg's range distribution pays the same); opt out per session
+    * with `spark.graft.write.clusterOnWrite=false`. */
+  private def clusterForWrite(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    if (!java.lang.Boolean.parseBoolean(spark.conf
+        .get("spark.graft.write.clusterOnWrite", "true"))) return df
+    val keys = clusterColumns(spark, dir)
+    if (keys.isEmpty) return df
+    val have = df.columns.map(_.toLowerCase).toSet
+    if (!keys.forall(k => have.contains(k.toLowerCase))) return df
+    val cols = keys.map(col)
+    val n = df.rdd.getNumPartitions
+    if (n <= 1) df.sortWithinPartitions(cols: _*)
+    else df.repartitionByRange(n, cols: _*)
+      .sortWithinPartitions(cols: _*)
   }
 
   /** Replace the table content with `df` as a new version. Last writer
@@ -2887,11 +2924,12 @@ object Snapshots {
     val (fs, root) = fsFor(spark, dir)
     if (lastBatch(fs, root, spark, dir, writerId).exists(_ >= batchId))
       return None // replay of an already-committed batch
-    validateIncoming(spark, dir, df)
+    val shaped = clusterForWrite(spark, dir, df)
+    validateIncoming(spark, dir, shaped)
     val validated = currentVersion(spark, dir)
-      .map(v => enforceConstraintsAt(spark, dir, fs, root, v, df))
+      .map(v => enforceConstraintsAt(spark, dir, fs, root, v, shaped))
       .getOrElse(Map.empty[String, String])
-    val staged = stage(df, fs, root, physMapFor(spark, dir, df),
+    val staged = stage(shaped, fs, root, physMapFor(spark, dir, shaped),
       bloomConfigAt(spark, dir))
     Some(commitLoop(fs, root, spark, dir, staged, carryBase = true,
       op = "append",
