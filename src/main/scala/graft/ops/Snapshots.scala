@@ -599,28 +599,39 @@ object Snapshots {
                 Seq(s.min.orNull, s.max.orNull, s.nulls))))
           }
           if (raws.exists(_.isEmpty)) None
-          else {
-            val rawSchema = StructType(
-              StructField("__rows", LongType, false) +:
-                fields.zipWithIndex.flatMap { case (_, i) => Seq(
-                  StructField(s"__mn_$i", StringType, true),
-                  StructField(s"__mx_$i", StringType, true),
-                  StructField(s"__nul_$i", LongType, false))
-                })
-            val df = spark.createDataFrame(
-              spark.sparkContext.parallelize(raws.flatten, 1), rawSchema)
-            val aggs =
-              (sum(col("__rows")) - lit(dvTotal)).as("n_rows") +:
-              fields.zipWithIndex.flatMap { case (fd, i) => Seq(
-                sum(col("__rows") - col(s"__nul_$i")).as(s"n_${fd.name}"),
-                min(col(s"__mn_$i").cast(fd.dataType)).as(s"min_${fd.name}"),
-                max(col(s"__mx_$i").cast(fd.dataType)).as(s"max_${fd.name}"))
-              }
-            Some(df.agg(aggs.head, aggs.tail: _*))
-          }
+          else Some(statsFoldFrame(spark, raws.flatten, fields, dvTotal))
         }
       }
     }
+  }
+
+  /** The stats-string → typed one-row aggregate fold shared by the
+    * whole-table metadata aggregate and the filtered stats-decided
+    * aggregate: `raws` carries one row per decided file —
+    * `(rows, then per-field (min-string, max-string, nulls))` — and
+    * the result carries `n_rows` (− `dvAdjust`) plus
+    * `n_/min_/max_<col>` in each column's native type. The cast
+    * round-trip contract (stat strings re-cast with the table schema)
+    * lives here, in ONE place. */
+  private def statsFoldFrame(spark: SparkSession, raws: Seq[Row],
+      fields: Seq[StructField], dvAdjust: Long = 0L): DataFrame = {
+    val rawSchema = StructType(
+      StructField("__rows", LongType, false) +:
+        fields.zipWithIndex.flatMap { case (_, i) => Seq(
+          StructField(s"__mn_$i", StringType, true),
+          StructField(s"__mx_$i", StringType, true),
+          StructField(s"__nul_$i", LongType, false))
+        })
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(raws, 1), rawSchema)
+    val aggs =
+      (sum(col("__rows")) - lit(dvAdjust)).as("n_rows") +:
+      fields.zipWithIndex.flatMap { case (fd, i) => Seq(
+        sum(col("__rows") - col(s"__nul_$i")).as(s"n_${fd.name}"),
+        min(col(s"__mn_$i").cast(fd.dataType)).as(s"min_${fd.name}"),
+        max(col(s"__mx_$i").cast(fd.dataType)).as(s"max_${fd.name}"))
+      }
+    df.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Whether a column's manifest min/max are provably-exact ATTAINED
@@ -658,45 +669,25 @@ object Snapshots {
     * window's BOUNDARY files only — cost is O(boundary), not
     * O(window). Every proof obligation fails open into the scan set,
     * so the count is exact for arbitrary deterministic predicates.
-    * See [[countWhereFrame]] for the lazy single-row-frame form. */
+    * [[aggregateWhereFrame]] is the lazy-frame generalization (what
+    * the SQL rewrite splices); this form adds the decision detail. */
   def countWhere(spark: SparkSession, dir: String, pred: Column,
       version: Int = -1): CountWhereResult = {
-    val (decided, allMatch, undecided, pruned) =
+    val (v, decided, allMatch, undecided, pruned) =
       countWhereParts(spark, dir, pred, version)
     val scanned =
       if (undecided.isEmpty) 0L
       else {
         val (fs, root) = fsFor(spark, dir)
-        val v = if (version >= 0) version
-        else currentVersion(spark, dir).get
         readFilesAs(spark, fs, root, v, undecided).filter(pred).count()
       }
     CountWhereResult(decided + scanned, allMatch, undecided.size,
       pruned)
   }
 
-  /** [[countWhere]] as a LAZY one-row frame (`cnt: bigint`): the
-    * stats-decided total is a literal, the undecided files are an
-    * ordinary filtered scan, and no job runs until the frame is
-    * executed — what the SQL metadata-aggregate rewrite splices in
-    * place of a whole-table scan. */
-  def countWhereFrame(spark: SparkSession, dir: String, pred: Column,
-      version: Int = -1): DataFrame = {
-    val (decided, _, undecided, _) =
-      countWhereParts(spark, dir, pred, version)
-    if (undecided.isEmpty)
-      spark.range(1).select(lit(decided).as("cnt"))
-    else {
-      val (fs, root) = fsFor(spark, dir)
-      val v = if (version >= 0) version
-      else currentVersion(spark, dir).get
-      readFilesAs(spark, fs, root, v, undecided).filter(pred)
-        .agg((count(lit(1)) + lit(decided)).as("cnt"))
-    }
-  }
-
-  /** [[countWhereFrame]] generalized to `min`/`max`/`count(col)` over
-    * the `pred`-matching rows — the stats-decided filtered aggregate.
+  /** `min`/`max`/`count(col)`/`count(*)` over the `pred`-matching
+    * rows — the stats-decided filtered aggregate, as a LAZY one-row
+    * frame (no job runs until it executes).
     *
     * The key fact: an ALL-MATCH file's per-column min/max are attained
     * by rows that all satisfy `pred`, so they participate in the
@@ -750,13 +741,8 @@ object Snapshots {
     val metaSide: Option[DataFrame] =
       if (statted.isEmpty) None
       else {
-        val rawSchema = StructType(
-          StructField("__rows", LongType, false) +:
-            fields.zipWithIndex.flatMap { case (_, i) => Seq(
-              StructField(s"__mn_$i", StringType, true),
-              StructField(s"__mx_$i", StringType, true),
-              StructField(s"__nul_$i", LongType, false))
-            })
+        // __rows pre-adjusted per file: a DV'd file reaches here only
+        // when fields is empty (count-only), where live rows suffice
         val raws = statted.map { f =>
           val per = stats(f)
           Row.fromSeq((per.head._2.rows - dvCount(f)) +:
@@ -765,15 +751,7 @@ object Snapshots {
               Seq(s.min.orNull, s.max.orNull, s.nulls)
             })
         }
-        val df = spark.createDataFrame(
-          spark.sparkContext.parallelize(raws, 1), rawSchema)
-        val aggs = sum(col("__rows")).as("n_rows") +:
-          fields.zipWithIndex.flatMap { case (fd, i) => Seq(
-            sum(col("__rows") - col(s"__nul_$i")).as(s"n_${fd.name}"),
-            min(col(s"__mn_$i").cast(fd.dataType)).as(s"min_${fd.name}"),
-            max(col(s"__mx_$i").cast(fd.dataType)).as(s"max_${fd.name}"))
-          }
-        Some(df.agg(aggs.head, aggs.tail: _*))
+        Some(statsFoldFrame(spark, raws, fields))
       }
     val scanSide: Option[DataFrame] =
       if (undecided.isEmpty) None
@@ -805,13 +783,16 @@ object Snapshots {
     }
   }
 
-  /** (stats-decided row total, #all-match files, undecided files,
-    * #pruned files) — shared by [[countWhere]]/[[countWhereFrame]].
-    * An all-match file missing its manifest row count falls back into
-    * the scan set (fail-open, like every proof here). */
+  /** (resolved version, stats-decided row total, #all-match files,
+    * undecided files, #pruned files) — [[countWhere]]'s decision pass.
+    * The version resolves ONCE and the caller scans at exactly that
+    * version: resolving again for the scan would race a concurrent
+    * commit into a mixed-snapshot count. An all-match file missing
+    * its manifest row count falls back into the scan set (fail-open,
+    * like every proof here). */
   private def countWhereParts(spark: SparkSession, dir: String,
       pred: Column, version: Int)
-      : (Long, Int, Seq[String], Int) = {
+      : (Int, Long, Int, Seq[String], Int) = {
     val (fs, root) = fsFor(spark, dir)
     val v = if (version >= 0) version
     else currentVersion(spark, dir).getOrElse(
@@ -828,7 +809,7 @@ object Snapshots {
     val counted = allMatch.map(f => f -> liveRows(f))
     val decided = counted.collect { case (_, Some(n)) => n }.sum
     val statless = counted.collect { case (f, None) => f }
-    (decided, counted.size - statless.size, undecided ++ statless,
+    (v, decided, counted.size - statless.size, undecided ++ statless,
       pruned.size)
   }
 
@@ -2876,7 +2857,11 @@ object Snapshots {
     val have = df.columns.map(_.toLowerCase).toSet
     if (!keys.forall(k => have.contains(k.toLowerCase))) return df
     val cols = keys.map(col)
-    val n = df.rdd.getNumPartitions
+    // partition count from the INITIAL physical plan — `df.rdd` under
+    // adaptive execution would materialize every upstream shuffle
+    // stage just to count partitions (a whole extra evaluation of the
+    // ingest input on top of the range-sampling pass)
+    val n = df.queryExecution.sparkPlan.outputPartitioning.numPartitions
     if (n <= 1) df.sortWithinPartitions(cols: _*)
     else df.repartitionByRange(n, cols: _*)
       .sortWithinPartitions(cols: _*)

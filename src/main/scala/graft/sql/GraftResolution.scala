@@ -191,6 +191,14 @@ final case class GraftResolution(session: SparkSession)
     * never depends on the fast path. Opt out with
     * `spark.graft.sql.metadataAggregates=false`.
     *
+    * The proof work (manifest read; for the filtered path two
+    * pruneFiles passes ≈ 0.3-0.5 s driver-side) runs at ANALYSIS
+    * time, so EXPLAIN and re-analysis pay it — deliberate: the plan's
+    * SHAPE depends on the proofs (which files scan), exactly like
+    * Delta's metadata-only query optimization, and the opt-out conf
+    * exists for scan-cheap deployments where the constant outweighs
+    * the saved I/O (measured crossover in BASELINE.md).
+    *
     * The one-row result plan is spliced the same way [[readPlan]]
     * splices scans: aliases map its columns onto the Aggregate's
     * output attributes, exprIds preserved, so Sort/Project/subquery

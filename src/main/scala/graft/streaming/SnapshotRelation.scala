@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan}
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.Snapshots
@@ -59,14 +59,30 @@ private[streaming] class SnapshotRelation(val sqlContext: SQLContext,
     SourceFilters.toColumn(f)
 }
 
-/** sources.Filter → Column, best-effort: an untranslatable node
-  * yields None (its conjunct just doesn't prune — Spark still
-  * filters rows). Inside OR/NOT, BOTH/the child must translate or
-  * the whole subtree is dropped (a partial OR would narrow it).
-  * Shared by the snapshot and change-feed relations; WRITE-side
-  * translation must NOT use this (partial translation widens a
-  * replace scope — see [[graft.sql.GraftTable]]'s exact variant). */
+/** sources.Filter → Column, best-effort but only ever WIDENING: an
+  * untranslatable node yields None (its conjunct just doesn't prune —
+  * Spark still filters rows above), a partially-translated AND keeps
+  * the translated side (wider — sound), and OR requires both sides.
+  * NOT is the polarity flip: a wider child makes `!child` NARROWER,
+  * which would drop matching rows — so inside NOT the child must
+  * translate EXACTLY ([[toColumnExact]]), all the way down, or the
+  * subtree is abandoned. Shared by the snapshot and change-feed
+  * relations; WRITE-side translation must NOT use this (even a
+  * widened predicate widens a replace scope — see
+  * [[graft.sql.GraftTable]]'s exact variant). */
 private[streaming] object SourceFilters {
+
+  /** EXACT translation: every node must translate, including both
+    * sides of AND — the only sound form under negation. */
+  private def toColumnExact(f: Filter): Option[Column] = f match {
+    case sources.And(l, r) =>
+      for (a <- toColumnExact(l); b <- toColumnExact(r)) yield a && b
+    case sources.Or(l, r) =>
+      for (a <- toColumnExact(l); b <- toColumnExact(r)) yield a || b
+    case sources.Not(c) => toColumnExact(c).map(!_)
+    case leaf => toColumn(leaf) // leaves translate exactly or not at all
+  }
+
   def toColumn(f: Filter): Option[Column] = f match {
     case sources.EqualTo(a, v) => Some(col(a) === lit(v))
     case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
@@ -84,7 +100,7 @@ private[streaming] object SourceFilters {
       }
     case sources.Or(l, r) =>
       for (a <- toColumn(l); b <- toColumn(r)) yield a || b
-    case sources.Not(c) => toColumn(c).map(!_)
+    case sources.Not(c) => toColumnExact(c).map(!_)
     case _ => None
   }
 }
@@ -138,7 +154,8 @@ private[streaming] class ChangeFeedRelation(val sqlContext: SQLContext,
       filters: Array[Filter]): RDD[Row] = {
     val pred = filters.flatMap(SourceFilters.toColumn(_))
       .reduceOption(_ && _)
-    val base = pred.map(feed().filter).getOrElse(feed())
-    base.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+    val f = feed() // build once — assembling the per-commit plan
+    pred.fold(f)(f.filter)
+      .select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 }
