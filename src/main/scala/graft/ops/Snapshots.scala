@@ -368,6 +368,34 @@ object Snapshots {
     * are exactly the filter's own. */
   def pruneFiles(spark: SparkSession, dir: String, pred: Column,
       version: Int = -1): (Seq[String], Seq[String]) = {
+    val (files, keeps) = pruneKeepSets(spark, dir, Seq(pred), version)
+    files.partition(keeps.head.contains)
+  }
+
+  /** Both polarity verdicts in ONE stats pass: `(mayMatch, pruned,
+    * survivors)` where `survivors` is the set of files `!pred` may
+    * still match — the complement is [[splitDropWholeWith]]'s all-match
+    * disproof. One manifest/stats read and one local evaluation job
+    * instead of the two a pruneFiles-per-polarity pair costs; every
+    * CoW DELETE/REPLACE commit and every stats-decided filtered
+    * aggregate takes this path. */
+  private def pruneBoth(spark: SparkSession, dir: String, pred: Column,
+      version: Int): (Seq[String], Seq[String], Set[String]) = {
+    val (files, keeps) =
+      pruneKeepSets(spark, dir, Seq(pred, !pred), version)
+    val (mayMatch, pruned) = files.partition(keeps.head.contains)
+    (mayMatch, pruned, keeps(1))
+  }
+
+  /** Per-predicate KEEP sets over version `v`'s files in one shared
+    * pass: `keeps(i)` holds the files predicate i may match (all files
+    * minus its provably-empty set). Manifest, stats, bloom refs, and
+    * the local evaluation frame are paid ONCE for every predicate. A
+    * predicate with no recognizable atoms keeps every file (fail-open,
+    * per predicate). */
+  private def pruneKeepSets(spark: SparkSession, dir: String,
+      preds: Seq[Column], version: Int)
+      : (Seq[String], Seq[Set[String]]) = {
     val (fs, root) = fsFor(spark, dir)
     val v = if (version >= 0) version else currentVersion(spark, dir)
       .getOrElse(throw new java.util.NoSuchElementException(
@@ -376,10 +404,13 @@ object Snapshots {
     val stats = statsFor(fs, root, v)
     val table = read(spark, dir, v)
     val schema = table.schema
-    // resolve the predicate the way the scan itself will: analysis turns
-    // Column nodes into typed catalyst comparisons (casts included)
-    val resolved = table.filter(pred).queryExecution.analyzed
-      .collectFirst { case f: Filter => f.condition }
+    def keepAll = (files, preds.map(_ => files.toSet))
+    // resolve each predicate the way the scan itself will: analysis
+    // turns Column nodes into typed catalyst comparisons (casts
+    // included)
+    val resolvedSeq: Seq[Option[Expression]] = preds.map(p =>
+      table.filter(p).queryExecution.analyzed
+        .collectFirst { case f: Filter => f.condition })
     def resolveAtom(e: Expression): Option[(Conj, DataType)] =
       recognize(e).flatMap { c => // table's canonical column casing
         schema.fields.find(_.name.equalsIgnoreCase(c.colName)).map { f =>
@@ -394,12 +425,13 @@ object Snapshots {
     // disjunct with NO recognized atoms cannot be disproven, which
     // makes its whole conjunct unable to prune (fail-open) — the fold
     // below encodes that naturally (empty OR-fold = false).
-    val items: Seq[Seq[Seq[(Conj, DataType)]]] =
-      resolved.map(nnf(_)).toSeq.flatMap(conjunctsOf).map { item =>
-        disjunctsOf(item).map(d => conjunctsOf(d).flatMap(resolveAtom))
-      }
-    val atoms = items.flatten.flatten
-    if (atoms.isEmpty) return (files, Nil)
+    val itemsSeq: Seq[Seq[Seq[Seq[(Conj, DataType)]]]] =
+      resolvedSeq.map(_.map(nnf(_)).toSeq.flatMap(conjunctsOf).map {
+        item =>
+          disjunctsOf(item).map(d => conjunctsOf(d).flatMap(resolveAtom))
+      })
+    val atoms = itemsSeq.flatten.flatten.flatten
+    if (atoms.isEmpty) return keepAll
     // stats lines are keyed by the files' PHYSICAL column names; the
     // predicate's atoms are logical — translate at lookup (identity
     // unless the column was renamed)
@@ -427,7 +459,7 @@ object Snapshots {
     val probes: Seq[(Conj, String, Seq[Any])] = atoms.map(_._1).distinct
       .flatMap(c => probeOf(c).map(pv => (c, pv._1, pv._2)))
     val haveBloom = probes.nonEmpty && bloomRefs.nonEmpty
-    if (stats.isEmpty && !haveBloom) return (files, Nil)
+    if (stats.isEmpty && !haveBloom) return keepAll
     val bloomKill: Map[String, Set[Int]] =
       if (!haveBloom) Map.empty
       else probeBlooms(spark, root.toString, files, bloomRefs, probes)
@@ -507,16 +539,23 @@ object Snapshots {
         case None => statsNot
       }
     }
-    // keep = NOT (every disjunct of some conjunct disproven)
-    val keepCond = items.map { disjuncts =>
-      val itemNot = disjuncts
-        .map(_.map(a => atomNot(a._1)).foldLeft(lit(false))(_ || _))
-        .reduce(_ && _)
-      !itemNot
-    }.reduce(_ && _)
-    val kept = typed.filter(keepCond).select("__file")
-      .collect().map(_.getString(0)).toSet
-    files.partition(kept.contains)
+    // keep = NOT (every disjunct of some conjunct disproven); a
+    // predicate with no recognized items cannot prune anything
+    def keepCondOf(items: Seq[Seq[Seq[(Conj, DataType)]]]): Column =
+      if (items.isEmpty) lit(true)
+      else items.map { disjuncts =>
+        val itemNot = disjuncts
+          .map(_.map(a => atomNot(a._1)).foldLeft(lit(false))(_ || _))
+          .reduce(_ && _)
+        !itemNot
+      }.reduce(_ && _)
+    val verdicts = typed.select(col("__file") +:
+      itemsSeq.zipWithIndex.map { case (items, i) =>
+        keepCondOf(items).as(s"__keep_$i")
+      }: _*).collect()
+    val keeps = preds.indices.map(i =>
+      verdicts.filter(_.getBoolean(i + 1)).map(_.getString(0)).toSet)
+    (files, keeps)
   }
 
   /** [[read]] with manifest-stats data skipping: files whose min/max
@@ -722,9 +761,9 @@ object Snapshots {
   private def buildWhereAggregate(spark: SparkSession, dir: String,
       fs: FileSystem, root: HPath, v: Int, pred: Column,
       fields: Seq[StructField]): DataFrame = {
-    val (mayMatch, _) = pruneFiles(spark, dir, pred, v)
-    val (undecided0, allMatch) =
-      splitDropWhole(spark, dir, fs, root, pred, v, mayMatch)
+    val (mayMatch, _, survivors) = pruneBoth(spark, dir, pred, v)
+    val (undecided0, allMatch) = splitDropWholeWith(
+      spark, dir, fs, root, pred, v, mayMatch, survivors)
     val stats = statsFor(fs, root, v)
     val dv = dvFor(fs, root, v)
     def dvCount(f: String): Long =
@@ -798,9 +837,9 @@ object Snapshots {
     else currentVersion(spark, dir).getOrElse(
       throw new java.util.NoSuchElementException(
         s"no committed version under $dir"))
-    val (mayMatch, pruned) = pruneFiles(spark, dir, pred, v)
-    val (undecided, allMatch) =
-      splitDropWhole(spark, dir, fs, root, pred, v, mayMatch)
+    val (mayMatch, pruned, survivors) = pruneBoth(spark, dir, pred, v)
+    val (undecided, allMatch) = splitDropWholeWith(
+      spark, dir, fs, root, pred, v, mayMatch, survivors)
     val stats = statsFor(fs, root, v)
     val dv = dvFor(fs, root, v)
     def liveRows(f: String): Option[Long] =
@@ -3545,12 +3584,18 @@ object Snapshots {
     * is fail-open: the file stays in the rewrite set, where the row
     * filter gets the semantics exactly right. Returns
     * (maySurvive → rewrite, dropWhole). */
-  private def splitDropWhole(spark: SparkSession, dir: String,
+  /** Split `mayMatch` into (may-survive, drop-whole) under `pred`:
+    * drop-whole files are those whose `!pred` is disproven
+    * (`survivors` — from [[pruneBoth]]'s same stats pass — does not
+    * contain them) AND whose pred-referenced columns are null-free
+    * per stats (a NULL-predicate row neither matches nor survives a
+    * disproof — fail-open keeps the file in the rewrite set). */
+  private def splitDropWholeWith(spark: SparkSession, dir: String,
       fs: FileSystem, root: HPath, pred: Column, base: Int,
-      mayMatch: Seq[String]): (Seq[String], Seq[String]) =
+      mayMatch: Seq[String], survivors: Set[String])
+      : (Seq[String], Seq[String]) =
     if (mayMatch.isEmpty) (Nil, Nil)
     else {
-      val survivors = pruneFiles(spark, dir, !pred, base)._1.toSet
       val table = read(spark, dir, base)
       val refs = table.filter(pred).queryExecution.analyzed
         .collectFirst { case f: Filter => f.condition }
@@ -3572,13 +3617,15 @@ object Snapshots {
     else currentVersion(spark, dir).getOrElse(
       throw new java.util.NoSuchElementException(
         s"nothing to delete in $dir"))
-    // may-match vs provably-no-match: the no-match files carry
-    val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
-    // of the may-match files, those where NO row can SURVIVE drop
-    // whole ([[splitDropWhole]] — interval disproof of !pred plus the
-    // null-free guard); fail-open keeps files in the rewrite set
-    val (maySurvive, dropWhole) =
-      splitDropWhole(spark, dir, fs, root, pred, base, mayMatch)
+    // may-match vs provably-no-match (no-match files carry), with
+    // the !pred survivor set from the SAME stats pass; of the
+    // may-match files, those where NO row can SURVIVE drop whole
+    // (interval disproof of !pred plus the null-free guard) —
+    // fail-open keeps files in the rewrite set
+    val (mayMatch, untouched, survivors) =
+      pruneBoth(spark, dir, pred, base)
+    val (maySurvive, dropWhole) = splitDropWholeWith(
+      spark, dir, fs, root, pred, base, mayMatch, survivors)
     val rewrittenRows =
       if (maySurvive.isEmpty) read(spark, dir, base).limit(0)
       else readFilesAs(spark, fs, root, base, maySurvive)
@@ -3710,9 +3757,10 @@ object Snapshots {
           "or filter the load")
       enforceConstraintsAt(spark, dir, fs, root, base, loadBack)
     } catch { case NonFatal(t) => dropStaged(); throw t }
-    val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
-    val (maySurvive, dropWhole) =
-      splitDropWhole(spark, dir, fs, root, pred, base, mayMatch)
+    val (mayMatch, untouched, survivors) =
+      pruneBoth(spark, dir, pred, base)
+    val (maySurvive, dropWhole) = splitDropWholeWith(
+      spark, dir, fs, root, pred, base, mayMatch, survivors)
     val stagedSurvivors =
       if (maySurvive.isEmpty) None
       else Some(stage(readFilesAs(spark, fs, root, base, maySurvive)
