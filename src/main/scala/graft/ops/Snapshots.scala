@@ -2902,8 +2902,11 @@ object Snapshots {
     // ingest input on top of the range-sampling pass)
     val n = df.queryExecution.sparkPlan.outputPartitioning.numPartitions
     if (n <= 1) df.sortWithinPartitions(cols: _*)
-    else df.repartitionByRange(n, cols: _*)
-      .sortWithinPartitions(cols: _*)
+    // Layout.cluster: single key → plain range layout; several keys →
+    // the SAME Z-order maintain/OPTIMIZE would apply, so write-time
+    // and maintenance layouts agree (every declared column's per-file
+    // spans narrow, not just the first)
+    else graft.ops.Layout.cluster(df, keys, numFiles = n)
   }
 
   /** Replace the table content with `df` as a new version. Last writer

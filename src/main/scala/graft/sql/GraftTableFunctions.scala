@@ -37,12 +37,19 @@ object GraftTableFunctions {
         "(STRING 'yyyy-MM-dd HH:mm:ss') bounds, end defaulting to the " +
         s"current version — got ${args.length} argument(s)")
     val session = SparkSession.active
-    val name = literal(args.head, "the table name") match {
+    val given = literal(args.head, "the table name") match {
       case (s: UTF8String, StringType) => s.toString
       case (other, t) => throw new IllegalArgumentException(
         "table_changes: the table name must be a STRING literal " +
           s"'catalog.db.table', got ${t.simpleString} '$other'")
     }
+    // a two-part name resolves in the session's current catalog, like
+    // any other two-part identifier; the downstream resolver refuses
+    // loudly when that catalog is not a GraftCatalog
+    val name =
+      if (given.split('.').length >= 3) given
+      else org.apache.spark.sql.graft.GraftSparkBridge
+        .currentCatalogName(session) + "." + given
     val reader = session.read.format("graft-snapshots")
       .option("table", name).option("readChangeFeed", "true")
       .option(boundOption(args(1), "startingVersion", "startingTimestamp"),

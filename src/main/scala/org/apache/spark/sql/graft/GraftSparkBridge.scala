@@ -50,6 +50,12 @@ object GraftSparkBridge {
       : org.apache.spark.sql.connector.catalog.CatalogPlugin =
     spark.sessionState.catalogManager.catalog(name)
 
+  /** The session's current catalog name — what lets a two-part
+    * `table_changes('db.t', ...)` resolve like any other two-part
+    * identifier in the session. */
+  def currentCatalogName(spark: SparkSession): String =
+    spark.sessionState.catalogManager.currentCatalog.name()
+
   /** A V1 streaming source relation for `format` with `options`,
     * emitting exactly `output` (attribute ids preserved, so a resolved
     * plan can swap a `StreamingRelationV2` for this in place). */

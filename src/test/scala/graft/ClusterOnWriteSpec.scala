@@ -80,6 +80,20 @@ class ClusterOnWriteSpec extends SparkSpec {
     assert(kept.size == 1, kept.toString)
   }
 
+  test("several declared keys take the OPTIMIZE Z-layout: both prune") {
+    val root = Files.createTempDirectory("graft_cow").toFile.toString + "/t"
+    Snapshots.createTable(spark, root, schema,
+      properties = Map("cluster.columns" -> "id,v"))
+    Snapshots.append(scattered(), root)
+    // with v = 2*id the Z-key narrows BOTH columns' per-file spans —
+    // a predicate on either prunes
+    val (byId, _) = Snapshots.pruneFiles(spark, root, $"id" === 123)
+    val (byV, _) = Snapshots.pruneFiles(spark, root, $"v" === 246.0)
+    assert(byId.size <= 2, byId.toString)
+    assert(byV.size <= 2, byV.toString)
+    assert(Snapshots.read(spark, root).count() == 400)
+  }
+
   test("INSERT OVERWRITE (data verb) shapes the replacement content") {
     val root = clusteredTable()
     Snapshots.append(scattered(), root)

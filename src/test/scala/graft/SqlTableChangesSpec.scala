@@ -78,11 +78,24 @@ class SqlTableChangesSpec extends SparkSpec {
     assert(rollup == Seq(("delete", 1L, 2L), ("insert", 3L, 6L)))
   }
 
+  test("two-part names resolve in the session's current catalog") {
+    mk("t6")
+    spark.sql("USE gtc")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) FROM table_changes('default.t6', 1)")
+        .as[Long].head()
+      assert(n == 4L)
+    } finally spark.sql("USE spark_catalog")
+  }
+
   test("misuse refuses loudly") {
     mk("t5")
     val cases = Seq(
       "SELECT * FROM table_changes('gtc.default.t5')" -> "table_changes",
-      "SELECT * FROM table_changes('default.t5', 1)" -> "catalog",
+      // two-part names resolve in the CURRENT catalog (spark_catalog
+      // here), which is not a GraftCatalog — loud refusal
+      "SELECT * FROM table_changes('default.t5', 1)" -> "GraftCatalog",
       "SELECT * FROM table_changes('gtc.default.t5', 1.5)" -> "bounds",
       "SELECT * FROM table_changes(42, 1)" -> "STRING literal")
     cases.foreach { case (q, needle) =>
