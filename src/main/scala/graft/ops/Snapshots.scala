@@ -762,9 +762,9 @@ object Snapshots {
       fs: FileSystem, root: HPath, v: Int, pred: Column,
       fields: Seq[StructField]): DataFrame = {
     val (mayMatch, _, survivors) = pruneBoth(spark, dir, pred, v)
-    val (undecided0, allMatch) = splitDropWholeWith(
-      spark, dir, fs, root, pred, v, mayMatch, survivors)
     val stats = statsFor(fs, root, v)
+    val (undecided0, allMatch) = splitDropWholeWith(
+      spark, dir, fs, root, pred, v, mayMatch, survivors, stats)
     val dv = dvFor(fs, root, v)
     def dvCount(f: String): Long =
       dv.get(f).filter(_._2 > 0).map(_._2).getOrElse(0L)
@@ -838,9 +838,9 @@ object Snapshots {
       throw new java.util.NoSuchElementException(
         s"no committed version under $dir"))
     val (mayMatch, pruned, survivors) = pruneBoth(spark, dir, pred, v)
-    val (undecided, allMatch) = splitDropWholeWith(
-      spark, dir, fs, root, pred, v, mayMatch, survivors)
     val stats = statsFor(fs, root, v)
+    val (undecided, allMatch) = splitDropWholeWith(
+      spark, dir, fs, root, pred, v, mayMatch, survivors, stats)
     val dv = dvFor(fs, root, v)
     def liveRows(f: String): Option[Long] =
       stats.get(f).flatMap(_.headOption).map(_._2.rows -
@@ -2891,22 +2891,37 @@ object Snapshots {
       df: DataFrame): DataFrame = {
     if (!java.lang.Boolean.parseBoolean(spark.conf
         .get("spark.graft.write.clusterOnWrite", "true"))) return df
-    val keys = clusterColumns(spark, dir)
-    if (keys.isEmpty) return df
-    val have = df.columns.map(_.toLowerCase).toSet
-    if (!keys.forall(k => have.contains(k.toLowerCase))) return df
-    val cols = keys.map(col)
+    val declared = clusterColumns(spark, dir)
+    if (declared.isEmpty) return df
+    // canonicalize to the FRAME's spelling: the declaration and the
+    // ingest frame may disagree on case, and Layout resolves schema
+    // fields case-sensitively
+    val keys = declared.map(k => df.columns.find(_.equalsIgnoreCase(k)))
+    if (keys.exists(_.isEmpty)) return df // evolution lag: pass through
+    val canon = keys.flatten
+    val cols = canon.map(col)
     // partition count from the INITIAL physical plan — `df.rdd` under
     // adaptive execution would materialize every upstream shuffle
     // stage just to count partitions (a whole extra evaluation of the
     // ingest input on top of the range-sampling pass)
     val n = df.queryExecution.sparkPlan.outputPartitioning.numPartitions
+    // Z-interleave only where Layout.cluster can: 2-7 keys (8 bits
+    // each must fit one long), every key numeric/date/timestamp-
+    // castable, and no __zkey name collision. Note the Z path adds an
+    // approx-quantile pass over the input on top of the range
+    // exchange's sampling — the price of first-append multi-column
+    // skipping; the lexicographic range fallback costs what a plain
+    // sort does.
+    val zable = canon.size >= 2 && canon.size <= 7 &&
+      canon.forall(c => statEligible(df.schema(c).dataType)) &&
+      !df.columns.exists(_.equalsIgnoreCase("__zkey"))
     if (n <= 1) df.sortWithinPartitions(cols: _*)
-    // Layout.cluster: single key → plain range layout; several keys →
-    // the SAME Z-order maintain/OPTIMIZE would apply, so write-time
-    // and maintenance layouts agree (every declared column's per-file
-    // spans narrow, not just the first)
-    else graft.ops.Layout.cluster(df, keys, numFiles = n)
+    // several keys → the SAME Z-order maintain/OPTIMIZE would apply,
+    // so write-time and maintenance layouts agree (every declared
+    // column's per-file spans narrow, not just the first)
+    else if (zable) graft.ops.Layout.cluster(df, canon, numFiles = n)
+    else df.repartitionByRange(n, cols: _*)
+      .sortWithinPartitions(cols: _*)
   }
 
   /** Replace the table content with `df` as a new version. Last writer
@@ -3575,10 +3590,12 @@ object Snapshots {
       deleteInternal(spark, dir, pred, -1))
 
   /** Of `mayMatch` files, those provably holding NO surviving row
-    * under a SQL DELETE of `pred`: stats disprove `!pred` AND every
-    * column `pred` references is NULL-FREE in the file. The null
-    * guard is what makes the interval disproof sufficient — a row
-    * with a NULL input satisfies neither `pred` nor `!pred` (it
+    * under a SQL DELETE of `pred`: `survivors` (the files `!pred` may
+    * still match, from [[pruneBoth]]'s same stats pass) excludes them
+    * AND every column `pred` references is NULL-FREE in the file per
+    * `stats` (the caller's already-loaded map — no manifest re-read).
+    * The null guard is what makes the interval disproof sufficient —
+    * a row with a NULL input satisfies neither `pred` nor `!pred` (it
     * SURVIVES: only provably-TRUE rows leave), and min/max intervals
     * are blind to it, so without the guard a file holding both
     * matching rows and NULL-predicate rows would drop whole and
@@ -3587,15 +3604,10 @@ object Snapshots {
     * is fail-open: the file stays in the rewrite set, where the row
     * filter gets the semantics exactly right. Returns
     * (maySurvive → rewrite, dropWhole). */
-  /** Split `mayMatch` into (may-survive, drop-whole) under `pred`:
-    * drop-whole files are those whose `!pred` is disproven
-    * (`survivors` — from [[pruneBoth]]'s same stats pass — does not
-    * contain them) AND whose pred-referenced columns are null-free
-    * per stats (a NULL-predicate row neither matches nor survives a
-    * disproof — fail-open keeps the file in the rewrite set). */
   private def splitDropWholeWith(spark: SparkSession, dir: String,
       fs: FileSystem, root: HPath, pred: Column, base: Int,
-      mayMatch: Seq[String], survivors: Set[String])
+      mayMatch: Seq[String], survivors: Set[String],
+      stats: Map[String, Map[String, ColStats]])
       : (Seq[String], Seq[String]) =
     if (mayMatch.isEmpty) (Nil, Nil)
     else {
@@ -3605,7 +3617,6 @@ object Snapshots {
         .map(_.references.map(_.name).toSeq.distinct).getOrElse(Nil)
       val physByLogical: Map[String, String] =
         table.schema.fields.map(f => f.name -> physOf(f)).toMap
-      val stats = statsFor(fs, root, base)
       def nullFree(f: String): Boolean = refs.nonEmpty && refs.forall {
         c => stats.get(f).flatMap(_.get(physByLogical.getOrElse(c, c)))
           .exists(_.nulls == 0L)
@@ -3627,8 +3638,8 @@ object Snapshots {
     // fail-open keeps files in the rewrite set
     val (mayMatch, untouched, survivors) =
       pruneBoth(spark, dir, pred, base)
-    val (maySurvive, dropWhole) = splitDropWholeWith(
-      spark, dir, fs, root, pred, base, mayMatch, survivors)
+    val (maySurvive, dropWhole) = splitDropWholeWith(spark, dir, fs,
+      root, pred, base, mayMatch, survivors, statsFor(fs, root, base))
     val rewrittenRows =
       if (maySurvive.isEmpty) read(spark, dir, base).limit(0)
       else readFilesAs(spark, fs, root, base, maySurvive)
@@ -3762,8 +3773,8 @@ object Snapshots {
     } catch { case NonFatal(t) => dropStaged(); throw t }
     val (mayMatch, untouched, survivors) =
       pruneBoth(spark, dir, pred, base)
-    val (maySurvive, dropWhole) = splitDropWholeWith(
-      spark, dir, fs, root, pred, base, mayMatch, survivors)
+    val (maySurvive, dropWhole) = splitDropWholeWith(spark, dir, fs,
+      root, pred, base, mayMatch, survivors, statsFor(fs, root, base))
     val stagedSurvivors =
       if (maySurvive.isEmpty) None
       else Some(stage(readFilesAs(spark, fs, root, base, maySurvive)

@@ -32,8 +32,9 @@ object GraftTableFunctions {
 
   def tableChanges(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 2 || args.length == 3,
-      "table_changes wants (table, start[, end]): a fully-qualified " +
-        "'catalog.db.table' STRING plus version (INT) or timestamp " +
+      "table_changes wants (table, start[, end]): a table name STRING " +
+        "('catalog.db.table'; shorter names resolve in the session's " +
+        "current catalog/namespace) plus version (INT) or timestamp " +
         "(STRING 'yyyy-MM-dd HH:mm:ss') bounds, end defaulting to the " +
         s"current version — got ${args.length} argument(s)")
     val session = SparkSession.active
@@ -43,13 +44,17 @@ object GraftTableFunctions {
         "table_changes: the table name must be a STRING literal " +
           s"'catalog.db.table', got ${t.simpleString} '$other'")
     }
-    // a two-part name resolves in the session's current catalog, like
-    // any other two-part identifier; the downstream resolver refuses
-    // loudly when that catalog is not a GraftCatalog
-    val name =
-      if (given.split('.').length >= 3) given
-      else org.apache.spark.sql.graft.GraftSparkBridge
-        .currentCatalogName(session) + "." + given
+    // one- and two-part names resolve like any other identifier in
+    // the session — current catalog, then current namespace; the
+    // downstream resolver refuses loudly when the resolved catalog is
+    // not a GraftCatalog
+    val bridge = org.apache.spark.sql.graft.GraftSparkBridge
+    val name = given.split('.').length match {
+      case n if n >= 3 => given
+      case 2 => bridge.currentCatalogName(session) + "." + given
+      case _ => (bridge.currentCatalogName(session) +:
+        bridge.currentNamespace(session) :+ given).mkString(".")
+    }
     val reader = session.read.format("graft-snapshots")
       .option("table", name).option("readChangeFeed", "true")
       .option(boundOption(args(1), "startingVersion", "startingTimestamp"),

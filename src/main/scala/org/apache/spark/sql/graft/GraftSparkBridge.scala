@@ -56,6 +56,10 @@ object GraftSparkBridge {
   def currentCatalogName(spark: SparkSession): String =
     spark.sessionState.catalogManager.currentCatalog.name()
 
+  /** The session's current namespace — completes one-part names. */
+  def currentNamespace(spark: SparkSession): Array[String] =
+    spark.sessionState.catalogManager.currentNamespace
+
   /** A V1 streaming source relation for `format` with `options`,
     * emitting exactly `output` (attribute ids preserved, so a resolved
     * plan can swap a `StreamingRelationV2` for this in place). */

@@ -9,7 +9,8 @@ import graft.ops.Snapshots
   * ([[graft.sql.GraftTableFunctions]]). Contracts: identical rows to
   * the Scala API feed, inclusive version bounds with `end` defaulting
   * to current, timestamp bounds in session time, literal-only
-  * arguments, fully-qualified names — every misuse refused loudly. */
+  * arguments, short names resolving in the current catalog/namespace —
+  * every misuse refused loudly. */
 class SqlTableChangesSpec extends SparkSpec {
   import spark.implicits._
 
@@ -78,14 +79,16 @@ class SqlTableChangesSpec extends SparkSpec {
     assert(rollup == Seq(("delete", 1L, 2L), ("insert", 3L, 6L)))
   }
 
-  test("two-part names resolve in the session's current catalog") {
+  test("short names resolve in the session's current catalog/namespace") {
     mk("t6")
     spark.sql("USE gtc")
     try {
-      val n = spark.sql(
+      assert(spark.sql(
         "SELECT count(*) FROM table_changes('default.t6', 1)")
-        .as[Long].head()
-      assert(n == 4L)
+        .as[Long].head() == 4L)
+      spark.sql("USE gtc.default")
+      assert(spark.sql("SELECT count(*) FROM table_changes('t6', 1)")
+        .as[Long].head() == 4L)
     } finally spark.sql("USE spark_catalog")
   }
 
