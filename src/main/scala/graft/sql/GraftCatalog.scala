@@ -382,6 +382,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val src = dirFor(oldIdent)
     val dstDir = dirFor(newIdent)
     val dst = new HPath(dstDir)
+    // the same guards as createTable: renaming ONTO a _moved tombstone
+    // would shadow the forwarding marker shallow clones still resolve
+    // through, and fs.rename into any existing directory moves the
+    // table INSIDE it (dst/<srcName>) — the table would vanish from
+    // the catalog and recordMove would point the old name at a
+    // non-table path
+    if (isMovedTombstone(dst))
+      throw new IllegalStateException(
+        s"'${fullName(newIdent)}' is the old name of a renamed table " +
+          "and holds a _moved forwarding marker that shallow clones " +
+          "may still resolve through — renaming onto it would shadow " +
+          "it. Pick another name, or delete the marker once no clone " +
+          "references the renamed table")
+    if (fs.exists(dst))
+      throw new IllegalStateException(
+        s"rename ${fullName(oldIdent)} -> ${fullName(newIdent)}: " +
+          s"destination path $dstDir already exists and is not a " +
+          "catalog table — refusing (fs.rename would nest the table " +
+          "inside it)")
     fs.mkdirs(dst.getParent)
     if (!fs.rename(new HPath(src), dst))
       throw new IllegalStateException(

@@ -355,15 +355,40 @@ final case class GraftMergeActionsCommand(dir: String, tableName: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // Classification and commit must see the SAME snapshot: classify
+    // against an explicitly pinned version and hand that version to
+    // the commit verb as its OCC token. A commit landing in between
+    // loses us the CAS — we then REDO the classification against the
+    // new current version (stale classifications must never be merged
+    // over a racing writer's rows: WHEN MATCHED UPDATE SET p = t.p + d
+    // would resurrect old_p, and BY SOURCE clauses would misclassify
+    // concurrently inserted rows).
+    var attempts = 0
+    while (true) {
+      val base = Snapshots.currentVersion(spark, dir).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"MERGE INTO '$tableName': no committed version under $dir"))
+      try return attemptOnce(spark, base)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+      }
+    }
+    throw new IllegalStateException(s"unreachable: MERGE $tableName")
+  }
+
+  private def attemptOnce(spark: SparkSession, base: Int): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, lit, when}
     val src0 = GraftSparkBridge.ofRows(spark, source)
     require(!src0.columns.exists(c =>
-        c.startsWith("__t_") || c == "__s_mark"),
+        c.startsWith("__t_") || c == "__s_mark" || c == "__tgt_mark" ||
+          c == "__action"),
       "MERGE source columns may not start with the reserved __t_ " +
-        "prefix or be named __s_mark")
+        "prefix or be named __s_mark, __tgt_mark, or __action")
     val src = src0.withColumn("__s_mark", lit(true))
     val hasBySource = notMatchedBySource.nonEmpty
-    val tgt0 = Snapshots.read(spark, dir)
+    val tgt0 = Snapshots.read(spark, dir, base)
     val tSchema = tgt0.schema
     // point-merge pruning: a small source key set filters the target
     // BEFORE the classification join (matched rows are the only target
@@ -482,12 +507,17 @@ final case class GraftMergeActionsCommand(dir: String, tableName: String,
         .filter(_.take(1).nonEmpty)
       (ups, del) match {
         case (Some(u), Some(d)) =>
-          // both halves → ONE atomic commit (merge-mixed)
-          Snapshots.mergeMixed(spark, dir, u, keys.map(_._1), d)
+          // both halves → ONE atomic commit (merge-mixed); the pinned
+          // `base` fails the CAS fast if anything committed since the
+          // classification read — run() redoes the classification
+          Snapshots.mergeMixed(spark, dir, u, keys.map(_._1), d,
+            expectedVersion = base)
         case (Some(u), None) =>
-          Snapshots.merge(spark, dir, u, keys.map(_._1))
+          Snapshots.merge(spark, dir, u, keys.map(_._1),
+            expectedVersion = base)
         case (None, Some(d)) =>
-          Snapshots.deleteMatching(spark, dir, d, keys.map(_._1))
+          Snapshots.deleteMatching(spark, dir, d, keys.map(_._1),
+            expectedVersion = base)
         case (None, None) => // nothing matched any clause: no-op
       }
     } finally joined.unpersist()

@@ -140,12 +140,18 @@ private[streaming] class ChangeFeedRelation(val sqlContext: SQLContext,
     extends BaseRelation with PrunedFilteredScan {
 
   // changeFeed's fromVersion is EXCLUSIVE; the reader option is the
-  // first INCLUDED commit, matching the streaming option's meaning
-  private def feed(): DataFrame =
+  // first INCLUDED commit, matching the streaming option's meaning.
+  // Built ONCE per relation instance: assembling the per-commit plan
+  // walks every manifest in the range, and both `schema` and every
+  // `buildScan` need the same plan — a relation is resolved per read,
+  // and its version range is fixed, so the cached plan cannot go
+  // stale (deriving the schema separately would have to reproduce
+  // unionByName's column ordering under mid-range schema evolution).
+  private lazy val feed: DataFrame =
     Snapshots.changeFeed(sqlContext.sparkSession, dir,
       startingVersion - 1, endingVersion)
 
-  override val schema: StructType = feed().schema
+  override def schema: StructType = feed.schema
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters
@@ -154,8 +160,7 @@ private[streaming] class ChangeFeedRelation(val sqlContext: SQLContext,
       filters: Array[Filter]): RDD[Row] = {
     val pred = filters.flatMap(SourceFilters.toColumn(_))
       .reduceOption(_ && _)
-    val f = feed() // build once — assembling the per-commit plan
-    pred.fold(f)(f.filter)
+    pred.fold(feed)(feed.filter)
       .select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 }

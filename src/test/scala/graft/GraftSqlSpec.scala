@@ -1069,4 +1069,46 @@ class GraftSqlSpec extends SparkSpec {
     assert(phys.contains("BroadcastHashJoin"), phys)
     assert(!phys.contains("BatchScan"), phys)
   }
+
+  test("MERGE refuses every reserved source column name") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.mrn (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.mrn VALUES (1, 1.0)")
+    Seq("__s_mark", "__tgt_mark", "__action", "__t_v").foreach { bad =>
+      val e = intercept[Exception] {
+        spark.sql(s"""MERGE INTO gs.default.mrn t
+          USING (SELECT CAST(1 AS BIGINT) AS k,
+                        CAST(2.0 AS DOUBLE) AS v, true AS $bad) s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      }
+      assert(e.getMessage.contains("reserved") ||
+        e.getMessage.contains(bad), s"$bad: ${e.getMessage}")
+    }
+  }
+
+  test("RENAME TO refuses a _moved tombstone or existing destination") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gs.rnx")
+    spark.sql("CREATE TABLE gs.rnx.src1 (id BIGINT)")
+    spark.sql("INSERT INTO gs.rnx.src1 VALUES (1)")
+    // renaming src1 -> moved leaves a _moved tombstone at rnx/src1
+    spark.sql("ALTER TABLE gs.rnx.src1 RENAME TO rnx.moved")
+    spark.sql("CREATE TABLE gs.rnx.src2 (id BIGINT)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gs.rnx.src2 RENAME TO rnx.src1")
+    }
+    assert(e.getMessage.contains("_moved"), e.getMessage)
+    // a plain non-table directory at the destination also refuses —
+    // fs.rename would nest the table INSIDE it
+    val stray = new java.io.File(s"$warehouse/rnx/straydir")
+    stray.mkdirs()
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gs.rnx.src2 RENAME TO rnx.straydir")
+    }
+    assert(e2.getMessage.contains("exists"), e2.getMessage)
+    // the source is intact after both refusals
+    assert(spark.sql("SELECT count(*) FROM gs.rnx.src2").head().getLong(0) == 0)
+  }
 }
