@@ -1,7 +1,12 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSparkBridge
+import org.apache.spark.sql.types.{BinaryType, StringType}
 
 /** Bloom-prefiltered membership pruning — the shuffle eliminator for
   * "100 TB corpus vs 10M-key reference set" joins (decontamination
@@ -16,11 +21,15 @@ import org.apache.spark.sql.functions._
   * At fpp 1% a decontamination pass shuffles ~1% of the corpus instead
   * of all of it; results are bit-identical to the plain join.
   *
-  * The membership probe is a Scala UDF by design exception (SURVEY
-  * §2.10): it is a scan-side prune whose output never changes the
-  * query result, and the per-row cost is two xxhash probes — the
-  * codegen loss is paid once per scanned row in exchange for removing
-  * the corpus-sized shuffle, the dominant term at scale.
+  * Both sides of the probe are Spark's own CODEGEN'D Bloom expressions
+  * — [[BloomFilterAggregate]] builds the filter distributed with
+  * map-side partials, and [[BloomFilterMightContain]] (the expression
+  * behind runtime row-level filtering) tests each corpus row inside
+  * whole-stage codegen; the serialized filter ships as a literal, the
+  * exact mechanism Spark's own injected runtime filters use. No Scala
+  * UDF remains in the hot path. Values hash through `xxhash64` of the
+  * string form on BOTH sides, so the probe is a guaranteed superset
+  * of true members.
   */
 object Decontaminate {
 
@@ -33,10 +42,25 @@ object Decontaminate {
   def bloomPrune(spark: SparkSession, df: DataFrame, colName: String,
       keys: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val bcast = spark.sparkContext.broadcast(bf)
-    val might = udf((s: String) => s == null || bcast.value.mightContainString(s))
-    df.filter(might(col(colName).cast("string")))
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"invalid bloom sizing: items=$expectedItems fpp=$fpp")
+    // the classic sizing: m = -n ln(p) / ln(2)^2
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong)
+    def hashed(name: String) = new XxHash64(Seq(
+      Cast(UnresolvedAttribute.quoted(name), StringType)))
+    val bytes = keys
+      .select(GraftSparkBridge.column(
+        new BloomFilterAggregate(hashed(keyCol),
+          Literal(expectedItems), Literal(numBits))
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // an empty key set aggregates to NULL — nothing can match
+    if (bytes == null) return df.filter(col(colName).isNull)
+    val probe = GraftSparkBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), hashed(colName)))
+    df.filter(col(colName).isNull || probe)
   }
 
   /** Exact shared-key counts per document, Bloom-pruned: for each

@@ -74,6 +74,10 @@ object Snapshots {
     * commits are ignored — they were never committed). */
   def versions(spark: SparkSession, dir: String): Seq[Int] = {
     val (fs, root) = fsFor(spark, dir)
+    versionsFs(fs, root)
+  }
+
+  private def versionsFs(fs: FileSystem, root: HPath): Seq[Int] = {
     val md = new HPath(root, ManifestDir)
     if (!fs.exists(md)) return Seq.empty
     fs.listStatus(md).map(_.getPath.getName)
@@ -1185,6 +1189,23 @@ object Snapshots {
 
   private def opHeader(op: String): Seq[String] = Seq(OpPrefix + op)
 
+  private val DmlKeysPrefix = "#dmlkeys\t"
+
+  /** The key columns a merge-family commit addressed rows by —
+    * recorded so [[changeFeed]] can pair the commit's delete/insert
+    * rows into `update_preimage`/`update_postimage` (a CDC consumer
+    * cannot otherwise distinguish an update from an unrelated
+    * delete+insert). Logical column names, per-commit (not carried). */
+  private def dmlKeysHeader(keys: Seq[String]): Seq[String] =
+    Seq(DmlKeysPrefix + keys.map(enc).mkString(","))
+
+  private def dmlKeysOf(lines: Seq[String]): Seq[String] =
+    lines.collectFirst {
+      case l if l.startsWith(DmlKeysPrefix) =>
+        l.substring(DmlKeysPrefix.length).split(',')
+          .filter(_.nonEmpty).map(dec).toSeq
+    }.getOrElse(Nil)
+
   private def opOf(lines: Seq[String]): Option[String] =
     lines.collectFirst {
       case l if l.startsWith(OpPrefix) => l.substring(OpPrefix.length)
@@ -1258,6 +1279,29 @@ object Snapshots {
     vOpt.map(propsOf(fs, root, _)).getOrElse(Map.empty)
   }
 
+  /** `stats.columns` / `cluster.columns` must name existing,
+    * stat-eligible (atomic-typed) top-level columns — a declared key
+    * that can carry no min/max stats would silently defeat every
+    * stats consumer (prune, countWhere, stats-decided aggregates,
+    * drop-whole DML splits), so the declaration refuses loudly. */
+  private def validateDeclaredStatCols(key: String, value: String,
+      schema: StructType, dir: String): Unit =
+    value.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$key on $dir: no column '$n' in " +
+            schema.fieldNames.toSeq.mkString("[", ", ", "]")))
+      val ok = f.dataType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+             TimestampNTZType | BooleanType => true
+        case _ => false
+      }
+      require(ok,
+        s"$key on $dir: column '$n' (${f.dataType.sql}) is not " +
+          "stat-eligible — only atomic numeric/string/date/timestamp/" +
+          "boolean columns carry min/max stats")
+    }
+
   /** SET a table property — a metadata-only commit. */
   def setProperty(spark: SparkSession, dir: String, key: String,
       value: String): Int = retryOnRace(s"setProperty on $dir") {
@@ -1268,6 +1312,8 @@ object Snapshots {
       throw new java.util.NoSuchElementException(s"no table under $dir"))
     val schema = schemaOf(fs, root, v)
       .getOrElse(allNullable(read(spark, dir, v).schema))
+    if (key == "stats.columns" || key == "cluster.columns")
+      validateDeclaredStatCols(key, value, schema, dir)
     metadataCommit(fs, root, spark, dir, v, schema, droppedOf(fs, root, v),
       bloomConfigOf(fs, root, v), constraintsOf(fs, root, v),
       propsOf(fs, root, v) + (key -> value), op = "set-property")
@@ -1289,6 +1335,26 @@ object Snapshots {
     metadataCommit(fs, root, spark, dir, v, schema, droppedOf(fs, root, v),
       bloomConfigOf(fs, root, v), constraintsOf(fs, root, v),
       ps - key, op = "unset-property")
+  }
+
+  /** (`stats.columns`, `cluster.columns`) declared at the table's
+    * current version — the stats-collection overrides ([[statColumns]]).
+    * Read at staging time; stats are advisory bounds, so a racing
+    * property change can only cost pruning on this one commit's
+    * files, never correctness. */
+  private def declaredStatsProps(fs: FileSystem,
+      root: HPath): (Seq[String], Seq[String]) =
+    declaredOf(versionsFs(fs, root).lastOption
+      .map(propsOf(fs, root, _)).getOrElse(Map.empty))
+
+  /** The stats declarations of a properties map:
+    * (`stats.columns`, `cluster.columns`), comma-split. */
+  private def declaredOf(
+      ps: Map[String, String]): (Seq[String], Seq[String]) = {
+    def csv(k: String): Seq[String] = ps.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    (csv("stats.columns"), csv("cluster.columns"))
   }
 
   /** The declared clustering keys (`cluster.columns` property). */
@@ -1498,7 +1564,7 @@ object Snapshots {
                 (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
                   constraintHeader(csPinned) ++
                   propsHeader(propsOf(fs, root, v)) ++
-                  opHeader("merge-light") ++
+                  opHeader("merge-light") ++ dmlKeysHeader(keys) ++
                   dropWhole.map(f => s"#remove\t$f") ++ newLines ++
                   staged.stats))
           else {
@@ -1511,7 +1577,7 @@ object Snapshots {
               schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
                 bloomHeader(bloomCfg) ++ constraintHeader(csPinned) ++
                 propsHeader(propsOf(fs, root, v)) ++
-                opHeader("merge-light") ++
+                opHeader("merge-light") ++ dmlKeysHeader(keys) ++
                 dvLines(dvAll, keptFiles.toSet) ++
                 statsLines(fs, root, v, keptFiles.toSet) ++ staged.stats))
           }
@@ -1710,9 +1776,14 @@ object Snapshots {
     * physical type and read through the upcast the parquet reader
     * does natively; post-widen appends write the wide type — both
     * coexist in one table. Time travel keeps each version's own
-    * shape. Anything outside [[Widenings]] refuses with the remedy
-    * (narrowing or type CHANGES need a rewrite — CREATE OR REPLACE).
-    * Widening to the current type is an idempotent no-op. */
+    * shape. FLOAT→DOUBLE additionally REGENERATES the column's
+    * per-file stats from the attained float values in the same
+    * commit (the old float stat strings re-cast as double could
+    * EXCLUDE attained values and silently break pruning) — still no
+    * data rewrite, one column-pruned scan. Anything else outside
+    * [[Widenings]] refuses with the remedy (narrowing or type
+    * CHANGES need a rewrite — CREATE OR REPLACE). Widening to the
+    * current type is an idempotent no-op. */
   def widenColumn(spark: SparkSession, dir: String, name: String,
       newType: DataType): Int = retryOnRace(s"widenColumn on $dir") {
     val (fs, root) = fsFor(spark, dir)
@@ -1723,20 +1794,78 @@ object Snapshots {
     val f = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
       throw new IllegalArgumentException(
         s"no column '$name' in $dir: ${schema.fieldNames.toSeq}"))
+    // copy keeps field metadata — the physical-name mapping of a
+    // renamed column must survive its widening
+    def evolved = StructType(schema.fields.map(x =>
+      if (x.name == f.name) x.copy(dataType = newType) else x))
     if (f.dataType == newType) v
-    else {
-      require(Widenings.get(f.dataType).exists(_.contains(newType)),
-        s"ALTER COLUMN TYPE on graft tables is metadata-only and " +
-          s"supports integral widenings (TINYINT→SMALLINT/INT/BIGINT, " +
-          s"SMALLINT→INT/BIGINT, INT→BIGINT); '${f.name}' is " +
-          s"${f.dataType.sql} and ${newType.sql} is not an integral " +
-          "widening of it — other type changes (incl. FLOAT→DOUBLE, " +
-          "whose stat bounds do not survive the re-cast) rewrite " +
-          "data: use CREATE OR REPLACE TABLE ... AS SELECT with casts")
-      // copy keeps field metadata — the physical-name mapping of a
-      // renamed column must survive its widening
-      val evolved = StructType(schema.fields.map(x =>
-        if (x.name == f.name) x.copy(dataType = newType) else x))
+    else if (f.dataType == FloatType && newType == DoubleType &&
+        readManifest(fs, root, v).nonEmpty) {
+      // FLOAT→DOUBLE is safe ONLY with REGENERATED stats: a float
+      // stat string re-cast as double can EXCLUDE attained values
+      // ("0.1" → 0.1d < (double)0.1f — pruning would silently drop
+      // matching files). Recompute the column's per-file bounds from
+      // the attained float values in ONE column-pruned distributed
+      // pass (float→double cast is exact; double→string→double
+      // round-trips exactly), carry every other column's lines
+      // untouched, and land schema + corrected stats as ONE
+      // full-manifest commit.
+      val files = readManifest(fs, root, v)
+      val phys = physOf(f)
+      val paths = resolveForeign(fs, files).map(x =>
+        new HPath(root, x).toString)
+      val byBase = files.map(x =>
+        x.substring(x.lastIndexOf('/') + 1) -> x).toMap
+      val agg = spark.read
+        .schema(StructType(Seq(StructField(phys, FloatType))))
+        .parquet(paths: _*)
+        .groupBy(col("_metadata.file_name").as("__f"))
+        .agg(count(lit(1L)).as("__rows"),
+          min(col(phys)).cast(DoubleType).cast(StringType).as("__mn"),
+          max(col(phys)).cast(DoubleType).cast(StringType).as("__mx"),
+          count(col(phys)).as("__nn"))
+        .collect() // one row per data file
+      val encPhys = enc(phys)
+      val newLines = agg.toSeq.flatMap { r =>
+        byBase.get(r.getString(0)).map { rel =>
+          val rows = r.getLong(1)
+          def opt(i: Int) =
+            if (r.isNullAt(i)) "null" else "v:" + enc(r.getString(i))
+          s"#stats\t$rel\t$rows\t$encPhys\t${rows - r.getLong(4)}\t" +
+            s"${opt(2)}\t${opt(3)}"
+        }
+      }
+      val covered = agg.map(_.getString(0)).toSet
+      val zeroLines = files
+        .filterNot(x => covered(x.substring(x.lastIndexOf('/') + 1)))
+        .map(rel => s"#stats\t$rel\t0\t$encPhys\t0\tnull\tnull")
+      val carried = statsLines(fs, root, v, files.toSet).filterNot { l =>
+        l.startsWith("#stats\t") && {
+          val p = l.split('\t'); p.length >= 4 && p(3) == encPhys
+        }
+      }
+      val next = v + 1
+      val won = casManifest(fs, root, next, files,
+        schemaHeader(evolved) +: (droppedHeader(droppedOf(fs, root, v)) ++
+          bloomHeader(bloomConfigOf(fs, root, v)) ++
+          constraintHeader(constraintsOf(fs, root, v)) ++
+          propsHeader(propsOf(fs, root, v)) ++ opHeader("widen-column") ++
+          dvLines(dvFor(fs, root, v), files.toSet) ++
+          carried ++ newLines ++ zeroLines))
+      if (!won)
+        throw new java.util.ConcurrentModificationException(
+          s"DDL on $dir@v$v lost the commit race")
+      next
+    } else {
+      require(Widenings.get(f.dataType).exists(_.contains(newType)) ||
+          (f.dataType == FloatType && newType == DoubleType),
+        s"ALTER COLUMN TYPE on graft tables supports integral " +
+          s"widenings (TINYINT→SMALLINT/INT/BIGINT, SMALLINT→INT/" +
+          s"BIGINT, INT→BIGINT) metadata-only, and FLOAT→DOUBLE with " +
+          s"a stats-regeneration commit; '${f.name}' is " +
+          s"${f.dataType.sql} and ${newType.sql} is neither — other " +
+          "type changes rewrite data: use CREATE OR REPLACE TABLE " +
+          "... AS SELECT with casts")
       metadataCommit(fs, root, spark, dir, v, evolved,
         droppedOf(fs, root, v), bloomConfigOf(fs, root, v),
         constraintsOf(fs, root, v), propsOf(fs, root, v),
@@ -2296,7 +2425,8 @@ object Snapshots {
     * as field metadata where the two differ. */
   private def stage(df: DataFrame, fs: FileSystem, root: HPath,
       phys: Map[String, String] = Map.empty,
-      bloomCfg: Option[BloomConfig] = None): Staged = {
+      bloomCfg: Option[BloomConfig] = None,
+      declared: Option[(Seq[String], Seq[String])] = None): Staged = {
     val renamed = df.columns.filter(c => phys.getOrElse(c, c) != c)
     val out =
       if (renamed.isEmpty) df
@@ -2309,7 +2439,8 @@ object Snapshots {
       val p = phys.getOrElse(f.name, f.name)
       if (p == f.name) stripPhysical(f) else withPhysical(stripPhysical(f), p)
     })
-    finalizeStaged(df.sparkSession, fs, root, rel, logical, bloomCfg)
+    finalizeStaged(df.sparkSession, fs, root, rel, logical, bloomCfg,
+      phys, declared)
   }
 
   /** Turn an already-written commit dir into a [[Staged]]: list its
@@ -2320,7 +2451,9 @@ object Snapshots {
     * path (the bucketed layout writer). */
   private def finalizeStaged(spark: SparkSession, fs: FileSystem,
       root: HPath, rel: String, logical: StructType,
-      bloomCfg: Option[BloomConfig]): Staged = {
+      bloomCfg: Option[BloomConfig],
+      phys: Map[String, String] = Map.empty,
+      declared: Option[(Seq[String], Seq[String])] = None): Staged = {
     val dir = new HPath(root, rel)
     val listed = fs.listStatus(dir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -2330,25 +2463,60 @@ object Snapshots {
       s"#size\t$rel/${st.getPath.getName}\t${st.getLen}").toSeq
     val bloomLines = bloomCfg.map(
       buildBlooms(spark, fs, root, rel, files, _)).getOrElse(Nil)
+    // declared stats overrides: `stats.columns` / `cluster.columns`
+    // carry LOGICAL names — translate through this frame's column
+    // mapping to the staged files' physical spelling; bloom cols are
+    // stored physical already. CREATE/REPLACE paths pass the incoming
+    // statement's declarations explicitly (no version exists to read
+    // them from yet).
+    val (declOnly, declCluster) =
+      declared.getOrElse(declaredStatsProps(fs, root))
+    val only = declOnly.map(n => phys.getOrElse(n, n))
+    val include = (declCluster.map(n => phys.getOrElse(n, n)) ++
+      bloomCfg.map(_.cols).getOrElse(Nil)).distinct
     Staged(files,
-      sizes ++ collectStats(spark, dir.toString, rel, files) ++ bloomLines,
+      sizes ++ collectStats(spark, dir.toString, rel, files, only,
+        include) ++ bloomLines,
       logical)
   }
 
   /** Stats cover the first [[StatsMaxCols]] atomic-typed top-level
     * columns (the Delta convention) — numeric, string, date,
     * timestamp, boolean. Nested / array / map / binary columns carry
-    * no stats and are simply never prunable. */
+    * no stats and are simply never prunable.
+    *
+    * Two declarations override the positional cap, so a wide table
+    * (>32 stat-eligible columns) never silently loses pruning on the
+    * keys it declared it reads by:
+    *   - `stats.columns` table property (Delta's
+    *     `dataSkippingStatsColumns` shape): when set, it REPLACES the
+    *     positional selection — stats are collected for exactly the
+    *     named columns;
+    *   - declared `cluster.columns` and bloom-index columns are
+    *     FORCE-INCLUDED either way — a declared clustering key past
+    *     position 32 would otherwise be range-clustered at write but
+    *     carry no min/max, degrading every stats consumer
+    *     (prune/countWhere/stats-decided aggregates/drop-whole DML
+    *     splits) to full scans. */
   private val StatsMaxCols = 32
 
-  private def statColumns(schema: StructType): Seq[StructField] =
-    schema.fields.toSeq.filter { f =>
-      f.dataType match {
-        case _: NumericType | StringType | DateType | TimestampType |
-             TimestampNTZType | BooleanType => true
-        case _ => false
-      }
-    }.take(StatsMaxCols)
+  private def statColumns(schema: StructType, only: Seq[String] = Nil,
+      include: Seq[String] = Nil): Seq[StructField] = {
+    def eligible(f: StructField): Boolean = f.dataType match {
+      case _: NumericType | StringType | DateType | TimestampType |
+           TimestampNTZType | BooleanType => true
+      case _ => false
+    }
+    // declared names resolve case-insensitively against the staged
+    // files' schema; ineligible or absent names drop (fail-open —
+    // those columns are simply never prunable)
+    def named(ns: Seq[String]): Seq[StructField] = ns.flatMap(n =>
+      schema.fields.find(_.name.equalsIgnoreCase(n))).filter(eligible)
+    val base =
+      if (only.nonEmpty) named(only)
+      else schema.fields.toSeq.filter(eligible).take(StatsMaxCols)
+    (base ++ named(include)).distinct
+  }
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -2407,9 +2575,10 @@ object Snapshots {
     * with min/max either `v:<encoded>` or `null` (no non-null values).
     */
   private def collectStats(spark: SparkSession, dir: String,
-      rel: String, staged: Seq[String]): Seq[String] = {
+      rel: String, staged: Seq[String], only: Seq[String] = Nil,
+      include: Seq[String] = Nil): Seq[String] = {
     val data = spark.read.parquet(dir)
-    val cols = statColumns(data.schema)
+    val cols = statColumns(data.schema, only, include)
     if (cols.isEmpty) return Nil
     val aggs = count(lit(1L)).as("__rows") +: cols.flatMap { f =>
       // string min/max: ship only a bounded prefix to the driver (the
@@ -2652,6 +2821,8 @@ object Snapshots {
       s"already a snapshot table under $dir")
     checkConstraints.keys.foreach(n => require(n.matches("[A-Za-z0-9._-]+"),
       s"constraint name must be [A-Za-z0-9._-]+, got '$n'"))
+    Seq("stats.columns", "cluster.columns").foreach(k =>
+      properties.get(k).foreach(validateDeclaredStatCols(k, _, schema, dir)))
     val (fs, root) = fsFor(spark, dir)
     val empty = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)
@@ -2663,7 +2834,8 @@ object Snapshots {
             s"schema of $dir: ${t.getMessage}")
       }
     }
-    val staged = stage(empty, fs, root)
+    val staged = stage(empty, fs, root,
+      declared = Some(declaredOf(properties)))
     val won = casManifest(fs, root, 1, staged.files,
       schemaHeader(allNullable(schema)) +:
         (constraintHeader(checkConstraints) ++ propsHeader(properties) ++
@@ -2686,10 +2858,16 @@ object Snapshots {
       private[Snapshots] val stats: Seq[String])
 
   /** Phase one of an atomic CREATE/REPLACE: write `df`'s parquet files
-    * under the table's data dir WITHOUT committing a manifest. */
-  def stageReplaceData(df: DataFrame, dir: String): StagedReplace = {
+    * under the table's data dir WITHOUT committing a manifest.
+    * `properties` are the CREATE/REPLACE statement's table properties
+    * — the stats-collection declarations (`stats.columns`,
+    * `cluster.columns`) come from THERE, not from any existing
+    * version (REPLACE resets metadata to the statement's). */
+  def stageReplaceData(df: DataFrame, dir: String,
+      properties: Map[String, String] = Map.empty): StagedReplace = {
     val (fs, root) = fsFor(df.sparkSession, dir)
-    val staged = stage(df, fs, root)
+    val staged = stage(df, fs, root,
+      declared = Some(declaredOf(properties)))
     new StagedReplace(staged.files, staged.stats)
   }
 
@@ -2714,6 +2892,8 @@ object Snapshots {
     require(schema.fields.nonEmpty, s"REPLACE TABLE $dir needs columns")
     checkConstraints.keys.foreach(n => require(n.matches("[A-Za-z0-9._-]+"),
       s"constraint name must be [A-Za-z0-9._-]+, got '$n'"))
+    Seq("stats.columns", "cluster.columns").foreach(k =>
+      properties.get(k).foreach(validateDeclaredStatCols(k, _, schema, dir)))
     val (fs, root) = fsFor(spark, dir)
     val empty = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)
@@ -3439,14 +3619,14 @@ object Snapshots {
                 (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
                   constraintHeader(csPinned) ++
                   propsHeader(propsOf(fs, root, v)) ++ opHeader(opName) ++
-                  header ++
+                  dmlKeysHeader(keys) ++ header ++
                   touched.map(f => s"#remove\t$f") ++ staged.stats))
           else
             casManifest(fs, root, next, untouched ++ staged.files,
               schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
                 bloomHeader(bloomCfg) ++ constraintHeader(csPinned) ++
                 propsHeader(propsOf(fs, root, v)) ++
-                opHeader(opName) ++ header ++
+                opHeader(opName) ++ dmlKeysHeader(keys) ++ header ++
                 dvLines(dvFor(fs, root, v), untouched.toSet) ++
                 statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
         if (!won)
@@ -4119,12 +4299,20 @@ object Snapshots {
 
   /** The row-level CHANGE FEED across `(fromVersion, toVersion]`:
     * every retained commit contributes its rows tagged `_change_type`
-    * (`insert` | `delete`) and `_commit_version` — the read that lets
-    * a CDC consumer FOLLOW a table that receives merges, deletes,
-    * updates, and deletion-vector drift, exactly where the net-state
-    * [[changesSince]] must refuse. An UPDATE surfaces as its
-    * delete+insert pair (position-level preimage tracking is a
-    * rewrite cost this format deliberately avoids).
+    * (`insert` | `delete` | `update_preimage` | `update_postimage`)
+    * and `_commit_version` — the read that lets a CDC consumer FOLLOW
+    * a table that receives merges, deletes, updates, and
+    * deletion-vector drift, exactly where the net-state
+    * [[changesSince]] must refuse. UPDATE commits (update /
+    * update-light) pair totally — every removed row is an
+    * `update_preimage`, every added row its `update_postimage`;
+    * merge-family commits pair by the commit's recorded key columns
+    * (`#dmlkeys`): a key on both sides is an update, one-sided rows
+    * stay insert|delete. Where pairing is unknowable (replace-where,
+    * overwrite, commits from pre-`#dmlkeys` writers) the feed keeps
+    * the plain delete+insert decomposition — semantically complete
+    * for materialization either way (net state: insert +
+    * update_postimage − delete − update_preimage).
     *
     * Cost model, built for backlogs: maximal runs of APPEND-ONLY
     * commits coalesce into ONE scan of exactly the appended files
@@ -4163,6 +4351,43 @@ object Snapshots {
     * the NEWLY vectored positions — O(new positions), no diff. */
   private val DvAccretiveOps = Set("delete-light", "update-light",
     "merge-light")
+
+  /** update-light / CoW update commits: the removed rows and the
+    * added rows are by construction the SAME rows pre/post assignment
+    * (unchanged rows cancel in the diff) — the whole segment relabels
+    * to update images without key knowledge. */
+  private def relabelAllAsUpdates(seg: DataFrame): DataFrame =
+    seg.withColumn("_change_type",
+      when(col("_change_type") === "delete", lit("update_preimage"))
+        .when(col("_change_type") === "insert", lit("update_postimage"))
+        .otherwise(col("_change_type")))
+
+  /** Merge-family commits: a key tuple on BOTH sides of one commit's
+    * segment is an UPDATE — its delete-side row becomes
+    * `update_preimage`, its insert-side row `update_postimage`;
+    * one-sided rows stay insert|delete (fresh inserts, tombstones).
+    * ONE window pass over the segment keyed by the commit's recorded
+    * `#dmlkeys` — no join, no second execution of the underlying
+    * diff, O(commit delta) shuffle. NULL-keyed rows never pair (a
+    * NULL merge key matches nothing). Commits from writers predating
+    * the header keep the insert|delete decomposition (fail-open). */
+  private def pairUpdateImages(seg: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val canon = keys.map(k => seg.columns.find(_.equalsIgnoreCase(k)))
+    if (keys.isEmpty || canon.exists(_.isEmpty)) return seg
+    val kc = canon.flatten
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(kc.map(col): _*)
+    val both = (min(col("_change_type")).over(w) =!=
+      max(col("_change_type")).over(w)) &&
+      kc.map(col(_).isNotNull).reduce(_ && _)
+    seg.withColumn("_change_type",
+      when(both && col("_change_type") === "delete",
+        lit("update_preimage"))
+        .when(both && col("_change_type") === "insert",
+          lit("update_postimage"))
+        .otherwise(col("_change_type")))
+  }
 
   def changeFeed(spark: SparkSession, dir: String, fromVersion: Int,
       toVersion: Int = -1): DataFrame = {
@@ -4221,29 +4446,58 @@ object Snapshots {
         // positionally, instead of diff's two-sided exceptAll over
         // the drifted files' full bytes
         flushRun()
+        val mLines = manifestLines(fs, root, v)
         val appended = (curF -- prevF).toSeq.sorted
-        if (appended.nonEmpty)
-          segs += readFilesAs(spark, fs, root, v, appended)
+        val ins =
+          if (appended.isEmpty) None
+          else Some(readFilesAs(spark, fs, root, v, appended)
             .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_version", lit(v)))
         val prevDv = dvFor(fs, root, prev)
         val curDv = dvFor(fs, root, v)
         val drifted = (prevF intersect curF)
           .filter(f => prevDv.get(f) != curDv.get(f)).toSeq.sorted
-        if (drifted.nonEmpty) {
-          val newPos = dvNewPositions(spark, root, prevDv, curDv, drifted)
-          segs += scanWithMeta(spark, fs, root, v, prev, drifted)
-            .join(newPos, col(GfCol) === col("__dv_file") &&
-              col(GposCol) === col("__dv_pos"))
-            .drop(GfCol, GposCol, "__dv_file", "__dv_pos")
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(v))
-        }
+        val del =
+          if (drifted.isEmpty) None
+          else {
+            val newPos = dvNewPositions(spark, root, prevDv, curDv,
+              drifted)
+            Some(scanWithMeta(spark, fs, root, v, prev, drifted)
+              .join(newPos, col(GfCol) === col("__dv_file") &&
+                col(GposCol) === col("__dv_pos"))
+              .drop(GfCol, GposCol, "__dv_file", "__dv_pos")
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          }
+        (ins.toSeq ++ del.toSeq)
+          .reduceOption(_.unionByName(_)).foreach { seg =>
+            segs += (opOf(mLines) match {
+              // every vectored row was UPDATED and every appended row
+              // is its new image — total pairing, no keys needed
+              case Some("update-light") => relabelAllAsUpdates(seg)
+              // appended rows split update-postimage vs fresh insert
+              // by whether their key was retired this commit
+              case Some("merge-light") =>
+                pairUpdateImages(seg, dmlKeysOf(mLines))
+              case _ => seg // delete-light: pure deletes
+            })
+          }
       } else {
         flushRun()
-        segs += diff(spark, dir, prev, v)
+        val mLines = manifestLines(fs, root, v)
+        val d = diff(spark, dir, prev, v)
           .withColumnRenamed("change_type", "_change_type")
           .withColumn("_commit_version", lit(v))
+        // CoW DML (and DV DML that dropped whole files, which lands
+        // here): relabel the diff into update images where pairing is
+        // knowable; everything else keeps insert|delete
+        segs += (opOf(mLines) match {
+          case Some("update") | Some("update-light") =>
+            relabelAllAsUpdates(d)
+          case Some("merge") | Some("merge-mixed") | Some("merge-light") =>
+            pairUpdateImages(d, dmlKeysOf(mLines))
+          case _ => d
+        })
       }
       prev = v
       prevF = curF
@@ -4678,7 +4932,11 @@ object Snapshots {
     val folded =
       if (compacted.nonEmpty) 0
       else foldDeletionVectors(spark, dir, dvFoldFraction).foldedFiles
-    val (dropped, deleted) = vacuum(spark, dir, keepVersions)
+    // automated maintenance CLIPS to the consumer floors instead of
+    // refusing: a lagging checkpointed stream widens retention (the
+    // graceful degradation), never turns the nightly job into an error
+    val (dropped, deleted) = vacuum(spark, dir,
+      consumerSafeKeep(spark, dir, keepVersions), force = true)
     val orphans = cleanOrphans(spark, dir, orphanOlderThanMs)
     MaintainResult(compacted, dropped, deleted, orphans, folded)
   }
@@ -4754,14 +5012,90 @@ object Snapshots {
     * [[vacuum]]'s keep-last-K — chain closure, sidecar reaping and
     * delete ordering all apply unchanged. */
   def vacuumOlderThan(spark: SparkSession, dir: String,
-      retainMs: Long): (Int, Int) = {
+      retainMs: Long, force: Boolean = false): (Int, Int) = {
     require(retainMs >= 0, "retention must be non-negative")
     val (fs, root) = fsFor(spark, dir)
     val cutoff = System.currentTimeMillis() - retainMs
     val young = versions(spark, dir).count(v =>
       fs.getFileStatus(manifestPath(root, v)).getModificationTime
         >= cutoff)
-    vacuum(spark, dir, math.max(young, 1))
+    vacuum(spark, dir, math.max(young, 1), force)
+  }
+
+  // ---- streaming-consumer retention floors --------------------------
+
+  private val ConsumersDir = "_consumers"
+
+  /** A streaming consumer's recorded retention floor: the oldest
+    * version its checkpointed restart still replays from. */
+  final case class ConsumerFloor(id: String, version: Int, note: String)
+
+  /** Record (best-effort, swallows IO failures — a missing marker
+    * only weakens the vacuum guard, never a read) that the streaming
+    * consumer `id` still needs `version` retained. Written by the
+    * snapshot stream source at creation and at each batch commit;
+    * [[vacuum]] refuses to drop past any recorded floor unless
+    * forced, turning the production outage (checkpointed stream
+    * restarts into a vacuumed base — loud `v#n#h` failure at the
+    * reader) into a refused maintenance command at the operator. */
+  def recordConsumerFloor(spark: SparkSession, dir: String, id: String,
+      version: Int, note: String = ""): Unit = {
+    val (fs, root) = fsFor(spark, dir)
+    try {
+      val d = new HPath(root, ConsumersDir)
+      fs.mkdirs(d)
+      val out = fs.create(new HPath(d, id), true)
+      try out.write(s"$version\t${enc(note)}".getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Every recorded consumer floor of the table. Markers persist while
+    * a consumer is DOWN — that is the point (its checkpoint still
+    * needs the versions); a consumer gone for good leaves a stale
+    * marker the operator clears ([[clearConsumerFloor]]) or overrides
+    * with `force`. */
+  def consumerFloors(spark: SparkSession, dir: String): Seq[ConsumerFloor] = {
+    val (fs, root) = fsFor(spark, dir)
+    val d = new HPath(root, ConsumersDir)
+    try {
+      if (!fs.exists(d)) return Nil
+      fs.listStatus(d).filter(_.isFile).toSeq.flatMap { st =>
+        try {
+          val in = fs.open(st.getPath)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          s.split('\t') match {
+            case Array(v, n) =>
+              Some(ConsumerFloor(st.getPath.getName, v.toInt, dec(n)))
+            case Array(v) =>
+              Some(ConsumerFloor(st.getPath.getName, v.toInt, ""))
+            case _ => None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** Remove a consumer's floor marker (the consumer is gone for good). */
+  def clearConsumerFloor(spark: SparkSession, dir: String,
+      id: String): Boolean = {
+    val (fs, root) = fsFor(spark, dir)
+    fs.delete(new HPath(root, s"$ConsumersDir/$id"), false)
+  }
+
+  /** The `keepVersions` that respects every recorded consumer floor:
+    * at least `requested`, widened so no version >= a floor drops.
+    * What [[maintain]] uses — automated maintenance CLIPS instead of
+    * refusing. */
+  def consumerSafeKeep(spark: SparkSession, dir: String,
+      requested: Int): Int = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return requested
+    val floors = consumerFloors(spark, dir).map(_.version)
+      .filter(_ >= vs.head)
+    if (floors.isEmpty) requested
+    else math.max(requested, vs.count(_ >= floors.min))
   }
 
   /** Drop manifests older than the newest `keepVersions` and delete
@@ -4771,8 +5105,12 @@ object Snapshots {
     * base chain, so the chain's manifests (and their data files) are
     * retained too — vacuum may keep up to [[CheckpointInterval]] extra
     * versions so that every version it leaves listed stays fully
-    * readable. Returns (versions dropped, files deleted). */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): (Int, Int) = {
+    * readable. REFUSES (unless `force`) when a drop would cross a
+    * recorded streaming-consumer floor ([[recordConsumerFloor]]) —
+    * the checkpointed stream would otherwise fail loudly at its next
+    * restart. Returns (versions dropped, files deleted). */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
+      force: Boolean = false): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the current version")
     val (fs, root) = fsFor(spark, dir)
     val vs = versions(spark, dir)
@@ -4789,6 +5127,24 @@ object Snapshots {
     keepTail.foreach(close)
     val drop = dropCand.filterNot(needed.contains)
     if (drop.isEmpty) return (0, 0)
+    if (!force) {
+      // floors below the oldest retained version are already broken
+      // (that reader fails loudly regardless) — only guard drops that
+      // would NEWLY cross a floor. Checked against the ACTUAL drop
+      // set (chain closure may retain part of the candidate prefix).
+      val violated = consumerFloors(spark, dir)
+        .filter(f => f.version >= vs.head &&
+          drop.exists(_ >= f.version))
+      if (violated.nonEmpty)
+        throw new IllegalStateException(
+          s"vacuum of $dir refused: it would drop versions that " +
+            "live streaming consumers still replay from — " +
+            violated.map(f => s"${f.id}@v${f.version}" +
+              (if (f.note.nonEmpty) s" (${f.note})" else ""))
+              .mkString("; ") +
+            s" — let the streams advance, clear stale markers under " +
+            s"$ConsumersDir/ (clearConsumerFloor), or pass force=true")
+    }
     val keep = vs.filter(needed.contains)
     val live = keep.flatMap(readManifest(fs, root, _)).toSet
     val dead = drop.flatMap(readManifest(fs, root, _)).filterNot(live).distinct

@@ -1047,9 +1047,13 @@ object SinkQueries {
     // keys), and a tombstone DELETE; the feed decomposes every commit
     // into _change_type-tagged rows — the CDC-consumer read the
     // reference's funding-upsert → derived-stats loop needs
-    // (scripts/funding_rates_etl.py:100-111). The rollup aggregates
-    // the feed per (commit, change type); the oracle replays each
-    // commit's exact row-level delta from the source predicates.
+    // (scripts/funding_rates_etl.py:100-111). The MERGE commit pairs
+    // by its recorded keys: matched rows surface as
+    // update_preimage/update_postimage, fresh keys as insert — a CDC
+    // consumer can tell an update from an unrelated delete+insert.
+    // The rollup aggregates the feed per (commit, change type); the
+    // oracle replays each commit's exact row-level delta from the
+    // source predicates.
     QueryDef("s40_change_feed_rollup",
       (s, dir) => {
         import graft.ops.Snapshots
@@ -1095,11 +1099,11 @@ object SinkQueries {
         |    o_totalprice FROM base WHERE o_orderkey % 2 = 0
         |  UNION ALL SELECT 'insert', 2, o_totalprice
         |    FROM base WHERE o_orderkey % 2 = 1
-        |  UNION ALL SELECT 'insert', 3, -o_totalprice
+        |  UNION ALL SELECT 'update_postimage', 3, -o_totalprice
         |    FROM base WHERE o_orderkey % 97 = 0
         |  UNION ALL SELECT 'insert', 3, o_totalprice
         |    FROM base WHERE o_orderkey % 97 = 1
-        |  UNION ALL SELECT 'delete', 3, o_totalprice
+        |  UNION ALL SELECT 'update_preimage', 3, o_totalprice
         |    FROM base WHERE o_orderkey % 97 = 0
         |  UNION ALL SELECT 'delete', 4, o_totalprice
         |    FROM v3_state WHERE o_custkey % 7 = 3)
@@ -1148,6 +1152,21 @@ object SinkQueries {
         s.sql("""DELETE FROM gsq.default.s41 t WHERE EXISTS (
           SELECT 1 FROM s41_base b
           WHERE b.o_orderkey = t.o_orderkey AND b.o_custkey % 13 = 6)""")
+        // correlated NOT EXISTS — the retention sweep: rows with no
+        // surviving reference row delete via the DISTRIBUTED anti
+        // key frame (target keys anti-join the subquery frame)
+        s.sql("""DELETE FROM gsq.default.s41 t WHERE NOT EXISTS (
+          SELECT 1 FROM s41_base b
+          WHERE b.o_orderkey = t.o_orderkey AND b.o_custkey % 17 != 3)""")
+        // single-column NOT IN (subquery): distributed with exact
+        // three-valued semantics...
+        s.sql("""DELETE FROM gsq.default.s41 WHERE o_orderkey NOT IN (
+          SELECT o_orderkey FROM s41_base WHERE o_custkey % 5 != 1)""")
+        // ...including the NULL-in-set case: this subquery contains
+        // NULLs, so no row's NOT IN is TRUE — a committed no-op
+        s.sql("""DELETE FROM gsq.default.s41 WHERE o_orderkey NOT IN (
+          SELECT CASE WHEN o_custkey % 100 = 17 THEN NULL
+                      ELSE o_orderkey END FROM s41_base)""")
         s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
           FROM gsq.default.s41 ORDER BY o_orderkey""")
       },
@@ -1183,6 +1202,10 @@ object SinkQueries {
         |FROM merged
         |WHERE o_orderkey NOT IN (
         |  SELECT o_orderkey FROM base WHERE o_custkey % 13 = 6)
+        |  AND o_orderkey IN (
+        |    SELECT o_orderkey FROM base WHERE o_custkey % 17 != 3)
+        |  AND o_orderkey IN (
+        |    SELECT o_orderkey FROM base WHERE o_custkey % 5 != 1)
         |ORDER BY o_orderkey""".stripMargin),
 
     // The COMPLETE MERGE matrix in one statement — matched UPDATE,

@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Exists, Expression, In, InSubquery, ListQuery, Literal, NamedExpression, OuterReference, ScalarSubquery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Exists, Expression, In, InSubquery, ListQuery, Literal, NamedExpression, Not, OuterReference, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project => LProject}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.GraftSparkBridge
@@ -183,15 +183,20 @@ private[sql] object GraftDml {
   * [[Snapshots.deleteMatching]] with the subquery as the DISTRIBUTED
   * tombstone frame (no driver materialization, any cardinality,
   * merge-style footprint pruning): a correlated-equality semi-join IS
-  * a key-frame match. Other uncorrelated shapes (IN among conjuncts,
-  * NOT IN, EXISTS, scalar comparisons) evaluate via
-  * [[GraftDml.evaluateSubqueries]]'s capped literal path; non-equality
-  * correlation refuses loudly, and `NOT EXISTS` anti-semantics refuse
-  * with the retention-sweep remedy (`MERGE ... WHEN NOT MATCHED BY
-  * SOURCE THEN DELETE`). */
+  * a key-frame match. The ANTI shapes are first-class too: the
+  * correlated `NOT EXISTS` retention sweep and the standing-alone
+  * single-column `NOT IN (subquery)` both run distributed at any
+  * cardinality ([[antiDelete]]: target keys anti-join the subquery
+  * frame, exact three-valued NOT IN semantics — empty set deletes
+  * all, a NULL in the set deletes nothing, NULL keys keep). Other
+  * uncorrelated shapes (IN among conjuncts, NOT IN under other
+  * predicates, EXISTS, scalar comparisons) evaluate via
+  * [[GraftDml.evaluateSubqueries]]'s capped literal path;
+  * non-equality correlation refuses loudly. */
 final case class GraftDeleteCommand(dir: String, tableName: String,
     shieldedCond: ShieldedExpr) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
     val cond = shieldedCond.e
     cond match {
       // the pure IN-subquery shape — single OR composite key
@@ -227,6 +232,53 @@ final case class GraftDeleteCommand(dir: String, tableName: String,
             Snapshots.deleteMatching(spark, dir, frame, names)
           case None => refuseCorrelatedShape("IN (subquery)")
         }
+      // correlated NOT EXISTS standing alone — the retention sweep:
+      // the ANTI twin of the EXISTS decomposition (delete target rows
+      // whose key tuple has NO match in the subquery's residual
+      // frame), distributed at any cardinality
+      case Not(ex: Exists) if ex.getOuterAttrs.nonEmpty =>
+        GraftDml.equalityCorrelationFrame(spark, ex.plan, Nil) match {
+          case Some((frame, names)) => antiDelete(spark, frame, names)
+          case None => refuseCorrelatedShape("NOT EXISTS")
+        }
+      // correlated single-column NOT IN: per correlation-key tuple,
+      // NOT IN over that key's value set with exact three-valued
+      // semantics — empty set deletes, a NULL in the set keeps, a
+      // NULL value keeps (unless its set is empty, which refuses:
+      // key-addressed DML cannot delete a NULL-keyed row)
+      case Not(InSubquery(Seq(v: AttributeReference), lq: ListQuery))
+          if lq.getOuterAttrs.nonEmpty =>
+        GraftDml.equalityCorrelationFrame(spark, lq.plan,
+          Seq(v.name)) match {
+          case Some((pairs, names)) =>
+            antiDeleteNotIn(spark, pairs, names, v.name)
+          case None => refuseCorrelatedShape("NOT IN (subquery)")
+        }
+      // single-column NOT IN (subquery) standing alone, uncorrelated:
+      // distributed at any cardinality with EXACT three-valued
+      // semantics — an empty subquery deletes everything (NOT IN over
+      // the empty set is TRUE, NULL keys included), any NULL in the
+      // subquery deletes nothing (the comparison is never TRUE), and
+      // a NULL target key never deletes (UNKNOWN)
+      case Not(InSubquery(Seq(v: AttributeReference), lq: ListQuery))
+          if lq.getOuterAttrs.isEmpty =>
+        val frame = GraftSparkBridge.ofRows(spark, lq.plan)
+        require(frame.columns.length == 1,
+          "NOT IN (subquery) arity mismatch: 1 key column vs " +
+            s"${frame.columns.length} subquery columns")
+        val keyed = frame.toDF(v.name)
+        if (keyed.limit(1).isEmpty) {
+          if (GraftDml.useDv(spark))
+            Snapshots.deleteWhereLight(spark, dir,
+              org.apache.spark.sql.functions.lit(true))
+          else Snapshots.deleteWhere(spark, dir,
+            org.apache.spark.sql.functions.lit(true))
+        } else if (keyed.filter(col(v.name).isNull)
+            .take(1).isEmpty) {
+          antiDelete(spark, keyed.distinct(), Seq(v.name),
+            nullMatchless = false)
+        } // else: a NULL in the subquery — no row's NOT IN is TRUE;
+          // the delete is a no-op and commits nothing
       case _ =>
         val pred = GraftDml.toColumn(
           GraftDml.evaluateSubqueries(spark, cond, "DELETE"), "DELETE")
@@ -236,15 +288,120 @@ final case class GraftDeleteCommand(dir: String, tableName: String,
     Seq.empty
   }
 
+  /** Delete the target rows whose `names` tuple has NO match in
+    * `frame` — the distributed ANTI complement of the key-frame
+    * delete (target keys anti-join the frame, then
+    * [[Snapshots.deleteMatching]]). `nullMatchless=true` (NOT EXISTS)
+    * means the semantics DO select NULL-keyed target rows (a NULL
+    * equality never matches, so NOT EXISTS holds) — key-addressed DML
+    * cannot express their deletion, so it refuses loudly; NOT IN
+    * passes false (a NULL key compares UNKNOWN and is kept). The
+    * tombstone set is computed against the pinned version the commit
+    * CASes on; a lost race recomputes against the new version. */
+  private def antiDelete(spark: SparkSession, frame: DataFrame,
+      names: Seq[String], nullMatchless: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.col
+    var attempts = 0
+    while (true) {
+      val base = Snapshots.currentVersion(spark, dir).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"nothing to delete in $dir"))
+      try {
+        val tgt = Snapshots.read(spark, dir, base)
+          .select(names.map(col): _*)
+        if (nullMatchless && tgt.filter(names.map(col(_).isNull)
+            .reduce(_ || _)).take(1).nonEmpty)
+          throw new UnsupportedOperationException(
+            s"DELETE FROM '$tableName' WHERE NOT EXISTS selected a " +
+              "target row with a NULL correlation-key value — " +
+              "key-addressed DML cannot express it; DELETE those " +
+              "rows with an IS NULL predicate first")
+        val tomb = tgt.na.drop(names).distinct()
+          .join(frame, names, "left_anti")
+        Snapshots.deleteMatching(spark, dir, tomb, names,
+          expectedVersion = base)
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+      }
+    }
+  }
+
+  /** Correlated NOT IN: for each target row, the comparison set is
+    * the subquery's `vName` values at the row's correlation-key
+    * tuple. Exact three-valued semantics, fully distributed:
+    *
+    *   - empty set → NOT IN is TRUE → delete;
+    *   - a NULL in the set → never TRUE → keep;
+    *   - NULL value, non-empty set → UNKNOWN → keep;
+    *   - else delete iff the (value, keys) tuple has no pair match.
+    *
+    * Target rows the semantics WOULD delete but key-addressed DML
+    * cannot express (NULL correlation key — its set is empty; NULL
+    * value whose set is empty) refuse loudly. */
+  private def antiDeleteNotIn(spark: SparkSession, pairs: DataFrame,
+      names: Seq[String], vName: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val corr = names.filterNot(_ == vName)
+    require(corr.nonEmpty, "correlated NOT IN lost its correlation")
+    require(!names.exists(n => n == "__nin_cnt" || n == "__nin_hasnull"),
+      "NOT IN decomposition reserves the __nin_ column prefix")
+    val sAgg = pairs.groupBy(corr.map(col): _*)
+      .agg(count(lit(1)).as("__nin_cnt"),
+        max(col(vName).isNull.cast("int")).as("__nin_hasnull"))
+    var attempts = 0
+    while (true) {
+      val base = Snapshots.currentVersion(spark, dir).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"nothing to delete in $dir"))
+      try {
+        val tgt = Snapshots.read(spark, dir, base)
+          .select(names.map(col): _*).distinct()
+        if (tgt.filter(corr.map(col(_).isNull).reduce(_ || _))
+            .take(1).nonEmpty)
+          throw new UnsupportedOperationException(
+            s"DELETE FROM '$tableName' WHERE ... NOT IN (correlated " +
+              "subquery) selected a target row with a NULL " +
+              "correlation-key value (its comparison set is empty, so " +
+              "NOT IN is TRUE) — key-addressed DML cannot express it; " +
+              "DELETE those rows with an IS NULL predicate first")
+        val j = tgt.join(sAgg, corr, "left")
+        if (j.filter(col(vName).isNull && col("__nin_cnt").isNull)
+            .take(1).nonEmpty)
+          throw new UnsupportedOperationException(
+            s"DELETE FROM '$tableName' WHERE ... NOT IN (correlated " +
+              "subquery) selected a target row with a NULL value and " +
+              "an empty comparison set (NOT IN over the empty set is " +
+              "TRUE) — key-addressed DML cannot express it; DELETE " +
+              "those rows with an IS NULL predicate first")
+        val emptySet = j.filter(col("__nin_cnt").isNull &&
+          col(vName).isNotNull).select(names.map(col): _*)
+        val noMatch = j.filter(col("__nin_cnt").isNotNull &&
+            col("__nin_hasnull") === 0 && col(vName).isNotNull)
+          .select(names.map(col): _*)
+          .join(pairs, names, "left_anti")
+        Snapshots.deleteMatching(spark, dir,
+          emptySet.unionByName(noMatch), names, expectedVersion = base)
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+      }
+    }
+  }
+
   private def refuseCorrelatedShape(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"DELETE FROM '$tableName' WHERE $what: only a standing-alone " +
         "subquery whose correlation is a conjunction of `inner = " +
         "outer` column equalities in its WHERE clause is supported " +
-        "(it runs as a distributed key-frame delete); for NOT EXISTS " +
-        "retention sweeps use MERGE ... WHEN NOT MATCHED BY SOURCE " +
-        "THEN DELETE, otherwise materialize the correlation as a " +
-        "source table and MERGE")
+        "(it runs as a distributed key-frame delete — EXISTS/IN as " +
+        "the matching keys, NOT EXISTS as their anti complement); " +
+        "otherwise materialize the correlation as a source table " +
+        "and MERGE")
 }
 
 /** `UPDATE graft.db.t SET c = e, ... WHERE p` →

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, Proced
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.graft.GraftSparkBridge
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 
 import graft.ops.Snapshots
 
@@ -116,16 +116,18 @@ private[sql] object GraftProcedures {
     new Proc("vacuum",
       Seq(p("table", StringType),
         pd("keep_versions", IntegerType, "-1"),
-        pd("retain_hours", IntegerType, "-1")),
+        pd("retain_hours", IntegerType, "-1"),
+        pd("force", BooleanType, "false")),
       (s, in) => {
         val kv = in.getInt(1); val rh = in.getInt(2)
+        val force = in.getBoolean(3)
         require((kv >= 0) != (rh >= 0),
           "vacuum takes exactly one of keep_versions (count-based) or " +
             "retain_hours (age-based)")
         val (dropped, deleted) =
-          if (kv >= 0) Snapshots.vacuum(s, dirOf(str(in, 0)), kv)
+          if (kv >= 0) Snapshots.vacuum(s, dirOf(str(in, 0)), kv, force)
           else Snapshots.vacuumOlderThan(s, dirOf(str(in, 0)),
-            rh * 3600L * 1000L)
+            rh * 3600L * 1000L, force)
         oneRow(s, Seq("dropped_versions", "deleted_files"),
           Seq(dropped, deleted))
       }),

@@ -215,15 +215,34 @@ final case class GraftResolution(session: SparkSession)
       case SubqueryAlias(_, c) => strip(c)
       case x => x
     }
-    val (table, cond): (GraftTable, Option[Expression]) =
+    // the SQL catalog path (DSv2 GraftTable) and the DataFrame reader
+    // path (v1 `format("graft-snapshots")` relation) unify HERE: both
+    // name a table directory + optional pinned version, which is all
+    // the manifest-stats plan needs — one rule serves both surfaces
+    // (a DSv2 row-based scan for the reader path would forfeit the
+    // native columnar parquet swap for every NON-aggregate read,
+    // which is why the unification lives in the rule, not in a
+    // SupportsPushDownAggregates scan)
+    object StatsRel {
+      def unapply(plan: LogicalPlan): Option[(String, Int)] = plan match {
+        case GraftRel(_, t) => Some((t.dir, t.pinnedVersion.getOrElse(-1)))
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.relation.isInstanceOf[graft.streaming.SnapshotRelation] =>
+          val sr = lr.relation.asInstanceOf[graft.streaming.SnapshotRelation]
+          Some((sr.dir, sr.version))
+        case SubqueryAlias(_, c) => unapply(c)
+        case _ => None
+      }
+    }
+    val (tDir, tVer, cond): (String, Int, Option[Expression]) =
       strip(agg.child) match {
-        case GraftRel(_, t) => (t, None)
-        case Project(ps, GraftRel(_, t))
-            if ps.forall(_.isInstanceOf[AttributeReference]) => (t, None)
+        case StatsRel(d, v) => (d, v, None)
+        case Project(ps, StatsRel(d, v))
+            if ps.forall(_.isInstanceOf[AttributeReference]) => (d, v, None)
         // aggregates under a WHERE: the stats-DECIDED path — files the
         // manifest proves all-match or no-match are never opened; only
         // the undecided (boundary) files scan
-        case LogicalFilter(c, GraftRel(_, t)) => (t, Some(c))
+        case LogicalFilter(c, StatsRel(d, v)) => (d, v, Some(c))
         case _ => return None
       }
     // a non-deterministic or subquery-bearing predicate cannot be
@@ -249,10 +268,9 @@ final case class GraftResolution(session: SparkSession)
     // a column literally named "rows" would make count(rows) collide
     // with the count(*) spelling n_rows — fall through to the scan
     if (cols.exists(_.equalsIgnoreCase("rows"))) return None
-    val version = table.pinnedVersion.getOrElse(-1)
     val mdfOpt = cond match {
       case None =>
-        Snapshots.aggregateFromManifest(session, table.dir, cols, version)
+        Snapshots.aggregateFromManifest(session, tDir, cols, tVer)
       case Some(c) =>
         // re-root the resolved condition by NAME so it resolves against
         // the fresh native frame (same table, same logical schema)
@@ -262,8 +280,7 @@ final case class GraftResolution(session: SparkSession)
               org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
                 .quoted(a.name)
           })
-        Snapshots.aggregateWhereFrame(session, table.dir, pred, cols,
-          version)
+        Snapshots.aggregateWhereFrame(session, tDir, pred, cols, tVer)
     }
     mdfOpt.flatMap { mdf =>
       val meta = mdf.queryExecution.analyzed

@@ -57,7 +57,8 @@ private[sql] final class GraftStagedTable(
           new InsertableRelation {
             override def insert(data: Dataset[Row], ow: Boolean): Unit =
               staged.synchronized {
-                staged += Snapshots.stageReplaceData(data.toDF(), dir)
+                staged += Snapshots.stageReplaceData(data.toDF(), dir,
+                  props)
               }
           }
       }

@@ -31,8 +31,8 @@ import graft.ops.Snapshots
   * `spark.sql` over snapshot tables, tools that only speak
   * `spark.read.format`.
   */
-private[streaming] class SnapshotRelation(val sqlContext: SQLContext,
-    dir: String, version: Int) extends BaseRelation
+private[graft] class SnapshotRelation(val sqlContext: SQLContext,
+    val dir: String, val version: Int) extends BaseRelation
     with PrunedFilteredScan {
 
   private def spark = sqlContext.sparkSession

@@ -470,6 +470,14 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext,
     val s = start.map(o => Slice.parse(o.json.trim))
       .getOrElse(Slice(startVersion, -1))
     val to = Slice.parse(end.json.trim)
+    // a batch with a START offset proves its predecessor batch is
+    // COMMITTED (Spark logs batch N's commit before constructing
+    // N+1, and a restart replays from the commit log) — the floor
+    // advances here too, because Source.commit only fires when a
+    // SUBSEQUENT batch runs (an idle stream would otherwise pin its
+    // floor at startVersion forever)
+    if (start.isDefined)
+      recordFloor(if (s.full) s.v else prevRetained(s.v))
     // a replayed batch after restart also refreshes the sizing base
     if (lastOffered.forall(lt(_, to))) { writeBase(to); lastOffered = Some(to) }
     val delta =
@@ -532,7 +540,38 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext,
     GraftSql.streamingFrame(delta)
   }
 
-  override def commit(end: Offset): Unit = ()
+  // ---- retention floor (vacuum coordination) -----------------------
+  //
+  // The consumer's replay base — the oldest version a restart from
+  // the current checkpoint still needs retained — is recorded under
+  // the TABLE root keyed by this checkpoint's identity, so a vacuum
+  // that would cross it refuses at the operator instead of failing
+  // the stream's next restart (Snapshots.recordConsumerFloor).
+  private val consumerId = java.security.MessageDigest
+    .getInstance("MD5").digest(metadataPath.getBytes("UTF-8"))
+    .map("%02x".format(_)).mkString.take(12)
+  private var lastFloor = Int.MinValue
+  private def recordFloor(v: Int): Unit = if (v > lastFloor) {
+    Snapshots.recordConsumerFloor(spark, dir, consumerId,
+      math.max(v, 0), metadataPath)
+    lastFloor = v
+  }
+  // a FRESH query needs its startVersion base retained before the
+  // first batch ever commits; a RESTART keeps the existing marker —
+  // it was written at the previous run's last commit, which is
+  // exactly the offset this run replays from (the sizing base file
+  // may be AHEAD of the committed offset and must not be trusted)
+  Snapshots.consumerFloors(spark, dir).find(_.id == consumerId) match {
+    case Some(f) => lastFloor = f.version
+    case None => recordFloor(math.max(startVersion, 0))
+  }
+
+  override def commit(end: Offset): Unit = {
+    val s = Slice.parse(end.json.trim)
+    // partial slices re-walk attribution from the previous retained
+    // version — that is the floor, not the slice's own version
+    recordFloor(if (s.full) s.v else prevRetained(s.v))
+  }
   override def stop(): Unit = ()
 }
 

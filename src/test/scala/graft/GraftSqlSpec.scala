@@ -372,13 +372,59 @@ class GraftSqlSpec extends SparkSpec {
         SELECT 1 FROM dcor_src s WHERE s.rid > t.id)""")
     }
     assert(e.getMessage.contains("column equalities"))
-    // NOT EXISTS refuses pointing at the retention-sweep MERGE
-    val e2 = intercept[Exception] {
-      spark.sql("""DELETE FROM gs.default.dcor t WHERE NOT EXISTS (
-        SELECT 1 FROM dcor_src s WHERE s.rid = t.id)""")
+    // NOT EXISTS — the retention sweep: rows with no matching rid
+    // delete via the distributed ANTI key frame
+    val beforeNe = spark.sql("SELECT id FROM gs.default.dcor")
+      .as[Long].collect().toSet
+    spark.sql("""DELETE FROM gs.default.dcor t WHERE NOT EXISTS (
+      SELECT 1 FROM dcor_src s WHERE s.rid = t.id)""")
+    assert(Snapshots.history(spark, dirOf("default", "dcor"))
+      .head().getString(2) == "merge-delete")
+    val rids = (0L until 15L).map(_ * 2).toSet
+    assert(spark.sql("SELECT id FROM gs.default.dcor ORDER BY id")
+      .as[Long].collect().toSeq ==
+      (0L until 30L).filter(i => beforeNe(i) && rids(i)))
+    // correlated NOT IN: the comparison set is PER correlation key
+    // (grp) — delete rows whose id is absent from their group's rids
+    val beforeNi = spark.sql("SELECT id FROM gs.default.dcor")
+      .as[Long].collect().toSet
+    spark.sql("""DELETE FROM gs.default.dcor t WHERE id NOT IN (
+      SELECT s.rid FROM dcor_src s WHERE s.rgrp = t.grp)""")
+    val keptNi = (0L until 30L).filter { id =>
+      beforeNi(id) && (0L until 15L).exists(i =>
+        i % 3 == id % 3 && i * 2 == id)
     }
-    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE") ||
-      e2.getMessage.toUpperCase.contains("CORRELATED"))
+    assert(spark.sql("SELECT id FROM gs.default.dcor ORDER BY id")
+      .as[Long].collect().toSeq == keptNi)
+  }
+
+  test("NOT EXISTS refuses NULL correlation keys; NOT IN handles " +
+      "the empty and null-keyed sets exactly") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.dneg (id BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO gs.default.dneg
+      SELECT CASE WHEN id = 7 THEN NULL ELSE id END, id * 1.0
+      FROM range(10)""")
+    spark.sql("SELECT id * 2 AS rid FROM range(10)")
+      .createOrReplaceTempView("dneg_src")
+    // a NULL-keyed target row satisfies NOT EXISTS but key-addressed
+    // DML cannot delete it — loud refusal with the remedy named
+    val e = intercept[Exception] {
+      spark.sql("""DELETE FROM gs.default.dneg t WHERE NOT EXISTS (
+        SELECT 1 FROM dneg_src s WHERE s.rid = t.id)""")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    spark.sql("DELETE FROM gs.default.dneg WHERE id IS NULL")
+    spark.sql("""DELETE FROM gs.default.dneg t WHERE NOT EXISTS (
+      SELECT 1 FROM dneg_src s WHERE s.rid = t.id)""")
+    assert(spark.sql("SELECT id FROM gs.default.dneg ORDER BY id")
+      .as[Long].collect().toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    // NOT IN over an EMPTY subquery is TRUE for every row: the
+    // statement truncates the table (predicate delete, no keys)
+    spark.sql("""DELETE FROM gs.default.dneg
+      WHERE id NOT IN (SELECT rid FROM dneg_src WHERE rid < 0)""")
+    assert(spark.sql("SELECT count(*) FROM gs.default.dneg")
+      .head().getLong(0) == 0)
   }
 
   test("MERGE WITH SCHEMA EVOLUTION widens the schema metadata-only") {
@@ -765,8 +811,9 @@ class GraftSqlSpec extends SparkSpec {
     spark.sql("DELETE FROM gs.default.cdc WHERE id = 1")
     q.processAllAvailable(); q.stop()
     val got = events.synchronized(events.toList)
-    assert(got.count(_ == ("insert", 2L)) == 2) // original + updated image
-    assert(got.count(_ == ("delete", 2L)) == 1) // pre-update image
+    assert(got.count(_ == ("insert", 2L)) == 1) // the original insert
+    assert(got.count(_ == ("update_postimage", 2L)) == 1)
+    assert(got.count(_ == ("update_preimage", 2L)) == 1)
     assert(got.count(_ == ("delete", 1L)) == 1)
   }
 
@@ -1025,24 +1072,50 @@ class GraftSqlSpec extends SparkSpec {
     // time travel keeps the narrow shape
     assert(spark.sql("SELECT * FROM gs.default.wd VERSION AS OF 2")
       .schema.map(_.dataType.sql) == Seq("INT", "FLOAT"))
-    // narrowing refuses in Spark's own analysis (canUpCast gate);
-    // an up-CAST that is not a sound metadata widening must refuse
-    // in widenColumn — FLOAT→DOUBLE is the canonical case (the
-    // reader upcasts it, but float stat bounds stringified at write
-    // time re-cast as double can EXCLUDE attained values)
+    // narrowing refuses in Spark's own analysis (canUpCast gate)
     val e = intercept[Exception] {
       spark.sql("ALTER TABLE gs.default.wd ALTER COLUMN id TYPE INT")
     }
     assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
       e.getMessage)
-    val e2 = intercept[Exception] {
-      spark.sql("ALTER TABLE gs.default.wd ALTER COLUMN score TYPE DOUBLE")
-    }
-    assert(e2.getMessage.contains("widening"), e2.getMessage)
     // idempotent no-op: widening to the current type commits nothing
     val before = Snapshots.versions(spark, dir).size
     spark.sql("ALTER TABLE gs.default.wd ALTER COLUMN id TYPE BIGINT")
     assert(Snapshots.versions(spark, dir).size == before)
+  }
+
+  test("FLOAT→DOUBLE widen regenerates stats; pruning stays sound") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.wf (id BIGINT, score FLOAT)")
+    // 0.1f is the canonical trap: its float stat string "0.1" re-cast
+    // as double (0.1d) is BELOW the attained value ((double)0.1f ≈
+    // 0.10000000149) — naive metadata widening would prune the file
+    // on score = CAST(0.1 AS FLOAT) predicates
+    spark.sql("INSERT INTO gs.default.wf VALUES (1, CAST(0.1 AS FLOAT))")
+    spark.sql("INSERT INTO gs.default.wf VALUES (2, CAST(5.5 AS FLOAT))")
+    spark.sql("ALTER TABLE gs.default.wf ALTER COLUMN score TYPE DOUBLE")
+    val dir = dirOf("default", "wf")
+    assert(spark.table("gs.default.wf").schema.map(_.dataType.sql) ==
+      Seq("BIGINT", "DOUBLE"))
+    // no data rewrite: the widen commit carries the base's exact files
+    assert(Snapshots.history(spark, dir)
+      .filter(col("operation") === "widen-column").count() == 1)
+    // soundness: the attained value still reads back under pruning —
+    // the regenerated double bound INCLUDES (double)0.1f
+    val attained = java.lang.Float.parseFloat("0.1").toDouble
+    val (kept, _) = Snapshots.pruneFiles(spark, dir,
+      col("score") === attained)
+    assert(kept.size == 1, s"$kept")
+    assert(Snapshots.readWhere(spark, dir, col("score") === attained)
+      .count() == 1)
+    // and the other file still prunes away (stats are not merely gone)
+    val (k2, s2) = Snapshots.pruneFiles(spark, dir, col("score") > 9.0)
+    assert(k2.isEmpty && s2.size >= 2, s"$k2 / $s2")
+    // post-widen writes land double and carry their own stats
+    spark.sql("INSERT INTO gs.default.wf VALUES (3, 7.25)")
+    assert(spark.sql(
+      "SELECT sum(score) FROM gs.default.wf WHERE score > 5.0")
+      .head().getDouble(0) == 12.75)
   }
 
   test("SHOW CREATE TABLE and DESCRIBE render the v2 table surface") {

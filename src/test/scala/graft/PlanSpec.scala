@@ -74,7 +74,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d2 minhash: no cartesian product in candidate generation") {
-    val p = plan("d2_minhash_lsh")
+    // built directly (not through the registry): the registry shares
+    // one persisted pair frame across d2/d6/d9/d10/x1/x2, whose
+    // InMemoryRelation would make this guard vacuous
+    val p = graft.ops.TextDedup.minHashNearDups(
+      Tables.documents(spark, dir), k = 16, bands = 4, threshold = 0.4)
+      .queryExecution.sparkPlan.toString
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -90,13 +90,16 @@ class SnapshotRelationSpec extends SparkSpec {
         .select("_change_type", "_commit_version", "id", "v")
         .as[(String, Int, Long, Double)].collect().toSet
     }
-    // startingVersion is INCLUSIVE; v3 upsert = delete(old)+insert(new)
+    // startingVersion is INCLUSIVE; v3 upsert PAIRS its matched key
+    // into update images and keeps the fresh key an insert
     assert(feed(3) == Set(
-      ("delete", 3, 5L, 5.0), ("insert", 3, 5L, 500.0),
+      ("update_preimage", 3, 5L, 5.0),
+      ("update_postimage", 3, 5L, 500.0),
       ("insert", 3, 20L, 20.0), ("delete", 4, 1L, 1.0)))
     // endingVersion bounds the range inclusively
     assert(feed(3, 3) == Set(
-      ("delete", 3, 5L, 5.0), ("insert", 3, 5L, 500.0),
+      ("update_preimage", 3, 5L, 5.0),
+      ("update_postimage", 3, 5L, 500.0),
       ("insert", 3, 20L, 20.0)))
     // full-history replay folds to the table's current content
     assert(feed(1).size == 10 + 10 + 3 + 1)

@@ -216,13 +216,17 @@ class SnapshotSourceSpec extends SparkSpec {
     q1.processAllAvailable()
     assert(events.synchronized(events.toSet) ==
       Set(("insert", 1L, 10.0), ("insert", 2L, 20.0)))
-    // an upsert: the feed must emit k=2's delete+insert pair, where the
-    // plain source would have killed the query
+    // an upsert: the feed must emit k=2 as a PAIRED update (preimage +
+    // postimage — the merge records its keys), and k=3 as a fresh
+    // insert, where the plain source would have killed the query
     Snapshots.merge(spark, table,
       Seq((2L, 22.0), (3L, 30.0)).toDF("k", "v"), Seq("k"))
     q1.processAllAvailable()
-    assert(events.synchronized(events.toSet).contains(("delete", 2L, 20.0)))
-    assert(events.synchronized(events.toSet).contains(("insert", 2L, 22.0)))
+    assert(events.synchronized(events.toSet)
+      .contains(("update_preimage", 2L, 20.0)))
+    assert(events.synchronized(events.toSet)
+      .contains(("update_postimage", 2L, 22.0)))
+    assert(events.synchronized(events.toSet).contains(("insert", 3L, 30.0)))
     Snapshots.deleteWhere(spark, table, col("k") === 1L)
     Snapshots.append(Seq((4L, 40.0)).toDF("k", "v"), table)
     q1.processAllAvailable(); q1.stop()
@@ -237,11 +241,20 @@ class SnapshotSourceSpec extends SparkSpec {
     Snapshots.compact(spark, table, numFiles = 1)
     q2.processAllAvailable(); q2.stop()
     assert(events.synchronized(events.size) == before)
-    // the materialized feed equals the table: multiset inserts − deletes
+    // the update-light commit while the consumer was down arrived as
+    // a paired update
+    assert(events.synchronized(events.toSet)
+      .contains(("update_preimage", 3L, 30.0)))
+    assert(events.synchronized(events.toSet)
+      .contains(("update_postimage", 3L, 31.0)))
+    // the materialized feed equals the table: inserts + postimages −
+    // deletes − preimages (the standard CDF materialization)
     val net = mutable.Map[(Long, Double), Int]().withDefaultValue(0)
     events.synchronized(events.toList).foreach {
       case ("insert", k, v) => net((k, v)) += 1
+      case ("update_postimage", k, v) => net((k, v)) += 1
       case ("delete", k, v) => net((k, v)) -= 1
+      case ("update_preimage", k, v) => net((k, v)) -= 1
       case other => fail(s"unexpected change type $other")
     }
     assert(net.values.forall(n => n == 0 || n == 1), net.toString)
@@ -438,5 +451,72 @@ class SnapshotSourceSpec extends SparkSpec {
       q.awaitTermination(10000)
     }
     assert(ex.getCause.getMessage.contains("deletion vectors"))
+  }
+
+  test("vacuum refuses to drop versions a checkpointed stream still " +
+      "needs; proceeds once it advances") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("snap-floor")
+    val table = s"$base/t"; val ckpt = s"$base/ckpt"
+    Snapshots.append(Seq((1L, 1.0)).toDF("k", "v"), table) // v1
+    Snapshots.append(Seq((2L, 2.0)).toDF("k", "v"), table) // v2
+    def run(expectFloor: Int): Unit = {
+      val q = spark.readStream.format("graft-snapshots")
+        .option("path", table).option("readChangeFeed", "true").load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) => df.count(); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      q.processAllAvailable()
+      // Source.commit fires at the NEXT trigger's cleanup — poll
+      // briefly for the floor marker instead of racing it
+      val deadline = System.currentTimeMillis() + 20000
+      while (Snapshots.consumerFloors(spark, table).map(_.version)
+          .headOption.getOrElse(-1) < expectFloor &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      q.stop()
+    }
+    run(0) // batch (None→2]: floor stays 0 — a restart replays it all
+    assert(Snapshots.consumerFloors(spark, table).map(_.version) ==
+      Seq(0))
+    Snapshots.overwrite(Seq((3L, 3.0)).toDF("k", "v"), table) // v3, full
+    run(2) // batch (2→3]: start=2 is committed — floor advances to 2
+    assert(Snapshots.consumerFloors(spark, table).map(_.version) ==
+      Seq(2))
+    // full-manifest commits make the old versions genuinely droppable
+    (4 to 5).foreach(i =>
+      Snapshots.overwrite(Seq((i.toLong, i * 1.0)).toDF("k", "v"), table))
+    // the stream is DOWN and lagging at v2: a keep-2 vacuum would
+    // drop v2 — refused, with the consumer named
+    val e = intercept[IllegalStateException] {
+      Snapshots.vacuum(spark, table, keepVersions = 2)
+    }
+    assert(e.getMessage.contains("consumers") &&
+      e.getMessage.contains("v2"), e.getMessage)
+    assert(Snapshots.versions(spark, table) == Seq(1, 2, 3, 4, 5))
+    // the stream catches up: batch (3→5] advances the floor to 3,
+    // and one more commit + run advances it past the old history
+    run(3)
+    Snapshots.overwrite(Seq((6L, 6.0)).toDF("k", "v"), table) // v6, full
+    run(5) // batch (5→6]: floor = 5
+    assert(Snapshots.consumerFloors(spark, table).map(_.version) == Seq(5))
+    val (dropped, _) = Snapshots.vacuum(spark, table, keepVersions = 2)
+    assert(dropped == 4, dropped.toString) // v1..v4 drop; {5,6} stay
+    assert(Snapshots.versions(spark, table) == Seq(5, 6))
+    // maintain CLIPS instead of refusing: with the floor at 5, a
+    // keep-1 maintain retains v5 and reports no error
+    val r = Snapshots.maintain(spark, table, keepVersions = 1)
+    assert(Snapshots.versions(spark, table).contains(5),
+      Snapshots.versions(spark, table).toString)
+    assert(r != null)
+    // clearing the marker removes the floor and the keep-1 vacuum
+    // then drops v5
+    assert(Snapshots.clearConsumerFloor(spark, table,
+      Snapshots.consumerFloors(spark, table).head.id))
+    assert(Snapshots.consumerFloors(spark, table).isEmpty)
+    val (d2, _) = Snapshots.vacuum(spark, table, keepVersions = 1)
+    assert(d2 >= 1)
+    assert(Snapshots.versions(spark, table) == Seq(6))
   }
 }

@@ -884,10 +884,13 @@ class SnapshotsSpec extends SparkSpec {
     val feed = Snapshots.changeFeed(spark, root, 2)
     val got = feed.select("_change_type", "id", "v", "_commit_version")
       .as[(String, Long, Double, Int)].collect().toSet
+    // the update-light commit pairs totally: its vectored row is the
+    // preimage, its appended image the postimage; the delete-light
+    // commit stays a plain delete
     assert(got == Set(
       ("delete", 5L, 5.0, 3),
-      ("delete", 12L, 12.0, 4),
-      ("insert", 12L, 999.0, 4)))
+      ("update_preimage", 12L, 12.0, 4),
+      ("update_postimage", 12L, 999.0, 4)))
     // plan shape: v3 = one positional scan of the drifted file; v4 =
     // one appended-image scan + one positional scan — 3 parquet
     // scans total, where the diff path pays two-sided exceptAll legs

@@ -139,4 +139,30 @@ class SqlMetaAggSpec extends SparkSpec {
       assert(df.as[Long].head() == 5L)
     } finally spark.conf.unset("spark.graft.sql.metadataAggregates")
   }
+
+  test("the DataFrame reader path plans metadata-only too") {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val dir = mk("m8")
+    val rel = spark.read.format("graft-snapshots")
+      .option("path", dir).load()
+    val df = rel.agg(count(lit(1)).as("n"), min($"id").as("mn"),
+      max($"v").as("mx"))
+    assert(!scansData(df), df.queryExecution.executedPlan.toString)
+    // the proof: corrupt every data byte — the answer must survive
+    val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(new HPath(s"$dir/data"), true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) fs.create(f, true).close()
+    }
+    assert(df.as[(Long, Long, Double)].head() == ((5L, 1L, 99.0)))
+    // a filtered aggregate the stats can DECIDE also skips the bytes
+    val cw = spark.read.format("graft-snapshots").option("path", dir)
+      .load().filter($"id" > 100L).agg(count(lit(1)).as("n"))
+    assert(cw.as[Long].head() == 0L)
+    // non-exact shapes still fall through to the (row-served) scan
+    val sum = rel.agg(org.apache.spark.sql.functions.sum($"v"))
+    assert(sum.queryExecution.executedPlan.toString.contains("Scan") ||
+      scansData(sum))
+  }
 }
