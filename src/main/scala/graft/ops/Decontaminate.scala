@@ -44,16 +44,30 @@ object Decontaminate {
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"invalid bloom sizing: items=$expectedItems fpp=$fpp")
-    // the classic sizing: m = -n ln(p) / ln(2)^2
-    val numBits = math.max(64L,
+    // the classic sizing: m = -n ln(p) / ln(2)^2 — CLAMPED to Spark's
+    // BloomFilterAggregate ceilings (the aggregate enforces the same
+    // session confs Spark's own runtime row-filters size under; an
+    // out-of-range request would refuse or silently degrade there).
+    // A clamp only RAISES the realized fpp: the probe stays a
+    // guaranteed superset and the exact confirm join keeps the final
+    // answer exact — operators sizing past the ceiling should raise
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits/maxNumItems.
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        "67108864").toLong
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        "4000000").toLong
+    val items = math.min(expectedItems, maxItems)
+    val numBits = math.min(maxBits, math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) /
-        (math.log(2) * math.log(2))).toLong)
+        (math.log(2) * math.log(2))).toLong))
     def hashed(name: String) = new XxHash64(Seq(
       Cast(UnresolvedAttribute.quoted(name), StringType)))
     val bytes = keys
       .select(GraftSparkBridge.column(
         new BloomFilterAggregate(hashed(keyCol),
-          Literal(expectedItems), Literal(numBits))
+          Literal(items), Literal(numBits))
           .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
     // an empty key set aggregates to NULL — nothing can match

@@ -2468,11 +2468,16 @@ object Snapshots {
     // mapping to the staged files' physical spelling; bloom cols are
     // stored physical already. CREATE/REPLACE paths pass the incoming
     // statement's declarations explicitly (no version exists to read
-    // them from yet).
+    // them from yet). The mapping lookup is CASE-INSENSITIVE, like
+    // every other name resolution here — a declared 'ID' must find
+    // the mapping recorded under 'id'.
     val (declOnly, declCluster) =
       declared.getOrElse(declaredStatsProps(fs, root))
-    val only = declOnly.map(n => phys.getOrElse(n, n))
-    val include = (declCluster.map(n => phys.getOrElse(n, n)) ++
+    val physLower = phys.map { case (k, v) => k.toLowerCase -> v }
+    def toPhys(n: String): String =
+      physLower.getOrElse(n.toLowerCase, n)
+    val only = declOnly.map(toPhys)
+    val include = (declCluster.map(toPhys) ++
       bloomCfg.map(_.cols).getOrElse(Nil)).distinct
     Staged(files,
       sizes ++ collectStats(spark, dir.toString, rel, files, only,
@@ -3503,6 +3508,19 @@ object Snapshots {
         Some(tombstones))
     else retryOnRace("mergeMixed into " + dir)(
       mergeInternal(spark, dir, source, keys, -1, Nil, Some(tombstones)))
+
+  /** [[retryOnRace]] with the version PINNED per attempt: `body`
+    * receives the freshly resolved current version and passes it as
+    * its commit's `expectedVersion` — a lost CAS then recomputes
+    * everything the body derived (classification joins, tombstone
+    * sets) against the new version instead of committing stale
+    * inspections. Shared by the SQL commands that inspect-then-commit. */
+  private[graft] def retryPinned[A](spark: SparkSession, dir: String,
+      what: String)(body: Int => A): A = retryOnRace(what) {
+    body(currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"$what: no committed version under $dir")))
+  }
 
   /** Re-run `body` (which re-resolves the current version itself) on a
     * lost CAS race — the unpinned-DML serialization loop. */
@@ -4934,9 +4952,11 @@ object Snapshots {
       else foldDeletionVectors(spark, dir, dvFoldFraction).foldedFiles
     // automated maintenance CLIPS to the consumer floors instead of
     // refusing: a lagging checkpointed stream widens retention (the
-    // graceful degradation), never turns the nightly job into an error
-    val (dropped, deleted) = vacuum(spark, dir,
-      consumerSafeKeep(spark, dir, keepVersions), force = true)
+    // graceful degradation), never turns the nightly job into an
+    // error — resolved inside vacuum under ONE version listing, so a
+    // racing commit cannot shift the keep window past a floor
+    val (dropped, deleted) = vacuum(spark, dir, keepVersions,
+      clipToConsumers = true)
     val orphans = cleanOrphans(spark, dir, orphanOlderThanMs)
     MaintainResult(compacted, dropped, deleted, orphans, folded)
   }
@@ -5054,27 +5074,29 @@ object Snapshots {
     * a consumer is DOWN — that is the point (its checkpoint still
     * needs the versions); a consumer gone for good leaves a stale
     * marker the operator clears ([[clearConsumerFloor]]) or overrides
-    * with `force`. */
+    * with `force`. A missing `_consumers` dir is simply "no floors";
+    * an IO FAILURE listing or reading it propagates — the caller is
+    * the destructive vacuum guard, which must fail CLOSED (an
+    * unreadable marker treated as absent would silently drop
+    * versions a live stream still needs). An individual marker that
+    * parses to garbage is skipped (a half-written file only ever
+    * weakens its own consumer's protection). */
   def consumerFloors(spark: SparkSession, dir: String): Seq[ConsumerFloor] = {
     val (fs, root) = fsFor(spark, dir)
     val d = new HPath(root, ConsumersDir)
-    try {
-      if (!fs.exists(d)) return Nil
-      fs.listStatus(d).filter(_.isFile).toSeq.flatMap { st =>
-        try {
-          val in = fs.open(st.getPath)
-          val s = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString.trim finally in.close()
-          s.split('\t') match {
-            case Array(v, n) =>
-              Some(ConsumerFloor(st.getPath.getName, v.toInt, dec(n)))
-            case Array(v) =>
-              Some(ConsumerFloor(st.getPath.getName, v.toInt, ""))
-            case _ => None
-          }
-        } catch { case scala.util.control.NonFatal(_) => None }
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).filter(_.isFile).toSeq.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      s.split('\t') match {
+        case Array(v, n) if v.forall(_.isDigit) && v.nonEmpty =>
+          Some(ConsumerFloor(st.getPath.getName, v.toInt, dec(n)))
+        case Array(v) if v.forall(_.isDigit) && v.nonEmpty =>
+          Some(ConsumerFloor(st.getPath.getName, v.toInt, ""))
+        case _ => None
       }
-    } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
   }
 
   /** Remove a consumer's floor marker (the consumer is gone for good). */
@@ -5084,16 +5106,30 @@ object Snapshots {
     fs.delete(new HPath(root, s"$ConsumersDir/$id"), false)
   }
 
+  /** The floors that BIND against the retained version list `vs`:
+    * floor 0 (a fresh stream that replays full history — changeFeed
+    * from 0 never fails loudly, so vacuuming past it would silently
+    * CHANGE the replayed batch) clamps to the oldest retained
+    * version; floors in (0, vs.head) are already broken (that reader
+    * fails loudly regardless) and do not bind. */
+  private def bindingFloors(spark: SparkSession, dir: String,
+      vs: Seq[Int]): Seq[ConsumerFloor] =
+    consumerFloors(spark, dir)
+      .map(f => if (f.version == 0 && vs.nonEmpty)
+        f.copy(version = vs.head) else f)
+      .filter(f => vs.headOption.exists(f.version >= _))
+
   /** The `keepVersions` that respects every recorded consumer floor:
     * at least `requested`, widened so no version >= a floor drops.
-    * What [[maintain]] uses — automated maintenance CLIPS instead of
-    * refusing. */
+    * Prefer `vacuum(clipToConsumers = true)`, which resolves the
+    * floors and the drop set under ONE version listing — computing
+    * the keep here and vacuuming separately races concurrent commits
+    * (the newest-K window shifts past the floor between the calls). */
   def consumerSafeKeep(spark: SparkSession, dir: String,
       requested: Int): Int = {
     val vs = versions(spark, dir)
     if (vs.isEmpty) return requested
-    val floors = consumerFloors(spark, dir).map(_.version)
-      .filter(_ >= vs.head)
+    val floors = bindingFloors(spark, dir, vs).map(_.version)
     if (floors.isEmpty) requested
     else math.max(requested, vs.count(_ >= floors.min))
   }
@@ -5108,13 +5144,24 @@ object Snapshots {
     * readable. REFUSES (unless `force`) when a drop would cross a
     * recorded streaming-consumer floor ([[recordConsumerFloor]]) —
     * the checkpointed stream would otherwise fail loudly at its next
-    * restart. Returns (versions dropped, files deleted). */
+    * restart. `clipToConsumers` WIDENS the keep set to respect the
+    * floors instead (what [[maintain]] uses): the floors and the
+    * drop set resolve under ONE version listing, so a commit racing
+    * the vacuum cannot shift the newest-K window past a floor.
+    * Returns (versions dropped, files deleted). */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
-      force: Boolean = false): (Int, Int) = {
+      force: Boolean = false,
+      clipToConsumers: Boolean = false): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the current version")
     val (fs, root) = fsFor(spark, dir)
     val vs = versions(spark, dir)
-    val (dropCand, keepTail) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val floors =
+      if (force) Nil else bindingFloors(spark, dir, vs)
+    val keepEff =
+      if (clipToConsumers && floors.nonEmpty)
+        math.max(keepVersions, vs.count(_ >= floors.map(_.version).min))
+      else keepVersions
+    val (dropCand, keepTail) = vs.splitAt(math.max(0, vs.size - keepEff))
     if (dropCand.isEmpty) return (0, 0)
     // chain closure: every manifest a kept version resolves through
     val needed = scala.collection.mutable.Set[Int]()
@@ -5128,13 +5175,10 @@ object Snapshots {
     val drop = dropCand.filterNot(needed.contains)
     if (drop.isEmpty) return (0, 0)
     if (!force) {
-      // floors below the oldest retained version are already broken
-      // (that reader fails loudly regardless) — only guard drops that
-      // would NEWLY cross a floor. Checked against the ACTUAL drop
-      // set (chain closure may retain part of the candidate prefix).
-      val violated = consumerFloors(spark, dir)
-        .filter(f => f.version >= vs.head &&
-          drop.exists(_ >= f.version))
+      // checked against the ACTUAL drop set (chain closure may retain
+      // part of the candidate prefix); with clipToConsumers the keep
+      // widening above makes this unreachable by construction
+      val violated = floors.filter(f => drop.exists(_ >= f.version))
       if (violated.nonEmpty)
         throw new IllegalStateException(
           s"vacuum of $dir refused: it would drop versions that " +

@@ -56,23 +56,37 @@ object TextQueries {
     * (the bench warms one SF and times another); both frames are
     * O(pairs)/O(docs) key-only projections — small at any corpus
     * scale, and spill-safe if not. */
+  // Caches assume the fixture tables under a dir are IMMUTABLE for
+  // the life of a session (true for the driver's testdata and the
+  // bench). Entries are keyed by dir and invalidated when a DIFFERENT
+  // SparkSession asks (a stopped session's persisted frame is dead).
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.DataFrame]()
+      (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+
+  private def cached(
+      cache: java.util.concurrent.ConcurrentHashMap[String,
+        (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)],
+      s: org.apache.spark.sql.SparkSession, dir: String)(
+      build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cache.compute(dir, (_, prev) =>
+      if (prev != null && (prev._1 eq s)) prev else (s, build.persist()))._2
+
   private def verifiedPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    pairCache.computeIfAbsent(dir, _ =>
+    cached(pairCache, s, dir)(
       TextDedup.minHashNearDups(Tables.documents(s, dir),
-        k = 16, bands = 4, threshold = 0.4).persist())
+        k = 16, bands = 4, threshold = 0.4))
 
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.DataFrame]()
+      (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
   private def minhashClusters(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    clusterCache.computeIfAbsent(dir, _ =>
+    cached(clusterCache, s, dir)(
       TextDedup.dedupClusters(Tables.documents(s, dir),
-        verifiedPairs(s, dir)).persist())
+        verifiedPairs(s, dir)))
 
   private val bpeRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   /** DuckDB spelling of [[TextFns.hash60]] / hash31. */

@@ -196,7 +196,7 @@ private[sql] object GraftDml {
 final case class GraftDeleteCommand(dir: String, tableName: String,
     shieldedCond: ShieldedExpr) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val cond = shieldedCond.e
     cond match {
       // the pure IN-subquery shape — single OR composite key
@@ -238,7 +238,13 @@ final case class GraftDeleteCommand(dir: String, tableName: String,
       // frame), distributed at any cardinality
       case Not(ex: Exists) if ex.getOuterAttrs.nonEmpty =>
         GraftDml.equalityCorrelationFrame(spark, ex.plan, Nil) match {
-          case Some((frame, names)) => antiDelete(spark, frame, names)
+          case Some((frame0, names)) =>
+            // pin the subquery frame: the anti-join (and a lost-CAS
+            // retry) must see the SAME rows even if the plan is
+            // nondeterministic
+            val frame = frame0.persist()
+            try antiDelete(spark, frame, names)
+            finally frame.unpersist()
           case None => refuseCorrelatedShape("NOT EXISTS")
         }
       // correlated single-column NOT IN: per correlation-key tuple,
@@ -250,8 +256,12 @@ final case class GraftDeleteCommand(dir: String, tableName: String,
           if lq.getOuterAttrs.nonEmpty =>
         GraftDml.equalityCorrelationFrame(spark, lq.plan,
           Seq(v.name)) match {
-          case Some((pairs, names)) =>
-            antiDeleteNotIn(spark, pairs, names, v.name)
+          case Some((pairs0, names)) =>
+            // pinned: the per-key aggregate, the refusal probes and
+            // the anti-join must all see the SAME subquery rows
+            val pairs = pairs0.persist()
+            try antiDeleteNotIn(spark, pairs, names, v.name)
+            finally pairs.unpersist()
           case None => refuseCorrelatedShape("NOT IN (subquery)")
         }
       // single-column NOT IN (subquery) standing alone, uncorrelated:
@@ -266,19 +276,28 @@ final case class GraftDeleteCommand(dir: String, tableName: String,
         require(frame.columns.length == 1,
           "NOT IN (subquery) arity mismatch: 1 key column vs " +
             s"${frame.columns.length} subquery columns")
-        val keyed = frame.toDF(v.name)
-        if (keyed.limit(1).isEmpty) {
-          if (GraftDml.useDv(spark))
-            Snapshots.deleteWhereLight(spark, dir,
-              org.apache.spark.sql.functions.lit(true))
-          else Snapshots.deleteWhere(spark, dir,
-            org.apache.spark.sql.functions.lit(true))
-        } else if (keyed.filter(col(v.name).isNull)
-            .take(1).isEmpty) {
-          antiDelete(spark, keyed.distinct(), Seq(v.name),
-            nullMatchless = false)
-        } // else: a NULL in the subquery — no row's NOT IN is TRUE;
-          // the delete is a no-op and commits nothing
+        // pinned: the emptiness/NULL probe and the anti-join must see
+        // the SAME rows (a nondeterministic subquery could otherwise
+        // pass the NULL-free probe yet produce NULLs in the join),
+        // and the probe is ONE aggregate pass, not three scans
+        val keyed = frame.toDF(v.name).persist()
+        try {
+          import org.apache.spark.sql.functions.count
+          val r = keyed.agg(count(lit(1)).as("__n"),
+            count(col(v.name)).as("__nn")).head()
+          val n = r.getLong(0)
+          if (n == 0) {
+            // NOT IN over an EMPTY set is TRUE for every row, NULL
+            // keys included — a predicate delete, no keys involved
+            if (GraftDml.useDv(spark))
+              Snapshots.deleteWhereLight(spark, dir, lit(true))
+            else Snapshots.deleteWhere(spark, dir, lit(true))
+          } else if (r.getLong(1) == n) {
+            antiDelete(spark, keyed.distinct(), Seq(v.name),
+              nullMatchless = false)
+          } // else: a NULL in the subquery — no row's NOT IN is
+            // TRUE; the delete is a no-op and commits nothing
+        } finally keyed.unpersist()
       case _ =>
         val pred = GraftDml.toColumn(
           GraftDml.evaluateSubqueries(spark, cond, "DELETE"), "DELETE")
@@ -299,35 +318,25 @@ final case class GraftDeleteCommand(dir: String, tableName: String,
     * tombstone set is computed against the pinned version the commit
     * CASes on; a lost race recomputes against the new version. */
   private def antiDelete(spark: SparkSession, frame: DataFrame,
-      names: Seq[String], nullMatchless: Boolean = true): Unit = {
-    import org.apache.spark.sql.functions.col
-    var attempts = 0
-    while (true) {
-      val base = Snapshots.currentVersion(spark, dir).getOrElse(
-        throw new java.util.NoSuchElementException(
-          s"nothing to delete in $dir"))
-      try {
-        val tgt = Snapshots.read(spark, dir, base)
-          .select(names.map(col): _*)
-        if (nullMatchless && tgt.filter(names.map(col(_).isNull)
-            .reduce(_ || _)).take(1).nonEmpty)
-          throw new UnsupportedOperationException(
-            s"DELETE FROM '$tableName' WHERE NOT EXISTS selected a " +
-              "target row with a NULL correlation-key value — " +
-              "key-addressed DML cannot express it; DELETE those " +
-              "rows with an IS NULL predicate first")
-        val tomb = tgt.na.drop(names).distinct()
-          .join(frame, names, "left_anti")
-        Snapshots.deleteMatching(spark, dir, tomb, names,
-          expectedVersion = base)
-        return
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts >= 10) throw e
-      }
+      names: Seq[String], nullMatchless: Boolean = true): Unit =
+    Snapshots.retryPinned(spark, dir,
+      s"DELETE FROM '$tableName' (anti-join)") { base =>
+      import org.apache.spark.sql.functions.col
+      val tgt = Snapshots.read(spark, dir, base)
+        .select(names.map(col): _*)
+      if (nullMatchless && tgt.filter(names.map(col(_).isNull)
+          .reduce(_ || _)).take(1).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"DELETE FROM '$tableName' WHERE NOT EXISTS selected a " +
+            "target row with a NULL correlation-key value — " +
+            "key-addressed DML cannot express it; DELETE those " +
+            "rows with an IS NULL predicate first")
+      val tomb = tgt.na.drop(names).distinct()
+        .join(frame, names, "left_anti")
+      Snapshots.deleteMatching(spark, dir, tomb, names,
+        expectedVersion = base)
+      ()
     }
-  }
 
   /** Correlated NOT IN: for each target row, the comparison set is
     * the subquery's `vName` values at the row's correlation-key
@@ -351,45 +360,36 @@ final case class GraftDeleteCommand(dir: String, tableName: String,
     val sAgg = pairs.groupBy(corr.map(col): _*)
       .agg(count(lit(1)).as("__nin_cnt"),
         max(col(vName).isNull.cast("int")).as("__nin_hasnull"))
-    var attempts = 0
-    while (true) {
-      val base = Snapshots.currentVersion(spark, dir).getOrElse(
-        throw new java.util.NoSuchElementException(
-          s"nothing to delete in $dir"))
-      try {
-        val tgt = Snapshots.read(spark, dir, base)
-          .select(names.map(col): _*).distinct()
-        if (tgt.filter(corr.map(col(_).isNull).reduce(_ || _))
-            .take(1).nonEmpty)
-          throw new UnsupportedOperationException(
-            s"DELETE FROM '$tableName' WHERE ... NOT IN (correlated " +
-              "subquery) selected a target row with a NULL " +
-              "correlation-key value (its comparison set is empty, so " +
-              "NOT IN is TRUE) — key-addressed DML cannot express it; " +
-              "DELETE those rows with an IS NULL predicate first")
-        val j = tgt.join(sAgg, corr, "left")
-        if (j.filter(col(vName).isNull && col("__nin_cnt").isNull)
-            .take(1).nonEmpty)
-          throw new UnsupportedOperationException(
-            s"DELETE FROM '$tableName' WHERE ... NOT IN (correlated " +
-              "subquery) selected a target row with a NULL value and " +
-              "an empty comparison set (NOT IN over the empty set is " +
-              "TRUE) — key-addressed DML cannot express it; DELETE " +
-              "those rows with an IS NULL predicate first")
-        val emptySet = j.filter(col("__nin_cnt").isNull &&
-          col(vName).isNotNull).select(names.map(col): _*)
-        val noMatch = j.filter(col("__nin_cnt").isNotNull &&
-            col("__nin_hasnull") === 0 && col(vName).isNotNull)
-          .select(names.map(col): _*)
-          .join(pairs, names, "left_anti")
-        Snapshots.deleteMatching(spark, dir,
-          emptySet.unionByName(noMatch), names, expectedVersion = base)
-        return
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts >= 10) throw e
-      }
+    Snapshots.retryPinned(spark, dir,
+      s"DELETE FROM '$tableName' (NOT IN)") { base =>
+      val tgt = Snapshots.read(spark, dir, base)
+        .select(names.map(col): _*).distinct()
+      if (tgt.filter(corr.map(col(_).isNull).reduce(_ || _))
+          .take(1).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"DELETE FROM '$tableName' WHERE ... NOT IN (correlated " +
+            "subquery) selected a target row with a NULL " +
+            "correlation-key value (its comparison set is empty, so " +
+            "NOT IN is TRUE) — key-addressed DML cannot express it; " +
+            "DELETE those rows with an IS NULL predicate first")
+      val j = tgt.join(sAgg, corr, "left")
+      if (j.filter(col(vName).isNull && col("__nin_cnt").isNull)
+          .take(1).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"DELETE FROM '$tableName' WHERE ... NOT IN (correlated " +
+            "subquery) selected a target row with a NULL value and " +
+            "an empty comparison set (NOT IN over the empty set is " +
+            "TRUE) — key-addressed DML cannot express it; DELETE " +
+            "those rows with an IS NULL predicate first")
+      val emptySet = j.filter(col("__nin_cnt").isNull &&
+        col(vName).isNotNull).select(names.map(col): _*)
+      val noMatch = j.filter(col("__nin_cnt").isNotNull &&
+          col("__nin_hasnull") === 0 && col(vName).isNotNull)
+        .select(names.map(col): _*)
+        .join(pairs, names, "left_anti")
+      Snapshots.deleteMatching(spark, dir,
+        emptySet.unionByName(noMatch), names, expectedVersion = base)
+      ()
     }
   }
 
@@ -511,29 +511,17 @@ final case class GraftMergeActionsCommand(dir: String, tableName: String,
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
-  override def run(spark: SparkSession): Seq[Row] = {
+  override def run(spark: SparkSession): Seq[Row] =
     // Classification and commit must see the SAME snapshot: classify
     // against an explicitly pinned version and hand that version to
     // the commit verb as its OCC token. A commit landing in between
-    // loses us the CAS — we then REDO the classification against the
-    // new current version (stale classifications must never be merged
-    // over a racing writer's rows: WHEN MATCHED UPDATE SET p = t.p + d
-    // would resurrect old_p, and BY SOURCE clauses would misclassify
-    // concurrently inserted rows).
-    var attempts = 0
-    while (true) {
-      val base = Snapshots.currentVersion(spark, dir).getOrElse(
-        throw new java.util.NoSuchElementException(
-          s"MERGE INTO '$tableName': no committed version under $dir"))
-      try return attemptOnce(spark, base)
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts >= 10) throw e
-      }
-    }
-    throw new IllegalStateException(s"unreachable: MERGE $tableName")
-  }
+    // loses us the CAS — retryPinned then REDOES the classification
+    // against the new current version (stale classifications must
+    // never be merged over a racing writer's rows: WHEN MATCHED
+    // UPDATE SET p = t.p + d would resurrect old_p, and BY SOURCE
+    // clauses would misclassify concurrently inserted rows).
+    Snapshots.retryPinned(spark, dir, s"MERGE INTO '$tableName'")(
+      attemptOnce(spark, _))
 
   private def attemptOnce(spark: SparkSession, base: Int): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, lit, when}

@@ -68,12 +68,28 @@ object DmlScaleProbe {
       val (rp, tRpl) = ms(Snapshots.replaceWhere(spark, root,
         col("o_orderkey") >= lo && col("o_orderkey") < hi, load))
 
+      // retention sweep (the NOT EXISTS anti-delete shape): the
+      // reference set holds every key except a tight expired range —
+      // the anti-join reads the key COLUMN of the table (intrinsic to
+      // the semantics, column-pruned) but the rewrite must track only
+      // the expired keys' files, not the table
+      val lo2 = maxKey / 8; val hi2 = maxKey / 8 + 100
+      val keepSet = Snapshots.read(spark, root).select("o_orderkey")
+        .filter(!col("o_orderkey").between(lit(lo2), lit(hi2)))
+      val tomb2 = Snapshots.read(spark, root).select("o_orderkey")
+        .na.drop().distinct()
+        .join(keepSet, Seq("o_orderkey"), "left_anti")
+      val (ad, tAnti) = ms(Snapshots.deleteMatching(spark, root, tomb2,
+        Seq("o_orderkey")))
+
       println(f"$tag%-4s rows=$n%-9d update: ${tUpd / 1000}%.2fs " +
         f"rewritten=${u.rewrittenFiles} untouched=${u.untouchedFiles}  " +
         f"tombstones: ${tDel / 1000}%.2fs rewritten=${d.rewrittenFiles} " +
         f"untouched=${d.untouchedFiles}  " +
         f"replace: ${tRpl / 1000}%.2fs staged=${rp.stagedFiles} " +
-        f"dropped=${rp.droppedFiles} untouched=${rp.untouchedFiles}")
+        f"dropped=${rp.droppedFiles} untouched=${rp.untouchedFiles}  " +
+        f"anti-sweep: ${tAnti / 1000}%.2fs rewritten=${ad.rewrittenFiles} " +
+        f"untouched=${ad.untouchedFiles}")
     }
     spark.stop()
   }

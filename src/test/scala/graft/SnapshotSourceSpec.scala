@@ -381,8 +381,11 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(src.getBatch(None, cur.get).schema.fieldNames.contains("id"))
     // vacuum drops v1..v9: the retained-version walk now attributes
     // ALL files to v10 — the net file set is unchanged, so only the
-    // pinned hash can catch the shifted slice indices
-    val (dropped, _) = Snapshots.vacuum(spark, table, keepVersions = 1)
+    // pinned hash can catch the shifted slice indices. (force: the
+    // source just created recorded its own retention floor, and this
+    // test exercises exactly the operator-override scenario.)
+    val (dropped, _) = Snapshots.vacuum(spark, table, keepVersions = 1,
+      force = true)
     assert(dropped == 9)
     val e = intercept[IllegalStateException] {
       src.getBatch(None, cur.get)
@@ -518,5 +521,31 @@ class SnapshotSourceSpec extends SparkSpec {
     val (d2, _) = Snapshots.vacuum(spark, table, keepVersions = 1)
     assert(d2 >= 1)
     assert(Snapshots.versions(spark, table) == Seq(6))
+  }
+
+  test("floor 0 protects FULL history (changeFeed from 0 never fails " +
+      "loudly); clip mode widens instead of erroring") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("snap-floor0")
+    val table = s"$base/t"
+    Snapshots.append(Seq((1L, 1.0)).toDF("k", "v"), table)   // v1
+    Snapshots.overwrite(Seq((2L, 2.0)).toDF("k", "v"), table) // v2, full
+    // a fresh stream that never committed a batch sits at floor 0 —
+    // vacuuming ANY version would silently change its first replayed
+    // batch (changeFeed(from = 0) always passes its retention check)
+    Snapshots.recordConsumerFloor(spark, table, "fresh-stream", 0)
+    val e = intercept[IllegalStateException] {
+      Snapshots.vacuum(spark, table, keepVersions = 1)
+    }
+    assert(e.getMessage.contains("fresh-stream"), e.getMessage)
+    assert(Snapshots.versions(spark, table) == Seq(1, 2))
+    // automated maintenance clips: keeps everything, no error
+    assert(Snapshots.vacuum(spark, table, keepVersions = 1,
+      clipToConsumers = true) == ((0, 0)))
+    assert(Snapshots.versions(spark, table) == Seq(1, 2))
+    // cleared marker: the keep-1 vacuum proceeds
+    assert(Snapshots.clearConsumerFloor(spark, table, "fresh-stream"))
+    assert(Snapshots.vacuum(spark, table, keepVersions = 1)._1 == 1)
+    assert(Snapshots.versions(spark, table) == Seq(2))
   }
 }
