@@ -3684,6 +3684,32 @@ object Snapshots {
     else retryOnRace("deleteMatching on " + dir)(
       deleteMatchingInternal(spark, dir, tombstones, keys, -1))
 
+  /** The sound-superset key footprint shared by every key-addressed
+    * DML verb (merge / deleteMatching / updateMatching): an in-set
+    * predicate for few keys, per-column min/max ranges otherwise —
+    * every table row that can match some named key satisfies it.
+    * `src` must already be key-projected, NULL-dropped and distinct.
+    * `None` = no fully-non-null key was named (nothing can match). */
+  private def keyFootprint(src: DataFrame,
+      keys: Seq[String]): Option[Column] =
+    if (keys.lengthCompare(1) == 0) {
+      val vals = src.limit(MergeInSetLimit + 1).collect().map(_.get(0))
+      if (vals.isEmpty) None
+      else if (vals.length <= MergeInSetLimit)
+        Some(col(keys.head).isin(vals.toIndexedSeq: _*))
+      else {
+        val r = src.agg(min(col(keys.head)), max(col(keys.head))).head()
+        Some(col(keys.head).between(lit(r.get(0)), lit(r.get(1))))
+      }
+    } else {
+      val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+      val r = src.agg(aggs.head, aggs.tail: _*).head()
+      if (r.isNullAt(0)) None
+      else Some(keys.zipWithIndex.map { case (k, i) =>
+        col(k).between(lit(r.get(2 * i)), lit(r.get(2 * i + 1)))
+      }.reduce(_ && _))
+    }
+
   private def deleteMatchingInternal(spark: SparkSession, dir: String,
       tombstones: DataFrame, keys: Seq[String],
       expectedVersion: Int): DeleteResult = {
@@ -3696,26 +3722,7 @@ object Snapshots {
     keys.foreach(k => require(tombstones.columns.contains(k),
       s"tombstone key '$k' is not a column: ${tombstones.columns.toSeq}"))
     val src = tombstones.select(keys.map(col): _*).na.drop(keys).distinct()
-    // the same sound-superset footprint as merge: in-set for few keys,
-    // min/max range otherwise — table rows that can match all satisfy it
-    val footprint: Option[Column] =
-      if (keys.lengthCompare(1) == 0) {
-        val vals = src.limit(MergeInSetLimit + 1).collect().map(_.get(0))
-        if (vals.isEmpty) None
-        else if (vals.length <= MergeInSetLimit)
-          Some(col(keys.head).isin(vals.toIndexedSeq: _*))
-        else {
-          val r = src.agg(min(col(keys.head)), max(col(keys.head))).head()
-          Some(col(keys.head).between(lit(r.get(0)), lit(r.get(1))))
-        }
-      } else {
-        val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
-        val r = src.agg(aggs.head, aggs.tail: _*).head()
-        if (r.isNullAt(0)) None
-        else Some(keys.zipWithIndex.map { case (k, i) =>
-          col(k).between(lit(r.get(2 * i)), lit(r.get(2 * i + 1)))
-        }.reduce(_ && _))
-      }
+    val footprint: Option[Column] = keyFootprint(src, keys)
     val (touched, untouched) = footprint match {
       case None => (Nil, readManifest(fs, root, base))
       case Some(pred) => pruneFiles(spark, dir, pred, base)
@@ -4067,6 +4074,17 @@ object Snapshots {
         }
       }: _*)
     }
+    commitUpdateRewrite(spark, dir, fs, root, base, mayMatch, untouched,
+      rewrittenRows)
+  }
+
+  /** The shared tail of every copy-on-write UPDATE ([[updateWhere]] /
+    * [[updateMatching]]): constraint-check the rewritten rows, stage
+    * them, and CAS the commit (op `update`, delta manifest when the
+    * chain allows). */
+  private def commitUpdateRewrite(spark: SparkSession, dir: String,
+      fs: FileSystem, root: HPath, base: Int, mayMatch: Seq[String],
+      untouched: Seq[String], rewrittenRows: DataFrame): UpdateResult = {
     // updated values are NEW data: they must prove the table's CHECK
     // constraints before the commit, exactly like an append's rows
     enforceConstraintsAt(spark, dir, fs, root, base, rewrittenRows)
@@ -4097,10 +4115,81 @@ object Snapshots {
             statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
     if (!won)
       throw new java.util.ConcurrentModificationException(
-        s"updateWhere on $dir@v$base lost the commit race — a writer " +
+        s"update on $dir@v$base lost the commit race — a writer " +
           s"landed v$next first; re-read and re-update")
     UpdateResult(next, rewrittenFiles = staged.files.length,
       untouchedFiles = untouched.length)
+  }
+
+  /** Copy-on-write KEY-FRAME update — the UPDATE twin of
+    * [[deleteMatching]] and the executor of the CDC "apply these
+    * assignments to the rows these keys name" statement (`UPDATE ...
+    * WHERE EXISTS/IN (correlated subquery)` routes here): rows whose
+    * `keys` tuple appears in `matchKeys` get `assignments` applied;
+    * everything else carries byte-identical. The file-level footprint
+    * is the shared key footprint ([[keyFootprint]]) — a narrow key
+    * set rewrites its keys' files, never the table — and `matchKeys`
+    * may be any DataFrame at any cardinality (it joins distributed,
+    * no driver materialization). NULL key tuples in `matchKeys` drop
+    * (a NULL key matches nothing); duplicate target keys each update
+    * (semi-join semantics, unlike merge's replace-by-key). */
+  def updateMatching(spark: SparkSession, dir: String,
+      matchKeys: DataFrame, keys: Seq[String],
+      assignments: Seq[(String, Column)],
+      expectedVersion: Int = -1): UpdateResult =
+    if (expectedVersion >= 0)
+      updateMatchingInternal(spark, dir, matchKeys, keys, assignments,
+        expectedVersion)
+    else retryOnRace("updateMatching on " + dir)(
+      updateMatchingInternal(spark, dir, matchKeys, keys, assignments,
+        -1))
+
+  private def updateMatchingInternal(spark: SparkSession, dir: String,
+      matchKeys: DataFrame, keys: Seq[String],
+      assignments: Seq[(String, Column)],
+      expectedVersion: Int): UpdateResult = {
+    require(keys.nonEmpty, "updateMatching needs at least one key column")
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    val (fs, root) = fsFor(spark, dir)
+    val base = if (expectedVersion >= 0) expectedVersion
+    else currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"nothing to update in $dir"))
+    val cols = read(spark, dir, base).schema
+    val byName = cols.fields.map(f => f.name.toLowerCase -> f).toMap
+    (keys ++ assignments.map(_._1)).foreach { c =>
+      require(byName.contains(c.toLowerCase),
+        s"updateMatching column '$c' is not a column of $dir: " +
+          s"${cols.fieldNames.toSeq}")
+    }
+    keys.foreach(k => require(matchKeys.columns.contains(k),
+      s"match key '$k' is not a column: ${matchKeys.columns.toSeq}"))
+    require(!cols.fieldNames.exists(_.equalsIgnoreCase("__upd_mark")),
+      "updateMatching reserves the __upd_mark column name")
+    val assigned = assignments.map { case (c, v) =>
+      byName(c.toLowerCase).name -> v
+    }.toMap
+    val canonKeys = keys.map(k => byName(k.toLowerCase).name)
+    val src = matchKeys.select(keys.map(col): _*).toDF(canonKeys: _*)
+      .na.drop(canonKeys).distinct()
+    val (mayMatch, untouched) = keyFootprint(src, canonKeys) match {
+      case None => (Nil, readManifest(fs, root, base))
+      case Some(pred) => pruneFiles(spark, dir, pred, base)
+    }
+    if (mayMatch.isEmpty) // nothing can match: no commit
+      return UpdateResult(base, 0, untouched.length)
+    val joined = readFilesAs(spark, fs, root, base, mayMatch)
+      .join(src.withColumn("__upd_mark", lit(true)), canonKeys, "left")
+    val hit = col("__upd_mark").isNotNull
+    val rewrittenRows = joined.select(cols.fields.toSeq.map { f =>
+      assigned.get(f.name) match {
+        case Some(v) =>
+          when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    commitUpdateRewrite(spark, dir, fs, root, base, mayMatch, untouched,
+      rewrittenRows)
   }
 
   /** Exactly-once [[merge]] for streaming epochs — the upsert analogue

@@ -1444,6 +1444,60 @@ object SinkQueries {
         |  WHERE o_custkey % 11 = 4)
         |SELECT _change_type, _commit_version,
         |  o_orderkey, o_custkey, o_totalprice FROM feed
-        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin)
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin),
+
+    // Key-frame UPDATEs end-to-end (Snapshots.updateMatching): the CDC
+    // "apply these assignments to the rows these keys name" statement
+    // in all three SQL spellings — correlated-equality EXISTS,
+    // uncorrelated pure IN-subquery (distributed at any cardinality,
+    // where the literal path caps at 100k), and correlated IN with a
+    // composite (value, correlation) key. Each runs as ONE
+    // copy-on-write commit whose file footprint tracks the key set.
+    // The oracle replays each statement's effect from the source
+    // predicates (o_orderkey is unique in orders, so the correlated
+    // shapes reduce to per-row conditions).
+    QueryDef("s46_update_matching",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s46_wh_" +
+          ProcessHandle.current().pid()
+        s.conf.set("spark.sql.catalog.g46", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g46.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS g46.default.t")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView("s46_base")
+        s.sql("CREATE TABLE g46.default.t AS SELECT * FROM s46_base")
+        // correlated EXISTS: equality on the unique key + a residual
+        s.sql("""UPDATE g46.default.t t
+          SET o_totalprice = o_totalprice + 1000.0
+          WHERE EXISTS (SELECT 1 FROM s46_base b
+            WHERE b.o_orderkey = t.o_orderkey AND b.o_custkey % 7 = 2)""")
+        // pure uncorrelated IN-subquery: the distributed path
+        s.sql("""UPDATE g46.default.t SET o_totalprice = -o_totalprice
+          WHERE o_orderkey IN (
+            SELECT o_orderkey FROM s46_base WHERE o_custkey % 11 = 3)""")
+        // correlated IN: SELECT-list value + correlation equality form
+        // the composite key frame
+        s.sql("""UPDATE g46.default.t t SET o_custkey = o_custkey + 1000000
+          WHERE o_orderkey IN (SELECT b.o_orderkey FROM s46_base b
+            WHERE b.o_custkey = t.o_custkey AND b.o_orderkey % 5 = 0)""")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+          FROM g46.default.t ORDER BY o_orderkey""")
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |p1 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_custkey % 7 = 2 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice FROM base),
+        |p2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_custkey % 11 = 3 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice FROM p1)
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000000
+        |       ELSE o_custkey END AS o_custkey,
+        |  o_totalprice
+        |FROM p2 ORDER BY o_orderkey""".stripMargin)
   )
 }

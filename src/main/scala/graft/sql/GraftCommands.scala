@@ -413,19 +413,62 @@ final case class GraftUpdateCommand(dir: String, tableName: String,
     cond: Option[ShieldedExpr]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.lit
-    val pred = cond
-      .map(c => GraftDml.toColumn(
-        GraftDml.evaluateSubqueries(spark, c.e, "UPDATE"), "UPDATE"))
-      .getOrElse(lit(true))
     val assigns = assignments.map { case (c, e) =>
       c -> GraftDml.toColumn(
         GraftDml.evaluateSubqueries(spark, e.e, "UPDATE SET"), "UPDATE")
     }
-    if (GraftDml.useDv(spark))
-      Snapshots.updateWhereLight(spark, dir, pred, assigns)
-    else Snapshots.updateWhere(spark, dir, pred, assigns)
+    cond.map(_.e) match {
+      // correlated-equality EXISTS / IN standing alone: the CDC
+      // "update the rows these keys name" statement — the same
+      // distributed key-frame decomposition as DELETE's, executed by
+      // the copy-on-write updateMatching (any source cardinality, no
+      // driver materialization, key-footprint file pruning)
+      case Some(ex: Exists) if ex.getOuterAttrs.nonEmpty =>
+        GraftDml.equalityCorrelationFrame(spark, ex.plan, Nil) match {
+          case Some((frame, names)) =>
+            Snapshots.updateMatching(spark, dir, frame, names, assigns)
+          case None => refuseCorrelatedShape("EXISTS")
+        }
+      case Some(InSubquery(vals, lq: ListQuery))
+          if lq.getOuterAttrs.nonEmpty &&
+            vals.forall(_.isInstanceOf[AttributeReference]) =>
+        GraftDml.equalityCorrelationFrame(spark, lq.plan,
+          vals.map(_.asInstanceOf[AttributeReference].name)) match {
+          case Some((frame, names)) =>
+            Snapshots.updateMatching(spark, dir, frame, names, assigns)
+          case None => refuseCorrelatedShape("IN (subquery)")
+        }
+      // pure uncorrelated IN-subquery: distributed at any cardinality
+      // (the capped literal path stays for IN among other conjuncts)
+      case Some(InSubquery(vs, lq: ListQuery))
+          if lq.outerAttrs.isEmpty &&
+            vs.forall(_.isInstanceOf[AttributeReference]) =>
+        val names = vs.map(_.asInstanceOf[AttributeReference].name)
+        val frame = GraftSparkBridge.ofRows(spark, lq.plan)
+        require(frame.columns.length == names.length,
+          s"IN (subquery) arity mismatch: ${names.length} key columns " +
+            s"vs ${frame.columns.length} subquery columns")
+        Snapshots.updateMatching(spark, dir, frame.toDF(names: _*),
+          names, assigns)
+      case other =>
+        val pred = other
+          .map(c => GraftDml.toColumn(
+            GraftDml.evaluateSubqueries(spark, c, "UPDATE"), "UPDATE"))
+          .getOrElse(lit(true))
+        if (GraftDml.useDv(spark))
+          Snapshots.updateWhereLight(spark, dir, pred, assigns)
+        else Snapshots.updateWhere(spark, dir, pred, assigns)
+    }
     Seq.empty
   }
+
+  private def refuseCorrelatedShape(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"UPDATE '$tableName' WHERE $what: only a standing-alone " +
+        "subquery whose correlation is a conjunction of `inner = " +
+        "outer` column equalities in its WHERE clause is supported " +
+        "(it runs as a distributed key-frame update); otherwise " +
+        "materialize the correlation as a source table and MERGE")
 }
 
 /** `MERGE INTO graft.db.t USING s ON t.k = s.k WHEN MATCHED THEN

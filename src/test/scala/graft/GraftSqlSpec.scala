@@ -324,13 +324,21 @@ class GraftSqlSpec extends SparkSpec {
       WHERE id IN (SELECT kid FROM dsub2_odd) AND v > 15.0""")
     assert(spark.sql("SELECT id FROM gs.default.dsub2 ORDER BY id")
       .as[Long].collect().toSeq == Seq(1L, 3L, 5L))
-    // correlated UPDATE subqueries still refuse loudly (DELETE has
-    // the distributed equality-correlation path — next test)
+    // correlated-equality EXISTS UPDATE: the distributed key-frame
+    // update (updateMatching) — every surviving row's id is a kid
+    spark.sql("""UPDATE gs.default.dsub2 SET v = 0.0 WHERE EXISTS (
+      SELECT 1 FROM dsub2_odd o WHERE o.kid = id AND o.kid < 5)""")
+    assert(spark.sql("SELECT id, v FROM gs.default.dsub2 ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 0.0), (3L, 0.0), (5L, 14.0)))
+    assert(Snapshots.history(spark, dirOf("default", "dsub2"))
+      .head().getString(2) == "update")
+    // non-equality correlation still refuses loudly
     val e = intercept[Exception] {
       spark.sql("""UPDATE gs.default.dsub2 SET v = 0.0 WHERE EXISTS (
-        SELECT 1 FROM dsub2_odd o WHERE o.kid = id)""")
+        SELECT 1 FROM dsub2_odd o WHERE o.kid > id)""")
     }
-    assert(e.getMessage.toUpperCase.contains("CORRELATED"))
+    assert(e.getMessage.contains("column equalities"), e.getMessage)
   }
 
   test("correlated-equality EXISTS/IN DELETE runs as a distributed " +
