@@ -1531,7 +1531,7 @@ object Snapshots {
         val bloomCfg = bloomConfigOf(fs, root, v)
         val staged = stage(src, fs, root,
           basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-            .getOrElse(Map.empty), bloomCfg)
+            .getOrElse(Map.empty), bloomCfg, declaredAt = v)
         var dropWhole = List.empty[String]
         var newLines = List.empty[String]
         var dvFiles = 0
@@ -1666,8 +1666,21 @@ object Snapshots {
           s"'$n' ($e) references it — drop the constraint first (and " +
           "re-add it against the new name)")
     }
+    // declarations follow the rename: `stats.columns`/`cluster.columns`
+    // naming the old logical name would silently go stale (a stale
+    // declaration collects no stats for the key it exists to protect)
+    val ps = Seq("stats.columns", "cluster.columns")
+      .foldLeft(propsOf(fs, root, v)) { (acc, k) =>
+        acc.get(k) match {
+          case Some(csv) => acc + (k -> csv.split(",").map(_.trim)
+            .filter(_.nonEmpty)
+            .map(n => if (n.equalsIgnoreCase(f.name)) newName else n)
+            .mkString(","))
+          case None => acc
+        }
+      }
     metadataCommit(fs, root, spark, dir, v, evolved, droppedOf(fs, root, v),
-      bloomConfigOf(fs, root, v), cs, propsOf(fs, root, v),
+      bloomConfigOf(fs, root, v), cs, ps,
       op = "rename-column")
   }
 
@@ -1702,12 +1715,25 @@ object Snapshots {
           s"cannot drop column '$name' of $dir: CHECK constraint '$n' " +
             s"($e) references it — drop the constraint first")
       }
+      // a declared stats/cluster key cannot silently vanish: the
+      // declaration exists to guarantee that key's stats, so dropping
+      // the column refuses until the property stops naming it
+      val ps = propsOf(fs, root, v)
+      Seq("stats.columns", "cluster.columns").foreach { k =>
+        ps.get(k).foreach { csv =>
+          require(!csv.split(",").map(_.trim)
+              .exists(_.equalsIgnoreCase(f.name)),
+            s"cannot drop column '$name' of $dir: table property " +
+              s"'$k' ($csv) declares it — update or UNSET the " +
+              "property first")
+        }
+      }
       // the dropped column also leaves the bloom config, if indexed
       val cfg = bloomConfigOf(fs, root, v)
         .map(c => c.copy(cols = c.cols.filterNot(_ == physOf(f))))
         .filter(_.cols.nonEmpty)
       metadataCommit(fs, root, spark, dir, v, evolved,
-        droppedOf(fs, root, v) + physOf(f), cfg, cs, propsOf(fs, root, v),
+        droppedOf(fs, root, v) + physOf(f), cfg, cs, ps,
         op = "drop-column")
     }
 
@@ -2350,7 +2376,7 @@ object Snapshots {
       val bloomCfg = bloomConfigOf(fs, root, base)
       val staged = stage(updated, fs, root,
         basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-          .getOrElse(Map.empty), bloomCfg)
+          .getOrElse(Map.empty), bloomCfg, declaredAt = base)
       val commitId = java.util.UUID.randomUUID.toString
       val rel = s"$DataDir/$commitId"
       fs.mkdirs(new HPath(root, rel))
@@ -2426,7 +2452,8 @@ object Snapshots {
   private def stage(df: DataFrame, fs: FileSystem, root: HPath,
       phys: Map[String, String] = Map.empty,
       bloomCfg: Option[BloomConfig] = None,
-      declared: Option[(Seq[String], Seq[String])] = None): Staged = {
+      declared: Option[(Seq[String], Seq[String])] = None,
+      declaredAt: Int = -1): Staged = {
     val renamed = df.columns.filter(c => phys.getOrElse(c, c) != c)
     val out =
       if (renamed.isEmpty) df
@@ -2440,7 +2467,7 @@ object Snapshots {
       if (p == f.name) stripPhysical(f) else withPhysical(stripPhysical(f), p)
     })
     finalizeStaged(df.sparkSession, fs, root, rel, logical, bloomCfg,
-      phys, declared)
+      phys, declared, declaredAt)
   }
 
   /** Turn an already-written commit dir into a [[Staged]]: list its
@@ -2453,7 +2480,8 @@ object Snapshots {
       root: HPath, rel: String, logical: StructType,
       bloomCfg: Option[BloomConfig],
       phys: Map[String, String] = Map.empty,
-      declared: Option[(Seq[String], Seq[String])] = None): Staged = {
+      declared: Option[(Seq[String], Seq[String])] = None,
+      declaredAt: Int = -1): Staged = {
     val dir = new HPath(root, rel)
     val listed = fs.listStatus(dir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -2470,9 +2498,12 @@ object Snapshots {
     // statement's declarations explicitly (no version exists to read
     // them from yet). The mapping lookup is CASE-INSENSITIVE, like
     // every other name resolution here — a declared 'ID' must find
-    // the mapping recorded under 'id'.
-    val (declOnly, declCluster) =
-      declared.getOrElse(declaredStatsProps(fs, root))
+    // the mapping recorded under 'id'. Callers that pinned a base
+    // version pass it as `declaredAt` (one manifest read); only
+    // version-unaware paths pay the directory listing.
+    val (declOnly, declCluster) = declared.getOrElse(
+      if (declaredAt >= 0) declaredOf(propsOf(fs, root, declaredAt))
+      else declaredStatsProps(fs, root))
     val physLower = phys.map { case (k, v) => k.toLowerCase -> v }
     def toPhys(n: String): String =
       physLower.getOrElse(n.toLowerCase, n)
@@ -2514,11 +2545,16 @@ object Snapshots {
     }
     // declared names resolve case-insensitively against the staged
     // files' schema; ineligible or absent names drop (fail-open —
-    // those columns are simply never prunable)
+    // those columns are simply never prunable). A declaration whose
+    // EVERY name went stale (column since dropped/renamed behind the
+    // property — the DDL guards refuse that, but older tables may
+    // carry it) must not wipe out stats wholesale: fall back to the
+    // positional selection.
     def named(ns: Seq[String]): Seq[StructField] = ns.flatMap(n =>
       schema.fields.find(_.name.equalsIgnoreCase(n))).filter(eligible)
+    val declared = named(only)
     val base =
-      if (only.nonEmpty) named(only)
+      if (declared.nonEmpty) declared
       else schema.fields.toSeq.filter(eligible).take(StatsMaxCols)
     (base ++ named(include)).distinct
   }
@@ -3022,7 +3058,7 @@ object Snapshots {
     val bloomCfg = bloomConfigOf(fs, root, base)
     val staged = stage(frame, fs, root,
       basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-        .getOrElse(Map.empty), bloomCfg)
+        .getOrElse(Map.empty), bloomCfg, declaredAt = base)
     val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
     val next = base + 1
     val won = casManifest(fs, root, next, staged.files,
@@ -3241,7 +3277,7 @@ object Snapshots {
     val rows = readFilesAs(spark, fs, root, base, mayMatch)
     val staged = stage(Layout.cluster(rows, cols, bits, numFiles), fs, root,
       basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-        .getOrElse(Map.empty), bloomCfg)
+        .getOrElse(Map.empty), bloomCfg, declaredAt = base)
     val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
     val droppedSet = droppedOf(fs, root, base)
     val next = base + 1
@@ -3423,7 +3459,7 @@ object Snapshots {
     val phys = baseSchema.map(s =>
       s.fields.map(f => f.name -> physOf(f)).toMap).getOrElse(Map.empty)
     val staged = stage(transform(read(spark, dir, base)), fs, root, phys,
-      bloomConfigOf(fs, root, base))
+      bloomConfigOf(fs, root, base), declaredAt = base)
     val next = base + 1
     if (!casManifest(fs, root, next, staged.files,
       schemaHeader(baseSchema.getOrElse(allNullable(staged.schema))) +:
@@ -3620,7 +3656,7 @@ object Snapshots {
         val bloomCfg = bloomConfigOf(fs, root, v)
         val staged = stage(rewritten, fs, root,
           basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-            .getOrElse(Map.empty), bloomCfg)
+            .getOrElse(Map.empty), bloomCfg, declaredAt = v)
         val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
         val droppedSet = droppedOf(fs, root, v)
         val opName = if (tombstones.isDefined) "merge-mixed" else "merge"
@@ -3735,7 +3771,7 @@ object Snapshots {
     val bloomCfg = bloomConfigOf(fs, root, base)
     val staged = stage(rewritten, fs, root,
       basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-        .getOrElse(Map.empty), bloomCfg)
+        .getOrElse(Map.empty), bloomCfg, declaredAt = base)
     val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
     val droppedSet = droppedOf(fs, root, base)
     val next = base + 1
@@ -3854,7 +3890,7 @@ object Snapshots {
     val bloomCfg = bloomConfigOf(fs, root, base)
     val staged = stage(rewrittenRows, fs, root,
       basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-        .getOrElse(Map.empty), bloomCfg)
+        .getOrElse(Map.empty), bloomCfg, declaredAt = base)
     val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
     val droppedSet = droppedOf(fs, root, base)
     val next = base + 1
@@ -3950,7 +3986,8 @@ object Snapshots {
     // cannot pass validation with one sample and commit another (and
     // a large backfill is not computed three times over). A failed
     // check deletes the staged files and commits nothing.
-    val stagedLoad = stage(aligned, fs, root, physMap, bloomCfg)
+    val stagedLoad = stage(aligned, fs, root, physMap, bloomCfg,
+      declaredAt = base)
     def dropStaged(): Unit = stagedLoad.files
       .map(f => f.take(f.lastIndexOf('/'))).distinct
       .foreach(rel => fs.delete(new HPath(root, rel), true))
@@ -3983,7 +4020,8 @@ object Snapshots {
     val stagedSurvivors =
       if (maySurvive.isEmpty) None
       else Some(stage(readFilesAs(spark, fs, root, base, maySurvive)
-        .filter(!coalesce(pred, lit(false))), fs, root, physMap, bloomCfg))
+        .filter(!coalesce(pred, lit(false))), fs, root, physMap,
+        bloomCfg, declaredAt = base))
     val staged = Staged(
       stagedSurvivors.map(_.files).getOrElse(Nil) ++ stagedLoad.files,
       stagedSurvivors.map(_.stats).getOrElse(Nil) ++ stagedLoad.stats,
@@ -4092,7 +4130,7 @@ object Snapshots {
     val bloomCfg = bloomConfigOf(fs, root, base)
     val staged = stage(rewrittenRows, fs, root,
       basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-        .getOrElse(Map.empty), bloomCfg)
+        .getOrElse(Map.empty), bloomCfg, declaredAt = base)
     val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
     val droppedSet = droppedOf(fs, root, base)
     val next = base + 1
@@ -4966,7 +5004,7 @@ object Snapshots {
     val rewritten = readFilesAs(spark, fs, root, base, folded)
     val staged = stage(rewritten, fs, root,
       basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
-        .getOrElse(Map.empty), bloomCfg)
+        .getOrElse(Map.empty), bloomCfg, declaredAt = base)
     val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
     val droppedSet = droppedOf(fs, root, base)
     val next = base + 1

@@ -1467,20 +1467,29 @@ object SinkQueries {
           .select("o_orderkey", "o_custkey", "o_totalprice")
           .createOrReplaceTempView("s46_base")
         s.sql("CREATE TABLE g46.default.t AS SELECT * FROM s46_base")
-        // correlated EXISTS: equality on the unique key + a residual
+        // each statement's key set sits in a TIGHT o_orderkey range —
+        // the footprint prunes to the range's files and the rewrite
+        // tracks the keys, not the table (the verb's scale property;
+        // scattering the keys would make each update a full rewrite
+        // by the semantics, not by the implementation)
+        // correlated EXISTS: equality on the unique key + residuals
         s.sql("""UPDATE g46.default.t t
           SET o_totalprice = o_totalprice + 1000.0
           WHERE EXISTS (SELECT 1 FROM s46_base b
-            WHERE b.o_orderkey = t.o_orderkey AND b.o_custkey % 7 = 2)""")
+            WHERE b.o_orderkey = t.o_orderkey AND b.o_custkey % 7 = 2
+              AND b.o_orderkey < 40000)""")
         // pure uncorrelated IN-subquery: the distributed path
         s.sql("""UPDATE g46.default.t SET o_totalprice = -o_totalprice
           WHERE o_orderkey IN (
-            SELECT o_orderkey FROM s46_base WHERE o_custkey % 11 = 3)""")
+            SELECT o_orderkey FROM s46_base
+            WHERE o_custkey % 11 = 3
+              AND o_orderkey BETWEEN 20000 AND 28000)""")
         // correlated IN: SELECT-list value + correlation equality form
         // the composite key frame
         s.sql("""UPDATE g46.default.t t SET o_custkey = o_custkey + 1000000
           WHERE o_orderkey IN (SELECT b.o_orderkey FROM s46_base b
-            WHERE b.o_custkey = t.o_custkey AND b.o_orderkey % 5 = 0)""")
+            WHERE b.o_custkey = t.o_custkey AND b.o_orderkey % 5 = 0
+              AND b.o_orderkey BETWEEN 50000 AND 58000)""")
         s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
           FROM g46.default.t ORDER BY o_orderkey""")
       },
@@ -1488,14 +1497,19 @@ object SinkQueries {
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
         |p1 AS (
         |  SELECT o_orderkey, o_custkey,
-        |    CASE WHEN o_custkey % 7 = 2 THEN o_totalprice + 1000.0
+        |    CASE WHEN o_custkey % 7 = 2 AND o_orderkey < 40000
+        |         THEN o_totalprice + 1000.0
         |         ELSE o_totalprice END AS o_totalprice FROM base),
         |p2 AS (
         |  SELECT o_orderkey, o_custkey,
-        |    CASE WHEN o_custkey % 11 = 3 THEN -o_totalprice
+        |    CASE WHEN o_custkey % 11 = 3
+        |              AND o_orderkey BETWEEN 20000 AND 28000
+        |         THEN -o_totalprice
         |         ELSE o_totalprice END AS o_totalprice FROM p1)
         |SELECT o_orderkey,
-        |  CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000000
+        |  CASE WHEN o_orderkey % 5 = 0
+        |            AND o_orderkey BETWEEN 50000 AND 58000
+        |       THEN o_custkey + 1000000
         |       ELSE o_custkey END AS o_custkey,
         |  o_totalprice
         |FROM p2 ORDER BY o_orderkey""".stripMargin)

@@ -87,6 +87,27 @@ class StatsColumnsSpec extends SparkSpec {
     assert(s7.isEmpty, s"$k7 / $s7")
   }
 
+  test("declarations follow RENAME COLUMN; DROP of a declared key refuses") {
+    val root = freshRoot()
+    Snapshots.createTable(spark, root, StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType),
+      StructField("c", LongType))), properties = Map(
+      "cluster.columns" -> "b", "stats.columns" -> "c"))
+    // rename rewrites the declarations — they never go silently stale
+    Snapshots.renameColumn(spark, root, "b", "bb")
+    val ps = Snapshots.tableProperties(spark, root)
+    assert(ps.get("cluster.columns").contains("bb"), ps.toString)
+    assert(ps.get("stats.columns").contains("c"), ps.toString)
+    // dropping a declared key refuses until the property stops naming it
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.dropColumn(spark, root, "c")
+    }
+    assert(e.getMessage.contains("stats.columns"), e.getMessage)
+    Snapshots.setProperty(spark, root, "stats.columns", "a")
+    Snapshots.dropColumn(spark, root, "c") // now fine
+    assert(!Snapshots.read(spark, root).columns.contains("c"))
+  }
+
   test("declaring a missing or stat-ineligible column refuses") {
     val root = freshRoot()
     Snapshots.createTable(spark, root, StructType(Seq(
