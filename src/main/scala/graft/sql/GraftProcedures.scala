@@ -66,6 +66,21 @@ private[sql] object GraftProcedures {
 
   private def str(in: InternalRow, i: Int): String =
     in.getUTF8String(i).toString
+
+  /** Wall-clock in the SESSION timezone, like SQL `TIMESTAMP AS OF`
+    * (never `Timestamp.valueOf`, which shifts by the JVM zone). */
+  private def sessionTs(what: String, s: String): java.sql.Timestamp =
+    try {
+      val local = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      val zone = java.time.ZoneId.of(
+        SparkSession.active.conf.get("spark.sql.session.timeZone"))
+      java.sql.Timestamp.from(local.atZone(zone).toInstant)
+    } catch {
+      case _: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"$what must be 'yyyy-MM-dd HH:mm:ss[.fff]' (T separator " +
+            s"accepted), got '$s'")
+    }
   private def csv(in: InternalRow, i: Int): Seq[String] =
     str(in, i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
@@ -75,6 +90,7 @@ private[sql] object GraftProcedures {
       org.apache.spark.sql.types.StructField(n, v match {
         case _: Int => IntegerType
         case _: Long => LongType
+        case _: Boolean => BooleanType
         case _ => StringType
       }, nullable = false)
     })
@@ -141,9 +157,19 @@ private[sql] object GraftProcedures {
       }),
 
     new Proc("restore",
-      Seq(p("table", StringType), p("version", IntegerType)),
+      Seq(p("table", StringType), pd("version", IntegerType, "-1"),
+        pd("timestamp", StringType, "''")),
       (s, in) => {
-        val v = Snapshots.restore(s, dirOf(str(in, 0)), in.getInt(1))
+        val kv = in.getInt(1)
+        val ts = str(in, 2)
+        require((kv >= 0) != ts.nonEmpty,
+          "restore takes exactly one of version / timestamp " +
+            "(session-timezone 'yyyy-MM-dd HH:mm:ss')")
+        val dir = dirOf(str(in, 0))
+        val target =
+          if (kv >= 0) kv
+          else Snapshots.versionAsOf(s, dir, sessionTs("timestamp", ts))
+        val v = Snapshots.restore(s, dir, target)
         oneRow(s, Seq("version"), Seq(v))
       }),
 
@@ -166,6 +192,27 @@ private[sql] object GraftProcedures {
     new Proc("history",
       Seq(p("table", StringType)),
       (s, in) => Snapshots.history(s, dirOf(str(in, 0)))),
+
+    // the operator surface of the vacuum refusal: LIST the recorded
+    // streaming-consumer retention floors, and CLEAR a stale one (a
+    // consumer gone for good) so vacuum can proceed without force
+    new Proc("consumer_floors",
+      Seq(p("table", StringType)),
+      (s, in) => {
+        import s.implicits._
+        Snapshots.consumerFloors(s, dirOf(str(in, 0)))
+          .map(f => (f.id, f.version, f.note))
+          .toDF("consumer_id", "floor_version", "note")
+          .orderBy("floor_version", "consumer_id")
+      }),
+
+    new Proc("clear_consumer_floor",
+      Seq(p("table", StringType), p("consumer_id", StringType)),
+      (s, in) => {
+        val removed = Snapshots.clearConsumerFloor(s, dirOf(str(in, 0)),
+          str(in, 1))
+        oneRow(s, Seq("removed"), Seq(removed))
+      }),
 
     new Proc("detail",
       Seq(p("table", StringType)),

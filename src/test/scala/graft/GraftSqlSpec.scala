@@ -1151,6 +1151,56 @@ class GraftSqlSpec extends SparkSpec {
     assert(!phys.contains("BatchScan"), phys)
   }
 
+  test("CALL restore takes exactly one of version / timestamp; the " +
+      "timestamp resolves in session time") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.rst (id BIGINT)")
+    spark.sql("INSERT INTO gs.default.rst VALUES (1)") // v2
+    Thread.sleep(60)
+    // rendered in the SESSION zone (UTC here), not the JVM default
+    val between = java.time.LocalDateTime
+      .now(java.time.ZoneId.of("UTC"))
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(60)
+    spark.sql("INSERT INTO gs.default.rst VALUES (2)") // v3
+    assert(spark.sql("SELECT count(*) FROM gs.default.rst")
+      .head().getLong(0) == 2)
+    spark.sql("CALL gs.system.restore(table => 'default.rst', " +
+      s"timestamp => '$between')")
+    assert(spark.sql("SELECT id FROM gs.default.rst")
+      .as[Long].collect().toSeq == Seq(1L))
+    val e = intercept[Exception] {
+      spark.sql("CALL gs.system.restore(table => 'default.rst')")
+        .collect()
+    }
+    assert(e.getMessage.contains("exactly one"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("CALL gs.system.restore(table => 'default.rst', " +
+        s"version => 2, timestamp => '$between')").collect()
+    }
+    assert(e2.getMessage.contains("exactly one"), e2.getMessage)
+  }
+
+  test("CALL consumer_floors / clear_consumer_floor surface the " +
+      "vacuum-refusal remedy in SQL") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.cfl (id BIGINT)")
+    spark.sql("INSERT INTO gs.default.cfl VALUES (1)")
+    val dir = dirOf("default", "cfl")
+    Snapshots.recordConsumerFloor(spark, dir, "abc123", 1, "ckpt-a")
+    val rows = spark.sql(
+      "CALL gs.system.consumer_floors(table => 'default.cfl')")
+      .as[(String, Int, String)].collect().toSeq
+    assert(rows == Seq(("abc123", 1, "ckpt-a")), rows.toString)
+    assert(spark.sql("CALL gs.system.clear_consumer_floor(" +
+      "table => 'default.cfl', consumer_id => 'abc123')")
+      .head().getBoolean(0))
+    assert(spark.sql(
+      "CALL gs.system.consumer_floors(table => 'default.cfl')")
+      .count() == 0)
+  }
+
   test("MERGE refuses every reserved source column name") {
     warehouse
     spark.sql("CREATE TABLE gs.default.mrn (k BIGINT, v DOUBLE)")
