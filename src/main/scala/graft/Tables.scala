@@ -40,6 +40,14 @@ object Tables {
     * plans can be collected. */
   def invalidate(spark: SparkSession): Unit = cache.remove(spark)
 
+  /** Drop ONE cached relation — for a caller that detected the files
+    * under `dir/name.parquet` changed (the cached plan pins its file
+    * listing at read time, so a changed dir must re-resolve). */
+  def invalidate(spark: SparkSession, dir: String, name: String): Unit = {
+    val m = cache.get(spark)
+    if (m != null) m.remove((dir, name))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cache
       .computeIfAbsent(spark, _ =>

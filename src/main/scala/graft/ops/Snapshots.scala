@@ -1473,7 +1473,15 @@ object Snapshots {
         require(table.columns.sorted.sameElements(source.columns.sorted),
           s"merge source columns ${source.columns.toSeq} != table " +
             s"columns ${table.columns.toSeq}")
-        val src = source.select(table.columns.map(source.col).toSeq: _*)
+        // pinned per CAS attempt (the Delta materialize-source
+        // rule): the dup probe, constraint probes, footprint, the
+        // position semi-join and the staged append must all see ONE
+        // row set of a possibly-nondeterministic source — srcKeys
+        // derives from the pin, so its two executions agree too
+        // (see [[pinKeys]])
+        val src = pinKeys(
+          source.select(table.columns.map(source.col).toSeq: _*))
+        try {
         keys.foreach(k => require(src.columns.contains(k),
           s"merge key '$k' is not a column: ${src.columns.toSeq}"))
         val dup = src.na.drop(keys).groupBy(keys.map(col): _*)
@@ -1587,6 +1595,7 @@ object Snapshots {
               s"landed v$next first; re-read and re-merge")
         LightMergeResult(next, dvFiles, dropWhole.size,
           staged.files.length, hits.length.toLong)
+        } finally src.unpersist()
     }
   }
 
@@ -1838,32 +1847,46 @@ object Snapshots {
       // full-manifest commit.
       val files = readManifest(fs, root, v)
       val phys = physOf(f)
-      val paths = resolveForeign(fs, files).map(x =>
-        new HPath(root, x).toString)
-      val byBase = files.map(x =>
-        x.substring(x.lastIndexOf('/') + 1) -> x).toMap
+      val resolved = resolveForeign(fs, files)
+      val paths = resolved.map(x => new HPath(root, x).toString)
+      // attribute scanned rows by FULL qualified path, never by base
+      // name: a clone-sourced foreign ref can collide with an owned
+      // file on base name, and a base-keyed map would attach one
+      // file's bounds to the other — worse, the losing file would
+      // fall to the zero-rows line below and pruning would treat a
+      // non-empty file as provably empty
+      val relByPath = resolved.zip(files).map { case (x, rel) =>
+        fs.makeQualified(new HPath(root, x)).toString -> rel
+      }.toMap
+      require(relByPath.size == files.size,
+        s"stats regeneration on $dir@v$v: distinct manifest entries " +
+          "resolve to the same physical file — refusing to regenerate " +
+          "(bounds would double-count)")
       val agg = spark.read
         .schema(StructType(Seq(StructField(phys, FloatType))))
         .parquet(paths: _*)
-        .groupBy(col("_metadata.file_name").as("__f"))
+        .groupBy(col("_metadata.file_path").as("__f"))
         .agg(count(lit(1L)).as("__rows"),
           min(col(phys)).cast(DoubleType).cast(StringType).as("__mn"),
           max(col(phys)).cast(DoubleType).cast(StringType).as("__mx"),
           count(col(phys)).as("__nn"))
         .collect() // one row per data file
       val encPhys = enc(phys)
-      val newLines = agg.toSeq.flatMap { r =>
-        byBase.get(r.getString(0)).map { rel =>
-          val rows = r.getLong(1)
-          def opt(i: Int) =
-            if (r.isNullAt(i)) "null" else "v:" + enc(r.getString(i))
-          s"#stats\t$rel\t$rows\t$encPhys\t${rows - r.getLong(4)}\t" +
-            s"${opt(2)}\t${opt(3)}"
-        }
+      val newLines = agg.toSeq.map { r =>
+        val rel = relByPath.getOrElse(r.getString(0),
+          throw new IllegalStateException(
+            s"stats regeneration on $dir@v$v could not attribute " +
+              s"scanned file ${r.getString(0)} to a manifest entry — " +
+              "refusing to commit stats that would mis-prune"))
+        val rows = r.getLong(1)
+        def opt(i: Int) =
+          if (r.isNullAt(i)) "null" else "v:" + enc(r.getString(i))
+        s"#stats\t$rel\t$rows\t$encPhys\t${rows - r.getLong(4)}\t" +
+          s"${opt(2)}\t${opt(3)}"
       }
-      val covered = agg.map(_.getString(0)).toSet
-      val zeroLines = files
-        .filterNot(x => covered(x.substring(x.lastIndexOf('/') + 1)))
+      val covered = agg.map(r => relByPath(r.getString(0))).toSet
+      // only files the scan saw ZERO rows from — genuinely empty
+      val zeroLines = files.filterNot(covered)
         .map(rel => s"#stats\t$rel\t0\t$encPhys\t0\tnull\tnull")
       val carried = statsLines(fs, root, v, files.toSet).filterNot { l =>
         l.startsWith("#stats\t") && {
@@ -3595,7 +3618,16 @@ object Snapshots {
         require(table.columns.sorted.sameElements(source.columns.sorted),
           s"merge source columns ${source.columns.toSeq} != table " +
             s"columns ${table.columns.toSeq}")
-        val src = source.select(table.columns.map(source.col).toSeq: _*)
+        // pinned per CAS attempt (the Delta materialize-source
+        // rule): the dup probe, constraint probes, key footprint,
+        // the retiring anti-join and the staged union are
+        // INDEPENDENT executions of this plan — a nondeterministic
+        // source must yield ONE row set across all of them
+        // (see [[pinKeys]])
+        val src = pinKeys(
+          source.select(table.columns.map(source.col).toSeq: _*))
+        var pinnedMut: DataFrame = null
+        try {
         keys.foreach(k => require(src.columns.contains(k),
           s"merge key '$k' is not a column: ${src.columns.toSeq}"))
         tombstones.foreach(t => keys.foreach(k =>
@@ -3614,9 +3646,13 @@ object Snapshots {
         // both retire their matching table rows from the rewrite
         val mutKeys = tombstones match {
           case None => src.select(keys.map(col): _*)
-          case Some(t) => src.select(keys.map(col): _*)
-            .unionByName(t.select(keys.map(col): _*))
-            .na.drop(keys).distinct()
+          case Some(t) =>
+            // the tombstone side is pinned too: mutKeys feeds both
+            // the footprint probes and the retiring anti-join
+            pinnedMut = pinKeys(src.select(keys.map(col): _*)
+              .unionByName(t.select(keys.map(col): _*))
+              .na.drop(keys).distinct())
+            pinnedMut
         }
         // the mutation's key footprint as a prune predicate: table
         // rows that can match some named key all satisfy it (sound
@@ -3689,6 +3725,10 @@ object Snapshots {
               s"landed v$next first; re-read and re-merge")
         MergeResult(next, rewrittenFiles = staged.files.length,
           untouchedFiles = untouched.length)
+        } finally {
+          src.unpersist()
+          if (pinnedMut != null) pinnedMut.unpersist()
+        }
     }
   }
 
@@ -3714,11 +3754,25 @@ object Snapshots {
     * calls retry a lost CAS race like [[deleteWhere]]. */
   def deleteMatching(spark: SparkSession, dir: String,
       tombstones: DataFrame, keys: Seq[String],
-      expectedVersion: Int = -1): DeleteResult =
-    if (expectedVersion >= 0)
-      deleteMatchingInternal(spark, dir, tombstones, keys, expectedVersion)
-    else retryOnRace("deleteMatching on " + dir)(
-      deleteMatchingInternal(spark, dir, tombstones, keys, -1))
+      expectedVersion: Int = -1): DeleteResult = {
+    require(keys.nonEmpty, "deleteMatching needs at least one key column")
+    keys.foreach(k => require(tombstones.columns.contains(k),
+      s"tombstone key '$k' is not a column: ${tombstones.columns.toSeq}"))
+    // pin the key frame ABOVE the retry loop: [[keyFootprint]]
+    // (limit-collect or min/max agg), the anti-join, and every
+    // lost-CAS retry are INDEPENDENT executions of this plan — a
+    // nondeterministic tombstone frame (rand()-gated subquery,
+    // sample()) could otherwise yield a footprint that misses files
+    // the join matches, silently keeping their rows. See [[pinKeys]].
+    val src = pinKeys(
+      tombstones.select(keys.map(col): _*).na.drop(keys).distinct())
+    try {
+      if (expectedVersion >= 0)
+        deleteMatchingInternal(spark, dir, src, keys, expectedVersion)
+      else retryOnRace("deleteMatching on " + dir)(
+        deleteMatchingInternal(spark, dir, src, keys, -1))
+    } finally src.unpersist()
+  }
 
   /** The sound-superset key footprint shared by every key-addressed
     * DML verb (merge / deleteMatching / updateMatching): an in-set
@@ -3746,18 +3800,34 @@ object Snapshots {
       }.reduce(_ && _))
     }
 
+  /** `src` is already key-projected, NULL-dropped, distinct and
+    * PINNED by the caller ([[pinKeys]]). */
   private def deleteMatchingInternal(spark: SparkSession, dir: String,
-      tombstones: DataFrame, keys: Seq[String],
+      src: DataFrame, keys: Seq[String],
       expectedVersion: Int): DeleteResult = {
-    require(keys.nonEmpty, "deleteMatching needs at least one key column")
     val (fs, root) = fsFor(spark, dir)
     val base = if (expectedVersion >= 0) expectedVersion
     else currentVersion(spark, dir).getOrElse(
       throw new java.util.NoSuchElementException(
         s"nothing to delete in $dir"))
-    keys.foreach(k => require(tombstones.columns.contains(k),
-      s"tombstone key '$k' is not a column: ${tombstones.columns.toSeq}"))
-    val src = tombstones.select(keys.map(col): _*).na.drop(keys).distinct()
+    deleteMatchingPinned(spark, dir, src, keys, base, fs, root)
+  }
+
+  /** Fully materialize `frame` in the block cache so every later read
+    * of it — footprint probes, the DML join, a lost-CAS retry — sees
+    * the SAME rows even when the plan is nondeterministic. `count()`
+    * (not a bare `persist()`) because caching is per-partition on
+    * full iteration: a `limit().collect()` first action would pin
+    * only the partitions it happened to read. */
+  private def pinKeys(frame: DataFrame): DataFrame = {
+    val pinned = frame.persist()
+    pinned.count()
+    pinned
+  }
+
+  private def deleteMatchingPinned(spark: SparkSession, dir: String,
+      src: DataFrame, keys: Seq[String], base: Int,
+      fs: FileSystem, root: HPath): DeleteResult = {
     val footprint: Option[Column] = keyFootprint(src, keys)
     val (touched, untouched) = footprint match {
       case None => (Nil, readManifest(fs, root, base))
@@ -4174,20 +4244,34 @@ object Snapshots {
   def updateMatching(spark: SparkSession, dir: String,
       matchKeys: DataFrame, keys: Seq[String],
       assignments: Seq[(String, Column)],
-      expectedVersion: Int = -1): UpdateResult =
-    if (expectedVersion >= 0)
-      updateMatchingInternal(spark, dir, matchKeys, keys, assignments,
-        expectedVersion)
-    else retryOnRace("updateMatching on " + dir)(
-      updateMatchingInternal(spark, dir, matchKeys, keys, assignments,
-        -1))
+      expectedVersion: Int = -1): UpdateResult = {
+    require(keys.nonEmpty, "updateMatching needs at least one key column")
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    keys.foreach(k => require(matchKeys.columns.contains(k),
+      s"match key '$k' is not a column: ${matchKeys.columns.toSeq}"))
+    // pinned ABOVE the retry loop, same reason as [[deleteMatching]]:
+    // the footprint probes, the update join and every lost-CAS retry
+    // must see the SAME rows of a possibly-nondeterministic key
+    // frame (see [[pinKeys]])
+    val src = pinKeys(
+      matchKeys.select(keys.map(col): _*).na.drop(keys).distinct())
+    try {
+      if (expectedVersion >= 0)
+        updateMatchingInternal(spark, dir, src, keys, assignments,
+          expectedVersion)
+      else retryOnRace("updateMatching on " + dir)(
+        updateMatchingInternal(spark, dir, src, keys, assignments,
+          -1))
+    } finally src.unpersist()
+  }
 
+  /** `matchKeys` is already key-projected, NULL-dropped, distinct
+    * and PINNED by the caller ([[pinKeys]]), in the CALLER's key
+    * spelling (canonicalized here against the table schema). */
   private def updateMatchingInternal(spark: SparkSession, dir: String,
       matchKeys: DataFrame, keys: Seq[String],
       assignments: Seq[(String, Column)],
       expectedVersion: Int): UpdateResult = {
-    require(keys.nonEmpty, "updateMatching needs at least one key column")
-    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     val (fs, root) = fsFor(spark, dir)
     val base = if (expectedVersion >= 0) expectedVersion
     else currentVersion(spark, dir).getOrElse(
@@ -4200,16 +4284,22 @@ object Snapshots {
         s"updateMatching column '$c' is not a column of $dir: " +
           s"${cols.fieldNames.toSeq}")
     }
-    keys.foreach(k => require(matchKeys.columns.contains(k),
-      s"match key '$k' is not a column: ${matchKeys.columns.toSeq}"))
     require(!cols.fieldNames.exists(_.equalsIgnoreCase("__upd_mark")),
       "updateMatching reserves the __upd_mark column name")
     val assigned = assignments.map { case (c, v) =>
       byName(c.toLowerCase).name -> v
     }.toMap
     val canonKeys = keys.map(k => byName(k.toLowerCase).name)
-    val src = matchKeys.select(keys.map(col): _*).toDF(canonKeys: _*)
-      .na.drop(canonKeys).distinct()
+    // metadata-only rename over the PINNED frame — rows untouched
+    val src = matchKeys.toDF(canonKeys: _*)
+    updateMatchingPinned(spark, dir, src, canonKeys, assigned, cols,
+      base, fs, root)
+  }
+
+  private def updateMatchingPinned(spark: SparkSession, dir: String,
+      src: DataFrame, canonKeys: Seq[String],
+      assigned: Map[String, Column], cols: StructType, base: Int,
+      fs: FileSystem, root: HPath): UpdateResult = {
     val (mayMatch, untouched) = keyFootprint(src, canonKeys) match {
       case None => (Nil, readManifest(fs, root, base))
       case Some(pred) => pruneFiles(spark, dir, pred, base)
@@ -5191,9 +5281,23 @@ object Snapshots {
     try {
       val d = new HPath(root, ConsumersDir)
       fs.mkdirs(d)
-      val out = fs.create(new HPath(d, id), true)
+      // write-temp-then-rename: a reader (the vacuum floor listing)
+      // must always see a COMPLETE marker — an in-place truncating
+      // create exposes a window where the guard reads a half-written
+      // file, parses it to None and proceeds to drop versions a live
+      // stream still needs
+      val tmp = new HPath(d, s".$id.tmp${System.nanoTime()}")
+      val out = fs.create(tmp, true)
       try out.write(s"$version\t${enc(note)}".getBytes("UTF-8"))
       finally out.close()
+      val dst = new HPath(d, id)
+      if (!fs.rename(tmp, dst)) {
+        // filesystem without overwriting rename: delete-then-rename
+        // shrinks the race to a gap between two metadata ops (and a
+        // missing marker at worst weakens THIS consumer's guard once)
+        fs.delete(dst, false)
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
@@ -5212,7 +5316,11 @@ object Snapshots {
     val (fs, root) = fsFor(spark, dir)
     val d = new HPath(root, ConsumersDir)
     if (!fs.exists(d)) return Nil
-    fs.listStatus(d).filter(_.isFile).toSeq.flatMap { st =>
+    // dot-prefixed names are in-flight temp markers ([[recordConsumerFloor]]
+    // writes `.id.tmp*` then renames) — a crash-orphaned temp must not
+    // become a phantom floor that blocks vacuum forever
+    fs.listStatus(d).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith(".")).toSeq.flatMap { st =>
       val in = fs.open(st.getPath)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8")
         .mkString.trim finally in.close()

@@ -56,22 +56,55 @@ object TextQueries {
     * (the bench warms one SF and times another); both frames are
     * O(pairs)/O(docs) key-only projections — small at any corpus
     * scale, and spill-safe if not. */
-  // Caches assume the fixture tables under a dir are IMMUTABLE for
-  // the life of a session (true for the driver's testdata and the
-  // bench). Entries are keyed by dir and invalidated when a DIFFERENT
-  // SparkSession asks (a stopped session's persisted frame is dead).
+  // Entries are keyed by dir and VALIDATED on every access against a
+  // content signature of the documents files (name/length/mtime
+  // listing): a dir whose documents table changes mid-session rebuilds
+  // instead of serving stale pairs/clusters, and the replaced frame is
+  // unpersisted. A DIFFERENT SparkSession also rebuilds (a stopped
+  // session's persisted frame is dead). The listing is one local
+  // metadata call per query — noise next to the queries themselves.
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+      (org.apache.spark.sql.SparkSession, String,
+        org.apache.spark.sql.DataFrame)]()
+
+  /** (name, length, mtime) listing of `dir/documents.parquet`, hashed. */
+  private def docSignature(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    try {
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def walk(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.sortBy(_.getPath.getName)
+            .flatMap(walk)
+        else Seq(
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      walk(fs.getFileStatus(p)).mkString("|")
+    } catch { case scala.util.control.NonFatal(_) => "absent" }
+  }
 
   private def cached(
       cache: java.util.concurrent.ConcurrentHashMap[String,
-        (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)],
+        (org.apache.spark.sql.SparkSession, String,
+          org.apache.spark.sql.DataFrame)],
       s: org.apache.spark.sql.SparkSession, dir: String)(
       build: => org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
+      : org.apache.spark.sql.DataFrame = {
+    val sig = docSignature(s, dir)
     cache.compute(dir, (_, prev) =>
-      if (prev != null && (prev._1 eq s)) prev else (s, build.persist()))._2
+      if (prev != null && (prev._1 eq s) && prev._2 == sig) prev
+      else {
+        if (prev != null && (prev._1 eq s)) {
+          // same session, changed files: the cached PLAN in Tables
+          // pins its file listing too — drop both, unpersist ours
+          try prev._3.unpersist()
+          catch { case scala.util.control.NonFatal(_) => () }
+          Tables.invalidate(s, dir, "documents")
+        }
+        (s, sig, build.persist())
+      })._3
+  }
 
   private def verifiedPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
@@ -81,7 +114,8 @@ object TextQueries {
 
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]()
+      (org.apache.spark.sql.SparkSession, String,
+        org.apache.spark.sql.DataFrame)]()
   private def minhashClusters(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     cached(clusterCache, s, dir)(

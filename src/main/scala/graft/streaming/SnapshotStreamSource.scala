@@ -562,6 +562,15 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext,
   // exactly the offset this run replays from (the sizing base file
   // may be AHEAD of the committed offset and must not be trusted)
   Snapshots.consumerFloors(spark, dir).find(_.id == consumerId) match {
+    case Some(f) if math.max(startVersion, 0) < f.version =>
+      // a checkpoint re-created at the same metadataPath with an
+      // EARLIER startVersion (the old one deleted): adopting the
+      // stale higher marker would leave this run's replay base
+      // unprotected from vacuum. Lowering is always safe — the floor
+      // only widens retention — and the next commit raises it back.
+      Snapshots.recordConsumerFloor(spark, dir, consumerId,
+        math.max(startVersion, 0), metadataPath)
+      lastFloor = math.max(startVersion, 0)
     case Some(f) => lastFloor = f.version
     case None => recordFloor(math.max(startVersion, 0))
   }

@@ -548,4 +548,41 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(Snapshots.vacuum(spark, table, keepVersions = 1)._1 == 1)
     assert(Snapshots.versions(spark, table) == Seq(2))
   }
+
+  test("a checkpoint re-created at the same path with an earlier " +
+      "start LOWERS a stale floor; orphaned temp markers are not floors") {
+    val base = Files.createTempDirectory("snap-floor-lower")
+    val table = s"$base/t"; val meta = s"$base/ckpt/sources/0"
+    (1 to 4).foreach(i =>
+      Snapshots.append(Seq((i.toLong, 1.0)).toDF("k", "v"), table))
+    val provider = new graft.streaming.SnapshotSourceProvider()
+    // source CONSTRUCTION is what records/adopts the floor — no
+    // batches need to run to observe the adoption rule
+    def mk(sv: Int): Unit = {
+      provider.createSource(spark.sqlContext, meta, None,
+        "graft-snapshots",
+        Map("path" -> table, "startingVersion" -> sv.toString))
+      ()
+    }
+    def floors = Snapshots.consumerFloors(spark, table).map(_.version)
+    mk(3) // fresh query: its replay base v3 is the floor
+    assert(floors == Seq(3))
+    // operator error: checkpoint deleted, re-created at the SAME
+    // metadataPath from startingVersion 1 — adopting the stale floor
+    // (3) would leave this run's replay base v1..v3 unprotected from
+    // vacuum. Construction must LOWER the marker.
+    mk(1)
+    assert(floors == Seq(1), s"stale floor survived: $floors")
+    // a restart whose start sits at-or-above the marker ADOPTS it
+    // (the marker is the committed replay base; the sizing start may
+    // be ahead of it and must not raise the floor)
+    mk(2)
+    assert(floors == Seq(1))
+    // a crash-orphaned in-flight temp marker is NOT a floor
+    val tmp = new java.io.File(s"$table/_consumers/.deadbeef.tmp42")
+    java.nio.file.Files.write(tmp.toPath, "0\t".getBytes("UTF-8"))
+    assert(Snapshots.consumerFloors(spark, table).map(_.id)
+      .forall(!_.startsWith(".")), "temp marker listed as a floor")
+    assert(floors == Seq(1))
+  }
 }
