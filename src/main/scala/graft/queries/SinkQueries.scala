@@ -1490,6 +1490,23 @@ object SinkQueries {
           WHERE o_orderkey IN (SELECT b.o_orderkey FROM s46_base b
             WHERE b.o_custkey = t.o_custkey AND b.o_orderkey % 5 = 0
               AND b.o_orderkey BETWEEN 50000 AND 58000)""")
+        // ANTI shapes (round 11) — these sweep the whole key space by
+        // their semantics ("every row with NO match"), so the rewrite
+        // is intrinsically full-range, like s41's retention sweep
+        // correlated NOT EXISTS: double the price of rows whose base
+        // custkey class has no qualifying match
+        s.sql("""UPDATE g46.default.t t
+          SET o_totalprice = o_totalprice * 2.0
+          WHERE NOT EXISTS (SELECT 1 FROM s46_base b
+            WHERE b.o_orderkey = t.o_orderkey
+              AND b.o_custkey % 13 != 5)""")
+        // correlated NOT IN: per-custkey comparison set of even
+        // orderkeys; prior-statement custkey changes (+1000000) give
+        // some rows an EMPTY set — NOT IN over empty is TRUE
+        s.sql("""UPDATE g46.default.t t SET o_custkey = o_custkey - 500000
+          WHERE o_orderkey NOT IN (
+            SELECT b.o_orderkey FROM s46_base b
+            WHERE b.o_custkey = t.o_custkey AND b.o_orderkey % 2 = 0)""")
         s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
           FROM g46.default.t ORDER BY o_orderkey""")
       },
@@ -1505,13 +1522,25 @@ object SinkQueries {
         |    CASE WHEN o_custkey % 11 = 3
         |              AND o_orderkey BETWEEN 20000 AND 28000
         |         THEN -o_totalprice
-        |         ELSE o_totalprice END AS o_totalprice FROM p1)
+        |         ELSE o_totalprice END AS o_totalprice FROM p1),
+        |p3 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0
+        |              AND o_orderkey BETWEEN 50000 AND 58000
+        |         THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    o_totalprice FROM p2),
+        |p4 AS (
+        |  SELECT p3.o_orderkey, p3.o_custkey,
+        |    CASE WHEN base.o_custkey % 13 = 5
+        |         THEN p3.o_totalprice * 2.0
+        |         ELSE p3.o_totalprice END AS o_totalprice
+        |  FROM p3 JOIN base USING (o_orderkey))
         |SELECT o_orderkey,
-        |  CASE WHEN o_orderkey % 5 = 0
-        |            AND o_orderkey BETWEEN 50000 AND 58000
-        |       THEN o_custkey + 1000000
+        |  CASE WHEN o_custkey >= 1000000 OR o_orderkey % 2 = 1
+        |       THEN o_custkey - 500000
         |       ELSE o_custkey END AS o_custkey,
         |  o_totalprice
-        |FROM p2 ORDER BY o_orderkey""".stripMargin)
+        |FROM p4 ORDER BY o_orderkey""".stripMargin)
   )
 }

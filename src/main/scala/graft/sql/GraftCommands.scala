@@ -450,6 +450,69 @@ final case class GraftUpdateCommand(dir: String, tableName: String,
             s"vs ${frame.columns.length} subquery columns")
         Snapshots.updateMatching(spark, dir, frame.toDF(names: _*),
           names, assigns)
+      // correlated NOT EXISTS standing alone — "touch up every row
+      // that has NO match": the ANTI twin of the EXISTS decomposition
+      // (target keys anti-join the subquery's residual frame →
+      // updateMatching), distributed at any cardinality — the same
+      // week-one CDC statement as DELETE's retention sweep
+      case Some(Not(ex: Exists)) if ex.getOuterAttrs.nonEmpty =>
+        GraftDml.equalityCorrelationFrame(spark, ex.plan, Nil) match {
+          case Some((frame0, names)) =>
+            // pin the subquery frame: the anti-join (and a lost-CAS
+            // retry) must see the SAME rows even if the plan is
+            // nondeterministic
+            val frame = frame0.persist()
+            try antiUpdate(spark, frame, names, assigns)
+            finally frame.unpersist()
+          case None => refuseCorrelatedShape("NOT EXISTS")
+        }
+      // correlated single-column NOT IN: per correlation-key tuple,
+      // NOT IN over that key's value set with exact three-valued
+      // semantics — empty set updates, a NULL in the set keeps, a
+      // NULL value keeps (unless its set is empty, which refuses:
+      // key-addressed DML cannot express updating a NULL-keyed row)
+      case Some(Not(InSubquery(Seq(v: AttributeReference),
+          lq: ListQuery))) if lq.getOuterAttrs.nonEmpty =>
+        GraftDml.equalityCorrelationFrame(spark, lq.plan,
+          Seq(v.name)) match {
+          case Some((pairs0, names)) =>
+            // pinned: the per-key aggregate, the refusal probes and
+            // the anti-join must all see the SAME subquery rows
+            val pairs = pairs0.persist()
+            try antiUpdateNotIn(spark, pairs, names, v.name, assigns)
+            finally pairs.unpersist()
+          case None => refuseCorrelatedShape("NOT IN (subquery)")
+        }
+      // single-column NOT IN (subquery) standing alone, uncorrelated:
+      // exact three-valued semantics — an empty subquery updates
+      // everything (NULL keys included), any NULL in the subquery
+      // updates nothing, a NULL target key never updates (UNKNOWN)
+      case Some(Not(InSubquery(Seq(v: AttributeReference),
+          lq: ListQuery))) if lq.getOuterAttrs.isEmpty =>
+        val frame = GraftSparkBridge.ofRows(spark, lq.plan)
+        require(frame.columns.length == 1,
+          "NOT IN (subquery) arity mismatch: 1 key column vs " +
+            s"${frame.columns.length} subquery columns")
+        // pinned: the emptiness/NULL probe and the anti-join must see
+        // the SAME rows, and the probe is ONE aggregate pass
+        val keyed = frame.toDF(v.name).persist()
+        try {
+          import org.apache.spark.sql.functions.{col, count}
+          val r = keyed.agg(count(lit(1)).as("__n"),
+            count(col(v.name)).as("__nn")).head()
+          val n = r.getLong(0)
+          if (n == 0) {
+            // NOT IN over an EMPTY set is TRUE for every row, NULL
+            // keys included — a predicate update, no keys involved
+            if (GraftDml.useDv(spark))
+              Snapshots.updateWhereLight(spark, dir, lit(true), assigns)
+            else Snapshots.updateWhere(spark, dir, lit(true), assigns)
+          } else if (r.getLong(1) == n) {
+            antiUpdate(spark, keyed.distinct(), Seq(v.name), assigns,
+              nullMatchless = false)
+          } // else: a NULL in the subquery — no row's NOT IN is
+            // TRUE; the update is a no-op and commits nothing
+        } finally keyed.unpersist()
       case other =>
         val pred = other
           .map(c => GraftDml.toColumn(
@@ -462,13 +525,100 @@ final case class GraftUpdateCommand(dir: String, tableName: String,
     Seq.empty
   }
 
+  /** Update the target rows whose `names` tuple has NO match in
+    * `frame` — the distributed ANTI complement of the key-frame
+    * update (target keys anti-join the frame, then
+    * [[Snapshots.updateMatching]]). `nullMatchless=true` (NOT EXISTS)
+    * means the semantics DO select NULL-keyed target rows (a NULL
+    * equality never matches, so NOT EXISTS holds) — key-addressed DML
+    * cannot express their update, so it refuses loudly; NOT IN
+    * passes false (a NULL key compares UNKNOWN and is kept). The key
+    * set is computed against the pinned version the commit CASes on;
+    * a lost race recomputes against the new version. */
+  private def antiUpdate(spark: SparkSession, frame: DataFrame,
+      names: Seq[String], assigns: Seq[(String, Column)],
+      nullMatchless: Boolean = true): Unit =
+    Snapshots.retryPinned(spark, dir,
+      s"UPDATE '$tableName' (anti-join)") { base =>
+      import org.apache.spark.sql.functions.col
+      val tgt = Snapshots.read(spark, dir, base)
+        .select(names.map(col): _*)
+      if (nullMatchless && tgt.filter(names.map(col(_).isNull)
+          .reduce(_ || _)).take(1).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"UPDATE '$tableName' WHERE NOT EXISTS selected a " +
+            "target row with a NULL correlation-key value — " +
+            "key-addressed DML cannot express it; UPDATE those " +
+            "rows with an IS NULL predicate first")
+      val ks = tgt.na.drop(names).distinct()
+        .join(frame, names, "left_anti")
+      Snapshots.updateMatching(spark, dir, ks, names, assigns,
+        expectedVersion = base)
+      ()
+    }
+
+  /** Correlated NOT IN for UPDATE — the exact three-valued
+    * decomposition of [[GraftDeleteCommand]]'s antiDeleteNotIn with
+    * [[Snapshots.updateMatching]] as the executor: empty set →
+    * update; NULL in set → keep; NULL value with non-empty set →
+    * keep; else update iff the (value, keys) tuple has no pair
+    * match. Rows the semantics WOULD update but key-addressed DML
+    * cannot express (NULL correlation key; NULL value whose set is
+    * empty) refuse loudly. */
+  private def antiUpdateNotIn(spark: SparkSession, pairs: DataFrame,
+      names: Seq[String], vName: String,
+      assigns: Seq[(String, Column)]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val corr = names.filterNot(_ == vName)
+    require(corr.nonEmpty, "correlated NOT IN lost its correlation")
+    require(!names.exists(n => n == "__nin_cnt" || n == "__nin_hasnull"),
+      "NOT IN decomposition reserves the __nin_ column prefix")
+    val sAgg = pairs.groupBy(corr.map(col): _*)
+      .agg(count(lit(1)).as("__nin_cnt"),
+        max(col(vName).isNull.cast("int")).as("__nin_hasnull"))
+    Snapshots.retryPinned(spark, dir,
+      s"UPDATE '$tableName' (NOT IN)") { base =>
+      val tgt = Snapshots.read(spark, dir, base)
+        .select(names.map(col): _*).distinct()
+      if (tgt.filter(corr.map(col(_).isNull).reduce(_ || _))
+          .take(1).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"UPDATE '$tableName' WHERE ... NOT IN (correlated " +
+            "subquery) selected a target row with a NULL " +
+            "correlation-key value (its comparison set is empty, so " +
+            "NOT IN is TRUE) — key-addressed DML cannot express it; " +
+            "UPDATE those rows with an IS NULL predicate first")
+      val j = tgt.join(sAgg, corr, "left")
+      if (j.filter(col(vName).isNull && col("__nin_cnt").isNull)
+          .take(1).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"UPDATE '$tableName' WHERE ... NOT IN (correlated " +
+            "subquery) selected a target row with a NULL value and " +
+            "an empty comparison set (NOT IN over the empty set is " +
+            "TRUE) — key-addressed DML cannot express it; UPDATE " +
+            "those rows with an IS NULL predicate first")
+      val emptySet = j.filter(col("__nin_cnt").isNull &&
+        col(vName).isNotNull).select(names.map(col): _*)
+      val noMatch = j.filter(col("__nin_cnt").isNotNull &&
+          col("__nin_hasnull") === 0 && col(vName).isNotNull)
+        .select(names.map(col): _*)
+        .join(pairs, names, "left_anti")
+      Snapshots.updateMatching(spark, dir,
+        emptySet.unionByName(noMatch), names, assigns,
+        expectedVersion = base)
+      ()
+    }
+  }
+
   private def refuseCorrelatedShape(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"UPDATE '$tableName' WHERE $what: only a standing-alone " +
         "subquery whose correlation is a conjunction of `inner = " +
         "outer` column equalities in its WHERE clause is supported " +
-        "(it runs as a distributed key-frame update); otherwise " +
-        "materialize the correlation as a source table and MERGE")
+        "(it runs as a distributed key-frame update — EXISTS/IN as " +
+        "the matching keys, NOT EXISTS as their anti complement); " +
+        "otherwise materialize the correlation as a source table " +
+        "and MERGE")
 }
 
 /** `MERGE INTO graft.db.t USING s ON t.k = s.k WHEN MATCHED THEN

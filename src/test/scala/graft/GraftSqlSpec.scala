@@ -435,6 +435,83 @@ class GraftSqlSpec extends SparkSpec {
       .head().getLong(0) == 0)
   }
 
+  test("UPDATE WHERE NOT EXISTS / NOT IN route to the distributed " +
+      "anti key-frame update") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.ucor (id BIGINT, grp BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO gs.default.ucor
+      SELECT id, id % 3, id * 1.0 FROM range(30)""")
+    spark.sql("SELECT id * 2 AS rid, id % 3 AS rgrp FROM range(15)")
+      .createOrReplaceTempView("ucor_src")
+    // NOT EXISTS — "touch up every row with NO match": odd ids have
+    // no rid and get the flag
+    spark.sql("""UPDATE gs.default.ucor t SET v = -1.0 WHERE NOT EXISTS (
+      SELECT 1 FROM ucor_src s WHERE s.rid = t.id)""")
+    val rids = (0L until 15L).map(_ * 2).toSet
+    assert(spark.sql("SELECT id FROM gs.default.ucor WHERE v = -1.0")
+      .as[Long].collect().toSet == (0L until 30L).filterNot(rids).toSet)
+    // correlated NOT IN: the comparison set is PER correlation key
+    // (grp) — update rows whose id is absent from their group's rids
+    spark.sql("""UPDATE gs.default.ucor t SET v = -2.0 WHERE id NOT IN (
+      SELECT s.rid FROM ucor_src s WHERE s.rgrp = t.grp)""")
+    val keptNi = (0L until 30L).filter { id =>
+      (0L until 15L).exists(i => i % 3 == id % 3 && i * 2 == id)
+    }.toSet
+    assert(spark.sql("SELECT id FROM gs.default.ucor WHERE v = -2.0")
+      .as[Long].collect().toSet == (0L until 30L).filterNot(keptNi).toSet)
+    // uncorrelated NOT IN, clean subquery: complement update
+    spark.sql("""UPDATE gs.default.ucor SET v = -3.0
+      WHERE id NOT IN (SELECT rid FROM ucor_src WHERE rid <= 10)""")
+    assert(spark.sql("SELECT id FROM gs.default.ucor WHERE v = -3.0")
+      .as[Long].collect().toSet ==
+      (0L until 30L).filterNot(Set(0L, 2L, 4L, 6L, 8L, 10L)).toSet)
+    // a NULL in the subquery: no row's NOT IN is TRUE — a no-op that
+    // commits nothing (version unchanged)
+    val vBefore = Snapshots.versions(spark, dirOf("default", "ucor")).max
+    spark.sql("""SELECT CASE WHEN id = 3 THEN NULL ELSE id END AS nid
+      FROM range(5)""").createOrReplaceTempView("ucor_null")
+    spark.sql("""UPDATE gs.default.ucor SET v = -4.0
+      WHERE id NOT IN (SELECT nid FROM ucor_null)""")
+    assert(spark.sql("SELECT count(*) FROM gs.default.ucor WHERE v = -4.0")
+      .head().getLong(0) == 0)
+    assert(Snapshots.versions(spark, dirOf("default", "ucor")).max ==
+      vBefore)
+    // NOT IN over an EMPTY subquery is TRUE for every row — the
+    // predicate update, no keys involved
+    spark.sql("""UPDATE gs.default.ucor SET v = -5.0
+      WHERE id NOT IN (SELECT rid FROM ucor_src WHERE rid < 0)""")
+    assert(spark.sql("SELECT count(*) FROM gs.default.ucor WHERE v = -5.0")
+      .head().getLong(0) == 30)
+    // non-equality correlation refuses with the anti shape named
+    val e = intercept[Exception] {
+      spark.sql("""UPDATE gs.default.ucor t SET v = 0.0 WHERE NOT EXISTS (
+        SELECT 1 FROM ucor_src s WHERE s.rid > t.id)""")
+    }
+    assert(e.getMessage.contains("column equalities"), e.getMessage)
+  }
+
+  test("UPDATE NOT EXISTS refuses NULL correlation keys loudly") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.uneg (id BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO gs.default.uneg
+      SELECT CASE WHEN id = 7 THEN NULL ELSE id END, id * 1.0
+      FROM range(10)""")
+    spark.sql("SELECT id * 2 AS rid FROM range(10)")
+      .createOrReplaceTempView("uneg_src")
+    // a NULL-keyed target row satisfies NOT EXISTS but key-addressed
+    // DML cannot update it — loud refusal with the remedy named
+    val e = intercept[Exception] {
+      spark.sql("""UPDATE gs.default.uneg t SET v = -1.0 WHERE NOT EXISTS (
+        SELECT 1 FROM uneg_src s WHERE s.rid = t.id)""")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    spark.sql("DELETE FROM gs.default.uneg WHERE id IS NULL")
+    spark.sql("""UPDATE gs.default.uneg t SET v = -1.0 WHERE NOT EXISTS (
+      SELECT 1 FROM uneg_src s WHERE s.rid = t.id)""")
+    assert(spark.sql("SELECT id FROM gs.default.uneg WHERE v = -1.0")
+      .as[Long].collect().toSet == Set(1L, 3L, 5L, 9L))
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION widens the schema metadata-only") {
     warehouse
     spark.sql("CREATE TABLE gs.default.mse (id BIGINT, v DOUBLE)")
