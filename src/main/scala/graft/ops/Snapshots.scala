@@ -2758,6 +2758,81 @@ object Snapshots {
     }
   }
 
+  /** Total LIVE data bytes of `version` (current when -1, 0 when the
+    * table is empty): commit-time recorded per-file sizes (`#size`
+    * manifest lines), each discounted by its deletion-vector'd row
+    * fraction. Approximate by design — it steers JOIN STRATEGY
+    * (auto-broadcast of small snapshot tables read through the v1
+    * relation, which otherwise reports `defaultSizeInBytes` =
+    * never-broadcast), not correctness. Pre-`#size` manifests fall
+    * back to one filesystem stat per unlisted file. */
+  def liveBytes(spark: SparkSession, dir: String,
+      version: Int = -1): Long = {
+    val (fs, root) = fsFor(spark, dir)
+    val vOpt = if (version >= 0) Some(version)
+    else currentVersion(spark, dir)
+    vOpt match {
+      case None => 0L
+      case Some(v) =>
+        val files = readManifest(fs, root, v)
+        if (files.isEmpty) return 0L
+        val sizes = sizesFor(fs, root, v)
+        val dv = dvFor(fs, root, v)
+        val stats = statsFor(fs, root, v)
+        files.iterator.map { f =>
+          val bytes = sizes.getOrElse(f,
+            try fs.getFileStatus(
+              new HPath(root, resolveForeign(fs, Seq(f)).head)).getLen
+            catch { case NonFatal(_) => 0L })
+          dv.get(f).flatMap { case (_, cnt) =>
+            stats.get(f).flatMap(_.headOption.map(_._2.rows))
+              .filter(_ > 0L)
+              .map(rows => bytes * math.max(0L, rows - cnt) / rows)
+          }.getOrElse(bytes)
+        }.sum
+    }
+  }
+
+  /** Upper-bound bytes a change feed over `(fromExclusive, to]` scans:
+    * per commit, the files added plus the files removed vs its
+    * predecessor (exactly the file set [[changeFeed]] may read —
+    * common files cancel scan-free). Same planning-only contract as
+    * [[liveBytes]]: approximate, steers join strategy. A file churned
+    * twice in-range counts twice — an over-estimate never plans a
+    * too-optimistic broadcast. */
+  def feedBytes(spark: SparkSession, dir: String, fromExclusive: Int,
+      to: Int): Long = {
+    val (fs, root) = fsFor(spark, dir)
+    // walk the RETAINED versions only (changeFeed does the same) —
+    // a vacuumed hole inside the range must not fail size estimation
+    // where the read itself succeeds; `to` < 0 means current. Sizes
+    // carry forward one step per iteration (each version's map is
+    // the next iteration's predecessor) — O(range), not O(range ×
+    // chain depth).
+    val lo = math.max(fromExclusive, 0)
+    val all = versions(spark, dir)
+    val hi = if (to >= 0) to else all.lastOption.getOrElse(return 0L)
+    val walk = all.filter(v => v > lo && v <= hi)
+    if (walk.isEmpty) return 0L
+    var prev: Set[String] =
+      if (lo == 0 || !all.contains(lo)) Set.empty
+      else readManifest(fs, root, lo).toSet
+    var prevSizes: Map[String, Long] =
+      if (lo == 0 || !all.contains(lo)) Map.empty
+      else sizesFor(fs, root, lo)
+    var total = 0L
+    walk.foreach { v =>
+      val cur = readManifest(fs, root, v).toSet
+      val sizes = sizesFor(fs, root, v)
+      ((cur -- prev).iterator.map(f => sizes.getOrElse(f, 0L)) ++
+        (prev -- cur).iterator.map(f => prevSizes.getOrElse(f, 0L)))
+        .foreach(total += _)
+      prev = cur
+      prevSizes = sizes
+    }
+    total
+  }
+
   /** CAS one manifest: true iff this writer won version `v`. */
   /** Route a manifest publication for `fs`'s scheme to the configured
     * [[CommitCoordinator]] — the storage-specific CAS. Rename-based by
@@ -3329,6 +3404,100 @@ object Snapshots {
     next
   }
 
+  /** Manifest property naming the version whose files are already
+    * clustered — [[optimizeIncremental]]'s debt ledger. */
+  private val OptimizeThroughProp = "graft.optimize.through"
+
+  /** Incremental whole-layout OPTIMIZE: re-cluster ONLY the files
+    * committed since the last optimize — the manifest property
+    * `graft.optimize.through` records the version whose file set was
+    * already clustered, and any current file NOT in that version's
+    * manifest is new debt (appends since, plus DML rewrites, whose
+    * layout the rewrite disturbed). The nightly maintenance loop on a
+    * 100 TB table pays O(new data since last optimize), never a
+    * full-table rewrite — [[optimize]] remains the one-time layout
+    * migration. Already-clustered files carry byte-identical by name;
+    * content is identical by construction; returns `base` untouched
+    * (no commit) when there is no debt. Falls back to a FULL
+    * clustering pass when no marker exists yet or the marker's
+    * manifest was vacuumed. OCC discipline of [[compact]].
+    *
+    * File-count note: total files grow with data BY DESIGN (a 100 TB
+    * table cannot hold 8 files); what must not accrete is overlapping
+    * MINI-layouts from many tiny debt sweeps. `minFileBytes > 0`
+    * consolidates: already-clustered files whose recorded size is
+    * below it re-cluster WITH the debt (one pass absorbs the runt
+    * files of earlier passes), while full-sized clustered files still
+    * carry by name — O(debt + runts), never O(table). */
+  def optimizeIncremental(spark: SparkSession, dir: String,
+      cols: Seq[String], numFiles: Int, bits: Int = 8,
+      expectedVersion: Int = -1, minFileBytes: Long = 0L): Int = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(cols.nonEmpty, "optimizeIncremental needs cluster columns")
+    val (fs, root) = fsFor(spark, dir)
+    val base = if (expectedVersion >= 0) expectedVersion
+    else currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"nothing to optimize in $dir"))
+    val props = propsOf(fs, root, base)
+    val clusteredSet: Option[Set[String]] =
+      props.get(OptimizeThroughProp).flatMap(_.toIntOption)
+        .filter(t => t >= 1 && t <= base)
+        .flatMap { t =>
+          try Some(readManifest(fs, root, t).toSet)
+          catch { case NonFatal(_) => None } // marker vacuumed: full
+        }
+    val cur = readManifest(fs, root, base)
+    val (untouched0, fresh0) = clusteredSet match {
+      case Some(old) => cur.partition(old.contains)
+      case None => (Seq.empty[String], cur) // first run: full layout
+    }
+    // runt consolidation: clustered files below minFileBytes join
+    // the rewrite so tiny debt sweeps cannot accrete mini-layouts
+    val (untouched, fresh) =
+      if (minFileBytes <= 0L) (untouched0, fresh0)
+      else {
+        val sz = sizesFor(fs, root, base)
+        val (runts, big) = untouched0.partition(f =>
+          sz.getOrElse(f, Long.MaxValue) < minFileBytes)
+        (big, fresh0 ++ runts)
+      }
+    if (fresh.isEmpty) return base // debt-free: no commit
+    val basePinned = schemaOf(fs, root, base)
+    val bloomCfg = bloomConfigOf(fs, root, base)
+    val rows = readFilesAs(spark, fs, root, base, fresh)
+    val staged = stage(Layout.cluster(rows, cols, bits, numFiles), fs,
+      root, basePinned.map(s =>
+        s.fields.map(f => f.name -> physOf(f)).toMap)
+        .getOrElse(Map.empty), bloomCfg, declaredAt = base)
+    val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
+    val droppedSet = droppedOf(fs, root, base)
+    val next = base + 1
+    // the marker advances to THIS commit: its file set (carried old
+    // layout + the files just clustered) is clustered by definition
+    val hdr = constraintHeader(constraintsOf(fs, root, base)) ++
+      propsHeader(props + (OptimizeThroughProp -> next.toString)) ++
+      opHeader("optimize-incremental")
+    val won =
+      if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
+        casManifest(fs, root, next, staged.files,
+          s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
+            schemaHeader(pinnedSchema) +:
+            (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++ hdr ++
+              fresh.map(f => s"#remove\t$f") ++ staged.stats))
+      else
+        casManifest(fs, root, next, untouched ++ staged.files,
+          schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
+            bloomHeader(bloomCfg) ++ hdr ++
+            dvLines(dvFor(fs, root, base), untouched.toSet) ++
+            statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
+    if (!won)
+      throw new java.util.ConcurrentModificationException(
+        s"optimizeIncremental on $dir@v$base lost the commit race — " +
+          "re-run maintenance when the table is quiescent")
+    next
+  }
+
   // ---- bucketed layout commits --------------------------------------
   //
   // [[optimize]] solves the SCAN problem (narrow per-file ranges →
@@ -3615,20 +3784,63 @@ object Snapshots {
       case Some(v) =>
         val (fs, root) = fsFor(spark, dir)
         val table = read(spark, dir, v)
-        require(table.columns.sorted.sameElements(source.columns.sorted),
-          s"merge source columns ${source.columns.toSeq} != table " +
-            s"columns ${table.columns.toSeq}")
+        // opt-in writer-side schema evolution (the Delta
+        // mergeSchema/autoMerge knob): EXTRA source columns evolve
+        // the schema additively in the SAME commit as the data
+        // ([[evolveSchema]] — type conflicts and name resurrections
+        // still refuse loudly); table columns the source LACKS are
+        // written NULL on the source-provided rows. NOTE the
+        // replace-by-key contract: a matched row is replaced by its
+        // source row ENTIRELY, so a lacking column reads NULL on
+        // replaced rows too — callers that want SQL MERGE's
+        // per-column `UPDATE SET` use the SQL surface.
+        val autoMerge = spark.conf.getOption(
+          "spark.graft.write.mergeSchema").exists(_.toBoolean)
+        if (!autoMerge)
+          require(table.columns.sorted.sameElements(source.columns.sorted),
+            s"merge source columns ${source.columns.toSeq} != table " +
+              s"columns ${table.columns.toSeq} — set " +
+              "spark.graft.write.mergeSchema=true to evolve additively")
+        val srcAligned =
+          if (!autoMerge)
+            source.select(table.columns.map(source.col).toSeq: _*)
+          else {
+            val bySrcLower = source.schema.fields
+              .map(f => f.name.toLowerCase -> f).toMap
+            val tblLower = table.columns.map(_.toLowerCase).toSet
+            val shared = table.schema.fields.toSeq.map { f =>
+              bySrcLower.get(f.name.toLowerCase) match {
+                case Some(sf) =>
+                  // refuse type drift BEFORE any data stages — the
+                  // union below would otherwise silently coerce
+                  require(sf.dataType == f.dataType,
+                    s"schema conflict on column '${f.name}' of $dir: " +
+                      s"table has ${f.dataType.sql}, merge source has " +
+                      s"${sf.dataType.sql} — type changes require an " +
+                      "explicit overwrite")
+                  source.col(sf.name).as(f.name)
+                case None => lit(null).cast(f.dataType).as(f.name)
+              }
+            }
+            val extra = source.schema.fields.toSeq
+              .filterNot(f => tblLower.contains(f.name.toLowerCase))
+              .map(f => source.col(f.name))
+            source.select(shared ++ extra: _*)
+          }
         // pinned per CAS attempt (the Delta materialize-source
         // rule): the dup probe, constraint probes, key footprint,
         // the retiring anti-join and the staged union are
         // INDEPENDENT executions of this plan — a nondeterministic
         // source must yield ONE row set across all of them
         // (see [[pinKeys]])
-        val src = pinKeys(
-          source.select(table.columns.map(source.col).toSeq: _*))
+        val src = pinKeys(srcAligned)
         var pinnedMut: DataFrame = null
         try {
-        keys.foreach(k => require(src.columns.contains(k),
+        // case-INSENSITIVE, like Spark's own column resolution: the
+        // evolving path re-aliases shared columns to the TABLE's
+        // casing, and a caller-cased key must keep working either way
+        keys.foreach(k => require(
+          src.columns.exists(_.equalsIgnoreCase(k)),
           s"merge key '$k' is not a column: ${src.columns.toSeq}"))
         tombstones.foreach(t => keys.foreach(k =>
           require(t.columns.contains(k),
@@ -3687,14 +3899,24 @@ object Snapshots {
           else readFilesAs(spark, fs, root, v, touched)
         val rewritten = touchedRows
           .join(mutKeys, keys, "left_anti")
-          .unionByName(src)
+          // evolving merges append the NEW columns after the table's
+          // (rewritten table rows read NULL there, like pre-evolution
+          // files do) — exactly evolveSchema's shape
+          .unionByName(src, allowMissingColumns = autoMerge)
         val basePinned = schemaOf(fs, root, v)
         val bloomCfg = bloomConfigOf(fs, root, v)
         val staged = stage(rewritten, fs, root,
           basePinned.map(s => s.fields.map(f => f.name -> physOf(f)).toMap)
             .getOrElse(Map.empty), bloomCfg, declaredAt = v)
-        val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
         val droppedSet = droppedOf(fs, root, v)
+        val pinnedSchema =
+          if (autoMerge)
+            // schema + data land as ONE commit: the staged frame's
+            // schema (physicals attached by stage) evolves the base's
+            // pinned schema additively, conflicts throw pre-commit
+            evolveSchema(basePinned.getOrElse(allNullable(table.schema)),
+              staged.schema, dir, droppedSet)
+          else basePinned.getOrElse(allNullable(staged.schema))
         val opName = if (tombstones.isDefined) "merge-mixed" else "merge"
         val next = v + 1
         // delta commit when the chain allows: the touched files become
@@ -4576,7 +4798,8 @@ object Snapshots {
     * construction (every writer of these tags in this library
     * guarantees it) — the change feed skips them scan-free. */
   private val ContentIdenticalOps = Set("compact", "optimize",
-    "optimize-where", "optimize-bucketed", "dv-fold", "bloom-index")
+    "optimize-where", "optimize-bucketed", "optimize-incremental",
+    "dv-fold", "bloom-index")
 
   /** Op tags whose commits mutate ONLY by accreting deletion vectors
     * (plus possibly appending image files) — every writer guarantees
@@ -5154,19 +5377,26 @@ object Snapshots {
     val compacted = currentVersion(spark, dir).flatMap { v =>
       if (readManifest(fs, root, v).size > maxFiles) {
         val cluster = clusterColumns(spark, dir)
-        if (cluster.nonEmpty)
-          // multi-key Z-order, or pure range layout for one key
-          Some(optimize(spark, dir, cluster, targetFiles,
-            expectedVersion = v))
-        else Some(compact(spark, dir, targetFiles, expectedVersion = v))
+        if (cluster.nonEmpty) {
+          // multi-key Z-order, or pure range layout for one key —
+          // INCREMENTAL: only the files committed since the last
+          // optimize re-cluster (the first pass lays out the whole
+          // table and plants the marker); the nightly loop pays
+          // O(new debt), never O(table)
+          val r = optimizeIncremental(spark, dir, cluster, targetFiles,
+            expectedVersion = v)
+          if (r == v) None else Some(r)
+        } else Some(compact(spark, dir, targetFiles, expectedVersion = v))
       } else None
     }
-    // a compact/optimize above already retired every vector; otherwise
-    // fold only the over-threshold files — trickle-DML debt retired at
-    // O(debt) cost, not O(table)
+    // fold over-threshold deletion vectors — trickle-DML debt retired
+    // at O(debt) cost, not O(table). Runs even after the clustering
+    // pass above: an INCREMENTAL optimize carries already-clustered
+    // files untouched, vectors included (only a full compact retires
+    // them all); folding files the pass just rewrote is a free no-op
+    // (their vectors are gone, nothing crosses the threshold)
     val folded =
-      if (compacted.nonEmpty) 0
-      else foldDeletionVectors(spark, dir, dvFoldFraction).foldedFiles
+      foldDeletionVectors(spark, dir, dvFoldFraction).foldedFiles
     // automated maintenance CLIPS to the consumer floors instead of
     // refusing: a lagging checkpointed stream widens retention (the
     // graceful degradation), never turns the nightly job into an

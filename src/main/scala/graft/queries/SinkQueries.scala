@@ -1456,6 +1456,63 @@ object SinkQueries {
     // The oracle replays each statement's effect from the source
     // predicates (o_orderkey is unique in orders, so the correlated
     // shapes reduce to per-row conditions).
+    QueryDef("s47_merge_evolution",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s47_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val cust = Tables.customer(s, dir)
+        Snapshots.append(cust.select("c_custkey", "c_acctbal")
+          .filter(col("c_custkey") <= 1500), root)
+        try {
+          s.conf.set("spark.graft.write.mergeSchema", "true")
+          // WIDER source: the extra `seg` column evolves the schema
+          // in the SAME commit as the upserted rows
+          Snapshots.merge(s, root,
+            cust.filter(col("c_custkey") <= 1500 &&
+                pmod(col("c_custkey"), lit(3)) === 0)
+              .select(col("c_custkey"),
+                (col("c_acctbal") + 1000.0).as("c_acctbal"),
+                col("c_mktsegment").as("seg")),
+            Seq("c_custkey"))
+          // NARROWER source mid-history: the lacking `seg` writes
+          // NULL on the replaced/inserted rows (replace-by-key)
+          Snapshots.merge(s, root,
+            cust.filter(col("c_custkey").between(1400, 1600))
+              .select(col("c_custkey"), lit(0.0).cast("double")
+                .as("c_acctbal")),
+            Seq("c_custkey"))
+        } finally s.conf.unset("spark.graft.write.mergeSchema")
+        Snapshots.read(s, root)
+          .select(col("c_custkey"),
+            col("c_acctbal").cast("double").as("c_acctbal"), col("seg"))
+          .orderBy("c_custkey")
+      },
+      """WITH base AS (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_custkey <= 1500),
+        |m1 AS (
+        |  SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal,
+        |    c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey <= 1500 AND c_custkey % 3 = 0),
+        |s1 AS (
+        |  SELECT b.c_custkey,
+        |    COALESCE(m1.c_acctbal, b.c_acctbal) AS c_acctbal,
+        |    m1.seg AS seg
+        |  FROM base b LEFT JOIN m1 USING (c_custkey)),
+        |m2 AS (SELECT c_custkey FROM customer
+        |  WHERE c_custkey BETWEEN 1400 AND 1600),
+        |s2 AS (
+        |  SELECT COALESCE(s1.c_custkey, m2.c_custkey) AS c_custkey,
+        |    CASE WHEN m2.c_custkey IS NOT NULL THEN 0.0
+        |         ELSE s1.c_acctbal END AS c_acctbal,
+        |    CASE WHEN m2.c_custkey IS NOT NULL THEN NULL
+        |         ELSE s1.seg END AS seg
+        |  FROM s1 FULL OUTER JOIN m2 ON s1.c_custkey = m2.c_custkey)
+        |SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, seg
+        |FROM s2 ORDER BY c_custkey""".stripMargin),
     QueryDef("s46_update_matching",
       (s, dir) => {
         val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s46_wh_" +

@@ -122,6 +122,17 @@ private[sql] object GraftProcedures {
         oneRow(s, Seq("version"), Seq(v))
       }),
 
+    new Proc("optimize_incremental",
+      Seq(p("table", StringType), p("zorder_by", StringType),
+        pd("num_files", IntegerType, "8"), pd("bits", IntegerType, "8"),
+        pd("min_file_bytes", LongType, "0")),
+      (s, in) => {
+        val v = Snapshots.optimizeIncremental(s, dirOf(str(in, 0)),
+          csv(in, 1), in.getInt(2), in.getInt(3),
+          minFileBytes = in.getLong(4))
+        oneRow(s, Seq("version"), Seq(v))
+      }),
+
     new Proc("compact",
       Seq(p("table", StringType), pd("num_files", IntegerType, "8")),
       (s, in) => {
@@ -226,10 +237,13 @@ private[sql] object GraftProcedures {
         val meta = Snapshots.aggregateFromManifest(s, dir, Nil)
         oneRow(s,
           Seq("location", "version", "n_versions_retained", "n_files",
-            "n_rows_meta", "cluster_columns", "constraints", "properties"),
+            "size_bytes", "n_rows_meta", "cluster_columns",
+            "optimized_through", "constraints", "properties"),
           Seq(dir, v, Snapshots.versions(s, dir).size, files.length,
+            Snapshots.liveBytes(s, dir, v),
             meta.map(_.head().getLong(0)).getOrElse(-1L),
             Snapshots.clusterColumns(s, dir).mkString(","),
+            props.getOrElse("graft.optimize.through", ""),
             Snapshots.constraints(s, dir).toSeq.sorted
               .map { case (n, e) => s"$n: $e" }.mkString("; "),
             props.toSeq.sorted.map { case (k, pv) => s"$k=$pv" }

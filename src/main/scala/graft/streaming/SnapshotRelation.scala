@@ -39,6 +39,17 @@ private[graft] class SnapshotRelation(val sqlContext: SQLContext,
 
   override val schema: StructType = Snapshots.read(spark, dir, version).schema
 
+  // manifest-recorded live bytes (DV fraction discounted): without
+  // this override Catalyst sees defaultSizeInBytes (Long.MaxValue)
+  // and a SMALL dimension table read via format("graft-snapshots")
+  // joins a big fact by sort-merge instead of broadcast. A def, not
+  // a cached val: a version = -1 relation scans the CURRENT version
+  // per buildScan, so a long-lived DataFrame over a growing table
+  // must re-price too (Catalyst caches per-plan stats above this —
+  // each call is one manifest walk, metadata-cheap).
+  override def sizeInBytes: Long =
+    math.max(1L, Snapshots.liveBytes(spark, dir, version))
+
   // pruning may read fewer FILES but never fewer matching rows; Spark
   // re-applies every filter above the scan, so partial translation of
   // a filter tree is always safe
@@ -152,6 +163,15 @@ private[streaming] class ChangeFeedRelation(val sqlContext: SQLContext,
       startingVersion - 1, endingVersion)
 
   override def schema: StructType = feed.schema
+
+  // upper bound on the bytes this feed can scan (files added/removed
+  // per in-range commit) — a SHORT feed over a huge table broadcasts
+  // into enrichment joins instead of defaulting to never-broadcast.
+  // feedBytes resolves an unbounded end (-1) to the current version
+  // and walks only RETAINED versions, mirroring the feed itself.
+  override lazy val sizeInBytes: Long =
+    math.max(1L, Snapshots.feedBytes(sqlContext.sparkSession, dir,
+      startingVersion - 1, endingVersion))
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters

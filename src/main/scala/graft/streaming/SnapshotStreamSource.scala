@@ -561,13 +561,24 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext,
   // it was written at the previous run's last commit, which is
   // exactly the offset this run replays from (the sizing base file
   // may be AHEAD of the committed offset and must not be trusted)
+  // FRESH here means the checkpoint has no committed offsets yet —
+  // the same probe lastOffered uses. A normal RESTART must ADOPT the
+  // marker (it was written at the previous run's last commit, exactly
+  // this run's replay base; startVersion is 0/stale on restarts and
+  // must not drag the floor down — an idle stream would then hold
+  // retention at 0 forever). A checkpoint RE-CREATED at the same
+  // metadataPath (old one deleted, offsets dir empty) must NOT adopt:
+  // the stale higher marker would leave this fresh run's replay base
+  // (startVersion) unprotected from vacuum — re-record the lower one.
+  private def checkpointIsFresh: Boolean = {
+    val offsetsDir = new HPath(
+      new HPath(metadataPath).getParent.getParent, "offsets")
+    try !fs.exists(offsetsDir) || fs.listStatus(offsetsDir).isEmpty
+    catch { case scala.util.control.NonFatal(_) => false }
+  }
   Snapshots.consumerFloors(spark, dir).find(_.id == consumerId) match {
-    case Some(f) if math.max(startVersion, 0) < f.version =>
-      // a checkpoint re-created at the same metadataPath with an
-      // EARLIER startVersion (the old one deleted): adopting the
-      // stale higher marker would leave this run's replay base
-      // unprotected from vacuum. Lowering is always safe — the floor
-      // only widens retention — and the next commit raises it back.
+    case Some(f) if math.max(startVersion, 0) < f.version &&
+        checkpointIsFresh =>
       Snapshots.recordConsumerFloor(spark, dir, consumerId,
         math.max(startVersion, 0), metadataPath)
       lastFloor = math.max(startVersion, 0)

@@ -1278,6 +1278,37 @@ class GraftSqlSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("CALL optimize_incremental / detail: the nightly debt sweep " +
+      "and table inspection from SQL") {
+    warehouse
+    spark.sql("CREATE TABLE gs.default.oic (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.oic SELECT id, id*1.0 FROM range(100)")
+    spark.sql("INSERT INTO gs.default.oic SELECT id, id*1.0 FROM range(100, 200)")
+    // first call: full layout + marker
+    val v1 = spark.sql("CALL gs.system.optimize_incremental(" +
+      "table => 'default.oic', zorder_by => 'id', num_files => 2)")
+      .head().getInt(0)
+    assert(v1 == 4) // create + 2 inserts + this layout commit
+    // debt-free second call: version unchanged, no commit
+    assert(spark.sql("CALL gs.system.optimize_incremental(" +
+      "table => 'default.oic', zorder_by => 'id', num_files => 2)")
+      .head().getInt(0) == v1)
+    spark.sql("INSERT INTO gs.default.oic SELECT id, id*1.0 FROM range(200, 210)")
+    assert(spark.sql("CALL gs.system.optimize_incremental(" +
+      "table => 'default.oic', zorder_by => 'id', num_files => 2)")
+      .head().getInt(0) == v1 + 2)
+    // detail now reports manifest-derived size and the optimize marker
+    val d = spark.sql("CALL gs.system.detail(table => 'default.oic')")
+    assert(d.columns.contains("size_bytes") &&
+      d.columns.contains("optimized_through"), d.columns.toSeq.toString)
+    val row = d.head()
+    assert(row.getAs[Int]("version") == v1 + 2)
+    assert(row.getAs[Long]("size_bytes") > 0L)
+    assert(row.getAs[String]("optimized_through") == (v1 + 2).toString)
+    assert(spark.sql("SELECT count(*) FROM gs.default.oic")
+      .head().getLong(0) == 210)
+  }
+
   test("MERGE refuses every reserved source column name") {
     warehouse
     spark.sql("CREATE TABLE gs.default.mrn (k BIGINT, v DOUBLE)")

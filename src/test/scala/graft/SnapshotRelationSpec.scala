@@ -196,4 +196,30 @@ class SnapshotRelationSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("k", "label"))
     assert(df.filter($"label" === "a").count() == 1)
   }
+
+  test("relations report manifest-derived sizeInBytes: a small " +
+      "snapshot dimension AUTO-broadcasts into a fact join") {
+    val root = freshRoot()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "dim")
+      .write.format("graft-snapshots").mode(SaveMode.Append).save(root)
+    val dim = spark.read.format("graft-snapshots")
+      .option("path", root).load()
+    // the v1 default (Long.MaxValue) would force sort-merge here;
+    // the manifest knows the table is a few KB
+    val bytes = Snapshots.liveBytes(spark, root)
+    assert(bytes > 0L && bytes < (1L << 20), bytes.toString)
+    val fact = spark.range(0, 10000).toDF("id")
+      .withColumn("k", col("id") % 3 + 1)
+    val joined = fact.join(dim, "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(joined.count() == 10000)
+    // change feed over one small commit reports feed-sized bytes too
+    val feed = spark.read.format("graft-snapshots")
+      .option("path", root).option("readChangeFeed", "true")
+      .option("startingVersion", "1").load()
+    val fj = fact.join(feed.select(col("k"), col("_change_type")), "k")
+    val fplan = fj.queryExecution.executedPlan.toString
+    assert(fplan.contains("BroadcastHashJoin"), fplan.take(2000))
+  }
 }

@@ -154,6 +154,66 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, root, v - 1).count() == 4096)
   }
 
+  test("optimizeIncremental: the second pass touches ONLY files " +
+      "committed since the first; clustered files carry byte-identical") {
+    val root = freshRoot()
+    val grid = spark.range(4096)
+      .select((col("id") % 64).as("x"), (col("id") / 64).as("y"),
+        col("id").as("payload"))
+    (0 until 4).foreach(i =>
+      Snapshots.append(grid.filter(col("payload") % 8 === i)
+        .repartition(4), root))
+    // first pass: no marker yet — full layout, plants the marker
+    val v1 = Snapshots.optimizeIncremental(spark, root, Seq("x", "y"),
+      numFiles = 8, bits = 6)
+    assert(Snapshots.tableProperties(spark, root)
+      .get("graft.optimize.through").contains(v1.toString))
+    val layout1 = Snapshots.read(spark, root).inputFiles.toSet
+    // debt-free: NO commit, the marker stands
+    assert(Snapshots.optimizeIncremental(spark, root, Seq("x", "y"),
+      numFiles = 8, bits = 6) == v1)
+    // new debt arrives
+    (4 until 8).foreach(i =>
+      Snapshots.append(grid.filter(col("payload") % 8 === i)
+        .repartition(4), root))
+    val v2 = Snapshots.optimizeIncremental(spark, root, Seq("x", "y"),
+      numFiles = 8, bits = 6)
+    val layout2 = Snapshots.read(spark, root).inputFiles.toSet
+    // every first-pass file carries BY NAME (byte-identical — never
+    // read, never rewritten); only the fresh appends re-clustered
+    assert(layout1.subsetOf(layout2),
+      s"first layout disturbed: ${(layout1 -- layout2).take(3)}")
+    assert((layout2 -- layout1).size <= 8)
+    // content identical across the whole history
+    val back = Snapshots.read(spark, root)
+    assert(back.count() == 4096)
+    assert(back.agg(sum("payload")).head().getLong(0) ==
+      (0L until 4096L).sum)
+    assert(Snapshots.tableProperties(spark, root)
+      .get("graft.optimize.through").contains(v2.toString))
+    // maintain drives the incremental pass once debt crosses maxFiles
+    Snapshots.setProperty(spark, root, "cluster.columns", "x,y")
+    (0 until 6).foreach(i =>
+      Snapshots.append(grid.filter(col("payload") % 8 === 7)
+        .limit(10).repartition(2), root))
+    val before = Snapshots.read(spark, root).inputFiles.toSet
+    val r = Snapshots.maintain(spark, root, maxFiles = 8,
+      targetFiles = 4, keepVersions = 100)
+    assert(r.compactedTo.nonEmpty)
+    val after = Snapshots.read(spark, root).inputFiles.toSet
+    // the pre-debt clustered layout still carries untouched
+    assert(layout2.subsetOf(after))
+    assert(before.size > after.size)
+    // runt consolidation: with a byte floor, earlier sweeps' small
+    // files re-cluster together instead of accreting mini-layouts
+    Snapshots.optimizeIncremental(spark, root, Seq("x", "y"),
+      numFiles = 4, bits = 6, minFileBytes = Long.MaxValue)
+    val consolidated = Snapshots.read(spark, root).inputFiles.toSet
+    assert(consolidated.intersect(after).isEmpty,
+      "every runt (here: all files) must have been re-clustered")
+    assert(Snapshots.read(spark, root).count() == 4096 + 60)
+  }
+
   test("compact refuses to clobber a commit that raced past it") {
     val root = freshRoot()
     Snapshots.append(Seq(1L).toDF("id"), root)
@@ -747,6 +807,50 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("opt-in mergeSchema: a wider merge source evolves the schema " +
+      "and lands the data as ONE commit") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    try {
+      spark.conf.set("spark.graft.write.mergeSchema", "true")
+      val r = Snapshots.merge(spark, root,
+        Seq((2L, "B", 20.0), (3L, "C", 30.0)).toDF("k", "v", "score"),
+        Seq("k"))
+      // ONE commit: schema + upserted data together (no separate
+      // add-column version)
+      assert(r.version == 2)
+      assert(Snapshots.versions(spark, root) == Seq(1, 2))
+      assert(Snapshots.read(spark, root)
+        .select("k", "v", "score").as[(Long, String, Option[Double])]
+        .collect().sortBy(_._1).toSeq == Seq(
+          (1L, "a", None), (2L, "B", Some(20.0)), (3L, "C", Some(30.0))))
+      // time travel keeps the pre-evolution shape
+      assert(Snapshots.read(spark, root, 1).columns.toSeq == Seq("k", "v"))
+      // NARROWER source: the lacking column writes NULL on the
+      // source-provided rows (replace-by-key — documented)
+      Snapshots.merge(spark, root,
+        Seq((3L, "c2"), (4L, "d")).toDF("k", "v"), Seq("k"))
+      assert(Snapshots.read(spark, root)
+        .select("k", "v", "score").as[(Long, String, Option[Double])]
+        .collect().sortBy(_._1).toSeq == Seq(
+          (1L, "a", None), (2L, "B", Some(20.0)),
+          (3L, "c2", None), (4L, "d", None)))
+      // type drift still refuses loudly, before anything stages
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.merge(spark, root,
+          Seq((5L, 5, 1.0)).toDF("k", "v", "score"), Seq("k"))
+      }
+      assert(e.getMessage.contains("schema conflict"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.write.mergeSchema")
+    // and with the conf off the wider source refuses, naming the knob
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, root,
+        Seq((6L, "f", 1.0, "x")).toDF("k", "v", "score", "extra"),
+        Seq("k"))
+    }
+    assert(e2.getMessage.contains("mergeSchema"), e2.getMessage)
+  }
+
   // --- deleteWhere (copy-on-write DELETE) ----------------------------
 
   test("deleteWhere removes matching rows; file classes are honest") {
@@ -869,6 +973,50 @@ class SnapshotsSpec extends SparkSpec {
     val feed2 = Snapshots.changeFeed(spark, root, 4)
     assert(feed2.filter(col("_change_type") === "delete")
       .select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("changeFeed skips an optimize-incremental commit scan-free, " +
+      "like every other declared content-identical rewrite") {
+    val root = freshRoot()
+    Snapshots.append(Seq(1L, 2L).toDF("id").coalesce(1), root)
+    Snapshots.optimizeIncremental(spark, root, Seq("id"), numFiles = 1)
+    Snapshots.append(Seq(3L).toDF("id").coalesce(1), root)
+    val feed = Snapshots.changeFeed(spark, root, 0)
+    val scans = feed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size
+    assert(scans == 2, s"expected 2 append-run scans, got $scans")
+    assert(feed.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(feed.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("changeFeed crosses a schema-evolving merge: pre-evolution " +
+      "rows read NULL in the new column, update pairing intact") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    try {
+      spark.conf.set("spark.graft.write.mergeSchema", "true")
+      Snapshots.merge(spark, root,
+        Seq((2L, "B", 9.0), (3L, "C", 1.0)).toDF("k", "v", "score"),
+        Seq("k"))
+    } finally spark.conf.unset("spark.graft.write.mergeSchema")
+    val feed = Snapshots.changeFeed(spark, root, 0)
+    // feed schema carries the evolved column; v1's insert rows (which
+    // predate it) read NULL there
+    assert(feed.columns.contains("score"))
+    val v1Inserts = feed.filter(col("_commit_version") === 1)
+    assert(v1Inserts.count() == 2 &&
+      v1Inserts.filter(col("score").isNotNull).count() == 0)
+    // the merge commit pairs k=2 as an update (pre/post images) and
+    // k=3 as a plain insert carrying the new column
+    val merged = feed.filter(col("_commit_version") === 2)
+    assert(merged.filter(col("_change_type") === "update_postimage")
+      .select("k", "score").as[(Long, Option[Double])].collect()
+      .toSeq == Seq((2L, Some(9.0))))
+    assert(merged.filter(col("_change_type") === "insert")
+      .select("k", "score").as[(Long, Option[Double])].collect()
+      .toSeq == Seq((3L, Some(1.0))))
   }
 
   test("changeFeed decomposes DV-accretive commits positionally, " +
