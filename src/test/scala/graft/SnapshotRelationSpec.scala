@@ -222,4 +222,28 @@ class SnapshotRelationSpec extends SparkSpec {
     val fplan = fj.queryExecution.executedPlan.toString
     assert(fplan.contains("BroadcastHashJoin"), fplan.take(2000))
   }
+
+  test("feed sizeInBytes survives a vacuumed hole and an unbounded " +
+      "end — it walks retained versions like the feed itself") {
+    val root = freshRoot()
+    Seq((1L, "a")).toDF("k", "v").write.format("graft-snapshots")
+      .mode(SaveMode.Append).save(root)
+    (2 to 4).foreach { i =>
+      Snapshots.overwrite(Seq((i.toLong, "x")).toDF("k", "v"), root)
+    }
+    Snapshots.append(Seq((9L, "z")).toDF("k", "v"), root) // v5
+    Snapshots.vacuum(spark, root, keepVersions = 2) // v1..v3 gone
+    // unbounded feed from the oldest legal base (v4 retained):
+    // planning the relation (stats included) must not touch
+    // vacuumed manifests
+    val feed = spark.read.format("graft-snapshots")
+      .option("path", root).option("readChangeFeed", "true")
+      .option("startingVersion", "5").load()
+    assert(feed.count() >= 1)
+    val bytes = Snapshots.feedBytes(spark, root, 4, -1)
+    assert(bytes > 0L, bytes.toString)
+    // a range whose base and interior were vacuumed still ESTIMATES
+    // (walks retained versions) instead of throwing at planning
+    assert(Snapshots.feedBytes(spark, root, 0, 5) > 0L)
+  }
 }

@@ -851,6 +851,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(e2.getMessage.contains("mergeSchema"), e2.getMessage)
   }
 
+  test("mergeSchema composes with column mapping: an evolving merge " +
+      "after RENAME COLUMN keeps the physical era readable") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    Snapshots.renameColumn(spark, root, "v", "label")
+    try {
+      spark.conf.set("spark.graft.write.mergeSchema", "true")
+      // source speaks the LOGICAL name (label) and brings a new column
+      Snapshots.merge(spark, root,
+        Seq((2L, "B", 7L), (3L, "C", 8L)).toDF("k", "label", "n"),
+        Seq("k"))
+    } finally spark.conf.unset("spark.graft.write.mergeSchema")
+    assert(Snapshots.read(spark, root)
+      .select("k", "label", "n").as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq == Seq(
+        (1L, "a", None), (2L, "B", Some(7L)), (3L, "C", Some(8L))))
+    // the pre-rename file (physical 'v') still reads under the
+    // current logical shape, and time travel keeps the old names
+    assert(Snapshots.read(spark, root, 1).columns.toSeq == Seq("k", "v"))
+  }
+
   // --- deleteWhere (copy-on-write DELETE) ----------------------------
 
   test("deleteWhere removes matching rows; file classes are honest") {
