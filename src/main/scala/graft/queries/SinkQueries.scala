@@ -1520,8 +1520,13 @@ object SinkQueries {
         s.conf.set("spark.sql.catalog.g46", "graft.sql.GraftCatalog")
         s.conf.set("spark.sql.catalog.g46.warehouse", wh)
         s.sql("DROP TABLE IF EXISTS g46.default.t")
+        // bounded base: every statement's key range sits below 60000,
+        // and the round-11 ANTI statements sweep the whole key space
+        // BY SEMANTICS — the fixture bounds the sweep's I/O without
+        // weakening any statement (all paths still rewrite real files)
         Tables.orders(s, dir)
           .select("o_orderkey", "o_custkey", "o_totalprice")
+          .filter(col("o_orderkey") < 60000)
           .createOrReplaceTempView("s46_base")
         s.sql("CREATE TABLE g46.default.t AS SELECT * FROM s46_base")
         // each statement's key set sits in a TIGHT o_orderkey range —
@@ -1568,7 +1573,8 @@ object SinkQueries {
           FROM g46.default.t ORDER BY o_orderkey""")
       },
       """WITH base AS (
-        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey < 60000),
         |p1 AS (
         |  SELECT o_orderkey, o_custkey,
         |    CASE WHEN o_custkey % 7 = 2 AND o_orderkey < 40000
