@@ -24,6 +24,51 @@ object SinkQueries {
     s"/tmp/graft_stage/$sf"
   }
 
+  /** s46's base-table bound: every statement's key range sits below
+    * it, and the ANTI statements sweep the whole key space by
+    * semantics — shared so the bench query and S46Probe cannot
+    * drift. */
+  val S46KeyBound = 60000
+
+  /** s46's DML statements, in execution order, parameterized by the
+    * catalog name — the SINGLE source of truth consumed by both the
+    * oracle QueryDef and `tools.S46Probe` (a hand-copied probe would
+    * silently time a different query than the bench runs). */
+  def s46Statements(cat: String): Seq[(String, String)] = Seq(
+    "ctas" ->
+      s"CREATE TABLE $cat.default.t AS SELECT * FROM s46_base",
+    "update_exists_correlated" ->
+      s"""UPDATE $cat.default.t t
+        SET o_totalprice = o_totalprice + 1000.0
+        WHERE EXISTS (SELECT 1 FROM s46_base b
+          WHERE b.o_orderkey = t.o_orderkey AND b.o_custkey % 7 = 2
+            AND b.o_orderkey < 40000)""",
+    "update_in_uncorrelated" ->
+      s"""UPDATE $cat.default.t SET o_totalprice = -o_totalprice
+        WHERE o_orderkey IN (
+          SELECT o_orderkey FROM s46_base
+          WHERE o_custkey % 11 = 3
+            AND o_orderkey BETWEEN 20000 AND 28000)""",
+    "update_in_correlated" ->
+      s"""UPDATE $cat.default.t t SET o_custkey = o_custkey + 1000000
+        WHERE o_orderkey IN (SELECT b.o_orderkey FROM s46_base b
+          WHERE b.o_custkey = t.o_custkey AND b.o_orderkey % 5 = 0
+            AND b.o_orderkey BETWEEN 50000 AND 58000)""",
+    "update_not_exists_sweep" ->
+      s"""UPDATE $cat.default.t t
+        SET o_totalprice = o_totalprice * 2.0
+        WHERE NOT EXISTS (SELECT 1 FROM s46_base b
+          WHERE b.o_orderkey = t.o_orderkey
+            AND b.o_custkey % 13 != 5)""",
+    "update_not_in_correlated" ->
+      s"""UPDATE $cat.default.t t SET o_custkey = o_custkey - 500000
+        WHERE o_orderkey NOT IN (
+          SELECT b.o_orderkey FROM s46_base b
+          WHERE b.o_custkey = t.o_custkey AND b.o_orderkey % 2 = 0)""",
+    "final_select" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM $cat.default.t ORDER BY o_orderkey""")
+
   val all: Seq[QueryDef] = Seq(
 
     // S5: cursor-paginated backfill (funding_rates_etl.py:38-66's
@@ -1520,57 +1565,19 @@ object SinkQueries {
         s.conf.set("spark.sql.catalog.g46", "graft.sql.GraftCatalog")
         s.conf.set("spark.sql.catalog.g46.warehouse", wh)
         s.sql("DROP TABLE IF EXISTS g46.default.t")
-        // bounded base: every statement's key range sits below 60000,
-        // and the round-11 ANTI statements sweep the whole key space
-        // BY SEMANTICS — the fixture bounds the sweep's I/O without
-        // weakening any statement (all paths still rewrite real files)
+        // bounded base (S46KeyBound): every statement's key range
+        // sits below it, and the round-11 ANTI statements sweep the
+        // whole key space BY SEMANTICS — the fixture bounds the
+        // sweep's I/O without weakening any statement. Statement
+        // notes live with [[s46Statements]] — the shared list the
+        // per-statement probe times verbatim.
         Tables.orders(s, dir)
           .select("o_orderkey", "o_custkey", "o_totalprice")
-          .filter(col("o_orderkey") < 60000)
+          .filter(col("o_orderkey") < S46KeyBound)
           .createOrReplaceTempView("s46_base")
-        s.sql("CREATE TABLE g46.default.t AS SELECT * FROM s46_base")
-        // each statement's key set sits in a TIGHT o_orderkey range —
-        // the footprint prunes to the range's files and the rewrite
-        // tracks the keys, not the table (the verb's scale property;
-        // scattering the keys would make each update a full rewrite
-        // by the semantics, not by the implementation)
-        // correlated EXISTS: equality on the unique key + residuals
-        s.sql("""UPDATE g46.default.t t
-          SET o_totalprice = o_totalprice + 1000.0
-          WHERE EXISTS (SELECT 1 FROM s46_base b
-            WHERE b.o_orderkey = t.o_orderkey AND b.o_custkey % 7 = 2
-              AND b.o_orderkey < 40000)""")
-        // pure uncorrelated IN-subquery: the distributed path
-        s.sql("""UPDATE g46.default.t SET o_totalprice = -o_totalprice
-          WHERE o_orderkey IN (
-            SELECT o_orderkey FROM s46_base
-            WHERE o_custkey % 11 = 3
-              AND o_orderkey BETWEEN 20000 AND 28000)""")
-        // correlated IN: SELECT-list value + correlation equality form
-        // the composite key frame
-        s.sql("""UPDATE g46.default.t t SET o_custkey = o_custkey + 1000000
-          WHERE o_orderkey IN (SELECT b.o_orderkey FROM s46_base b
-            WHERE b.o_custkey = t.o_custkey AND b.o_orderkey % 5 = 0
-              AND b.o_orderkey BETWEEN 50000 AND 58000)""")
-        // ANTI shapes (round 11) — these sweep the whole key space by
-        // their semantics ("every row with NO match"), so the rewrite
-        // is intrinsically full-range, like s41's retention sweep
-        // correlated NOT EXISTS: double the price of rows whose base
-        // custkey class has no qualifying match
-        s.sql("""UPDATE g46.default.t t
-          SET o_totalprice = o_totalprice * 2.0
-          WHERE NOT EXISTS (SELECT 1 FROM s46_base b
-            WHERE b.o_orderkey = t.o_orderkey
-              AND b.o_custkey % 13 != 5)""")
-        // correlated NOT IN: per-custkey comparison set of even
-        // orderkeys; prior-statement custkey changes (+1000000) give
-        // some rows an EMPTY set — NOT IN over empty is TRUE
-        s.sql("""UPDATE g46.default.t t SET o_custkey = o_custkey - 500000
-          WHERE o_orderkey NOT IN (
-            SELECT b.o_orderkey FROM s46_base b
-            WHERE b.o_custkey = t.o_custkey AND b.o_orderkey % 2 = 0)""")
-        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
-          FROM g46.default.t ORDER BY o_orderkey""")
+        val stmts = s46Statements("g46")
+        stmts.init.foreach { case (_, sql) => s.sql(sql) }
+        s.sql(stmts.last._2)
       },
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders

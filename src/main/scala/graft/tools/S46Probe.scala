@@ -30,43 +30,12 @@ object S46Probe {
     spark.conf.set("spark.sql.catalog.g46p.warehouse", wh)
     Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-      .filter(col("o_orderkey") < 60000)
+      .filter(col("o_orderkey") < graft.queries.SinkQueries.S46KeyBound)
       .createOrReplaceTempView("s46_base")
 
-    val stmts: Seq[(String, String)] = Seq(
-      "ctas" ->
-        "CREATE TABLE g46p.default.t AS SELECT * FROM s46_base",
-      "update_exists_correlated" ->
-        """UPDATE g46p.default.t t
-          SET o_totalprice = o_totalprice + 1000.0
-          WHERE EXISTS (SELECT 1 FROM s46_base b
-            WHERE b.o_orderkey = t.o_orderkey AND b.o_custkey % 7 = 2
-              AND b.o_orderkey < 40000)""",
-      "update_in_uncorrelated" ->
-        """UPDATE g46p.default.t SET o_totalprice = -o_totalprice
-          WHERE o_orderkey IN (
-            SELECT o_orderkey FROM s46_base
-            WHERE o_custkey % 11 = 3
-              AND o_orderkey BETWEEN 20000 AND 28000)""",
-      "update_in_correlated" ->
-        """UPDATE g46p.default.t t SET o_custkey = o_custkey + 1000000
-          WHERE o_orderkey IN (SELECT b.o_orderkey FROM s46_base b
-            WHERE b.o_custkey = t.o_custkey AND b.o_orderkey % 5 = 0
-              AND b.o_orderkey BETWEEN 50000 AND 58000)""",
-      "update_not_exists_sweep" ->
-        """UPDATE g46p.default.t t
-          SET o_totalprice = o_totalprice * 2.0
-          WHERE NOT EXISTS (SELECT 1 FROM s46_base b
-            WHERE b.o_orderkey = t.o_orderkey
-              AND b.o_custkey % 13 != 5)""",
-      "update_not_in_correlated" ->
-        """UPDATE g46p.default.t t SET o_custkey = o_custkey - 500000
-          WHERE o_orderkey NOT IN (
-            SELECT b.o_orderkey FROM s46_base b
-            WHERE b.o_custkey = t.o_custkey AND b.o_orderkey % 2 = 0)""",
-      "final_select" ->
-        """SELECT o_orderkey, o_custkey, o_totalprice
-          FROM g46p.default.t ORDER BY o_orderkey""")
+    // the SHARED statement list — the probe times exactly what the
+    // bench query runs, no hand-copied drift channel
+    val stmts = graft.queries.SinkQueries.s46Statements("g46p")
 
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     (1 to rounds).foreach { _ =>
@@ -74,7 +43,9 @@ object S46Probe {
       stmts.foreach { case (name, sql) =>
         val t0 = System.nanoTime()
         val df = spark.sql(sql)
-        if (name == "final_select") df.count() else ()
+        // collect(), not count(): count() lets EliminateSorts drop
+        // the final ORDER BY and under-reports the select
+        if (name == "final_select") df.collect() else ()
         val el = (System.nanoTime() - t0) / 1e9
         best(name) = best.get(name).fold(el)(math.min(_, el))
       }

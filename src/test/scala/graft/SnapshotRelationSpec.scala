@@ -232,7 +232,9 @@ class SnapshotRelationSpec extends SparkSpec {
       Snapshots.overwrite(Seq((i.toLong, "x")).toDF("k", "v"), root)
     }
     Snapshots.append(Seq((9L, "z")).toDF("k", "v"), root) // v5
-    Snapshots.vacuum(spark, root, keepVersions = 2) // v1..v3 gone
+    Snapshots.vacuum(spark, root, keepVersions = 2)
+    // the hole must be REAL or the survival assertions are vacuous
+    assert(Snapshots.versions(spark, root) == Seq(4, 5))
     // unbounded feed from the oldest legal base (v4 retained):
     // planning the relation (stats included) must not touch
     // vacuumed manifests
