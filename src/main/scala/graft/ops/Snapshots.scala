@@ -1759,7 +1759,24 @@ object Snapshots {
     * cross-feed) — the same rules [[evolveSchema]] enforces on
     * writes. */
   def addColumn(spark: SparkSession, dir: String, name: String,
-      dataType: DataType): Int = retryOnRace(s"addColumn on $dir") {
+      dataType: DataType): Int =
+    addColumn(spark, dir, name, dataType, None)
+
+  /** [[addColumn]] with a DEFAULT: pre-evolution files materialize
+    * `defaultSql`'s value SCAN-SIDE (Spark's `EXISTS_DEFAULT` field
+    * metadata — the parquet readers fill columns missing from a file
+    * from it), post-evolution writes that omit the column get it via
+    * `CURRENT_DEFAULT` (the SQL INSERT default machinery), and an
+    * explicit NULL written after the add stays NULL (the file HAS
+    * the column). Still metadata-only — zero data rewritten; time
+    * travel keeps the old shape. The default must be a DETERMINISTIC
+    * CONSTANT expression castable to `dataType`: it is evaluated
+    * once here and pinned as a literal — `rand()` would freeze one
+    * arbitrary draw and `current_timestamp()` one instant, both
+    * surprising, so they refuse. */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+      dataType: DataType, defaultSql: Option[String]): Int =
+    retryOnRace(s"addColumn on $dir") {
     require(name.nonEmpty && !name.contains("\t"),
       s"invalid column name '$name'")
     val (fs, root) = fsFor(spark, dir)
@@ -1778,8 +1795,46 @@ object Snapshots {
       physOf(tf).equalsIgnoreCase(name) && tf.name != name),
       s"column name '$name' is the physical name behind a renamed " +
         s"column of $dir; pick another name")
+    val md = defaultSql match {
+      case None => Metadata.empty
+      case Some(d) =>
+        // analyze + evaluate ONCE against a dummy frame: the
+        // expression must fold to one deterministic constant — that
+        // constant is what every pre-evolution row will read forever
+        val frame =
+          try spark.range(1).select(expr(d).cast(dataType).as("__d"))
+          catch { case NonFatal(e) => throw new IllegalArgumentException(
+            s"ADD COLUMN $name DEFAULT ($d) does not analyze as " +
+              s"${dataType.sql}: ${e.getMessage}") }
+        val pe = frame.queryExecution.analyzed match {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            p.projectList.head match {
+              // Alias.foldable is false BY DEFINITION — judge its child
+              case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+                a.child
+              case e => e
+            }
+          case other => throw new IllegalStateException(
+            s"unexpected default-evaluation plan: ${other.nodeName}")
+        }
+        require(pe.deterministic && pe.foldable,
+          s"ADD COLUMN $name DEFAULT ($d) must be a deterministic " +
+            "constant — a nondeterministic or row-dependent default " +
+            "would freeze one arbitrary evaluation")
+        val value = frame.head().get(0)
+        val literalSql = org.apache.spark.sql.catalyst.expressions
+          .Literal.create(value, dataType).sql
+        // the two keys Spark's machinery reads: EXISTS_DEFAULT fills
+        // the column for files that PREDATE it (scan-side, pinned
+        // literal); CURRENT_DEFAULT fills INSERTs that omit it
+        new MetadataBuilder()
+          .putString("EXISTS_DEFAULT", literalSql)
+          .putString("CURRENT_DEFAULT", d.trim)
+          .build()
+    }
     val evolved = allNullable(StructType(
-      schema.fields :+ StructField(name, dataType, nullable = true)))
+      schema.fields :+
+        StructField(name, dataType, nullable = true, metadata = md)))
     metadataCommit(fs, root, spark, dir, v, evolved, dropped,
       bloomConfigOf(fs, root, v), constraintsOf(fs, root, v),
       propsOf(fs, root, v), op = "add-column")

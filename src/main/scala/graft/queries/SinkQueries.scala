@@ -1501,6 +1501,35 @@ object SinkQueries {
     // The oracle replays each statement's effect from the source
     // predicates (o_orderkey is unique in orders, so the correlated
     // shapes reduce to per-row conditions).
+    QueryDef("s48_column_default",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val root = s"${stageDir(dir)}/s48_snap"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val base = Tables.supplier(s, dir).select("s_suppkey", "s_acctbal")
+        // pre-evolution rows: written BEFORE the column exists —
+        // they materialize the pinned default scan-side
+        Snapshots.append(base.filter(pmod(col("s_suppkey"), lit(2)) === 0),
+          root)
+        Snapshots.addColumn(s, root, "tier", StringType, Some("'legacy'"))
+        // post-evolution rows carry explicit values — NULLs included
+        // (their files HAVE the column, so the default never applies)
+        Snapshots.append(base.filter(pmod(col("s_suppkey"), lit(2)) === 1)
+          .withColumn("tier",
+            when(pmod(col("s_suppkey"), lit(3)) === 0, lit("gold"))),
+          root)
+        Snapshots.read(s, root)
+          .select(col("s_suppkey"),
+            col("s_acctbal").cast("double").as("s_acctbal"), col("tier"))
+          .orderBy("s_suppkey")
+      },
+      """SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN 'legacy'
+        |       WHEN s_suppkey % 3 = 0 THEN 'gold'
+        |       ELSE NULL END AS tier
+        |FROM supplier ORDER BY s_suppkey""".stripMargin),
     QueryDef("s47_merge_evolution",
       (s, dir) => {
         import graft.ops.Snapshots

@@ -264,7 +264,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
 
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** `ALTER TABLE ... ADD COLUMN / RENAME COLUMN / DROP COLUMN` route
     * to the metadata-only column-mapping commits — zero data
@@ -288,10 +289,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(a.position() == null,
           "graft tables add columns at the end only (FIRST/AFTER would " +
             "reorder the pinned physical schema)")
-        require(a.defaultValue() == null,
-          "graft tables do not store column DEFAULT values — backfill " +
-            "with UPDATE after the add")
-        Snapshots.addColumn(spark, dir, a.fieldNames.head, a.dataType())
+        // DEFAULT routes to the metadata-only add: pre-evolution
+        // files materialize the pinned literal scan-side
+        // (EXISTS_DEFAULT), INSERTs that omit the column fill from
+        // CURRENT_DEFAULT — Snapshots.addColumn validates the
+        // constant-foldable contract and refuses the rest
+        Snapshots.addColumn(spark, dir, a.fieldNames.head, a.dataType(),
+          Option(a.defaultValue()).map(dv =>
+            Option(dv.getSql).getOrElse(String.valueOf(dv.getValue))))
         // a comment is real metadata: persist it where DESCRIBE finds
         // it rather than dropping it silently
         if (a.comment() != null)
