@@ -1403,10 +1403,23 @@ object Snapshots {
       op = "drop-constraint")
   }
 
+  /** What a row in a file LACKING column `f` reads for it: the
+    * pinned `EXISTS_DEFAULT` literal when the column declares one,
+    * NULL otherwise — the scan-side fill contract, shared by every
+    * writer-side simulation of an omitted column (CHECK enforcement,
+    * the mergeSchema narrower-source fill). */
+  private def missingColumnReads(f: StructField): Column =
+    (if (f.metadata.contains("EXISTS_DEFAULT"))
+      expr(f.metadata.getString("EXISTS_DEFAULT"))
+    else lit(null)).cast(f.dataType)
+
   /** Validate `df` against the constraints pinned at version `v` and
     * return that set (the commit re-checks it against its actual base —
-    * see [[commitLoop]]). Table columns the frame lacks read as NULL in
-    * its files, and NULL passes CHECK — they enforce as null literals. */
+    * see [[commitLoop]]). Table columns the frame lacks enforce as
+    * what their files' rows will actually READ — the column DEFAULT
+    * when one is pinned, NULL otherwise ([[missingColumnReads]]): a
+    * NULL stand-in for a defaulted column would let a violating row
+    * slip the CHECK (NULL predicate ≠ false) and commit. */
   private def enforceConstraintsAt(spark: SparkSession, dir: String,
       fs: FileSystem, root: HPath, v: Int,
       df: DataFrame): Map[String, String] = {
@@ -1416,7 +1429,7 @@ object Snapshots {
       val missing = schemaOf(fs, root, v).map(_.fields.toSeq).getOrElse(Nil)
         .filterNot(f => have.contains(f.name.toLowerCase))
       val full = missing.foldLeft(df)((d, f) =>
-        d.withColumn(f.name, lit(null).cast(f.dataType)))
+        d.withColumn(f.name, missingColumnReads(f)))
       cs.foreach { case (n, e) =>
         val bad = full.filter(!expr(e)).take(1)
         if (bad.nonEmpty) throw new IllegalArgumentException(
@@ -1817,11 +1830,34 @@ object Snapshots {
           case other => throw new IllegalStateException(
             s"unexpected default-evaluation plan: ${other.nodeName}")
         }
-        require(pe.deterministic && pe.foldable,
+        // a CONSTANT is an expression whose every LEAF is a literal:
+        // this refuses rand() (nondeterministic) AND the
+        // context-dependent leaves foldable does not — current_
+        // timestamp()/current_date()/current_database() fold to one
+        // DDL-instant value while CURRENT_DEFAULT would re-evaluate
+        // per INSERT, splitting the column's meaning in two
+        val nonLiteralLeaf = pe.collectFirst {
+          case e if e.children.isEmpty &&
+            !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+              .Literal] => e
+        }
+        require(pe.deterministic && pe.foldable && nonLiteralLeaf.isEmpty,
           s"ADD COLUMN $name DEFAULT ($d) must be a deterministic " +
-            "constant — a nondeterministic or row-dependent default " +
-            "would freeze one arbitrary evaluation")
-        val value = frame.head().get(0)
+            "constant over literals — nondeterministic, row-dependent " +
+            "or evaluation-time values (current_timestamp, ...) would " +
+            "freeze one arbitrary evaluation for pre-existing rows" +
+            nonLiteralLeaf.fold("")(l => s" (offending: ${l.sql})"))
+        val value =
+          try frame.head().get(0)
+          catch { case NonFatal(e) => throw new IllegalArgumentException(
+            s"ADD COLUMN $name DEFAULT ($d) does not evaluate as " +
+              s"${dataType.sql}: ${e.getMessage}") }
+        // a non-NULL spelling that FOLDS to null (ANSI-off cast of a
+        // malformed literal) would silently pin NULL where the user
+        // wrote a value — refuse unless they asked for NULL
+        require(value != null || d.trim.equalsIgnoreCase("null"),
+          s"ADD COLUMN $name DEFAULT ($d) evaluates to NULL as " +
+            s"${dataType.sql} — spell DEFAULT NULL if that is intended")
         val literalSql = org.apache.spark.sql.catalyst.expressions
           .Literal.create(value, dataType).sql
         // the two keys Spark's machinery reads: EXISTS_DEFAULT fills
@@ -3844,11 +3880,13 @@ object Snapshots {
         // the schema additively in the SAME commit as the data
         // ([[evolveSchema]] — type conflicts and name resurrections
         // still refuse loudly); table columns the source LACKS are
-        // written NULL on the source-provided rows. NOTE the
-        // replace-by-key contract: a matched row is replaced by its
-        // source row ENTIRELY, so a lacking column reads NULL on
-        // replaced rows too — callers that want SQL MERGE's
-        // per-column `UPDATE SET` use the SQL surface.
+        // written as what an omitted column reads everywhere else —
+        // the column DEFAULT when pinned, NULL otherwise
+        // ([[missingColumnReads]]). NOTE the replace-by-key contract:
+        // a matched row is replaced by its source row ENTIRELY, so a
+        // lacking column reads default/NULL on replaced rows too —
+        // callers that want SQL MERGE's per-column `UPDATE SET` use
+        // the SQL surface.
         val autoMerge = spark.conf.getOption(
           "spark.graft.write.mergeSchema").exists(_.toBoolean)
         if (!autoMerge)
@@ -3874,7 +3912,13 @@ object Snapshots {
                       s"${sf.dataType.sql} — type changes require an " +
                       "explicit overwrite")
                   source.col(sf.name).as(f.name)
-                case None => lit(null).cast(f.dataType).as(f.name)
+                case None =>
+                  // fill what an OMITTED column reads everywhere
+                  // else (INSERT, append): the column DEFAULT when
+                  // pinned, NULL otherwise — a hard NULL here would
+                  // make MERGE-inserted rows diverge from the same
+                  // row written by any other path
+                  missingColumnReads(f).as(f.name)
               }
             }
             val extra = source.schema.fields.toSeq

@@ -1491,16 +1491,11 @@ object SinkQueries {
         |  o_orderkey, o_custkey, o_totalprice FROM feed
         |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin),
 
-    // Key-frame UPDATEs end-to-end (Snapshots.updateMatching): the CDC
-    // "apply these assignments to the rows these keys name" statement
-    // in all three SQL spellings — correlated-equality EXISTS,
-    // uncorrelated pure IN-subquery (distributed at any cardinality,
-    // where the literal path caps at 100k), and correlated IN with a
-    // composite (value, correlation) key. Each runs as ONE
-    // copy-on-write commit whose file footprint tracks the key set.
-    // The oracle replays each statement's effect from the source
-    // predicates (o_orderkey is unique in orders, so the correlated
-    // shapes reduce to per-row conditions).
+    // ADD COLUMN ... DEFAULT end-to-end: pre-evolution files
+    // materialize the pinned literal scan-side (EXISTS_DEFAULT);
+    // post-evolution rows carry their explicit values, NULLs
+    // included. The oracle replays the default from the partition
+    // of keys that predate the evolution.
     QueryDef("s48_column_default",
       (s, dir) => {
         import graft.ops.Snapshots
@@ -1587,6 +1582,18 @@ object SinkQueries {
         |  FROM s1 FULL OUTER JOIN m2 ON s1.c_custkey = m2.c_custkey)
         |SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, seg
         |FROM s2 ORDER BY c_custkey""".stripMargin),
+
+    // Key-frame UPDATEs end-to-end (Snapshots.updateMatching): the CDC
+    // "apply these assignments to the rows these keys name" statement
+    // in all the SQL spellings — correlated-equality EXISTS,
+    // uncorrelated pure IN-subquery (distributed at any cardinality,
+    // where the literal path caps at 100k), correlated IN with a
+    // composite (value, correlation) key, and the round-11 ANTI
+    // shapes (NOT EXISTS / correlated NOT IN). Each runs as ONE
+    // copy-on-write commit whose file footprint tracks the key set.
+    // The oracle replays each statement's effect from the source
+    // predicates (o_orderkey is unique in orders, so the correlated
+    // shapes reduce to per-row conditions).
     QueryDef("s46_update_matching",
       (s, dir) => {
         val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s46_wh_" +

@@ -295,8 +295,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // CURRENT_DEFAULT — Snapshots.addColumn validates the
         // constant-foldable contract and refuses the rest
         Snapshots.addColumn(spark, dir, a.fieldNames.head, a.dataType(),
-          Option(a.defaultValue()).map(dv =>
-            Option(dv.getSql).getOrElse(String.valueOf(dv.getValue))))
+          Option(a.defaultValue()).map { dv =>
+            // a sql-less ColumnDefaultValue (programmatic alterTable)
+            // carries a connector Literal in CATALYST-INTERNAL form —
+            // render it through catalyst's typed Literal, never
+            // toString (raw micros/days would parse as the wrong
+            // value or refuse)
+            Option(dv.getSql).getOrElse {
+              val v = dv.getValue
+              require(v != null, s"ADD COLUMN ${a.fieldNames.head}: " +
+                "DEFAULT carries neither SQL nor a literal value")
+              org.apache.spark.sql.catalyst.expressions
+                .Literal(v.value, v.dataType).sql
+            }
+          })
         // a comment is real metadata: persist it where DESCRIBE finds
         // it rather than dropping it silently
         if (a.comment() != null)

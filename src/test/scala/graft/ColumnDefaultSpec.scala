@@ -68,6 +68,53 @@ class ColumnDefaultSpec extends SparkSpec {
       Seq((1L, "new")))
   }
 
+  test("CHECK enforcement sees the DEFAULT a lacking column will " +
+      "read — a NULL stand-in would let a violating row commit") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a")).toDF("k", "v"), root)
+    Snapshots.addColumn(spark, root, "n", IntegerType, Some("5"))
+    // existing rows read n=5 and k<10: the constraint holds
+    Snapshots.setConstraint(spark, root, "kc", "k < 10 OR n > 100")
+    // a frame omitting n with k=20: its rows will READ n=5, so the
+    // CHECK is violated (20<10 OR 5>100 = false) — must refuse.
+    // With a NULL stand-in the predicate evaluated UNKNOWN and the
+    // violating row committed silently.
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.append(Seq((20L, "z")).toDF("k", "v"), root)
+    }
+    assert(e.getMessage.contains("kc"), e.getMessage)
+    // an in-bounds row omitting n still appends fine
+    Snapshots.append(Seq((2L, "b")).toDF("k", "v"), root)
+    assert(Snapshots.read(spark, root).count() == 2)
+  }
+
+  test("mergeSchema fills a LACKING source column with its DEFAULT, " +
+      "matching every other omitted-column write path") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a")).toDF("k", "v"), root)
+    Snapshots.addColumn(spark, root, "tier", StringType, Some("'std'"))
+    try {
+      spark.conf.set("spark.graft.write.mergeSchema", "true")
+      Snapshots.merge(spark, root, Seq((2L, "b")).toDF("k", "v"),
+        Seq("k"))
+    } finally spark.conf.unset("spark.graft.write.mergeSchema")
+    assert(Snapshots.read(spark, root)
+      .select("k", "tier").as[(Long, String)].collect().toMap ==
+      Map(1L -> "std", 2L -> "std"))
+  }
+
+  test("the default survives RENAME COLUMN and integral widening") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a")).toDF("k", "v"), root)
+    Snapshots.addColumn(spark, root, "n", IntegerType, Some("7"))
+    Snapshots.renameColumn(spark, root, "n", "num")
+    assert(Snapshots.read(spark, root)
+      .select("num").as[Option[Int]].head().contains(7))
+    Snapshots.widenColumn(spark, root, "num", LongType)
+    assert(Snapshots.read(spark, root)
+      .select("num").as[Option[Long]].head().contains(7L))
+  }
+
   test("nondeterministic, row-dependent and ill-typed defaults refuse") {
     val root = freshRoot()
     Snapshots.append(Seq((1L, "a")).toDF("k", "v"), root)
@@ -79,6 +126,19 @@ class ColumnDefaultSpec extends SparkSpec {
       Snapshots.addColumn(spark, root, "x", IntegerType, Some("k + 1"))
     }
     assert(e2.getMessage.contains("DEFAULT"), e2.getMessage)
+    // evaluation-time leaves fold to ONE DDL-instant value while the
+    // INSERT default would re-evaluate per statement — refused
+    val e3 = intercept[IllegalArgumentException] {
+      Snapshots.addColumn(spark, root, "ts", TimestampType,
+        Some("current_timestamp()"))
+    }
+    assert(e3.getMessage.contains("literals"), e3.getMessage)
+    // a parsable-but-ill-typed default refuses with the column named
+    // (never a bare cast error, never a silently pinned NULL)
+    val e4 = intercept[IllegalArgumentException] {
+      Snapshots.addColumn(spark, root, "m", IntegerType, Some("'abc'"))
+    }
+    assert(e4.getMessage.contains("ADD COLUMN m"), e4.getMessage)
     // still no column landed
     assert(Snapshots.read(spark, root).columns.toSeq == Seq("k", "v"))
   }
