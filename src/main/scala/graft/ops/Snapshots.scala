@@ -1814,22 +1814,8 @@ object Snapshots {
         // analyze + evaluate ONCE against a dummy frame: the
         // expression must fold to one deterministic constant — that
         // constant is what every pre-evolution row will read forever
-        val frame =
-          try spark.range(1).select(expr(d).cast(dataType).as("__d"))
-          catch { case NonFatal(e) => throw new IllegalArgumentException(
-            s"ADD COLUMN $name DEFAULT ($d) does not analyze as " +
-              s"${dataType.sql}: ${e.getMessage}") }
-        val pe = frame.queryExecution.analyzed match {
-          case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-            p.projectList.head match {
-              // Alias.foldable is false BY DEFINITION — judge its child
-              case a: org.apache.spark.sql.catalyst.expressions.Alias =>
-                a.child
-              case e => e
-            }
-          case other => throw new IllegalStateException(
-            s"unexpected default-evaluation plan: ${other.nodeName}")
-        }
+        val (pe, eval) =
+          analyzedDefault(spark, s"ADD COLUMN $name DEFAULT", d, dataType)
         // a CONSTANT is an expression whose every LEAF is a literal:
         // this refuses rand() (nondeterministic) AND the
         // context-dependent leaves foldable does not — current_
@@ -1847,11 +1833,7 @@ object Snapshots {
             "or evaluation-time values (current_timestamp, ...) would " +
             "freeze one arbitrary evaluation for pre-existing rows" +
             nonLiteralLeaf.fold("")(l => s" (offending: ${l.sql})"))
-        val value =
-          try frame.head().get(0)
-          catch { case NonFatal(e) => throw new IllegalArgumentException(
-            s"ADD COLUMN $name DEFAULT ($d) does not evaluate as " +
-              s"${dataType.sql}: ${e.getMessage}") }
+        val value = eval()
         // a non-NULL spelling that FOLDS to null (ANSI-off cast of a
         // malformed literal) would silently pin NULL where the user
         // wrote a value — refuse unless they asked for NULL
@@ -1874,6 +1856,89 @@ object Snapshots {
     metadataCommit(fs, root, spark, dir, v, evolved, dropped,
       bloomConfigOf(fs, root, v), constraintsOf(fs, root, v),
       propsOf(fs, root, v), op = "add-column")
+  }
+
+  /** Analyze default-expression `d` cast to `dataType`: the UNALIASED
+    * analyzed expression (for foldability/leaf judgment) and an
+    * evaluate-once thunk whose failure refuses with `what` named —
+    * never a bare cast error. Shared by [[addColumn]] and
+    * [[setColumnDefault]]. */
+  private def analyzedDefault(spark: SparkSession, what: String,
+      d: String, dataType: DataType)
+      : (Expression, () => Any) = {
+    val frame =
+      try spark.range(1).select(expr(d).cast(dataType).as("__d"))
+      catch { case NonFatal(e) => throw new IllegalArgumentException(
+        s"$what ($d) does not analyze as ${dataType.sql}: " +
+          e.getMessage) }
+    val pe = frame.queryExecution.analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.head match {
+          // Alias.foldable is false BY DEFINITION — judge its child
+          case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+            a.child
+          case e => e
+        }
+      case other => throw new IllegalStateException(
+        s"unexpected default-evaluation plan: ${other.nodeName}")
+    }
+    (pe, () =>
+      try frame.head().get(0)
+      catch { case NonFatal(e) => throw new IllegalArgumentException(
+        s"$what ($d) does not evaluate as ${dataType.sql}: " +
+          e.getMessage) })
+  }
+
+  /** SET / DROP the column's INSERT default (`CURRENT_DEFAULT`) — a
+    * metadata-only commit (op `set-default`). Unlike [[addColumn]]'s
+    * DEFAULT this never touches `EXISTS_DEFAULT`: rows in files that
+    * predate the COLUMN keep reading whatever its creation pinned
+    * (NULL when it was added default-less) — SET DEFAULT governs
+    * future writes that omit the column, nothing retroactive, so
+    * there is no frozen-evaluation hazard and evaluation-time
+    * expressions (`current_timestamp()`, `current_date()`) are
+    * ALLOWED — they re-evaluate per INSERT, which is their meaning.
+    * Nondeterministic ones (`rand()`) still refuse. NOTE the writer
+    * asymmetry shared with the lakehouse formats: SQL INSERTs that
+    * omit the column materialize the default INTO the file (the
+    * analyzer injects it); a DataFrame [[append]] omitting the column
+    * writes a file WITHOUT it, which reads as the column's
+    * `EXISTS_DEFAULT`-or-NULL, not as `CURRENT_DEFAULT`. */
+  def setColumnDefault(spark: SparkSession, dir: String, name: String,
+      defaultSql: Option[String]): Int =
+    retryOnRace(s"setColumnDefault on $dir") {
+    val (fs, root) = fsFor(spark, dir)
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(s"no table under $dir"))
+    val schema = schemaOf(fs, root, v)
+      .getOrElse(allNullable(read(spark, dir, v).schema))
+    val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
+    require(idx >= 0,
+      s"no column '$name' in $dir: ${schema.fieldNames.toSeq}")
+    val f = schema.fields(idx)
+    val md = defaultSql match {
+      case Some(d) =>
+        val (pe, eval) = analyzedDefault(spark,
+          s"ALTER COLUMN $name SET DEFAULT", d, f.dataType)
+        require(pe.deterministic && pe.foldable,
+          s"ALTER COLUMN $name SET DEFAULT ($d) must be a " +
+            "deterministic constant expression — a nondeterministic " +
+            "default would make INSERT results irreproducible")
+        eval() // proves it evaluates; NULL folds are the caller's call
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT", d.trim).build()
+      case None =>
+        require(f.metadata.contains("CURRENT_DEFAULT"),
+          s"column '$name' of $dir has no DEFAULT to drop")
+        new MetadataBuilder().withMetadata(f.metadata)
+          .remove("CURRENT_DEFAULT").build()
+    }
+    val evolved = StructType(schema.fields.updated(idx,
+      f.copy(metadata = md)))
+    metadataCommit(fs, root, spark, dir, v, evolved,
+      droppedOf(fs, root, v), bloomConfigOf(fs, root, v),
+      constraintsOf(fs, root, v), propsOf(fs, root, v),
+      op = "set-default")
   }
 
   /** Value-preserving widenings the parquet reader performs natively

@@ -314,6 +314,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (a.comment() != null)
           Snapshots.setProperty(spark, dir,
             s"column.comment.${a.fieldNames.head}", a.comment())
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          "graft tables set defaults on top-level columns only")
+        // DROP DEFAULT arrives as an empty/absent new default
+        val sql = Option(u.newCurrentDefault())
+          .flatMap(dv => Option(dv.getSql))
+          .orElse(Option(u.newDefaultValue()).filter(_.trim.nonEmpty))
+        Snapshots.setColumnDefault(spark, dir, u.fieldNames.head, sql)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "graft column mapping renames top-level columns only")

@@ -143,6 +143,57 @@ class ColumnDefaultSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).columns.toSeq == Seq("k", "v"))
   }
 
+  test("SET / DROP DEFAULT govern future INSERTs only — nothing " +
+      "retroactive, and evaluation-time expressions are allowed") {
+    val root = freshRoot()
+    Snapshots.append(Seq((1L, "a")).toDF("k", "v"), root)
+    Snapshots.addColumn(spark, root, "n", IntegerType) // NO default
+    // pre-SET state: the old row reads NULL and must KEEP reading
+    // NULL after SET DEFAULT (the pin at column creation governs)
+    Snapshots.setColumnDefault(spark, root, "n", Some("9"))
+    assert(Snapshots.read(spark, root)
+      .select("n").as[Option[Int]].head().isEmpty)
+    // constant expressions re-pin the INSERT default freely
+    Snapshots.setColumnDefault(spark, root, "n", Some("5 + 4"))
+    // rand() still refuses
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.setColumnDefault(spark, root, "n", Some("rand()"))
+    }
+    assert(e.getMessage.contains("deterministic"), e.getMessage)
+    // DROP removes the INSERT default; dropping twice refuses
+    Snapshots.setColumnDefault(spark, root, "n", None)
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.setColumnDefault(spark, root, "n", None)
+    }
+    assert(e2.getMessage.contains("no DEFAULT"), e2.getMessage)
+  }
+
+  test("SQL: ALTER COLUMN SET DEFAULT fills subsequent INSERTs; " +
+      "DROP DEFAULT reverts them to NULL") {
+    spark.conf.set("spark.sql.catalog.gdef2", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdef2.warehouse",
+      Files.createTempDirectory("graft_defwh2").toFile.toString)
+    spark.sql("CREATE TABLE gdef2.default.t (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gdef2.default.t (id) VALUES (1)")
+    spark.sql("""ALTER TABLE gdef2.default.t
+      ALTER COLUMN s SET DEFAULT 'filled'""")
+    spark.sql("INSERT INTO gdef2.default.t (id) VALUES (2)")
+    spark.sql("ALTER TABLE gdef2.default.t ALTER COLUMN s DROP DEFAULT")
+    spark.sql("INSERT INTO gdef2.default.t (id) VALUES (3)")
+    assert(spark.sql("SELECT id, s FROM gdef2.default.t ORDER BY id")
+      .as[(Long, Option[String])].collect().toSeq == Seq(
+        (1L, None), (2L, Some("filled")), (3L, None)))
+    // a time-valued INSERT default is accepted and lands non-null
+    spark.sql("""ALTER TABLE gdef2.default.t
+      ADD COLUMN ingested TIMESTAMP""")
+    spark.sql("""ALTER TABLE gdef2.default.t
+      ALTER COLUMN ingested SET DEFAULT current_timestamp()""")
+    spark.sql("INSERT INTO gdef2.default.t (id) VALUES (4)")
+    assert(spark.sql(
+      "SELECT ingested IS NOT NULL FROM gdef2.default.t WHERE id = 4")
+      .as[Boolean].head())
+  }
+
   test("SQL surface: CREATE ... DEFAULT, INSERT omitting the column, " +
       "ALTER TABLE ADD COLUMN ... DEFAULT") {
     spark.conf.set("spark.sql.catalog.gdef", "graft.sql.GraftCatalog")
