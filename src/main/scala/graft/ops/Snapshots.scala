@@ -1267,9 +1267,10 @@ object Snapshots {
   /** Constraint + property headers a commit at base `v` must carry —
     * the one spelling every commit path shares, so a new carried
     * metadata kind is added HERE, not at seventeen call sites. */
-  private def carriedMeta(fs: FileSystem, root: HPath, v: Int): Seq[String] =
+  private def carriedMeta(fs: FileSystem, root: HPath, v: Int,
+      propsDelta: Map[String, String] = Map.empty): Seq[String] =
     constraintHeader(constraintsOf(fs, root, v)) ++
-      propsHeader(propsOf(fs, root, v))
+      propsHeader(propsOf(fs, root, v) ++ propsDelta)
 
   /** The table properties pinned at `version` (default: latest). */
   def tableProperties(spark: SparkSession, dir: String,
@@ -1413,6 +1414,304 @@ object Snapshots {
       expr(f.metadata.getString("EXISTS_DEFAULT"))
     else lit(null)).cast(f.dataType)
 
+  /** The schema's GENERATED ALWAYS AS columns: (field, generation
+    * expression SQL) — carried in the pinned schema under Spark's
+    * `GENERATION_EXPRESSION` field-metadata key, the same
+    * CatalogV2Util round-trip that carries the column-DEFAULT keys. */
+  private def generatedOf(schema: StructType): Seq[(StructField, String)] =
+    schema.fields.toSeq.flatMap(f =>
+      org.apache.spark.sql.graft.GraftSparkBridge.generationExpression(f)
+        .map(f -> _))
+
+  /** Refuse a schema evolution that leaves any generation expression
+    * unresolvable against the evolved shape (probed like the CHECK
+    * constraint guards: an empty frame of the evolved schema must
+    * analyze the expression). */
+  private def requireGeneratedResolve(spark: SparkSession,
+      evolved: StructType, what: String): Unit =
+    generatedOf(evolved).foreach { case (gf, ge) =>
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], evolved)
+      val resolves =
+        try { probe.select(expr(ge)).queryExecution.analyzed; true }
+        catch { case NonFatal(_) => false }
+      require(resolves,
+        s"$what: generated column '${gf.name}' (GENERATED ALWAYS AS " +
+          s"($ge)) references it — drop the generated column first")
+    }
+
+  /** Writer-side materialization of generated columns — every data
+    * write stores the COMPUTED value, so readers never evaluate the
+    * expression (files are self-contained; time travel, clones and
+    * external parquet readers all see the attained values, and the
+    * column's per-file stats prune filters on it like any stored
+    * key). A NULL slot — whether the writer omitted the column,
+    * Spark's INSERT resolution filled it, or the row carried an
+    * explicit NULL — means "compute"; a non-NULL slot is kept AS
+    * WRITTEN and must agree with the expression
+    * ([[enforceConstraintsAt]] refuses the commit otherwise — the
+    * GENERATED ALWAYS contract, Delta-style). A frame lacking the
+    * column entirely gains it, computed. */
+  private def materializeGenerated(schema: StructType,
+      df: DataFrame): DataFrame = {
+    val gens = generatedOf(schema)
+    if (gens.isEmpty) df
+    else {
+      val have = df.columns.map(_.toLowerCase).toSet
+      gens.foldLeft(df) { case (d, (f, e)) =>
+        val computed = expr(e).cast(f.dataType)
+        if (have.contains(f.name.toLowerCase))
+          d.withColumn(f.name,
+            when(col(f.name).isNull, computed).otherwise(col(f.name)))
+        else d.withColumn(f.name, computed)
+      }
+    }
+  }
+
+  /** [[materializeGenerated]] against the schema pinned at the
+    * table's version `v` (no-op when none is pinned — pre-DDL tables
+    * cannot declare generated columns). */
+  private def materializeGeneratedAt(fs: FileSystem, root: HPath,
+      v: Option[Int], df: DataFrame): DataFrame =
+    v.flatMap(schemaOf(fs, root, _)) match {
+      case Some(s) => materializeGenerated(s, df)
+      case None => df
+    }
+
+  /** Recompute generated columns over an UPDATE's rewritten rows:
+    * assignments may change the base columns a generation expression
+    * reads, so the expression re-evaluates against the
+    * POST-assignment row. Recomputing UNCONDITIONALLY (hit rows and
+    * carried rows alike) is sound and simpler than threading the hit
+    * predicate through the assignment projection: every stored value
+    * already equals its (deterministic) expression — the writers
+    * materialize and [[enforceConstraintsAt]] refuses divergence — so
+    * on rows the UPDATE missed the recompute is the identity. */
+  private def regenerate(schema: StructType, df: DataFrame): DataFrame =
+    generatedOf(schema).foldLeft(df) { case (d, (f, e)) =>
+      d.withColumn(f.name, expr(e).cast(f.dataType))
+    }
+
+  /** Refuse UPDATE assignments that target a generated or identity
+    * column — the former derives from its base columns
+    * ([[regenerate]] recomputes it after the assignments land); the
+    * latter is system-assigned and an UPDATE could silently forge a
+    * duplicate. */
+  private def refuseGeneratedAssignment(schema: StructType,
+      assigned: Iterable[String], dir: String): Unit = {
+    val gens = generatedOf(schema)
+    val ids = identityOf(schema)
+    if (gens.nonEmpty || ids.nonEmpty) {
+      val names = assigned.map(_.toLowerCase).toSet
+      gens.foreach { case (f, e) =>
+        require(!names.contains(f.name.toLowerCase),
+          s"UPDATE target '${f.name}' of $dir is GENERATED ALWAYS AS " +
+            s"($e) — it derives from its base columns; assign those " +
+            "instead and the column recomputes")
+      }
+      ids.foreach { case (f, _) =>
+        require(!names.contains(f.name.toLowerCase),
+          s"UPDATE target '${f.name}' of $dir is an IDENTITY column — " +
+            "its values are system-assigned and immutable")
+      }
+    }
+  }
+
+  // ---- IDENTITY columns ----------------------------------------------
+
+  /** The schema's IDENTITY columns: (field, (start, step,
+    * allowExplicitInsert)) — carried in the pinned schema under
+    * Spark's `identity.*` field-metadata keys. */
+  private def identityOf(schema: StructType)
+      : Seq[(StructField, (Long, Long, Boolean))] =
+    schema.fields.toSeq.flatMap(f =>
+      org.apache.spark.sql.graft.GraftSparkBridge.identityInfo(f)
+        .map(f -> _))
+
+  /** The table property holding an identity column's NEXT value to
+    * assign (the "high-water mark"). It advances ATOMICALLY with the
+    * data commit that consumed the values — [[commitLoop]] /
+    * [[commitContentReplace]] verify the mark they read for the
+    * assignment is still the commit base's mark, and a drift (another
+    * writer assigned ids concurrently) aborts to the caller's retry,
+    * which re-reads and re-assigns. Values are therefore unique
+    * across writers; like every identity implementation, GAPS happen
+    * (a failed commit abandons its reserved range). */
+  private def identityMarkKey(f: StructField): String =
+    s"identity.mark.${f.name}"
+
+  /** What [[assignIdentity]] decided: the frame to stage, the mark
+    * entries the commit must still observe at its base
+    * (`expect`: key → the value read here, None = absent), the
+    * advanced marks to write (`delta`), and the underlying PIN to
+    * unpersist after the commit (the staged frame derives from it
+    * deterministically). */
+  private final case class IdentityAssignment(frame: DataFrame,
+    expect: Map[String, Option[String]], delta: Map[String, String],
+    pin: Option[DataFrame])
+
+  /** Assign identity values to the frame's NULL identity slots:
+    * ids = mark, mark+step, ... in partition order — computed
+    * SHUFFLE-FREE via one per-partition NULL count pass over the
+    * pinned frame plus a broadcast offset map (the Delta shape; a
+    * global row_number would sort 100 TB to number it). Explicit
+    * non-NULL values refuse under GENERATED ALWAYS AS IDENTITY;
+    * under BY DEFAULT they pass through and the mark advances past
+    * their extremum, so future assignments stay collision-free.
+    * A frame lacking the column entirely gains it, fully assigned. */
+  private def assignIdentity(spark: SparkSession, schema: StructType,
+      props: Map[String, String], df: DataFrame): IdentityAssignment = {
+    val ids = identityOf(schema)
+    if (ids.isEmpty) return IdentityAssignment(df, Map.empty, Map.empty,
+      pin = None)
+    var expect = Map.empty[String, Option[String]]
+    var delta = Map.empty[String, String]
+    // ONE pin serves every identity column's passes (explicit-value
+    // probe, per-partition counts, the assignment itself): the frame
+    // must yield the SAME rows in the SAME partitions across them.
+    // Everything derived below (withColumn, mapPartitions with a
+    // broadcast offset map) is DETERMINISTIC over the pin, so nothing
+    // else needs pinning.
+    val pin = pinKeys(df)
+    var cur = pin
+    ids.foreach { case (f, (start, step, allowExplicit)) =>
+      val key = identityMarkKey(f)
+      val markStr = props.get(key)
+      val mark: Long = markStr.map(_.toLong).getOrElse(start)
+      expect += (key -> markStr)
+      val has = cur.columns.exists(_.equalsIgnoreCase(f.name))
+      val base = if (has) cur
+        else cur.withColumn(f.name, lit(null).cast(f.dataType))
+      val idx = base.columns.indexWhere(_.equalsIgnoreCase(f.name))
+      val slot = col(base.columns(idx))
+      val explicitMax: Option[Long] =
+        if (has) {
+          if (!allowExplicit) {
+            val bad = base.filter(slot.isNotNull).take(1)
+            require(bad.isEmpty,
+              s"column '${f.name}' is GENERATED ALWAYS AS IDENTITY — " +
+                s"explicit values cannot be written (got ${bad.headOption
+                  .getOrElse("")}); omit the column or write NULL")
+            None
+          } else Option(base.filter(slot.isNotNull)
+            .agg(if (step > 0) max(slot.cast("long"))
+              else min(slot.cast("long"))).head().get(0))
+            .map(_.asInstanceOf[Long])
+        } else None
+      // per-partition NULL counts → cumulative offsets (partition
+      // order), broadcast; the single mapPartitions pass assigns
+      val counts = base.filter(slot.isNull)
+        .select(spark_partition_id().as("__pid"))
+        .groupBy("__pid").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nAssigned = counts.values.sum
+      if (nAssigned == 0L && explicitMax.isEmpty) {
+        // nothing to assign, nothing to advance — no mark entry
+        expect -= key
+      } else {
+        // assignment starts BEYOND this batch's own explicit values,
+        // or the batch would hand out ids it also carries explicitly
+        // ({id=2, NULL, NULL} at mark=1 must assign 3,4 — not 1,2)
+        val effMark = explicitMax match {
+          case Some(m) =>
+            if (step > 0) math.max(mark, m + step)
+            else math.min(mark, m + step)
+          case None => mark
+        }
+        val offsets: Map[Int, Long] = {
+          var acc = 0L
+          counts.toSeq.sortBy(_._1).map { case (p, n) =>
+            val o = acc; acc += n; p -> o
+          }.toMap
+        }
+        val isInt = f.dataType == IntegerType
+        if (isInt && nAssigned > 0L) {
+          // an INT identity must never wrap: refuse the write rather
+          // than emit silently-negative ids the mark diverges from
+          val last = effMark + step * (nAssigned - 1)
+          require(effMark >= Int.MinValue && effMark <= Int.MaxValue &&
+              last >= Int.MinValue && last <= Int.MaxValue,
+            s"identity column '${f.name}': assigning $nAssigned ids " +
+              s"from $effMark (step $step) overflows INT — widen the " +
+              "column to BIGINT")
+        }
+        val assigned =
+          if (nAssigned == 0L) base
+          else {
+            val bc = spark.sparkContext.broadcast(offsets)
+            val outSchema = base.schema
+            base.mapPartitions { it =>
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              var k = bc.value.getOrElse(pid, 0L)
+              it.map { r =>
+                if (!r.isNullAt(idx)) r
+                else {
+                  val v = effMark + step * k
+                  k += 1
+                  Row.fromSeq(r.toSeq.updated(idx,
+                    if (isInt) v.toInt else v))
+                }
+              }
+            }(org.apache.spark.sql.Encoders.row(outSchema))
+          }
+        delta += (key -> (effMark + step * nAssigned).toString)
+        cur = assigned
+      }
+    }
+    IdentityAssignment(cur, expect, delta, pin = Some(pin))
+  }
+
+  /** Mark-advance entries for identity values a merge-family /
+    * replaceWhere source carries EXPLICITLY: those verbs trust the
+    * source's ids (see [[refuseNullIdentity]]) — but the next
+    * assignment must not re-issue them, so the commit pushes the
+    * high-water mark past the source's extremum in the same CAS
+    * (usually a no-op: re-loaded rows carry ids below the mark). The
+    * source must be PINNED by the caller — this agg is one more of
+    * its executions. */
+  private def identityMarkAdvance(schema: StructType,
+      props: Map[String, String], src: DataFrame): Map[String, String] =
+    identityOf(schema).flatMap { case (f, (start, step, _)) =>
+      src.columns.find(_.equalsIgnoreCase(f.name)).flatMap { c =>
+        val slot = col(c)
+        Option(src.filter(slot.isNotNull)
+          .agg(if (step > 0) max(slot.cast("long"))
+            else min(slot.cast("long"))).head().get(0))
+          .map(_.asInstanceOf[Long])
+          .flatMap { m =>
+            val key = identityMarkKey(f)
+            val mark = props.get(key).map(_.toLong).getOrElse(start)
+            val next = if (step > 0) math.max(mark, m + step)
+              else math.min(mark, m + step)
+            if (props.get(key).map(_.toLong).contains(next)) None
+            else Some(key -> next.toString)
+          }
+      }
+    }.toMap
+
+  /** Refuse NULL identity slots on the merge-family sources: a merge
+    * row replaces or inserts by key, and assigning fresh ids inside
+    * the classification join would entangle the mark advance with the
+    * OCC retry loops — insert new rows through the INSERT/append
+    * verbs (which assign), or carry explicit values (BY DEFAULT
+    * tables; matched SQL MERGE rows carry the target's existing ids
+    * naturally — [[identityMarkAdvance]] keeps the mark ahead of
+    * whatever the source introduced). */
+  private def refuseNullIdentity(schema: StructType, src: DataFrame,
+      dir: String, what: String): Unit =
+    identityOf(schema).foreach { case (f, _) =>
+      if (src.columns.exists(_.equalsIgnoreCase(f.name))) {
+        val bad = src.filter(col(f.name).isNull).take(1)
+        require(bad.isEmpty,
+          s"$what into $dir: source row carries a NULL for IDENTITY " +
+            s"column '${f.name}' — $what does not assign identity " +
+            "values; INSERT/append the new rows (which assigns), or " +
+            "provide explicit values on a BY DEFAULT identity column")
+      } else throw new IllegalArgumentException(
+        s"$what into $dir: source lacks IDENTITY column '${f.name}' — " +
+          "provide it explicitly (matched rows carry the target's ids)")
+    }
+
   /** Validate `df` against the constraints pinned at version `v` and
     * return that set (the commit re-checks it against its actual base —
     * see [[commitLoop]]). Table columns the frame lacks enforce as
@@ -1424,7 +1723,8 @@ object Snapshots {
       fs: FileSystem, root: HPath, v: Int,
       df: DataFrame): Map[String, String] = {
     val cs = constraintsOf(fs, root, v)
-    if (cs.nonEmpty) {
+    val gens = schemaOf(fs, root, v).map(generatedOf).getOrElse(Nil)
+    if (cs.nonEmpty || gens.nonEmpty) {
       val have = df.columns.map(_.toLowerCase).toSet
       val missing = schemaOf(fs, root, v).map(_.fields.toSeq).getOrElse(Nil)
         .filterNot(f => have.contains(f.name.toLowerCase))
@@ -1435,6 +1735,19 @@ object Snapshots {
         if (bad.nonEmpty) throw new IllegalArgumentException(
           s"CHECK constraint '$n' ($e) on $dir violated by incoming " +
             s"row: ${bad.head} — nothing was committed")
+      }
+      // GENERATED ALWAYS AS: a stored slot must agree with its
+      // expression — the writers materialize NULL slots first
+      // ([[materializeGenerated]]), so what reaches here failing this
+      // check is a caller-provided CONFLICTING value
+      gens.foreach { case (f, e) =>
+        val bad = full.filter(
+          !(col(f.name) <=> expr(e).cast(f.dataType))).take(1)
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"generated column '${f.name}' (GENERATED ALWAYS AS ($e)) of " +
+            s"$dir disagrees with its expression on incoming row: " +
+            s"${bad.head} — omit the column (or write NULL) to have " +
+            "it computed; nothing was committed")
       }
     }
     cs
@@ -1491,10 +1804,16 @@ object Snapshots {
         // position semi-join and the staged append must all see ONE
         // row set of a possibly-nondeterministic source — srcKeys
         // derives from the pin, so its two executions agree too
-        // (see [[pinKeys]])
-        val src = pinKeys(
-          source.select(table.columns.map(source.col).toSeq: _*))
+        // (see [[pinKeys]]). Generated columns materialize first.
+        val src = pinKeys(materializeGeneratedAt(fs, root, Some(v),
+          source.select(table.columns.map(source.col).toSeq: _*)))
         try {
+        schemaOf(fs, root, v).foreach(s =>
+          refuseNullIdentity(s, src, dir, "mergeLight"))
+        // same mark-advance-past-explicit-ids contract as [[merge]]
+        val idDelta = schemaOf(fs, root, v)
+          .map(s => identityMarkAdvance(s, propsOf(fs, root, v), src))
+          .getOrElse(Map.empty[String, String])
         keys.foreach(k => require(src.columns.contains(k),
           s"merge key '$k' is not a column: ${src.columns.toSeq}"))
         val dup = src.na.drop(keys).groupBy(keys.map(col): _*)
@@ -1584,7 +1903,7 @@ object Snapshots {
                 schemaHeader(pinnedSchema) +:
                 (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
                   constraintHeader(csPinned) ++
-                  propsHeader(propsOf(fs, root, v)) ++
+                  propsHeader(propsOf(fs, root, v) ++ idDelta) ++
                   opHeader("merge-light") ++ dmlKeysHeader(keys) ++
                   dropWhole.map(f => s"#remove\t$f") ++ newLines ++
                   staged.stats))
@@ -1597,7 +1916,7 @@ object Snapshots {
             casManifest(fs, root, next, keptFiles ++ staged.files,
               schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
                 bloomHeader(bloomCfg) ++ constraintHeader(csPinned) ++
-                propsHeader(propsOf(fs, root, v)) ++
+                propsHeader(propsOf(fs, root, v) ++ idDelta) ++
                 opHeader("merge-light") ++ dmlKeysHeader(keys) ++
                 dvLines(dvAll, keptFiles.toSet) ++
                 statsLines(fs, root, v, keptFiles.toSet) ++ staged.stats))
@@ -1688,16 +2007,35 @@ object Snapshots {
           s"'$n' ($e) references it — drop the constraint first (and " +
           "re-add it against the new name)")
     }
+    // likewise a generation expression: it re-evaluates on every
+    // write, so a dangling base-column reference would break every
+    // later INSERT (renaming the GENERATED column itself is fine —
+    // the expression travels with the field and cannot self-refer)
+    requireGeneratedResolve(spark, evolved,
+      s"cannot rename column '$existing' of $dir")
     // declarations follow the rename: `stats.columns`/`cluster.columns`
     // naming the old logical name would silently go stale (a stale
     // declaration collects no stats for the key it exists to protect)
-    val ps = Seq("stats.columns", "cluster.columns")
+    val ps0 = Seq("stats.columns", "cluster.columns")
       .foldLeft(propsOf(fs, root, v)) { (acc, k) =>
         acc.get(k) match {
           case Some(csv) => acc + (k -> csv.split(",").map(_.trim)
             .filter(_.nonEmpty)
             .map(n => if (n.equalsIgnoreCase(f.name)) newName else n)
             .mkString(","))
+          case None => acc
+        }
+      }
+    // name-keyed per-column properties follow the rename too: an
+    // identity high-water mark left behind would make the next INSERT
+    // restart from START and collide with every id already handed
+    // out; an orphaned column comment would resurface on a future
+    // column that reuses the name
+    val ps = Seq(identityMarkKey(f) -> s"identity.mark.$newName",
+        s"column.comment.${f.name}" -> s"column.comment.$newName")
+      .foldLeft(ps0) { case (acc, (oldK, newK)) =>
+        acc.get(oldK) match {
+          case Some(value) => acc - oldK + (newK -> value)
           case None => acc
         }
       }
@@ -1737,12 +2075,18 @@ object Snapshots {
           s"cannot drop column '$name' of $dir: CHECK constraint '$n' " +
             s"($e) references it — drop the constraint first")
       }
+      // a surviving generated column whose expression references the
+      // dropped column would fail on every later write (dropping the
+      // GENERATED column itself is fine — its expression leaves with
+      // it, generatedOf(evolved) no longer sees it)
+      requireGeneratedResolve(spark, evolved,
+        s"cannot drop column '$name' of $dir")
       // a declared stats/cluster key cannot silently vanish: the
       // declaration exists to guarantee that key's stats, so dropping
       // the column refuses until the property stops naming it
-      val ps = propsOf(fs, root, v)
+      val ps0 = propsOf(fs, root, v)
       Seq("stats.columns", "cluster.columns").foreach { k =>
-        ps.get(k).foreach { csv =>
+        ps0.get(k).foreach { csv =>
           require(!csv.split(",").map(_.trim)
               .exists(_.equalsIgnoreCase(f.name)),
             s"cannot drop column '$name' of $dir: table property " +
@@ -1750,6 +2094,10 @@ object Snapshots {
               "property first")
         }
       }
+      // a dropped column takes its name-keyed properties with it — a
+      // surviving identity mark or comment would resurface on a
+      // future column reusing the name
+      val ps = ps0 - identityMarkKey(f) - s"column.comment.${f.name}"
       // the dropped column also leaves the bloom config, if indexed
       val cfg = bloomConfigOf(fs, root, v)
         .map(c => c.copy(cols = c.cols.filterNot(_ == physOf(f))))
@@ -1916,6 +2264,15 @@ object Snapshots {
     require(idx >= 0,
       s"no column '$name' in $dir: ${schema.fieldNames.toSeq}")
     val f = schema.fields(idx)
+    require(org.apache.spark.sql.graft.GraftSparkBridge
+        .generationExpression(f).isEmpty,
+      s"column '${f.name}' of $dir is GENERATED ALWAYS AS — a " +
+        "generated column computes its value and cannot carry a " +
+        "DEFAULT (Spark refuses the combination at CREATE, too)")
+    require(org.apache.spark.sql.graft.GraftSparkBridge
+        .identityInfo(f).isEmpty,
+      s"column '${f.name}' of $dir is an IDENTITY column — its values " +
+        "are system-assigned and cannot carry a DEFAULT")
     val md = defaultSql match {
       case Some(d) =>
         val (pe, eval) = analyzedDefault(spark,
@@ -1985,6 +2342,26 @@ object Snapshots {
     val f = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
       throw new IllegalArgumentException(
         s"no column '$name' in $dir: ${schema.fieldNames.toSeq}"))
+    // generated columns pin their type to the expression's (validated
+    // at CREATE); widening the column OR a base column its expression
+    // reads would silently change what future writes compute versus
+    // what old files store — refuse both, loudly
+    require(org.apache.spark.sql.graft.GraftSparkBridge
+        .generationExpression(f).isEmpty,
+      s"cannot widen column '${f.name}' of $dir: it is GENERATED " +
+        "ALWAYS AS — its type is pinned to its expression's; drop and " +
+        "re-create the table to change it")
+    generatedOf(schema).foreach { case (gf, ge) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(ge).collect {
+        case ua: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => ua.nameParts.head.toLowerCase
+      }.toSet
+      require(!refs.contains(f.name.toLowerCase),
+        s"cannot widen column '${f.name}' of $dir: generated column " +
+          s"'${gf.name}' (GENERATED ALWAYS AS ($ge)) reads it — the " +
+          "expression's result type would drift from the pinned " +
+          "column type; drop the generated column first")
+    }
     // copy keeps field metadata — the physical-name mapping of a
     // renamed column must survive its widening
     def evolved = StructType(schema.fields.map(x =>
@@ -2520,6 +2897,7 @@ object Snapshots {
     val assigned = assignments.map { case (c, v) =>
       byName(c.toLowerCase).name -> v
     }.toMap
+    refuseGeneratedAssignment(cols, assigned.keys, dir)
     val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
     if (mayMatch.isEmpty)
       return LightUpdateResult(base, 0, 0, untouched.size, 0L)
@@ -2537,12 +2915,13 @@ object Snapshots {
         return LightUpdateResult(base, 0, 0,
           untouched.size + mayMatch.size, 0L)
       // the updated row images (every matched row, pred already TRUE)
-      val updated = matched.select(cols.fields.toSeq.map { f =>
-        assigned.get(f.name) match {
-          case Some(v) => v.cast(f.dataType).as(f.name)
-          case None => col(f.name)
-        }
-      }: _*)
+      val updated = regenerate(cols,
+        matched.select(cols.fields.toSeq.map { f =>
+          assigned.get(f.name) match {
+            case Some(v) => v.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*))
       enforceConstraintsAt(spark, dir, fs, root, base, updated)
       val byBase: Map[String, Array[Long]] = hits
         .map(r => (r.getString(0), r.getLong(1)))
@@ -3018,7 +3397,9 @@ object Snapshots {
   private def commitLoop(fs: FileSystem, root: HPath, spark: SparkSession,
       dir: String, staged: Staged, carryBase: Boolean, op: String,
       header: Seq[String] = Nil,
-      validated: Map[String, String] = Map.empty): Int = {
+      validated: Map[String, String] = Map.empty,
+      propsExpect: Map[String, Option[String]] = Map.empty,
+      propsDelta: Map[String, String] = Map.empty): Int = {
     val hdr = opHeader(op) ++ header
     var attempts = 0
     while (attempts < 10) {
@@ -3044,9 +3425,24 @@ object Snapshots {
       val bloomCfg =
         if (carryBase && base.nonEmpty) bloomConfigOf(fs, root, base.get)
         else None
-      val props =
+      val baseProps =
         if (carryBase && base.nonEmpty) propsOf(fs, root, base.get)
         else Map.empty[String, String]
+      // identity-mark OCC: the values this batch assigned derive from
+      // the marks read at assignment time — if the ACTUAL commit
+      // base's marks moved (a concurrent writer assigned ids), this
+      // batch's ids may collide with the winner's. Abort to the
+      // caller's retry, which re-reads the marks and re-assigns;
+      // CAS losses that did NOT move the marks stay inside this loop
+      // (the staged files remain valid).
+      propsExpect.foreach { case (k, exp) =>
+        if (baseProps.get(k) != exp)
+          throw new java.util.ConcurrentModificationException(
+            s"identity mark '$k' on $dir advanced while this batch " +
+              s"staged (expected $exp, found ${baseProps.get(k)}) — " +
+              "re-run the write")
+      }
+      val props = baseProps ++ propsDelta
       val pinned =
         if (!carryBase || base.isEmpty) allNullable(staged.schema)
         else evolveSchema(
@@ -3291,11 +3687,25 @@ object Snapshots {
       require(table.columns.sorted.sameElements(df.columns.sorted),
         s"INSERT OVERWRITE columns ${df.columns.toSeq} != table " +
           s"columns ${table.columns.toSeq}")
-      val aligned = clusterForWrite(spark, dir,
+      val gen = materializeGeneratedAt(fs, root, Some(base),
         df.select(table.columns.map(df.col).toSeq: _*))
-      enforceConstraintsAt(spark, dir, fs, root, base, aligned)
-      commitContentReplace(spark, dir, fs, root, base, aligned,
-        op = "overwrite")
+      // identity values keep assigning from the mark across an
+      // overwrite — replaced rows' ids are NOT recycled (the
+      // standard identity contract; a restart-from-START would
+      // collide with ids the old content leaked downstream)
+      val ia = schemaOf(fs, root, base)
+          .filter(s => identityOf(s).nonEmpty) match {
+        case Some(s) =>
+          assignIdentity(spark, s, propsOf(fs, root, base), gen)
+        case None => IdentityAssignment(gen, Map.empty, Map.empty, None)
+      }
+      try {
+        val aligned = clusterForWrite(spark, dir, ia.frame)
+        enforceConstraintsAt(spark, dir, fs, root, base, aligned)
+        commitContentReplace(spark, dir, fs, root, base, aligned,
+          op = "overwrite", propsExpect = ia.expect,
+          propsDelta = ia.delta)
+      } finally ia.pin.foreach(_.unpersist())
     }
 
   /** Shared commit of the content-replacing DATA verbs ([[truncate]],
@@ -3307,7 +3717,8 @@ object Snapshots {
     * header kind cannot be forgotten by one verb. */
   private def commitContentReplace(spark: SparkSession, dir: String,
       fs: FileSystem, root: HPath, base: Int, frame: DataFrame,
-      op: String): Int = {
+      op: String, propsExpect: Map[String, Option[String]] = Map.empty,
+      propsDelta: Map[String, String] = Map.empty): Int = {
     val basePinned = schemaOf(fs, root, base)
     val bloomCfg = bloomConfigOf(fs, root, base)
     val staged = stage(frame, fs, root,
@@ -3315,10 +3726,20 @@ object Snapshots {
         .getOrElse(Map.empty), bloomCfg, declaredAt = base)
     val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
     val next = base + 1
+    // identity marks were read at `base`, and this commit CASes at
+    // base+1 — a racing writer fails the CAS, so the CAS itself is
+    // the mark-drift guard here (unlike commitLoop's internal retry);
+    // the expect check still validates the caller pinned correctly
+    propsExpect.foreach { case (k, exp) =>
+      require(propsOf(fs, root, base).get(k) == exp,
+        s"identity mark '$k' on $dir does not match the $op's " +
+          "assignment base — the caller pinned the wrong version")
+    }
     val won = casManifest(fs, root, next, staged.files,
       schemaHeader(pinnedSchema) +:
         (droppedHeader(droppedOf(fs, root, base)) ++
-          bloomHeader(bloomCfg) ++ carriedMeta(fs, root, base) ++
+          bloomHeader(bloomCfg) ++
+          carriedMeta(fs, root, base, propsDelta) ++
           opHeader(op) ++ staged.stats))
     if (!won) throw new java.util.ConcurrentModificationException(
       s"$op of $dir@v$base lost the commit race")
@@ -3328,18 +3749,34 @@ object Snapshots {
   /** Append `df` as a new version (previous files + the new ones).
     * Returns the committed version. Concurrent appends both land, in
     * some order — appends commute, so the retry is lossless. */
-  def append(df: DataFrame, dir: String): Int = {
+  def append(df: DataFrame, dir: String): Int =
+    retryOnRace("append to " + dir) {
     val spark = df.sparkSession
     val (fs, root) = fsFor(spark, dir)
-    val shaped = clusterForWrite(spark, dir, df)
-    validateIncoming(spark, dir, shaped)
-    val validated = currentVersion(spark, dir)
-      .map(v => enforceConstraintsAt(spark, dir, fs, root, v, shaped))
-      .getOrElse(Map.empty[String, String])
-    commitLoop(fs, root, spark, dir,
-      stage(shaped, fs, root, physMapFor(spark, dir, shaped),
-        bloomConfigAt(spark, dir)), carryBase = true, op = "append",
-      validated = validated)
+    val cur = currentVersion(spark, dir)
+    val schemaPinned = cur.flatMap(schemaOf(fs, root, _))
+    // generated columns materialize BEFORE clustering: the generated
+    // column may itself be the declared cluster key
+    val gen = schemaPinned.map(materializeGenerated(_, df)).getOrElse(df)
+    // identity values assign from the current mark; the commit aborts
+    // back HERE (re-read, re-assign) if the mark moved underneath
+    val ia = schemaPinned.filter(s => identityOf(s).nonEmpty) match {
+      case Some(s) =>
+        assignIdentity(spark, s, propsOf(fs, root, cur.get), gen)
+      case None => IdentityAssignment(gen, Map.empty, Map.empty, None)
+    }
+    try {
+      val shaped = clusterForWrite(spark, dir, ia.frame)
+      validateIncoming(spark, dir, shaped)
+      val validated = cur
+        .map(v => enforceConstraintsAt(spark, dir, fs, root, v, shaped))
+        .getOrElse(Map.empty[String, String])
+      commitLoop(fs, root, spark, dir,
+        stage(shaped, fs, root, physMapFor(spark, dir, shaped),
+          bloomConfigAt(spark, dir)), carryBase = true, op = "append",
+        validated = validated,
+        propsExpect = ia.expect, propsDelta = ia.delta)
+    } finally ia.pin.foreach(_.unpersist())
   }
 
   /** Shape an INGEST frame for the table's DECLARED clustering keys
@@ -3441,17 +3878,35 @@ object Snapshots {
     val (fs, root) = fsFor(spark, dir)
     if (lastBatch(fs, root, spark, dir, writerId).exists(_ >= batchId))
       return None // replay of an already-committed batch
-    val shaped = clusterForWrite(spark, dir, df)
-    validateIncoming(spark, dir, shaped)
-    val validated = currentVersion(spark, dir)
-      .map(v => enforceConstraintsAt(spark, dir, fs, root, v, shaped))
-      .getOrElse(Map.empty[String, String])
-    val staged = stage(shaped, fs, root, physMapFor(spark, dir, shaped),
-      bloomConfigAt(spark, dir))
-    Some(commitLoop(fs, root, spark, dir, staged, carryBase = true,
-      op = "append",
-      header = Seq(s"#commit writer=$writerId batch=$batchId"),
-      validated = validated))
+    retryOnRace(s"idempotentAppend($writerId) to " + dir) {
+      // replays can also surface inside the retry: a racing commit of
+      // THIS batch (another attempt of the same writer) must not land
+      // twice
+      if (lastBatch(fs, root, spark, dir, writerId).exists(_ >= batchId))
+        return None
+      val cur = currentVersion(spark, dir)
+      val schemaPinned = cur.flatMap(schemaOf(fs, root, _))
+      val gen = schemaPinned.map(materializeGenerated(_, df)).getOrElse(df)
+      val ia = schemaPinned.filter(s => identityOf(s).nonEmpty) match {
+        case Some(s) =>
+          assignIdentity(spark, s, propsOf(fs, root, cur.get), gen)
+        case None => IdentityAssignment(gen, Map.empty, Map.empty, None)
+      }
+      try {
+        val shaped = clusterForWrite(spark, dir, ia.frame)
+        validateIncoming(spark, dir, shaped)
+        val validated = cur
+          .map(v => enforceConstraintsAt(spark, dir, fs, root, v, shaped))
+          .getOrElse(Map.empty[String, String])
+        val staged = stage(shaped, fs, root,
+          physMapFor(spark, dir, shaped), bloomConfigAt(spark, dir))
+        Some(commitLoop(fs, root, spark, dir, staged, carryBase = true,
+          op = "append",
+          header = Seq(s"#commit writer=$writerId batch=$batchId"),
+          validated = validated,
+          propsExpect = ia.expect, propsDelta = ia.delta))
+      } finally ia.pin.foreach(_.unpersist())
+    }
   }
 
   /** Exactly-once OVERWRITE, same replay discipline as
@@ -3996,10 +4451,20 @@ object Snapshots {
         // the retiring anti-join and the staged union are
         // INDEPENDENT executions of this plan — a nondeterministic
         // source must yield ONE row set across all of them
-        // (see [[pinKeys]])
-        val src = pinKeys(srcAligned)
+        // (see [[pinKeys]]). Generated columns materialize first —
+        // the filled/aligned source is what stages.
+        val src = pinKeys(
+          materializeGeneratedAt(fs, root, Some(v), srcAligned))
         var pinnedMut: DataFrame = null
         try {
+        schemaOf(fs, root, v).foreach(s =>
+          refuseNullIdentity(s, src, dir, "merge"))
+        // explicit identity values the source introduces push the
+        // mark in the SAME commit — the next INSERT must not re-issue
+        // them (CAS at v+1 guards the advance)
+        val idDelta = schemaOf(fs, root, v)
+          .map(s => identityMarkAdvance(s, propsOf(fs, root, v), src))
+          .getOrElse(Map.empty[String, String])
         // case-INSENSITIVE, like Spark's own column resolution: the
         // evolving path re-aliases shared columns to the TABLE's
         // casing, and a caller-cased key must keep working either way
@@ -4094,14 +4559,15 @@ object Snapshots {
                 schemaHeader(pinnedSchema) +:
                 (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
                   constraintHeader(csPinned) ++
-                  propsHeader(propsOf(fs, root, v)) ++ opHeader(opName) ++
+                  propsHeader(propsOf(fs, root, v) ++ idDelta) ++
+                  opHeader(opName) ++
                   dmlKeysHeader(keys) ++ header ++
                   touched.map(f => s"#remove\t$f") ++ staged.stats))
           else
             casManifest(fs, root, next, untouched ++ staged.files,
               schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
                 bloomHeader(bloomCfg) ++ constraintHeader(csPinned) ++
-                propsHeader(propsOf(fs, root, v)) ++
+                propsHeader(propsOf(fs, root, v) ++ idDelta) ++
                 opHeader(opName) ++ dmlKeysHeader(keys) ++ header ++
                 dvLines(dvFor(fs, root, v), untouched.toSet) ++
                 statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
@@ -4431,7 +4897,8 @@ object Snapshots {
     require(table.columns.sorted.sameElements(data.columns.sorted),
       s"replaceWhere data columns ${data.columns.toSeq} != table " +
         s"columns ${table.columns.toSeq}")
-    val aligned = data.select(table.columns.map(data.col).toSeq: _*)
+    val aligned = materializeGeneratedAt(fs, root, Some(base),
+      data.select(table.columns.map(data.col).toSeq: _*))
     val basePinned = schemaOf(fs, root, base)
     val bloomCfg = bloomConfigOf(fs, root, base)
     val physMap = basePinned
@@ -4467,8 +4934,19 @@ object Snapshots {
           s"replace predicate (${outOfScope.head}) — every inserted " +
           "row must be inside the replaced scope; widen the predicate " +
           "or filter the load")
+      // a scoped replace re-loads rows that conceptually EXIST — they
+      // carry their ids; fresh rows belong in the INSERT/append verbs
+      // (which assign). Validated on the STAGED BYTES like the checks
+      // above, keeping the stage-once discipline.
+      basePinned.foreach(s => refuseNullIdentity(s, loadBack, dir,
+        "replaceWhere"))
       enforceConstraintsAt(spark, dir, fs, root, base, loadBack)
     } catch { case NonFatal(t) => dropStaged(); throw t }
+    // explicit identity values the load introduces push the mark in
+    // the SAME commit (usually a no-op — re-loaded rows sit below it)
+    val idDelta = basePinned
+      .map(s => identityMarkAdvance(s, propsOf(fs, root, base), loadBack))
+      .getOrElse(Map.empty[String, String])
     val (mayMatch, untouched, survivors) =
       pruneBoth(spark, dir, pred, base)
     val (maySurvive, dropWhole) = splitDropWholeWith(spark, dir, fs,
@@ -4491,14 +4969,14 @@ object Snapshots {
           s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
             schemaHeader(pinnedSchema) +:
             (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
-              carriedMeta(fs, root, base) ++
+              carriedMeta(fs, root, base, idDelta) ++
               opHeader("replace-where") ++
               mayMatch.map(f => s"#remove\t$f") ++ staged.stats))
       else
         casManifest(fs, root, next, untouched ++ staged.files,
           schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
             bloomHeader(bloomCfg) ++
-            carriedMeta(fs, root, base) ++
+            carriedMeta(fs, root, base, idDelta) ++
             opHeader("replace-where") ++
             dvLines(dvFor(fs, root, base), untouched.toSet) ++
             statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
@@ -4554,19 +5032,20 @@ object Snapshots {
     val assigned = assignments.map { case (c, v) =>
       byName(c.toLowerCase).name -> v
     }.toMap
+    refuseGeneratedAssignment(cols, assigned.keys, dir)
     val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
     if (mayMatch.isEmpty)
       return UpdateResult(base, 0, untouched.length)
     val hit = coalesce(pred, lit(false))
     val rewrittenRows = {
       val in = readFilesAs(spark, fs, root, base, mayMatch)
-      in.select(cols.fields.toSeq.map { f =>
+      regenerate(cols, in.select(cols.fields.toSeq.map { f =>
         assigned.get(f.name) match {
           case Some(v) =>
             when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
-      }: _*)
+      }: _*))
     }
     commitUpdateRewrite(spark, dir, fs, root, base, mayMatch, untouched,
       rewrittenRows)
@@ -4675,6 +5154,7 @@ object Snapshots {
     val assigned = assignments.map { case (c, v) =>
       byName(c.toLowerCase).name -> v
     }.toMap
+    refuseGeneratedAssignment(cols, assigned.keys, dir)
     val canonKeys = keys.map(k => byName(k.toLowerCase).name)
     // metadata-only rename over the PINNED frame — rows untouched
     val src = matchKeys.toDF(canonKeys: _*)
@@ -4695,13 +5175,14 @@ object Snapshots {
     val joined = readFilesAs(spark, fs, root, base, mayMatch)
       .join(src.withColumn("__upd_mark", lit(true)), canonKeys, "left")
     val hit = col("__upd_mark").isNotNull
-    val rewrittenRows = joined.select(cols.fields.toSeq.map { f =>
-      assigned.get(f.name) match {
-        case Some(v) =>
-          when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-        case None => col(f.name)
-      }
-    }: _*)
+    val rewrittenRows = regenerate(cols,
+      joined.select(cols.fields.toSeq.map { f =>
+        assigned.get(f.name) match {
+          case Some(v) =>
+            when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*))
     commitUpdateRewrite(spark, dir, fs, root, base, mayMatch, untouched,
       rewrittenRows)
   }

@@ -1647,6 +1647,116 @@ object SinkQueries {
         |       THEN o_custkey - 500000
         |       ELSE o_custkey END AS o_custkey,
         |  o_totalprice
-        |FROM p4 ORDER BY o_orderkey""".stripMargin)
+        |FROM p4 ORDER BY o_orderkey""".stripMargin),
+
+    // GENERATED ALWAYS AS columns end-to-end: the month bucket derives
+    // from o_orderdate and is STORED at write time (files are
+    // self-contained; its per-file stats prune filters on it like any
+    // key). INSERTs that omit the column — or pass NULL — get it
+    // computed; the UPDATE changes the base date, so the bucket
+    // recomputes against the post-assignment row. The oracle replays
+    // the expression inline.
+    QueryDef("s49_generated_column",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s49_wh_" +
+          ProcessHandle.current().pid()
+        s.conf.set("spark.sql.catalog.g49", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g49.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS g49.default.t")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_totalprice", "o_orderdate")
+          .filter(col("o_orderkey") < 60000)
+          .createOrReplaceTempView("s49_base")
+        s.sql(
+          """CREATE TABLE g49.default.t (
+            |  o_orderkey BIGINT,
+            |  o_totalprice DOUBLE,
+            |  o_orderdate DATE,
+            |  order_month INT GENERATED ALWAYS AS
+            |    (YEAR(o_orderdate) * 100 + MONTH(o_orderdate)))
+            |""".stripMargin)
+        // omitted column: computed
+        s.sql("""INSERT INTO g49.default.t (o_orderkey, o_totalprice,
+            o_orderdate)
+          SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE)
+          FROM s49_base WHERE o_orderkey % 2 = 0""")
+        // explicit NULL slot: computed
+        s.sql("""INSERT INTO g49.default.t
+          SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE),
+            CAST(NULL AS INT)
+          FROM s49_base WHERE o_orderkey % 2 = 1""")
+        // the UPDATE moves the base date — the bucket recomputes
+        s.sql("""UPDATE g49.default.t
+          SET o_orderdate = date_add(o_orderdate, 31)
+          WHERE o_orderkey % 19 = 7""")
+        s.sql("""SELECT order_month, count(*) AS n_rows,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+              AS sum_price
+          FROM g49.default.t
+          GROUP BY order_month ORDER BY order_month""")
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(o_orderdate AS DATE) AS o_orderdate
+        |  FROM orders WHERE o_orderkey < 60000),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 19 = 7 THEN o_orderdate + 31
+        |         ELSE o_orderdate END AS o_orderdate
+        |  FROM base)
+        |SELECT (YEAR(o_orderdate) * 100 + MONTH(o_orderdate))::INT
+        |    AS order_month,
+        |  count(*)::BIGINT AS n_rows,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // IDENTITY columns end-to-end: two ingest commits assign
+    // contiguous id ranges from the commit-atomic high-water mark.
+    // Each load is ONE sorted partition, so the assignment order is
+    // the sort order and the oracle can replay ids as row_number —
+    // at scale the same assignment runs shuffle-free across
+    // partitions (per-partition offsets), where ids are unique but
+    // layout-ordered; the aggregate contract (count, min, max,
+    // distinctness) is what survives any layout.
+    QueryDef("s50_identity_column",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s50_wh_" +
+          ProcessHandle.current().pid()
+        s.conf.set("spark.sql.catalog.g50", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g50.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS g50.default.t")
+        s.sql(
+          """CREATE TABLE g50.default.t (
+            |  id BIGINT GENERATED ALWAYS AS IDENTITY,
+            |  o_orderkey BIGINT,
+            |  o_totalprice DOUBLE)""".stripMargin)
+        val base = Tables.orders(s, dir)
+          .select("o_orderkey", "o_totalprice")
+          .filter(col("o_orderkey") < 60000)
+        val root = s"$wh/default/t"
+        Snapshots.append(base.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .orderBy("o_orderkey").coalesce(1), root)
+        Snapshots.append(base.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .orderBy("o_orderkey").coalesce(1), root)
+        s.sql("""SELECT o_orderkey, id, o_totalprice
+          FROM g50.default.t ORDER BY o_orderkey""")
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey < 60000),
+        |ev AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM base WHERE o_orderkey % 2 = 0),
+        |od AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM base WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderkey, rn::BIGINT AS id, o_totalprice FROM ev
+        |UNION ALL
+        |SELECT o_orderkey, (rn + (SELECT count(*) FROM ev))::BIGINT,
+        |  o_totalprice FROM od
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }

@@ -135,6 +135,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(fullName(ident), dir, Some(v))
   }
 
+  /** `TableInfo.schema()` with each generated column's expression
+    * injected as `GENERATION_EXPRESSION` field metadata and each
+    * identity column's spec as the `identity.*` keys — Spark folds
+    * comments and DEFAULTs into the schema's metadata but leaves
+    * generation and identity only on the connector `Column`s, so the
+    * catalog must carry them into the pinned schema itself (the write
+    * verbs read them back via `Snapshots.materializeGenerated` /
+    * `Snapshots.assignIdentity`). */
+  private def schemaWithGeneration(info: TableInfo): StructType = {
+    val gen = info.columns().iterator
+      .flatMap(c => Option(c.generationExpression()).map(c.name() -> _))
+      .toMap
+    val idn = info.columns().iterator
+      .flatMap(c => Option(c.identityColumnSpec()).map(c.name() -> _))
+      .toMap
+    if (gen.isEmpty && idn.isEmpty) info.schema()
+    else StructType(info.schema().fields.map { f =>
+      if (!gen.contains(f.name) && !idn.contains(f.name)) f
+      else {
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        gen.get(f.name).foreach(ge => b.putString(
+          org.apache.spark.sql.graft.GraftSparkBridge.generationKey, ge))
+        idn.get(f.name).foreach { s =>
+          val (kStart, kStep, kAllow) =
+            org.apache.spark.sql.graft.GraftSparkBridge.identityKeys
+          b.putLong(kStart, s.getStart)
+          b.putLong(kStep, s.getStep)
+          b.putBoolean(kAllow, s.isAllowExplicitInsert)
+        }
+        f.copy(metadata = b.build())
+      }
+    })
+  }
+
   /** The CREATE/REPLACE TABLE statement translation shared by
     * [[createTable]] and the staged (atomic) variants: validates the
     * provider/location/tombstone rules and renders (properties
@@ -202,6 +237,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // an explicit write-enforced CHECK — not silently dropped
     val notNull = info.schema().fields.toSeq.filterNot(_.nullable)
       .map(f => s"nn_${f.name}" -> s"${f.name} IS NOT NULL")
+    // GENERATED ALWAYS AS columns: Spark's analyzer validates the SQL
+    // spelling (gated by the capability below); the programmatic
+    // createTable path gets the same contract here — the expression
+    // must analyze against the NON-generated columns (no chains, no
+    // self-reference) and be deterministic (every writer re-evaluates
+    // it; see Snapshots.materializeGenerated)
+    locally {
+      val fields = schemaWithGeneration(info).fields
+      val genFree = StructType(fields.filter(f =>
+        org.apache.spark.sql.graft.GraftSparkBridge
+          .generationExpression(f).isEmpty))
+      fields.foreach { f =>
+        org.apache.spark.sql.graft.GraftSparkBridge
+            .generationExpression(f).foreach { ge =>
+          val probe = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            genFree)
+          val analyzed =
+            try Some(probe.select(org.apache.spark.sql.functions
+              .expr(ge).cast(f.dataType)).queryExecution.analyzed)
+            catch { case scala.util.control.NonFatal(_) => None }
+          require(analyzed.nonEmpty,
+            s"generated column '${f.name}' of ${fullName(ident)}: " +
+              s"expression ($ge) does not resolve against the table's " +
+              "non-generated columns")
+          require(analyzed.get.expressions.forall(_.deterministic),
+            s"generated column '${f.name}' of ${fullName(ident)}: " +
+              s"expression ($ge) must be deterministic — writers " +
+              "re-evaluate it per row")
+        }
+        // identity columns: integral type, nonzero step (Spark's own
+        // analyzer validates the SQL spelling; this covers the
+        // programmatic path), never combined with generation/DEFAULT
+        org.apache.spark.sql.graft.GraftSparkBridge
+            .identityInfo(f).foreach { case (_, step, _) =>
+          require(f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.IntegerType,
+            s"identity column '${f.name}' of ${fullName(ident)} must " +
+              s"be BIGINT or INT, got ${f.dataType.sql}")
+          require(step != 0L,
+            s"identity column '${f.name}' of ${fullName(ident)}: " +
+              "INCREMENT BY 0 can never advance")
+          require(org.apache.spark.sql.graft.GraftSparkBridge
+              .generationExpression(f).isEmpty,
+            s"column '${f.name}' of ${fullName(ident)} cannot be both " +
+              "IDENTITY and GENERATED ALWAYS AS")
+          require(!f.metadata.contains("CURRENT_DEFAULT"),
+            s"identity column '${f.name}' of ${fullName(ident)} cannot " +
+              "also carry a DEFAULT")
+        }
+      }
+    }
     // user properties + declared clustering + COMMENT, all in the ONE
     // v1 commit — no crash window where the table exists unconfigured
     val props = info.properties().asScala.toMap
@@ -216,8 +303,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val (props, constraints) = translateInfo(ident, info)
-    Snapshots.createTable(spark, dirFor(ident), info.schema(), props,
-      constraints)
+    Snapshots.createTable(spark, dirFor(ident), schemaWithGeneration(info),
+      props, constraints)
     new GraftTable(fullName(ident), dir = dirFor(ident), None)
   }
 
@@ -236,7 +323,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       info: TableInfo): StagedTable = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val (props, constraints) = translateInfo(ident, info)
-    new GraftStagedTable(fullName(ident), dirFor(ident), info.schema(),
+    new GraftStagedTable(fullName(ident), dirFor(ident), schemaWithGeneration(info),
       props, constraints, mustExist = false, mustNotExist = true)
   }
 
@@ -244,14 +331,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       info: TableInfo): StagedTable = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val (props, constraints) = translateInfo(ident, info)
-    new GraftStagedTable(fullName(ident), dirFor(ident), info.schema(),
+    new GraftStagedTable(fullName(ident), dirFor(ident), schemaWithGeneration(info),
       props, constraints, mustExist = true, mustNotExist = false)
   }
 
   override def stageCreateOrReplace(ident: Identifier,
       info: TableInfo): StagedTable = {
     val (props, constraints) = translateInfo(ident, info)
-    new GraftStagedTable(fullName(ident), dirFor(ident), info.schema(),
+    new GraftStagedTable(fullName(ident), dirFor(ident), schemaWithGeneration(info),
       props, constraints, mustExist = false, mustNotExist = false)
   }
 
@@ -265,7 +352,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** `ALTER TABLE ... ADD COLUMN / RENAME COLUMN / DROP COLUMN` route
     * to the metadata-only column-mapping commits — zero data
@@ -349,6 +438,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new IllegalArgumentException(
             s"no CHECK constraint '${d.name}' on ${fullName(ident)}")
         if (had) Snapshots.dropConstraint(spark, dir, d.name)
+      case n: TableChange.UpdateColumnNullability =>
+        // the format stores every column nullable in the files;
+        // NOT NULL is represented as the CREATE-time enforced CHECK
+        // `nn_<col>` — SET NOT NULL adds it (setConstraint proves the
+        // existing rows comply first, exactly like ADD CONSTRAINT),
+        // DROP NOT NULL retires it. A hand-added CHECK with the same
+        // predicate under a different name is the user's to manage.
+        require(n.fieldNames.length == 1,
+          "graft tables alter nullability of top-level columns only")
+        val f = resolveColumn(ident, n.fieldNames.head)
+        if (n.nullable()) {
+          val cname = s"nn_${f.name}"
+          if (Snapshots.constraints(spark, dir).contains(cname))
+            Snapshots.dropConstraint(spark, dir, cname)
+          // else: already nullable — the DDL is a no-op, not an error
+        } else
+          Snapshots.setConstraint(spark, dir, s"nn_${f.name}",
+            s"${f.name} IS NOT NULL")
+      case c: TableChange.UpdateColumnComment =>
+        // same metadata home the ADD COLUMN ... COMMENT path uses,
+        // so DESCRIBE-side consumers find both spellings in one place
+        require(c.fieldNames.length == 1,
+          "graft tables comment top-level columns only")
+        val f = resolveColumn(ident, c.fieldNames.head)
+        Option(c.newComment()).filter(_.nonEmpty) match {
+          case Some(txt) =>
+            Snapshots.setProperty(spark, dir, s"column.comment.${f.name}", txt)
+          case None =>
+            if (Snapshots.tableProperties(spark, dir)
+                .contains(s"column.comment.${f.name}"))
+              Snapshots.unsetProperty(spark, dir, s"column.comment.${f.name}")
+        }
+      case p: TableChange.UpdateColumnPosition =>
+        throw new UnsupportedOperationException(
+          s"ALTER COLUMN ${p.fieldNames.mkString(".")} FIRST/AFTER is not " +
+            "supported on graft tables: the pinned physical schema maps " +
+            "columns by name, so ordinal position carries no meaning — " +
+            "SELECT the columns in the order you want instead")
       case s: TableChange.SetProperty =>
         Snapshots.setProperty(spark, dir, s.property, s.value)
       case r: TableChange.RemoveProperty =>
@@ -357,10 +484,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
           "supported on graft tables (supported: ADD COLUMN, RENAME " +
-          "COLUMN, DROP COLUMN, ALTER COLUMN TYPE (widening), " +
-          "ADD/DROP CONSTRAINT ... CHECK, SET/UNSET TBLPROPERTIES)")
+          "COLUMN, DROP COLUMN, ALTER COLUMN TYPE (widening), SET/DROP " +
+          "DEFAULT, SET/DROP NOT NULL, COMMENT, ADD/DROP CONSTRAINT " +
+          "... CHECK, SET/UNSET TBLPROPERTIES)")
     }
     loadTable(ident)
+  }
+
+  /** Resolve a column reference against the table's pinned schema,
+    * case-insensitively, returning the canonical field — so derived
+    * artifacts (constraint names, comment property keys) always carry
+    * the table's spelling regardless of how the DDL spelled it. */
+  private def resolveColumn(ident: Identifier,
+      name: String): org.apache.spark.sql.types.StructField = {
+    val schema = loadTable(ident).schema()
+    schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$name' in ${fullName(ident)}: " +
+          schema.fieldNames.toSeq.mkString(", ")))
   }
 
   // ---- procedures (CALL graft.system.*) -----------------------------

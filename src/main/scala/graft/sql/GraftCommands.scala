@@ -755,6 +755,35 @@ final case class GraftMergeActionsCommand(dir: String, tableName: String,
       val tgtPresent = col("__tgt_mark").isNotNull
       val isMatched = srcPresent && tgtPresent
       val keyOf = keys.toMap // target col -> source col
+      // GENERATED ALWAYS AS columns: an UPDATE action may not assign
+      // one (it derives), and an UPDATE-action row may not carry the
+      // target's STORED value forward — the assignments may change
+      // the base columns the expression reads, so the slot goes out
+      // NULL and the merge verb's materialization recomputes it
+      // against the post-assignment row. INSERT actions keep explicit
+      // values (the write-side equality enforcement validates them,
+      // same as a plain INSERT).
+      val genCols = tSchema.fields.iterator.filter(f =>
+        GraftSparkBridge.generationExpression(f).nonEmpty)
+        .map(_.name.toLowerCase).toSet
+      val idCols = tSchema.fields.iterator.filter(f =>
+        GraftSparkBridge.identityInfo(f).nonEmpty)
+        .map(_.name.toLowerCase).toSet
+      if (genCols.nonEmpty || idCols.nonEmpty)
+        (matched ++ notMatchedBySource).foreach {
+          case (_, GraftMergeUpd(assigns)) =>
+            assigns.map(_._1).find(n => genCols.contains(n.toLowerCase))
+              .foreach(n => throw new UnsupportedOperationException(
+                s"MERGE INTO '$tableName': UPDATE SET targets '$n', a " +
+                  "GENERATED ALWAYS AS column — it derives from its " +
+                  "base columns; assign those instead"))
+            assigns.map(_._1).find(n => idCols.contains(n.toLowerCase))
+              .foreach(n => throw new UnsupportedOperationException(
+                s"MERGE INTO '$tableName': UPDATE SET targets '$n', an " +
+                  "IDENTITY column — its values are system-assigned " +
+                  "and immutable"))
+          case _ => ()
+        }
       def exprCol(se: ShieldedExpr): Column = GraftSparkBridge.column(se.e)
       def actionIdx(conds: Seq[Option[ShieldedExpr]]): Column =
         conds.zipWithIndex.foldLeft(when(lit(false), -1)) {
@@ -768,7 +797,9 @@ final case class GraftMergeActionsCommand(dir: String, tableName: String,
         tSchema.fields.toSeq.map { f =>
           val c = keyOf.get(f.name).map(col)
             .orElse(assigns.get(f.name).map(exprCol))
-            .getOrElse(col(s"__t_${f.name}"))
+            .getOrElse(
+              if (genCols.contains(f.name.toLowerCase)) lit(null)
+              else col(s"__t_${f.name}"))
           c.cast(f.dataType).as(f.name)
         }
       // INSERT: assigned columns only; the rest NULL (SQL semantics)
@@ -783,7 +814,9 @@ final case class GraftMergeActionsCommand(dir: String, tableName: String,
       def updShapeBySource(assigns: Map[String, ShieldedExpr]): Seq[Column] =
         tSchema.fields.toSeq.map { f =>
           assigns.get(f.name).map(exprCol)
-            .getOrElse(col(s"__t_${f.name}"))
+            .getOrElse(
+              if (genCols.contains(f.name.toLowerCase)) lit(null)
+              else col(s"__t_${f.name}"))
             .cast(f.dataType).as(f.name)
         }
       val m = joined.filter(isMatched)

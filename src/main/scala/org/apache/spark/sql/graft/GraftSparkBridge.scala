@@ -42,6 +42,43 @@ object GraftSparkBridge {
   trait V1FallbackTable
     extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
 
+  /** Spark's generated-column field-metadata accessor
+    * (`GeneratedColumn` is `private[sql]`): the `GENERATION_EXPRESSION`
+    * key CatalogV2Util round-trips between connector Columns and
+    * StructField metadata — the same public mechanics that carry the
+    * column-DEFAULT keys. */
+  def generationExpression(f: org.apache.spark.sql.types.StructField)
+      : Option[String] =
+    org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .getGenerationExpression(f)
+
+  /** The metadata key itself — CREATE must WRITE it: Spark's
+    * `TableInfo.schema()` folds comments and defaults into field
+    * metadata but leaves the generation expression only on the
+    * connector `Column`s, so the catalog injects it into the schema
+    * it pins (CatalogV2Util's `structTypeToV2Columns` reads this same
+    * key back out). */
+  def generationKey: String =
+    org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+
+  /** Spark's identity-column field-metadata accessor (`IdentityColumn`
+    * is `private[sql]`): (start, step, allowExplicitInsert). */
+  def identityInfo(f: org.apache.spark.sql.types.StructField)
+      : Option[(Long, Long, Boolean)] =
+    org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f)
+      .map(s => (s.getStart, s.getStep, s.isAllowExplicitInsert))
+
+  /** The identity metadata keys (start, step, allowExplicitInsert) —
+    * CREATE must WRITE them, for the same reason as [[generationKey]]:
+    * `TableInfo.schema()` leaves the identity spec only on the
+    * connector `Column`s. */
+  def identityKeys: (String, String, String) = {
+    val i = org.apache.spark.sql.catalyst.util.IdentityColumn
+    (i.IDENTITY_INFO_START, i.IDENTITY_INFO_STEP,
+      i.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT)
+  }
+
   /** A registered session catalog plugin by name
     * (`sessionState.catalogManager` is `private[sql]`) — what lets
     * the path-based reader accept `.option("table", "cat.db.t")` and

@@ -672,6 +672,54 @@ class GraftSqlSpec extends SparkSpec {
       .head().getLong(0) == 2)
   }
 
+  test("ALTER COLUMN nullability, COMMENT, and position") {
+    warehouse
+    spark.sql(
+      "CREATE TABLE gs.default.nn (id BIGINT, v DOUBLE NOT NULL)")
+    // CREATE-time NOT NULL is the enforced CHECK nn_v
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gs.default.nn VALUES (1, CAST(NULL AS DOUBLE))")
+    }
+    assert(e.getMessage.contains("nn_v"), e.getMessage)
+    // DROP NOT NULL retires the contract; NULLs insert again
+    spark.sql("ALTER TABLE gs.default.nn ALTER COLUMN v DROP NOT NULL")
+    spark.sql("INSERT INTO gs.default.nn VALUES (1, CAST(NULL AS DOUBLE))")
+    assert(spark.sql("SELECT count(*) FROM gs.default.nn")
+      .head().getLong(0) == 1)
+    // SQL SET NOT NULL is refused by Spark's own analyzer for v2
+    // tables (nullable -> non-nullable); the programmatic TableChange
+    // routes to setConstraint, which refuses while a NULL exists ...
+    val cat = org.apache.spark.sql.graft.GraftSparkBridge
+      .catalogByName(spark, "gs")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val identNN = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "nn")
+    val nn = intercept[Exception] {
+      cat.alterTable(identNN, org.apache.spark.sql.connector.catalog
+        .TableChange.updateColumnNullability(Array("v"), false))
+    }
+    assert(nn.getMessage.contains("nn_v"), nn.getMessage)
+    // ... and pins + enforces once the data complies
+    spark.sql("DELETE FROM gs.default.nn WHERE v IS NULL")
+    cat.alterTable(identNN, org.apache.spark.sql.connector.catalog
+      .TableChange.updateColumnNullability(Array("v"), false))
+    val nn2 = intercept[Exception] {
+      spark.sql("INSERT INTO gs.default.nn VALUES (2, CAST(NULL AS DOUBLE))")
+    }
+    assert(nn2.getMessage.contains("nn_v"), nn2.getMessage)
+    // COMMENT persists under the same key ADD COLUMN ... COMMENT uses,
+    // canonicalized to the table's spelling of the column
+    spark.sql("ALTER TABLE gs.default.nn ALTER COLUMN V COMMENT 'price'")
+    assert(Snapshots.tableProperties(spark, dirOf("default", "nn"))
+      .get("column.comment.v").contains("price"))
+    // FIRST/AFTER refuses: position carries no meaning under the
+    // pinned name-mapped physical schema
+    val pos = intercept[Exception] {
+      spark.sql("ALTER TABLE gs.default.nn ALTER COLUMN v FIRST")
+    }
+    assert(pos.getMessage.contains("FIRST/AFTER"), pos.getMessage)
+  }
+
   test("CALL graft.system.* maintenance procedures") {
     warehouse
     spark.sql("CREATE TABLE gs.default.proc_t (id BIGINT, v DOUBLE)")
