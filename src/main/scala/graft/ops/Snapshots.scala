@@ -1689,6 +1689,53 @@ object Snapshots {
       }
     }.toMap
 
+  /** Re-align identity high-water marks with the ATTAINED ids —
+    * Delta's SYNC IDENTITY: after a RESTORE to an older version (the
+    * restored props carry the OLD mark... or a newer one than the
+    * restored rows), a clone, or out-of-band history surgery, the
+    * mark and the data can disagree; the next assignment would
+    * duplicate or needlessly skip ids. One column-pruned aggregate
+    * per identity column finds the extremum, and ONE metadata-only
+    * commit pins mark = extremum + step (never below START). Returns
+    * the new mark per column. */
+  def syncIdentity(spark: SparkSession, dir: String,
+      column: Option[String] = None): Map[String, Long] =
+    retryOnRace(s"syncIdentity on $dir") {
+      val (fs, root) = fsFor(spark, dir)
+      val v = currentVersion(spark, dir).getOrElse(
+        throw new java.util.NoSuchElementException(s"no table under $dir"))
+      val schema = schemaOf(fs, root, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"$dir has no pinned schema — not a DDL table"))
+      val ids = identityOf(schema).filter { case (f, _) =>
+        column.forall(_.equalsIgnoreCase(f.name)) }
+      require(ids.nonEmpty, column match {
+        case Some(c) => s"no IDENTITY column '$c' in $dir"
+        case None => s"$dir has no IDENTITY columns"
+      })
+      val frame = read(spark, dir, v)
+      val updates = ids.map { case (f, (start, step, _)) =>
+        val slot = col(f.name)
+        val ext = Option(frame.filter(slot.isNotNull)
+          .agg(if (step > 0) max(slot.cast("long"))
+            else min(slot.cast("long"))).head().get(0))
+          .map(_.asInstanceOf[Long])
+        val next = ext.map(_ + step) match {
+          case Some(m) => if (step > 0) math.max(m, start)
+            else math.min(m, start)
+          case None => start
+        }
+        identityMarkKey(f) -> next
+      }
+      metadataCommit(fs, root, spark, dir, v, schema,
+        droppedOf(fs, root, v), bloomConfigOf(fs, root, v),
+        constraintsOf(fs, root, v),
+        propsOf(fs, root, v) ++
+          updates.map { case (k, m) => k -> m.toString },
+        op = "sync-identity")
+      updates.toMap
+    }
+
   /** Refuse NULL identity slots on the merge-family sources: a merge
     * row replaces or inserts by key, and assigning fresh ids inside
     * the classification join would entangle the mark advance with the
@@ -6209,11 +6256,136 @@ object Snapshots {
     }
   }
 
-  /** Remove a consumer's floor marker (the consumer is gone for good). */
+  /** Remove a consumer's floor marker (the consumer is gone for good).
+    * The id must be a plain marker NAME — the validation is what keeps
+    * the SQL-exposed procedure from deleting anything outside
+    * `_consumers/` via a path-shaped id. */
   def clearConsumerFloor(spark: SparkSession, dir: String,
       id: String): Boolean = {
+    requireRefName("consumer", id)
     val (fs, root) = fsFor(spark, dir)
     fs.delete(new HPath(root, s"$ConsumersDir/$id"), false)
+  }
+
+  // ---- version tags (named immutable refs) ---------------------------
+
+  private val RefsDir = "_refs"
+
+  /** A named, immutable pointer to a committed version — the
+    * "training-data-v1" handle: `VERSION AS OF 'name'` reads it, and
+    * [[vacuum]] NEVER drops a tagged version (drop the tag first) —
+    * at 100 TB the tag is what makes "the exact snapshot that model
+    * was trained on" survive routine retention. */
+  final case class TableTag(name: String, version: Int,
+    createdMs: Long, note: String)
+
+  /** Create tag `name` at `version` (default: current). Tags are
+    * immutable — re-pointing is dropTag + createTag, so a tag name in
+    * a pipeline config can never silently mean different bytes.
+    * Numeric names refuse: `VERSION AS OF` must stay unambiguous. */
+  /** Valid ref names: no leading dot (dot-prefixed files are in-flight
+    * temp markers the listings skip), no path separators (a name is a
+    * FILE under the refs dir — anything else is a traversal). */
+  private def requireRefName(kind: String, name: String): Unit =
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"$kind name must be [A-Za-z0-9][A-Za-z0-9._-]*, got '$name'")
+
+  def createTag(spark: SparkSession, dir: String, name: String,
+      version: Int = -1, note: String = ""): TableTag = {
+    requireRefName("tag", name)
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — it would be ambiguous with " +
+        "a version number in VERSION AS OF")
+    val (fs, root) = fsFor(spark, dir)
+    val vs = versions(spark, dir)
+    val v = if (version >= 0) version else vs.lastOption.getOrElse(
+      throw new java.util.NoSuchElementException(s"no table under $dir"))
+    require(vs.contains(v),
+      s"cannot tag version $v of $dir: not retained " +
+        s"(${vs.headOption.getOrElse(-1)}..${vs.lastOption.getOrElse(-1)})")
+    val d = new HPath(root, RefsDir)
+    fs.mkdirs(d)
+    val dst = new HPath(d, name)
+    require(!fs.exists(dst),
+      s"tag '$name' already exists on $dir — tags are immutable; " +
+        "dropTag first to re-point it")
+    val t = TableTag(name, v, System.currentTimeMillis(), note)
+    // write-temp-then-rename, like the consumer floors: readers (the
+    // vacuum guard) must never see a half-written marker
+    val tmp = new HPath(d, s".$name.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"${t.version}\t${t.createdMs}\t${enc(t.note)}"
+      .getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"tag '$name' on $dir lost a creation race")
+    }
+    // close the create-vs-vacuum race: a vacuum that listed the refs
+    // BEFORE this marker landed can still be deleting `v` — re-check
+    // the version is retained AFTER the marker is visible, and if it
+    // vanished, retract the dangling tag and fail loudly (the
+    // consumer-floor discipline: never publish a guard that guards
+    // nothing)
+    if (!versions(spark, dir).contains(v)) {
+      fs.delete(dst, false)
+      throw new java.util.ConcurrentModificationException(
+        s"tag '$name' on $dir lost a race with a concurrent vacuum: " +
+          s"version $v was dropped before the tag became visible — " +
+          "re-create the tag at a retained version")
+    }
+    t
+  }
+
+  /** Remove tag `name`; its version becomes vacuumable again. */
+  def dropTag(spark: SparkSession, dir: String, name: String): Boolean = {
+    requireRefName("tag", name)
+    val (fs, root) = fsFor(spark, dir)
+    fs.delete(new HPath(root, s"$RefsDir/$name"), false)
+  }
+
+  /** Every tag of the table. A missing `_refs` dir is "no tags"; an
+    * IO failure listing propagates (the caller may be the destructive
+    * vacuum guard, which must fail CLOSED); an unparsable marker is
+    * skipped (it only weakens its own tag's protection). */
+  def tags(spark: SparkSession, dir: String): Seq[TableTag] = {
+    val (fs, root) = fsFor(spark, dir)
+    val d = new HPath(root, RefsDir)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith(".")).toSeq.flatMap(st =>
+      parseTagMarker(st.getPath.getName,
+        readSmall(fs, st.getPath)))
+  }
+
+  private def readSmall(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  private def parseTagMarker(name: String, s: String): Option[TableTag] =
+    s.split('\t') match {
+      case Array(v, c, n) if v.nonEmpty && v.forall(_.isDigit) &&
+          c.nonEmpty && c.forall(_.isDigit) =>
+        Some(TableTag(name, v.toInt, c.toLong, dec(n)))
+      case Array(v, c) if v.nonEmpty && v.forall(_.isDigit) &&
+          c.nonEmpty && c.forall(_.isDigit) =>
+        Some(TableTag(name, v.toInt, c.toLong, ""))
+      case _ => None
+    }
+
+  /** The version tag `name` points to, if the tag exists — ONE open
+    * of the single marker file, never a listing (this sits on the
+    * `VERSION AS OF '<tag>'` read path). */
+  def versionOfTag(spark: SparkSession, dir: String,
+      name: String): Option[Int] = {
+    if (!name.matches("[A-Za-z0-9][A-Za-z0-9._-]*")) return None
+    val (fs, root) = fsFor(spark, dir)
+    val p = new HPath(root, s"$RefsDir/$name")
+    if (!fs.exists(p)) None
+    else parseTagMarker(name, readSmall(fs, p)).map(_.version)
   }
 
   /** The floors that BIND against the retained version list `vs`:
@@ -6282,6 +6454,12 @@ object Snapshots {
       }
     }
     keepTail.foreach(close)
+    // TAGGED versions are pinned UNCONDITIONALLY (force included):
+    // a tag exists precisely to make its snapshot survive retention —
+    // the override is dropTag, a deliberate act on the named ref,
+    // never a maintenance flag
+    tags(spark, dir).map(_.version).filter(vs.contains)
+      .foreach(close)
     val drop = dropCand.filterNot(needed.contains)
     if (drop.isEmpty) return (0, 0)
     if (!force) {

@@ -1757,6 +1757,61 @@ object SinkQueries {
         |UNION ALL
         |SELECT o_orderkey, (rn + (SELECT count(*) FROM ev))::BIGINT,
         |  o_totalprice FROM od
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Version tags end-to-end: tag the mid-history snapshot, keep
+    // writing, vacuum down to the newest version — the tagged
+    // snapshot SURVIVES retention by name and reads back exactly;
+    // the current version reflects all writes. The oracle replays
+    // both states from the source predicates.
+    QueryDef("s51_version_tag",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s51_wh_" +
+          ProcessHandle.current().pid()
+        s.conf.set("spark.sql.catalog.g51", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.g51.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS g51.default.t")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_totalprice")
+          .filter(col("o_orderkey") < 60000)
+          .createOrReplaceTempView("s51_base")
+        s.sql("""CREATE TABLE g51.default.t (
+          o_orderkey BIGINT, o_totalprice DOUBLE)""") // v1
+        s.sql("""INSERT INTO g51.default.t
+          SELECT * FROM s51_base WHERE o_orderkey % 3 = 0""") // v2
+        s.sql("CALL g51.system.create_tag('default.t', 'baseline')")
+        s.sql("""INSERT INTO g51.default.t
+          SELECT * FROM s51_base WHERE o_orderkey % 3 = 1""") // v3
+        s.sql("DELETE FROM g51.default.t WHERE o_orderkey % 7 = 2") // v4
+        // retention sweep: only the newest version requested — the
+        // tagged v2 must survive by name
+        Snapshots.vacuum(s, s"$wh/default/t", keepVersions = 1)
+        s.sql(
+          """SELECT 'tagged' AS state, count(*) AS n_rows,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            |    AS sum_price
+            |FROM g51.default.t VERSION AS OF 'baseline'
+            |UNION ALL
+            |SELECT 'current', count(*),
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            |FROM g51.default.t
+            |ORDER BY state""".stripMargin)
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey < 60000),
+        |tagged AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+        |cur AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 2)
+        |SELECT 'tagged' AS state, count(*)::BIGINT AS n_rows,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM tagged
+        |UNION ALL
+        |SELECT 'current', count(*)::BIGINT,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE
+        |FROM cur
+        |ORDER BY state""".stripMargin)
   )
 }

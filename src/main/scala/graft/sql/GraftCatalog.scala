@@ -109,15 +109,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(fullName(ident), dirFor(ident), None)
   }
 
-  /** `VERSION AS OF <v>` — the handle pinned at that committed
-    * version; reads resolve through the manifest chain exactly as
-    * [[Snapshots.read]] does. */
+  /** `VERSION AS OF <v>` — an integer commit number, or a TAG name
+    * ([[Snapshots.createTag]]): the named-snapshot read, `SELECT ...
+    * FROM t VERSION AS OF 'training-data-v1'`; reads resolve through
+    * the manifest chain exactly as [[Snapshots.read]] does. Tag names
+    * are non-numeric by construction, so the two namespaces cannot
+    * collide. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirFor(ident)
-    val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft version must be an integer commit number, got '$version'")
+    val v = version.toIntOption.getOrElse {
+      Snapshots.versionOfTag(spark, dir, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$version' is neither an integer commit number nor a tag " +
+            s"of ${fullName(ident)} (tags: ${Snapshots.tags(spark, dir)
+              .map(_.name).sorted.mkString(", ")})"))
     }
     require(Snapshots.versions(spark, dir).contains(v),
       s"version $v of ${fullName(ident)} does not exist " +

@@ -140,6 +140,47 @@ private[sql] object GraftProcedures {
         oneRow(s, Seq("version"), Seq(v))
       }),
 
+    // named immutable version refs: VERSION AS OF '<tag>' reads one,
+    // vacuum never drops a tagged version (dropTag is the override)
+    new Proc("create_tag",
+      Seq(p("table", StringType), p("name", StringType),
+        pd("version", IntegerType, "-1"), pd("note", StringType, "''")),
+      (s, in) => {
+        val t = Snapshots.createTag(s, dirOf(str(in, 0)), str(in, 1),
+          in.getInt(2), str(in, 3))
+        oneRow(s, Seq("name", "version"), Seq(t.name, t.version))
+      }),
+
+    new Proc("drop_tag",
+      Seq(p("table", StringType), p("name", StringType)),
+      (s, in) => {
+        val removed = Snapshots.dropTag(s, dirOf(str(in, 0)), str(in, 1))
+        oneRow(s, Seq("dropped"), Seq(removed))
+      }),
+
+    new Proc("tags",
+      Seq(p("table", StringType)),
+      (s, in) => {
+        import s.implicits._
+        Snapshots.tags(s, dirOf(str(in, 0)))
+          .map(t => (t.name, t.version, t.createdMs, t.note))
+          .toDF("name", "version", "created_ms", "note")
+          .orderBy("version", "name")
+      }),
+
+    // re-align identity high-water marks with the attained ids
+    // (after RESTORE / clone / out-of-band surgery) — Delta's
+    // SYNC IDENTITY; empty column = every identity column
+    new Proc("sync_identity",
+      Seq(p("table", StringType), pd("column", StringType, "''")),
+      (s, in) => {
+        val c = Option(str(in, 1)).filter(_.nonEmpty)
+        val marks = Snapshots.syncIdentity(s, dirOf(str(in, 0)), c)
+        oneRow(s, Seq("marks"),
+          Seq(marks.toSeq.sortBy(_._1).map { case (k, m) =>
+            s"${k.stripPrefix("identity.mark.")}=$m" }.mkString(",")))
+      }),
+
     new Proc("vacuum",
       Seq(p("table", StringType),
         pd("keep_versions", IntegerType, "-1"),

@@ -153,6 +153,36 @@ class GeneratedColumnSpec extends SparkSpec {
       .collect().toSeq == Seq((1, 2)))
   }
 
+  test("a generated column can be the declared cluster key: " +
+      "PARTITIONED BY (day) clusters ingests on the computed value " +
+      "and day-filters prune files") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE gg.default.cl (
+        |  ts TIMESTAMP, v DOUBLE,
+        |  day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))
+        |PARTITIONED BY (day)""".stripMargin)
+    val dir = dirOf("cl")
+    // one multi-day ingest, shuffled: cluster-on-write must
+    // range-partition on the COMPUTED day (materialization runs
+    // before clustering)
+    val rows = spark.range(0, 300, 1, 4).selectExpr(
+      "timestampadd(DAY, CAST(id % 30 AS INT), " +
+        "TIMESTAMP '2024-01-01 00:00:00') AS ts",
+      "CAST(id AS DOUBLE) AS v")
+    Snapshots.append(rows, dir)
+    // a one-day predicate must open a strict subset of the files
+    val (kept, untouched) = Snapshots.pruneFiles(spark, dir,
+      col("day") === java.sql.Date.valueOf("2024-01-15"))
+    assert(kept.nonEmpty, "some file holds the day")
+    assert(untouched.nonEmpty,
+      "clustered ingest must let day-filters skip files")
+    // and the values are right
+    assert(Snapshots.read(spark, dir)
+      .filter(col("day") === java.sql.Date.valueOf("2024-01-15"))
+      .count() == 10)
+  }
+
   test("Scala API: append lacking the column gains it computed; " +
       "merge source with NULL slot computes") {
     warehouse
