@@ -6171,14 +6171,15 @@ object Snapshots {
     * [[vacuum]]'s keep-last-K — chain closure, sidecar reaping and
     * delete ordering all apply unchanged. */
   def vacuumOlderThan(spark: SparkSession, dir: String,
-      retainMs: Long, force: Boolean = false): (Int, Int) = {
+      retainMs: Long, force: Boolean = false,
+      dryRun: Boolean = false): (Int, Int) = {
     require(retainMs >= 0, "retention must be non-negative")
     val (fs, root) = fsFor(spark, dir)
     val cutoff = System.currentTimeMillis() - retainMs
     val young = versions(spark, dir).count(v =>
       fs.getFileStatus(manifestPath(root, v)).getModificationTime
         >= cutoff)
-    vacuum(spark, dir, math.max(young, 1), force)
+    vacuum(spark, dir, math.max(young, 1), force, dryRun = dryRun)
   }
 
   // ---- streaming-consumer retention floors --------------------------
@@ -6376,6 +6377,19 @@ object Snapshots {
       case _ => None
     }
 
+  /** An integer commit number or a tag name → the version it names —
+    * the ONE resolution both `VERSION AS OF` spellings share (SQL
+    * catalog and the path reader's `versionAsOf` option); a miss
+    * names the available tags. */
+  def resolveVersionRef(spark: SparkSession, dir: String,
+      ref: String): Int =
+    ref.toIntOption.getOrElse(
+      versionOfTag(spark, dir, ref).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$ref' is neither an integer commit number nor a tag of " +
+            s"$dir (tags: ${tags(spark, dir).map(_.name).sorted
+              .mkString(", ")})")))
+
   /** The version tag `name` points to, if the tag exists — ONE open
     * of the single marker file, never a listing (this sits on the
     * `VERSION AS OF '<tag>'` read path). */
@@ -6433,7 +6447,8 @@ object Snapshots {
     * Returns (versions dropped, files deleted). */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
       force: Boolean = false,
-      clipToConsumers: Boolean = false): (Int, Int) = {
+      clipToConsumers: Boolean = false,
+      dryRun: Boolean = false): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the current version")
     val (fs, root) = fsFor(spark, dir)
     val vs = versions(spark, dir)
@@ -6480,6 +6495,15 @@ object Snapshots {
     val keep = vs.filter(needed.contains)
     val live = keep.flatMap(readManifest(fs, root, _)).toSet
     val dead = drop.flatMap(readManifest(fs, root, _)).filterNot(live).distinct
+    // ownership guard: absolute references written by shallowClone are
+    // ANOTHER table's bytes — drop the manifest lines, never the files
+    val deadOwned = dead.filter(ownedByRoot)
+    // dry run: the full decision — floors checked, tags pinned, chain
+    // closure resolved, dead set priced — with NOTHING deleted; what
+    // the operator reads before pointing the real sweep at a 100 TB
+    // table. Returns HERE, before the sidecar sweep re-reads every
+    // dropped manifest a second time.
+    if (dryRun) return (drop.size, deadOwned.size)
     // sidecars (bloom indexes, deletion vectors): one is dead exactly
     // when NO kept manifest line still references it — covers both a
     // dead file's sidecars and SUPERSEDED vectors of a live file whose
@@ -6495,9 +6519,6 @@ object Snapshots {
     // the two phases leaves a rerunnable state (the next vacuum re-lists
     // the same manifests and finishes) instead of unreachable orphans
     val deadManifests = drop.map(manifestPath(root, _))
-    // ownership guard: absolute references written by shallowClone are
-    // ANOTHER table's bytes — drop the manifest lines, never the files
-    val deadOwned = dead.filter(ownedByRoot)
     deadOwned.foreach(f => fs.delete(new HPath(root, f), false))
     deadSidecars.filter(ownedByRoot)
       .foreach(s => fs.delete(new HPath(root, s), false))

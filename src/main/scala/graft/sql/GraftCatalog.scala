@@ -118,13 +118,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirFor(ident)
-    val v = version.toIntOption.getOrElse {
-      Snapshots.versionOfTag(spark, dir, version).getOrElse(
-        throw new IllegalArgumentException(
-          s"'$version' is neither an integer commit number nor a tag " +
-            s"of ${fullName(ident)} (tags: ${Snapshots.tags(spark, dir)
-              .map(_.name).sorted.mkString(", ")})"))
-    }
+    val v = Snapshots.resolveVersionRef(spark, dir, version)
     require(Snapshots.versions(spark, dir).contains(v),
       s"version $v of ${fullName(ident)} does not exist " +
         s"(retained: ${Snapshots.versions(spark, dir).mkString(",")})")

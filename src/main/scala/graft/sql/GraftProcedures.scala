@@ -185,19 +185,22 @@ private[sql] object GraftProcedures {
       Seq(p("table", StringType),
         pd("keep_versions", IntegerType, "-1"),
         pd("retain_hours", IntegerType, "-1"),
-        pd("force", BooleanType, "false")),
+        pd("force", BooleanType, "false"),
+        pd("dry_run", BooleanType, "false")),
       (s, in) => {
         val kv = in.getInt(1); val rh = in.getInt(2)
         val force = in.getBoolean(3)
+        val dry = in.getBoolean(4)
         require((kv >= 0) != (rh >= 0),
           "vacuum takes exactly one of keep_versions (count-based) or " +
             "retain_hours (age-based)")
         val (dropped, deleted) =
-          if (kv >= 0) Snapshots.vacuum(s, dirOf(str(in, 0)), kv, force)
+          if (kv >= 0) Snapshots.vacuum(s, dirOf(str(in, 0)), kv, force,
+            dryRun = dry)
           else Snapshots.vacuumOlderThan(s, dirOf(str(in, 0)),
-            rh * 3600L * 1000L, force)
-        oneRow(s, Seq("dropped_versions", "deleted_files"),
-          Seq(dropped, deleted))
+            rh * 3600L * 1000L, force, dryRun = dry)
+        oneRow(s, Seq("dropped_versions", "deleted_files", "dry_run"),
+          Seq(dropped, deleted, dry))
       }),
 
     new Proc("clean_orphans",
@@ -279,7 +282,7 @@ private[sql] object GraftProcedures {
         oneRow(s,
           Seq("location", "version", "n_versions_retained", "n_files",
             "size_bytes", "n_rows_meta", "cluster_columns",
-            "optimized_through", "constraints", "properties"),
+            "optimized_through", "constraints", "properties", "tags"),
           Seq(dir, v, Snapshots.versions(s, dir).size, files.length,
             Snapshots.liveBytes(s, dir, v),
             meta.map(_.head().getLong(0)).getOrElse(-1L),
@@ -288,7 +291,9 @@ private[sql] object GraftProcedures {
             Snapshots.constraints(s, dir).toSeq.sorted
               .map { case (n, e) => s"$n: $e" }.mkString("; "),
             props.toSeq.sorted.map { case (k, pv) => s"$k=$pv" }
-              .mkString("; ")))
+              .mkString("; "),
+            Snapshots.tags(s, dir).sortBy(_.version)
+              .map(t => s"${t.name}@v${t.version}").mkString("; ")))
       }),
 
     new Proc("audit",

@@ -149,7 +149,11 @@ class SnapshotSourceProvider extends StreamSourceProvider
     } else {
       exclusive("versionAsOf", "timestampAsOf")
       val dir = dirOf(sqlContext, parameters)
-      val v = parameters.get("versionAsOf").map(_.toInt)
+      // versionAsOf accepts a commit number OR a tag name (tags are
+      // non-numeric by construction) — the reader-path spelling of
+      // `VERSION AS OF 'training-data-v1'`, same resolution as SQL
+      val v = parameters.get("versionAsOf")
+        .map(Snapshots.resolveVersionRef(spark, dir, _))
         .orElse(parameters.get("timestampAsOf").map(s =>
           Snapshots.versionAsOf(spark, dir, tsOf("timestampAsOf", s))))
         .getOrElse(-1)

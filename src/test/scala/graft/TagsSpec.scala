@@ -106,6 +106,46 @@ class TagsSpec extends SparkSpec {
     assert(Snapshots.versionOfTag(spark, dir, "../1.manifest").isEmpty)
   }
 
+  test("vacuum dry_run prices the sweep without deleting anything") {
+    warehouse
+    val dir = dirOf("dr")
+    Snapshots.append(Seq((1L, "a")).toDF("k", "v"), dir) // v1
+    Snapshots.append(Seq((2L, "b")).toDF("k", "v"), dir) // v2
+    Snapshots.compact(spark, dir, 1)                     // v3 (full)
+    val before = Snapshots.versions(spark, dir)
+    val (wouldDrop, wouldDelete) =
+      Snapshots.vacuum(spark, dir, keepVersions = 1, dryRun = true)
+    assert(wouldDrop >= 2 && wouldDelete >= 2,
+      s"dry run priced ($wouldDrop, $wouldDelete)")
+    // NOTHING changed: same versions, every one still readable
+    assert(Snapshots.versions(spark, dir) == before)
+    assert(Snapshots.read(spark, dir, 1).count() == 1)
+    // the real sweep then deletes exactly what the dry run priced
+    spark.conf.set("spark.sql.catalog.gt", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gt.warehouse", warehouse)
+    val real = spark.sql(
+      "CALL gt.system.vacuum(table => 'default.dr', keep_versions => 1)")
+      .head()
+    assert(real.getInt(0) == wouldDrop && real.getInt(1) == wouldDelete,
+      s"real sweep ${(real.getInt(0), real.getInt(1))} != dry run " +
+        s"${(wouldDrop, wouldDelete)}")
+  }
+
+  test("the path reader's versionAsOf accepts a tag name") {
+    warehouse
+    val dir = dirOf("pr")
+    Snapshots.append(Seq((1L, "a")).toDF("k", "v"), dir) // v1
+    Snapshots.createTag(spark, dir, "snap1")
+    Snapshots.append(Seq((2L, "b")).toDF("k", "v"), dir) // v2
+    assert(spark.read.format("graft-snapshots")
+      .option("versionAsOf", "snap1").load(dir).count() == 1)
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshots")
+        .option("versionAsOf", "missing_tag").load(dir).count()
+    }
+    assert(e.getMessage.contains("snap1"), e.getMessage)
+  }
+
   test("CALL tags lists name/version/note") {
     warehouse
     spark.sql("CREATE TABLE gt.default.ls (k BIGINT)")
