@@ -161,14 +161,18 @@ class SnapshotModelSpec extends SparkSpec {
     assert(bad.isEmpty, s"audit: ${bad.toSeq}")
   }
 
-  test("model run survives interleaved clones and vacuum (seed 7)") {
+  test("model run survives interleaved clones, tags and vacuum (seed 7)") {
     val rnd = new Random(7)
     val root = freshRoot()
     Snapshots.append(
       (0L until 20L).map(i => (i, i / 2.0)).toDF("id", "v"), root)
     var model: Set[(Long, Double)] = readBack(root)
-    (1 to 10).foreach { step =>
-      rnd.nextInt(4) match {
+    // every tag records the model AT tagging time: the end-of-run
+    // check proves each tagged snapshot reads back exactly, however
+    // many vacuums ran after it
+    var taggedStates = Map.empty[String, Set[(Long, Double)]]
+    (1 to 14).foreach { step =>
+      rnd.nextInt(5) match {
         case 0 =>
           val fresh = Seq((-step.toLong, step * 1.5))
           Snapshots.append(toDf(fresh), root)
@@ -185,9 +189,27 @@ class SnapshotModelSpec extends SparkSpec {
           Snapshots.deleteWhere(spark, dst, col("id") >= 0L)
           assert(readBack(root) == model, s"clone mutated source, step $step")
         case 3 =>
+          // a dry run decides like the real sweep but mutates nothing
+          val before = Snapshots.versions(spark, root)
+          Snapshots.vacuum(spark, root, keepVersions = 3, dryRun = true)
+          assert(Snapshots.versions(spark, root) == before,
+            s"dry run mutated history, step $step")
           Snapshots.vacuum(spark, root, keepVersions = 3)
+        case 4 =>
+          val name = s"t$step"
+          Snapshots.createTag(spark, root, name)
+          taggedStates += name -> model
       }
       assert(readBack(root) == model, s"divergence after step $step")
+    }
+    // every tagged snapshot survived every later vacuum and reads
+    // back exactly the state it named
+    taggedStates.foreach { case (name, expect) =>
+      val v = Snapshots.versionOfTag(spark, root, name).getOrElse(
+        fail(s"tag $name vanished"))
+      val got = Snapshots.read(spark, root, v).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == expect, s"tag $name drifted")
     }
   }
 }
