@@ -183,6 +183,26 @@ class GeneratedColumnSpec extends SparkSpec {
       .count() == 10)
   }
 
+  test("the change feed's update images carry the RECOMPUTED " +
+      "generated value") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE gg.default.cf (
+        |  k BIGINT, ts TIMESTAMP,
+        |  day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))""".stripMargin)
+    spark.sql("INSERT INTO gg.default.cf (k, ts) VALUES " +
+      "(1, TIMESTAMP '2024-01-01 08:00:00')")
+    spark.sql("UPDATE gg.default.cf SET ts = TIMESTAMP " +
+      "'2024-03-03 09:00:00' WHERE k = 1")
+    val feed = spark.read.format("graft-snapshots")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(dirOf("cf"))
+      .selectExpr("_change_type", "CAST(day AS STRING) AS day")
+      .as[(String, String)].collect().toMap
+    assert(feed.get("update_preimage").contains("2024-01-01"), feed)
+    assert(feed.get("update_postimage").contains("2024-03-03"), feed)
+  }
+
   test("Scala API: append lacking the column gains it computed; " +
       "merge source with NULL slot computes") {
     warehouse
