@@ -3446,11 +3446,17 @@ object Snapshots {
       header: Seq[String] = Nil,
       validated: Map[String, String] = Map.empty,
       propsExpect: Map[String, Option[String]] = Map.empty,
-      propsDelta: Map[String, String] = Map.empty): Int = {
+      propsDelta: Map[String, String] = Map.empty,
+      preAttempt: Option[Int] => Unit = _ => ()): Int = {
     val hdr = opHeader(op) ++ header
     var attempts = 0
     while (attempts < 10) {
       val base = currentVersion(spark, dir)
+      // caller-supplied per-attempt guard against the ACTUAL base —
+      // the internal CAS retry would otherwise absorb a racing commit
+      // the caller's preconditions no longer cover ([[copyInto]]'s
+      // dedup ledger); a throw here escapes to the caller's retry
+      preAttempt(base)
       // CHECK constraints pinned at the ACTUAL commit base: a
       // constraint that landed after this batch was validated means
       // the validation no longer covers the commit — loud failure, the
@@ -3523,9 +3529,12 @@ object Snapshots {
               carriedStats ++ staged.stats))
         } else {
           // first commit / overwrite: full manifest of the staged
-          // files; a fresh lineage has no tombstones
+          // files; a fresh lineage has no tombstones and carries no
+          // base metadata — but an EXPLICIT propsDelta still lands
+          // ([[replicate]]'s first sync records its mark here)
           casManifest(fs, root, next, staged.files,
-            schemaHeader(pinned) +: (hdr ++ staged.stats))
+            schemaHeader(pinned) +:
+              (propsHeader(propsDelta) ++ hdr ++ staged.stats))
         }
       if (committed) return next
       attempts += 1 // lost the race: re-read the winner's state and retry
@@ -4395,6 +4404,199 @@ object Snapshots {
     else retryOnRace("mergeMixed into " + dir)(
       mergeInternal(spark, dir, source, keys, -1, Nil, Some(tombstones)))
 
+  /** APPLY CHANGES INTO — net a CDC batch to its latest state per key
+    * and apply it as ONE atomic commit (the DLT/Flink "upsert
+    * materialize" shape). `changes` carries the target's columns plus
+    * `opCol` (`insert` | `update_postimage` | `delete`;
+    * `update_preimage` rows are dropped — they are the OLD image) and
+    * `sequenceCol` (any orderable type — a change-feed consumer
+    * passes `_commit_version`). Per key, the row with the highest
+    * sequence wins; at EQUAL sequence an insert/postimage outranks a
+    * delete (a commit that retires and re-adds a key nets to the row
+    * existing — exactly the change feed's delete+insert decomposition
+    * of an upsert). The winners split into upserts and tombstones and
+    * land through [[mergeMixed]]'s single-CAS path: a narrow CDC
+    * batch against a key-clustered 100 TB table touches its keys'
+    * files, never the table, and there is no crash window between the
+    * delete half and the upsert half. Ties BEYOND (sequence, op) are
+    * the feed's responsibility (DLT contract: the sequence must order
+    * each key's changes totally). NULL key tuples refuse — a keyed
+    * CDC feed that emits one is corrupt, and dropping it silently
+    * would diverge the replica. `propsDelta` lands in the same commit
+    * ([[replicate]] records its high-water mark through it). */
+  def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
+      keys: Seq[String], sequenceCol: String,
+      opCol: String = "_change_type",
+      expectedVersion: Int = -1,
+      propsDelta: Map[String, String] = Map.empty): MergeResult = {
+    require(keys.nonEmpty, "applyChanges needs at least one key column")
+    (keys :+ sequenceCol :+ opCol).foreach(c =>
+      require(changes.columns.exists(_.equalsIgnoreCase(c)),
+        s"applyChanges column '$c' is not a column: " +
+          changes.columns.toSeq.mkString("[", ", ", "]")))
+    // pin the batch ONCE: a change-feed input is expensive to compute
+    // (multi-version scans, diff decompositions) and everything below
+    // — validation, netting, the merge's own probes and staging —
+    // re-reads it; without the pin each action re-runs the feed.
+    // NULL-SAFE filter: a NULL op must reach the unknown-op audit
+    // below, not silently vanish (null-unsafe =!= drops it)
+    val live = changes.filter(!(col(opCol) <=> lit("update_preimage")))
+      .persist()
+    try {
+      // one full pass validates op vocabulary and keys together (and
+      // warms the cache for the netting window that follows)
+      val audit = live.agg(
+        count(when(col(opCol).isNull ||
+          !col(opCol).isin("insert", "update_postimage",
+            "delete"), 1)).as("bad_ops"),
+        count(when(keys.map(col(_).isNull).reduce(_ || _), 1))
+          .as("null_keys")).head()
+      require(audit.getLong(0) == 0L,
+        s"applyChanges: ${audit.getLong(0)} rows carry an unknown " +
+          s"$opCol value — expected insert | update_postimage | " +
+          "update_preimage | delete")
+      require(audit.getLong(1) == 0L,
+        s"applyChanges: ${audit.getLong(1)} NULL key tuples on $keys " +
+          "in the change batch — a keyed CDC feed must not emit " +
+          "NULL keys")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col(sequenceCol).desc,
+          when(col(opCol) === "delete", lit(0)).otherwise(lit(1)).desc)
+      val latest = live
+        .withColumn("__ac_rn", row_number().over(w))
+        .filter(col("__ac_rn") === 1).drop("__ac_rn")
+      val dataCols = changes.columns.toSeq.filterNot(c =>
+        c.equalsIgnoreCase(opCol) || c.equalsIgnoreCase(sequenceCol))
+      val upserts = latest.filter(col(opCol) =!= "delete")
+        .select(dataCols.map(col): _*)
+      val tombstones = latest.filter(col(opCol) === "delete")
+        .select(keys.map(col): _*)
+      if (expectedVersion >= 0)
+        mergeInternal(spark, dir, upserts, keys, expectedVersion, Nil,
+          Some(tombstones), propsDelta)
+      else retryOnRace("applyChanges into " + dir)(
+        mergeInternal(spark, dir, upserts, keys, -1, Nil,
+          Some(tombstones), propsDelta))
+    } finally live.unpersist()
+  }
+
+  /** What a [[replicate]] run did. `fromVersion == toVersion` means
+    * the replica was already current (NO commit happened). */
+  final case class ReplicateResult(targetVersion: Int, fromVersion: Int,
+    toVersion: Int)
+
+  private def replicateMarkKey(spark: SparkSession,
+      srcDir: String): String = {
+    // key on the QUALIFIED source path — a SAFETY property: a mark
+    // can never be mistaken for another source's, and a relative-vs-
+    // absolute respelling of the same dir resolves to the same key.
+    // (This does NOT enable multi-source fan-in: a second source's
+    // first sync into a populated target hits the lineage guard
+    // below by design — a replica has exactly one upstream.)
+    val (_, root) = fsFor(spark, srcDir)
+    val h = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(root.toString.getBytes("UTF-8")).take(6)
+      .map("%02x".format(_)).mkString
+    s"graft.replicate.$h"
+  }
+
+  /** Incremental table replication: apply everything that happened to
+    * `srcDir` since the last replicate into `dstDir`, exactly once.
+    * The applied-through source version rides the target's table
+    * properties IN the apply commit (no crash window between data and
+    * mark — a replayed run is a no-op, never a double-apply); the
+    * first run materializes the source's current content wholesale.
+    * Incremental runs read the source CHANGE FEED `(applied,
+    * current]` — O(changes since), never O(table) — and net it via
+    * [[applyChanges]] keyed on `keys` with `_commit_version` as the
+    * sequence. Maintenance commits on the source (optimize/compact)
+    * contribute zero feed rows, so routine upkeep replicates for
+    * free. Each run records a CONSUMER FLOOR on the source at the
+    * applied version (`replica-<target-hash>` under `_consumers/`),
+    * so the source's vacuum/maintain widen retention for a lagging
+    * replica instead of dropping its resume point — a retired replica
+    * is cleared with [[clearConsumerFloor]], like a retired stream.
+    * REFUSES when the source was force-vacuumed past the applied mark
+    * anyway (the feed cannot replay the gap) — re-sync by replicating
+    * into a fresh target, a deliberate act; and refuses a target
+    * whose mark says it was never replicated from this source but
+    * already has content (it would silently merge two lineages). */
+  def replicate(spark: SparkSession, srcDir: String, dstDir: String,
+      keys: Seq[String]): ReplicateResult = {
+    require(keys.nonEmpty, "replicate needs at least one key column")
+    val srcV = currentVersion(spark, srcDir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"replicate: no committed version under $srcDir"))
+    val markKey = replicateMarkKey(spark, srcDir)
+    val dstV = currentVersion(spark, dstDir)
+    val applied = dstV.flatMap(v =>
+      tableProperties(spark, dstDir, v).get(markKey)).map(_.toInt)
+    // the replica is a CONSUMER of the source's history: its next run
+    // reads the feed from the applied version, so that version must
+    // stay retained. Record it as a consumer floor (the streaming
+    // discipline) so vacuum(clipToConsumers)/maintain on the source
+    // WIDEN retention for a lagging replica instead of vacuuming its
+    // resume point out from under it; a retired replica is cleared
+    // with clearConsumerFloor, same as a retired stream.
+    def recordFloor(appliedV: Int): Unit = {
+      val (_, dstRoot) = fsFor(spark, dstDir)
+      val id = "replica-" + java.security.MessageDigest
+        .getInstance("SHA-1")
+        .digest(dstRoot.toString.getBytes("UTF-8")).take(6)
+        .map("%02x".format(_)).mkString
+      recordConsumerFloor(spark, srcDir, id, appliedV,
+        note = s"replicate -> $dstDir")
+    }
+    (applied, dstV) match {
+      case (None, Some(_)) =>
+        throw new IllegalStateException(
+          s"replicate: $dstDir already has content but no applied " +
+            s"mark for source $srcDir — refusing to merge two " +
+            "lineages; replicate into a fresh directory")
+      case (Some(a), _) if a > srcV =>
+        throw new IllegalStateException(
+          s"replicate: $dstDir claims source version $a but $srcDir " +
+            s"is at $srcV — the source was RESTOREd or recreated " +
+            "past the mark; replicate into a fresh directory")
+      case (Some(a), _) if a == srcV =>
+        recordFloor(srcV)
+        ReplicateResult(dstV.get, a, srcV) // already current: no commit
+      case (Some(a), _) =>
+        // pinned: the emptiness probe and applyChanges's own pinned
+        // filter both read THIS materialization — the multi-version
+        // diff behind the feed is computed once, not twice
+        val feed = changeFeed(spark, srcDir, a, srcV).persist()
+        val res = try {
+          if (feed.limit(1).isEmpty) {
+            // maintenance-only window (optimize/compact contribute
+            // zero feed rows): advance the mark metadata-only, so the
+            // next run does not re-walk the same versions
+            val v = setProperty(spark, dstDir, markKey, srcV.toString)
+            ReplicateResult(v, a, srcV)
+          } else {
+            val r = applyChanges(spark, dstDir, feed, keys,
+              sequenceCol = "_commit_version",
+              propsDelta = Map(markKey -> srcV.toString))
+            ReplicateResult(r.version, a, srcV)
+          }
+        } finally feed.unpersist()
+        recordFloor(srcV)
+        res
+      case (None, None) =>
+        // first sync: the source's net content, keyed like the feed
+        // will be, with the mark in the same commit
+        val r = applyChanges(spark, dstDir,
+          read(spark, srcDir, srcV)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(srcV)),
+          keys, sequenceCol = "_commit_version",
+          propsDelta = Map(markKey -> srcV.toString))
+        recordFloor(srcV)
+        ReplicateResult(r.version, 0, srcV)
+    }
+  }
+
   /** [[retryOnRace]] with the version PINNED per attempt: `body`
     * receives the freshly resolved current version and passes it as
     * its commit's `expectedVersion` — a lost CAS then recomputes
@@ -4426,7 +4628,8 @@ object Snapshots {
   private def mergeInternal(spark: SparkSession, dir: String,
       source: DataFrame, keys: Seq[String], expectedVersion: Int,
       header: Seq[String],
-      tombstones: Option[DataFrame] = None): MergeResult = {
+      tombstones: Option[DataFrame] = None,
+      propsDelta: Map[String, String] = Map.empty): MergeResult = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val base = if (expectedVersion >= 0) Some(expectedVersion)
     else currentVersion(spark, dir)
@@ -4437,7 +4640,8 @@ object Snapshots {
         val (fs, root) = fsFor(spark, dir)
         MergeResult(
           commitLoop(fs, root, spark, dir, stage(source, fs, root),
-            carryBase = true, op = "merge", header = header),
+            carryBase = true, op = "merge", header = header,
+            propsDelta = propsDelta),
           rewrittenFiles = 0, untouchedFiles = 0)
       case Some(v) =>
         val (fs, root) = fsFor(spark, dir)
@@ -4606,7 +4810,8 @@ object Snapshots {
                 schemaHeader(pinnedSchema) +:
                 (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
                   constraintHeader(csPinned) ++
-                  propsHeader(propsOf(fs, root, v) ++ idDelta) ++
+                  propsHeader(propsOf(fs, root, v) ++ idDelta ++
+                    propsDelta) ++
                   opHeader(opName) ++
                   dmlKeysHeader(keys) ++ header ++
                   touched.map(f => s"#remove\t$f") ++ staged.stats))
@@ -4614,7 +4819,7 @@ object Snapshots {
             casManifest(fs, root, next, untouched ++ staged.files,
               schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
                 bloomHeader(bloomCfg) ++ constraintHeader(csPinned) ++
-                propsHeader(propsOf(fs, root, v) ++ idDelta) ++
+                propsHeader(propsOf(fs, root, v) ++ idDelta ++ propsDelta) ++
                 opHeader(opName) ++ dmlKeysHeader(keys) ++ header ++
                 dvLines(dvFor(fs, root, v), untouched.toSet) ++
                 statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
@@ -6430,6 +6635,222 @@ object Snapshots {
     else math.max(requested, vs.count(_ >= floors.min))
   }
 
+  // ---- COPY INTO (idempotent file-level ingestion) -------------------
+
+  private val IngestDir = "_ingest"
+  private val IngestedPrefix = "#ingested\t"
+
+  /** What a [[copyInto]] run did. `version` is the committed version
+    * (or the current one when nothing new was found — `filesLoaded`
+    * 0 means NO commit happened). */
+  final case class CopyIntoResult(version: Int, filesLoaded: Int,
+    rowsLoaded: Long, filesSkipped: Int)
+
+  /** Source-file paths this table has already ingested via
+    * [[copyInto]]: the union of `#ingested` ledger lines in retained
+    * manifests and the `_ingest/` sidecar markers [[vacuum]] rolls
+    * dropped manifests' lines into. */
+  def ingestedFiles(spark: SparkSession, dir: String): Set[String] = {
+    val (fs, root) = fsFor(spark, dir)
+    ingestedOf(fs, root, versions(spark, dir))
+  }
+
+  /** The paths `#ingested` lines of version `v`'s PHYSICAL manifest
+    * record (delta manifests are not chain-resolved here — each
+    * commit's ledger lives in its own file; the consumer unions over
+    * every retained version). */
+  private def ingestedLinesOf(fs: FileSystem, root: HPath,
+      v: Int): Seq[String] =
+    manifestLines(fs, root, v).collect {
+      case l if l.startsWith(IngestedPrefix) =>
+        dec(l.substring(IngestedPrefix.length).split('\t')(0))
+    }
+
+  private def ingestedOf(fs: FileSystem, root: HPath,
+      vs: Seq[Int]): Set[String] = {
+    val fromManifests = vs.flatMap(ingestedLinesOf(fs, root, _))
+    val d = new HPath(root, IngestDir)
+    val fromMarkers =
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith(".")).toSeq.flatMap(st =>
+        readSmall(fs, st.getPath).split('\n').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+          .map(l => dec(l.split('\t')(0))))
+    (fromManifests ++ fromMarkers).toSet
+  }
+
+  /** Roll the `#ingested` ledger lines of the manifests `drop` is
+    * about to delete into an `_ingest/` sidecar marker — the
+    * loaded-file ledger must outlive retention, or the first
+    * [[copyInto]] after a deep vacuum would re-load (duplicate)
+    * everything the dropped manifests recorded. The marker name is
+    * content-addressed, so a vacuum that crashed between this sync
+    * and its manifest deletes re-runs into the same name (skip) and
+    * duplicate entries across markers are harmless (the consumer is
+    * a set union). Written temp-then-rename like every other sidecar
+    * marker: readers never see a half-written ledger. */
+  private def syncIngestMarkers(fs: FileSystem, root: HPath,
+      drop: Seq[Int]): Unit = {
+    val lines = drop.flatMap(v =>
+      manifestLines(fs, root, v).filter(_.startsWith(IngestedPrefix))
+        .map(_.substring(IngestedPrefix.length)))
+    if (lines.isEmpty) return
+    val body = lines.distinct.sorted.mkString("\n")
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(body.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+    val d = new HPath(root, IngestDir)
+    fs.mkdirs(d)
+    val dst = new HPath(d, s"m$digest")
+    if (fs.exists(dst)) return
+    val tmp = new HPath(d, s".m$digest.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, false) // racer wrote it
+  }
+
+  /** Idempotent, exactly-once file-level ingestion — SQL `COPY INTO`
+    * (CALL copy_into): list the files under `source` (recursive, or
+    * the `pattern` glob), skip every file a previous copyInto already
+    * loaded, and append the rest as ONE commit whose manifest records
+    * their names (`#ingested` ledger lines, O(batch) per commit) —
+    * ledger and data land atomically, so a crash or retry anywhere
+    * re-runs into a no-op instead of duplicate rows. File identity is
+    * the fully-qualified path: a later in-place modification of a
+    * loaded file is NOT re-loaded (the standard COPY INTO contract);
+    * `force` re-loads everything listed. A concurrent copyInto racing
+    * this one is detected per commit attempt against the actual base
+    * ([[commitLoop]]'s `preAttempt`) and resolves by re-diffing, never
+    * by double-loading. The ledger survives [[vacuum]] (rolled into
+    * `_ingest/` sidecars); [[shallowClone]] does NOT carry it — the
+    * clone re-ingesting from its own sources is a deliberate act.
+    *
+    * Ingestion gets the FULL append trappings: generated/identity
+    * columns materialize/assign, CHECK constraints enforce on the
+    * incoming rows, declared clustering shapes the staged files,
+    * schema evolution follows the append rules. Non-self-describing
+    * formats (csv/json/text) with no explicit `schema` read with the
+    * table's pinned schema minus generated/identity columns (those
+    * are computed, never read). Hidden files (`.`/`_` segments) and
+    * empty files are skipped, as Spark's own listings do. */
+  def copyInto(spark: SparkSession, dir: String, source: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      pattern: String = "",
+      schema: Option[StructType] = None,
+      force: Boolean = false): CopyIntoResult =
+    retryOnRace(s"copyInto $source -> $dir") {
+      val (fs, root) = fsFor(spark, dir)
+      val srcRoot = new HPath(source)
+      val sfs = srcRoot.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      require(sfs.exists(srcRoot), s"COPY INTO source not found: $source")
+      val qRoot = sfs.makeQualified(srcRoot)
+      val listed: Seq[(String, Long)] =
+        if (pattern.nonEmpty)
+          Option(sfs.globStatus(new HPath(qRoot, pattern)))
+            .getOrElse(Array.empty).toSeq.filter(_.isFile)
+            .map(st => (st.getPath.toString, st.getLen))
+        else {
+          val it = sfs.listFiles(qRoot, true)
+          val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+          while (it.hasNext) {
+            val st = it.next()
+            buf += ((st.getPath.toString, st.getLen))
+          }
+          buf.toSeq
+        }
+      val rootStr = qRoot.toString.stripSuffix("/") + "/"
+      val files = listed.filter { case (pth, len) =>
+        len > 0 && {
+          val rel = if (pth.startsWith(rootStr))
+            pth.substring(rootStr.length) else new HPath(pth).getName
+          !rel.split('/').exists(seg =>
+            seg.startsWith(".") || seg.startsWith("_"))
+        }
+      }
+      val curV = currentVersion(spark, dir)
+      val already =
+        if (force) Set.empty[String]
+        else ingestedOf(fs, root, versions(spark, dir))
+      val fresh = files.filterNot(f => already.contains(f._1))
+        .sortBy(_._1)
+      if (fresh.isEmpty)
+        return CopyIntoResult(curV.getOrElse(0), 0, 0L, files.size)
+      val selfDescribing = Set("parquet", "orc", "avro")
+      val rdr0 = spark.read.format(format).options(options)
+      val rdr = schema match {
+        case Some(s) => rdr0.schema(s)
+        case None if selfDescribing.contains(format.toLowerCase) => rdr0
+        case None => curV.flatMap(schemaOf(fs, root, _)) match {
+          case Some(pinned) =>
+            val computed = (generatedOf(pinned).map(_._1.name) ++
+              identityOf(pinned).map(_._1.name))
+              .map(_.toLowerCase).toSet
+            rdr0.schema(StructType(pinned.fields.toSeq
+              .filterNot(f => computed.contains(f.name.toLowerCase))
+              .map(f => StructField(f.name, f.dataType, nullable = true))))
+          case None => throw new IllegalArgumentException(
+            s"COPY INTO $dir from $format needs a schema: the format " +
+              "is not self-describing and the table does not exist " +
+              "yet — pass schema=... or create the table first")
+        }
+      }
+      val df = rdr.load(fresh.map(_._1): _*)
+      val batch = fresh.map(_._1).toSet
+      val schemaPinned = curV.flatMap(schemaOf(fs, root, _))
+      val gen = schemaPinned.map(materializeGenerated(_, df)).getOrElse(df)
+      val ia = schemaPinned.filter(s => identityOf(s).nonEmpty) match {
+        case Some(s) =>
+          assignIdentity(spark, s, propsOf(fs, root, curV.get), gen)
+        case None => IdentityAssignment(gen, Map.empty, Map.empty, None)
+      }
+      try {
+        val shaped = clusterForWrite(spark, dir, ia.frame)
+        validateIncoming(spark, dir, shaped)
+        val validated = curV
+          .map(v => enforceConstraintsAt(spark, dir, fs, root, v, shaped))
+          .getOrElse(Map.empty[String, String])
+        val staged = stage(shaped, fs, root,
+          physMapFor(spark, dir, shaped), bloomConfigAt(spark, dir))
+        // per-file row counts already live in the staged stats lines
+        // (#stats\t<rel>\t<rows>\t...) — no second pass over the batch.
+        // A table with ZERO stat-eligible top-level columns (all
+        // nested/binary) stages no #stats lines: count the batch then,
+        // the rare shape paying one extra read over accounting lies
+        val byFile = staged.stats.flatMap { l =>
+          val f = l.split('\t')
+          if (f.length >= 3 && f(0) == "#stats") Some(f(1) -> f(2).toLong)
+          else None
+        }.toMap
+        val rowsLoaded =
+          if (byFile.nonEmpty) byFile.values.sum else df.count()
+        val ledger = fresh.map { case (p2, len) =>
+          s"$IngestedPrefix${enc(p2)}\t$len"
+        }
+        val v = commitLoop(fs, root, spark, dir, staged,
+          carryBase = true, op = "copy-into", header = ledger,
+          validated = validated,
+          propsExpect = ia.expect, propsDelta = ia.delta,
+          preAttempt = base => if (!force) {
+            // commits that landed between our dedup read and this
+            // attempt may include a RACING copyInto of the same
+            // files — re-check just those versions' ledgers and
+            // abort to the outer retry (re-diff), never double-load
+            val newer = (curV.getOrElse(0) + 1) to base.getOrElse(0)
+            val dup =
+              try newer.exists(nv =>
+                ingestedLinesOf(fs, root, nv).exists(batch.contains))
+              catch { case NonFatal(_) => true } // unprovable: re-diff
+            if (dup) throw new java.util.ConcurrentModificationException(
+              s"COPY INTO $dir lost a race: a concurrent copyInto " +
+                "loaded part of this batch — re-diffing")
+          })
+        CopyIntoResult(v, fresh.size, rowsLoaded, files.size - fresh.size)
+      } finally ia.pin.foreach(_.unpersist())
+    }
+
   /** Drop manifests older than the newest `keepVersions` and delete
     * data files no retained manifest references. This is the ONLY
     * operation that deletes data — until it runs, every version ever
@@ -6514,6 +6935,11 @@ object Snapshots {
     val deadSidecars = drop
       .flatMap(dv => manifestLines(fs, root, dv).flatMap(sidecarRefOf))
       .distinct.filterNot(keptSidecars)
+    // COPY INTO ledger lines must outlive their manifests: roll the
+    // dropped versions' #ingested lines into an _ingest/ sidecar
+    // BEFORE anything is deleted (a crash after this point re-runs
+    // into the same content-addressed marker — see syncIngestMarkers)
+    syncIngestMarkers(fs, root, drop)
     // delete dead files FIRST, their manifests LAST: the dropped
     // manifests are the only map to the dead files, so a crash between
     // the two phases leaves a rerunnable state (the next vacuum re-lists

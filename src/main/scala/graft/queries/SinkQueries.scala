@@ -1812,6 +1812,122 @@ object SinkQueries {
         |SELECT 'current', count(*)::BIGINT,
         |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE
         |FROM cur
-        |ORDER BY state""".stripMargin)
+        |ORDER BY state""".stripMargin),
+
+    // S52: COPY INTO — Snapshots.copyInto, the idempotent file-level
+    // ingestion verb (SQL: CALL copy_into). Landed files load exactly
+    // once: the manifest that commits the data also records the
+    // source-file names (#ingested ledger, O(batch) per commit), so
+    // re-running the load — the cron-driven ingestion pattern — is a
+    // no-op, never duplicates. Two landing waves load in two runs, a
+    // third run re-lists everything and loads nothing; the oracle is
+    // the plain supplier content — any double-load would inflate the
+    // counts. CopyIntoSpec proves the vacuum-survival (sidecar
+    // ledger), force, glob, csv-schema and race-detection contracts.
+    QueryDef("s52_copy_into",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val landing = s"${stageDir(dir)}/s52_landing"
+        val t = s"${stageDir(dir)}/s52_t"
+        Seq(landing, t).foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(p, true) // rebuild the fixture each run
+        }
+        val base = Tables.supplier(s, dir)
+          .select("s_suppkey", "s_nationkey", "s_acctbal")
+        base.filter(pmod(col("s_suppkey"), lit(3)) < 2)
+          .coalesce(2).write.parquet(s"$landing/w1")
+        val r1 = Snapshots.copyInto(s, t, landing)
+        base.filter(pmod(col("s_suppkey"), lit(3)) === 2)
+          .coalesce(1).write.parquet(s"$landing/w2")
+        val r2 = Snapshots.copyInto(s, t, landing) // loads ONLY w2
+        val r3 = Snapshots.copyInto(s, t, landing) // full no-op
+        require(r2.filesSkipped == r1.filesLoaded && r3.filesLoaded == 0,
+          s"COPY INTO idempotence broke: $r1 / $r2 / $r3")
+        Snapshots.read(s, t).groupBy("s_nationkey")
+          .agg(count(lit(1)).cast("long").as("n_sup"),
+            sum(col("s_acctbal").cast("decimal(18,4)")).cast("double")
+              .as("sum_bal"))
+          .orderBy("s_nationkey")
+      },
+      """SELECT s_nationkey, count(*)::BIGINT AS n_sup,
+        |  (sum(CAST(s_acctbal AS DECIMAL(18,4))))::DOUBLE AS sum_bal
+        |FROM supplier GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin),
+
+    // S53: incremental replication — Snapshots.replicate (CALL
+    // replicate), the CDC APPLY CHANGES pipeline composed end-to-end:
+    // the first run materializes the source, later runs read the
+    // source CHANGE FEED past the applied mark (O(changes since),
+    // never O(table) — at 100 TB the replica follows a day's DML at
+    // the day's cost), net it latest-per-key and land rows + mark as
+    // ONE atomic merge-mixed commit (exactly-once: a replayed run is
+    // a no-op). Maintenance commits (compact) replicate metadata-only.
+    // The output aggregates BOTH sides; any divergence — double-apply,
+    // missed delete, stale update image — breaks the side parity the
+    // oracle expects. ApplyChangesSpec proves netting/refusal details.
+    QueryDef("s53_replicate",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val src = s"${stageDir(dir)}/s53_src"
+        val dst = s"${stageDir(dir)}/s53_dst"
+        Seq(src, dst).foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(p, true) // rebuild the fixture each run
+        }
+        val base = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .filter(col("o_orderkey") < 40000)
+        Snapshots.append(
+          base.filter(pmod(col("o_orderkey"), lit(4)) < 2), src)
+        Snapshots.replicate(s, src, dst, Seq("o_orderkey")) // full sync
+        // a day of DML on the source...
+        Snapshots.append(
+          base.filter(pmod(col("o_orderkey"), lit(4)) === 2), src)
+        Snapshots.updateMatching(s, src,
+          Snapshots.read(s, src)
+            .filter(pmod(col("o_orderkey"), lit(10)) === 3)
+            .select("o_orderkey"),
+          Seq("o_orderkey"),
+          Seq("o_totalprice" -> (col("o_totalprice") + 100000.0)))
+        Snapshots.deleteMatching(s, src,
+          Snapshots.read(s, src)
+            .filter(pmod(col("o_orderkey"), lit(10)) === 7)
+            .select("o_orderkey"),
+          Seq("o_orderkey"))
+        Snapshots.compact(s, src, 4) // maintenance: zero feed rows
+        // ...followed by the replica: one incremental, one no-op
+        Snapshots.replicate(s, src, dst, Seq("o_orderkey"))
+        val noop = Snapshots.replicate(s, src, dst, Seq("o_orderkey"))
+        require(noop.fromVersion == noop.toVersion,
+          s"replicate idempotence broke: $noop")
+        def agg(side: String, root: String) =
+          Snapshots.read(s, root)
+            .groupBy(pmod(col("o_custkey"), lit(10)).as("bucket"))
+            .agg(count(lit(1)).cast("long").as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double").as("sum_price"))
+            .select(lit(side).as("side"), col("bucket"),
+              col("n_orders"), col("sum_price"))
+        agg("replica", dst).unionByName(agg("source", src))
+          .orderBy("side", "bucket")
+      },
+      """WITH cur AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 3
+        |      THEN o_totalprice + 100000.0 ELSE o_totalprice END
+        |      AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey < 40000 AND o_orderkey % 4 IN (0, 1, 2)
+        |    AND o_orderkey % 10 <> 7),
+        |sides AS (SELECT 'replica' AS side UNION ALL SELECT 'source')
+        |SELECT s.side, o_custkey % 10 AS bucket,
+        |  count(*)::BIGINT AS n_orders,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM cur CROSS JOIN sides s
+        |GROUP BY s.side, bucket
+        |ORDER BY side, bucket""".stripMargin)
   )
 }

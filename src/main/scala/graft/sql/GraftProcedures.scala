@@ -203,6 +203,24 @@ private[sql] object GraftProcedures {
           Seq(dropped, deleted, dry))
       }),
 
+    new Proc("copy_into",
+      Seq(p("table", StringType), p("source", StringType),
+        pd("format", StringType, "'parquet'"),
+        pd("pattern", StringType, "''"),
+        pd("schema", StringType, "''"), // DDL string, e.g. 'id BIGINT, s STRING'
+        pd("force", BooleanType, "false")),
+      (s, in) => {
+        val ddl = str(in, 4)
+        val r = Snapshots.copyInto(s, dirOf(str(in, 0)), str(in, 1),
+          format = str(in, 2), pattern = str(in, 3),
+          schema = if (ddl.isEmpty) None
+            else Some(StructType.fromDDL(ddl)),
+          force = in.getBoolean(5))
+        oneRow(s,
+          Seq("version", "files_loaded", "rows_loaded", "files_skipped"),
+          Seq(r.version, r.filesLoaded, r.rowsLoaded, r.filesSkipped))
+      }),
+
     new Proc("clean_orphans",
       Seq(p("table", StringType), pd("older_than_hours", IntegerType, "24")),
       (s, in) => {
@@ -235,6 +253,17 @@ private[sql] object GraftProcedures {
         val v = Snapshots.shallowClone(s, dirOf(str(in, 0)),
           dirOf(str(in, 1)), in.getInt(2))
         oneRow(s, Seq("version"), Seq(v))
+      }),
+
+    new Proc("replicate",
+      Seq(p("source", StringType), p("target", StringType),
+        p("keys", StringType)),
+      (s, in) => {
+        val r = Snapshots.replicate(s, dirOf(str(in, 0)),
+          dirOf(str(in, 1)), csv(in, 2))
+        oneRow(s,
+          Seq("target_version", "from_version", "to_version"),
+          Seq(r.targetVersion, r.fromVersion, r.toVersion))
       }),
 
     new Proc("set_bloom_columns",
@@ -282,7 +311,8 @@ private[sql] object GraftProcedures {
         oneRow(s,
           Seq("location", "version", "n_versions_retained", "n_files",
             "size_bytes", "n_rows_meta", "cluster_columns",
-            "optimized_through", "constraints", "properties", "tags"),
+            "optimized_through", "constraints", "properties", "tags",
+            "ingested_files"),
           Seq(dir, v, Snapshots.versions(s, dir).size, files.length,
             Snapshots.liveBytes(s, dir, v),
             meta.map(_.head().getLong(0)).getOrElse(-1L),
@@ -293,7 +323,8 @@ private[sql] object GraftProcedures {
             props.toSeq.sorted.map { case (k, pv) => s"$k=$pv" }
               .mkString("; "),
             Snapshots.tags(s, dir).sortBy(_.version)
-              .map(t => s"${t.name}@v${t.version}").mkString("; ")))
+              .map(t => s"${t.name}@v${t.version}").mkString("; "),
+            Snapshots.ingestedFiles(s, dir).size))
       }),
 
     new Proc("audit",

@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Snapshots
+
+/** APPLY CHANGES INTO + incremental replication. Contracts under
+  * test: a CDC batch nets to latest-per-key by sequence (insert
+  * outranks delete at equal sequence; preimages drop); the apply is
+  * ONE atomic commit; `replicate` follows a source table through the
+  * change feed exactly once (the applied mark rides the apply
+  * commit), treats maintenance-only windows as metadata-only, and
+  * refuses lineage-merging and vacuumed-gap traps loudly. */
+class ApplyChangesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_ac").toFile.toString + "/t"
+
+  test("applyChanges nets a multi-version batch to latest state per key") {
+    val t = tmp()
+    Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "s"), t)
+    val changes = Seq(
+      // key 1: updated twice — the later image must win
+      (1L, "a1", "update_preimage", 5),
+      (1L, "a2", "update_postimage", 5),
+      (1L, "a3", "update_postimage", 6),
+      // key 2: deleted at the highest sequence — must vanish
+      (2L, "b", "delete", 5),
+      // key 3: deleted then re-inserted LATER — must survive as new
+      (3L, "c", "delete", 5),
+      (3L, "c2", "insert", 6),
+      // key 5: fresh insert
+      (5L, "e", "insert", 6),
+      // key 6: delete+insert at the SAME sequence (one commit's
+      // upsert decomposition) — the insert must outrank the delete
+      (6L, "f", "delete", 7),
+      (6L, "f2", "insert", 7)
+    ).toDF("id", "s", "_change_type", "_commit_version")
+    Snapshots.applyChanges(spark, t, changes, Seq("id"),
+      sequenceCol = "_commit_version")
+    assert(Snapshots.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a3"), (3L, "c2"), (4L, "d"), (5L, "e"), (6L, "f2")))
+  }
+
+  test("applyChanges refuses unknown ops and NULL keys") {
+    val t = tmp()
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), t)
+    val badOp = Seq((1L, "x", "upsert", 1))
+      .toDF("id", "s", "_change_type", "_commit_version")
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.applyChanges(spark, t, badOp, Seq("id"),
+        "_commit_version"))
+    assert(e1.getMessage.contains("unknown"))
+    val nullKey = Seq((Option.empty[Long], "x", "insert", 1))
+      .toDF("id", "s", "_change_type", "_commit_version")
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.applyChanges(spark, t, nullKey, Seq("id"),
+        "_commit_version"))
+    assert(e2.getMessage.contains("NULL key"))
+    // a NULL op is a corrupt feed too — it must reach the audit, not
+    // silently vanish through the null-unsafe preimage filter
+    val nullOp = Seq((1L, "x", Option.empty[String], 1))
+      .toDF("id", "s", "_change_type", "_commit_version")
+    val e3 = intercept[IllegalArgumentException](
+      Snapshots.applyChanges(spark, t, nullOp, Seq("id"),
+        "_commit_version"))
+    assert(e3.getMessage.contains("unknown"))
+  }
+
+  test("replicate follows a source through DML exactly once; " +
+      "maintenance-only windows advance the mark metadata-only") {
+    val src = tmp(); val dst = tmp()
+    Snapshots.append((1L to 40L).map(i => (i, i * 10.0)).toDF("id", "v"),
+      src)
+    // first sync materializes the full content
+    val r1 = Snapshots.replicate(spark, src, dst, Seq("id"))
+    assert(r1.fromVersion == 0)
+    def content(d: String) = Snapshots.read(spark, d)
+      .as[(Long, Double)].collect().toSet
+    assert(content(dst) == content(src))
+    // a replay is a no-op: same mark, no commit
+    val r2 = Snapshots.replicate(spark, src, dst, Seq("id"))
+    assert(r2.targetVersion == r1.targetVersion &&
+      r2.fromVersion == r2.toVersion)
+    // mixed DML on the source: append + update + delete
+    Snapshots.append(Seq((41L, 410.0), (42L, 420.0)).toDF("id", "v"), src)
+    Snapshots.updateMatching(spark, src,
+      Seq(7L, 9L).toDF("id"), Seq("id"),
+      Seq("v" -> (col("v") + 1000.0)))
+    Snapshots.deleteMatching(spark, src,
+      Seq(3L, 4L).toDF("id"), Seq("id"))
+    val r3 = Snapshots.replicate(spark, src, dst, Seq("id"))
+    assert(r3.fromVersion == r1.toVersion && r3.toVersion > r3.fromVersion)
+    assert(content(dst) == content(src),
+      "the replica must converge to the source's net state")
+    // maintenance-only window: optimize contributes zero feed rows —
+    // the mark advances without rewriting a byte of the replica
+    val dstFilesBefore = Snapshots.read(spark, dst).inputFiles.toSet
+    Snapshots.compact(spark, src, 1)
+    val r4 = Snapshots.replicate(spark, src, dst, Seq("id"))
+    assert(r4.toVersion > r4.fromVersion)
+    assert(Snapshots.read(spark, dst).inputFiles.toSet == dstFilesBefore,
+      "a maintenance-only replicate must not rewrite replica data")
+    assert(content(dst) == content(src))
+    // and the advanced mark makes the next run a pure no-op
+    val r5 = Snapshots.replicate(spark, src, dst, Seq("id"))
+    assert(r5.fromVersion == r5.toVersion)
+  }
+
+  test("replicate refuses to merge lineages and vacuumed gaps") {
+    val src = tmp(); val dst = tmp()
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), src)
+    Snapshots.append(Seq((9L, "z")).toDF("id", "s"), dst) // foreign content
+    val e1 = intercept[IllegalStateException](
+      Snapshots.replicate(spark, src, dst, Seq("id")))
+    assert(e1.getMessage.contains("two"))
+    // a replica is a recorded CONSUMER of the source: after one
+    // replicate, a vacuum that would drop the applied version REFUSES
+    // (the streaming-floor discipline), so routine retention cannot
+    // strand the replica
+    val dst2 = tmp()
+    Snapshots.replicate(spark, src, dst2, Seq("id"))
+    (1 to 12).foreach(i =>
+      Snapshots.append(Seq((100L + i, "x")).toDF("id", "s"), src))
+    Snapshots.compact(spark, src, 1)
+    val eFloor = intercept[IllegalStateException](
+      Snapshots.vacuum(spark, src, keepVersions = 1))
+    assert(eFloor.getMessage.contains("replica-"),
+      "the refusal must name the replica's floor")
+    // clipToConsumers keeps the resume point instead — the replica
+    // still replicates after the clipped sweep
+    Snapshots.vacuum(spark, src, keepVersions = 1, clipToConsumers = true)
+    Snapshots.replicate(spark, src, dst2, Seq("id"))
+    assert(Snapshots.read(spark, dst2).count() ==
+      Snapshots.read(spark, src).count())
+    // FORCED past the mark anyway: the gap refusal fires, and the
+    // remedy (fresh target) is the documented one
+    (1 to 3).foreach(i =>
+      Snapshots.append(Seq((200L + i, "y")).toDF("id", "s"), src))
+    Snapshots.compact(spark, src, 1)
+    Snapshots.vacuum(spark, src, keepVersions = 1, force = true)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.replicate(spark, src, dst2, Seq("id")))
+    assert(e2.getMessage.contains("not retained"))
+  }
+
+  test("CALL replicate: the SQL surface") {
+    val w = Files.createTempDirectory("graft_ac_wh").toFile.toString
+    spark.conf.set("spark.sql.catalog.gar", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gar.warehouse", w)
+    spark.sql("CREATE TABLE gar.default.s (id BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO gar.default.s VALUES (1, 1.0), (2, 2.0)")
+    val row = spark.sql(
+      "CALL gar.system.replicate(source => 'default.s', " +
+        "target => 'default.d', keys => 'id')").collect().head
+    assert(row.getAs[Number]("to_version").intValue > 0)
+    spark.sql("INSERT INTO gar.default.s VALUES (3, 3.0)")
+    spark.sql("DELETE FROM gar.default.s WHERE id = 1")
+    spark.sql(
+      "CALL gar.system.replicate(source => 'default.s', " +
+        "target => 'default.d', keys => 'id')")
+    assert(spark.sql("SELECT id, v FROM gar.default.d ORDER BY id")
+      .as[(Long, Double)].collect().toSeq == Seq((2L, 2.0), (3L, 3.0)))
+  }
+}
