@@ -4501,6 +4501,125 @@ object Snapshots {
     s"graft.replicate.$h"
   }
 
+  /** Mirror the source's in-window schema DDL onto the replica BEFORE
+    * the data applies, keyed on PHYSICAL column identity — the one
+    * thing that is stable across renames (`#schema` carries
+    * `physOf`): a physical id that left the source schema is a DROP,
+    * one that changed its logical name is a RENAME (two-phase through
+    * reserved temp names, so swap chains a→b/b→a cannot collide
+    * mid-flight), a new id is an ADD (carrying the source's
+    * `EXISTS_DEFAULT` so pre-evolution replica rows read exactly what
+    * pre-evolution source rows read), and a same-id type change is a
+    * WIDEN. Every step is re-entrant: a crash between the alignment
+    * commits and the data apply re-runs into skips (done renames,
+    * existing adds) — alignment converges to the source's shape, then
+    * the apply sees equal column sets and needs no mergeSchema. */
+  private def alignReplicaSchema(spark: SparkSession, srcDir: String,
+      appliedV: Int, srcV: Int, dstDir: String): Unit = {
+    val (sfs, sroot) = fsFor(spark, srcDir)
+    val before = schemaOf(sfs, sroot, appliedV).getOrElse(return)
+    val after = schemaOf(sfs, sroot, srcV).getOrElse(return)
+    val beforeByPhys = before.fields.map(f => physOf(f) -> f).toMap
+    val afterByPhys = after.fields.map(f => physOf(f) -> f).toMap
+    if (beforeByPhys.keySet == afterByPhys.keySet &&
+      before.fields.map(f => (f.name, f.dataType)).sameElements(
+        after.fields.map(f => (f.name, f.dataType)))) return
+    def dstSchema(): StructType = {
+      val (dfs, droot) = fsFor(spark, dstDir)
+      val dv = currentVersion(spark, dstDir).get
+      schemaOf(dfs, droot, dv).getOrElse(
+        allNullable(read(spark, dstDir, dv).schema))
+    }
+    def dstHas(n: String): Boolean =
+      dstSchema().fields.exists(_.name.equalsIgnoreCase(n))
+    // 1. drops: physical identities that left the source
+    beforeByPhys.foreach { case (p, f) =>
+      if (!afterByPhys.contains(p) && dstHas(f.name))
+        dropColumn(spark, dstDir, f.name)
+    }
+    // 2. renames, by physical identity, two phases via temp names
+    val renames = afterByPhys.toSeq.collect {
+      case (p, fa) if beforeByPhys.get(p).exists(fb =>
+        !fb.name.equalsIgnoreCase(fa.name)) =>
+        (p, beforeByPhys(p).name, fa.name)
+    }
+    def tmpName(p: String): String =
+      "__replalign_" + Integer.toHexString(p.hashCode)
+    renames.foreach { case (p, o, _) =>
+      if (dstHas(o)) renameColumn(spark, dstDir, o, tmpName(p))
+    }
+    renames.foreach { case (p, _, n) =>
+      if (dstHas(tmpName(p))) renameColumn(spark, dstDir, tmpName(p), n)
+    }
+    // 3. adds: new physical identities, with the source's pinned
+    //    default so old replica rows read what old source rows read
+    afterByPhys.foreach { case (p, fa) =>
+      if (!beforeByPhys.contains(p) && !dstHas(fa.name))
+        addColumn(spark, dstDir, fa.name, fa.dataType,
+          if (fa.metadata.contains("EXISTS_DEFAULT"))
+            Some(fa.metadata.getString("EXISTS_DEFAULT")) else None)
+    }
+    // 4. widenings: same identity, evolved type (refuses non-widening
+    //    drift loudly, same contract as the source's own DDL)
+    afterByPhys.foreach { case (p, fa) =>
+      beforeByPhys.get(p).foreach { fb =>
+        if (fb.dataType != fa.dataType &&
+          dstSchema().fields.exists(f =>
+            f.name.equalsIgnoreCase(fa.name) &&
+              f.dataType != fa.dataType))
+          widenColumn(spark, dstDir, fa.name, fa.dataType)
+      }
+    }
+  }
+
+  /** Project a change-feed window onto the source's POST-window shape
+    * for the replica apply: in-window drops leave the projection,
+    * renames read through `coalesce(new, old)` (pre-rename segments
+    * carry the value under the old name — same physical column),
+    * in-window ADD ... DEFAULT columns read the pinned default for
+    * rows whose commit PRECEDES the add (the union's NULL-fill there
+    * means "column did not exist yet", which on the source reads the
+    * default — an explicit post-add NULL stays NULL), and types cast
+    * to the final shape across in-window widenings. */
+  private def projectFeedTo(spark: SparkSession, srcDir: String,
+      appliedV: Int, srcV: Int, feed: DataFrame): DataFrame = {
+    val (sfs, sroot) = fsFor(spark, srcDir)
+    val after = schemaOf(sfs, sroot, srcV)
+      .getOrElse(allNullable(read(spark, srcDir, srcV).schema))
+    val beforeByPhys = schemaOf(sfs, sroot, appliedV)
+      .map(_.fields.map(f => physOf(f) -> f).toMap)
+      .getOrElse(after.fields.map(f => physOf(f) -> f).toMap)
+    val feedCols = feed.columns.toSet
+    // first version in (applied, srcV] whose schema carries `p` —
+    // the add instant, bounding which feed rows predate the column
+    def addVersionOf(p: String): Int =
+      versions(spark, srcDir)
+        .filter(v => v > appliedV && v <= srcV)
+        .find(v => schemaOf(sfs, sroot, v)
+          .exists(_.fields.exists(f => physOf(f) == p)))
+        .getOrElse(srcV)
+    val projected = after.fields.toSeq.map { f =>
+      val p = physOf(f)
+      val oldName = beforeByPhys.get(p).map(_.name)
+      val base: Column =
+        if (!feedCols.contains(f.name))
+          // added in-window, zero post-add feed rows: every feed row
+          // predates the column — they all read the default
+          missingColumnReads(f)
+        else if (oldName.exists(o => !o.equalsIgnoreCase(f.name)) &&
+          feedCols.contains(oldName.get))
+          coalesce(col(f.name), col(oldName.get))
+        else if (oldName.isEmpty && f.metadata.contains("EXISTS_DEFAULT"))
+          when(col("_commit_version") < lit(addVersionOf(p)),
+            expr(f.metadata.getString("EXISTS_DEFAULT")))
+            .otherwise(col(f.name))
+        else col(f.name)
+      base.cast(f.dataType).as(f.name)
+    }
+    feed.select(projected ++
+      Seq(col("_change_type"), col("_commit_version")): _*)
+  }
+
   /** Incremental table replication: apply everything that happened to
     * `srcDir` since the last replicate into `dstDir`, exactly once.
     * The applied-through source version rides the target's table
@@ -4563,6 +4682,19 @@ object Snapshots {
         recordFloor(srcV)
         ReplicateResult(dstV.get, a, srcV) // already current: no commit
       case (Some(a), _) =>
+        // the gap check runs FIRST: alignment and the feed both read
+        // the applied version's manifest, and a force-vacuumed mark
+        // must surface as the documented refusal, not an IO error
+        require(versions(spark, srcDir).contains(a),
+          s"replicate: applied source version $a of $srcDir is not " +
+            "retained (force-vacuumed past the mark?) — the feed " +
+            "cannot replay the gap; replicate into a fresh directory")
+        // the replica follows the source's SCHEMA too: in-window DDL
+        // (drop/rename/add/widen) mirrors onto the replica before the
+        // data lands, so the apply sees equal column sets — a replica
+        // that refused the source's first ADD COLUMN would strand
+        // every downstream of a normally-evolving table
+        alignReplicaSchema(spark, srcDir, a, srcV, dstDir)
         // pinned: the emptiness probe and applyChanges's own pinned
         // filter both read THIS materialization — the multi-version
         // diff behind the feed is computed once, not twice
@@ -4575,7 +4707,8 @@ object Snapshots {
             val v = setProperty(spark, dstDir, markKey, srcV.toString)
             ReplicateResult(v, a, srcV)
           } else {
-            val r = applyChanges(spark, dstDir, feed, keys,
+            val r = applyChanges(spark, dstDir,
+              projectFeedTo(spark, srcDir, a, srcV, feed), keys,
               sequenceCol = "_commit_version",
               propsDelta = Map(markKey -> srcV.toString))
             ReplicateResult(r.version, a, srcV)
@@ -4585,13 +4718,21 @@ object Snapshots {
         res
       case (None, None) =>
         // first sync: the source's net content, keyed like the feed
-        // will be, with the mark in the same commit
+        // will be, with the mark in the same commit. The source's
+        // LAYOUT declarations ride along: a replica without the
+        // source's cluster/stats declarations would take every later
+        // key-pruned apply unclustered — the fast path replicate
+        // exists for. (They land in the same commit; this first
+        // sync's own files lay out on the next optimize/maintain.)
+        val declarations = tableProperties(spark, srcDir)
+          .filter { case (k, _) =>
+            k == "cluster.columns" || k == "stats.columns" }
         val r = applyChanges(spark, dstDir,
           read(spark, srcDir, srcV)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(srcV)),
           keys, sequenceCol = "_commit_version",
-          propsDelta = Map(markKey -> srcV.toString))
+          propsDelta = declarations + (markKey -> srcV.toString))
         recordFloor(srcV)
         ReplicateResult(r.version, 0, srcV)
     }

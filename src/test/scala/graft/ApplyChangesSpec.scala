@@ -111,6 +111,69 @@ class ApplyChangesSpec extends SparkSpec {
     assert(r5.fromVersion == r5.toVersion)
   }
 
+  test("replicate follows source schema DDL: add-with-default, " +
+      "rename, drop, widen — with the in-window slivers exact") {
+    val src = tmp(); val dst = tmp()
+    Snapshots.append((1L to 10L).map(i =>
+      (i, i.toInt, s"b$i", i * 0.5)).toDF("id", "a", "b", "junk"), src)
+    Snapshots.replicate(spark, src, dst, Seq("id"))
+    // one window containing data-DML interleaved with schema DDL
+    Snapshots.updateMatching(spark, src, Seq(1L).toDF("id"), Seq("id"),
+      Seq("a" -> lit(111))) // k1 changes BEFORE the add: its post-image
+                            // predates column c — must read the default
+    Snapshots.updateMatching(spark, src, Seq(2L).toDF("id"), Seq("id"),
+      Seq("b" -> lit("zz"))) // k2 changes BEFORE the rename: its value
+                             // travels under the OLD name in the feed
+    Snapshots.addColumn(spark, src, "c",
+      org.apache.spark.sql.types.StringType, Some("'dflt'"))
+    Snapshots.renameColumn(spark, src, "b", "b2")
+    Snapshots.dropColumn(spark, src, "junk")
+    Snapshots.widenColumn(spark, src, "a",
+      org.apache.spark.sql.types.LongType)
+    Snapshots.updateMatching(spark, src, Seq(3L).toDF("id"), Seq("id"),
+      Seq("c" -> lit("explicit"))) // post-add value
+    Snapshots.updateMatching(spark, src, Seq(4L).toDF("id"), Seq("id"),
+      Seq("c" -> lit(null))) // post-add EXPLICIT NULL: must stay NULL
+    Snapshots.append(Seq((11L, 1100L, "b11", "c11"))
+      .toDF("id", "a", "b2", "c"), src)
+    Snapshots.replicate(spark, src, dst, Seq("id"))
+    // shapes converge exactly
+    val srcDf = Snapshots.read(spark, src)
+    val dstDf = Snapshots.read(spark, dst)
+    assert(dstDf.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      srcDf.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"replica schema ${dstDf.schema.sql} != source ${srcDf.schema.sql}")
+    // contents converge exactly — including the slivers: k1 reads the
+    // default for c (its post-image predates the add), k2's value
+    // shows under the renamed column, k4's explicit NULL stays NULL
+    val cols = srcDf.columns.sorted.toSeq
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(dstDf) == rows(srcDf))
+    val k1 = dstDf.filter(col("id") === 1).select("c").head()
+    assert(k1.getString(0) == "dflt",
+      "pre-add post-image must read the pinned default on the replica")
+    val k2 = dstDf.filter(col("id") === 2).select("b2").head()
+    assert(k2.getString(0) == "zz",
+      "pre-rename value must surface under the renamed column")
+    val k4 = dstDf.filter(col("id") === 4).select("c").head()
+    assert(k4.isNullAt(0), "post-add explicit NULL must stay NULL")
+  }
+
+  test("replicate carries the source's layout declarations at first " +
+      "sync: later applies cluster and prune on the replica too") {
+    val src = tmp(); val dst = tmp()
+    Snapshots.createTable(spark,
+      src, Seq((1L, 1.0)).toDF("id", "v").schema,
+      properties = Map("cluster.columns" -> "id"))
+    Snapshots.append((1L to 20L).map(i => (i, i * 1.0)).toDF("id", "v"),
+      src)
+    Snapshots.replicate(spark, src, dst, Seq("id"))
+    val props = Snapshots.tableProperties(spark, dst)
+    assert(props.get("cluster.columns").contains("id"),
+      s"replica must carry the source's clustering: $props")
+  }
+
   test("replicate refuses to merge lineages and vacuumed gaps") {
     val src = tmp(); val dst = tmp()
     Snapshots.append(Seq((1L, "a")).toDF("id", "s"), src)
