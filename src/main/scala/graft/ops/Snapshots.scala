@@ -4450,7 +4450,8 @@ object Snapshots {
           !col(opCol).isin("insert", "update_postimage",
             "delete"), 1)).as("bad_ops"),
         count(when(keys.map(col(_).isNull).reduce(_ || _), 1))
-          .as("null_keys")).head()
+          .as("null_keys"),
+        count(lit(1)).as("total")).head()
       require(audit.getLong(0) == 0L,
         s"applyChanges: ${audit.getLong(0)} rows carry an unknown " +
           s"$opCol value — expected insert | update_postimage | " +
@@ -4459,6 +4460,32 @@ object Snapshots {
         s"applyChanges: ${audit.getLong(1)} NULL key tuples on $keys " +
           "in the change batch — a keyed CDC feed must not emit " +
           "NULL keys")
+      if (audit.getLong(2) == 0L) {
+        // EMPTY batch (a maintenance-only feed window): nothing to
+        // merge — but an explicit propsDelta still lands, metadata-
+        // only ([[replicate]]'s mark must advance or the next run
+        // re-walks the same versions)
+        val (fs, root) = fsFor(spark, dir)
+        val v =
+          if (expectedVersion >= 0) expectedVersion
+          else currentVersion(spark, dir).getOrElse(
+            throw new java.util.NoSuchElementException(
+              s"applyChanges: empty batch and no table under $dir"))
+        def markAt(base: Int): Int =
+          metadataCommit(fs, root, spark, dir, base,
+            schemaOf(fs, root, base).getOrElse(
+              allNullable(read(spark, dir, base).schema)),
+            droppedOf(fs, root, base), bloomConfigOf(fs, root, base),
+            constraintsOf(fs, root, base),
+            propsOf(fs, root, base) ++ propsDelta,
+            op = "apply-changes-mark")
+        val committed =
+          if (propsDelta.isEmpty) v
+          else if (expectedVersion >= 0) markAt(expectedVersion)
+          else retryPinned(spark, dir,
+            s"applyChanges mark on $dir")(markAt)
+        return MergeResult(committed, 0, 0)
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*)
         .orderBy(col(sequenceCol).desc,
@@ -4474,10 +4501,10 @@ object Snapshots {
         .select(keys.map(col): _*)
       if (expectedVersion >= 0)
         mergeInternal(spark, dir, upserts, keys, expectedVersion, Nil,
-          Some(tombstones), propsDelta)
+          Some(tombstones), propsDelta, keysProvedUnique = true)
       else retryOnRace("applyChanges into " + dir)(
         mergeInternal(spark, dir, upserts, keys, -1, Nil,
-          Some(tombstones), propsDelta))
+          Some(tombstones), propsDelta, keysProvedUnique = true))
     } finally live.unpersist()
   }
 
@@ -4695,27 +4722,17 @@ object Snapshots {
         // that refused the source's first ADD COLUMN would strand
         // every downstream of a normally-evolving table
         alignReplicaSchema(spark, srcDir, a, srcV, dstDir)
-        // pinned: the emptiness probe and applyChanges's own pinned
-        // filter both read THIS materialization — the multi-version
-        // diff behind the feed is computed once, not twice
-        val feed = changeFeed(spark, srcDir, a, srcV).persist()
-        val res = try {
-          if (feed.limit(1).isEmpty) {
-            // maintenance-only window (optimize/compact contribute
-            // zero feed rows): advance the mark metadata-only, so the
-            // next run does not re-walk the same versions
-            val v = setProperty(spark, dstDir, markKey, srcV.toString)
-            ReplicateResult(v, a, srcV)
-          } else {
-            val r = applyChanges(spark, dstDir,
-              projectFeedTo(spark, srcDir, a, srcV, feed), keys,
-              sequenceCol = "_commit_version",
-              propsDelta = Map(markKey -> srcV.toString))
-            ReplicateResult(r.version, a, srcV)
-          }
-        } finally feed.unpersist()
+        // ONE evaluation of the multi-version feed: applyChanges pins
+        // it, audits it in one pass (which also detects the empty
+        // maintenance-only window — then only the mark commits,
+        // metadata-only), and nets it from the same cache
+        val feed = changeFeed(spark, srcDir, a, srcV)
+        val r = applyChanges(spark, dstDir,
+          projectFeedTo(spark, srcDir, a, srcV, feed), keys,
+          sequenceCol = "_commit_version",
+          propsDelta = Map(markKey -> srcV.toString))
         recordFloor(srcV)
-        res
+        ReplicateResult(r.version, a, srcV)
       case (None, None) =>
         // first sync: the source's net content, keyed like the feed
         // will be, with the mark in the same commit. The source's
@@ -4770,7 +4787,8 @@ object Snapshots {
       source: DataFrame, keys: Seq[String], expectedVersion: Int,
       header: Seq[String],
       tombstones: Option[DataFrame] = None,
-      propsDelta: Map[String, String] = Map.empty): MergeResult = {
+      propsDelta: Map[String, String] = Map.empty,
+      keysProvedUnique: Boolean = false): MergeResult = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val base = if (expectedVersion >= 0) Some(expectedVersion)
     else currentVersion(spark, dir)
@@ -4866,12 +4884,17 @@ object Snapshots {
         tombstones.foreach(t => keys.foreach(k =>
           require(t.columns.contains(k),
             s"tombstone key '$k' is not a column: ${t.columns.toSeq}")))
-        val dup = src.na.drop(keys).groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
-          .limit(1).count()
-        require(dup == 0L,
-          s"merge source has duplicate key tuples on $keys — " +
-            "MERGE semantics would be non-deterministic")
+        // the probe is one full job over the pinned source — callers
+        // whose construction PROVES key uniqueness (applyChanges nets
+        // to row_number()=1 per key) skip it
+        if (!keysProvedUnique) {
+          val dup = src.na.drop(keys).groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+            .limit(1).count()
+          require(dup == 0L,
+            s"merge source has duplicate key tuples on $keys — " +
+              "MERGE semantics would be non-deterministic")
+        }
         // CHECK constraints: the rewrite keeps table rows (already
         // valid) and adds source rows — only the source needs proof
         val csPinned = enforceConstraintsAt(spark, dir, fs, root, v, src)
