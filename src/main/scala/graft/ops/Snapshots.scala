@@ -4466,6 +4466,18 @@ object Snapshots {
         // only ([[replicate]]'s mark must advance or the next run
         // re-walks the same versions)
         val (fs, root) = fsFor(spark, dir)
+        if (expectedVersion < 0 && currentVersion(spark, dir).isEmpty) {
+          // empty batch into NO table: bootstrap an empty table with
+          // the batch's data shape (and the propsDelta — replicate's
+          // first sync of a created-but-empty source lands the mark
+          // here), instead of erroring before the mark can record
+          val dataSchema = StructType(changes.schema.fields.filterNot(
+            f => f.name.equalsIgnoreCase(opCol) ||
+              f.name.equalsIgnoreCase(sequenceCol)))
+          return MergeResult(
+            createTable(spark, dir, dataSchema, properties = propsDelta),
+            0, 0)
+        }
         val v =
           if (expectedVersion >= 0) expectedVersion
           else currentVersion(spark, dir).getOrElse(
@@ -4513,6 +4525,14 @@ object Snapshots {
   final case class ReplicateResult(targetVersion: Int, fromVersion: Int,
     toVersion: Int)
 
+  /** First `bytes` of SHA-1(`s`), lowercase hex — the compact stable
+    * identity used by the replicate mark key, the replica consumer-
+    * floor id, and the ingest-marker names. */
+  private def shortHash(s: String, bytes: Int): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).take(bytes)
+      .map("%02x".format(_)).mkString
+
   private def replicateMarkKey(spark: SparkSession,
       srcDir: String): String = {
     // key on the QUALIFIED source path — a SAFETY property: a mark
@@ -4522,10 +4542,7 @@ object Snapshots {
     // first sync into a populated target hits the lineage guard
     // below by design — a replica has exactly one upstream.)
     val (_, root) = fsFor(spark, srcDir)
-    val h = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(root.toString.getBytes("UTF-8")).take(6)
-      .map("%02x".format(_)).mkString
-    s"graft.replicate.$h"
+    s"graft.replicate.${shortHash(root.toString, 6)}"
   }
 
   /** Mirror the source's in-window schema DDL onto the replica BEFORE
@@ -4551,18 +4568,25 @@ object Snapshots {
     if (beforeByPhys.keySet == afterByPhys.keySet &&
       before.fields.map(f => (f.name, f.dataType)).sameElements(
         after.fields.map(f => (f.name, f.dataType)))) return
-    def dstSchema(): StructType = {
+    // the replica schema is re-read only after a DDL step commits —
+    // per-column probes on a wide table must not each cost a version
+    // listing + manifest parse
+    var dstCache: Option[StructType] = None
+    def dstSchema(): StructType = dstCache.getOrElse {
       val (dfs, droot) = fsFor(spark, dstDir)
       val dv = currentVersion(spark, dstDir).get
-      schemaOf(dfs, droot, dv).getOrElse(
+      val sc = schemaOf(dfs, droot, dv).getOrElse(
         allNullable(read(spark, dstDir, dv).schema))
+      dstCache = Some(sc)
+      sc
     }
+    def ddl[A](body: => A): A = { val r = body; dstCache = None; r }
     def dstHas(n: String): Boolean =
       dstSchema().fields.exists(_.name.equalsIgnoreCase(n))
     // 1. drops: physical identities that left the source
     beforeByPhys.foreach { case (p, f) =>
       if (!afterByPhys.contains(p) && dstHas(f.name))
-        dropColumn(spark, dstDir, f.name)
+        ddl(dropColumn(spark, dstDir, f.name))
     }
     // 2. renames, by physical identity, two phases via temp names
     val renames = afterByPhys.toSeq.collect {
@@ -4573,18 +4597,19 @@ object Snapshots {
     def tmpName(p: String): String =
       "__replalign_" + Integer.toHexString(p.hashCode)
     renames.foreach { case (p, o, _) =>
-      if (dstHas(o)) renameColumn(spark, dstDir, o, tmpName(p))
+      if (dstHas(o)) ddl(renameColumn(spark, dstDir, o, tmpName(p)))
     }
     renames.foreach { case (p, _, n) =>
-      if (dstHas(tmpName(p))) renameColumn(spark, dstDir, tmpName(p), n)
+      if (dstHas(tmpName(p)))
+        ddl(renameColumn(spark, dstDir, tmpName(p), n))
     }
     // 3. adds: new physical identities, with the source's pinned
     //    default so old replica rows read what old source rows read
     afterByPhys.foreach { case (p, fa) =>
       if (!beforeByPhys.contains(p) && !dstHas(fa.name))
-        addColumn(spark, dstDir, fa.name, fa.dataType,
+        ddl(addColumn(spark, dstDir, fa.name, fa.dataType,
           if (fa.metadata.contains("EXISTS_DEFAULT"))
-            Some(fa.metadata.getString("EXISTS_DEFAULT")) else None)
+            Some(fa.metadata.getString("EXISTS_DEFAULT")) else None))
     }
     // 4. widenings: same identity, evolved type (refuses non-widening
     //    drift loudly, same contract as the source's own DDL)
@@ -4594,7 +4619,7 @@ object Snapshots {
           dstSchema().fields.exists(f =>
             f.name.equalsIgnoreCase(fa.name) &&
               f.dataType != fa.dataType))
-          widenColumn(spark, dstDir, fa.name, fa.dataType)
+          ddl(widenColumn(spark, dstDir, fa.name, fa.dataType))
       }
     }
   }
@@ -4628,14 +4653,21 @@ object Snapshots {
     val projected = after.fields.toSeq.map { f =>
       val p = physOf(f)
       val oldName = beforeByPhys.get(p).map(_.name)
+      // the RENAME branch comes FIRST: a window whose only data
+      // commits PRECEDE the rename has just the old name in the feed
+      // (the rename itself is metadata-only — zero feed rows), and
+      // the added-column fallback would silently default/NULL the
+      // renamed column's real values
       val base: Column =
-        if (!feedCols.contains(f.name))
+        if (oldName.exists(o => !o.equalsIgnoreCase(f.name)) &&
+          feedCols.contains(oldName.get))
+          (if (feedCols.contains(f.name))
+            coalesce(col(f.name), col(oldName.get))
+          else col(oldName.get))
+        else if (!feedCols.contains(f.name))
           // added in-window, zero post-add feed rows: every feed row
           // predates the column — they all read the default
           missingColumnReads(f)
-        else if (oldName.exists(o => !o.equalsIgnoreCase(f.name)) &&
-          feedCols.contains(oldName.get))
-          coalesce(col(f.name), col(oldName.get))
         else if (oldName.isEmpty && f.metadata.contains("EXISTS_DEFAULT"))
           when(col("_commit_version") < lit(addVersionOf(p)),
             expr(f.metadata.getString("EXISTS_DEFAULT")))
@@ -4687,10 +4719,7 @@ object Snapshots {
     // with clearConsumerFloor, same as a retired stream.
     def recordFloor(appliedV: Int): Unit = {
       val (_, dstRoot) = fsFor(spark, dstDir)
-      val id = "replica-" + java.security.MessageDigest
-        .getInstance("SHA-1")
-        .digest(dstRoot.toString.getBytes("UTF-8")).take(6)
-        .map("%02x".format(_)).mkString
+      val id = "replica-" + shortHash(dstRoot.toString, 6)
       recordConsumerFloor(spark, srcDir, id, appliedV,
         note = s"replicate -> $dstDir")
     }
@@ -6861,9 +6890,7 @@ object Snapshots {
         .map(_.substring(IngestedPrefix.length)))
     if (lines.isEmpty) return
     val body = lines.distinct.sorted.mkString("\n")
-    val digest = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(body.getBytes("UTF-8")).take(8)
-      .map("%02x".format(_)).mkString
+    val digest = shortHash(body, 8)
     val d = new HPath(root, IngestDir)
     fs.mkdirs(d)
     val dst = new HPath(d, s"m$digest")

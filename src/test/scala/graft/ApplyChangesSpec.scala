@@ -160,6 +160,38 @@ class ApplyChangesSpec extends SparkSpec {
     assert(k4.isNullAt(0), "post-add explicit NULL must stay NULL")
   }
 
+  test("replicate: a rename with only PRE-rename changes in the " +
+      "window keeps the renamed column's values") {
+    val src = tmp(); val dst = tmp()
+    Snapshots.append((1L to 5L).map(i => (i, s"b$i")).toDF("id", "b"),
+      src)
+    Snapshots.replicate(spark, src, dst, Seq("id"))
+    // window: data change under the OLD name, then the rename — and
+    // NO data commit after it, so the feed schema has only 'b'
+    Snapshots.updateMatching(spark, src, Seq(2L).toDF("id"), Seq("id"),
+      Seq("b" -> lit("changed")))
+    Snapshots.renameColumn(spark, src, "b", "b2")
+    Snapshots.replicate(spark, src, dst, Seq("id"))
+    val got = Snapshots.read(spark, dst)
+      .filter(col("id") === 2).select("b2").head().getString(0)
+    assert(got == "changed",
+      "the pre-rename post-image must keep its value under the new name")
+  }
+
+  test("replicate bootstraps from a created-but-EMPTY source") {
+    val src = tmp(); val dst = tmp()
+    Snapshots.createTable(spark, src,
+      Seq((1L, "x")).toDF("id", "s").schema)
+    val r = Snapshots.replicate(spark, src, dst, Seq("id"))
+    assert(Snapshots.read(spark, dst).count() == 0,
+      "the replica of an empty source is an empty table")
+    // the mark landed: the first data then flows incrementally
+    Snapshots.append(Seq((1L, "x"), (2L, "y")).toDF("id", "s"), src)
+    val r2 = Snapshots.replicate(spark, src, dst, Seq("id"))
+    assert(r2.fromVersion == r.toVersion)
+    assert(Snapshots.read(spark, dst).count() == 2)
+  }
+
   test("replicate carries the source's layout declarations at first " +
       "sync: later applies cluster and prune on the replica too") {
     val src = tmp(); val dst = tmp()
