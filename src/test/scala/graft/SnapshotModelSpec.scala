@@ -161,6 +161,91 @@ class SnapshotModelSpec extends SparkSpec {
     assert(bad.isEmpty, s"audit: ${bad.toSeq}")
   }
 
+  test("a replica follows a random source op+DDL sequence exactly " +
+      "(seed 11)") {
+    val rnd = new Random(11)
+    val src = freshRoot(); val dst = freshRoot()
+    // third column appears/renames/disappears mid-run: `extra` tracks
+    // its CURRENT name so DML frames always match the live schema
+    var extra: Option[String] = None
+    def frame(rows: Seq[(Long, Double)]) = {
+      val base = rows.toDF("id", "v")
+      extra.fold(base)(c =>
+        base.withColumn(c, col("v") * 2 + 1))
+    }
+    def stateOf(root: String): Set[Seq[Any]] = {
+      val df = Snapshots.read(spark, root)
+      df.select(df.columns.sorted.map(col).toSeq: _*)
+        .collect().map(_.toSeq).toSet
+    }
+    def batch(n: Int): Seq[(Long, Double)] =
+      Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(1000) / 4.0))
+        .groupBy(_._1).map(_._2.head).toSeq
+    Snapshots.append(frame((0L until 20L).map(i => (i, i / 2.0))), src)
+    Snapshots.replicate(spark, src, dst, Seq("id"))
+    (1 to 16).foreach { step =>
+      rnd.nextInt(12) match {
+        case 0 | 1 =>
+          Snapshots.append(frame(batch(3)
+            .map { case (k, x) => (-(step * 100 + k), x) }), src)
+        case 2 =>
+          Snapshots.merge(spark, src, frame(batch(4)), Seq("id"))
+        case 3 =>
+          val lo = rnd.nextInt(40).toLong
+          val pred = col("id") >= lo && col("id") <= lo + 5
+          if (rnd.nextBoolean()) Snapshots.deleteWhere(spark, src, pred)
+          else Snapshots.deleteWhereLight(spark, src, pred)
+        case 4 =>
+          val lo = rnd.nextInt(40).toLong
+          Snapshots.updateWhere(spark, src,
+            col("id") >= lo && col("id") <= lo + 5,
+            Seq("v" -> (col("v") + 10.0)))
+        case 5 =>
+          if (rnd.nextBoolean()) Snapshots.compact(spark, src, 2)
+          else Snapshots.optimize(spark, src, Seq("id"), 2)
+        case 6 =>
+          Snapshots.deleteMatching(spark, src,
+            Seq.fill(3)(rnd.nextInt(40).toLong).distinct.toDF("id"),
+            Seq("id"))
+        case 7 =>
+          val lo = rnd.nextInt(40).toLong
+          Snapshots.replaceWhere(spark, src,
+            col("id") >= lo && col("id") <= lo + 5,
+            frame(batch(2).collect {
+              case (k, x) if k >= lo && k <= lo + 5 => (k, x)
+            }))
+        case 8 =>
+          Snapshots.truncate(spark, src)
+        case 9 => // DDL: the third column arrives (with a default)
+          if (extra.isEmpty) {
+            Snapshots.addColumn(spark, src, s"c$step",
+              org.apache.spark.sql.types.DoubleType, Some("7.5"))
+            extra = Some(s"c$step")
+          }
+        case 10 => // DDL: ... renames ...
+          extra.foreach { c =>
+            Snapshots.renameColumn(spark, src, c, s"r$step")
+            extra = Some(s"r$step")
+          }
+        case 11 => // DDL: ... and leaves (dropped names are burned —
+          // later adds pick fresh step-suffixed names)
+          extra.foreach { c =>
+            Snapshots.dropColumn(spark, src, c)
+            extra = None
+          }
+      }
+      // replicate roughly every other step: windows cover one op and
+      // multi-op mixes, with DDL landing mid-window either way
+      if (rnd.nextBoolean()) {
+        Snapshots.replicate(spark, src, dst, Seq("id"))
+        assert(stateOf(dst) == stateOf(src),
+          s"replica diverged after step $step")
+      }
+    }
+    Snapshots.replicate(spark, src, dst, Seq("id"))
+    assert(stateOf(dst) == stateOf(src), "final replica state diverged")
+  }
+
   test("model run survives interleaved clones, tags and vacuum (seed 7)") {
     val rnd = new Random(7)
     val root = freshRoot()
