@@ -6073,6 +6073,35 @@ object Snapshots {
     * auditing a 100 TB table costs a directory walk. Read-only: the
     * repair for `missing`/`size_mismatch` is restoring the file or
     * overwriting from source; for `orphan`, [[vacuum]] or deletion. */
+  /** Per-file inventory of `version` (default: current): one row per
+    * live data file with its bytes, row count, deletion-vector'd
+    * rows, and per-column min/max spans — what the operator reads
+    * when asking "does my cluster key actually prune?" (tight,
+    * near-disjoint spans prune; overlapping ones say run OPTIMIZE).
+    * Pure metadata, driver-sized like every manifest surface here —
+    * no data byte is opened. SQL: `CALL files(table => ...)`. */
+  def files(spark: SparkSession, dir: String,
+      version: Int = -1): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, dir)
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"no table under $dir"))
+    val sizes = sizesFor(fs, root, v)
+    val stats = statsFor(fs, root, v)
+    val dv = dvFor(fs, root, v)
+    readManifest(fs, root, v).map { f =>
+      val st = stats.getOrElse(f, Map.empty)
+      val span = st.toSeq.sortBy(_._1).map { case (c, cs) =>
+        s"$c: ${cs.min.getOrElse("?")} .. ${cs.max.getOrElse("?")}" +
+          (if (cs.nulls > 0) s" (${cs.nulls} null)" else "")
+      }.mkString("; ")
+      (f, sizes.getOrElse(f, -1L),
+        st.headOption.map(_._2.rows).getOrElse(-1L),
+        dv.get(f).map(_._2).getOrElse(0L), span)
+    }.toDF("file", "bytes", "rows", "deleted_rows", "column_spans")
+  }
+
   def audit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (fs, root) = fsFor(spark, dir)

@@ -331,6 +331,10 @@ private[sql] object GraftProcedures {
       Seq(p("table", StringType)),
       (s, in) => Snapshots.audit(s, dirOf(str(in, 0)))),
 
+    new Proc("files",
+      Seq(p("table", StringType), pd("version", IntegerType, "-1")),
+      (s, in) => Snapshots.files(s, dirOf(str(in, 0)), in.getInt(1))),
+
     new Proc("maintain",
       Seq(p("table", StringType), pd("max_files", IntegerType, "64"),
         pd("target_files", IntegerType, "8"),

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, GraftSql, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
@@ -323,7 +324,8 @@ class SnapshotSourceProvider extends StreamSourceProvider
 private[streaming] class SnapshotSource(sqlContext: SQLContext,
     dir: String, startVersion: Int, maxVersionsPerTrigger: Option[Int],
     maxFilesPerTrigger: Option[Int], metadataPath: String,
-    changeFeed: Boolean = false) extends Source {
+    changeFeed: Boolean = false)
+    extends Source with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
 
@@ -444,8 +446,35 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext,
     end
   }
 
-  override def getOffset: Option[Offset] = {
+  // ---- Trigger.AvailableNow (one-shot backfill) --------------------
+  //
+  // Implementing SupportsTriggerAvailableNow ourselves matters: the
+  // engine's generic v1 wrapper snapshots getOffset ONCE as the run's
+  // end bound — but getOffset is ADMISSION-CAPPED
+  // (maxVersionsPerTrigger), so the wrapper would drain exactly one
+  // capped batch and stop, silently delivering a fraction of the
+  // backlog. Here the bound is the TRUE head at query start; batches
+  // advance toward it under the normal caps and the run terminates
+  // when the committed offset reaches it.
+  private var availableNowBound: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Snapshots.currentVersion(spark, dir)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Once SupportsAdmissionControl is implemented, EVERY trigger
+    * routes through here (getOffset is legacy): the internal caps and
+    * sizing memory all live in [[offerUpTo]]; this adds only the
+    * AvailableNow head clamp. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    offerUpTo(availableNowBound).orNull
+
+  override def getOffset: Option[Offset] = offerUpTo(None)
+
+  private def offerUpTo(bound: Option[Int]): Option[Offset] = {
     val current = Snapshots.currentVersion(spark, dir)
+      .map(h => bound.fold(h)(math.min(h, _)))
       .filter(_ > startVersion)
     current.flatMap { head =>
       val off: Slice = lastOffered match {

@@ -757,6 +757,14 @@ class GraftSqlSpec extends SparkSpec {
       .head()
     assert(det.getAs[Long]("n_rows_meta") == 100L)
     assert(det.getAs[Int]("n_files") > 0)
+    // files: per-file inventory — bytes/rows known, spans present
+    val fl = spark.sql("CALL gs.system.files(table => 'default.proc_t')")
+      .collect()
+    assert(fl.length == det.getAs[Int]("n_files"))
+    assert(fl.forall(r => r.getAs[Long]("bytes") > 0 &&
+      r.getAs[Long]("rows") >= 0))
+    assert(fl.map(_.getAs[Long]("rows")).sum == 100L)
+    assert(fl.forall(_.getAs[String]("column_spans").contains("id:")))
   }
 
   test("CALL graft.system.clone branches a table zero-copy") {

@@ -33,6 +33,40 @@ class SnapshotSourceSpec extends SparkSpec {
       .start()
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches " +
+      "and self-terminates; the next run picks up later commits") {
+    val base = Files.createTempDirectory("snap-an")
+    val table = s"$base/t"; val ckpt = s"$base/ckpt"
+    (1 to 6).foreach(i => Snapshots.append(Seq(i.toLong).toDF("id"), table))
+    val got = mutable.ArrayBuffer[Long]()
+    val batches = mutable.ArrayBuffer[Long]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshots")
+        .option("path", table)
+        .option("maxVersionsPerTrigger", "2")
+        .load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          got.synchronized { got ++= df.as[Long].collect(); batches += bid }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow must drain and stop on its own")
+    }
+    drain()
+    assert(got.sorted.toSeq == (1L to 6L),
+      "the one-shot backfill must deliver the whole backlog exactly")
+    assert(batches.size >= 3,
+      s"maxVersionsPerTrigger=2 must split 6 versions: $batches")
+    // commits AFTER the drain belong to the NEXT run, exactly once
+    Snapshots.append(Seq(7L).toDF("id"), table)
+    drain()
+    assert(got.sorted.toSeq == (1L to 7L))
+  }
+
   test("each trigger delivers newly committed versions; restart resumes") {
     val base = Files.createTempDirectory("snap-src")
     val table = s"$base/t"; val ckpt = s"$base/ckpt"
