@@ -67,6 +67,37 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(got.sorted.toSeq == (1L to 7L))
   }
 
+  test("Trigger.AvailableNow drains a CHANGE FEED backlog through DML " +
+      "commits and self-terminates") {
+    val base = Files.createTempDirectory("snap-an-cf")
+    val table = s"$base/t"; val ckpt = s"$base/ckpt"
+    Snapshots.append(Seq(1L, 2L, 3L).toDF("id"), table)
+    Snapshots.deleteWhere(spark, table,
+      org.apache.spark.sql.functions.col("id") === 2L)
+    Snapshots.append(Seq(4L).toDF("id"), table)
+    val got = mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", table)
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.select("id", "_change_type")
+            .as[(Long, String)].collect()
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "CDC AvailableNow must stop")
+    assert(got.sorted.toSeq == Seq((1L, "insert"), (2L, "delete"),
+      (2L, "insert"), (3L, "insert"), (4L, "insert")),
+      s"got: ${got.sorted.toSeq}")
+  }
+
   test("each trigger delivers newly committed versions; restart resumes") {
     val base = Files.createTempDirectory("snap-src")
     val table = s"$base/t"; val ckpt = s"$base/ckpt"
