@@ -459,7 +459,12 @@ private[streaming] class SnapshotSource(sqlContext: SQLContext,
   private var availableNowBound: Option[Int] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowBound = Snapshots.currentVersion(spark, dir)
+    // an EMPTY-at-start table must bound at startVersion (deliver
+    // nothing, terminate) — leaving the bound unset would let a
+    // continuously-committing writer keep the "one-shot" run alive
+    // forever, following commits that postdate the trigger
+    availableNowBound = Some(Snapshots.currentVersion(spark, dir)
+      .getOrElse(startVersion))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 

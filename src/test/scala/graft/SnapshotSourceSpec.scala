@@ -67,6 +67,32 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(got.sorted.toSeq == (1L to 7L))
   }
 
+  test("Trigger.AvailableNow on an empty-at-start table terminates " +
+      "without following commits that postdate the trigger") {
+    val base = Files.createTempDirectory("snap-an-empty")
+    val table = s"$base/t"; val ckpt = s"$base/ckpt"
+    // the table EXISTS (schema via one create-shaped commit is not
+    // required — the source needs at least one version to derive the
+    // schema, so seed one row and start PAST it)
+    Snapshots.append(Seq(0L).toDF("id"), table)
+    val got = mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-snapshots")
+      .option("path", table)
+      .option("startingVersion", "1") // nothing left at start
+      .load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.synchronized { got ++= df.as[Long].collect() }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000),
+      "an empty one-shot run must terminate immediately")
+    assert(got.isEmpty)
+  }
+
   test("Trigger.AvailableNow drains a CHANGE FEED backlog through DML " +
       "commits and self-terminates") {
     val base = Files.createTempDirectory("snap-an-cf")
