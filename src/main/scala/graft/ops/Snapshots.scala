@@ -6058,21 +6058,6 @@ object Snapshots {
     else segs.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** Integrity audit (the fsck of a snapshot table): verifies every
-    * file of every RETAINED version exists with its commit-time byte
-    * size, and reports orphaned data files no manifest references
-    * (crash leftovers / vacuum candidates). Returns one row per
-    * finding-worthy file: (file, status, expected_bytes, actual_bytes)
-    * with status ∈ ok | missing | size_mismatch | unknown_size (file
-    * committed by a pre-size writer) | orphan |
-    * source_moved_or_dropped (a clone's absolute reference whose
-    * source root is gone and left no `_moved` forwarding marker — the
-    * source table was vacuumed, dropped, or physically renamed
-    * without [[recordMove]]). Pure metadata — the
-    * driver touches manifests and file listings, never data bytes, so
-    * auditing a 100 TB table costs a directory walk. Read-only: the
-    * repair for `missing`/`size_mismatch` is restoring the file or
-    * overwriting from source; for `orphan`, [[vacuum]] or deletion. */
   /** Per-file inventory of `version` (default: current): one row per
     * live data file with its bytes, row count, deletion-vector'd
     * rows, and per-column min/max spans — what the operator reads
@@ -6102,6 +6087,21 @@ object Snapshots {
     }.toDF("file", "bytes", "rows", "deleted_rows", "column_spans")
   }
 
+  /** Integrity audit (the fsck of a snapshot table): verifies every
+    * file of every RETAINED version exists with its commit-time byte
+    * size, and reports orphaned data files no manifest references
+    * (crash leftovers / vacuum candidates). Returns one row per
+    * finding-worthy file: (file, status, expected_bytes, actual_bytes)
+    * with status ∈ ok | missing | size_mismatch | unknown_size (file
+    * committed by a pre-size writer) | orphan |
+    * source_moved_or_dropped (a clone's absolute reference whose
+    * source root is gone and left no `_moved` forwarding marker — the
+    * source table was vacuumed, dropped, or physically renamed
+    * without [[recordMove]]). Pure metadata — the
+    * driver touches manifests and file listings, never data bytes, so
+    * auditing a 100 TB table costs a directory walk. Read-only: the
+    * repair for `missing`/`size_mismatch` is restoring the file or
+    * overwriting from source; for `orphan`, [[vacuum]] or deletion. */
   def audit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (fs, root) = fsFor(spark, dir)
