@@ -16,7 +16,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *
   *   1. EXCLUSIVE: returns true iff THIS call created `target`; if the
   *      version already exists (a racing writer won), returns false
-  *      and leaves the winner's bytes untouched.
+  *      and leaves the winner's bytes untouched. The exclusivity must
+  *      hold under concurrency — a check-then-act sequence that lets
+  *      two racers both return true is precisely the bug class this
+  *      trait exists to prevent (a clobbered manifest silently loses
+  *      the other writer's committed rows).
   *   2. ATOMIC VISIBILITY: a reader either sees the complete manifest
   *      or no file — never a prefix. (Readers resolve the current
   *      version by listing `_manifests/`, so a torn manifest would be
@@ -24,28 +28,63 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *   3. NO RESURRECTION: after a false return, no bytes of the losing
   *      attempt remain visible.
   *
-  * Deployment mapping (configured per filesystem scheme via
-  * [[Snapshots.setCommitCoordinator]]):
+  * Per-scheme deployment matrix (the defaults [[CommitCoordinators]]
+  * seeds; override via [[Snapshots.setCommitCoordinator]]):
   *
-  *   - HDFS / local / ABFS / GCS: [[RenameCommitCoordinator]] (the
-  *     default) — atomic rename-to-target fails if the target exists,
-  *     which is exactly the CAS.
-  *   - S3 with conditional writes: [[ConditionalCreateCommitCoordinator]]
-  *     — relies on exclusive create-if-absent with atomic visibility
-  *     at close (the `If-None-Match: *` PUT). Raw S3 rename is
-  *     copy+delete and NOT a CAS; this coordinator closes the
-  *     format's one documented deployment hole there.
+  *   - `file` → [[HardLinkCommitCoordinator]]. Local rename does NOT
+  *     refuse an existing destination atomically: Hadoop's
+  *     `LocalFileSystem`/`RawLocalFileSystem` existing-destination
+  *     refusal is a userspace `exists()` check followed by `rename(2)`
+  *     — which REPLACES the target. Two racers both pass the check,
+  *     both rename, both return true, and one manifest silently
+  *     clobbers the other (reproduced: both threads won the same
+  *     target in ~95% of trials). `link(2)` fails `EEXIST` atomically
+  *     in the kernel — and does so even over NFS, where it is the
+  *     classic exclusive-lock primitive.
+  *   - `hdfs` → [[RenameCommitCoordinator]]. The NameNode serializes
+  *     rename and refuses an existing destination inside its namespace
+  *     lock (the Hadoop FileSystem specification's atomicity clause is
+  *     implemented server-side there) — a genuine CAS.
+  *   - `s3a`/`s3`/`s3n` → [[ConditionalCreateCommitCoordinator]]. S3
+  *     rename is copy+delete, not a CAS; the conditional
+  *     `If-None-Match: *` PUT is (requires
+  *     `fs.s3a.create.conditional.enabled=true`, Hadoop >= 3.4.1).
+  *   - `gs` → [[ConditionalCreateCommitCoordinator]]. GCS rename is
+  *     copy+delete (NOT atomic, NOT exclusive); object creation with
+  *     the `ifGenerationMatch(0)` precondition is exclusive and
+  *     visible-at-close, and the GCS connector applies it on
+  *     `create(path, overwrite = false)`.
+  *   - `abfs`/`abfss`/`wasb`/`wasbs` → [[ConditionalCreateCommitCoordinator]].
+  *     ABFS rename-refusal-of-existing-destination is not something we
+  *     can cite a server-side atomicity guarantee for across HNS and
+  *     flat-namespace accounts, so these schemes are GATED off the
+  *     rename path; blob creation with `If-None-Match: *` is the
+  *     store's documented exclusive primitive.
+  *   - any other scheme → [[RenameCommitCoordinator]] as a fallback;
+  *     before multi-writer use on an unlisted scheme, verify its
+  *     rename semantics or register an explicit coordinator.
   *   - An external lock/commit service: implement the trait over it
   *     (the test suite proves serialization through exactly such a
   *     coordinator).
+  *
+  * Every coordinator's exclusivity is proven by the same race spec
+  * (`CommitCoordinatorRaceSpec`): N threads race distinct bodies at
+  * one target, exactly one must win, the winner's bytes survive, and
+  * no temp residue remains — run against the real local filesystem
+  * for the hard-link coordinator and against contract-emulating
+  * filesystems for the rename/conditional-create ones.
   */
 trait CommitCoordinator extends Serializable {
   def publish(fs: FileSystem, target: HPath, body: Array[Byte]): Boolean
 }
 
-/** Dot-temp write + atomic `rename` — correct wherever rename is
-  * atomic and refuses an existing destination (HDFS, local, ABFS,
-  * GCS). The temp lives in the manifest dir itself so the rename
+/** Dot-temp write + atomic `rename` — correct ONLY where rename both
+  * is atomic and refuses an existing destination server-side (HDFS:
+  * the NameNode performs the destination check and the rename under
+  * one namespace lock). NOT correct on local filesystems, where the
+  * refusal is userspace check-then-`rename(2)` and a race clobbers
+  * the target — `file://` routes to [[HardLinkCommitCoordinator]]
+  * instead. The temp lives in the manifest dir itself so the rename
   * never crosses a filesystem boundary. */
 object RenameCommitCoordinator extends CommitCoordinator {
   override def publish(fs: FileSystem, target: HPath,
@@ -59,6 +98,70 @@ object RenameCommitCoordinator extends CommitCoordinator {
       catch { case NonFatal(_) => false }
     if (!won) fs.delete(tmp, false)
     won
+  }
+}
+
+/** Dot-temp write + `link(2)` — the local-filesystem CAS. Creating a
+  * hard link fails `EEXIST` atomically in the kernel when the target
+  * exists, and the linked bytes are complete the instant the link
+  * appears (the temp was fully written and fsynced first), so all
+  * three contract clauses hold with no userspace check-then-act
+  * anywhere: the kernel's link is the exclusivity check AND the
+  * publication in one syscall. Works on every POSIX local filesystem
+  * and over NFS (where hard-link creation is the standard atomic
+  * exclusive primitive). Bypasses the Hadoop FileSystem object
+  * deliberately — `LocalFileSystem.rename`'s destination refusal is
+  * exactly the check-then-act hole this coordinator closes.
+  *
+  * Durability: the body is forced to disk (`FileChannel.force`)
+  * before the link, so a power loss after publish cannot leave a
+  * torn manifest at the table tip.
+  *
+  * On the (exotic) local filesystem without hard-link support, falls
+  * back to an exclusive `O_CREAT|O_EXCL` create — still atomic
+  * exclusivity, with the documented caveat that visibility is then
+  * progressive (a reader could glimpse a prefix in the write window).
+  */
+object HardLinkCommitCoordinator extends CommitCoordinator {
+  import java.nio.ByteBuffer
+  import java.nio.channels.FileChannel
+  import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+  import java.nio.file.StandardOpenOption.{CREATE_NEW, WRITE}
+
+  override def publish(fs: FileSystem, target: HPath,
+      body: Array[Byte]): Boolean = {
+    val qualified = fs.makeQualified(target).toUri.getPath
+    val targetPath = Paths.get(qualified)
+    Files.createDirectories(targetPath.getParent)
+    // early out: an existing version is a lost race, no I/O needed
+    // (purely an optimization — the link below is the real check)
+    if (Files.exists(targetPath)) return false
+    val tmp = targetPath.getParent.resolve(
+      s".tmp-${java.util.UUID.randomUUID}")
+    val ch = FileChannel.open(tmp, CREATE_NEW, WRITE)
+    try {
+      val buf = ByteBuffer.wrap(body)
+      while (buf.hasRemaining) ch.write(buf)
+      ch.force(true)
+    } finally ch.close()
+    try {
+      Files.createLink(targetPath, tmp)
+      true
+    } catch {
+      case _: FileAlreadyExistsException => false
+      case _: UnsupportedOperationException =>
+        // no hard links on this fs: O_EXCL create is still an atomic
+        // exclusivity check (the visibility caveat is in the scaladoc)
+        try {
+          val out = FileChannel.open(targetPath, CREATE_NEW, WRITE)
+          try {
+            val buf = ByteBuffer.wrap(body)
+            while (buf.hasRemaining) out.write(buf)
+            out.force(true)
+          } finally out.close()
+          true
+        } catch { case _: FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
   }
 }
 
@@ -79,9 +182,11 @@ final class AmbiguousCommitException(msg: String, cause: Throwable)
   * complete at close (the S3 conditional `If-None-Match: *` PUT; on
   * s3a that is `fs.s3a.create.conditional.enabled=true`, available
   * since Hadoop 3.4.1 — REQUIRED, because a plain s3a create is
-  * check-then-PUT and gives no exclusivity). NOT correct on
-  * filesystems with progressive write visibility (a reader could see
-  * a prefix); those use [[RenameCommitCoordinator]].
+  * check-then-PUT and gives no exclusivity. On GCS, creation with the
+  * `ifGenerationMatch(0)` precondition). NOT correct on filesystems
+  * with progressive write visibility (a reader could see a prefix);
+  * those use [[HardLinkCommitCoordinator]] (local) or
+  * [[RenameCommitCoordinator]] (HDFS).
   *
   * Failure semantics are deliberately asymmetric:
   *
@@ -117,19 +222,44 @@ object ConditionalCreateCommitCoordinator extends CommitCoordinator {
   }
 }
 
-/** Per-scheme coordinator registry with a process-wide default.
-  * Scheme granularity matches how deployments differ (all of `s3a://`
-  * needs the conditional coordinator; `hdfs://` and `file://` keep
-  * rename). */
+/** Per-scheme coordinator registry, pre-seeded with the deployment
+  * matrix documented on [[CommitCoordinator]] (local filesystems get
+  * the hard-link CAS, HDFS keeps rename, object stores get
+  * conditional create). `set` overrides a scheme; unregistered
+  * schemes fall back to rename — verify that scheme's rename
+  * semantics before multi-writer use there. */
 private[ops] object CommitCoordinators {
   @volatile private[ops] var default: CommitCoordinator =
     RenameCommitCoordinator
   private val byScheme = new ConcurrentHashMap[String, CommitCoordinator]()
+  // the built-in matrix; user `set` calls replace entries
+  Seq("file" -> HardLinkCommitCoordinator,
+      "hdfs" -> RenameCommitCoordinator,
+      "s3a" -> ConditionalCreateCommitCoordinator,
+      "s3" -> ConditionalCreateCommitCoordinator,
+      "s3n" -> ConditionalCreateCommitCoordinator,
+      "gs" -> ConditionalCreateCommitCoordinator,
+      "abfs" -> ConditionalCreateCommitCoordinator,
+      "abfss" -> ConditionalCreateCommitCoordinator,
+      "wasb" -> ConditionalCreateCommitCoordinator,
+      "wasbs" -> ConditionalCreateCommitCoordinator)
+    .foreach { case (s, c) => byScheme.put(s, c) }
 
   def set(scheme: String, c: CommitCoordinator): Unit =
     byScheme.put(scheme.toLowerCase, c)
 
-  def clear(scheme: String): Unit = byScheme.remove(scheme.toLowerCase)
+  /** Restore a scheme to the built-in matrix entry (tests). */
+  def clear(scheme: String): Unit = {
+    byScheme.remove(scheme.toLowerCase)
+    scheme.toLowerCase match {
+      case "file" => byScheme.put("file", HardLinkCommitCoordinator)
+      case "hdfs" => byScheme.put("hdfs", RenameCommitCoordinator)
+      case s @ ("s3a" | "s3" | "s3n" | "gs" | "abfs" | "abfss" |
+          "wasb" | "wasbs") =>
+        byScheme.put(s, ConditionalCreateCommitCoordinator)
+      case _ =>
+    }
+  }
 
   def forFs(fs: FileSystem): CommitCoordinator = {
     val scheme = Option(fs.getUri).flatMap(u => Option(u.getScheme))

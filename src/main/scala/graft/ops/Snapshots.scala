@@ -36,17 +36,19 @@ import org.apache.spark.sql.types._
   *
   * Commit protocol: stage data files (never referenced until a
   * manifest names them), write the manifest body to a dot-temp file,
-  * `rename` it to `v<next>` — rename-to-existing fails on Hadoop
-  * filesystems, so the version number is a compare-and-swap. A crash
-  * before the rename leaves only ignored garbage (dot-temp manifest,
-  * orphan data dir); a crash after is a completed commit. [[append]]
+  * then publish it as `v<next>` via an EXCLUSIVE atomic primitive —
+  * the version number is a compare-and-swap. A crash before the
+  * publish leaves only ignored garbage (dot-temp manifest, orphan
+  * data dir); a crash after is a completed commit. [[append]]
   * auto-retries a lost race (re-reading the new base — appends
   * commute); [[overwrite]] retries as last-writer-wins, its documented
   * semantic. The CAS itself is PLUGGABLE per filesystem scheme
-  * ([[CommitCoordinator]], [[setCommitCoordinator]]): rename-based by
-  * default (atomic on HDFS/local/ABFS/GCS), conditional-create for
-  * object stores without atomic rename (raw S3), or an external
-  * lock/commit service.
+  * ([[CommitCoordinator]], [[setCommitCoordinator]]) with a built-in
+  * matrix: hard-link publish on `file://` (local rename does NOT
+  * refuse an existing destination atomically — `link(2)`'s kernel
+  * EEXIST does), rename on HDFS (NameNode-side atomic refusal),
+  * conditional create on S3/GCS/ABFS (rename there is copy+delete or
+  * unproven), or an external lock/commit service.
   *
   * At 100 TB: a manifest is KB-per-thousand-files, the driver touches
   * only manifests, and readers open exactly the files of their
@@ -88,12 +90,70 @@ object Snapshots {
   def currentVersion(spark: SparkSession, dir: String): Option[Int] =
     versions(spark, dir).lastOption
 
-  /** All manifest lines, including `#`-prefixed metadata headers. */
+  // ---- reader feature gate --------------------------------------------
+  //
+  // The manifest format carries directives that are ROW-VISIBILITY
+  // critical: a reader that does not understand `#delta`/`#remove`
+  // returns the wrong file set, one that skips `#dv` returns deleted
+  // rows, one that drops `#ingested` lines in a rewrite breaks
+  // copyInto's exactly-once ledger. Unknown directives must therefore
+  // FAIL CLOSED, not be skipped — the Delta-style `minReaderVersion`/
+  // table-features remedy. A commit whose manifest uses such a
+  // directive stamps a `#requires\t<feature>` header (derived from
+  // the manifest's own lines in [[casManifest]], so no writer can
+  // forget); every manifest read refuses unknown REQUIRED features
+  // with a named error. Manifests without `#requires` (all pre-gate
+  // tables, and commits using only skip-safe directives like stats or
+  // props) read unchanged — the gate costs nothing until a future
+  // directive needs it.
+
+  private val RequiresPrefix = "#requires\t"
+
+  /** Features THIS reader understands. A future format change that
+    * alters row visibility mints a new name here and in
+    * [[requiredFeaturesFor]]; fleets then upgrade readers before any
+    * writer may stamp it. */
+  private[ops] val SupportedReaderFeatures: Set[String] =
+    Set("delta", "dv", "ingest-ledger")
+
+  /** The features a manifest with `lines` REQUIRES of its readers —
+    * derived from the lines themselves so the stamp can never drift
+    * from the content. Only row-visibility-critical directive classes
+    * gate; skip-safe metadata (stats, props, constraints, layout
+    * declarations) deliberately does not. */
+  private def requiredFeaturesFor(lines: Seq[String]): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    if (lines.exists(_.startsWith(DeltaPrefix))) b += "delta"
+    if (lines.exists(_.startsWith(DvPrefix))) b += "dv"
+    if (lines.exists(_.startsWith(IngestedPrefix))) b += "ingest-ledger"
+    b.result()
+  }
+
+  /** All manifest lines, including `#`-prefixed metadata headers.
+    * REFUSES (fail closed) when the manifest requires a reader
+    * feature this library does not know — deliberately enforced at
+    * the single parse point, so every surface (reads, feeds,
+    * maintenance, vacuum) refuses rather than silently mis-reading
+    * or rewriting a table whose format it cannot honor. */
   private def manifestLines(fs: FileSystem, root: HPath, v: Int): Seq[String] = {
     val in = fs.open(manifestPath(root, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    val unknown = lines.collect {
+      case l if l.startsWith(RequiresPrefix) =>
+        l.substring(RequiresPrefix.length)
+    }.filterNot(SupportedReaderFeatures)
+    if (unknown.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"manifest v$v of $root requires reader feature(s) " +
+          s"${unknown.mkString(", ")} this library version does not " +
+          "support — refusing to read: an unknown required directive " +
+          "could silently change which rows are visible. Upgrade the " +
+          "reader (supported here: " +
+          s"${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
+    lines
   }
 
   // ---- delta manifests ----------------------------------------------
@@ -3415,29 +3475,38 @@ object Snapshots {
     total
   }
 
-  /** CAS one manifest: true iff this writer won version `v`. */
-  /** Route a manifest publication for `fs`'s scheme to the configured
-    * [[CommitCoordinator]] — the storage-specific CAS. Rename-based by
-    * default; see [[setCommitCoordinator]] for object stores. */
+  /** CAS one manifest: true iff this writer won version `v` — routes
+    * the publication to the [[CommitCoordinator]] configured for
+    * `fs`'s scheme (hard-link on local, rename on HDFS, conditional
+    * create on object stores; see the matrix on [[CommitCoordinator]]
+    * and [[setCommitCoordinator]] to override). */
   private def casManifest(fs: FileSystem, root: HPath, v: Int,
       files: Seq[String], header: Seq[String]): Boolean = {
     val md = new HPath(root, ManifestDir)
     fs.mkdirs(md)
+    // stamp the reader-feature gate from the manifest's OWN lines —
+    // derived, not caller-supplied, so no commit path can use a
+    // row-visibility-critical directive without declaring it
+    val body = header ++ files
+    val requires = requiredFeaturesFor(body).map(RequiresPrefix + _)
     CommitCoordinators.forFs(fs).publish(fs, manifestPath(root, v),
-      ((header ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
+      ((requires ++ body).mkString("\n") + "\n").getBytes("UTF-8"))
   }
 
-  /** Install `coordinator` for every table on filesystems of `scheme`
-    * (e.g. `"s3a" -> ConditionalCreateCommitCoordinator`). The
-    * default for unregistered schemes stays [[RenameCommitCoordinator]]
-    * — correct on HDFS/local/ABFS/GCS, NOT on raw S3, whose rename is
-    * copy+delete; this hook is how that deployment hole closes.
+  /** Install `coordinator` for every table on filesystems of `scheme`,
+    * overriding the built-in matrix (`file` → hard-link, `hdfs` →
+    * rename, S3/GCS/ABFS schemes → conditional create; see
+    * [[CommitCoordinator]]). Unlisted schemes fall back to
+    * [[RenameCommitCoordinator]] — verify that scheme's rename
+    * semantics (atomic existing-destination refusal) or register an
+    * explicit coordinator before multi-writer use there.
     * Process-wide; set it before the first commit of the process. */
   def setCommitCoordinator(scheme: String,
       coordinator: CommitCoordinator): Unit =
     CommitCoordinators.set(scheme, coordinator)
 
-  /** Remove a per-scheme coordinator (tests; falls back to default). */
+  /** Remove a per-scheme override (tests; restores the built-in
+    * matrix entry for known schemes, the default otherwise). */
   def clearCommitCoordinator(scheme: String): Unit =
     CommitCoordinators.clear(scheme)
 
@@ -4451,6 +4520,7 @@ object Snapshots {
             "delete"), 1)).as("bad_ops"),
         count(when(keys.map(col(_).isNull).reduce(_ || _), 1))
           .as("null_keys"),
+        count(when(col(sequenceCol).isNull, 1)).as("null_seq"),
         count(lit(1)).as("total")).head()
       require(audit.getLong(0) == 0L,
         s"applyChanges: ${audit.getLong(0)} rows carry an unknown " +
@@ -4460,7 +4530,12 @@ object Snapshots {
         s"applyChanges: ${audit.getLong(1)} NULL key tuples on $keys " +
           "in the change batch — a keyed CDC feed must not emit " +
           "NULL keys")
-      if (audit.getLong(2) == 0L) {
+      require(audit.getLong(2) == 0L,
+        s"applyChanges: ${audit.getLong(2)} rows carry a NULL " +
+          s"$sequenceCol — netting orders by it, so a NULL row would " +
+          "win or lose arbitrarily; stamp every change with its " +
+          "commit sequence")
+      if (audit.getLong(3) == 0L) {
         // EMPTY batch (a maintenance-only feed window): nothing to
         // merge — but an explicit propsDelta still lands, metadata-
         // only ([[replicate]]'s mark must advance or the next run
@@ -4498,6 +4573,29 @@ object Snapshots {
             s"applyChanges mark on $dir")(markAt)
         return MergeResult(committed, 0, 0)
       }
+      // a tie at equal (key tuple, sequence, op) would net below by
+      // an ARBITRARY row_number pick, and the netted frame is then
+      // promised unique to mergeInternal (keysProvedUnique = true),
+      // skipping its duplicate-key refusal — so a duplicate-keyed
+      // source would silently keep one row per key and drop the rest.
+      // replicate's first sync manufactures exactly this tie (every
+      // source row stamped with one version and op = insert), and a
+      // single commit appending duplicate keys does the same in an
+      // incremental window. Refuse loudly, matching the plain merge
+      // path's contract. (Different ops at one sequence — a delete
+      // racing an update in one commit — stay allowed: the netting
+      // order below resolves them deterministically.)
+      val tie = live
+        .groupBy((keys.map(col) :+ col(sequenceCol) :+ col(opCol)): _*)
+        .agg(count(lit(1)).as("__ac_n")).filter(col("__ac_n") > 1)
+        .limit(1).collect()
+      require(tie.isEmpty,
+        s"applyChanges: multiple change rows share one " +
+          s"(${keys.mkString(", ")}, $sequenceCol, $opCol) tuple — " +
+          s"e.g. ${tie.headOption.getOrElse("")} — netting would keep " +
+          "one arbitrarily and silently drop the rest; the source's " +
+          s"keys (${keys.mkString(", ")}) are not unique, or the feed " +
+          "carries duplicates")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*)
         .orderBy(col(sequenceCol).desc,
@@ -4594,8 +4692,10 @@ object Snapshots {
         !fb.name.equalsIgnoreCase(fa.name)) =>
         (p, beforeByPhys(p).name, fa.name)
     }
-    def tmpName(p: String): String =
-      "__replalign_" + Integer.toHexString(p.hashCode)
+    // SHA-1 prefix, not String.hashCode: two renamed columns whose
+    // 32-bit hashCodes collide would share one temp name and the
+    // a→tmp/tmp→b phases would silently collapse them into one column
+    def tmpName(p: String): String = "__replalign_" + shortHash(p, 8)
     renames.foreach { case (p, o, _) =>
       if (dstHas(o)) ddl(renameColumn(spark, dstDir, o, tmpName(p)))
     }
@@ -4650,20 +4750,62 @@ object Snapshots {
         .find(v => schemaOf(sfs, sroot, v)
           .exists(_.fields.exists(f => physOf(f) == p)))
         .getOrElse(srcV)
+    // first version in (applied, srcV] where physical `p` carries its
+    // post-window name — the rename instant, bounding the old-name
+    // read-through when the old name was REUSED in the same window
+    def renameVersionOf(p: String, newName: String): Int =
+      versions(spark, srcDir)
+        .filter(v => v > appliedV && v <= srcV)
+        .find(v => schemaOf(sfs, sroot, v)
+          .exists(_.fields.exists(f2 => physOf(f2) == p &&
+            f2.name.equalsIgnoreCase(newName))))
+        .getOrElse(srcV)
     val projected = after.fields.toSeq.map { f =>
       val p = physOf(f)
       val oldName = beforeByPhys.get(p).map(_.name)
+      // does `name` ALSO belong to a DIFFERENT physical column at the
+      // window's start or end? (a rename chain a→b, c→a — the freed
+      // name re-owned within one window.) Then the feed's by-name
+      // union mixes two columns' values inside one column, split at
+      // this column's rename/add instant, and every read of that name
+      // must be version-bounded — an unbounded read bleeds the other
+      // column's data into this one (e.g. a post-rename explicit NULL
+      // coalescing into the reused old name's values, or a pre-rename
+      // row surfacing the old owner's data under the new name).
+      def contested(name: String): Boolean =
+        after.fields.exists(f2 => physOf(f2) != p &&
+          f2.name.equalsIgnoreCase(name)) ||
+        beforeByPhys.exists { case (p2, fb) => p2 != p &&
+          fb.name.equalsIgnoreCase(name) }
       // the RENAME branch comes FIRST: a window whose only data
       // commits PRECEDE the rename has just the old name in the feed
       // (the rename itself is metadata-only — zero feed rows), and
       // the added-column fallback would silently default/NULL the
       // renamed column's real values
       val base: Column =
-        if (oldName.exists(o => !o.equalsIgnoreCase(f.name)) &&
-          feedCols.contains(oldName.get))
-          (if (feedCols.contains(f.name))
-            coalesce(col(f.name), col(oldName.get))
-          else col(oldName.get))
+        if (oldName.exists(o => !o.equalsIgnoreCase(f.name))) {
+          val o = oldName.get
+          val hasOld = feedCols.contains(o)
+          val hasNew = feedCols.contains(f.name)
+          if (!hasOld && !hasNew) missingColumnReads(f)
+          else if (!contested(o) && !contested(f.name)) {
+            // both names unambiguous: pre-rename segments carry the
+            // value under the old name (NULL-filled under the new),
+            // post-rename the reverse — a plain coalesce suffices
+            if (hasOld && hasNew) coalesce(col(f.name), col(o))
+            else if (hasOld) col(o)
+            else col(f.name)
+          } else {
+            // a contested name: split reads at the rename instant —
+            // rows before it own the old name, rows after the new;
+            // outside its era a name holds the OTHER column's data
+            val rv = renameVersionOf(p, f.name)
+            val oldSide = if (hasOld) col(o) else lit(null)
+            val newSide = if (hasNew) col(f.name) else lit(null)
+            when(col("_commit_version") < lit(rv), oldSide)
+              .otherwise(newSide)
+          }
+        }
         else if (!feedCols.contains(f.name))
           // added in-window, zero post-add feed rows: every feed row
           // predates the column — they all read the default
@@ -4671,6 +4813,13 @@ object Snapshots {
         else if (oldName.isEmpty && f.metadata.contains("EXISTS_DEFAULT"))
           when(col("_commit_version") < lit(addVersionOf(p)),
             expr(f.metadata.getString("EXISTS_DEFAULT")))
+            .otherwise(col(f.name))
+        else if (oldName.isEmpty && contested(f.name))
+          // added in-window under a name another column carried at the
+          // window's start: pre-add feed rows hold THAT column's
+          // values under this name — they must read NULL (the column
+          // did not exist yet), not the old owner's data
+          when(col("_commit_version") < lit(addVersionOf(p)), lit(null))
             .otherwise(col(f.name))
         else col(f.name)
       base.cast(f.dataType).as(f.name)
@@ -6864,7 +7013,12 @@ object Snapshots {
 
   /** What a [[copyInto]] run did. `version` is the committed version
     * (or the current one when nothing new was found — `filesLoaded`
-    * 0 means NO commit happened). */
+    * 0 means NO commit happened). When nothing fresh was found AND
+    * the table does not exist yet, `version` is 0 — an explicit
+    * "no table, no commit" sentinel, NOT a real version (committed
+    * versions start at 1); the `CALL copy_into` row surfaces the
+    * same value, so a caller gating on "did anything land" must test
+    * `filesLoaded > 0`, never `version > 0` alone. */
   final case class CopyIntoResult(version: Int, filesLoaded: Int,
     rowsLoaded: Long, filesSkipped: Int)
 

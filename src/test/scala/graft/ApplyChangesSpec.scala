@@ -71,6 +71,53 @@ class ApplyChangesSpec extends SparkSpec {
     assert(e3.getMessage.contains("unknown"))
   }
 
+  test("applyChanges refuses a NULL sequence and ties at one " +
+      "(key, sequence, op) — netting would drop rows arbitrarily") {
+    val t = tmp()
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), t)
+    val nullSeq = Seq((1L, "x", "insert", Option.empty[Int]))
+      .toDF("id", "s", "_change_type", "_commit_version")
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.applyChanges(spark, t, nullSeq, Seq("id"),
+        "_commit_version"))
+    assert(e1.getMessage.contains("NULL _commit_version"))
+    // two rows for one key at one (sequence, op): whichever the
+    // row_number picked, the other's data would vanish silently —
+    // the tie must refuse instead (the plain merge path's contract)
+    val tie = Seq((1L, "x", "insert", 3), (1L, "y", "insert", 3))
+      .toDF("id", "s", "_change_type", "_commit_version")
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.applyChanges(spark, t, tie, Seq("id"),
+        "_commit_version"))
+    assert(e2.getMessage.contains("share one"))
+    // the table is untouched by both refusals
+    assert(Snapshots.read(spark, t).as[(Long, String)].collect().toSeq
+      == Seq((1L, "a")))
+  }
+
+  test("replicate refuses a source whose keys are not unique instead " +
+      "of silently keeping one row per key") {
+    // first sync stamps every source row with ONE version and
+    // op = insert — a duplicate-keyed source manufactures exactly the
+    // tie applyChanges refuses; before the refusal this lost all but
+    // one row per key on the replica with no error
+    val src = tmp(); val dst = tmp()
+    Snapshots.append(Seq((1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("id", "s"), src)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.replicate(spark, src, dst, Seq("id")))
+    assert(e.getMessage.contains("share one"))
+    // incremental windows carry the same guarantee: one source commit
+    // appending duplicate keys refuses at the next sync
+    val src2 = tmp(); val dst2 = tmp()
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), src2)
+    Snapshots.replicate(spark, src2, dst2, Seq("id"))
+    Snapshots.append(Seq((5L, "x"), (5L, "y")).toDF("id", "s"), src2)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.replicate(spark, src2, dst2, Seq("id")))
+    assert(e2.getMessage.contains("share one"))
+  }
+
   test("replicate follows a source through DML exactly once; " +
       "maintenance-only windows advance the mark metadata-only") {
     val src = tmp(); val dst = tmp()
@@ -176,6 +223,57 @@ class ApplyChangesSpec extends SparkSpec {
       .filter(col("id") === 2).select("b2").head().getString(0)
     assert(got == "changed",
       "the pre-rename post-image must keep its value under the new name")
+  }
+
+  test("replicate: a rename CHAIN that re-owns a freed name in one " +
+      "window (a→b, c→a) keeps the two columns' data apart") {
+    // the feed unions by NAME, so a re-owned name's column mixes two
+    // physical columns' values split by commit version: pre-rename
+    // rows hold the FIRST column's data under 'a', post-rename rows
+    // the second's. An unbounded read would bleed one into the other
+    // in both directions — a post-rename explicit NULL in 'b' must
+    // not coalesce into the re-owned 'a' values, and a pre-rename row
+    // must not surface the first column's data under the second.
+    val src = tmp(); val dst = tmp()
+    Snapshots.append((1L to 5L).map(i => (i, s"a$i", s"c$i"))
+      .toDF("id", "a", "c"), src)
+    Snapshots.replicate(spark, src, dst, Seq("id"))
+    // pre-rename data change: k2's post-image travels under old 'a'
+    Snapshots.updateMatching(spark, src, Seq(2L).toDF("id"), Seq("id"),
+      Seq("a" -> lit("changed")))
+    Snapshots.renameColumn(spark, src, "a", "b")
+    Snapshots.renameColumn(spark, src, "c", "a") // re-owns the name
+    // post-rename data for the re-owned column
+    Snapshots.updateMatching(spark, src, Seq(3L).toDF("id"), Seq("id"),
+      Seq("a" -> lit("n3")))
+    // post-rename EXPLICIT NULL in b, live value in the re-owned a on
+    // the same row — the coalesce-bleed bait
+    Snapshots.updateMatching(spark, src, Seq(4L).toDF("id"), Seq("id"),
+      Seq("b" -> lit(null), "a" -> lit("x4")))
+    Snapshots.replicate(spark, src, dst, Seq("id"))
+    val srcDf = Snapshots.read(spark, src)
+    val dstDf = Snapshots.read(spark, dst)
+    assert(dstDf.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      srcDf.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"replica schema ${dstDf.schema.sql} != source ${srcDf.schema.sql}")
+    val cols = srcDf.columns.sorted.toSeq
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(dstDf) == rows(srcDf),
+      s"replica diverged: ${rows(dstDf)} vs ${rows(srcDf)}")
+    val k4 = dstDf.filter(col("id") === 4).select("b", "a").head()
+    assert(k4.isNullAt(0),
+      "k4's explicit NULL under 'b' must stay NULL, not bleed the " +
+        "re-owned 'a' column's value through an unbounded read")
+    assert(k4.getString(1) == "x4")
+    val k2 = dstDf.filter(col("id") === 2).select("b", "a").head()
+    assert(k2.getString(0) == "changed",
+      "the pre-rename post-image must keep its value under 'b'")
+    assert(k2.getString(1) == "c2",
+      "k2's pre-rename post-image must show its ORIGINAL second " +
+        "column under the re-owned name, not the first column's data")
+    val k3 = dstDf.filter(col("id") === 3).select("a", "b").head()
+    assert(k3.getString(0) == "n3" && k3.getString(1) == "a3")
   }
 
   test("replicate bootstraps from a created-but-EMPTY source") {

@@ -150,7 +150,7 @@ class CommitCoordinatorSpec extends SparkSpec {
     assert(got == "winner\n")
   }
 
-  test("scheme routing: clearing restores the rename default") {
+  test("scheme routing: clearing restores the built-in matrix entry") {
     val root = freshRoot()
     Snapshots.setCommitCoordinator("file", ConditionalCreateCommitCoordinator)
     try Snapshots.append(Seq((1L, 1.0)).toDF("id", "v"), root)
