@@ -39,6 +39,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(implClass, name), builder))
     }
+    // persistent catalog views, in two pieces (see graft.sql.GraftViews):
+    // the parser hook re-targets view DDL aimed at a graft catalog
+    // before ResolveSessionCatalog can reject it, and the resolution
+    // rule expands view reads INSIDE the fixed point (an unresolved
+    // view reference has to expand before analysis gives up on it)
+    ext.injectParser((session, delegate) =>
+      new graft.sql.GraftViewAwareParser(() => session, delegate))
+    ext.injectResolutionRule(session =>
+      graft.sql.GraftViewResolution(session))
     ext.injectPostHocResolutionRule(session =>
       graft.sql.GraftResolution(session))
     // SQL table-valued functions: the batch change feed from pure SQL

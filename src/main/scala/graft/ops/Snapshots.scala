@@ -3493,6 +3493,21 @@ object Snapshots {
       ((requires ++ body).mkString("\n") + "\n").getBytes("UTF-8"))
   }
 
+  /** Publish `body` at `target` through the scheme's commit CAS —
+    * exclusive-create semantics for NON-manifest metadata documents
+    * (the view catalog's definition files): true iff THIS call
+    * created the file; a racing writer's bytes are never clobbered.
+    * Reuses the per-scheme [[CommitCoordinator]] matrix, so the
+    * local-filesystem hard-link CAS and the object-store conditional
+    * create apply here too. */
+  private[graft] def publishExclusive(spark: SparkSession, target: String,
+      body: Array[Byte]): Boolean = {
+    val p = new HPath(target)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    CommitCoordinators.forFs(fs).publish(fs, p, body)
+  }
+
   /** Install `coordinator` for every table on filesystems of `scheme`,
     * overriding the built-in matrix (`file` → hard-link, `hdfs` →
     * rename, S3/GCS/ABFS schemes → conditional create; see
@@ -4947,7 +4962,22 @@ object Snapshots {
   }
 
   /** Re-run `body` (which re-resolves the current version itself) on a
-    * lost CAS race — the unpinned-DML serialization loop. */
+    * lost CAS race — the unpinned-DML serialization loop, with
+    * exponential backoff + jitter between attempts.
+    *
+    * Fairness caveat (the OCC tradeoff every optimistic lakehouse
+    * format shares): each retry RECOMPUTES against the new tip, so a
+    * writer whose attempt takes longer than its competitors'
+    * inter-commit gap can lose repeatedly — under sustained heavy
+    * write contention a slow merge among fast appenders waits for a
+    * quiet window (the backoff makes one likely once competitors
+    * drain, and the jitter de-synchronizes symmetric contenders).
+    * After 20 straight losses the documented
+    * ConcurrentModificationException surfaces for the operator —
+    * same contract as Delta's ConcurrentAppendException. The
+    * principled upgrade is commit REBASE (re-CAS the already-staged
+    * result when the interlopers' file stats prove key-disjointness)
+    * — noted as future work, not required for correctness. */
   private def retryOnRace[A](what: String)(body: => A): A = {
     var attempts = 0
     while (true) {
@@ -4955,7 +4985,10 @@ object Snapshots {
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
-          if (attempts >= 10) throw e
+          if (attempts >= 20) throw e
+          val cap = math.min(2000L, 50L << math.min(attempts, 5))
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom
+            .current().nextLong(cap / 2, cap + 1))
       }
     }
     throw new IllegalStateException(s"unreachable: $what")
@@ -7224,6 +7257,370 @@ object Snapshots {
         CopyIntoResult(v, fresh.size, rowsLoaded, files.size - fresh.size)
       } finally ia.pin.foreach(_.unpersist())
     }
+
+  // ---- CONVERT (in-place import of an existing parquet directory) ----
+
+  /** What a [[convert]] did: the committed version (always 1), the
+    * files manifested in place, and their exact total row count (from
+    * parquet footers). */
+  final case class ConvertResult(version: Int, files: Int, rows: Long)
+
+  /** Convert an EXISTING parquet directory into a snapshot table IN
+    * PLACE — zero data movement: list the directory's parquet files,
+    * pin the merged schema, take a metadata-only stats pass over the
+    * parquet FOOTERS (row counts exact; min/max for the numeric/
+    * date/timestamp/boolean stat columns), and commit it all as a v1
+    * full manifest next to the files. The first thing a migrating
+    * user asks for: [[copyInto]] ingests by copying bytes through
+    * Spark — on a 100 TB directory that is a 100 TB write, where this
+    * is one footer sweep and one manifest. After conversion the full
+    * surface applies (DML, time travel, OPTIMIZE, VACUUM — converted
+    * files are root-relative, so a later rewrite lets vacuum reclaim
+    * them like any staged file).
+    *
+    * Footer stats discipline — manifest stats double as ATTAINED
+    * values for the stats-decided aggregates, so only exact-by-format
+    * footer stats are taken: integral/float/double/boolean, DATE, and
+    * TIMESTAMP (millis/micros) columns. STRING stats are deliberately
+    * skipped (parquet writers may store truncated binary bounds with
+    * no exactness flag) and float/double bounds with NaN are skipped —
+    * those columns simply stay fail-open (no pruning) until the first
+    * [[optimize]]/[[compact]] rewrite collects exact stats. A column
+    * absent from a file's schema is recorded all-NULL (exact).
+    *
+    * REFUSES loudly: a directory that is already a snapshot table
+    * (read it directly), hive-partitioned layouts (`key=value` path
+    * segments carry values that live in no file — converting would
+    * silently drop those columns), duplicate file basenames (the
+    * row-level machinery names rows by basename), and non-parquet
+    * files. Exactly-once under races: the v1 manifest publishes
+    * through the commit CAS — a concurrent convert/create loses
+    * loudly, never doubles. */
+  def convert(spark: SparkSession, dir: String): ConvertResult = {
+    val (fs, root) = fsFor(spark, dir)
+    val qRoot = fs.makeQualified(root)
+    val existing = versionsFs(fs, root)
+    require(existing.isEmpty,
+      s"$dir is already a snapshot table (at version " +
+        s"${existing.lastOption.getOrElse(0)}) — read it directly")
+    val it = fs.listFiles(qRoot, true)
+    val listed = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    while (it.hasNext) {
+      val st = it.next()
+      listed += ((st.getPath.toString, st.getLen))
+    }
+    val rootStr = qRoot.toString.stripSuffix("/")
+    val rels = listed.toSeq.flatMap { case (pth, len) =>
+      if (!pth.startsWith(rootStr + "/")) None
+      else {
+        val rel = pth.substring(rootStr.length + 1)
+        if (rel.split('/').exists(seg =>
+          seg.startsWith(".") || seg.startsWith("_")) || len == 0L) None
+        else Some((rel, len))
+      }
+    }.sortBy(_._1)
+    require(rels.nonEmpty, s"convert: no data files under $dir")
+    rels.foreach { case (rel, _) =>
+      require(rel.endsWith(".parquet"),
+        s"convert supports parquet layouts only — found '$rel' under " +
+          s"$dir; use copyInto for other formats")
+      require(!rel.split('/').dropRight(1).exists(_.contains("=")),
+        s"convert refuses hive-partitioned layouts ('$rel'): partition " +
+          "values live in the path, not the files — reading the files " +
+          "alone would silently drop those columns. Rewrite through " +
+          "copyInto with the partition columns materialized")
+    }
+    val dupBase = rels.map(_._1)
+      .groupBy(f => f.substring(f.lastIndexOf('/') + 1))
+      .collect { case (b, fs0) if fs0.size > 1 => b }
+    require(dupBase.isEmpty,
+      s"convert: duplicate file basenames under $dir " +
+        s"(e.g. ${dupBase.take(3).mkString(", ")}) — row-level " +
+        "operations name rows by basename; rename the files apart")
+    val schema = allNullable(spark.read.option("mergeSchema", "true")
+      .parquet(rels.map { case (r, _) => s"$rootStr/$r" }: _*).schema)
+    val statFields = statColumns(schema)
+    val (statLines, rows) =
+      footerStatLines(spark, rootStr, rels.map(_._1), statFields)
+    val sizeLines = rels.map { case (rel, len) => s"#size\t$rel\t$len" }
+    val header = opHeader("convert") ++ Seq(schemaHeader(schema)) ++
+      sizeLines ++ statLines
+    if (!casManifest(fs, root, 1, rels.map(_._1), header))
+      throw new java.util.ConcurrentModificationException(
+        s"convert of $dir lost a race: another writer committed v1 " +
+          "(a concurrent convert or create) — read the table instead")
+    ConvertResult(1, rels.size, rows)
+  }
+
+  /** Per-file `#stats` lines from parquet FOOTERS — the convert-time
+    * metadata pass: O(files) footer reads distributed over executors,
+    * no row data touched. Returns the lines and the exact total row
+    * count. Emits a line only when it is EXACT (see [[convert]]);
+    * anything uncertain is simply absent — absent stats never prune
+    * and never feed a stats-decided aggregate. */
+  private def footerStatLines(spark: SparkSession, rootStr: String,
+      rels: Seq[String], fields: Seq[StructField])
+      : (Seq[String], Long) = {
+    if (rels.isEmpty) return (Nil, 0L)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val want = fields.map(f => (f.name, f.dataType))
+    val slices = math.max(1, math.min(rels.size,
+      spark.sparkContext.defaultParallelism * 2))
+    val perFile: Seq[(Seq[String], Long)] =
+      spark.sparkContext.parallelize(rels, slices).map { rel =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new HPath(s"$rootStr/$rel"), conf.value))
+        try footerLinesOf(rel, reader.getFooter, want)
+        finally reader.close()
+      }.collect().toSeq
+    (perFile.flatMap(_._1), perFile.map(_._2).sum)
+  }
+
+  /** One file's exact `#stats` lines from its parsed footer. */
+  private def footerLinesOf(rel: String,
+      md: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      want: Seq[(String, DataType)]): (Seq[String], Long) = {
+    import scala.jdk.CollectionConverters._
+    val blocks = md.getBlocks.asScala.toSeq
+    val rows = blocks.map(_.getRowCount).sum
+    val lines = want.flatMap { case (name, dt) =>
+      if (rows == 0L)
+        Some(s"#stats\t$rel\t0\t${enc(name)}\t0\tnull\tnull")
+      else {
+        val perBlock = blocks.map(b => b.getColumns.asScala.find(c =>
+          c.getPath.size == 1 && c.getPath.iterator.next == name))
+        if (perBlock.forall(_.isEmpty))
+          // the column is not in this file's schema: reads NULL-fill
+          // it — an exact all-null record
+          Some(s"#stats\t$rel\t$rows\t${enc(name)}\t$rows\tnull\tnull")
+        else if (perBlock.exists(_.isEmpty)) None // mixed: unreachable
+        else {
+          val chunks = perBlock.map(_.get)
+          val sts = chunks.map(_.getStatistics)
+          if (sts.exists(s => s == null || !s.isNumNullsSet)) None
+          else {
+            val nulls = sts.map(_.getNumNulls).sum
+            if (nulls == rows)
+              Some(s"#stats\t$rel\t$rows\t${enc(name)}\t$rows\tnull\tnull")
+            else {
+              // chunks contributing values must all carry min/max
+              val live = chunks.zip(sts).filter { case (c, s) =>
+                s.getNumNulls < c.getValueCount
+              }.map(_._2)
+              if (live.exists(!_.hasNonNullValue)) None
+              else footerMinMax(dt, chunks.head, live).map {
+                case (mn, mx) =>
+                  s"#stats\t$rel\t$rows\t${enc(name)}\t$nulls\t" +
+                    s"v:${enc(mn)}\tv:${enc(mx)}"
+              }
+            }
+          }
+        }
+      }
+    }
+    (lines, rows)
+  }
+
+  /** Reduce chunk min/max with the column's OWN parquet comparator
+    * and render in the Spark-cast-string form the prune layer casts
+    * back — only for (Spark type, parquet type) pairs whose footer
+    * stats are exact by format. None = no stat (fail-open). */
+  private def footerMinMax(dt: DataType,
+      col0: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      live: Seq[org.apache.parquet.column.statistics.Statistics[_]])
+      : Option[(String, String)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    if (live.isEmpty) return None
+    val pt = col0.getPrimitiveType
+    val cmp = pt.comparator().asInstanceOf[java.util.Comparator[Any]]
+    val mn = live.map(_.genericGetMin.asInstanceOf[Any])
+      .reduce((a, b) => if (cmp.compare(a, b) <= 0) a else b)
+    val mx = live.map(_.genericGetMax.asInstanceOf[Any])
+      .reduce((a, b) => if (cmp.compare(a, b) >= 0) a else b)
+    def signedInt: Boolean = pt.getLogicalTypeAnnotation match {
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+      case null => true
+      case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+      case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => true
+      case _ => false
+    }
+    (dt, pt.getPrimitiveTypeName) match {
+      case (ByteType | ShortType | IntegerType | LongType,
+          INT32 | INT64) if signedInt =>
+        Some((mn.toString, mx.toString))
+      case (FloatType, FLOAT) =>
+        val (a, b) = (mn.asInstanceOf[java.lang.Float],
+          mx.asInstanceOf[java.lang.Float])
+        if (a.isNaN || b.isNaN) None else Some((a.toString, b.toString))
+      case (DoubleType, DOUBLE) =>
+        val (a, b) = (mn.asInstanceOf[java.lang.Double],
+          mx.asInstanceOf[java.lang.Double])
+        if (a.isNaN || b.isNaN) None else Some((a.toString, b.toString))
+      case (BooleanType, BOOLEAN) =>
+        Some((mn.toString, mx.toString))
+      case (DateType, INT32)
+          if pt.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+        def d(v: Any): String = java.time.LocalDate
+          .ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue).toString
+        Some((d(mn), d(mx)))
+      case (TimestampType | TimestampNTZType, INT64) =>
+        pt.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            // millis/micros are exact in micros; NANOS would round
+            // (a rounded bound is no longer an attained value) — skip
+            val us: Long => Option[Long] = t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                v => Some(Math.multiplyExact(v, 1000L))
+              case LogicalTypeAnnotation.TimeUnit.MICROS => v => Some(v)
+              case _ => _ => None
+            }
+            def fmt(v: Any): Option[String] =
+              us(v.asInstanceOf[java.lang.Long].longValue).map { u =>
+                java.time.LocalDateTime.ofEpochSecond(
+                  Math.floorDiv(u, 1000000L),
+                  Math.floorMod(u, 1000000L).toInt * 1000,
+                  java.time.ZoneOffset.UTC)
+                  .format(java.time.format.DateTimeFormatter
+                    .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS"))
+              }
+            for (a <- fmt(mn); b <- fmt(mx)) yield (a, b)
+          case _ => None
+        }
+      // strings deliberately absent: parquet binary bounds may be
+      // writer-truncated with no exactness flag — see [[convert]]
+      case _ => None
+    }
+  }
+
+  // ---- ANALYZE (column NDV statistics for the cost-based optimizer) --
+
+  /** What an [[analyzeColumns]] run computed and committed. */
+  final case class AnalyzeResult(version: Int, rowCount: Long,
+    columns: Seq[String])
+
+  /** One analyzed column's stored statistics (logical-name keyed at
+    * [[analyzedStats]]): approximate distinct count, exact null
+    * count, and string length profile where applicable. */
+  final case class ColumnAnalysis(ndv: Long, nulls: Long,
+    avgLen: Option[Long], maxLen: Option[Long])
+
+  private val AnalyzeRowsKey = "analyze.rowCount"
+  private val AnalyzeAtKey = "analyze.atVersion"
+  private def analyzeColKey(phys: String) = s"analyze.col.${enc(phys)}"
+
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` — one
+    * distributed pass computing the exact row count plus per-column
+    * approx distinct count (HLL++), exact null count, and (strings)
+    * average/max byte lengths, committed as table properties in ONE
+    * metadata-only commit. Properties key on PHYSICAL column names,
+    * so the stats survive RENAME COLUMN like every other per-column
+    * artifact here.
+    *
+    * The point is the COST-BASED OPTIMIZER: the catalog relation
+    * ([[graft.sql.GraftTable]]) surfaces these through
+    * `CatalogStatistics`, and with `spark.sql.cbo.enabled` +
+    * `spark.sql.cbo.joinReorder.enabled` a multi-join query over
+    * analyzed graft tables reorders by estimated cardinality instead
+    * of executing in written order — at 100 TB, joining the two
+    * selective tables first is routinely a 10-100× plan difference
+    * AQE alone cannot recover (AQE re-plans within a shuffle stage;
+    * it does not re-root a committed join tree).
+    *
+    * Advisory, the lakehouse convention: later DML does not
+    * invalidate the stats — re-run after major drift (the analyzed
+    * version is recorded under `analyze.atVersion` for
+    * observability). Empty `columns` = every stat-eligible column up
+    * to the [[StatsMaxCols]] cap. */
+  def analyzeColumns(spark: SparkSession, dir: String,
+      columns: Seq[String] = Nil): AnalyzeResult =
+    retryOnRace(s"analyzeColumns on $dir") {
+      val (fs, root) = fsFor(spark, dir)
+      val v = currentVersion(spark, dir).getOrElse(
+        throw new java.util.NoSuchElementException(s"no table under $dir"))
+      val schema = schemaOf(fs, root, v)
+        .getOrElse(allNullable(read(spark, dir, v).schema))
+      def eligible(f: StructField): Boolean = f.dataType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+             TimestampNTZType | BooleanType => true
+        case _ => false
+      }
+      val targets =
+        if (columns.isEmpty)
+          schema.fields.toSeq.filter(eligible).take(StatsMaxCols)
+        else columns.map { c =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+            .getOrElse(throw new IllegalArgumentException(
+              s"ANALYZE $dir: no column '$c' " +
+                s"(have: ${schema.fieldNames.toSeq.mkString(", ")})"))
+          require(eligible(f),
+            s"ANALYZE $dir: column '$c' of type ${f.dataType.sql} " +
+              "carries no NDV statistics (atomic types only)")
+          f
+        }
+      require(targets.nonEmpty, s"ANALYZE $dir: no stat-eligible columns")
+      val df = read(spark, dir, v)
+      val aggs = count(lit(1L)).as("__n") +: targets.flatMap { f =>
+        val lenCol: Column = f.dataType match {
+          case StringType => octet_length(col(f.name)).cast("long")
+          case _ => lit(null).cast("long")
+        }
+        Seq(approx_count_distinct(col(f.name)).as(s"__ndv_${f.name}"),
+          count(col(f.name)).as(s"__nn_${f.name}"),
+          avg(lenCol).as(s"__al_${f.name}"),
+          max(lenCol).as(s"__ml_${f.name}"))
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(0)
+      val colProps = targets.zipWithIndex.map { case (f, i) =>
+        val base = 1 + 4 * i
+        val ndv = r.getLong(base)
+        val nulls = n - r.getLong(base + 1)
+        val avgLen = if (r.isNullAt(base + 2)) ""
+          else math.ceil(r.getDouble(base + 2)).toLong.toString
+        val maxLen = if (r.isNullAt(base + 3)) ""
+          else r.getLong(base + 3).toString
+        analyzeColKey(physOf(f)) -> s"$ndv,$nulls,$avgLen,$maxLen"
+      }.toMap
+      val committed = metadataCommit(fs, root, spark, dir, v, schema,
+        droppedOf(fs, root, v), bloomConfigOf(fs, root, v),
+        constraintsOf(fs, root, v),
+        propsOf(fs, root, v) ++ colProps +
+          (AnalyzeRowsKey -> n.toString) + (AnalyzeAtKey -> v.toString),
+        op = "analyze")
+      AnalyzeResult(committed, n, targets.map(_.name))
+    }
+
+  /** The stored ANALYZE statistics of the table's current version, if
+    * any — row count plus per-column stats keyed by the CURRENT
+    * logical column names (translated from the stored physical keys,
+    * so a post-ANALYZE rename still finds its stats). Consumed by the
+    * catalog relation to feed the cost-based optimizer. */
+  def analyzedStats(spark: SparkSession,
+      dir: String): Option[(Long, Map[String, ColumnAnalysis])] = {
+    val (fs, root) = fsFor(spark, dir)
+    val v = currentVersion(spark, dir).getOrElse(return None)
+    val props = propsOf(fs, root, v)
+    props.get(AnalyzeRowsKey).map { rc =>
+      val schema = schemaOf(fs, root, v)
+        .getOrElse(allNullable(read(spark, dir, v).schema))
+      val cols = schema.fields.toSeq.flatMap { f =>
+        props.get(analyzeColKey(physOf(f))).flatMap { s =>
+          s.split(",", -1) match {
+            case Array(ndv, nulls, al, ml) =>
+              Some(f.name -> ColumnAnalysis(ndv.toLong, nulls.toLong,
+                if (al.isEmpty) None else Some(al.toLong),
+                if (ml.isEmpty) None else Some(ml.toLong)))
+            case _ => None
+          }
+        }
+      }.toMap
+      (rc.toLong, cols)
+    }
+  }
 
   /** Drop manifests older than the newest `keepVersions` and delete
     * data files no retained manifest references. This is the ONLY

@@ -1928,6 +1928,84 @@ object SinkQueries {
         |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
         |FROM cur CROSS JOIN sides s
         |GROUP BY s.side, bucket
-        |ORDER BY side, bucket""".stripMargin)
+        |ORDER BY side, bucket""".stripMargin),
+
+    // CONVERT: in-place import of an existing parquet directory — the
+    // manifest lists the files where they stand (footer stats pass,
+    // zero data movement), after which the table is a full citizen
+    // (here: a CoW DELETE lands on the converted files). The oracle
+    // recomputes the same net state from `orders` directly, so a
+    // convert that dropped files, double-listed them, or mis-pinned
+    // the schema hash-mismatches.
+    QueryDef("s54_convert",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val raw = s"${stageDir(dir)}/s54_raw"
+        val p = new org.apache.hadoop.fs.Path(raw)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true) // rebuild the fixture each run
+        val base = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .filter(col("o_orderkey") < 30000)
+        base.repartition(4, col("o_orderkey")).write.parquet(raw)
+        val r = Snapshots.convert(s, raw)
+        require(r.version == 1 && r.files >= 4,
+          s"convert fixture drift: $r")
+        // the converted table takes DML like any snapshot table
+        Snapshots.deleteWhere(s, raw,
+          pmod(col("o_orderkey"), lit(10)) === 4)
+        Snapshots.read(s, raw)
+          .groupBy(pmod(col("o_custkey"), lit(10)).as("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,4)"))
+              .cast("double").as("sum_price"))
+          .orderBy("bucket")
+      },
+      """SELECT o_custkey % 10 AS bucket,
+        |  count(*)::BIGINT AS n_orders,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM orders
+        |WHERE o_orderkey < 30000 AND o_orderkey % 10 <> 4
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin),
+
+    // Persistent catalog views: CREATE OR REPLACE VIEW stores the
+    // definition under the warehouse; the read goes THROUGH the view
+    // (expansion + CREATE-time context + the underlying snapshot
+    // scan). The oracle recomputes the view's semantics from `orders`
+    // directly, so a mis-stored definition, stale replace, or broken
+    // expansion hash-mismatches.
+    QueryDef("s55_view",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s55_wh_" +
+          ProcessHandle.current().pid()
+        s.conf.set("spark.sql.catalog.gvv", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gvv.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS gvv.default.s55")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView("s55_base")
+        s.sql("""CREATE TABLE gvv.default.s55 AS
+          SELECT * FROM s55_base WHERE o_orderkey < 50000""")
+        // an OLD definition first, then the replace the read must see
+        s.sql("""CREATE OR REPLACE VIEW gvv.default.s55_v AS
+          SELECT o_custkey, o_totalprice FROM gvv.default.s55
+          WHERE o_orderkey % 3 = 999""")
+        s.sql("""CREATE OR REPLACE VIEW gvv.default.s55_v
+          (cust, price) AS
+          SELECT o_custkey, o_totalprice FROM gvv.default.s55
+          WHERE o_orderkey % 3 = 0""")
+        s.sql("""SELECT cust % 25 AS bucket,
+          count(*) AS n,
+          CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+          FROM gvv.default.s55_v GROUP BY bucket ORDER BY bucket""")
+      },
+      """SELECT o_custkey % 25 AS bucket,
+        |  count(*)::BIGINT AS n,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM orders
+        |WHERE o_orderkey < 50000 AND o_orderkey % 3 = 0
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin)
   )
 }

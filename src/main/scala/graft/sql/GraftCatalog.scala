@@ -6,8 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableCatalogCapability, TableChange, TableInfo}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableCatalogCapability, TableChange, TableInfo, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
@@ -44,7 +44,7 @@ import graft.ops.Snapshots
   * manifest metadata (list a directory, read a manifest head) — no
   * data files are opened by any catalog call. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with ProcedureCatalog {
+    with StagingTableCatalog with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -78,6 +78,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def dirFor(ident: Identifier): String =
     new HPath(nsPath(ident.namespace), checkLevel(ident.name)).toString
+
+  /** The identifier's warehouse directory — for the SQL commands
+    * (ANALYZE, view DDL) that act on the path directly. */
+  private[sql] def tableDir(ident: Identifier): String = dirFor(ident)
 
   private def isTableDir(p: HPath): Boolean =
     fs.exists(new HPath(p, "_manifests"))
@@ -537,6 +541,111 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else fs.delete(p, true)
   }
 
+  // ---- views (see [[GraftViews]] for the SQL bridge) ------------------
+
+  private def isViewDir(p: HPath): Boolean =
+    fs.exists(new HPath(p, GraftViews.ViewFile))
+
+  private def viewFile(ident: Identifier): HPath =
+    new HPath(new HPath(dirFor(ident)), GraftViews.ViewFile)
+
+  override def viewExists(ident: Identifier): Boolean =
+    isViewDir(new HPath(dirFor(ident)))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val p = nsPath(ns)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(ns)
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(isViewDir)
+      .map(d => Identifier.of(ns, d.getName))
+  }
+
+  override def loadView(ident: Identifier): View = {
+    if (!viewExists(ident)) throw new NoSuchViewException(ident)
+    GraftViews.load(fs, viewFile(ident), fullName(ident))
+  }
+
+  /** Exclusive-create through the SAME per-scheme commit CAS as table
+    * manifests: a racing CREATE VIEW of one name loses loudly. A view
+    * cannot shadow a table, a _moved tombstone, or a non-empty
+    * namespace directory. */
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    val p = new HPath(dirFor(ident))
+    if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
+    if (isMovedTombstone(p))
+      throw new IllegalStateException(
+        s"'${fullName(ident)}' is the old name of a renamed table " +
+          "(it holds a _moved forwarding marker) — pick another name")
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    if (!Snapshots.publishExclusive(spark, viewFile(ident).toString,
+        GraftViews.render(info)))
+      throw new ViewAlreadyExistsException(ident)
+    loadView(ident)
+  }
+
+  /** CREATE OR REPLACE VIEW — documented last-writer-wins: the old
+    * definition is removed, the new one published through the CAS
+    * (so even the replace window never exposes a torn document). */
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident
+    if (isTableDir(new HPath(dirFor(ident))))
+      throw new TableAlreadyExistsException(ident)
+    if (!viewExists(ident) && !orCreate)
+      throw new NoSuchViewException(ident)
+    fs.delete(viewFile(ident), false)
+    if (!Snapshots.publishExclusive(spark, viewFile(ident).toString,
+        GraftViews.render(info)))
+      throw new java.util.ConcurrentModificationException(
+        s"REPLACE VIEW ${fullName(ident)} lost a race with a " +
+          "concurrent CREATE — re-run to replace the winner")
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident) // throws NoSuchViewException when absent
+    val props = changes.foldLeft(v.properties.asScala.toMap) {
+      case (acc, s: ViewChange.SetProperty) => acc + (s.property -> s.value)
+      case (acc, r: ViewChange.RemoveProperty) => acc - r.property
+      case (_, other) => throw new UnsupportedOperationException(
+        s"ALTER VIEW change ${other.getClass.getSimpleName} is not " +
+          "supported on graft views (supported: SET/UNSET properties)")
+    }
+    val info = new ViewInfo(ident, v.query, v.currentCatalog,
+      v.currentNamespace, v.schema, v.queryColumnNames, v.columnAliases,
+      v.columnComments, props.asJava)
+    fs.delete(viewFile(ident), false)
+    if (!Snapshots.publishExclusive(spark, viewFile(ident).toString,
+        GraftViews.render(info)))
+      throw new java.util.ConcurrentModificationException(
+        s"ALTER VIEW ${fullName(ident)} lost a race with a concurrent " +
+          "writer — re-run against the new definition")
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val p = new HPath(dirFor(ident))
+    if (!isViewDir(p)) false
+    else fs.delete(p, true)
+  }
+
+  override def renameView(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
+    val dst = new HPath(dirFor(newIdent))
+    if (viewExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
+    if (isTableDir(dst)) throw new TableAlreadyExistsException(newIdent)
+    if (fs.exists(dst))
+      throw new IllegalStateException(
+        s"rename view ${fullName(oldIdent)} -> ${fullName(newIdent)}: " +
+          s"destination already exists and is not a view")
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(new HPath(dirFor(oldIdent)), dst))
+      throw new IllegalStateException(
+        s"rename view ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
+  }
+
   /** `ALTER TABLE ... RENAME TO ...` physically moves the table
     * directory, then leaves a `_moved` forwarding marker at the old
     * root ([[Snapshots.recordMove]]) so SHALLOW CLONES of this table —
@@ -583,7 +692,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!fs.exists(w)) return Array(Array("default"))
     val found = fs.listStatus(w).filter(_.isDirectory).map(_.getPath)
       .filterNot(p => p.getName.startsWith("_") || isTableDir(p) ||
-        isMovedTombstone(p))
+        isViewDir(p) || isMovedTombstone(p))
       .map(p => Array(p.getName))
     if (found.exists(_.sameElements(Array("default")))) found
     else found :+ Array("default")
@@ -599,6 +708,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       namespace.sameElements(Array("default")) ||
       (namespace.length == 1 && fs.exists(nsPath(namespace)) &&
         !isTableDir(nsPath(namespace)) &&
+        !isViewDir(nsPath(namespace)) &&
         !isMovedTombstone(nsPath(namespace)))
 
   override def loadNamespaceMetadata(

@@ -221,6 +221,29 @@ private[sql] object GraftProcedures {
           Seq(r.version, r.filesLoaded, r.rowsLoaded, r.filesSkipped))
       }),
 
+    // column NDV statistics for the cost-based optimizer — the
+    // procedure spelling of ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    // COLUMNS (empty columns = every stat-eligible column)
+    new Proc("analyze",
+      Seq(p("table", StringType), pd("columns", StringType, "''")),
+      (s, in) => {
+        val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty)
+        val r = Snapshots.analyzeColumns(s, dirOf(str(in, 0)), cols.toSeq)
+        oneRow(s, Seq("version", "row_count", "columns"),
+          Seq(r.version, r.rowCount, r.columns.mkString(",")))
+      }),
+
+    // in-place import: manifest an existing parquet directory's files
+    // where they stand (footer stats pass, zero data movement) —
+    // Delta's CONVERT TO DELTA; contrast copy_into, which copies bytes
+    new Proc("convert",
+      Seq(p("table", StringType)),
+      (s, in) => {
+        val r = Snapshots.convert(s, dirOf(str(in, 0)))
+        oneRow(s, Seq("version", "files", "rows"),
+          Seq(r.version, r.files, r.rows))
+      }),
+
     new Proc("clean_orphans",
       Seq(p("table", StringType), pd("older_than_hours", IntegerType, "24")),
       (s, in) => {

@@ -204,6 +204,26 @@ final class GraftTable(
     * Delta-style contract). */
   override def v1Table: CatalogTable = {
     val parts = identName.split('.')
+    // ANALYZE-stored statistics feed the cost-based optimizer through
+    // this CatalogTable (readPlan attaches it to every LogicalRelation
+    // of the converted scan): row count + per-column NDV/null counts
+    // let CostBasedJoinReorder re-root multi-join queries by estimated
+    // cardinality. Only for CURRENT-version reads — a time-traveled
+    // read must not borrow the tip's cardinalities.
+    val stats = if (pinnedVersion.nonEmpty) None
+      else Snapshots.analyzedStats(spark, dir).map { case (rc, cols) =>
+        org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+          sizeInBytes =
+            BigInt(math.max(1L, Snapshots.liveBytes(spark, dir))),
+          rowCount = Some(BigInt(rc)),
+          colStats = cols.map { case (name, a) =>
+            name -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+              distinctCount = Some(BigInt(a.ndv)),
+              nullCount = Some(BigInt(a.nulls)),
+              avgLen = a.avgLen,
+              maxLen = a.maxLen)
+          })
+      }
     CatalogTable(
       identifier = TableIdentifier(parts.last,
         if (parts.length >= 2) Some(parts(parts.length - 2)) else None,
@@ -212,7 +232,8 @@ final class GraftTable(
       storage = CatalogStorageFormat.empty.copy(
         locationUri = Some(new org.apache.hadoop.fs.Path(dir).toUri)),
       schema = schema,
-      provider = Some("graft-snapshots"))
+      provider = Some("graft-snapshots"),
+      stats = stats)
   }
 
   override def toString: String =

@@ -1,0 +1,429 @@
+package graft.sql
+
+import java.util.Properties
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, NoSuchTableException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, ViewAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{AnalyzeColumn, AnalyzeTable, CreateView, DropView, LeafNode, LogicalPlan, ShowViews, SubqueryAlias, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
+
+/** Persistent (catalog-stored) views for [[GraftCatalog]] — shared
+  * semantics across sessions, where temp views cover one session only:
+  *
+  * {{{
+  * CREATE VIEW graft.db.active AS SELECT * FROM graft.db.t WHERE live;
+  * SELECT count(*) FROM graft.db.active;   -- any later session
+  * SHOW VIEWS IN graft.db; DROP VIEW graft.db.active;
+  * }}}
+  *
+  * Spark 4's DSv2 `ViewCatalog` interface defines the storage contract
+  * but the built-in SQL layer does not route view statements to it —
+  * `ResolveSessionCatalog` throws MISSING_CATALOG_ABILITY for any
+  * non-session catalog before custom resolution rules could run. So,
+  * like the other lakehouse formats, the SQL surface is wired through
+  * the session extensions in two pieces:
+  *
+  *   - [[GraftViewAwareParser]] (injectParser) re-targets parsed
+  *     `CREATE [OR REPLACE] VIEW` / `DROP VIEW` / `SHOW VIEWS` plans
+  *     whose identifier addresses a graft catalog into graft statement
+  *     nodes BEFORE the analyzer can reject them;
+  *   - [[GraftViewResolution]] (injectResolutionRule) expands reads of
+  *     catalog views into their parsed definition (CTE-substituted,
+  *     with unqualified table references fixed to the CREATE-time
+  *     catalog and namespace, so the view means the same thing from
+  *     any session context) and converts the statement nodes into
+  *     runnable commands once their parts resolve.
+  *
+  * Storage: one `_view` properties document per view under the
+  * warehouse (`warehouse/ns/name/_view`), published through the SAME
+  * per-scheme commit CAS as table manifests — a racing CREATE of one
+  * view name loses loudly instead of clobbering. `CREATE OR REPLACE`
+  * is documented last-writer-wins (delete + exclusive create).
+  *
+  * Deliberate limits: a view definition must not reference TEMP views
+  * (refused at CREATE — a shared definition over session-local state
+  * would dangle for every other session); ALTER VIEW supports
+  * SET/UNSET properties through the catalog API only. A definition
+  * cycle created by racing REPLACEs fails loudly at the analyzer's
+  * iteration cap rather than looping. */
+object GraftViews {
+
+  val ViewFile = "_view"
+
+  /** (catalog, identifier) when `parts` addresses a [[GraftCatalog]]
+    * under the session's resolution rules (explicit catalog prefix, or
+    * the current catalog for shorter names) AND no temp view shadows
+    * it — temp views win, Spark's standard precedence. */
+  def resolveView(session: SparkSession,
+      parts: Seq[String]): Option[(GraftCatalog, Identifier)] = {
+    if (session.sessionState.catalog.isTempView(parts)) return None
+    val cm = session.sessionState.catalogManager
+    def current: Option[GraftCatalog] = cm.currentCatalog match {
+      case g: GraftCatalog => Some(g)
+      case _ => None
+    }
+    parts match {
+      case Seq(one) =>
+        current.map(g => (g, Identifier.of(cm.currentNamespace, one)))
+      case head +: rest =>
+        val byName =
+          try cm.catalog(head) match {
+            case g: GraftCatalog =>
+              Some((g, Identifier.of(rest.init.toArray, rest.last)))
+            case _ => None
+          } catch { case NonFatal(_) => None }
+        byName.orElse(current.map(g =>
+          (g, Identifier.of(parts.init.toArray, parts.last))))
+    }
+  }
+
+  /** (catalog, namespace) when `parts` names a namespace of a
+    * [[GraftCatalog]] (empty parts = the current namespace of a graft
+    * current catalog). */
+  def resolveNamespace(session: SparkSession,
+      parts: Seq[String]): Option[(GraftCatalog, Seq[String])] = {
+    val cm = session.sessionState.catalogManager
+    def current: Option[GraftCatalog] = cm.currentCatalog match {
+      case g: GraftCatalog => Some(g)
+      case _ => None
+    }
+    parts match {
+      case Seq() => current.map(g => (g, cm.currentNamespace.toSeq))
+      case head +: rest =>
+        val byName =
+          try cm.catalog(head) match {
+            case g: GraftCatalog => Some((g, rest))
+            case _ => None
+          } catch { case NonFatal(_) => None }
+        byName.orElse(current.map(g => (g, parts)))
+    }
+  }
+
+  /** Render a `ViewInfo` as the stored properties document. Multi-
+    * value fields URL-encode their elements and join on tab; a NULL
+    * comment encodes as the empty element (comments cannot be the
+    * empty string through SQL, so the sentinel is unambiguous). */
+  def render(info: ViewInfo): Array[Byte] = {
+    val p = new Properties()
+    def joinEnc(xs: Seq[String]): String =
+      xs.map(x => java.net.URLEncoder.encode(
+        Option(x).getOrElse(""), "UTF-8")).mkString("\t")
+    p.setProperty("sql", info.sql)
+    p.setProperty("catalog", info.currentCatalog)
+    p.setProperty("namespace", joinEnc(info.currentNamespace.toSeq))
+    p.setProperty("schema", info.schema.json)
+    p.setProperty("queryColumnNames",
+      joinEnc(Option(info.queryColumnNames).map(_.toSeq).getOrElse(Nil)))
+    p.setProperty("columnAliases",
+      joinEnc(Option(info.columnAliases).map(_.toSeq).getOrElse(Nil)))
+    p.setProperty("columnComments",
+      joinEnc(Option(info.columnComments).map(_.toSeq).getOrElse(Nil)))
+    Option(info.properties).foreach(_.asScala.foreach { case (k, v) =>
+      p.setProperty(s"p.$k", v) })
+    val bos = new java.io.ByteArrayOutputStream()
+    p.store(bos, null)
+    bos.toByteArray
+  }
+
+  def load(fs: FileSystem, viewFile: HPath, viewName: String): View = {
+    val in = fs.open(viewFile)
+    val p = new Properties()
+    try p.load(in) finally in.close()
+    def splitDec(k: String): Array[String] = {
+      val raw = Option(p.getProperty(k)).getOrElse("")
+      if (raw.isEmpty) Array.empty
+      else raw.split('\t').map(java.net.URLDecoder.decode(_, "UTF-8"))
+    }
+    val props = p.stringPropertyNames.asScala.toSeq
+      .filter(_.startsWith("p."))
+      .map(k => k.stripPrefix("p.") -> p.getProperty(k)).toMap
+    new View {
+      override val name: String = viewName
+      override val query: String = p.getProperty("sql")
+      override val currentCatalog: String = p.getProperty("catalog")
+      override val currentNamespace: Array[String] = splitDec("namespace")
+      override val schema: StructType =
+        org.apache.spark.sql.types.DataType.fromJson(
+          p.getProperty("schema")).asInstanceOf[StructType]
+      override val queryColumnNames: Array[String] =
+        splitDec("queryColumnNames")
+      override val columnAliases: Array[String] = splitDec("columnAliases")
+      override val columnComments: Array[String] =
+        splitDec("columnComments").map(c => if (c.isEmpty) null else c)
+      override val properties: java.util.Map[String, String] = props.asJava
+    }
+  }
+}
+
+// ---- statement nodes (parser output, pre-resolution) -----------------
+
+/** Parsed `CREATE [OR REPLACE] VIEW` aimed at a graft catalog; the
+  * query stays a child so the analyzer resolves it before the
+  * conversion to the runnable command captures its schema. */
+final case class CreateGraftViewStatement(nameParts: Seq[String],
+    userCols: Seq[(String, Option[String])], comment: Option[String],
+    props: Map[String, String], originalText: Option[String],
+    query: LogicalPlan, allowExisting: Boolean, replace: Boolean)
+    extends UnaryNode {
+  override def child: LogicalPlan = query
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): CreateGraftViewStatement =
+    copy(query = newChild)
+}
+
+final case class DropGraftViewStatement(nameParts: Seq[String],
+    ifExists: Boolean) extends LeafNode {
+  override def output: Seq[Attribute] = Nil
+}
+
+final case class ShowGraftViewsStatement(nsParts: Seq[String],
+    pattern: Option[String],
+    override val output: Seq[Attribute]) extends LeafNode
+
+/** Parsed `ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ... |
+  * FOR ALL COLUMNS]` aimed at a graft catalog (Spark's own analyze
+  * commands are session-catalog only — same routing problem as the
+  * view DDL). */
+final case class AnalyzeGraftTableStatement(nameParts: Seq[String],
+    columns: Seq[String], allColumns: Boolean) extends LeafNode {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** The parser hook (see [[GraftViews]]): delegates everything, then
+  * re-targets the three view statements when their identifier
+  * addresses a graft catalog — BEFORE `ResolveSessionCatalog` gets a
+  * chance to reject them as a missing catalog ability. Statements
+  * over session-catalog or temp-view names pass through untouched. */
+final class GraftViewAwareParser(session: () => SparkSession,
+    delegate: ParserInterface) extends ParserInterface {
+
+  private def retarget(plan: LogicalPlan): LogicalPlan = {
+    // cheap top-node inspection per statement; anything that throws
+    // here (catalog plugins not initialized yet) passes through to
+    // Spark's own handling
+    try retarget0(plan) catch { case NonFatal(_) => plan }
+  }
+
+  private def retarget0(plan: LogicalPlan): LogicalPlan = plan match {
+    case c @ CreateView(UnresolvedIdentifier(parts, _), cols, comment, _,
+        props, orig, query, allowExisting, replace, _)
+        if GraftViews.resolveView(session(), parts).isDefined =>
+      CreateGraftViewStatement(parts, cols, comment, props, orig, query,
+        allowExisting, replace)
+    case d @ DropView(UnresolvedIdentifier(parts, _), ifExists)
+        if GraftViews.resolveView(session(), parts).isDefined =>
+      DropGraftViewStatement(parts, ifExists)
+    case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output)
+        if GraftViews.resolveNamespace(session(), parts).isDefined =>
+      ShowGraftViewsStatement(parts, pattern, output)
+    case a @ AnalyzeColumn(UnresolvedTableOrView(parts, _, _), cols, all)
+        if GraftViews.resolveView(session(), parts).isDefined =>
+      AnalyzeGraftTableStatement(parts, cols.getOrElse(Nil), all)
+    // plain COMPUTE STATISTICS (incl. NOSCAN — the one pass here is
+    // the cheapest exact rowcount this format has anyway)
+    case a @ AnalyzeTable(UnresolvedTableOrView(parts, _, _), spec, _)
+        if spec.isEmpty &&
+          GraftViews.resolveView(session(), parts).isDefined =>
+      AnalyzeGraftTableStatement(parts, Nil, allColumns = false)
+    case other => other
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    retarget(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(
+      sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(
+      sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** The view resolution bridge (see [[GraftViews]]): expands reads of
+  * stored views and converts the parser's statement nodes into
+  * runnable commands. */
+final case class GraftViewResolution(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  /** Expand a stored view: parse the definition, substitute its own
+    * CTEs (the Substitution batch already ran for the outer plan and
+    * will not run again for a subtree introduced mid-resolution),
+    * qualify remaining unqualified table references with the view's
+    * CREATE-time catalog/namespace (subqueries included), and apply
+    * declared column aliases. The result re-enters the resolution
+    * fixed point — nested views expand level by level. */
+  private def expand(g: GraftCatalog, ident: Identifier,
+      v: View): LogicalPlan = {
+    val parsed = CTESubstitution(
+      session.sessionState.sqlParser.parsePlan(v.query))
+    val qualified = parsed.transformDownWithSubqueries {
+      case u: UnresolvedRelation if u.multipartIdentifier.length <= 2 &&
+          !u.isStreaming &&
+          !session.sessionState.catalog.isTempView(u.multipartIdentifier) &&
+          u.multipartIdentifier.head != "global_temp" =>
+        val full = u.multipartIdentifier match {
+          case Seq(one) =>
+            (v.currentCatalog +: v.currentNamespace.toSeq) :+ one
+          case two => v.currentCatalog +: two
+        }
+        u.copy(multipartIdentifier = full.toSeq)
+    }
+    val aliased =
+      if (v.columnAliases == null || v.columnAliases.isEmpty) qualified
+      else UnresolvedSubqueryColumnAliases(v.columnAliases.toSeq, qualified)
+    SubqueryAlias((g.name +: ident.namespace.toSeq) :+ ident.name, aliased)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation if !u.isStreaming =>
+        GraftViews.resolveView(session, u.multipartIdentifier) match {
+          case Some((g, ident)) if g.viewExists(ident) =>
+            expand(g, ident, g.loadView(ident))
+          case _ => u
+        }
+      case s: CreateGraftViewStatement if s.query.resolved =>
+        val (g, ident) = GraftViews.resolveView(session, s.nameParts)
+          .getOrElse(throw new IllegalStateException(
+            s"view identifier ${s.nameParts.mkString(".")} no longer " +
+              "resolves to a graft catalog"))
+        val cm = session.sessionState.catalogManager
+        CreateGraftViewCommand(g, ident, s.userCols, s.comment, s.props,
+          s.originalText, s.query.schema,
+          allowExisting = s.allowExisting, replace = s.replace,
+          curCatalog = cm.currentCatalog.name,
+          curNamespace = cm.currentNamespace.toSeq)
+      case d: DropGraftViewStatement =>
+        val (g, ident) = GraftViews.resolveView(session, d.nameParts)
+          .getOrElse(throw new IllegalStateException(
+            s"view identifier ${d.nameParts.mkString(".")} no longer " +
+              "resolves to a graft catalog"))
+        DropGraftViewCommand(g, ident, d.ifExists)
+      case s: ShowGraftViewsStatement =>
+        val (g, ns) = GraftViews.resolveNamespace(session, s.nsParts)
+          .getOrElse(throw new IllegalStateException(
+            s"namespace ${s.nsParts.mkString(".")} no longer resolves " +
+              "to a graft catalog"))
+        ShowGraftViewsCommand(g, ns, s.pattern, s.output)
+      case a: AnalyzeGraftTableStatement =>
+        val (g, ident) = GraftViews.resolveView(session, a.nameParts)
+          .getOrElse(throw new IllegalStateException(
+            s"table identifier ${a.nameParts.mkString(".")} no longer " +
+              "resolves to a graft catalog"))
+        AnalyzeGraftTableCommand(g, ident,
+          if (a.allColumns) Nil else a.columns)
+    }
+}
+
+/** `CREATE [OR REPLACE] VIEW` against a [[GraftCatalog]]. Captures
+  * the analyzed query's schema and the session's CREATE-time
+  * catalog/namespace (the resolution context every later expansion
+  * re-applies); refuses definitions referencing temp views. */
+final case class CreateGraftViewCommand(catalog: GraftCatalog,
+    ident: Identifier, userCols: Seq[(String, Option[String])],
+    comment: Option[String], props: Map[String, String],
+    originalText: Option[String], viewSchema: StructType,
+    allowExisting: Boolean, replace: Boolean,
+    curCatalog: String, curNamespace: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val sql = originalText.getOrElse(throw new IllegalArgumentException(
+      s"CREATE VIEW $ident needs the original SQL text to persist"))
+    // a PERSISTED definition over SESSION-local state would dangle in
+    // every other session — the standard refusal
+    val parsed = CTESubstitution(
+      session.sessionState.sqlParser.parsePlan(sql))
+    parsed.foreachWithSubqueries {
+      case u: UnresolvedRelation
+          if session.sessionState.catalog
+            .isTempView(u.multipartIdentifier) =>
+        throw new IllegalArgumentException(
+          s"cannot CREATE VIEW ${ident}: the definition references " +
+            s"temp view ${u.multipartIdentifier.mkString(".")} — a " +
+            "persisted view over session-local state would dangle in " +
+            "every other session; persist the source as a table or " +
+            "view first")
+      case _ =>
+    }
+    if (userCols.nonEmpty)
+      require(userCols.size == viewSchema.size,
+        s"CREATE VIEW $ident: ${userCols.size} column aliases for a " +
+          s"${viewSchema.size}-column query")
+    val aliases = userCols.map(_._1)
+    val comments = userCols.map(_._2.orNull)
+    val info = new ViewInfo(ident, sql, curCatalog, curNamespace.toArray,
+      viewSchema, viewSchema.fieldNames, aliases.toArray, comments.toArray,
+      (props ++ comment.map("comment" -> _)).asJava)
+    if (replace) catalog.replaceView(info, true)
+    else if (catalog.viewExists(ident)) {
+      if (!allowExisting) throw new ViewAlreadyExistsException(ident)
+    } else catalog.createView(info)
+    Seq.empty
+  }
+}
+
+/** `DROP VIEW [IF EXISTS]` against a [[GraftCatalog]]. */
+final case class DropGraftViewCommand(catalog: GraftCatalog,
+    ident: Identifier, ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val dropped = catalog.dropView(ident)
+    if (!dropped && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    Seq.empty
+  }
+}
+
+/** `ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS]` against a
+  * [[GraftCatalog]] — routes to [[graft.ops.Snapshots.analyzeColumns]]
+  * (row count + per-column NDV/null stats committed as table
+  * properties, surfaced to the cost-based optimizer). */
+final case class AnalyzeGraftTableCommand(catalog: GraftCatalog,
+    ident: Identifier, columns: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!catalog.tableExists(ident)) throw new NoSuchTableException(ident)
+    graft.ops.Snapshots.analyzeColumns(session,
+      catalog.tableDir(ident), columns)
+    Seq.empty
+  }
+}
+
+/** `SHOW VIEWS [IN ns] [LIKE pattern]` against a [[GraftCatalog]] —
+  * carries the original node's output attributes so downstream
+  * projections over the command output bind unchanged. */
+final case class ShowGraftViewsCommand(catalog: GraftCatalog,
+    namespace: Seq[String], pattern: Option[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val names = catalog.listViews(namespace: _*).map(_.name).toSeq.sorted
+    val filtered = pattern match {
+      case Some(p) => org.apache.spark.sql.catalyst.util.StringUtils
+        .filterPattern(names, p)
+      case None => names
+    }
+    filtered.map(n => Row(namespace.mkString("."), n, false))
+  }
+}

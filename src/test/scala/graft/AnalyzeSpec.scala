@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+import graft.ops.Snapshots
+
+/** ANALYZE column statistics → cost-based optimizer: NDV/row counts
+  * stored as table properties surface through the catalog relation,
+  * and a multi-join query re-roots by estimated cardinality instead
+  * of executing in written order. */
+class AnalyzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_an_wh").toFile.toString
+    spark.conf.set("spark.sql.catalog.gan", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gan.warehouse", w)
+    // three join sizes: big (20k) ⋈ mid (2k) ⋈ small (20) on one key
+    Snapshots.append((0L until 20000L).map(i => (i, s"b$i"))
+      .toDF("k", "bv"), s"$w/default/big")
+    Snapshots.append((0L until 2000L).map(i => (i, s"m$i"))
+      .toDF("k", "mv"), s"$w/default/mid")
+    Snapshots.append((0L until 20L).map(i => (i, s"s$i"))
+      .toDF("k", "sv"), s"$w/default/small")
+    w
+  }
+
+  /** The table names under the DEEPEST join of the optimized plan —
+    * the pair the engine joins first. */
+  private def firstJoinTables(df: DataFrame): Set[String] = {
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "no join in the optimized plan")
+    joins.last.collectLeaves().collect {
+      case lr: LogicalRelation if lr.catalogTable.nonEmpty =>
+        lr.catalogTable.get.identifier.table
+    }.toSet
+  }
+
+  private def threeWay(): DataFrame = spark.sql(
+    """SELECT b.k, m.mv, s.sv
+      |FROM gan.default.big b
+      |JOIN gan.default.mid m ON b.k = m.k
+      |JOIN gan.default.small s ON m.k = s.k""".stripMargin)
+
+  test("ANALYZE stores row count and per-column NDV; the catalog " +
+      "relation surfaces them as plan statistics") {
+    warehouse
+    val r = Snapshots.analyzeColumns(spark, s"$warehouse/default/big")
+    assert(r.rowCount == 20000L && r.columns.toSet == Set("k", "bv"))
+    val (rc, cols) =
+      Snapshots.analyzedStats(spark, s"$warehouse/default/big").get
+    assert(rc == 20000L)
+    assert(cols("k").nulls == 0L)
+    // HLL++ approximation: within 5% of the exact 20k distinct keys
+    assert(math.abs(cols("k").ndv - 20000L) <= 1000L, cols("k"))
+    assert(cols("bv").avgLen.exists(_ >= 2L)) // "b0".."b19999"
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val plan = spark.sql("SELECT k, bv FROM gan.default.big WHERE k >= 0")
+        .queryExecution.optimizedPlan
+      assert(plan.stats.rowCount.contains(BigInt(20000)),
+        s"plan stats must carry the analyzed row count: ${plan.stats}")
+      assert(plan.stats.attributeStats.nonEmpty,
+        "per-column NDV must reach the plan statistics")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("a 3-table join REORDERS under CBO with stats, and stays in " +
+      "written order without them") {
+    warehouse
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      // the mid and small tables are NOT yet analyzed in this test's
+      // fresh-warehouse...  big may be (suite order) — analyze all
+      // three below; first snapshot the unanalyzed behavior by
+      // querying tables created without stats
+      Snapshots.analyzeColumns(spark, s"$warehouse/default/big")
+      // only ONE table analyzed: reorder needs stats on every item,
+      // so the join stays in written order (big ⋈ mid first)
+      assert(firstJoinTables(threeWay()) == Set("big", "mid"),
+        "without full stats the join must stay in written order")
+      Snapshots.analyzeColumns(spark, s"$warehouse/default/mid")
+      Snapshots.analyzeColumns(spark, s"$warehouse/default/small")
+      val first = firstJoinTables(threeWay())
+      assert(first.contains("small"),
+        s"with NDV stats on all three tables the optimizer must join " +
+          s"through the 20-row table first, got $first")
+      // and the reordered plan still computes the right answer
+      assert(threeWay().count() == 20L)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    }
+  }
+
+  test("ANALYZE TABLE SQL and CALL analyze route to the same stats; " +
+      "named columns restrict the pass") {
+    warehouse
+    spark.sql("ANALYZE TABLE gan.default.small COMPUTE STATISTICS " +
+      "FOR ALL COLUMNS")
+    val (rc, cols) =
+      Snapshots.analyzedStats(spark, s"$warehouse/default/small").get
+    assert(rc == 20L && cols.keySet == Set("k", "sv"))
+    val row = spark.sql(
+      "CALL gan.system.analyze(table => 'default.mid', columns => 'k')")
+      .collect().head
+    assert(row.getAs[Long]("row_count") == 2000L)
+    assert(row.getAs[String]("columns") == "k")
+    // per-column stats ACCRETE: a narrower re-analyze refreshes only
+    // the named columns, earlier entries for others stay
+    val (_, midCols) =
+      Snapshots.analyzedStats(spark, s"$warehouse/default/mid").get
+    assert(midCols.contains("k"), midCols.keySet)
+    // stats survive RENAME (keyed by physical identity)
+    Snapshots.renameColumn(spark, s"$warehouse/default/mid", "k", "key")
+    val (_, renamed) =
+      Snapshots.analyzedStats(spark, s"$warehouse/default/mid").get
+    assert(renamed.contains("key") && !renamed.contains("k"),
+      renamed.keySet)
+  }
+}

@@ -297,4 +297,77 @@ class SnapshotModelSpec extends SparkSpec {
       assert(got == expect, s"tag $name drifted")
     }
   }
+
+  test("CONCURRENT writers on one table: per-thread random verb " +
+      "sequences over disjoint key ranges end at the union of models") {
+    // the 30-line check that would have caught the local-filesystem
+    // commit-CAS clobber years early: three threads interleave
+    // append / merge / deleteMatching / copyInto on ONE table; every
+    // op's keys stay inside the thread's own range, so the ops
+    // commute and the final table must equal the union of the three
+    // driver-side models — a silently lost commit shows up as
+    // missing rows, a doubled one as extras
+    val root = freshRoot()
+    Snapshots.createTable(spark, root,
+      Seq((1L, 1.0)).toDF("id", "v").schema)
+    val threads = 3
+    val steps = 8
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val models = new Array[Map[Long, (Long, Double)]](threads)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    (0 until threads).foreach { w =>
+      pool.execute { () =>
+        try {
+          start.await()
+          val rnd = new Random(1000 + w)
+          var model = Map.empty[Long, (Long, Double)]
+          val base = (w + 1) * 100000L
+          var seq = 0L
+          def fresh(n: Int): Seq[Long] =
+            (0 until n).map { _ => seq += 1; base + seq }
+          def rows(ks: Seq[Long]): Seq[(Long, Double)] =
+            ks.map(k => (k, rnd.nextInt(1000) / 4.0))
+          (1 to steps).foreach { _ =>
+            rnd.nextInt(5) match {
+              case 0 | 1 =>
+                val b = rows(fresh(5))
+                Snapshots.append(toDf(b), root)
+                model ++= b.map(r => r._1 -> r)
+              case 2 =>
+                val ks = rnd.shuffle(model.keys.toSeq).take(3) ++ fresh(2)
+                val b = rows(ks)
+                Snapshots.merge(spark, root, toDf(b), Seq("id"))
+                model ++= b.map(r => r._1 -> r)
+              case 3 if model.nonEmpty =>
+                val victims = rnd.shuffle(model.keys.toSeq).take(2)
+                Snapshots.deleteMatching(spark, root,
+                  victims.toDF("id"), Seq("id"))
+                model --= victims
+              case _ =>
+                val b = rows(fresh(4))
+                val src = Files.createTempDirectory(s"graft_model_cc$w")
+                  .toFile.toString + "/in"
+                toDf(b).coalesce(1).write.parquet(src)
+                Snapshots.copyInto(spark, root, src)
+                model ++= b.map(r => r._1 -> r)
+            }
+          }
+          models(w) = model
+        } catch { case t: Throwable => errs.add(t) }
+        finally done.countDown()
+      }
+    }
+    start.countDown()
+    assert(done.await(600, java.util.concurrent.TimeUnit.SECONDS),
+      "writers hung")
+    pool.shutdownNow()
+    assert(errs.isEmpty, s"a writer failed: ${Option(errs.peek())}")
+    val want = models.toSeq.flatMap(_.values).toSet
+    val got = readBack(root)
+    assert(got == want,
+      s"final state diverged from the union of models: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
 }
