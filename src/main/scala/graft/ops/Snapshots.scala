@@ -4974,10 +4974,11 @@ object Snapshots {
     * drain, and the jitter de-synchronizes symmetric contenders).
     * After 20 straight losses the documented
     * ConcurrentModificationException surfaces for the operator —
-    * same contract as Delta's ConcurrentAppendException. The
-    * principled upgrade is commit REBASE (re-CAS the already-staged
-    * result when the interlopers' file stats prove key-disjointness)
-    * — noted as future work, not required for correctness. */
+    * same contract as Delta's ConcurrentAppendException. The merge
+    * family additionally REBASES before falling back here: a lost
+    * CAS re-CASes the already-staged result on the new tip when
+    * [[rebaseSafe]] proves the interlopers invisible to it, so under
+    * append contention this loop rarely sees a merge at all. */
   private def retryOnRace[A](what: String)(body: => A): A = {
     var attempts = 0
     while (true) {
@@ -4990,6 +4991,98 @@ object Snapshots {
           Thread.sleep(java.util.concurrent.ThreadLocalRandom
             .current().nextLong(cap / 2, cap + 1))
       }
+    }
+    throw new IllegalStateException(s"unreachable: $what")
+  }
+
+  /** Can a DML result staged against `from` re-CAS unchanged on
+    * `tip`? TRUE only when every interloper commit in `(from, tip]`
+    * is PROVABLY invisible to the mutation:
+    *
+    *   1. adds-only — no interloper removed a file or changed row
+    *      visibility (no DV drift), so every file the DML touched is
+    *      still live and byte-identical;
+    *   2. zero metadata drift — pinned schema, dropped tombstones,
+    *      bloom config, CHECK constraints, and table properties
+    *      (identity marks included) all equal, so the staged headers
+    *      and validations still hold verbatim;
+    *   3. every interloper-ADDED file is DISPROVEN by the mutation's
+    *      key footprint under the standard stats-prune semantics —
+    *      no added row can match a mutated key, so the serial result
+    *      at `tip` equals the staged one. A `None` footprint means
+    *      the mutation names no non-null key (NULL keys never
+    *      equi-match), which makes any add invisible to it.
+    *
+    * Bound-sound and fail-closed throughout: anything unprovable
+    * (missing stats, unrecognized interloper shape, ranges > 16
+    * versions) returns false and the caller falls back to the full
+    * recompute. Cost when it applies: O(range) manifest reads + one
+    * local prune evaluation — no data touched, no job run. */
+  private def rebaseSafe(spark: SparkSession, fs: FileSystem, root: HPath,
+      dir: String, from: Int, tip: Int,
+      footprint: Option[Column]): Boolean = {
+    if (tip <= from || tip - from > 16) return false
+    val range = versionsFs(fs, root).filter(x => x > from && x <= tip)
+    if (range.size != tip - from) return false // vacuumed hole mid-range
+    if (schemaOf(fs, root, tip) != schemaOf(fs, root, from)) return false
+    if (droppedOf(fs, root, tip) != droppedOf(fs, root, from)) return false
+    if (bloomConfigOf(fs, root, tip) != bloomConfigOf(fs, root, from))
+      return false
+    if (constraintsOf(fs, root, tip) != constraintsOf(fs, root, from))
+      return false
+    if (propsOf(fs, root, tip) != propsOf(fs, root, from)) return false
+    if (dvFor(fs, root, tip) != dvFor(fs, root, from)) return false
+    var prev = readManifest(fs, root, from).toSet
+    val added = Seq.newBuilder[String]
+    range.foreach { iv =>
+      val cur = readManifest(fs, root, iv).toSet
+      if (!prev.subsetOf(cur)) return false // something was removed
+      added ++= (cur -- prev)
+      prev = cur
+    }
+    val newFiles = added.result()
+    newFiles.isEmpty || (footprint match {
+      case None => true
+      case Some(pred) =>
+        val (mayMatch, _) = pruneFiles(spark, dir, pred, tip)
+        val kept = mayMatch.toSet
+        newFiles.forall(f => !kept(f))
+    })
+  }
+
+  /** The keyed/predicate DML commit loop WITH REBASE, shared by the
+    * copy-on-write verbs (merge family, deleteMatching, DELETE,
+    * UPDATE, REPLACE WHERE): run `attempt(base)` (one CAS at
+    * `base + 1` with headers derived from `base`); on a lost race,
+    * move the base to the tip and retry — at metadata cost — when
+    * [[rebaseSafe]] proves every interloper invisible to the staged
+    * result under `footprint`, else surface the loud
+    * ConcurrentModificationException that sends the caller to the
+    * full recompute. Returns the committed version.
+    *
+    * `allowRebase` MUST be false for version-PINNED commits
+    * (`expectedVersion >= 0`): the pin is the CALLER's promise that
+    * its own derived state (SQL classification joins, inspection
+    * reads) still describes the table — [[rebaseSafe]] only proves
+    * the interlopers invisible to THIS mutation's footprint, not to
+    * whatever else the caller read, so a pinned loss must surface for
+    * the caller's own retry discipline. */
+  private def commitWithRebase(spark: SparkSession, fs: FileSystem,
+      root: HPath, dir: String, startBase: Int, footprint: Option[Column],
+      what: String, allowRebase: Boolean)(attempt: Int => Boolean): Int = {
+    var base = startBase
+    var rebases = 0
+    while (true) {
+      if (attempt(base)) return base + 1
+      rebases += 1
+      val tip = currentVersion(spark, dir).getOrElse(base)
+      if (!allowRebase || rebases > 8 ||
+          !rebaseSafe(spark, fs, root, dir, base, tip, footprint))
+        throw new java.util.ConcurrentModificationException(
+          s"$what on $dir@v$base lost the commit race — a writer " +
+            s"landed v${base + 1} first and its changes may overlap " +
+            "this mutation; re-read and re-run")
+      base = tip
     }
     throw new IllegalStateException(s"unreachable: $what")
   }
@@ -5173,37 +5266,59 @@ object Snapshots {
               staged.schema, dir, droppedSet)
           else basePinned.getOrElse(allNullable(staged.schema))
         val opName = if (tombstones.isDefined) "merge-mixed" else "merge"
-        val next = v + 1
-        // delta commit when the chain allows: the touched files become
-        // #remove lines and the untouched carry IMPLICITLY through the
-        // base — a narrow merge into a million-file table writes
-        // O(touched) manifest lines, not O(table)
-        val won =
-          if (depthOf(fs, root, v) + 1 <= CheckpointInterval)
+        // COMMIT WITH REBASE: a lost CAS does not immediately force
+        // the full recompute — when every interloper commit in
+        // (base, tip] is a pure stats-disjoint append (proven by
+        // [[rebaseSafe]]: adds only, no DV/schema/constraint/property
+        // drift, and every added file DISPROVEN by this merge's key
+        // footprint), the already-staged result is byte-identical to
+        // what a serial merge at the tip would stage, so it re-CASes
+        // on the new base at metadata cost. This is the OCC fairness
+        // fix for the starvation mode retryOnRace documents: a slow
+        // merge recompute among fast appenders used to lose EVERY
+        // race (each attempt outlasted the competitors' inter-commit
+        // gap); with rebase the loser's next attempt is one manifest
+        // write, which fits any gap. Unsafe interlopers (DML,
+        // overlapping appends, DDL) still fall back to the loud
+        // ConcurrentModificationException → full recompute.
+        val committed = commitWithRebase(spark, fs, root, dir, v,
+            footprint, opName,
+            allowRebase = expectedVersion < 0) { b =>
+          val next = b + 1
+          // delta commit when the chain allows: the touched files
+          // become #remove lines and the untouched carry IMPLICITLY
+          // through the base — a narrow merge into a million-file
+          // table writes O(touched) manifest lines, not O(table)
+          if (depthOf(fs, root, b) + 1 <= CheckpointInterval)
             casManifest(fs, root, next, staged.files,
-              s"#delta\t$v\t${depthOf(fs, root, v) + 1}" +:
+              s"#delta\t$b\t${depthOf(fs, root, b) + 1}" +:
                 schemaHeader(pinnedSchema) +:
                 (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
                   constraintHeader(csPinned) ++
-                  propsHeader(propsOf(fs, root, v) ++ idDelta ++
+                  propsHeader(propsOf(fs, root, b) ++ idDelta ++
                     propsDelta) ++
                   opHeader(opName) ++
                   dmlKeysHeader(keys) ++ header ++
                   touched.map(f => s"#remove\t$f") ++ staged.stats))
-          else
-            casManifest(fs, root, next, untouched ++ staged.files,
+          else {
+            val untouchedNow = readManifest(fs, root, b)
+              .filterNot(touched.toSet)
+            casManifest(fs, root, next, untouchedNow ++ staged.files,
               schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
                 bloomHeader(bloomCfg) ++ constraintHeader(csPinned) ++
-                propsHeader(propsOf(fs, root, v) ++ idDelta ++ propsDelta) ++
+                propsHeader(propsOf(fs, root, b) ++ idDelta ++
+                  propsDelta) ++
                 opHeader(opName) ++ dmlKeysHeader(keys) ++ header ++
-                dvLines(dvFor(fs, root, v), untouched.toSet) ++
-                statsLines(fs, root, v, untouched.toSet) ++ staged.stats))
-        if (!won)
-          throw new java.util.ConcurrentModificationException(
-            s"merge into $dir@v$v lost the commit race — a writer " +
-              s"landed v$next first; re-read and re-merge")
-        MergeResult(next, rewrittenFiles = staged.files.length,
-          untouchedFiles = untouched.length)
+                dvLines(dvFor(fs, root, b), untouchedNow.toSet) ++
+                statsLines(fs, root, b, untouchedNow.toSet) ++
+                staged.stats))
+          }
+        }
+        MergeResult(committed, rewrittenFiles = staged.files.length,
+          untouchedFiles =
+            if (committed == v + 1) untouched.length
+            else readManifest(fs, root, committed - 1)
+              .count(!touched.toSet(_)))
         } finally {
           src.unpersist()
           if (pinnedMut != null) pinnedMut.unpersist()
@@ -5289,7 +5404,8 @@ object Snapshots {
     else currentVersion(spark, dir).getOrElse(
       throw new java.util.NoSuchElementException(
         s"nothing to delete in $dir"))
-    deleteMatchingPinned(spark, dir, src, keys, base, fs, root)
+    deleteMatchingPinned(spark, dir, src, keys, base, fs, root,
+      allowRebase = expectedVersion < 0)
   }
 
   /** Fully materialize `frame` in the block cache so every later read
@@ -5306,7 +5422,8 @@ object Snapshots {
 
   private def deleteMatchingPinned(spark: SparkSession, dir: String,
       src: DataFrame, keys: Seq[String], base: Int,
-      fs: FileSystem, root: HPath): DeleteResult = {
+      fs: FileSystem, root: HPath,
+      allowRebase: Boolean = true): DeleteResult = {
     val footprint: Option[Column] = keyFootprint(src, keys)
     val (touched, untouched) = footprint match {
       case None => (Nil, readManifest(fs, root, base))
@@ -5323,30 +5440,34 @@ object Snapshots {
         .getOrElse(Map.empty), bloomCfg, declaredAt = base)
     val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
     val droppedSet = droppedOf(fs, root, base)
-    val next = base + 1
-    val won =
-      if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
+    val committed = commitWithRebase(spark, fs, root, dir, base,
+        footprint, "deleteMatching", allowRebase) { b =>
+      val next = b + 1
+      if (depthOf(fs, root, b) + 1 <= CheckpointInterval)
         casManifest(fs, root, next, staged.files,
-          s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
+          s"#delta\t$b\t${depthOf(fs, root, b) + 1}" +:
             schemaHeader(pinnedSchema) +:
             (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
-              carriedMeta(fs, root, base) ++
+              carriedMeta(fs, root, b) ++
               opHeader("merge-delete") ++
               touched.map(f => s"#remove\t$f") ++ staged.stats))
-      else
-        casManifest(fs, root, next, untouched ++ staged.files,
+      else {
+        val untouchedNow = readManifest(fs, root, b)
+          .filterNot(touched.toSet)
+        casManifest(fs, root, next, untouchedNow ++ staged.files,
           schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
             bloomHeader(bloomCfg) ++
-            carriedMeta(fs, root, base) ++
+            carriedMeta(fs, root, b) ++
             opHeader("merge-delete") ++
-            dvLines(dvFor(fs, root, base), untouched.toSet) ++
-            statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
-    if (!won)
-      throw new java.util.ConcurrentModificationException(
-        s"deleteMatching on $dir@v$base lost the commit race — a writer " +
-          s"landed v$next first; re-read and re-delete")
-    DeleteResult(next, rewrittenFiles = staged.files.length,
-      droppedFiles = 0, untouchedFiles = untouched.length)
+            dvLines(dvFor(fs, root, b), untouchedNow.toSet) ++
+            statsLines(fs, root, b, untouchedNow.toSet) ++ staged.stats))
+      }
+    }
+    DeleteResult(committed, rewrittenFiles = staged.files.length,
+      droppedFiles = 0, untouchedFiles =
+        if (committed == base + 1) untouched.length
+        else readManifest(fs, root, committed - 1)
+          .count(!touched.toSet(_)))
   }
 
   /** Copy-on-write DELETE — rows satisfying `pred` are removed as ONE
@@ -5445,29 +5566,35 @@ object Snapshots {
     val next = base + 1
     // delta commit when the chain allows (see merge): rewritten and
     // dropped-whole files are removes, untouched carry through the base
-    val won =
-      if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
+    val committed = commitWithRebase(spark, fs, root, dir, base,
+        Some(pred), "deleteWhere",
+        allowRebase = expectedVersion < 0) { b =>
+      val next = b + 1
+      if (depthOf(fs, root, b) + 1 <= CheckpointInterval)
         casManifest(fs, root, next, staged.files,
-          s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
+          s"#delta\t$b\t${depthOf(fs, root, b) + 1}" +:
             schemaHeader(pinnedSchema) +:
             (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
-              carriedMeta(fs, root, base) ++
+              carriedMeta(fs, root, b) ++
               opHeader("delete") ++
               mayMatch.map(f => s"#remove\t$f") ++ staged.stats))
-      else
-        casManifest(fs, root, next, untouched ++ staged.files,
+      else {
+        val untouchedNow = readManifest(fs, root, b)
+          .filterNot(mayMatch.toSet)
+        casManifest(fs, root, next, untouchedNow ++ staged.files,
           schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
             bloomHeader(bloomCfg) ++
-            carriedMeta(fs, root, base) ++
+            carriedMeta(fs, root, b) ++
             opHeader("delete") ++
-            dvLines(dvFor(fs, root, base), untouched.toSet) ++
-            statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
-    if (!won)
-      throw new java.util.ConcurrentModificationException(
-        s"deleteWhere on $dir@v$base lost the commit race — a writer " +
-          s"landed v$next first; re-read and re-delete")
-    DeleteResult(next, rewrittenFiles = staged.files.length,
-      droppedFiles = dropWhole.length, untouchedFiles = untouched.length)
+            dvLines(dvFor(fs, root, b), untouchedNow.toSet) ++
+            statsLines(fs, root, b, untouchedNow.toSet) ++ staged.stats))
+      }
+    }
+    DeleteResult(committed, rewrittenFiles = staged.files.length,
+      droppedFiles = dropWhole.length, untouchedFiles =
+        if (committed == base + 1) untouched.length
+        else readManifest(fs, root, committed - 1)
+          .count(!mayMatch.toSet(_)))
   }
 
   /** What a [[replaceWhere]] did: `stagedFiles` covers both the
@@ -5590,29 +5717,35 @@ object Snapshots {
     val pinnedSchema = basePinned.getOrElse(allNullable(table.schema))
     val droppedSet = droppedOf(fs, root, base)
     val next = base + 1
-    val won =
-      if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
-        casManifest(fs, root, next, staged.files,
-          s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
+    val committed = commitWithRebase(spark, fs, root, dir, base,
+        Some(pred), "replaceWhere",
+        allowRebase = expectedVersion < 0) { b =>
+      val nx = b + 1
+      if (depthOf(fs, root, b) + 1 <= CheckpointInterval)
+        casManifest(fs, root, nx, staged.files,
+          s"#delta\t$b\t${depthOf(fs, root, b) + 1}" +:
             schemaHeader(pinnedSchema) +:
             (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
-              carriedMeta(fs, root, base, idDelta) ++
+              carriedMeta(fs, root, b, idDelta) ++
               opHeader("replace-where") ++
               mayMatch.map(f => s"#remove\t$f") ++ staged.stats))
-      else
-        casManifest(fs, root, next, untouched ++ staged.files,
+      else {
+        val untouchedNow = readManifest(fs, root, b)
+          .filterNot(mayMatch.toSet)
+        casManifest(fs, root, nx, untouchedNow ++ staged.files,
           schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
             bloomHeader(bloomCfg) ++
-            carriedMeta(fs, root, base, idDelta) ++
+            carriedMeta(fs, root, b, idDelta) ++
             opHeader("replace-where") ++
-            dvLines(dvFor(fs, root, base), untouched.toSet) ++
-            statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
-    if (!won)
-      throw new java.util.ConcurrentModificationException(
-        s"replaceWhere on $dir@v$base lost the commit race — a writer " +
-          s"landed v$next first; re-read and re-replace")
-    ReplaceResult(next, stagedFiles = staged.files.length,
-      droppedFiles = dropWhole.length, untouchedFiles = untouched.length)
+            dvLines(dvFor(fs, root, b), untouchedNow.toSet) ++
+            statsLines(fs, root, b, untouchedNow.toSet) ++ staged.stats))
+      }
+    }
+    ReplaceResult(committed, stagedFiles = staged.files.length,
+      droppedFiles = dropWhole.length, untouchedFiles =
+        if (committed == base + 1) untouched.length
+        else readManifest(fs, root, committed - 1)
+          .count(!mayMatch.toSet(_)))
   }
 
   final case class UpdateResult(version: Int, rewrittenFiles: Int,
@@ -5675,7 +5808,8 @@ object Snapshots {
       }: _*))
     }
     commitUpdateRewrite(spark, dir, fs, root, base, mayMatch, untouched,
-      rewrittenRows)
+      rewrittenRows, footprint = pred,
+      allowRebase = expectedVersion < 0)
   }
 
   /** The shared tail of every copy-on-write UPDATE ([[updateWhere]] /
@@ -5684,7 +5818,8 @@ object Snapshots {
     * chain allows). */
   private def commitUpdateRewrite(spark: SparkSession, dir: String,
       fs: FileSystem, root: HPath, base: Int, mayMatch: Seq[String],
-      untouched: Seq[String], rewrittenRows: DataFrame): UpdateResult = {
+      untouched: Seq[String], rewrittenRows: DataFrame,
+      footprint: Column, allowRebase: Boolean): UpdateResult = {
     // updated values are NEW data: they must prove the table's CHECK
     // constraints before the commit, exactly like an append's rows
     enforceConstraintsAt(spark, dir, fs, root, base, rewrittenRows)
@@ -5695,30 +5830,34 @@ object Snapshots {
         .getOrElse(Map.empty), bloomCfg, declaredAt = base)
     val pinnedSchema = basePinned.getOrElse(allNullable(staged.schema))
     val droppedSet = droppedOf(fs, root, base)
-    val next = base + 1
-    val won =
-      if (depthOf(fs, root, base) + 1 <= CheckpointInterval)
+    val committed = commitWithRebase(spark, fs, root, dir, base,
+        Some(footprint), "update", allowRebase) { b =>
+      val next = b + 1
+      if (depthOf(fs, root, b) + 1 <= CheckpointInterval)
         casManifest(fs, root, next, staged.files,
-          s"#delta\t$base\t${depthOf(fs, root, base) + 1}" +:
+          s"#delta\t$b\t${depthOf(fs, root, b) + 1}" +:
             schemaHeader(pinnedSchema) +:
             (droppedHeader(droppedSet) ++ bloomHeader(bloomCfg) ++
-              carriedMeta(fs, root, base) ++
+              carriedMeta(fs, root, b) ++
               opHeader("update") ++
               mayMatch.map(f => s"#remove\t$f") ++ staged.stats))
-      else
-        casManifest(fs, root, next, untouched ++ staged.files,
+      else {
+        val untouchedNow = readManifest(fs, root, b)
+          .filterNot(mayMatch.toSet)
+        casManifest(fs, root, next, untouchedNow ++ staged.files,
           schemaHeader(pinnedSchema) +: (droppedHeader(droppedSet) ++
             bloomHeader(bloomCfg) ++
-            carriedMeta(fs, root, base) ++
+            carriedMeta(fs, root, b) ++
             opHeader("update") ++
-            dvLines(dvFor(fs, root, base), untouched.toSet) ++
-            statsLines(fs, root, base, untouched.toSet) ++ staged.stats))
-    if (!won)
-      throw new java.util.ConcurrentModificationException(
-        s"update on $dir@v$base lost the commit race — a writer " +
-          s"landed v$next first; re-read and re-update")
-    UpdateResult(next, rewrittenFiles = staged.files.length,
-      untouchedFiles = untouched.length)
+            dvLines(dvFor(fs, root, b), untouchedNow.toSet) ++
+            statsLines(fs, root, b, untouchedNow.toSet) ++ staged.stats))
+      }
+    }
+    UpdateResult(committed, rewrittenFiles = staged.files.length,
+      untouchedFiles =
+        if (committed == base + 1) untouched.length
+        else readManifest(fs, root, committed - 1)
+          .count(!mayMatch.toSet(_)))
   }
 
   /** Copy-on-write KEY-FRAME update — the UPDATE twin of
@@ -5786,14 +5925,17 @@ object Snapshots {
     // metadata-only rename over the PINNED frame — rows untouched
     val src = matchKeys.toDF(canonKeys: _*)
     updateMatchingPinned(spark, dir, src, canonKeys, assigned, cols,
-      base, fs, root)
+      base, fs, root, allowRebase = expectedVersion < 0)
   }
 
   private def updateMatchingPinned(spark: SparkSession, dir: String,
       src: DataFrame, canonKeys: Seq[String],
       assigned: Map[String, Column], cols: StructType, base: Int,
-      fs: FileSystem, root: HPath): UpdateResult = {
-    val (mayMatch, untouched) = keyFootprint(src, canonKeys) match {
+      fs: FileSystem, root: HPath,
+      allowRebase: Boolean = true): UpdateResult = {
+    val fp = keyFootprint(src, canonKeys) // once: src is pinned, but
+      // the footprint probe is a job — never pay (or re-plan) it twice
+    val (mayMatch, untouched) = fp match {
       case None => (Nil, readManifest(fs, root, base))
       case Some(pred) => pruneFiles(spark, dir, pred, base)
     }
@@ -5811,7 +5953,9 @@ object Snapshots {
         }
       }: _*))
     commitUpdateRewrite(spark, dir, fs, root, base, mayMatch, untouched,
-      rewrittenRows)
+      rewrittenRows,
+      footprint = fp.get, // mayMatch nonempty ⇒ the footprint existed
+      allowRebase = allowRebase)
   }
 
   /** Exactly-once [[merge]] for streaming epochs — the upsert analogue
