@@ -158,6 +158,14 @@ object HardLinkCommitCoordinator extends CommitCoordinator {
             val buf = ByteBuffer.wrap(body)
             while (buf.hasRemaining) out.write(buf)
             out.force(true)
+          } catch {
+            case t: Throwable =>
+              // we OWN the target (CREATE_NEW succeeded): a partial
+              // body must not stay visible as the table tip, and the
+              // version must stay claimable by a retry
+              try out.close() catch { case NonFatal(_) => }
+              Files.deleteIfExists(targetPath)
+              throw t
           } finally out.close()
           true
         } catch { case _: FileAlreadyExistsException => false }

@@ -4740,14 +4740,20 @@ object Snapshots {
   }
 
   /** Project a change-feed window onto the source's POST-window shape
-    * for the replica apply: in-window drops leave the projection,
-    * renames read through `coalesce(new, old)` (pre-rename segments
-    * carry the value under the old name — same physical column),
-    * in-window ADD ... DEFAULT columns read the pinned default for
-    * rows whose commit PRECEDES the add (the union's NULL-fill there
-    * means "column did not exist yet", which on the source reads the
-    * default — an explicit post-add NULL stays NULL), and types cast
-    * to the final shape across in-window widenings. */
+    * for the replica apply. Schema DDL inside the window means one
+    * logical column's values travel under DIFFERENT feed columns
+    * depending on the row's commit era — the feed unions by name, so
+    * a row committed while physical column `p` was named `x` carries
+    * its value under `x` and NULL-fill under every other of p's
+    * names. Reads are therefore built PER ERA from p's name history
+    * across the window's pinned schemas, version-bounded at each DDL
+    * instant: rename chains (including INTERMEDIATE names — a→x→b —
+    * and re-owned names — a→b, c→a) read each era's own column
+    * exactly for that era's rows; eras before an in-window ADD read
+    * the pinned EXISTS_DEFAULT (an explicit post-add NULL stays
+    * NULL); types cast to the final shape across in-window
+    * widenings. Windows with no schema drift — the overwhelmingly
+    * common case — skip the version walk entirely. */
   private def projectFeedTo(spark: SparkSession, srcDir: String,
       appliedV: Int, srcV: Int, feed: DataFrame): DataFrame = {
     val (sfs, sroot) = fsFor(spark, srcDir)
@@ -4757,86 +4763,57 @@ object Snapshots {
       .map(_.fields.map(f => physOf(f) -> f).toMap)
       .getOrElse(after.fields.map(f => physOf(f) -> f).toMap)
     val feedCols = feed.columns.toSet
-    // first version in (applied, srcV] whose schema carries `p` —
-    // the add instant, bounding which feed rows predate the column
-    def addVersionOf(p: String): Int =
-      versions(spark, srcDir)
-        .filter(v => v > appliedV && v <= srcV)
-        .find(v => schemaOf(sfs, sroot, v)
-          .exists(_.fields.exists(f => physOf(f) == p)))
-        .getOrElse(srcV)
-    // first version in (applied, srcV] where physical `p` carries its
-    // post-window name — the rename instant, bounding the old-name
-    // read-through when the old name was REUSED in the same window
-    def renameVersionOf(p: String, newName: String): Int =
-      versions(spark, srcDir)
-        .filter(v => v > appliedV && v <= srcV)
-        .find(v => schemaOf(sfs, sroot, v)
-          .exists(_.fields.exists(f2 => physOf(f2) == p &&
-            f2.name.equalsIgnoreCase(newName))))
-        .getOrElse(srcV)
+    val noDrift = beforeByPhys.size == after.fields.length &&
+      after.fields.forall(f =>
+        beforeByPhys.get(physOf(f)).exists(_.name == f.name))
+    // the window's pinned schemas, read ONCE for all columns (only
+    // materialized under drift)
+    lazy val winSchemas: Seq[(Int, Option[StructType])] =
+      versions(spark, srcDir).filter(v => v > appliedV && v <= srcV)
+        .map(v => v -> schemaOf(sfs, sroot, v))
     val projected = after.fields.toSeq.map { f =>
       val p = physOf(f)
-      val oldName = beforeByPhys.get(p).map(_.name)
-      // does `name` ALSO belong to a DIFFERENT physical column at the
-      // window's start or end? (a rename chain a→b, c→a — the freed
-      // name re-owned within one window.) Then the feed's by-name
-      // union mixes two columns' values inside one column, split at
-      // this column's rename/add instant, and every read of that name
-      // must be version-bounded — an unbounded read bleeds the other
-      // column's data into this one (e.g. a post-rename explicit NULL
-      // coalescing into the reused old name's values, or a pre-rename
-      // row surfacing the old owner's data under the new name).
-      def contested(name: String): Boolean =
-        after.fields.exists(f2 => physOf(f2) != p &&
-          f2.name.equalsIgnoreCase(name)) ||
-        beforeByPhys.exists { case (p2, fb) => p2 != p &&
-          fb.name.equalsIgnoreCase(name) }
-      // the RENAME branch comes FIRST: a window whose only data
-      // commits PRECEDE the rename has just the old name in the feed
-      // (the rename itself is metadata-only — zero feed rows), and
-      // the added-column fallback would silently default/NULL the
-      // renamed column's real values
+      def absentRead: Column =
+        if (f.metadata.contains("EXISTS_DEFAULT"))
+          expr(f.metadata.getString("EXISTS_DEFAULT"))
+        else lit(null)
+      def readOf(nameOpt: Option[String]): Column = nameOpt match {
+        case Some(n) if feedCols.contains(n) => col(n)
+        // the era's rows would carry this column; its absence from
+        // the feed union means the era contributed no data rows, so
+        // this read is never selected — a placeholder suffices
+        case Some(_) => lit(null)
+        case None => absentRead // rows predate the column: the add
+        // fill — what pre-evolution rows read on the source itself
+      }
       val base: Column =
-        if (oldName.exists(o => !o.equalsIgnoreCase(f.name))) {
-          val o = oldName.get
-          val hasOld = feedCols.contains(o)
-          val hasNew = feedCols.contains(f.name)
-          if (!hasOld && !hasNew) missingColumnReads(f)
-          else if (!contested(o) && !contested(f.name)) {
-            // both names unambiguous: pre-rename segments carry the
-            // value under the old name (NULL-filled under the new),
-            // post-rename the reverse — a plain coalesce suffices
-            if (hasOld && hasNew) coalesce(col(f.name), col(o))
-            else if (hasOld) col(o)
-            else col(f.name)
-          } else {
-            // a contested name: split reads at the rename instant —
-            // rows before it own the old name, rows after the new;
-            // outside its era a name holds the OTHER column's data
-            val rv = renameVersionOf(p, f.name)
-            val oldSide = if (hasOld) col(o) else lit(null)
-            val newSide = if (hasNew) col(f.name) else lit(null)
-            when(col("_commit_version") < lit(rv), oldSide)
-              .otherwise(newSide)
+        if (noDrift) {
+          if (feedCols.contains(f.name)) col(f.name)
+          else missingColumnReads(f) // zero data rows in the window
+        } else {
+          // p's name history across the window, grouped into eras of
+          // one stable read; a feed row's _commit_version selects
+          // exactly its own era's read
+          val names: Seq[(Int, Option[String])] = winSchemas.map {
+            case (v, sc) => v -> sc.flatMap(
+              _.fields.find(f2 => physOf(f2) == p).map(_.name))
+          }
+          if (names.isEmpty) readOf(Some(f.name))
+          else {
+            val runs = names
+              .foldLeft(List.empty[(Int, Int, Option[String])]) {
+                case ((s0, _, n0) :: tail, (v, nm)) if n0 == nm =>
+                  (s0, v, n0) :: tail
+                case (acc, (v, nm)) => (v, v, nm) :: acc
+              }.reverse
+            if (runs.size == 1) readOf(runs.head._3)
+            else runs.init.foldRight(readOf(runs.last._3)) {
+              case ((_, e, nm), acc) =>
+                when(col("_commit_version") <= lit(e), readOf(nm))
+                  .otherwise(acc)
+            }
           }
         }
-        else if (!feedCols.contains(f.name))
-          // added in-window, zero post-add feed rows: every feed row
-          // predates the column — they all read the default
-          missingColumnReads(f)
-        else if (oldName.isEmpty && f.metadata.contains("EXISTS_DEFAULT"))
-          when(col("_commit_version") < lit(addVersionOf(p)),
-            expr(f.metadata.getString("EXISTS_DEFAULT")))
-            .otherwise(col(f.name))
-        else if (oldName.isEmpty && contested(f.name))
-          // added in-window under a name another column carried at the
-          // window's start: pre-add feed rows hold THAT column's
-          // values under this name — they must read NULL (the column
-          // did not exist yet), not the old owner's data
-          when(col("_commit_version") < lit(addVersionOf(p)), lit(null))
-            .otherwise(col(f.name))
-        else col(f.name)
       base.cast(f.dataType).as(f.name)
     }
     feed.select(projected ++
@@ -5317,8 +5294,10 @@ object Snapshots {
         MergeResult(committed, rewrittenFiles = staged.files.length,
           untouchedFiles =
             if (committed == v + 1) untouched.length
-            else readManifest(fs, root, committed - 1)
-              .count(!touched.toSet(_)))
+            else {
+              val t = touched.toSet
+              readManifest(fs, root, committed - 1).count(!t(_))
+            })
         } finally {
           src.unpersist()
           if (pinnedMut != null) pinnedMut.unpersist()
@@ -5466,8 +5445,10 @@ object Snapshots {
     DeleteResult(committed, rewrittenFiles = staged.files.length,
       droppedFiles = 0, untouchedFiles =
         if (committed == base + 1) untouched.length
-        else readManifest(fs, root, committed - 1)
-          .count(!touched.toSet(_)))
+        else {
+          val t = touched.toSet
+          readManifest(fs, root, committed - 1).count(!t(_))
+        })
   }
 
   /** Copy-on-write DELETE — rows satisfying `pred` are removed as ONE
@@ -5593,8 +5574,10 @@ object Snapshots {
     DeleteResult(committed, rewrittenFiles = staged.files.length,
       droppedFiles = dropWhole.length, untouchedFiles =
         if (committed == base + 1) untouched.length
-        else readManifest(fs, root, committed - 1)
-          .count(!mayMatch.toSet(_)))
+        else {
+          val t = mayMatch.toSet
+          readManifest(fs, root, committed - 1).count(!t(_))
+        })
   }
 
   /** What a [[replaceWhere]] did: `stagedFiles` covers both the
@@ -5744,8 +5727,10 @@ object Snapshots {
     ReplaceResult(committed, stagedFiles = staged.files.length,
       droppedFiles = dropWhole.length, untouchedFiles =
         if (committed == base + 1) untouched.length
-        else readManifest(fs, root, committed - 1)
-          .count(!mayMatch.toSet(_)))
+        else {
+          val t = mayMatch.toSet
+          readManifest(fs, root, committed - 1).count(!t(_))
+        })
   }
 
   final case class UpdateResult(version: Int, rewrittenFiles: Int,
@@ -5856,8 +5841,10 @@ object Snapshots {
     UpdateResult(committed, rewrittenFiles = staged.files.length,
       untouchedFiles =
         if (committed == base + 1) untouched.length
-        else readManifest(fs, root, committed - 1)
-          .count(!mayMatch.toSet(_)))
+        else {
+          val t = mayMatch.toSet
+          readManifest(fs, root, committed - 1).count(!t(_))
+        })
   }
 
   /** Copy-on-write KEY-FRAME update — the UPDATE twin of
@@ -7484,8 +7471,9 @@ object Snapshots {
     val schema = allNullable(spark.read.option("mergeSchema", "true")
       .parquet(rels.map { case (r, _) => s"$rootStr/$r" }: _*).schema)
     val statFields = statColumns(schema)
-    val (statLines, rows) =
-      footerStatLines(spark, rootStr, rels.map(_._1), statFields)
+    val (statLines, rows) = footerStatLines(spark, rootStr,
+      rels.map(_._1), statFields,
+      spark.sessionState.conf.sessionLocalTimeZone)
     val sizeLines = rels.map { case (rel, len) => s"#size\t$rel\t$len" }
     val header = opHeader("convert") ++ Seq(schemaHeader(schema)) ++
       sizeLines ++ statLines
@@ -7503,8 +7491,8 @@ object Snapshots {
     * anything uncertain is simply absent — absent stats never prune
     * and never feed a stats-decided aggregate. */
   private def footerStatLines(spark: SparkSession, rootStr: String,
-      rels: Seq[String], fields: Seq[StructField])
-      : (Seq[String], Long) = {
+      rels: Seq[String], fields: Seq[StructField],
+      sessionTz: String): (Seq[String], Long) = {
     if (rels.isEmpty) return (Nil, 0L)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -7516,7 +7504,7 @@ object Snapshots {
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new HPath(s"$rootStr/$rel"), conf.value))
-        try footerLinesOf(rel, reader.getFooter, want)
+        try footerLinesOf(rel, reader.getFooter, want, sessionTz)
         finally reader.close()
       }.collect().toSeq
     (perFile.flatMap(_._1), perFile.map(_._2).sum)
@@ -7525,7 +7513,8 @@ object Snapshots {
   /** One file's exact `#stats` lines from its parsed footer. */
   private def footerLinesOf(rel: String,
       md: org.apache.parquet.hadoop.metadata.ParquetMetadata,
-      want: Seq[(String, DataType)]): (Seq[String], Long) = {
+      want: Seq[(String, DataType)],
+      sessionTz: String): (Seq[String], Long) = {
     import scala.jdk.CollectionConverters._
     val blocks = md.getBlocks.asScala.toSeq
     val rows = blocks.map(_.getRowCount).sum
@@ -7533,8 +7522,18 @@ object Snapshots {
       if (rows == 0L)
         Some(s"#stats\t$rel\t0\t${enc(name)}\t0\tnull\tnull")
       else {
-        val perBlock = blocks.map(b => b.getColumns.asScala.find(c =>
-          c.getPath.size == 1 && c.getPath.iterator.next == name))
+        val perBlock = blocks.map { b =>
+          val hits = b.getColumns.asScala.filter(c =>
+            c.getPath.size == 1 &&
+              c.getPath.iterator.next.equalsIgnoreCase(name))
+          // >1 = two physical columns differing only by case in one
+          // file: ambiguous — encoded as a sentinel the caller fails
+          // open on (None alone means "column absent", which is an
+          // EXACT all-null record, not an unknown)
+          if (hits.size > 1) return (Nil, rows) // unreachable shape:
+          // bail out of the whole file's stats rather than guess
+          hits.headOption
+        }
         if (perBlock.forall(_.isEmpty))
           // the column is not in this file's schema: reads NULL-fill
           // it — an exact all-null record
@@ -7554,7 +7553,7 @@ object Snapshots {
                 s.getNumNulls < c.getValueCount
               }.map(_._2)
               if (live.exists(!_.hasNonNullValue)) None
-              else footerMinMax(dt, chunks.head, live).map {
+              else footerMinMax(dt, chunks.head, live, sessionTz).map {
                 case (mn, mx) =>
                   s"#stats\t$rel\t$rows\t${enc(name)}\t$nulls\t" +
                     s"v:${enc(mn)}\tv:${enc(mx)}"
@@ -7573,8 +7572,8 @@ object Snapshots {
     * stats are exact by format. None = no stat (fail-open). */
   private def footerMinMax(dt: DataType,
       col0: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
-      live: Seq[org.apache.parquet.column.statistics.Statistics[_]])
-      : Option[(String, String)] = {
+      live: Seq[org.apache.parquet.column.statistics.Statistics[_]],
+      sessionTz: String): Option[(String, String)] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     if (live.isEmpty) return None
@@ -7622,12 +7621,21 @@ object Snapshots {
               case LogicalTypeAnnotation.TimeUnit.MICROS => v => Some(v)
               case _ => _ => None
             }
+            // TimestampType strings cast back under the READER
+            // session's timezone at prune time — render under the
+            // convert session's zone (the same convention
+            // collectStats follows via Spark's own cast); NTZ is a
+            // wall clock, zone-independent by construction
+            val zone = dt match {
+              case TimestampNTZType => java.time.ZoneOffset.UTC
+              case _ => java.time.ZoneId.of(sessionTz)
+            }
             def fmt(v: Any): Option[String] =
               us(v.asInstanceOf[java.lang.Long].longValue).map { u =>
-                java.time.LocalDateTime.ofEpochSecond(
+                java.time.Instant.ofEpochSecond(
                   Math.floorDiv(u, 1000000L),
-                  Math.floorMod(u, 1000000L).toInt * 1000,
-                  java.time.ZoneOffset.UTC)
+                  Math.floorMod(u, 1000000L) * 1000L)
+                  .atZone(zone).toLocalDateTime
                   .format(java.time.format.DateTimeFormatter
                     .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS"))
               }

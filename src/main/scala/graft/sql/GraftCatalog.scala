@@ -552,6 +552,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def viewExists(ident: Identifier): Boolean =
     isViewDir(new HPath(dirFor(ident)))
 
+  /** Per-namespace view-name cache for the RESOLUTION path: the view
+    * rule probes every unresolved relation name on every analyzer
+    * iteration, and an uncached probe is a storage round trip per
+    * relation per iteration (several extra HEAD requests of analysis
+    * latency per query on an object store). One namespace listing
+    * amortizes across a short TTL; this catalog instance's own view
+    * DDL invalidates immediately, so create-then-select in one
+    * session is always fresh — only ANOTHER session's brand-new view
+    * can be missed for up to the TTL (re-run the query). The
+    * `viewExists` API above stays uncached (exact). */
+  private val viewNamesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+  private val ViewCacheTtlNanos = 2000000000L
+
+  private[sql] def viewExistsCached(ident: Identifier): Boolean = {
+    val ns = ident.namespace.mkString(" ")
+    val now = System.nanoTime()
+    val cached = viewNamesCache.get(ns)
+    val names =
+      if (cached != null && now - cached._1 < ViewCacheTtlNanos) cached._2
+      else {
+        val set =
+          try listViews(ident.namespace: _*).map(_.name).toSet
+          catch { case _: NoSuchNamespaceException => Set.empty[String] }
+        viewNamesCache.put(ns, (now, set))
+        set
+      }
+    names.contains(ident.name)
+  }
+
+  private def invalidateViewCache(ident: Identifier): Unit =
+    viewNamesCache.remove(ident.namespace.mkString(" "))
+
   override def listViews(namespace: String*): Array[Identifier] = {
     val ns = namespace.toArray
     val p = nsPath(ns)
@@ -582,6 +615,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!Snapshots.publishExclusive(spark, viewFile(ident).toString,
         GraftViews.render(info)))
       throw new ViewAlreadyExistsException(ident)
+    invalidateViewCache(ident)
     loadView(ident)
   }
 
@@ -600,6 +634,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new java.util.ConcurrentModificationException(
         s"REPLACE VIEW ${fullName(ident)} lost a race with a " +
           "concurrent CREATE — re-run to replace the winner")
+    invalidateViewCache(ident)
     loadView(ident)
   }
 
@@ -626,6 +661,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropView(ident: Identifier): Boolean = {
     val p = new HPath(dirFor(ident))
+    invalidateViewCache(ident)
     if (!isViewDir(p)) false
     else fs.delete(p, true)
   }
@@ -644,6 +680,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!fs.rename(new HPath(dirFor(oldIdent)), dst))
       throw new IllegalStateException(
         s"rename view ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
+    invalidateViewCache(oldIdent)
+    invalidateViewCache(newIdent)
   }
 
   /** `ALTER TABLE ... RENAME TO ...` physically moves the table

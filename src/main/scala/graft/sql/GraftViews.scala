@@ -76,14 +76,18 @@ object GraftViews {
       case Seq(one) =>
         current.map(g => (g, Identifier.of(cm.currentNamespace, one)))
       case head +: rest =>
-        val byName =
-          try cm.catalog(head) match {
-            case g: GraftCatalog =>
-              Some((g, Identifier.of(rest.init.toArray, rest.last)))
-            case _ => None
-          } catch { case NonFatal(_) => None }
-        byName.orElse(current.map(g =>
-          (g, Identifier.of(parts.init.toArray, parts.last))))
+        // the current-catalog fallback applies ONLY when the head is
+        // not a catalog at all (it is then a namespace level) — a head
+        // that names a DIFFERENT registered catalog must never be
+        // hijacked into the graft warehouse
+        (try Some(cm.catalog(head))
+        catch { case NonFatal(_) => None }) match {
+          case Some(g: GraftCatalog) =>
+            Some((g, Identifier.of(rest.init.toArray, rest.last)))
+          case Some(_) => None
+          case None => current.map(g =>
+            (g, Identifier.of(parts.init.toArray, parts.last)))
+        }
     }
   }
 
@@ -100,12 +104,13 @@ object GraftViews {
     parts match {
       case Seq() => current.map(g => (g, cm.currentNamespace.toSeq))
       case head +: rest =>
-        val byName =
-          try cm.catalog(head) match {
-            case g: GraftCatalog => Some((g, rest))
-            case _ => None
-          } catch { case NonFatal(_) => None }
-        byName.orElse(current.map(g => (g, parts)))
+        // same non-hijack rule as [[resolveView]]
+        (try Some(cm.catalog(head))
+        catch { case NonFatal(_) => None }) match {
+          case Some(g: GraftCatalog) => Some((g, rest))
+          case Some(_) => None
+          case None => current.map(g => (g, parts))
+        }
     }
   }
 
@@ -278,11 +283,14 @@ final case class GraftViewResolution(session: SparkSession)
       v: View): LogicalPlan = {
     val parsed = CTESubstitution(
       session.sessionState.sqlParser.parsePlan(v.query))
+    // qualification is UNCONDITIONAL: CREATE refused temp-view
+    // references, so every stored unqualified name means a catalog
+    // object — consulting the READER's temp views here would let a
+    // reader-local temp view silently hijack the stored definition's
+    // tables, contradicting the same-from-any-session contract
     val qualified = parsed.transformDownWithSubqueries {
       case u: UnresolvedRelation if u.multipartIdentifier.length <= 2 &&
-          !u.isStreaming &&
-          !session.sessionState.catalog.isTempView(u.multipartIdentifier) &&
-          u.multipartIdentifier.head != "global_temp" =>
+          !u.isStreaming =>
         val full = u.multipartIdentifier match {
           case Seq(one) =>
             (v.currentCatalog +: v.currentNamespace.toSeq) :+ one
@@ -300,7 +308,10 @@ final case class GraftViewResolution(session: SparkSession)
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation if !u.isStreaming =>
         GraftViews.resolveView(session, u.multipartIdentifier) match {
-          case Some((g, ident)) if g.viewExists(ident) =>
+          // the TTL-cached probe: this match runs for every relation
+          // name on every analyzer iteration — an uncached fs.exists
+          // would cost a storage round trip per relation per iteration
+          case Some((g, ident)) if g.viewExistsCached(ident) =>
             expand(g, ident, g.loadView(ident))
           case _ => u
         }

@@ -276,6 +276,35 @@ class ApplyChangesSpec extends SparkSpec {
     assert(k3.getString(0) == "n3" && k3.getString(1) == "a3")
   }
 
+  test("replicate: a DOUBLE rename (a→x→b) in one window keeps data " +
+      "committed under the intermediate name") {
+    // the feed unions by name, so an x-era row carries its value only
+    // under column x — a coalesce(new, old) read would silently NULL
+    // it; the era-bounded projection must read each commit's own name
+    val src = tmp(); val dst = tmp()
+    Snapshots.append((1L to 5L).map(i => (i, s"v$i")).toDF("id", "a"),
+      src)
+    Snapshots.replicate(spark, src, dst, Seq("id"))
+    Snapshots.updateMatching(spark, src, Seq(2L).toDF("id"), Seq("id"),
+      Seq("a" -> lit("va"))) // a-era data
+    Snapshots.renameColumn(spark, src, "a", "x")
+    Snapshots.updateMatching(spark, src, Seq(3L).toDF("id"), Seq("id"),
+      Seq("x" -> lit("vx"))) // INTERMEDIATE-era data
+    Snapshots.renameColumn(spark, src, "x", "b")
+    Snapshots.updateMatching(spark, src, Seq(4L).toDF("id"), Seq("id"),
+      Seq("b" -> lit("vb"))) // final-era data
+    Snapshots.replicate(spark, src, dst, Seq("id"))
+    val got = Snapshots.read(spark, dst).orderBy("id")
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.toSeq == Seq(1L -> "v1", 2L -> "va", 3L -> "vx",
+      4L -> "vb", 5L -> "v5"),
+      s"intermediate-era value lost: ${got.toSeq}")
+    val cols = Snapshots.read(spark, src).columns.sorted.toSeq
+    def rows(d: String) = Snapshots.read(spark, d)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(dst) == rows(src))
+  }
+
   test("replicate bootstraps from a created-but-EMPTY source") {
     val src = tmp(); val dst = tmp()
     Snapshots.createTable(spark, src,

@@ -136,6 +136,65 @@ class ConvertSpec extends SparkSpec {
       s"exact all-null footer record must prune: kept=$kept")
   }
 
+  test("timestamp footer stats round-trip under a NON-UTC session " +
+      "timezone: no wrong pruning") {
+    // stats strings cast back under the READER's session timezone at
+    // prune time — a hard-coded-UTC rendering would shift the bounds
+    // by the zone offset and prune files that contain matching rows
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    // Spark's legacy default INT96 timestamps carry no usable footer
+    // stats (deprecated ordering — convert fails open there); the
+    // modern annotated micros are what external writers produce
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    try {
+      val t = tmp()
+      spark.sql(
+        """SELECT id, CAST(ts AS TIMESTAMP) AS ts FROM VALUES
+          |  (1L, '2024-06-01 09:00:00'),
+          |  (2L, '2024-06-01 10:00:00') AS v(id, ts)""".stripMargin)
+        .coalesce(1).write.parquet(t)
+      spark.sql(
+        """SELECT id, CAST(ts AS TIMESTAMP) AS ts FROM VALUES
+          |  (3L, '2024-07-01 09:00:00') AS v(id, ts)""".stripMargin)
+        .coalesce(1).write.mode("append").parquet(t)
+      Snapshots.convert(spark, t)
+      // an equality probe at a real instant must keep its file...
+      val (kept, _) = Snapshots.pruneFiles(spark, t,
+        col("ts") === expr("CAST('2024-06-01 09:00:00' AS TIMESTAMP)"))
+      assert(kept.size == 1,
+        s"the June file holds a matching row and must be kept: $kept")
+      assert(Snapshots.read(spark, t)
+        .filter(col("ts") === expr(
+          "CAST('2024-06-01 09:00:00' AS TIMESTAMP)")).count() == 1)
+      // ...and the July file is genuinely prunable (stats live)
+      val (_, skipped) = Snapshots.pruneFiles(spark, t,
+        col("ts") < expr("CAST('2024-06-15 00:00:00' AS TIMESTAMP)"))
+      assert(skipped.size == 1, s"July must prune: skipped=$skipped")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+      spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
+    }
+  }
+
+  test("footer stats match columns case-insensitively: a file whose " +
+      "casing differs is not falsely recorded all-NULL") {
+    val t = tmp()
+    Seq((1L, "a")).toDF("id", "s").coalesce(1).write.parquet(t)
+    Seq((100L, "b")).toDF("ID", "s").coalesce(1)
+      .write.mode("append").parquet(t)
+    Snapshots.convert(spark, t)
+    // a false all-null record for the ID file would prune it on ANY
+    // id predicate — the row would silently vanish from filtered reads
+    val (kept, _) = Snapshots.pruneFiles(spark, t, col("id") === 100L)
+    assert(kept.size == 1,
+      s"the upper-case file holds id=100 and must be kept: $kept")
+    assert(Snapshots.read(spark, t).filter(col("id") === 100L)
+      .count() == 1)
+  }
+
   test("CALL convert: the SQL surface") {
     val w = Files.createTempDirectory("graft_cv_wh").toFile.toString
     spark.conf.set("spark.sql.catalog.gcv", "graft.sql.GraftCatalog")

@@ -115,6 +115,46 @@ class ViewSpec extends SparkSpec {
     spark.sql("DROP VIEW gvw.default.durable")
   }
 
+  test("a name explicitly prefixed with ANOTHER catalog is never " +
+      "hijacked into the graft warehouse") {
+    warehouse
+    spark.sql("USE gvw")
+    try {
+      // view DDL aimed at the SESSION catalog routes to Spark's own
+      // path even while a graft catalog is current
+      spark.sql("CREATE VIEW spark_catalog.default.sc_v AS SELECT 1 AS one")
+      assert(spark.sql("SELECT one FROM spark_catalog.default.sc_v")
+        .head().getInt(0) == 1)
+      // and it did NOT land under the graft warehouse
+      val cat = spark.sessionState.catalogManager.catalog("gvw")
+        .asInstanceOf[graft.sql.GraftCatalog]
+      import org.apache.spark.sql.connector.catalog.Identifier
+      assert(!cat.viewExists(
+        Identifier.of(Array("spark_catalog", "default"), "sc_v")))
+      spark.sql("DROP VIEW spark_catalog.default.sc_v")
+    } finally spark.sql("USE spark_catalog")
+  }
+
+  test("a reader-local TEMP view cannot hijack a stored view's tables") {
+    warehouse
+    spark.sql("USE gvw")
+    try spark.sql("CREATE VIEW default.nohijack AS " +
+      "SELECT count(*) AS n FROM t") // bare name: CREATE-time = gvw.default.t
+    finally spark.sql("USE spark_catalog")
+    val catalogCount = spark.sql("SELECT n FROM gvw.default.nohijack")
+      .head().getLong(0)
+    assert(catalogCount >= 4L)
+    // the reader now shadows the name with a session-local temp view —
+    // the stored definition must keep reading the CATALOG table
+    Seq((1, 1)).toDF("a", "b").createOrReplaceTempView("t")
+    try {
+      assert(spark.sql("SELECT n FROM gvw.default.nohijack")
+        .head().getLong(0) == catalogCount,
+        "a reader-local temp view hijacked the stored definition")
+    } finally spark.catalog.dropTempView("t")
+    spark.sql("DROP VIEW gvw.default.nohijack")
+  }
+
   test("programmatic ViewCatalog surface: rename and property alter") {
     warehouse
     spark.sql("CREATE VIEW gvw.default.pv AS SELECT id FROM gvw.default.t")
