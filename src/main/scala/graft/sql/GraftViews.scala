@@ -8,10 +8,10 @@ import scala.util.control.NonFatal
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, NoSuchTableException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, ViewAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, NoSuchTableException, NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{AnalyzeColumn, AnalyzeTable, CreateView, DropView, LeafNode, LogicalPlan, ShowViews, SubqueryAlias, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, AnalyzeColumn, AnalyzeTable, CreateView, DropView, LeafNode, LogicalPlan, ShowViews, SubqueryAlias, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -51,11 +51,14 @@ import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
   * is documented last-writer-wins (delete + exclusive create).
   *
   * Deliberate limits: a view definition must not reference TEMP views
-  * (refused at CREATE — a shared definition over session-local state
-  * would dangle for every other session); ALTER VIEW supports
-  * SET/UNSET properties through the catalog API only. A definition
-  * cycle created by racing REPLACEs fails loudly at the analyzer's
-  * iteration cap rather than looping. */
+  * (refused at CREATE and ALTER — a shared definition over
+  * session-local state would dangle for every other session);
+  * `ALTER VIEW ... AS` swaps the definition (keeping properties,
+  * resetting column aliases); SET/UNSET TBLPROPERTIES on views goes
+  * through the catalog API. Streaming reads of a view refuse with a
+  * named error (a view expands to an arbitrary query with no change
+  * feed). A definition cycle created by racing REPLACEs fails loudly
+  * at the analyzer's iteration cap rather than looping. */
 object GraftViews {
 
   val ViewFile = "_view"
@@ -196,6 +199,17 @@ final case class ShowGraftViewsStatement(nsParts: Seq[String],
     pattern: Option[String],
     override val output: Seq[Attribute]) extends LeafNode
 
+/** Parsed `ALTER VIEW ... AS <query>` aimed at a graft catalog:
+  * the definition swap that keeps the view's properties. */
+final case class AlterGraftViewAsStatement(nameParts: Seq[String],
+    originalText: String, query: LogicalPlan) extends UnaryNode {
+  override def child: LogicalPlan = query
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): AlterGraftViewAsStatement =
+    copy(query = newChild)
+}
+
 /** Parsed `ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ... |
   * FOR ALL COLUMNS]` aimed at a graft catalog (Spark's own analyze
   * commands are session-catalog only — same routing problem as the
@@ -232,6 +246,9 @@ final class GraftViewAwareParser(session: () => SparkSession,
     case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output)
         if GraftViews.resolveNamespace(session(), parts).isDefined =>
       ShowGraftViewsStatement(parts, pattern, output)
+    case a @ AlterViewAs(UnresolvedView(parts, _, _, _), orig, query)
+        if GraftViews.resolveView(session(), parts).isDefined =>
+      AlterGraftViewAsStatement(parts, orig, query)
     case a @ AnalyzeColumn(UnresolvedTableOrView(parts, _, _), cols, all)
         if GraftViews.resolveView(session(), parts).isDefined =>
       AnalyzeGraftTableStatement(parts, cols.getOrElse(Nil), all)
@@ -306,6 +323,16 @@ final case class GraftViewResolution(session: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      case u: UnresolvedRelation if u.isStreaming =>
+        GraftViews.resolveView(session, u.multipartIdentifier) match {
+          case Some((g, ident)) if g.viewExistsCached(ident) =>
+            throw new UnsupportedOperationException(
+              s"cannot STREAM from view ${u.multipartIdentifier
+                .mkString(".")} — views expand to arbitrary queries " +
+                "with no change feed; readStream.table the underlying " +
+                "snapshot table (or its change feed) instead")
+          case _ => u
+        }
       case u: UnresolvedRelation if !u.isStreaming =>
         GraftViews.resolveView(session, u.multipartIdentifier) match {
           // the TTL-cached probe: this match runs for every relation
@@ -338,6 +365,16 @@ final case class GraftViewResolution(session: SparkSession)
             s"namespace ${s.nsParts.mkString(".")} no longer resolves " +
               "to a graft catalog"))
         ShowGraftViewsCommand(g, ns, s.pattern, s.output)
+      case a: AlterGraftViewAsStatement if a.query.resolved =>
+        val (g, ident) = GraftViews.resolveView(session, a.nameParts)
+          .getOrElse(throw new IllegalStateException(
+            s"view identifier ${a.nameParts.mkString(".")} no longer " +
+              "resolves to a graft catalog"))
+        AlterGraftViewAsCommand(g, ident, a.originalText, a.query.schema,
+          curCatalog = session.sessionState.catalogManager
+            .currentCatalog.name,
+          curNamespace = session.sessionState.catalogManager
+            .currentNamespace.toSeq)
       case a: AnalyzeGraftTableStatement =>
         val (g, ident) = GraftViews.resolveView(session, a.nameParts)
           .getOrElse(throw new IllegalStateException(
@@ -404,6 +441,37 @@ final case class DropGraftViewCommand(catalog: GraftCatalog,
     if (!dropped && !ifExists)
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident)
+    Seq.empty
+  }
+}
+
+/** `ALTER VIEW ... AS <query>` against a [[GraftCatalog]]: replaces
+  * the stored definition (refusing temp-view references like CREATE),
+  * keeps the view's properties, resets column aliases (the new query
+  * names its own columns — SQL semantics). */
+final case class AlterGraftViewAsCommand(catalog: GraftCatalog,
+    ident: Identifier, originalText: String, viewSchema: StructType,
+    curCatalog: String, curNamespace: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val old = catalog.loadView(ident) // throws NoSuchViewException
+    val parsed = CTESubstitution(
+      session.sessionState.sqlParser.parsePlan(originalText))
+    parsed.foreachWithSubqueries {
+      case u: UnresolvedRelation
+          if session.sessionState.catalog
+            .isTempView(u.multipartIdentifier) =>
+        throw new IllegalArgumentException(
+          s"cannot ALTER VIEW $ident: the new definition references " +
+            s"temp view ${u.multipartIdentifier.mkString(".")} — a " +
+            "persisted view over session-local state would dangle in " +
+            "every other session")
+      case _ =>
+    }
+    val info = new ViewInfo(ident, originalText, curCatalog,
+      curNamespace.toArray, viewSchema, viewSchema.fieldNames,
+      Array.empty[String], Array.empty[String], old.properties)
+    catalog.replaceView(info, false)
     Seq.empty
   }
 }

@@ -155,6 +155,39 @@ class ViewSpec extends SparkSpec {
     spark.sql("DROP VIEW gvw.default.nohijack")
   }
 
+  test("ALTER VIEW ... AS swaps the definition, keeps properties, " +
+      "refuses temp references; streaming a view refuses by name") {
+    warehouse
+    spark.sql("CREATE VIEW gvw.default.av AS SELECT id FROM gvw.default.t")
+    val cat = spark.sessionState.catalogManager.catalog("gvw")
+      .asInstanceOf[graft.sql.GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange}
+    cat.alterView(Identifier.of(Array("default"), "av"),
+      ViewChange.setProperty("owner.team", "data"))
+    spark.sql("ALTER VIEW gvw.default.av AS " +
+      "SELECT v AS val FROM gvw.default.t WHERE id <= 2")
+    assert(spark.sql("SELECT sum(val) FROM gvw.default.av")
+      .head().getDouble(0) == 3.0)
+    assert(cat.loadView(Identifier.of(Array("default"), "av"))
+      .properties.get("owner.team") == "data",
+      "ALTER VIEW AS must keep the view's properties")
+    Seq((9, 9)).toDF("a", "b").createOrReplaceTempView("av_tmp")
+    try intercept[IllegalArgumentException](
+      spark.sql("ALTER VIEW gvw.default.av AS SELECT * FROM av_tmp"))
+    finally spark.catalog.dropTempView("av_tmp")
+    // ALTER VIEW AS on a missing view surfaces the standard error
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("ALTER VIEW gvw.default.missing_v AS SELECT 1 AS one"))
+    // streaming from a view: a named refusal, not an unresolved puzzle
+    // (the analyzer may surface the rule's throw wrapped)
+    val e = intercept[Exception](
+      spark.readStream.table("gvw.default.av").schema)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cannot STREAM from view")), msgs(e))
+    spark.sql("DROP VIEW gvw.default.av")
+  }
+
   test("programmatic ViewCatalog surface: rename and property alter") {
     warehouse
     spark.sql("CREATE VIEW gvw.default.pv AS SELECT id FROM gvw.default.t")
