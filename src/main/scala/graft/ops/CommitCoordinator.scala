@@ -48,7 +48,10 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *   - `s3a`/`s3`/`s3n` → [[ConditionalCreateCommitCoordinator]]. S3
   *     rename is copy+delete, not a CAS; the conditional
   *     `If-None-Match: *` PUT is (requires
-  *     `fs.s3a.create.conditional.enabled=true`, Hadoop >= 3.4.1).
+  *     `fs.s3a.create.conditional.enabled=true`, Hadoop >= 3.4.1 —
+  *     VERIFIED at first publish per store; an unverifiable
+  *     deployment refuses with [[CommitCapabilityException]] instead
+  *     of degrading to check-then-PUT).
   *   - `gs` → [[ConditionalCreateCommitCoordinator]]. GCS rename is
   *     copy+delete (NOT atomic, NOT exclusive); object creation with
   *     the `ifGenerationMatch(0)` precondition is exclusive and
@@ -76,6 +79,49 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   */
 trait CommitCoordinator extends Serializable {
   def publish(fs: FileSystem, target: HPath, body: Array[Byte]): Boolean
+}
+
+object CommitCoordinator {
+  /** [[CommitCoordinator.publish]] with the AMBIGUOUS outcome
+    * auto-resolved where the store itself can prove it: on
+    * [[AmbiguousCommitException]], read `target` back and compare
+    * against the body this writer staged —
+    *
+    *   - target exists with THIS body's bytes → the handed-off PUT
+    *     landed after all: the commit WON (true);
+    *   - target exists with different bytes → a racing writer owns the
+    *     version, so this store (exclusive create) provably refused
+    *     ours: a clean LOSS (false), the caller retries at the next
+    *     version;
+    *   - target absent, or the read itself fails → still unknown — the
+    *     original exception surfaces. "Absent" is deliberately NOT a
+    *     loss: the failed PUT may still be in flight server-side, and
+    *     returning false here would let the caller re-append the same
+    *     rows while the ghost PUT later claims this version.
+    *
+    * Sound because commit bodies are writer-unique (manifests name
+    * freshly-staged uuid files; equal bytes ⇒ equal outcome), and
+    * published objects are immutable — the compare races nothing. */
+  def publishResolving(c: CommitCoordinator, fs: FileSystem,
+      target: HPath, body: Array[Byte]): Boolean =
+    try c.publish(fs, target, body)
+    catch {
+      case e: AmbiguousCommitException =>
+        readBack(fs, target) match {
+          case Some(bytes) => java.util.Arrays.equals(bytes, body)
+          case None => throw e
+        }
+    }
+
+  /** The target's full content, or None when it is absent OR the read
+    * failed (both leave the commit unresolvable from here). */
+  private def readBack(fs: FileSystem, target: HPath): Option[Array[Byte]] =
+    try {
+      val st = fs.getFileStatus(target)
+      val buf = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(target)
+      try { in.readFully(0L, buf); Some(buf) } finally in.close()
+    } catch { case NonFatal(_) => None }
 }
 
 /** Dot-temp write + atomic `rename` — correct ONLY where rename both
@@ -185,6 +231,15 @@ object HardLinkCommitCoordinator extends CommitCoordinator {
 final class AmbiguousCommitException(msg: String, cause: Throwable)
   extends RuntimeException(msg, cause)
 
+/** The store cannot be PROVEN to apply an exclusive-create
+  * precondition, so committing through
+  * [[ConditionalCreateCommitCoordinator]] would silently degrade to
+  * userspace check-then-PUT — the exact lost-commit class the
+  * coordinator exists to prevent. Fail closed: the message names the
+  * configuration to fix. */
+final class CommitCapabilityException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Exclusive create of the target itself — for object stores whose
   * create-if-absent is atomic AND whose objects become visible only
   * complete at close (the S3 conditional `If-None-Match: *` PUT; on
@@ -207,10 +262,115 @@ final class AmbiguousCommitException(msg: String, cause: Throwable)
   *     writer may publish this very version between our failure and
   *     any cleanup. Throw [[AmbiguousCommitException]]; NEVER delete
   *     `target` (we cannot prove we own it) and never return false
-  *     (a false would let the caller re-append the same rows). */
+  *     (a false would let the caller re-append the same rows). Commit
+  *     call sites route through [[CommitCoordinator.publishResolving]],
+  *     which settles the ambiguity by reading the target back where
+  *     the store's strong read-after-write makes that proof.
+  *
+  * FAIL-CLOSED capability gate (checked once per (scheme, authority)
+  * per process, at first publish): the exclusivity above is only as
+  * real as the connector's conditional-create support, and on the most
+  * common production store it is OFF by default —
+  *
+  *   - `s3a`/`s3`/`s3n`: a stock s3a `create(path, overwrite=false)`
+  *     is a userspace exists-check + plain PUT. The conditional
+  *     `If-None-Match: *` PUT requires Hadoop >= 3.4.1 AND
+  *     `fs.s3a.create.conditional.enabled=true` — both are verified,
+  *     and an unverifiable deployment refuses with
+  *     [[CommitCapabilityException]] naming the exact flag, instead of
+  *     committing without exclusivity.
+  *   - `gs`: the GCS connector applies the `ifGenerationMatch(0)`
+  *     precondition on non-overwrite create unless
+  *     `fs.gs.create.items.conflict.check.enable` was explicitly
+  *     disabled — an explicit `false` refuses.
+  *   - `abfs`/`abfss`/`wasb`/`wasbs`: the Azure drivers send
+  *     `If-None-Match: *` on every non-overwrite blob create (not
+  *     config-gated) — relied on as documented driver behavior.
+  *   - Any other scheme reaching this coordinator got here through an
+  *     explicit [[graft.ops.Snapshots.setCommitCoordinator]]
+  *     registration — the registration is the operator's own
+  *     capability assertion.
+  *
+  * Escape hatch for S3-COMPATIBLE endpoints whose connector cannot
+  * surface the flag: set `graft.commit.assume-conditional-create=true`
+  * in the Hadoop configuration to assert the store's conditional
+  * create yourself (the setting is a deliberate, auditable statement —
+  * the default stays fail-closed). */
 object ConditionalCreateCommitCoordinator extends CommitCoordinator {
+
+  /** Hadoop-conf key asserting conditional-create support on a store
+    * the probes below cannot verify (custom S3-compatible endpoints). */
+  val AssumeCapabilityKey = "graft.commit.assume-conditional-create"
+  private val S3Flag = "fs.s3a.create.conditional.enabled"
+  private val GcsFlag = "fs.gs.create.items.conflict.check.enable"
+
+  /** (scheme, authority) pairs whose capability probe passed — one
+    * verification per store per process; a FAILED probe caches nothing
+    * (computeIfAbsent propagates the throw), so fixing the config and
+    * retrying re-probes. */
+  private val verified = new ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def hadoopAtLeast(major: Int, minor: Int, patch: Int): Boolean = {
+    val parts = org.apache.hadoop.util.VersionInfo.getVersion
+      .split("[^0-9]").filter(_.nonEmpty).take(3).map(_.toInt)
+    val (a, b, c) = (parts.lift(0).getOrElse(0), parts.lift(1).getOrElse(0),
+      parts.lift(2).getOrElse(0))
+    a > major || (a == major && (b > minor || (b == minor && c >= patch)))
+  }
+
+  private def requireCapability(fs: FileSystem): Unit = {
+    val uri = fs.getUri
+    val scheme = Option(uri).flatMap(u => Option(u.getScheme))
+      .getOrElse("").toLowerCase
+    val key = scheme + "://" +
+      Option(uri).flatMap(u => Option(u.getAuthority)).getOrElse("")
+    verified.computeIfAbsent(key, _ => {
+      val conf = fs.getConf
+      if (conf != null && conf.getBoolean(AssumeCapabilityKey, false))
+        java.lang.Boolean.TRUE
+      else scheme match {
+        case "s3a" | "s3" | "s3n" =>
+          if (conf == null || !conf.getBoolean(S3Flag, false))
+            throw new CommitCapabilityException(
+              s"refusing to commit to $key: exclusive manifest " +
+                s"publication on S3 requires the conditional " +
+                s"(If-None-Match: *) PUT, and '$S3Flag' is not enabled " +
+                "in this FileSystem's configuration — a plain s3a " +
+                "create is a userspace exists-check + PUT, so a racing " +
+                "writer's committed manifest could be silently " +
+                s"clobbered. Set $S3Flag=true (Hadoop >= 3.4.1), or " +
+                s"assert a compatible store via $AssumeCapabilityKey" +
+                "=true, or register a lock-service coordinator " +
+                "(Snapshots.setCommitCoordinator)")
+          if (!hadoopAtLeast(3, 4, 1))
+            throw new CommitCapabilityException(
+              s"refusing to commit to $key: '$S3Flag' is set but this " +
+                "process runs Hadoop " +
+                s"${org.apache.hadoop.util.VersionInfo.getVersion}, and " +
+                "s3a honors the flag only from 3.4.1 — older clients " +
+                "silently ignore it and commit without exclusivity. " +
+                s"Upgrade hadoop-aws, or assert an externally-verified " +
+                s"store via $AssumeCapabilityKey=true")
+          java.lang.Boolean.TRUE
+        case "gs" =>
+          if (conf != null && !conf.getBoolean(GcsFlag, true))
+            throw new CommitCapabilityException(
+              s"refusing to commit to $key: '$GcsFlag' is explicitly " +
+                "disabled, which turns off the ifGenerationMatch(0) " +
+                "precondition GCS exclusive create relies on — remove " +
+                "the override (it defaults to enabled)")
+          java.lang.Boolean.TRUE
+        case _ => java.lang.Boolean.TRUE
+      }
+    })
+  }
+
+  /** Reset the per-store verification cache (tests). */
+  private[graft] def clearVerified(): Unit = verified.clear()
+
   override def publish(fs: FileSystem, target: HPath,
       body: Array[Byte]): Boolean = {
+    requireCapability(fs)
     val out =
       try fs.create(target, false)
       catch { case NonFatal(_) => return false }

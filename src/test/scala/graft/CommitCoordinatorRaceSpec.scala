@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, Path => HPath}
 
-import graft.ops.{CommitCoordinator, ConditionalCreateCommitCoordinator, HardLinkCommitCoordinator, RenameCommitCoordinator, Snapshots}
+import graft.ops.{AmbiguousCommitException, CommitCapabilityException, CommitCoordinator, ConditionalCreateCommitCoordinator, HardLinkCommitCoordinator, RenameCommitCoordinator, Snapshots}
 
 /** The CAS contract under REAL concurrency, for every shipped
   * coordinator: N threads race distinct bodies at one target version;
@@ -120,6 +120,131 @@ class CommitCoordinatorRaceSpec extends SparkSpec {
         }
     }
     race(ConditionalCreateCommitCoordinator, storeLike, dir, rounds = 60)
+  }
+
+  /** A local-FS wrapper that PRESENTS as an object store: `scheme://
+    * bucket` uri plus its own Hadoop conf — what the capability gate
+    * sees on a real deployment, minus the network. */
+  private def storePresenting(scheme: String, bucket: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      local: FileSystem): FileSystem =
+    new FilterFileSystem(local) {
+      override def getUri: java.net.URI =
+        java.net.URI.create(s"$scheme://$bucket")
+      override def getConf: org.apache.hadoop.conf.Configuration = conf
+    }
+
+  test("capability gate: a stock s3a configuration refuses loudly " +
+      "instead of committing without exclusivity") {
+    ConditionalCreateCommitCoordinator.clearVerified()
+    val dir = Files.createTempDirectory("graft_cap_s3").toFile.toString
+    val local = fsOf(dir)
+    val bare = new org.apache.hadoop.conf.Configuration(false)
+    val target = new HPath(s"$dir/_manifests/v000000001")
+    local.mkdirs(target.getParent)
+    val e = intercept[CommitCapabilityException] {
+      ConditionalCreateCommitCoordinator.publish(
+        storePresenting("s3a", "bucket-stock", bare, local),
+        target, "body\n".getBytes("UTF-8"))
+    }
+    // the operator must learn exactly which flag to set
+    assert(e.getMessage.contains("fs.s3a.create.conditional.enabled"))
+    assert(!local.exists(target), "a refused publish must write nothing")
+    // an explicitly DISABLED GCS conflict check refuses too
+    val gsOff = new org.apache.hadoop.conf.Configuration(false)
+    gsOff.setBoolean("fs.gs.create.items.conflict.check.enable", false)
+    val g = intercept[CommitCapabilityException] {
+      ConditionalCreateCommitCoordinator.publish(
+        storePresenting("gs", "bucket-gcs", gsOff, local),
+        target, "body\n".getBytes("UTF-8"))
+    }
+    assert(g.getMessage.contains("fs.gs.create.items.conflict.check.enable"))
+  }
+
+  test("capability gate: the verified s3a flag (and the explicit " +
+      "assume key) let the race contract proceed") {
+    ConditionalCreateCommitCoordinator.clearVerified()
+    val lock = new Object
+    // the atomicity MUST live on the same wrapper publish talks to:
+    // only the (Path, Boolean) create overload is overridden, and a
+    // nested FilterFileSystem would route around it via the full-arg
+    // delegate chain
+    def atomicStore(scheme: String, bucket: String,
+        conf: org.apache.hadoop.conf.Configuration,
+        local: FileSystem): FileSystem = new FilterFileSystem(local) {
+      override def getUri: java.net.URI =
+        java.net.URI.create(s"$scheme://$bucket")
+      override def getConf: org.apache.hadoop.conf.Configuration = conf
+      override def create(f: HPath, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream =
+        lock.synchronized {
+          if (!overwrite && exists(f))
+            throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+              f.toString)
+          super.create(f, overwrite)
+        }
+    }
+    val flagged = new org.apache.hadoop.conf.Configuration(false)
+    flagged.setBoolean("fs.s3a.create.conditional.enabled", true)
+    val dir = Files.createTempDirectory("graft_cap_ok").toFile.toString
+    race(ConditionalCreateCommitCoordinator,
+      atomicStore("s3a", "bucket-flagged", flagged, fsOf(dir)),
+      dir, rounds = 20)
+    // a custom endpoint asserted via the escape hatch also passes
+    val assumed = new org.apache.hadoop.conf.Configuration(false)
+    assumed.setBoolean(
+      ConditionalCreateCommitCoordinator.AssumeCapabilityKey, true)
+    val dir2 = Files.createTempDirectory("graft_cap_as").toFile.toString
+    race(ConditionalCreateCommitCoordinator,
+      atomicStore("s3a", "bucket-assumed", assumed, fsOf(dir2)),
+      dir2, rounds = 10)
+  }
+
+  test("ambiguous commits auto-resolve: landed-then-failed reads back " +
+      "as WON, racer-owned as clean LOSS, absent stays ambiguous") {
+    val dir = Files.createTempDirectory("graft_amb").toFile.toString
+    val local = fsOf(dir)
+    val mine = "mine-unique-body\n".getBytes("UTF-8")
+    val theirs = "racing-winner-body\n".getBytes("UTF-8")
+    // emulate a post-handoff failure with outcome `land`: the body
+    // (ours, a racer's, or nothing) is at the target when close throws
+    def failingAfterHandoff(land: Option[Array[Byte]]): FileSystem =
+      new FilterFileSystem(local) {
+        override def create(f: HPath, overwrite: Boolean)
+            : org.apache.hadoop.fs.FSDataOutputStream = {
+          land.foreach { bytes =>
+            val out = local.create(f, false)
+            try out.write(bytes) finally out.close()
+          }
+          new org.apache.hadoop.fs.FSDataOutputStream(
+            new java.io.ByteArrayOutputStream(), null) {
+            override def close(): Unit =
+              throw new java.io.IOException("connection reset mid-PUT")
+          }
+        }
+      }
+    def target(n: Int) = {
+      val t = new HPath(s"$dir/_manifests/amb$n")
+      local.mkdirs(t.getParent); t
+    }
+    // (1) the handed-off PUT actually landed: read-back proves WE won
+    assert(CommitCoordinator.publishResolving(
+      ConditionalCreateCommitCoordinator,
+      failingAfterHandoff(Some(mine)), target(1), mine))
+    // (2) a racing writer owns the version: a provable clean loss —
+    // the commit loop retries at the next version, no operator page
+    assert(!CommitCoordinator.publishResolving(
+      ConditionalCreateCommitCoordinator,
+      failingAfterHandoff(Some(theirs)), target(2), mine))
+    assert(readAll(local, target(2)) == "racing-winner-body\n",
+      "resolution must never disturb the winner's manifest")
+    // (3) nothing at the target: the PUT may still be in flight —
+    // only this case surfaces to the operator
+    intercept[AmbiguousCommitException] {
+      CommitCoordinator.publishResolving(
+        ConditionalCreateCommitCoordinator,
+        failingAfterHandoff(None), target(3), mine)
+    }
   }
 
   test("end-to-end: N writers × M appends each through the default " +
