@@ -224,6 +224,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "still resolve through — creating a new table here would " +
           "shadow it. Pick another name, or delete the marker once no " +
           "clone references the renamed table")
+    // mirror of createView's table check: a name is a table XOR a view
+    if (isViewDir(new HPath(dir)))
+      throw new ViewAlreadyExistsException(ident)
     // CHECK constraints declared at CREATE time route to the same
     // write-time data contracts as ALTER TABLE ADD CONSTRAINT; any
     // other constraint kind refuses loudly — capabilities() advertises
@@ -309,7 +312,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val (props, constraints) = translateInfo(ident, info)
     Snapshots.createTable(spark, dirFor(ident), schemaWithGeneration(info),
       props, constraints)
+    // mutual exclusion with a RACING CREATE VIEW of the same name
+    // (translateInfo's pre-check covers the sequential case): the view
+    // side re-checks after its CAS too, so whichever artifact landed
+    // second rolls itself back and both racers fail loudly
+    rollbackIfViewRaced(ident)
     new GraftTable(fullName(ident), dir = dirFor(ident), None)
+  }
+
+  /** Post-commit half of the table/view mutual exclusion: when a view
+    * document materialized alongside a FRESHLY created table, delete
+    * the table's own artifacts (its manifests and staged data — the
+    * table did not exist before, so nothing else lives there) and
+    * refuse. */
+  private[sql] def rollbackIfViewRaced(ident: Identifier): Unit = {
+    val p = new HPath(dirFor(ident))
+    if (isViewDir(p)) {
+      fs.delete(new HPath(p, "_manifests"), true)
+      fs.delete(new HPath(p, "data"), true)
+      throw new ViewAlreadyExistsException(ident)
+    }
   }
 
   // ---- StagingTableCatalog: atomic CTAS / REPLACE / CREATE OR
@@ -328,7 +350,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val (props, constraints) = translateInfo(ident, info)
     new GraftStagedTable(fullName(ident), dirFor(ident), schemaWithGeneration(info),
-      props, constraints, mustExist = false, mustNotExist = true)
+      props, constraints, mustExist = false, mustNotExist = true,
+      postCommit = () => rollbackIfViewRaced(ident))
   }
 
   override def stageReplace(ident: Identifier,
@@ -342,8 +365,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageCreateOrReplace(ident: Identifier,
       info: TableInfo): StagedTable = {
     val (props, constraints) = translateInfo(ident, info)
+    // the view-race rollback applies only when this verb CREATES: a
+    // replace of an existing table has nothing to mutually exclude
+    // (the pre-check above refused if a view already held the name)
+    val fresh = !tableExists(ident)
     new GraftStagedTable(fullName(ident), dirFor(ident), schemaWithGeneration(info),
-      props, constraints, mustExist = false, mustNotExist = false)
+      props, constraints, mustExist = false, mustNotExist = false,
+      postCommit = () => if (fresh) rollbackIfViewRaced(ident))
   }
 
   /** Keys Spark itself injects into createTable properties — catalog
@@ -543,11 +571,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- views (see [[GraftViews]] for the SQL bridge) ------------------
 
+  /** A view's documents are GENERATIONS (`_view` = 0, `_view.<N>`),
+    * each published through the commit CAS and never mutated: the
+    * current definition is the highest generation, a REPLACE/ALTER
+    * publishes generation N+1 and prunes only after it is durable —
+    * so no crash, publish failure, or concurrent reader ever observes
+    * a missing or torn definition, and two concurrent ALTERs cannot
+    * silently lose one writer's change (the loser's CAS on N+1 fails
+    * loudly). */
   private def isViewDir(p: HPath): Boolean =
-    fs.exists(new HPath(p, GraftViews.ViewFile))
+    GraftViews.currentDoc(fs, p).nonEmpty
 
-  private def viewFile(ident: Identifier): HPath =
-    new HPath(new HPath(dirFor(ident)), GraftViews.ViewFile)
+  private def nextViewDoc(ident: Identifier, gen: Int): HPath =
+    new HPath(new HPath(dirFor(ident)),
+      s"${GraftViews.ViewFile}.$gen")
 
   override def viewExists(ident: Identifier): Boolean =
     isViewDir(new HPath(dirFor(ident)))
@@ -594,15 +631,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(d => Identifier.of(ns, d.getName))
   }
 
-  override def loadView(ident: Identifier): View = {
-    if (!viewExists(ident)) throw new NoSuchViewException(ident)
-    GraftViews.load(fs, viewFile(ident), fullName(ident))
+  override def loadView(ident: Identifier): View =
+    loadViewWithGen(ident)._2
+
+  /** [[loadView]] plus the loaded document's GENERATION — what the
+    * read-modify-write verbs (alterView's property fold) CAS against.
+    * Retries once when the listed generation vanishes between the
+    * listing and the open (a racing replace pruned it). */
+  private def loadViewWithGen(ident: Identifier): (Int, View) = {
+    val dir = new HPath(dirFor(ident))
+    def attempt(): (Int, View) = {
+      val (gen, doc) = GraftViews.currentDoc(fs, dir)
+        .getOrElse(throw new NoSuchViewException(ident))
+      (gen, GraftViews.load(fs, doc, fullName(ident)))
+    }
+    try attempt()
+    catch { case _: java.io.FileNotFoundException => attempt() }
+  }
+
+  /** Exact re-probe after the TTL cache said "exists" but the load
+    * found nothing (another session's DROP inside the TTL window):
+    * invalidates this namespace's cache entry and answers from
+    * storage, so the resolution rule can fall through to table
+    * resolution instead of failing the reader's query. */
+  private[sql] def reprobeView(ident: Identifier): Boolean = {
+    invalidateViewCache(ident)
+    viewExists(ident)
   }
 
   /** Exclusive-create through the SAME per-scheme commit CAS as table
     * manifests: a racing CREATE VIEW of one name loses loudly. A view
     * cannot shadow a table, a _moved tombstone, or a non-empty
-    * namespace directory. */
+    * namespace directory; a CREATE TABLE racing this CREATE VIEW is
+    * caught by the post-publish re-check (each side rolls back its
+    * own artifact and fails loudly rather than leaving a name that is
+    * simultaneously a table and a view). */
   override def createView(info: ViewInfo): View = {
     val ident = info.ident
     val p = new HPath(dirFor(ident))
@@ -612,34 +675,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"'${fullName(ident)}' is the old name of a renamed table " +
           "(it holds a _moved forwarding marker) — pick another name")
     if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
-    if (!Snapshots.publishExclusive(spark, viewFile(ident).toString,
+    val doc = nextViewDoc(ident, 1)
+    if (!Snapshots.publishExclusive(spark, doc.toString,
         GraftViews.render(info)))
       throw new ViewAlreadyExistsException(ident)
+    // mutual exclusion with CREATE TABLE: the table side re-checks for
+    // a view after ITS v1 commit; whichever artifact materialized
+    // second rolls itself back, so both racers fail loudly instead of
+    // one name resolving as table AND view
+    if (isTableDir(p)) {
+      fs.delete(doc, false)
+      invalidateViewCache(ident)
+      throw new TableAlreadyExistsException(ident)
+    }
     invalidateViewCache(ident)
     loadView(ident)
   }
 
-  /** CREATE OR REPLACE VIEW — documented last-writer-wins: the old
-    * definition is removed, the new one published through the CAS
-    * (so even the replace window never exposes a torn document). */
+  /** CREATE OR REPLACE VIEW — publishes the next GENERATION through
+    * the CAS ([[GraftViews.viewDocs]]) and prunes superseded ones only
+    * after it is durable: the old definition survives a crash or
+    * publish failure mid-replace, concurrent readers never observe a
+    * window with no document, and a racing writer's replacement is
+    * never clobbered (the second CAS on one generation number loses
+    * loudly). */
   override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
     val ident = info.ident
-    if (isTableDir(new HPath(dirFor(ident))))
-      throw new TableAlreadyExistsException(ident)
-    if (!viewExists(ident) && !orCreate)
-      throw new NoSuchViewException(ident)
-    fs.delete(viewFile(ident), false)
-    if (!Snapshots.publishExclusive(spark, viewFile(ident).toString,
+    val p = new HPath(dirFor(ident))
+    if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
+    val cur = GraftViews.currentDoc(fs, p)
+    if (cur.isEmpty && !orCreate) throw new NoSuchViewException(ident)
+    val prevGen = cur.map(_._1).getOrElse(0)
+    val doc = nextViewDoc(ident, prevGen + 1)
+    if (!Snapshots.publishExclusive(spark, doc.toString,
         GraftViews.render(info)))
       throw new java.util.ConcurrentModificationException(
         s"REPLACE VIEW ${fullName(ident)} lost a race with a " +
-          "concurrent CREATE — re-run to replace the winner")
+          "concurrent writer — re-run to replace the winner")
+    if (cur.isEmpty && isTableDir(p)) {
+      // created-from-nothing: same table/view mutual exclusion as
+      // createView
+      fs.delete(doc, false)
+      invalidateViewCache(ident)
+      throw new TableAlreadyExistsException(ident)
+    }
+    GraftViews.pruneDocs(fs, p, keepFrom = prevGen)
     invalidateViewCache(ident)
     loadView(ident)
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
-    val v = loadView(ident) // throws NoSuchViewException when absent
+    val (gen, v) = loadViewWithGen(ident) // throws when absent
     val props = changes.foldLeft(v.properties.asScala.toMap) {
       case (acc, s: ViewChange.SetProperty) => acc + (s.property -> s.value)
       case (acc, r: ViewChange.RemoveProperty) => acc - r.property
@@ -650,12 +736,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val info = new ViewInfo(ident, v.query, v.currentCatalog,
       v.currentNamespace, v.schema, v.queryColumnNames, v.columnAliases,
       v.columnComments, props.asJava)
-    fs.delete(viewFile(ident), false)
-    if (!Snapshots.publishExclusive(spark, viewFile(ident).toString,
-        GraftViews.render(info)))
+    // a genuine compare-and-swap on the LOADED document: publishing
+    // generation gen+1 fails iff another writer replaced the document
+    // this fold was based on — no property change can be silently lost
+    if (!Snapshots.publishExclusive(spark,
+        nextViewDoc(ident, gen + 1).toString, GraftViews.render(info)))
       throw new java.util.ConcurrentModificationException(
         s"ALTER VIEW ${fullName(ident)} lost a race with a concurrent " +
           "writer — re-run against the new definition")
+    GraftViews.pruneDocs(fs, new HPath(dirFor(ident)), keepFrom = gen)
+    invalidateViewCache(ident)
     loadView(ident)
   }
 

@@ -32,7 +32,9 @@ private[sql] final class GraftStagedTable(
     props: Map[String, String],
     constraints: Map[String, String],
     mustExist: Boolean,
-    mustNotExist: Boolean) extends StagedTable with SupportsWrite {
+    mustNotExist: Boolean,
+    postCommit: () => Unit = () => ()) extends StagedTable
+    with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
   private val staged =
@@ -64,10 +66,16 @@ private[sql] final class GraftStagedTable(
       }
     }
 
-  override def commitStagedChanges(): Unit =
+  override def commitStagedChanges(): Unit = {
     Snapshots.commitReplaceTable(spark, dir, declaredSchema, props,
       constraints, staged.synchronized(staged.toSeq),
       mustExist = mustExist, mustNotExist = mustNotExist)
+    // the catalog's table/view mutual-exclusion re-check (a racing
+    // CREATE VIEW of the same name) — only wired for the
+    // created-from-nothing verbs, where a rollback deletes nothing
+    // that predates this statement
+    postCommit()
+  }
 
   override def abortStagedChanges(): Unit =
     Snapshots.abortStagedData(spark, dir, staged.synchronized(staged.toSeq))

@@ -44,24 +44,71 @@ import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
   *     any session context) and converts the statement nodes into
   *     runnable commands once their parts resolve.
   *
-  * Storage: one `_view` properties document per view under the
-  * warehouse (`warehouse/ns/name/_view`), published through the SAME
-  * per-scheme commit CAS as table manifests — a racing CREATE of one
-  * view name loses loudly instead of clobbering. `CREATE OR REPLACE`
-  * is documented last-writer-wins (delete + exclusive create).
+  * Storage: GENERATIONED properties documents per view under the
+  * warehouse (`warehouse/ns/name/_view` = generation 0, replacements
+  * `_view.<N>`), each published through the SAME per-scheme commit CAS
+  * as table manifests and then immutable — a racing CREATE of one view
+  * name loses loudly instead of clobbering, `CREATE OR REPLACE` /
+  * `ALTER VIEW` publish generation N+1 and prune only once it is
+  * durable (so a crash mid-replace never loses the view, readers never
+  * observe a document-less window, and concurrent ALTERs CAS against
+  * the generation they loaded — the loser fails loudly instead of
+  * silently dropping the winner's change).
   *
   * Deliberate limits: a view definition must not reference TEMP views
   * (refused at CREATE and ALTER — a shared definition over
   * session-local state would dangle for every other session);
   * `ALTER VIEW ... AS` swaps the definition (keeping properties,
-  * resetting column aliases); SET/UNSET TBLPROPERTIES on views goes
-  * through the catalog API. Streaming reads of a view refuse with a
-  * named error (a view expands to an arbitrary query with no change
-  * feed). A definition cycle created by racing REPLACEs fails loudly
-  * at the analyzer's iteration cap rather than looping. */
+  * resetting column aliases) and refuses a definition that would
+  * close a reference cycle AT DDL TIME ([[findCycle]] — previously a
+  * racing-REPLACE cycle only failed at read, at the analyzer's
+  * iteration cap); SET/UNSET TBLPROPERTIES on views goes through the
+  * catalog API. Streaming reads: a PASS-THROUGH view (its definition
+  * is a bare `SELECT * FROM one_table`) legally streams — it resolves
+  * to the underlying table's stream under the view's CREATE-time
+  * context, aliases applied; any other shape refuses with a named
+  * error (an arbitrary query has no change feed). */
 object GraftViews {
 
+  /** The legacy single-document name (generation 0). Replacements
+    * publish `_view.<N>` siblings — see [[viewDocs]]. */
   val ViewFile = "_view"
+
+  /** All stored view-document generations under `dir`, ascending:
+    * the legacy `_view` file reads as generation 0, replacements are
+    * `_view.<N>`. The CURRENT definition is the highest generation —
+    * REPLACE/ALTER publish generation N+1 through the commit CAS and
+    * only then prune generations <= N-1, so the old definition
+    * survives any crash or publish failure until the new one is
+    * durable (and a reader that listed just before a publish still
+    * opens its generation successfully). */
+  def viewDocs(fs: FileSystem, dir: HPath): Seq[(Int, HPath)] = {
+    val sts =
+      try fs.listStatus(dir)
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    sts.iterator.filter(_.isFile).flatMap { st =>
+      val n = st.getPath.getName
+      if (n == ViewFile) Some((0, st.getPath))
+      else if (n.startsWith(ViewFile + ".") &&
+          n.substring(ViewFile.length + 1).forall(_.isDigit) &&
+          n.length > ViewFile.length + 1)
+        Some((n.substring(ViewFile.length + 1).toInt, st.getPath))
+      else None
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** The current (highest-generation) view document, if any. */
+  def currentDoc(fs: FileSystem, dir: HPath): Option[(Int, HPath)] =
+    viewDocs(fs, dir).lastOption
+
+  /** Best-effort prune of superseded generations strictly below
+    * `keepFrom` — called only AFTER the replacement generation is
+    * durable; a failure here leaves extra (ignored) history, never a
+    * broken view. */
+  def pruneDocs(fs: FileSystem, dir: HPath, keepFrom: Int): Unit =
+    try viewDocs(fs, dir).takeWhile(_._1 < keepFrom)
+      .foreach { case (_, p) => fs.delete(p, false) }
+    catch { case NonFatal(_) => }
 
   /** (catalog, identifier) when `parts` addresses a [[GraftCatalog]]
     * under the session's resolution rules (explicit catalog prefix, or
@@ -115,6 +162,106 @@ object GraftViews {
           case None => current.map(g => (g, parts))
         }
     }
+  }
+
+  /** Qualify a stored definition's table reference with the view's
+    * CREATE-time catalog/namespace — the same rule the expansion
+    * applies (names of <= 2 parts mean catalog objects in the capture
+    * context; CREATE refused temp-view references). */
+  private def qualify(parts: Seq[String], cat: String,
+      ns: Seq[String]): Seq[String] = parts match {
+    case Seq(one) => (cat +: ns) :+ one
+    case two if two.length == 2 => cat +: two
+    case full => full
+  }
+
+  /** The graft-view references of a definition, resolved under its
+    * capture context — subqueries and CTEs included. Only names that
+    * CURRENTLY resolve to a stored graft view count (a reference to a
+    * table or an undefined name cannot extend a cycle). */
+  private def referencedViews(session: SparkSession, sql: String,
+      cat: String, ns: Seq[String]): Seq[(GraftCatalog, Identifier)] = {
+    val parsed = CTESubstitution(
+      session.sessionState.sqlParser.parsePlan(sql))
+    val out = scala.collection.mutable.ArrayBuffer[(GraftCatalog, Identifier)]()
+    parsed.foreachWithSubqueries {
+      case u: UnresolvedRelation =>
+        resolveView(session, qualify(u.multipartIdentifier, cat, ns))
+          .foreach { case (g, id) => if (g.viewExists(id)) out += ((g, id)) }
+      case _ =>
+    }
+    out.distinct.toSeq
+  }
+
+  /** Would storing `sql` as the definition of `target` close a view
+    * reference cycle? Walks the stored definitions breadth-bounded
+    * (each view loaded once, depth capped) and returns the offending
+    * reference path — the DDL-time refusal that replaces "fails at the
+    * analyzer's iteration cap on the first read". Cost is O(views on
+    * the reference path): driver-side metadata reads only, the same
+    * documents the first expansion would load anyway. */
+  def findCycle(session: SparkSession, g0: GraftCatalog,
+      target: Identifier, sql: String, cat: String,
+      ns: Seq[String]): Option[Seq[String]] = {
+    def keyOf(g: GraftCatalog, id: Identifier): String =
+      ((g.name +: id.namespace.toSeq) :+ id.name).mkString(".")
+    val targetKey = keyOf(g0, target)
+    val seen = scala.collection.mutable.Set[String]()
+    def dfs(g: GraftCatalog, id: Identifier,
+        path: Vector[String]): Option[Seq[String]] = {
+      val key = keyOf(g, id)
+      if (key == targetKey) return Some(path :+ key)
+      if (!seen.add(key) || path.length > 32) return None
+      val v =
+        try g.loadView(id)
+        catch { case _: NoSuchViewException => return None }
+      referencedViews(session, v.query, v.currentCatalog,
+        v.currentNamespace.toSeq).view
+        .flatMap(x => dfs(x._1, x._2, path :+ key)).headOption
+    }
+    referencedViews(session, sql, cat, ns).view
+      .flatMap(x => dfs(x._1, x._2, Vector(targetKey))).headOption
+  }
+
+  /** The ultimate TABLE a PASS-THROUGH view chain resolves to, fully
+    * qualified — defined when every definition on the chain is a bare
+    * single-table read (`SELECT * FROM t`, optional aliasing, no
+    * filter/computed projection/join/agg). Such a view adds nothing a
+    * change feed cannot carry, so a STREAMING read legally resolves to
+    * the underlying table's stream; anything else returns None and
+    * the streaming refusal stands. */
+  def passThroughTarget(session: SparkSession, g0: GraftCatalog,
+      v0: View): Option[Seq[String]] = {
+    def bare(plan: LogicalPlan): Option[Seq[String]] = plan match {
+      case u: UnresolvedRelation if !u.isStreaming =>
+        Some(u.multipartIdentifier)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if p.projectList.nonEmpty && p.projectList.forall {
+            case s: org.apache.spark.sql.catalyst.analysis.UnresolvedStar =>
+              s.target.isEmpty
+            case _ => false
+          } => bare(p.child)
+      case a: SubqueryAlias => bare(a.child)
+      case _ => None
+    }
+    @scala.annotation.tailrec
+    def chase(v: View, hops: Int): Option[Seq[String]] = {
+      if (hops > 8) return None
+      val parsed = CTESubstitution(
+        session.sessionState.sqlParser.parsePlan(v.query))
+      bare(parsed) match {
+        case None => None
+        case Some(parts) =>
+          val full = qualify(parts, v.currentCatalog,
+            v.currentNamespace.toSeq)
+          resolveView(session, full) match {
+            case Some((g, id)) if g.viewExists(id) =>
+              chase(g.loadView(id), hops + 1) // nested pass-through
+            case _ => Some(full) // a table (or non-view name): stream it
+          }
+      }
+    }
+    chase(v0, 0)
   }
 
   /** Render a `ViewInfo` as the stored properties document. Multi-
@@ -210,6 +357,12 @@ final case class AlterGraftViewAsStatement(nameParts: Seq[String],
     copy(query = newChild)
 }
 
+/** Parsed `SHOW CREATE TABLE` whose identifier names a graft VIEW —
+  * SHOW CREATE parity between the two object kinds (tables answer
+  * through Spark's own v2 exec against [[GraftTable]]). */
+final case class ShowCreateGraftViewStatement(nameParts: Seq[String],
+    override val output: Seq[Attribute]) extends LeafNode
+
 /** Parsed `ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ... |
   * FOR ALL COLUMNS]` aimed at a graft catalog (Spark's own analyze
   * commands are session-catalog only — same routing problem as the
@@ -249,6 +402,14 @@ final class GraftViewAwareParser(session: () => SparkSession,
     case a @ AlterViewAs(UnresolvedView(parts, _, _, _), orig, query)
         if GraftViews.resolveView(session(), parts).isDefined =>
       AlterGraftViewAsStatement(parts, orig, query)
+    // SHOW CREATE TABLE over a graft VIEW identifier: the existence
+    // probe is exact (one metadata read on a rare statement); a graft
+    // TABLE identifier passes through to Spark's v2 exec untouched
+    case sc @ org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable(
+        UnresolvedTableOrView(parts, _, _), false, output)
+        if GraftViews.resolveView(session(), parts)
+          .exists { case (g, id) => g.viewExists(id) } =>
+      ShowCreateGraftViewStatement(parts, output)
     case a @ AnalyzeColumn(UnresolvedTableOrView(parts, _, _), cols, all)
         if GraftViews.resolveView(session(), parts).isDefined =>
       AnalyzeGraftTableStatement(parts, cols.getOrElse(Nil), all)
@@ -321,16 +482,53 @@ final case class GraftViewResolution(session: SparkSession)
     SubqueryAlias((g.name +: ident.namespace.toSeq) :+ ident.name, aliased)
   }
 
+  /** Load the cached-probed view, or None when the cache was STALE
+    * (another session dropped the view inside the TTL window): the
+    * miss invalidates the namespace entry and re-probes exactly once,
+    * so the relation falls through to table resolution instead of
+    * failing the reader's query on a view that no longer exists. A
+    * load that fails while the exact re-probe still sees the view is
+    * a genuine storage error and surfaces. */
+  private def loadUnlessStale(g: GraftCatalog,
+      ident: Identifier): Option[View] =
+    try Some(g.loadView(ident))
+    catch {
+      case e: NoSuchViewException =>
+        if (g.reprobeView(ident)) throw e else None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation if u.isStreaming =>
         GraftViews.resolveView(session, u.multipartIdentifier) match {
           case Some((g, ident)) if g.viewExistsCached(ident) =>
-            throw new UnsupportedOperationException(
-              s"cannot STREAM from view ${u.multipartIdentifier
-                .mkString(".")} — views expand to arbitrary queries " +
-                "with no change feed; readStream.table the underlying " +
-                "snapshot table (or its change feed) instead")
+            loadUnlessStale(g, ident) match {
+              case None => u // dropped cross-session: not a view anymore
+              case Some(v) =>
+                GraftViews.passThroughTarget(session, g, v) match {
+                  case Some(full) =>
+                    // a bare single-table view: the stream IS the
+                    // underlying table's stream (CREATE-time context,
+                    // declared aliases applied)
+                    val streamed = u.copy(multipartIdentifier = full)
+                    val aliased =
+                      if (v.columnAliases == null || v.columnAliases.isEmpty)
+                        streamed
+                      else UnresolvedSubqueryColumnAliases(
+                        v.columnAliases.toSeq, streamed)
+                    SubqueryAlias(
+                      (g.name +: ident.namespace.toSeq) :+ ident.name,
+                      aliased)
+                  case None =>
+                    throw new UnsupportedOperationException(
+                      s"cannot STREAM from view ${u.multipartIdentifier
+                        .mkString(".")} — its definition is not a bare " +
+                        "single-table read, and an arbitrary query has " +
+                        "no change feed; readStream.table the " +
+                        "underlying snapshot table (or its change " +
+                        "feed) instead")
+                }
+            }
           case _ => u
         }
       case u: UnresolvedRelation if !u.isStreaming =>
@@ -339,7 +537,8 @@ final case class GraftViewResolution(session: SparkSession)
           // name on every analyzer iteration — an uncached fs.exists
           // would cost a storage round trip per relation per iteration
           case Some((g, ident)) if g.viewExistsCached(ident) =>
-            expand(g, ident, g.loadView(ident))
+            loadUnlessStale(g, ident)
+              .map(expand(g, ident, _)).getOrElse(u)
           case _ => u
         }
       case s: CreateGraftViewStatement if s.query.resolved =>
@@ -382,6 +581,12 @@ final case class GraftViewResolution(session: SparkSession)
               "resolves to a graft catalog"))
         AnalyzeGraftTableCommand(g, ident,
           if (a.allColumns) Nil else a.columns)
+      case s: ShowCreateGraftViewStatement =>
+        val (g, ident) = GraftViews.resolveView(session, s.nameParts)
+          .getOrElse(throw new IllegalStateException(
+            s"view identifier ${s.nameParts.mkString(".")} no longer " +
+              "resolves to a graft catalog"))
+        ShowCreateGraftViewCommand(g, ident, s.output)
     }
 }
 
@@ -422,6 +627,19 @@ final case class CreateGraftViewCommand(catalog: GraftCatalog,
           s"${viewSchema.size}-column query")
     val aliases = userCols.map(_._1)
     val comments = userCols.map(_._2.orNull)
+    // a REPLACE can close a reference cycle through EXISTING views
+    // (v -> w -> v); refuse at DDL time instead of looping every
+    // future read into the analyzer's iteration cap. (A plain CREATE
+    // cannot: the name does not resolve as a view until it exists.)
+    if (replace)
+      GraftViews.findCycle(session, catalog, ident, sql, curCatalog,
+        curNamespace).foreach { path =>
+        throw new IllegalArgumentException(
+          s"cannot CREATE OR REPLACE VIEW $ident: the new definition " +
+            s"closes a view reference cycle (${path.mkString(" -> ")})" +
+            " — every read through it would fail; break the cycle " +
+            "first")
+      }
     val info = new ViewInfo(ident, sql, curCatalog, curNamespace.toArray,
       viewSchema, viewSchema.fieldNames, aliases.toArray, comments.toArray,
       (props ++ comment.map("comment" -> _)).asJava)
@@ -468,6 +686,15 @@ final case class AlterGraftViewAsCommand(catalog: GraftCatalog,
             "every other session")
       case _ =>
     }
+    // same DDL-time cycle refusal as CREATE OR REPLACE: an ALTER that
+    // makes the definition reach itself would fail every future read
+    GraftViews.findCycle(session, catalog, ident, originalText,
+      curCatalog, curNamespace).foreach { path =>
+      throw new IllegalArgumentException(
+        s"cannot ALTER VIEW $ident: the new definition closes a view " +
+          s"reference cycle (${path.mkString(" -> ")}) — every read " +
+          "through it would fail; break the cycle first")
+    }
     val info = new ViewInfo(ident, originalText, curCatalog,
       curNamespace.toArray, viewSchema, viewSchema.fieldNames,
       Array.empty[String], Array.empty[String], old.properties)
@@ -487,6 +714,40 @@ final case class AnalyzeGraftTableCommand(catalog: GraftCatalog,
     graft.ops.Snapshots.analyzeColumns(session,
       catalog.tableDir(ident), columns)
     Seq.empty
+  }
+}
+
+/** `SHOW CREATE TABLE` over a graft VIEW — renders the re-runnable
+  * CREATE VIEW statement from the stored document: declared column
+  * aliases with their comments, the view comment, user TBLPROPERTIES,
+  * and the original definition SQL. */
+final case class ShowCreateGraftViewCommand(catalog: GraftCatalog,
+    ident: Identifier, override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = catalog.loadView(ident) // throws NoSuchViewException
+    def lit(s: String): String = "'" + s.replace("'", "\\'") + "'"
+    def id(s: String): String = "`" + s.replace("`", "``") + "`"
+    val sb = new StringBuilder(s"CREATE VIEW ${v.name}")
+    if (v.columnAliases != null && v.columnAliases.nonEmpty) {
+      val comments = Option(v.columnComments)
+        .getOrElse(Array.empty[String])
+      sb.append(" (\n").append(v.columnAliases.zipWithIndex.map {
+        case (a, i) =>
+          val c = comments.lift(i).flatMap(Option(_))
+            .map(c0 => s" COMMENT ${lit(c0)}").getOrElse("")
+          s"  ${id(a)}$c"
+      }.mkString(",\n")).append(")")
+    }
+    val props = v.properties.asScala.toMap
+    props.get("comment").foreach(c => sb.append(s"\nCOMMENT ${lit(c)}"))
+    val user = (props - "comment").toSeq.sortBy(_._1)
+    if (user.nonEmpty)
+      sb.append("\nTBLPROPERTIES (\n").append(user.map { case (k, x) =>
+        s"  ${lit(k)} = ${lit(x)}"
+      }.mkString(",\n")).append(")")
+    sb.append("\nAS ").append(v.query)
+    Seq(Row(sb.toString))
   }
 }
 

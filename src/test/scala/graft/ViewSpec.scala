@@ -188,6 +188,215 @@ class ViewSpec extends SparkSpec {
     spark.sql("DROP VIEW gvw.default.av")
   }
 
+  test("REPLACE/ALTER publish GENERATIONS through the CAS: the prior " +
+      "definition survives the publish instant; superseded ones prune") {
+    warehouse
+    spark.sql("CREATE VIEW gvw.default.gen AS SELECT id FROM gvw.default.t")
+    val dir = new java.io.File(
+      new java.net.URI(new org.apache.hadoop.fs.Path(
+        s"$warehouse/default/gen").toUri.toString).getPath)
+    def gens: Seq[String] = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("_view")).sorted.toSeq
+    assert(gens == Seq("_view.1"))
+    spark.sql("CREATE OR REPLACE VIEW gvw.default.gen AS " +
+      "SELECT v FROM gvw.default.t")
+    // generation 1 is pruned only once generation 2 is durable — a
+    // crash between the two leaves the OLD definition readable, never
+    // a view-less window
+    assert(gens == Seq("_view.1", "_view.2"), gens)
+    spark.sql("CREATE OR REPLACE VIEW gvw.default.gen AS " +
+      "SELECT id, v FROM gvw.default.t")
+    assert(gens == Seq("_view.2", "_view.3"), gens)
+    assert(spark.sql("SELECT * FROM gvw.default.gen").columns.toSeq ==
+      Seq("id", "v"))
+    spark.sql("DROP VIEW gvw.default.gen")
+  }
+
+  test("a legacy single _view document reads as generation 0 and " +
+      "replaces through the generation CAS") {
+    warehouse
+    spark.sql("CREATE VIEW gvw.default.leg AS SELECT id FROM gvw.default.t")
+    val d = new java.io.File(new org.apache.hadoop.fs.Path(
+      s"$warehouse/default/leg").toUri.getPath)
+    // rewrite the layout a pre-generation build left behind
+    assert(new java.io.File(d, "_view.1").renameTo(
+      new java.io.File(d, "_view")))
+    assert(spark.sql("SELECT * FROM gvw.default.leg").columns.toSeq ==
+      Seq("id"))
+    spark.sql("CREATE OR REPLACE VIEW gvw.default.leg AS " +
+      "SELECT v AS vv FROM gvw.default.t")
+    assert(spark.sql("SELECT * FROM gvw.default.leg").columns.toSeq ==
+      Seq("vv"))
+    spark.sql("CREATE OR REPLACE VIEW gvw.default.leg AS " +
+      "SELECT id AS k FROM gvw.default.t")
+    // the second replace prunes the legacy generation-0 document
+    assert(!new java.io.File(d, "_view").exists())
+    assert(spark.sql("SELECT * FROM gvw.default.leg").columns.toSeq ==
+      Seq("k"))
+    spark.sql("DROP VIEW gvw.default.leg")
+  }
+
+  test("concurrent ALTER VIEW property writers never silently lose an " +
+      "update: the CAS on the loaded generation forces loud retries") {
+    warehouse
+    spark.sql("CREATE VIEW gvw.default.cc AS SELECT id FROM gvw.default.t")
+    val cat = spark.sessionState.catalogManager.catalog("gvw")
+      .asInstanceOf[graft.sql.GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange}
+    val id = Identifier.of(Array("default"), "cc")
+    val writers = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.CountDownLatch(writers)
+    (1 to writers).foreach { w =>
+      pool.execute { () =>
+        try {
+          var landed = false
+          var tries = 0
+          while (!landed && tries < 100) {
+            tries += 1
+            try {
+              cat.alterView(id, ViewChange.setProperty(s"k$w", s"v$w"))
+              landed = true
+            } catch {
+              case _: java.util.ConcurrentModificationException => // retry
+            }
+          }
+          if (!landed) errs.add(new IllegalStateException(s"writer $w starved"))
+        } catch { case t: Throwable => errs.add(t) }
+        finally done.countDown()
+      }
+    }
+    assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdownNow()
+    assert(errs.isEmpty, s"alter failed: ${Option(errs.peek())}")
+    val props = cat.loadView(id).properties
+    (1 to writers).foreach { w =>
+      assert(props.get(s"k$w") == s"v$w",
+        s"writer $w's property was silently lost (have: $props)")
+    }
+    spark.sql("DROP VIEW gvw.default.cc")
+  }
+
+  test("SHOW CREATE VIEW parity: the rendered statement carries " +
+      "aliases, comments and properties; tables keep Spark's own path") {
+    warehouse
+    spark.sql("CREATE VIEW gvw.default.scv (key COMMENT 'the id', tenx) " +
+      "COMMENT 'doc comment' TBLPROPERTIES ('team' = 'data') AS " +
+      "SELECT id, v * 10 FROM gvw.default.t")
+    val row = spark.sql("SHOW CREATE TABLE gvw.default.scv").head()
+    val stmt = row.getString(0)
+    assert(stmt.contains("CREATE VIEW gvw.default.scv"), stmt)
+    assert(stmt.contains("`key` COMMENT 'the id'"), stmt)
+    assert(stmt.contains("`tenx`"), stmt)
+    assert(stmt.contains("COMMENT 'doc comment'"), stmt)
+    assert(stmt.contains("'team' = 'data'"), stmt)
+    assert(stmt.contains("AS SELECT id, v * 10"), stmt)
+    // a TABLE identifier still answers through Spark's v2 exec
+    val tbl = spark.sql("SHOW CREATE TABLE gvw.default.t")
+      .head().getString(0)
+    assert(tbl.contains("CREATE TABLE"), tbl)
+    spark.sql("DROP VIEW gvw.default.scv")
+  }
+
+  test("a REPLACE or ALTER that closes a view reference cycle refuses " +
+      "at DDL time, naming the cycle") {
+    warehouse
+    spark.sql("CREATE VIEW gvw.default.cyc_a AS " +
+      "SELECT id FROM gvw.default.t")
+    spark.sql("CREATE VIEW gvw.default.cyc_b AS " +
+      "SELECT id FROM gvw.default.cyc_a")
+    val e = intercept[IllegalArgumentException](
+      spark.sql("ALTER VIEW gvw.default.cyc_a AS " +
+        "SELECT id FROM gvw.default.cyc_b"))
+    assert(e.getMessage.contains("cycle") &&
+      e.getMessage.contains("cyc_b"), e.getMessage)
+    // direct self-reference through CREATE OR REPLACE
+    val e2 = intercept[IllegalArgumentException](
+      spark.sql("CREATE OR REPLACE VIEW gvw.default.cyc_a AS " +
+        "SELECT id FROM gvw.default.cyc_a"))
+    assert(e2.getMessage.contains("cycle"), e2.getMessage)
+    // a NON-cycling ALTER still lands (cyc_b -> cyc_a stays a DAG)
+    spark.sql("ALTER VIEW gvw.default.cyc_b AS " +
+      "SELECT id, 1 AS one FROM gvw.default.cyc_a")
+    assert(spark.sql("SELECT * FROM gvw.default.cyc_b").columns.toSeq ==
+      Seq("id", "one"))
+    spark.sql("DROP VIEW gvw.default.cyc_b")
+    spark.sql("DROP VIEW gvw.default.cyc_a")
+  }
+
+  test("streaming a PASS-THROUGH view resolves to the underlying " +
+      "table's stream (aliases applied); nested pass-through chases") {
+    warehouse
+    spark.sql("CREATE VIEW gvw.default.pt AS SELECT * FROM gvw.default.t")
+    spark.sql("CREATE VIEW gvw.default.pt2 (a, b) AS " +
+      "SELECT * FROM gvw.default.pt")
+    val s1 = spark.readStream.table("gvw.default.pt")
+    assert(s1.isStreaming && s1.columns.toSeq == Seq("id", "v"))
+    val s2 = spark.readStream.table("gvw.default.pt2")
+    assert(s2.isStreaming && s2.columns.toSeq == Seq("a", "b"))
+    // the stream actually DELIVERS the table's rows through the view
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val ckpt = Files.createTempDirectory("graft_vw_pt").toFile.toString
+    val q = s2.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.select("a").as[Long].collect() }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(got.synchronized(got.nonEmpty) &&
+      got.synchronized(got.toSet).subsetOf(Set(1L, 2L, 3L, 4L, 9L)),
+      got.toSeq)
+    spark.sql("DROP VIEW gvw.default.pt2")
+    spark.sql("DROP VIEW gvw.default.pt")
+  }
+
+  test("a name is a table XOR a view: creation paths refuse, and the " +
+      "staged-commit re-check rolls the table back after a raced " +
+      "CREATE VIEW") {
+    warehouse
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("gvw")
+      .asInstanceOf[graft.sql.GraftCatalog]
+    // sequential refusals, both directions
+    spark.sql("CREATE VIEW gvw.default.xv AS SELECT 1 AS one")
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("CREATE TABLE gvw.default.xv (id BIGINT) USING graft"))
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("CREATE TABLE gvw.default.xv USING graft AS " +
+        "SELECT 1 AS one"))
+    spark.sql("DROP VIEW gvw.default.xv")
+    // the RACE, deterministically interleaved: an atomic CTAS stages,
+    // a CREATE VIEW of the same name lands between the stage and the
+    // commit (the view's pre-check sees no table yet — no manifest
+    // exists) — the table commit's re-check must roll the table back
+    // and fail loudly, leaving the name a view only
+    import org.apache.spark.sql.connector.catalog.{Column => CCol, TableInfo, ViewInfo}
+    import org.apache.spark.sql.types.{LongType, StructType, StructField}
+    val ident = Identifier.of(Array("default"), "racy")
+    val staged = cat.stageCreate(ident, new TableInfo.Builder()
+      .withColumns(Array(CCol.create("id", LongType)))
+      .withProperties(java.util.Collections.emptyMap[String, String]())
+      .withPartitions(Array.empty)
+      .build())
+    cat.createView(new ViewInfo(ident, "SELECT 1 AS one",
+      "gvw", Array("default"),
+      StructType(Seq(StructField("one", LongType))),
+      Array("one"), Array.empty[String], Array.empty[String],
+      java.util.Collections.emptyMap[String, String]()))
+    intercept[org.apache.spark.sql.catalyst.analysis
+      .ViewAlreadyExistsException](staged.commitStagedChanges())
+    assert(cat.viewExists(ident), "the raced view must survive")
+    assert(!cat.tableExists(ident),
+      "the losing table commit must roll itself back")
+    assert(spark.sql("SELECT one FROM gvw.default.racy")
+      .head().getInt(0) == 1)
+    cat.dropView(ident)
+  }
+
   test("programmatic ViewCatalog surface: rename and property alter") {
     warehouse
     spark.sql("CREATE VIEW gvw.default.pv AS SELECT id FROM gvw.default.t")
