@@ -256,17 +256,21 @@ object Similarity {
     * groups. At 100 TB you train on a sample (points is any DataFrame —
     * pass a `.sample` or a fixed id-range slice) and encode the full
     * corpus with the final codebook; iters is fixed and small. */
-  /** Driver-collect a SMALL deterministic frame into a single-partition
-    * local relation — the collect-then-broadcast dimension pattern.
-    * Exact values are preserved (collect round-trips doubles
-    * bit-for-bit), so oracle parity is unaffected; the payoff is a flat
-    * plan for anything iterated or multiply-referenced. Only for frames
-    * known bounded (centroid tables, top-k ground truths). */
+  /** Driver-collect a SMALL deterministic frame into a true LOCAL
+    * relation — the collect-then-broadcast dimension pattern. Exact
+    * values are preserved (collect round-trips doubles bit-for-bit),
+    * so oracle parity is unaffected; the payoff is a flat plan for
+    * anything iterated or multiply-referenced. A LocalRelation (not an
+    * RDD-backed frame): it broadcasts without an RDD job, Catalyst
+    * folds through it, and the plan itself PROVES the broadcast side
+    * bounded — PlanAudit classifies a BroadcastNestedLoopJoin over it
+    * as the intended scalar-attach shape instead of flagging an
+    * unbounded nested loop. Only for frames known bounded (centroid
+    * tables, query vectors, top-k ground truths). */
   private[graft] def localizeSmall(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.createDataFrame(
-      spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1),
-      df.schema)
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
   }
 
   /** Corpus-scaled exact re-rank multiplier for the quantized ANN paths

@@ -1957,6 +1957,9 @@ object Snapshots {
           case None => (Nil, readManifest(fs, root, v))
           case Some(pred) => pruneFiles(spark, dir, pred, v)
         }
+        if (mayMatch.nonEmpty)
+          requireUniqueBasenames(readManifest(fs, root, v), dir,
+            "mergeLight")
         // matched LIVE rows, named by (file basename, row index)
         val hits =
           if (mayMatch.isEmpty) Array.empty[org.apache.spark.sql.Row]
@@ -2673,6 +2676,29 @@ object Snapshots {
   // EXECUTORS at read time.
 
   private val DvPrefix = "#dv\t"
+  /** Row-level (deletion-vector) verbs name rows by file BASENAME —
+    * sound for staged files (uuid-dir part names are process-unique)
+    * but a CONVERTED hive-partitioned layout legitimately repeats
+    * basenames across partition directories
+    * (`k=1/part-00000-<uuid>`, `k=2/part-00000-<uuid>`). A DV keyed
+    * by an ambiguous basename would mask rows in EVERY file sharing
+    * it, so the verbs fail closed on such a manifest; the remedy is
+    * the copy-on-write verb (same semantics, no positional naming) or
+    * one OPTIMIZE/compact, whose rewrite restores unique staged
+    * names. */
+  private def requireUniqueBasenames(files: Seq[String], dir: String,
+      op: String): Unit = {
+    val dup = files.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
+      .collect { case (b, fs0) if fs0.sizeIs > 1 => b }
+    if (dup.nonEmpty) throw new UnsupportedOperationException(
+      s"$op on $dir: the table's file set repeats basenames (e.g. " +
+        s"${dup.take(3).toSeq.sorted.mkString(", ")} — a converted " +
+        "hive-partitioned layout), and row-level operations name rows " +
+        "by basename. Use the copy-on-write verb instead " +
+        "(deleteWhere/updateWhere/merge), or run optimize/compact " +
+        "once to rewrite into uniquely-named files")
+  }
+
   private val GfCol = "__graft_dv_file"
   private val GposCol = "__graft_dv_pos"
 
@@ -2813,8 +2839,43 @@ object Snapshots {
     val dv = dvFor(fs, root, dvV).filter { case (f, (_, n)) =>
       n > 0 && fileSet.contains(f)
     }
+    // converted hive layouts ([[convert]]): the partition columns live
+    // in the file PATHS, not the files — constant-fill them per file
+    // with codegen'd expressions over _metadata.file_path (no UDF).
+    // Files that physically carry the column (post-convert staged
+    // rewrites) keep their stored values: the fill applies only where
+    // the path carries the key=value marker.
+    val partFill: Seq[StructField] =
+      propsOf(fs, root, schemaV).get(ConvertPartitionsKey)
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType]
+          .fields.toSeq)
+        .getOrElse(Nil)
+    // the marker probe runs on the ROOT-RELATIVE path (prefixed with
+    // "/" so the first segment matches too): a table root that itself
+    // contains a key= segment must not make staged files — which
+    // carry the column physically — take the path branch
+    val rootPrefix = fs.makeQualified(root).toString.stripSuffix("/") + "/"
     def attach(scan: DataFrame): DataFrame = {
-      val withMeta = scan
+      val filled =
+        if (partFill.isEmpty) scan
+        else {
+          val relp = concat(lit("/"), when(
+            col("_metadata.file_path").startsWith(rootPrefix),
+            col("_metadata.file_path").substr(
+              lit(rootPrefix.length + 1), lit(Int.MaxValue)))
+            .otherwise(col("_metadata.file_path")))
+          partFill.foldLeft(scan) { (df, f) =>
+            val marker = "/" + f.name + "="
+            val pat = java.util.regex.Pattern.quote(marker) + "([^/]+)/"
+            val decoded = url_decode(regexp_extract(relp, pat, 1))
+            val fromPath = when(decoded === HiveDefaultPartition,
+              lit(null)).otherwise(decoded).cast(f.dataType)
+            df.withColumn(f.name,
+              when(relp.contains(marker), fromPath)
+                .otherwise(col(f.name)))
+          }
+        }
+      val withMeta = filled
         .withColumn(GfCol, col("_metadata.file_name"))
         .withColumn(GposCol, col("_metadata.row_index"))
       if (dv.isEmpty) withMeta
@@ -2879,6 +2940,10 @@ object Snapshots {
     val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
     if (mayMatch.isEmpty)
       return LightDeleteResult(base, 0, 0, untouched.size, 0L)
+    // manifest-wide (not just mayMatch): a DV keyed by a basename any
+    // OTHER file shares would mask that file's rows on every read
+    requireUniqueBasenames(readManifest(fs, root, base), dir,
+      "deleteWhereLight")
     // TRUE-predicate rows among rows still live under the current DVs,
     // named by (file basename, original row index)
     val hits = scanWithMeta(spark, fs, root, base, base, mayMatch)
@@ -3008,6 +3073,9 @@ object Snapshots {
     val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
     if (mayMatch.isEmpty)
       return LightUpdateResult(base, 0, 0, untouched.size, 0L)
+    // same manifest-wide ambiguity guard as deleteWhereLight
+    requireUniqueBasenames(readManifest(fs, root, base), dir,
+      "updateWhereLight")
     // matched rows feed TWO consumers — the position collect and the
     // updated-image staging — pin them once
     val matched = scanWithMeta(spark, fs, root, base, base, mayMatch)
@@ -3489,7 +3557,12 @@ object Snapshots {
     // row-visibility-critical directive without declaring it
     val body = header ++ files
     val requires = requiredFeaturesFor(body).map(RequiresPrefix + _)
-    CommitCoordinators.forFs(fs).publish(fs, manifestPath(root, v),
+    // publishResolving settles an object store's handed-off-but-failed
+    // PUT by reading the target back (won / clean loss / truly unknown)
+    // — manifests are writer-unique (freshly-staged uuid file names),
+    // so a byte-equal read-back proves THIS commit landed
+    CommitCoordinator.publishResolving(CommitCoordinators.forFs(fs), fs,
+      manifestPath(root, v),
       ((requires ++ body).mkString("\n") + "\n").getBytes("UTF-8"))
   }
 
@@ -3505,7 +3578,8 @@ object Snapshots {
     val p = new HPath(target)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
-    CommitCoordinators.forFs(fs).publish(fs, p, body)
+    CommitCoordinator.publishResolving(CommitCoordinators.forFs(fs),
+      fs, p, body)
   }
 
   /** Install `coordinator` for every table on filesystems of `scheme`,
@@ -6270,13 +6344,28 @@ object Snapshots {
       if (files.nonEmpty) {
         val endV = run.head._1
         import spark.implicits._
-        val byBase = run.reverse.flatMap { case (v, fl) =>
-          fl.map(f => (f.substring(f.lastIndexOf('/') + 1), v))
-        }.toDF("__cf_file", "_commit_version")
-        segs += scanWithMeta(spark, fs, root, endV, endV, files)
-          .join(broadcast(byBase), col(GfCol) === col("__cf_file"))
-          .drop(GfCol, GposCol, "__cf_file")
-          .withColumn("_change_type", lit("insert"))
+        // version attribution joins on file BASENAME; a converted
+        // hive layout repeats basenames across partition dirs, which
+        // would cross-attribute (and multiply) rows — scan each
+        // version separately there instead (same rows, one scan per
+        // version instead of one per run)
+        val dup = files.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
+          .exists(_._2.sizeIs > 1)
+        if (!dup) {
+          val byBase = run.reverse.flatMap { case (v, fl) =>
+            fl.map(f => (f.substring(f.lastIndexOf('/') + 1), v))
+          }.toDF("__cf_file", "_commit_version")
+          segs += scanWithMeta(spark, fs, root, endV, endV, files)
+            .join(broadcast(byBase), col(GfCol) === col("__cf_file"))
+            .drop(GfCol, GposCol, "__cf_file")
+            .withColumn("_change_type", lit("insert"))
+        } else run.reverse.foreach { case (v, fl) =>
+          if (fl.nonEmpty)
+            segs += scanWithMeta(spark, fs, root, endV, endV, fl.sorted)
+              .drop(GfCol, GposCol)
+              .withColumn("_commit_version", lit(v))
+              .withColumn("_change_type", lit("insert"))
+        }
       }
       run = Nil
     }
@@ -7419,14 +7508,36 @@ object Snapshots {
     * [[optimize]]/[[compact]] rewrite collects exact stats. A column
     * absent from a file's schema is recorded all-NULL (exact).
     *
+    * HIVE-PARTITIONED layouts (`key=value` path segments) convert in
+    * place too — the single most common pre-existing parquet shape.
+    * Partition columns are inferred exactly as a direct
+    * `spark.read.parquet(dir)` would infer them (the directory read IS
+    * the probe, so types match Spark's partition inference to the
+    * letter), appended to the pinned schema, and each file's
+    * path-borne value is recorded as an EXACT per-file stat
+    * (min = max = value, zero nulls — the ideal pruning stat, free).
+    * Scans materialize the value per file from its path
+    * (`convert.partitions` table property → [[scanWithMeta]]'s
+    * constant fill), so partition-predicate queries file-prune through
+    * the ordinary stats machinery and later CoW rewrites materialize
+    * the columns physically. Note that Spark-written partitioned
+    * layouts repeat file BASENAMES across partition directories
+    * (`k=1/part-00000-<uuid>`, `k=2/part-00000-<uuid>`): full reads,
+    * pruning, CoW DML, OPTIMIZE and VACUUM are unaffected, while the
+    * row-level deletion-vector verbs and basename-keyed feed
+    * attribution fail closed on such a file set
+    * ([[requireUniqueBasenames]]) until a rewrite restores unique
+    * staged names.
+    *
     * REFUSES loudly: a directory that is already a snapshot table
-    * (read it directly), hive-partitioned layouts (`key=value` path
-    * segments carry values that live in no file — converting would
-    * silently drop those columns), duplicate file basenames (the
-    * row-level machinery names rows by basename), and non-parquet
-    * files. Exactly-once under races: the v1 manifest publishes
-    * through the commit CAS — a concurrent convert/create loses
-    * loudly, never doubles. */
+    * (read it directly), non-parquet files, inconsistent partition
+    * directory structures (Spark's own inference refuses the same),
+    * a partition key that needs path-escaping or collides with a file
+    * column, and a partition value containing a literal `+` (the
+    * scan-side decoder is the codegen'd `url_decode`, which reads `+`
+    * as a space — refusing beats corrupting). Exactly-once under
+    * races: the v1 manifest publishes through the commit CAS — a
+    * concurrent convert/create loses loudly, never doubles. */
   def convert(spark: SparkSession, dir: String): ConvertResult = {
     val (fs, root) = fsFor(spark, dir)
     val qRoot = fs.makeQualified(root)
@@ -7455,33 +7566,131 @@ object Snapshots {
       require(rel.endsWith(".parquet"),
         s"convert supports parquet layouts only — found '$rel' under " +
           s"$dir; use copyInto for other formats")
-      require(!rel.split('/').dropRight(1).exists(_.contains("=")),
-        s"convert refuses hive-partitioned layouts ('$rel'): partition " +
-          "values live in the path, not the files — reading the files " +
-          "alone would silently drop those columns. Rewrite through " +
-          "copyInto with the partition columns materialized")
     }
-    val dupBase = rels.map(_._1)
-      .groupBy(f => f.substring(f.lastIndexOf('/') + 1))
-      .collect { case (b, fs0) if fs0.size > 1 => b }
-    require(dupBase.isEmpty,
-      s"convert: duplicate file basenames under $dir " +
-        s"(e.g. ${dupBase.take(3).mkString(", ")}) — row-level " +
-        "operations name rows by basename; rename the files apart")
-    val schema = allNullable(spark.read.option("mergeSchema", "true")
+    // hive partition layout: `key=value` directory segments, which
+    // must form ONE consistent key sequence across every file (an
+    // unpartitioned file among partitioned ones, or two different
+    // key orders, is the same conflicting-structure shape Spark's own
+    // inference refuses)
+    val partSegsOf: Map[String, Seq[(String, String)]] =
+      rels.map { case (rel, _) =>
+        rel -> rel.split('/').dropRight(1).toSeq.filter(_.contains("="))
+          .map { seg =>
+            val i = seg.indexOf('=')
+            (seg.substring(0, i), seg.substring(i + 1))
+          }
+      }.toMap
+    val keySeqs = rels.map { case (rel, _) =>
+      partSegsOf(rel).map(_._1) }.distinct
+    require(keySeqs.size <= 1,
+      s"convert refuses inconsistent partition structures under $dir: " +
+        s"found key sequences ${keySeqs.take(3).map(_.mkString("/"))
+          .mkString("; ")} — every file must sit under the same " +
+        "key=value directory chain")
+    val partKeys = keySeqs.headOption.getOrElse(Nil)
+    partKeys.foreach(k => require(k.matches("[A-Za-z0-9_]+"),
+      s"convert: partition key '$k' under $dir needs path escaping — " +
+        "unsupported; rewrite through copyInto with the partition " +
+        "columns materialized"))
+    val fileSchema = allNullable(spark.read.option("mergeSchema", "true")
       .parquet(rels.map { case (r, _) => s"$rootStr/$r" }: _*).schema)
-    val statFields = statColumns(schema)
-    val (statLines, rows) = footerStatLines(spark, rootStr,
-      rels.map(_._1), statFields,
-      spark.sessionState.conf.sessionLocalTimeZone)
+    partKeys.foreach(k =>
+      require(!fileSchema.fieldNames.exists(_.equalsIgnoreCase(k)),
+        s"convert: partition key '$k' under $dir collides with a " +
+          "column of the data files — a read could not tell the " +
+          "path-borne value from the stored one"))
+    // partition column TYPES come from Spark's own inference — the
+    // directory read is the probe, so a converted read matches a
+    // direct spark.read.parquet(dir) to the letter
+    val partFields: Seq[StructField] =
+      if (partKeys.isEmpty) Nil
+      else {
+        val probed =
+          try spark.read.parquet(rootStr).schema
+          catch {
+            case NonFatal(t) => throw new IllegalArgumentException(
+              s"convert: Spark's partition inference refused the " +
+                s"layout under $dir: ${t.getMessage}", t)
+          }
+        partKeys.map(k => probed.fields.find(_.name == k)
+          .map(f => StructField(f.name, f.dataType, nullable = true))
+          .getOrElse(throw new IllegalArgumentException(
+            s"convert: the inferred schema of $dir carries no " +
+              s"partition column '$k'")))
+      }
+    val schema = StructType(fileSchema.fields ++ partFields)
+    val statFields = statColumns(fileSchema)
+    val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
+    val (statLines, rows, rowsByFile) = footerStatLines(spark, rootStr,
+      rels.map(_._1), statFields, sessionTz)
+    // path-borne values become EXACT per-file stats (min = max =
+    // value): free pruning on exactly the columns the layout was
+    // partitioned by
+    val partStatLines = rels.flatMap { case (rel, _) =>
+      partFields.zip(partSegsOf(rel)).map { case (f, (_, rawSeg)) =>
+        require(!rawSeg.contains("+"),
+          s"convert: partition value '$rawSeg' under $dir contains a " +
+            "literal '+', which the scan-side url_decode would read " +
+            "as a space — rename the directory (or copyInto) instead " +
+            "of converting to silently corrupted values")
+        val decoded = java.net.URLDecoder.decode(rawSeg, "UTF-8")
+        val nRows = rowsByFile.getOrElse(rel, 0L)
+        if (decoded == HiveDefaultPartition || nRows == 0L)
+          s"#stats\t$rel\t$nRows\t${enc(f.name)}\t$nRows\tnull\tnull"
+        else renderPartitionStat(rel, nRows, f, decoded, sessionTz)
+      }
+    }
     val sizeLines = rels.map { case (rel, len) => s"#size\t$rel\t$len" }
+    val partProps =
+      if (partFields.isEmpty) Map.empty[String, String]
+      else Map(ConvertPartitionsKey -> StructType(partFields).json)
     val header = opHeader("convert") ++ Seq(schemaHeader(schema)) ++
-      sizeLines ++ statLines
+      propsHeader(partProps) ++ sizeLines ++ statLines ++ partStatLines
     if (!casManifest(fs, root, 1, rels.map(_._1), header))
       throw new java.util.ConcurrentModificationException(
         s"convert of $dir lost a race: another writer committed v1 " +
           "(a concurrent convert or create) — read the table instead")
     ConvertResult(1, rels.size, rows)
+  }
+
+  /** Table property naming the path-borne partition columns of a
+    * CONVERTED hive layout (their StructType JSON, convert-time
+    * physical names): [[scanWithMeta]] constant-fills them per file
+    * from the file path. */
+  private[graft] val ConvertPartitionsKey = "convert.partitions"
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** One partition column's exact per-file stat line: the decoded
+    * path value cast to the inferred type, rendered in the same
+    * Spark-cast-string form [[collectStats]] writes (so the prune
+    * layer's cast-back replays it identically); strings follow the
+    * same truncation discipline. A value the type cast cannot read
+    * (unreachable for inference-derived types) records all-NULL —
+    * matching what the scan-side fill would produce. */
+  private def renderPartitionStat(rel: String, rows: Long,
+      f: StructField, decoded: String, sessionTz: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    f.dataType match {
+      case StringType =>
+        val mn = truncMinStat(decoded)
+        val mx = truncMaxStat(decoded)
+        s"#stats\t$rel\t$rows\t${enc(f.name)}\t0\tv:${enc(mn)}\t" +
+          mx.map("v:" + enc(_)).getOrElse("null")
+      case dt =>
+        val casted =
+          try Cast(Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(decoded),
+            StringType), dt, Option(sessionTz)).eval()
+          catch { case NonFatal(_) => null }
+        if (casted == null)
+          s"#stats\t$rel\t$rows\t${enc(f.name)}\t$rows\tnull\tnull"
+        else {
+          val rendered = Cast(Literal(casted, dt), StringType,
+            Option(sessionTz)).eval().toString
+          s"#stats\t$rel\t$rows\t${enc(f.name)}\t0\t" +
+            s"v:${enc(rendered)}\tv:${enc(rendered)}"
+        }
+    }
   }
 
   /** Per-file `#stats` lines from parquet FOOTERS — the convert-time
@@ -7492,22 +7701,25 @@ object Snapshots {
     * and never feed a stats-decided aggregate. */
   private def footerStatLines(spark: SparkSession, rootStr: String,
       rels: Seq[String], fields: Seq[StructField],
-      sessionTz: String): (Seq[String], Long) = {
-    if (rels.isEmpty) return (Nil, 0L)
+      sessionTz: String): (Seq[String], Long, Map[String, Long]) = {
+    if (rels.isEmpty) return (Nil, 0L, Map.empty)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val want = fields.map(f => (f.name, f.dataType))
     val slices = math.max(1, math.min(rels.size,
       spark.sparkContext.defaultParallelism * 2))
-    val perFile: Seq[(Seq[String], Long)] =
+    val perFile: Seq[(String, Seq[String], Long)] =
       spark.sparkContext.parallelize(rels, slices).map { rel =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new HPath(s"$rootStr/$rel"), conf.value))
-        try footerLinesOf(rel, reader.getFooter, want, sessionTz)
-        finally reader.close()
+        val (lines, rows) =
+          try footerLinesOf(rel, reader.getFooter, want, sessionTz)
+          finally reader.close()
+        (rel, lines, rows)
       }.collect().toSeq
-    (perFile.flatMap(_._1), perFile.map(_._2).sum)
+    (perFile.flatMap(_._2), perFile.map(_._3).sum,
+      perFile.map(x => x._1 -> x._3).toMap)
   }
 
   /** One file's exact `#stats` lines from its parsed footer. */
@@ -7656,13 +7868,20 @@ object Snapshots {
 
   /** One analyzed column's stored statistics (logical-name keyed at
     * [[analyzedStats]]): approximate distinct count, exact null
-    * count, and string length profile where applicable. */
+    * count, string length profile where applicable, and — when
+    * `spark.sql.statistics.histogram.enabled` was on at ANALYZE time —
+    * the equi-height histogram the cost-based optimizer prices skewed
+    * predicates with. */
   final case class ColumnAnalysis(ndv: Long, nulls: Long,
-    avgLen: Option[Long], maxLen: Option[Long])
+    avgLen: Option[Long], maxLen: Option[Long],
+    histogram: Option[org.apache.spark.sql.catalyst.plans.logical
+      .Histogram] = None,
+    min: Option[String] = None, max: Option[String] = None)
 
   private val AnalyzeRowsKey = "analyze.rowCount"
   private val AnalyzeAtKey = "analyze.atVersion"
   private def analyzeColKey(phys: String) = s"analyze.col.${enc(phys)}"
+  private def analyzeHistKey(phys: String) = s"analyze.hist.${enc(phys)}"
 
   /** `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` — one
     * distributed pass computing the exact row count plus per-column
@@ -7725,8 +7944,107 @@ object Snapshots {
           avg(lenCol).as(s"__al_${f.name}"),
           max(lenCol).as(s"__ml_${f.name}"))
       }
-      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      // equi-height histograms (gated by Spark's own
+      // spark.sql.statistics.histogram.enabled, like ANALYZE in the
+      // session catalog): endpoints from one approximate-percentile
+      // sweep, per-bin NDV from one ApproxCountDistinctForIntervals
+      // sweep — two distributed passes total, driver holds only
+      // numBins doubles per column. NDV alone prices every predicate
+      // as uniform; the histogram is what lets CBO see that
+      // `col = <rare value>` on a skewed column selects almost
+      // nothing, which is routinely the difference between join
+      // orders at 100 TB.
+      val histEnabled = spark.sessionState.conf.histogramEnabled
+      val numBins = spark.sessionState.conf.histogramNumBins
+      def histNumeric(f: StructField): Option[Column] = f.dataType match {
+        // doubles are the histogram's own bin representation (Spark
+        // stores HistogramBin bounds as doubles); dates count days,
+        // timestamps micros — the same mapping FilterEstimation
+        // replays on the predicate side
+        case _: NumericType => Some(col(f.name).cast("double"))
+        case DateType => Some(unix_date(col(f.name)).cast("double"))
+        case TimestampType => Some(unix_micros(col(f.name)).cast("double"))
+        case _ => None
+      }
+      val histTargets =
+        if (!histEnabled || numBins < 2) Nil
+        else targets.flatMap(f => histNumeric(f).map(f -> _))
+      val pcts = (0 to numBins).map(_.toDouble / numBins).toArray
+      val histAggs = histTargets.map { case (f, c) =>
+        percentile_approx(c, lit(pcts),
+          lit(spark.sessionState.conf.percentileAccuracy))
+          .as(s"__hp_${f.name}")
+      }
+      // TYPED min/max for the CBO-comparable types (what Spark's own
+      // ANALYZE stores): without them FilterEstimation's range check
+      // treats every literal as out of range — a histogram alone
+      // cannot price anything
+      def mmEligible(f: StructField): Boolean = f.dataType match {
+        case _: NumericType | DateType | TimestampType |
+             TimestampNTZType | BooleanType => true
+        case _ => false
+      }
+      val mmTargets = targets.filter(mmEligible)
+      val mmAggs = mmTargets.flatMap(f =>
+        Seq(min(col(f.name)).as(s"__tmn_${f.name}"),
+          max(col(f.name)).as(s"__tmx_${f.name}")))
+      val allAggs = aggs ++ mmAggs ++ histAggs
+      val r = df.agg(allAggs.head, allAggs.tail: _*).head()
       val n = r.getLong(0)
+      val mmBase = 1 + 4 * targets.size
+      val mmExternal: Map[String, (String, String)] =
+        mmTargets.zipWithIndex.flatMap { case (f, i) =>
+          if (r.isNullAt(mmBase + 2 * i)) None
+          else {
+            def ext(j: Int): String =
+              org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+                .toExternalString(
+                  org.apache.spark.sql.catalyst.CatalystTypeConverters
+                    .convertToCatalyst(r.get(j)),
+                  f.name, f.dataType)
+            Some(f.name -> (ext(mmBase + 2 * i), ext(mmBase + 2 * i + 1)))
+          }
+        }.toMap
+      val histBase = mmBase + 2 * mmTargets.size
+      val endpoints: Seq[Option[Array[Double]]] =
+        histTargets.zipWithIndex.map { case (_, i) =>
+          if (r.isNullAt(histBase + i)) None
+          else Some(r.getSeq[Double](histBase + i).toArray)
+            .filter(_.length == numBins + 1)
+        }
+      val histProps: Map[String, String] = {
+        val live = histTargets.zip(endpoints).collect {
+          case ((f, c), Some(eps)) => (f, c, eps)
+        }
+        if (live.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.catalyst.expressions.aggregate
+            .ApproxCountDistinctForIntervals
+          import org.apache.spark.sql.catalyst.plans.logical
+            .{Histogram, HistogramBin, HistogramSerializer}
+          val ndvAggs: Seq[Column] = live.map { case (f, c, eps) =>
+            org.apache.spark.sql.graft.GraftSparkBridge.column(
+              new ApproxCountDistinctForIntervals(
+                org.apache.spark.sql.graft.GraftSparkBridge.expression(c),
+                org.apache.spark.sql.catalyst.expressions.Literal
+                  .create(eps, ArrayType(DoubleType)), 0.05, 0, 0)
+                .toAggregateExpression()).as(s"__hn_${f.name}")
+          }
+          val r2 = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+          live.zipWithIndex.flatMap { case ((f, _, eps), i) =>
+            val ndvs = r2.getSeq[Long](i)
+            val nonNull = 1 + 4 * targets.indexWhere(_.name == f.name) + 1
+            val height = r.getLong(nonNull).toDouble / numBins
+            if (ndvs.length != numBins) None
+            else {
+              val bins = Array.tabulate(numBins)(j =>
+                HistogramBin(eps(j), eps(j + 1), ndvs(j)))
+              Some(analyzeHistKey(physOf(f)) ->
+                HistogramSerializer.serialize(Histogram(height, bins)))
+            }
+          }.toMap
+        }
+      }
       val colProps = targets.zipWithIndex.map { case (f, i) =>
         val base = 1 + 4 * i
         val ndv = r.getLong(base)
@@ -7735,12 +8053,17 @@ object Snapshots {
           else math.ceil(r.getDouble(base + 2)).toLong.toString
         val maxLen = if (r.isNullAt(base + 3)) ""
           else r.getLong(base + 3).toString
-        analyzeColKey(physOf(f)) -> s"$ndv,$nulls,$avgLen,$maxLen"
+        val (mn, mx) = mmExternal.get(f.name)
+          .map { case (a, b) => (enc(a), enc(b)) }.getOrElse(("", ""))
+        analyzeColKey(physOf(f)) -> s"$ndv,$nulls,$avgLen,$maxLen,$mn,$mx"
       }.toMap
+      // re-analyzed columns drop their stale histograms first: an old
+      // histogram under fresh NDVs would mis-price worse than none
       val committed = metadataCommit(fs, root, spark, dir, v, schema,
         droppedOf(fs, root, v), bloomConfigOf(fs, root, v),
         constraintsOf(fs, root, v),
-        propsOf(fs, root, v) ++ colProps +
+        (propsOf(fs, root, v) -- targets.map(f =>
+          analyzeHistKey(physOf(f)))) ++ colProps ++ histProps +
           (AnalyzeRowsKey -> n.toString) + (AnalyzeAtKey -> v.toString),
         op = "analyze")
       AnalyzeResult(committed, n, targets.map(_.name))
@@ -7761,11 +8084,22 @@ object Snapshots {
         .getOrElse(allNullable(read(spark, dir, v).schema))
       val cols = schema.fields.toSeq.flatMap { f =>
         props.get(analyzeColKey(physOf(f))).flatMap { s =>
+          def build(ndv: String, nulls: String, al: String, ml: String,
+              mn: Option[String], mx: Option[String]) = {
+            val hist = props.get(analyzeHistKey(physOf(f))).flatMap(h =>
+              try Some(org.apache.spark.sql.catalyst.plans.logical
+                .HistogramSerializer.deserialize(h))
+              catch { case NonFatal(_) => None })
+            f.name -> ColumnAnalysis(ndv.toLong, nulls.toLong,
+              if (al.isEmpty) None else Some(al.toLong),
+              if (ml.isEmpty) None else Some(ml.toLong), hist,
+              mn.filter(_.nonEmpty).map(dec), mx.filter(_.nonEmpty).map(dec))
+          }
           s.split(",", -1) match {
-            case Array(ndv, nulls, al, ml) =>
-              Some(f.name -> ColumnAnalysis(ndv.toLong, nulls.toLong,
-                if (al.isEmpty) None else Some(al.toLong),
-                if (ml.isEmpty) None else Some(ml.toLong)))
+            case Array(ndv, nulls, al, ml) => // pre-round-13 layout
+              Some(build(ndv, nulls, al, ml, None, None))
+            case Array(ndv, nulls, al, ml, mn, mx) =>
+              Some(build(ndv, nulls, al, ml, Some(mn), Some(mx)))
             case _ => None
           }
         }

@@ -2006,6 +2006,47 @@ object SinkQueries {
         |FROM orders
         |WHERE o_orderkey < 50000 AND o_orderkey % 3 = 0
         |GROUP BY bucket
-        |ORDER BY bucket""".stripMargin)
+        |ORDER BY bucket""".stripMargin),
+
+    // Partition-aware CONVERT: a hive-partitioned (`key=value`) layout
+    // — the single most common pre-existing parquet shape — converts
+    // in place; the path-borne partition column materializes at scan
+    // time, carries exact per-file stats (the DELETE prunes on it),
+    // and survives a CoW rewrite. The oracle recomputes the net state
+    // from `orders` directly, so a dropped/mis-typed/mis-valued
+    // partition column hash-mismatches.
+    QueryDef("s56_convert_partitioned",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val raw = s"${stageDir(dir)}/s56_raw"
+        val p = new org.apache.hadoop.fs.Path(raw)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true) // rebuild the fixture each run
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"),
+            pmod(col("o_orderkey"), lit(5)).cast("int").as("shard"))
+          .filter(col("o_orderkey") < 30000)
+          .write.partitionBy("shard").parquet(raw)
+        val r = Snapshots.convert(s, raw)
+        require(r.version == 1 && r.rows > 0,
+          s"convert fixture drift: $r")
+        // CoW DML addressed BY the path-borne column: the delete
+        // file-prunes to the shard=4 files via their exact path stats
+        Snapshots.deleteWhere(s, raw, col("shard") === 4)
+        Snapshots.read(s, raw)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,4)"))
+              .cast("double").as("sum_price"))
+          .orderBy("shard")
+      },
+      """SELECT (o_orderkey % 5)::INT AS shard,
+        |  count(*)::BIGINT AS n_orders,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM orders
+        |WHERE o_orderkey < 30000 AND o_orderkey % 5 <> 4
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin)
   )
 }

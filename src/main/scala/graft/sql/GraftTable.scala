@@ -202,28 +202,44 @@ final class GraftTable(
     * The `.format("graft-snapshots")` spelling is required (Spark
     * verifies the writer's source against the table's provider — the
     * Delta-style contract). */
+  // ANALYZE-stored statistics feed the cost-based optimizer through
+  // the CatalogTable below (readPlan attaches it to every
+  // LogicalRelation of the converted scan): row count + per-column
+  // NDV/null counts let CostBasedJoinReorder re-root multi-join
+  // queries by estimated cardinality. Only for CURRENT-version reads —
+  // a time-traveled read must not borrow the tip's cardinalities.
+  // MEMOIZED per table handle: the catalog loads a fresh GraftTable
+  // per statement (so staleness is statement-scoped), while one
+  // statement's analysis may build v1Table several times — each an
+  // analyzedStats + liveBytes manifest-metadata pass, which on an
+  // object store is storage round trips per planning iteration.
+  private lazy val memoizedStats
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogStatistics] =
+    if (pinnedVersion.nonEmpty) None
+    else Snapshots.analyzedStats(spark, dir).map { case (rc, cols) =>
+      org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+        sizeInBytes =
+          BigInt(math.max(1L, Snapshots.liveBytes(spark, dir))),
+        rowCount = Some(BigInt(rc)),
+        colStats = cols.map { case (name, a) =>
+          name -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+            distinctCount = Some(BigInt(a.ndv)),
+            min = a.min,
+            max = a.max,
+            nullCount = Some(BigInt(a.nulls)),
+            avgLen = a.avgLen,
+            maxLen = a.maxLen,
+            // ANALYZE-time equi-height histogram (when
+            // spark.sql.statistics.histogram.enabled was on): lets
+            // FilterEstimation price skewed predicates instead of
+            // assuming uniformity over the NDV
+            histogram = a.histogram)
+        })
+    }
+
   override def v1Table: CatalogTable = {
     val parts = identName.split('.')
-    // ANALYZE-stored statistics feed the cost-based optimizer through
-    // this CatalogTable (readPlan attaches it to every LogicalRelation
-    // of the converted scan): row count + per-column NDV/null counts
-    // let CostBasedJoinReorder re-root multi-join queries by estimated
-    // cardinality. Only for CURRENT-version reads — a time-traveled
-    // read must not borrow the tip's cardinalities.
-    val stats = if (pinnedVersion.nonEmpty) None
-      else Snapshots.analyzedStats(spark, dir).map { case (rc, cols) =>
-        org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
-          sizeInBytes =
-            BigInt(math.max(1L, Snapshots.liveBytes(spark, dir))),
-          rowCount = Some(BigInt(rc)),
-          colStats = cols.map { case (name, a) =>
-            name -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
-              distinctCount = Some(BigInt(a.ndv)),
-              nullCount = Some(BigInt(a.nulls)),
-              avgLen = a.avgLen,
-              maxLen = a.maxLen)
-          })
-      }
+    val stats = memoizedStats
     CatalogTable(
       identifier = TableIdentifier(parts.last,
         if (parts.length >= 2) Some(parts(parts.length - 2)) else None,

@@ -18,6 +18,11 @@ object GraftSparkBridge {
   def column(e: Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** The inverse bridge: the Catalyst expression behind a Column
+    * (Spark 4 removed the public `Column.expr`). */
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** A DataFrame over an arbitrary logical plan. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)

@@ -98,6 +98,78 @@ class AnalyzeSpec extends SparkSpec {
     }
   }
 
+  test("equi-height histograms: built under Spark's histogram flag, " +
+      "stored per column, and CBO prices a skewed predicate by bin " +
+      "instead of assuming uniformity") {
+    val w = Files.createTempDirectory("graft_an_hist").toFile.toString
+    spark.conf.set("spark.sql.catalog.ganh", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ganh.warehouse", w)
+    // heavy skew: 19k rows of k=0, 1k rows spread over 1..1000, plus
+    // a uniform join key j
+    val rows = ((0L until 19000L).map(_ => 0L) ++ (1L to 1000L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong % 2000L) }
+    Snapshots.append(rows.toDF("k", "j"), s"$w/default/skew")
+    Snapshots.append((0L until 2000L).map(i => (i, s"m$i"))
+      .toDF("j", "mv"), s"$w/default/mid2")
+    Snapshots.append((0L until 20L).map(i => (i, s"s$i"))
+      .toDF("j", "sv"), s"$w/default/small2")
+    // ANALYZE with the flag OFF: NDV only, no histogram
+    Snapshots.analyzeColumns(spark, s"$w/default/skew")
+    Snapshots.analyzeColumns(spark, s"$w/default/mid2")
+    Snapshots.analyzeColumns(spark, s"$w/default/small2")
+    val (_, noHist) = Snapshots.analyzedStats(spark, s"$w/default/skew").get
+    assert(noHist("k").histogram.isEmpty,
+      "histograms must be gated by spark.sql.statistics.histogram.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      def estimate(k: Long): BigInt = spark.sql(
+        s"SELECT * FROM ganh.default.skew WHERE k = $k")
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(sys.error("no rowCount estimate"))
+      // uniformity assumption: the hot key and a rare key price the
+      // SAME (~ rows/ndv ~ 20) — off by 1000x on the hot key
+      val uniformHot = estimate(0L)
+      val uniformRare = estimate(777L)
+      assert(uniformHot == uniformRare,
+        s"without histograms both keys price uniformly: " +
+          s"$uniformHot vs $uniformRare")
+      // re-ANALYZE with histograms on
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      val numBins = spark.sessionState.conf.histogramNumBins
+      Snapshots.analyzeColumns(spark, s"$w/default/skew")
+      val (_, withHist) =
+        Snapshots.analyzedStats(spark, s"$w/default/skew").get
+      val h = withHist("k").histogram.getOrElse(
+        sys.error("histogram missing after flag-on ANALYZE"))
+      assert(h.bins.length == numBins, s"bins=${h.bins.length}")
+      assert(math.abs(h.height * numBins - 20000.0) < 1.0,
+        s"height*bins must equal the non-null count: ${h.height}")
+      val hot = estimate(0L)
+      val rare = estimate(777L)
+      assert(hot > BigInt(5000),
+        s"the hot key covers most bins and must price near 19000: $hot")
+      assert(rare < BigInt(100) && rare < hot / 100,
+        s"the rare key sits in one sparse bin: $rare (hot: $hot)")
+      // the join-order consequence: a `k = 0` filtered skew (truly
+      // 19k rows) must not be joined first on a 20-row estimate —
+      // with histograms the optimizer routes through mid2 ⋈ small2
+      val q = spark.sql(
+        """SELECT x.j, m.mv, s.sv
+          |FROM (SELECT j FROM ganh.default.skew WHERE k = 0) x
+          |JOIN ganh.default.mid2 m ON x.j = m.j
+          |JOIN ganh.default.small2 s ON m.j = s.j""".stripMargin)
+      val first = firstJoinTables(q)
+      assert(!first.contains("skew") || first == Set("mid2", "small2"),
+        s"with histogram pricing the 19k-row filtered side must not " +
+          s"anchor the first join: $first")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
+    }
+  }
+
   test("ANALYZE TABLE SQL and CALL analyze route to the same stats; " +
       "named columns restrict the pass") {
     warehouse

@@ -86,37 +86,138 @@ class ConvertSpec extends SparkSpec {
       s"vacuum must reclaim the converted originals: ${loose.toSeq}")
   }
 
-  test("refusals: already converted, hive partitions, duplicate " +
-      "basenames, non-parquet files") {
+  test("refusals: already converted, inconsistent partition " +
+      "structures, colliding keys, non-parquet files") {
     val t = tmp()
     fixture(t)
     Snapshots.convert(spark, t)
     val e1 = intercept[IllegalArgumentException](
       Snapshots.convert(spark, t))
     assert(e1.getMessage.contains("already a snapshot table"))
-    val hp = tmp()
-    (1L to 10L).map(i => (i, i % 2)).toDF("id", "p")
-      .write.partitionBy("p").parquet(hp)
+    // a partitioned file among unpartitioned ones (or two key orders)
+    // is the conflicting-structure shape Spark's inference refuses too
+    val mixed = tmp()
+    Seq((1L, "a")).toDF("id", "s").coalesce(1).write.parquet(mixed)
+    Seq((2L, "b")).toDF("id", "s").coalesce(1)
+      .write.parquet(mixed + "/p=1")
     val e2 = intercept[IllegalArgumentException](
-      Snapshots.convert(spark, hp))
-    assert(e2.getMessage.contains("hive-partitioned"))
-    val dup = tmp()
+      Snapshots.convert(spark, mixed))
+    assert(e2.getMessage.contains("inconsistent partition structures"))
+    // a partition key shadowing a column stored IN the files
+    val clash = tmp()
     Seq((1L, "a")).toDF("id", "s").coalesce(1)
-      .write.parquet(dup + "/sub1")
-    val part = new java.io.File(dup + "/sub1").listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    Files.createDirectories(Paths.get(dup + "/sub2"))
-    Files.copy(part.toPath, Paths.get(dup + "/sub2/" + part.getName),
-      StandardCopyOption.REPLACE_EXISTING)
+      .write.parquet(clash + "/id=7")
     val e3 = intercept[IllegalArgumentException](
-      Snapshots.convert(spark, dup))
-    assert(e3.getMessage.contains("duplicate file basenames"))
+      Snapshots.convert(spark, clash))
+    assert(e3.getMessage.contains("collides with a column"))
     val csv = tmp()
     Seq((1L, "a")).toDF("id", "s").coalesce(1).write.parquet(csv)
     Files.write(Paths.get(csv + "/stray.csv"), "1,a\n".getBytes("UTF-8"))
     val e4 = intercept[IllegalArgumentException](
       Snapshots.convert(spark, csv))
     assert(e4.getMessage.contains("parquet layouts only"))
+  }
+
+  test("hive-partitioned layouts convert in place: schema, inferred " +
+      "types and values match a direct partitioned read; partition " +
+      "predicates file-prune through the exact path-borne stats") {
+    val hp = tmp()
+    (1L to 120L).map(i =>
+      (i, i * 1.5, s"s$i", if (i % 3 == 0) "eu" else "us", (i % 4).toInt))
+      .toDF("id", "v", "s", "region", "bucket")
+      .write.partitionBy("region", "bucket").parquet(hp)
+    val direct = spark.read.parquet(hp)
+    val r = Snapshots.convert(spark, hp)
+    assert(r.version == 1 && r.rows == 120L)
+    val got = Snapshots.read(spark, hp)
+    // Spark's own inference IS the type probe: string + int partition
+    // columns land with identical names and types, data columns first
+    assert(got.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      direct.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"schema drift: ${got.schema} vs ${direct.schema}")
+    val key = got.columns.toSeq
+    assert(got.select(key.map(col): _*).collect().map(_.toSeq).toSet ==
+      direct.select(key.map(col): _*).collect().map(_.toSeq).toSet)
+    // the path-borne values are EXACT per-file stats: both partition
+    // columns prune files
+    val (k1, s1) = Snapshots.pruneFiles(spark, hp, col("region") === "eu")
+    assert(k1.nonEmpty && s1.nonEmpty,
+      s"string partition stats must prune: kept=${k1.size} skipped=${s1.size}")
+    val (k2, s2) = Snapshots.pruneFiles(spark, hp, col("bucket") === 2)
+    assert(k2.nonEmpty && s2.nonEmpty,
+      s"int partition stats must prune: kept=${k2.size} skipped=${s2.size}")
+    // filtered reads agree with the direct read
+    assert(got.filter(col("region") === "eu" && col("bucket") === 0)
+      .count() ==
+      direct.filter(col("region") === "eu" && col("bucket") === 0)
+        .count())
+  }
+
+  test("a converted partitioned table takes CoW DML (values survive " +
+      "the rewrite); DV verbs fail closed on repeated basenames until " +
+      "a rewrite restores unique names") {
+    val hp = tmp()
+    (1L to 60L).map(i => (i, (i % 3).toInt)).toDF("id", "p")
+      .write.partitionBy("p").parquet(hp)
+    Snapshots.convert(spark, hp)
+    // partitionBy repeats part-file basenames across partition dirs —
+    // positional (DV) naming would be ambiguous, so the verbs refuse
+    val e = intercept[UnsupportedOperationException](
+      Snapshots.deleteWhereLight(spark, hp, col("id") === 5L))
+    assert(e.getMessage.contains("basename"), e.getMessage)
+    // copy-on-write DML is unaffected, and rewritten rows materialize
+    // the partition column physically
+    Snapshots.deleteWhere(spark, hp, col("id") > 50L)
+    val got = Snapshots.read(spark, hp)
+    assert(got.count() == 50L)
+    assert(got.filter(col("p") === 1).count() ==
+      (1L to 50L).count(_ % 3 == 1))
+    // one compact rewrites everything into unique staged names — the
+    // DV verbs come back
+    Snapshots.compact(spark, hp, 1)
+    Snapshots.deleteWhereLight(spark, hp, col("id") === 5L)
+    assert(Snapshots.read(spark, hp).count() == 49L)
+  }
+
+  test("change feed over a converted partitioned v1 attributes rows " +
+      "per version despite repeated basenames") {
+    val hp = tmp()
+    (1L to 30L).map(i => (i, (i % 2).toInt)).toDF("id", "p")
+      .write.partitionBy("p").parquet(hp)
+    Snapshots.convert(spark, hp)
+    Snapshots.append((31L to 40L).map(i => (i, (i % 2).toInt))
+      .toDF("id", "p"), hp)
+    val feed = Snapshots.changeFeed(spark, hp, 0)
+    val byVersion = feed.groupBy("_commit_version")
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byVersion == Map(1 -> 30L, 2 -> 10L), byVersion)
+    assert(feed.filter(col("_commit_version") === 1 && col("p") === 1)
+      .count() == 15L, "path-borne values must ride the feed")
+  }
+
+  test("partition default (__HIVE_DEFAULT_PARTITION__) reads NULL and " +
+      "records an exact all-null stat; '+' values refuse loudly") {
+    val hp = tmp()
+    (1L to 10L).map(i => (i, if (i <= 4) null else s"g${i % 2}"))
+      .toDF("id", "g").write.partitionBy("g").parquet(hp)
+    Snapshots.convert(spark, hp)
+    val direct = spark.read.parquet(hp)
+    val got = Snapshots.read(spark, hp)
+    assert(got.filter(col("g").isNull).count() == 4L)
+    assert(got.collect().map(_.toSeq).toSet ==
+      direct.select(got.columns.map(col): _*).collect()
+        .map(_.toSeq).toSet)
+    // IS NOT NULL prunes the default-partition file
+    val (_, skipped) = Snapshots.pruneFiles(spark, hp, col("g").isNotNull)
+    assert(skipped.nonEmpty, "all-null partition stat must prune")
+    // a literal '+' in a partition value would be corrupted by the
+    // scan-side url_decode — convert refuses instead
+    val plus = tmp()
+    Seq((1L, "x")).toDF("id", "s").coalesce(1)
+      .write.parquet(plus + "/tag=a+b")
+    val e = intercept[IllegalArgumentException](
+      Snapshots.convert(spark, plus))
+    assert(e.getMessage.contains("'+'"), e.getMessage)
   }
 
   test("files with heterogeneous schemas merge: the missing column is " +
