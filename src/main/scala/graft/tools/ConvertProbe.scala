@@ -65,12 +65,45 @@ object ConvertProbe {
           f"ratio=${tCopy / tConvert}%5.1fx pruned=${skipped.size}/" +
           s"${kept.size + skipped.size}")
       }
+      // PARTITIONED convert (round 13): key=value layout — the extra
+      // work over the flat case is one directory-probe read for
+      // partition types plus one stat line per (file, key) parsed
+      // driver-side from paths already listed. Elapsed must stay
+      // O(files), tracking the flat figure, and the partition column
+      // must prune
+      locally {
+        val d = Files.createTempDirectory(s"graft_cvp_part_$tag")
+          .toFile.toString + "/raw"
+        base.withColumn("shard", pmod(col("o_orderkey"), lit(8)))
+          .repartition(10, col("o_orderkey"))
+          .write.partitionBy("shard").parquet(d)
+        val (r, tConvert) = ms(Snapshots.convert(spark, d))
+        val (kept, skipped) = Snapshots.pruneFiles(spark, d,
+          col("shard") === 3)
+        println(f"convert  $tag PARTITIONED files=${r.files}%3d " +
+          f"rows=${r.rows}%9d convert=${tConvert / 1000}%7.2fs " +
+          s"partitionPruned=${skipped.size}/${kept.size + skipped.size}")
+      }
       val t = Files.createTempDirectory(s"graft_anp_$tag")
         .toFile.toString + "/t"
       Snapshots.append(base, t)
       val (ar, tAnalyze) = ms(Snapshots.analyzeColumns(spark, t))
       println(f"analyze  $tag rows=${ar.rowCount}%9d " +
         f"cols=${ar.columns.size} elapsed=${tAnalyze / 1000}%7.2fs")
+      // histogram build cost (round 13): the two extra sweeps
+      // (percentiles + per-bin NDV) — must stay a small multiple of
+      // the plain analyze pass, linear in rows
+      val th = Files.createTempDirectory(s"graft_anp_h_$tag")
+        .toFile.toString + "/t"
+      Snapshots.append(base, th)
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      val (ahr, tHist) =
+        try ms(Snapshots.analyzeColumns(spark, th))
+        finally spark.conf.set(
+          "spark.sql.statistics.histogram.enabled", "false")
+      println(f"analyze+hist $tag rows=${ahr.rowCount}%9d " +
+        f"cols=${ahr.columns.size} elapsed=${tHist / 1000}%7.2fs " +
+        f"vsPlain=${tHist / tAnalyze}%4.1fx")
     }
     spark.stop()
   }
