@@ -195,6 +195,40 @@ class ConvertSpec extends SparkSpec {
       .count() == 15L, "path-borne values must ride the feed")
   }
 
+  test("a shallow clone of a converted partitioned table reads " +
+      "identical values (property + absolute-path fill both carry)") {
+    val hp = tmp()
+    (1L to 40L).map(i => (i, (i % 4).toInt)).toDF("id", "p")
+      .write.partitionBy("p").parquet(hp)
+    Snapshots.convert(spark, hp)
+    val dst = tmp()
+    Snapshots.shallowClone(spark, hp, dst)
+    val src = Snapshots.read(spark, hp).collect().map(_.toSeq).toSet
+    val cln = Snapshots.read(spark, dst).collect().map(_.toSeq).toSet
+    assert(cln == src, "clone must materialize the same path-borne values")
+    assert(Snapshots.read(spark, dst).filter(col("p") === 2).count() ==
+      10L)
+  }
+
+  test("RENAME COLUMN on a path-borne partition column: reads and " +
+      "pruning keep working through the physical-name mapping") {
+    val hp = tmp()
+    (1L to 30L).map(i => (i, (i % 3).toInt)).toDF("id", "p")
+      .write.partitionBy("p").parquet(hp)
+    Snapshots.convert(spark, hp)
+    Snapshots.renameColumn(spark, hp, "p", "bucket")
+    val got = Snapshots.read(spark, hp)
+    assert(got.columns.toSeq == Seq("id", "bucket"))
+    assert(got.filter(col("bucket") === 1).count() ==
+      (1L to 30L).count(_ % 3 == 1))
+    // stats are keyed physically too: the renamed column still prunes
+    val (kept, skipped) =
+      Snapshots.pruneFiles(spark, hp, col("bucket") === 1)
+    assert(kept.nonEmpty && skipped.nonEmpty,
+      s"renamed partition column must still prune: kept=${kept.size} " +
+        s"skipped=${skipped.size}")
+  }
+
   test("partition default (__HIVE_DEFAULT_PARTITION__) reads NULL and " +
       "records an exact all-null stat; '+' values refuse loudly") {
     val hp = tmp()
