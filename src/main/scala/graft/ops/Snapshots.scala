@@ -7520,7 +7520,11 @@ object Snapshots {
     * (`convert.partitions` table property → [[scanWithMeta]]'s
     * constant fill), so partition-predicate queries file-prune through
     * the ordinary stats machinery and later CoW rewrites materialize
-    * the columns physically. Note that Spark-written partitioned
+    * the columns physically. The partition keys are also declared as
+    * the table's CLUSTERING keys (`cluster.columns`): the directory
+    * layout encoded the user's access pattern, and an unclustered
+    * compact/OPTIMIZE would otherwise mix shards and silently destroy
+    * the pruning the layout provided (SET TBLPROPERTIES overrides). Note that Spark-written partitioned
     * layouts repeat file BASENAMES across partition directories
     * (`k=1/part-00000-<uuid>`, `k=2/part-00000-<uuid>`): full reads,
     * pruning, CoW DML, OPTIMIZE and VACUUM are unaffected, while the
@@ -7641,9 +7645,18 @@ object Snapshots {
       }
     }
     val sizeLines = rels.map { case (rel, len) => s"#size\t$rel\t$len" }
+    // the layout's partition keys double as the table's CLUSTERING
+    // declaration: the original directories gave those keys perfect
+    // file-locality, and a later compact/OPTIMIZE would silently
+    // destroy it (mixed shards -> wide per-file ranges -> no pruning)
+    // unless the rewrite clusters by them. Declaring them also
+    // force-includes the columns in every rewrite's stats collection
+    // past the column cap. An explicit later SET TBLPROPERTIES
+    // overrides as usual.
     val partProps =
       if (partFields.isEmpty) Map.empty[String, String]
-      else Map(ConvertPartitionsKey -> StructType(partFields).json)
+      else Map(ConvertPartitionsKey -> StructType(partFields).json,
+        "cluster.columns" -> partKeys.mkString(","))
     val header = opHeader("convert") ++ Seq(schemaHeader(schema)) ++
       propsHeader(partProps) ++ sizeLines ++ statLines ++ partStatLines
     if (!casManifest(fs, root, 1, rels.map(_._1), header))

@@ -363,6 +363,16 @@ final case class AlterGraftViewAsStatement(nameParts: Seq[String],
 final case class ShowCreateGraftViewStatement(nameParts: Seq[String],
     override val output: Seq[Attribute]) extends LeafNode
 
+/** Parsed `DESCRIBE [EXTENDED]` whose identifier names a graft VIEW. */
+final case class DescribeGraftViewStatement(nameParts: Seq[String],
+    isExtended: Boolean,
+    override val output: Seq[Attribute]) extends LeafNode
+
+/** Parsed `SHOW TBLPROPERTIES` whose identifier names a graft VIEW. */
+final case class ShowGraftViewPropsStatement(nameParts: Seq[String],
+    propertyKey: Option[String],
+    override val output: Seq[Attribute]) extends LeafNode
+
 /** Parsed `ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ... |
   * FOR ALL COLUMNS]` aimed at a graft catalog (Spark's own analyze
   * commands are session-catalog only — same routing problem as the
@@ -402,14 +412,35 @@ final class GraftViewAwareParser(session: () => SparkSession,
     case a @ AlterViewAs(UnresolvedView(parts, _, _, _), orig, query)
         if GraftViews.resolveView(session(), parts).isDefined =>
       AlterGraftViewAsStatement(parts, orig, query)
-    // SHOW CREATE TABLE over a graft VIEW identifier: the existence
-    // probe is exact (one metadata read on a rare statement); a graft
-    // TABLE identifier passes through to Spark's v2 exec untouched
+    // SHOW CREATE TABLE / DESCRIBE / SHOW TBLPROPERTIES over a graft
+    // VIEW identifier: the existence probe is exact (one metadata read
+    // on rare statements); a graft TABLE identifier passes through to
+    // Spark's own v2 execs untouched
     case sc @ org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable(
         UnresolvedTableOrView(parts, _, _), false, output)
         if GraftViews.resolveView(session(), parts)
           .exists { case (g, id) => g.viewExists(id) } =>
       ShowCreateGraftViewStatement(parts, output)
+    case d @ org.apache.spark.sql.catalyst.plans.logical.DescribeRelation(
+        UnresolvedTableOrView(parts, _, _), partitionSpec, isExtended,
+        output)
+        if partitionSpec.isEmpty &&
+          GraftViews.resolveView(session(), parts)
+            .exists { case (g, id) => g.viewExists(id) } =>
+      DescribeGraftViewStatement(parts, isExtended, output)
+    case sp @ org.apache.spark.sql.catalyst.plans.logical
+        .ShowTableProperties(UnresolvedTableOrView(parts, _, _), key,
+          output)
+        if GraftViews.resolveView(session(), parts)
+          .exists { case (g, id) => g.viewExists(id) } =>
+      ShowGraftViewPropsStatement(parts, key, output)
+    case sp @ org.apache.spark.sql.catalyst.plans.logical
+        .ShowTableProperties(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedTable(
+            parts, _, _), key, output)
+        if GraftViews.resolveView(session(), parts)
+          .exists { case (g, id) => g.viewExists(id) } =>
+      ShowGraftViewPropsStatement(parts, key, output)
     case a @ AnalyzeColumn(UnresolvedTableOrView(parts, _, _), cols, all)
         if GraftViews.resolveView(session(), parts).isDefined =>
       AnalyzeGraftTableStatement(parts, cols.getOrElse(Nil), all)
@@ -587,6 +618,18 @@ final case class GraftViewResolution(session: SparkSession)
             s"view identifier ${s.nameParts.mkString(".")} no longer " +
               "resolves to a graft catalog"))
         ShowCreateGraftViewCommand(g, ident, s.output)
+      case d: DescribeGraftViewStatement =>
+        val (g, ident) = GraftViews.resolveView(session, d.nameParts)
+          .getOrElse(throw new IllegalStateException(
+            s"view identifier ${d.nameParts.mkString(".")} no longer " +
+              "resolves to a graft catalog"))
+        DescribeGraftViewCommand(g, ident, d.isExtended, d.output)
+      case p: ShowGraftViewPropsStatement =>
+        val (g, ident) = GraftViews.resolveView(session, p.nameParts)
+          .getOrElse(throw new IllegalStateException(
+            s"view identifier ${p.nameParts.mkString(".")} no longer " +
+              "resolves to a graft catalog"))
+        ShowGraftViewPropsCommand(g, ident, p.propertyKey, p.output)
     }
 }
 
@@ -748,6 +791,77 @@ final case class ShowCreateGraftViewCommand(catalog: GraftCatalog,
       }.mkString(",\n")).append(")")
     sb.append("\nAS ").append(v.query)
     Seq(Row(sb.toString))
+  }
+}
+
+/** `DESCRIBE [EXTENDED]` over a graft VIEW: the column list under the
+  * view's OWN names (declared aliases when present, the stored query
+  * schema's otherwise) with per-column comments; EXTENDED appends the
+  * detailed-view-information block (definition text, CREATE-time
+  * resolution context, comment, user properties) in the session-
+  * catalog layout tools already parse. */
+final case class DescribeGraftViewCommand(catalog: GraftCatalog,
+    ident: Identifier, isExtended: Boolean,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = catalog.loadView(ident) // throws NoSuchViewException
+    val aliases = Option(v.columnAliases).filter(_.nonEmpty)
+    val comments = Option(v.columnComments)
+      .getOrElse(Array.empty[String])
+    val cols = v.schema.fields.zipWithIndex.map { case (f, i) =>
+      val name = aliases.flatMap(_.lift(i)).getOrElse(f.name)
+      val comment =
+        if (aliases.nonEmpty) comments.lift(i).flatMap(Option(_))
+        else None
+      Row(name, f.dataType.simpleString, comment.orNull)
+    }.toSeq
+    val detail = if (!isExtended) Nil else {
+      val props = v.properties.asScala.toMap
+      Seq(Row("", "", ""),
+        Row("# Detailed View Information", "", ""),
+        Row("Catalog", catalog.name, ""),
+        Row("Namespace", ident.namespace.mkString("."), ""),
+        Row("Name", ident.name, ""),
+        Row("Type", "VIEW", "")) ++
+        props.get("comment").map(Row("Comment", _, "")).toSeq ++
+        Seq(Row("View Text", v.query, ""),
+          Row("View Catalog and Namespace",
+            (v.currentCatalog +: v.currentNamespace.toSeq).mkString("."),
+            ""),
+          Row("View Query Output Columns",
+            Option(v.queryColumnNames).getOrElse(Array.empty[String])
+              .mkString("[", ", ", "]"), "")) ++ {
+          val user = (props - "comment").toSeq.sortBy(_._1)
+          if (user.isEmpty) Nil
+          else Seq(Row("View Properties",
+            user.map { case (k, x) => s"$k=$x" }
+              .mkString("[", ", ", "]"), ""))
+        }
+    }
+    cols ++ detail
+  }
+}
+
+/** `SHOW TBLPROPERTIES` over a graft VIEW: all stored user properties
+  * (two-column form), or the one requested key's value — with the
+  * session catalog's not-found message, not an analysis error. */
+final case class ShowGraftViewPropsCommand(catalog: GraftCatalog,
+    ident: Identifier, propertyKey: Option[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = catalog.loadView(ident) // throws NoSuchViewException
+    val props = v.properties.asScala.toMap
+    propertyKey match {
+      case Some(k) =>
+        val value = props.getOrElse(k,
+          s"View ${(catalog.name +: ident.namespace.toSeq :+ ident.name)
+            .mkString(".")} does not have property: $k")
+        // the parsed node dictates the arity (Spark's keyed form
+        // returns (key, value) rows)
+        if (output.lengthCompare(2) >= 0) Seq(Row(k, value))
+        else Seq(Row(value))
+      case None => props.toSeq.sortBy(_._1).map { case (k, x) => Row(k, x) }
+    }
   }
 }
 

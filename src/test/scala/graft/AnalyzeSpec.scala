@@ -151,6 +151,26 @@ class AnalyzeSpec extends SparkSpec {
         s"the hot key covers most bins and must price near 19000: $hot")
       assert(rare < BigInt(100) && rare < hot / 100,
         s"the rare key sits in one sparse bin: $rare (hot: $hot)")
+      // DATE histograms use the same unit FilterEstimation replays
+      // (days since epoch): a wrong unit would price date predicates
+      // as out-of-range garbage, silently
+      Snapshots.append((0 until 1000).map { i =>
+        (i.toLong, java.sql.Date.valueOf(s"2024-01-${1 + i % 28}"))
+      }.toDF("id", "d"), s"$w/default/dated")
+      Snapshots.analyzeColumns(spark, s"$w/default/dated")
+      val (_, dcols) = Snapshots.analyzedStats(spark, s"$w/default/dated").get
+      val dh = dcols("d").histogram.getOrElse(
+        sys.error("date histogram missing"))
+      val jan1 = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toDouble
+      assert(dh.bins.head.lo >= jan1 - 1 && dh.bins.last.hi <= jan1 + 28,
+        s"date bins must be epoch DAYS: [${dh.bins.head.lo}, " +
+          s"${dh.bins.last.hi}] vs jan1=$jan1")
+      val dEst = spark.sql("SELECT * FROM ganh.default.dated " +
+        "WHERE d = DATE'2024-01-05'")
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(sys.error("no date estimate"))
+      assert(dEst > BigInt(0) && dEst < BigInt(200),
+        s"date equality must price in-range and bin-scaled: $dEst")
       // the join-order consequence: a `k = 0` filtered skew (truly
       // 19k rows) must not be joined first on a 20-row estimate —
       // with histograms the optimizer routes through mid2 ⋈ small2

@@ -179,6 +179,30 @@ class ConvertSpec extends SparkSpec {
     assert(Snapshots.read(spark, hp).count() == 49L)
   }
 
+  test("convert declares the partition keys as clustering keys, so an " +
+      "OPTIMIZE rewrite keeps the layout's pruning instead of " +
+      "destroying it") {
+    val hp = tmp()
+    (1L to 400L).map(i => (i, (i % 4).toInt)).toDF("id", "p")
+      .write.partitionBy("p").parquet(hp)
+    Snapshots.convert(spark, hp)
+    assert(Snapshots.tableProperties(spark, hp)
+      .get("cluster.columns").contains("p"),
+      "the layout's access pattern must survive as the clustering " +
+        "declaration")
+    // the rewrite clusters by p: a partition-value probe still prunes
+    // (an unclustered compact would mix shards and widen every file's
+    // p-range to [0,3] — nothing would ever prune again)
+    Snapshots.optimize(spark, hp,
+      Snapshots.clusterColumns(spark, hp), numFiles = 4)
+    val (kept, skipped) = Snapshots.pruneFiles(spark, hp, col("p") === 2)
+    assert(skipped.nonEmpty,
+      s"post-OPTIMIZE the partition key must still prune: " +
+        s"kept=${kept.size} skipped=${skipped.size}")
+    assert(Snapshots.read(spark, hp).filter(col("p") === 2).count() ==
+      100L)
+  }
+
   test("change feed over a converted partitioned v1 attributes rows " +
       "per version despite repeated basenames") {
     val hp = tmp()

@@ -299,6 +299,42 @@ class ViewSpec extends SparkSpec {
     spark.sql("DROP VIEW gvw.default.scv")
   }
 
+  test("DESCRIBE [EXTENDED] and SHOW TBLPROPERTIES answer on views " +
+      "(aliases, comments, definition context, properties)") {
+    warehouse
+    spark.sql("CREATE VIEW gvw.default.dsc (key COMMENT 'the id', tenx) " +
+      "COMMENT 'doc' TBLPROPERTIES ('team' = 'data') AS " +
+      "SELECT id, v * 10 FROM gvw.default.t")
+    val desc = spark.sql("DESCRIBE gvw.default.dsc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(desc.toSeq == Seq(("key", "bigint", "the id"),
+      ("tenx", "double", null)), desc.toSeq)
+    val ext = spark.sql("DESCRIBE EXTENDED gvw.default.dsc").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(ext.contains(("Type", "VIEW")), ext.toSeq)
+    assert(ext.contains(("Comment", "doc")), ext.toSeq)
+    assert(ext.exists { case (k, v) =>
+      k == "View Text" && v.contains("SELECT id, v * 10") }, ext.toSeq)
+    assert(ext.exists { case (k, v) =>
+      k == "View Catalog and Namespace" && v.contains("default") },
+      ext.toSeq)
+    assert(ext.exists { case (k, v) =>
+      k == "View Properties" && v.contains("team=data") }, ext.toSeq)
+    val props = spark.sql("SHOW TBLPROPERTIES gvw.default.dsc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("team").contains("data"), props)
+    val one = spark.sql("SHOW TBLPROPERTIES gvw.default.dsc ('team')")
+      .head()
+    assert(one.getString(one.size - 1) == "data", one)
+    val missing = spark.sql(
+      "SHOW TBLPROPERTIES gvw.default.dsc ('nope')").head()
+    assert(missing.getString(missing.size - 1)
+      .contains("does not have property"), missing)
+    // a TABLE identifier still answers through Spark's own paths
+    assert(spark.sql("DESCRIBE gvw.default.t").collect().nonEmpty)
+    spark.sql("DROP VIEW gvw.default.dsc")
+  }
+
   test("a REPLACE or ALTER that closes a view reference cycle refuses " +
       "at DDL time, naming the cycle") {
     warehouse
