@@ -1005,7 +1005,10 @@ object Snapshots {
   /** The bloom-index config pinned at version `v`, if any. */
   private def bloomConfigOf(fs: FileSystem, root: HPath,
       v: Int): Option[BloomConfig] =
-    manifestLines(fs, root, v).collectFirst {
+    bloomConfigOfLines(manifestLines(fs, root, v))
+
+  private def bloomConfigOfLines(lines: Seq[String]): Option[BloomConfig] =
+    lines.collectFirst {
       case l if l.startsWith(BloomColsPrefix) =>
         val f = l.substring(BloomColsPrefix.length).split('\t')
         BloomConfig(f(2).split(',').filter(_.nonEmpty).map(dec).toSeq,
@@ -1278,7 +1281,10 @@ object Snapshots {
 
   private def constraintsOf(fs: FileSystem, root: HPath,
       v: Int): Map[String, String] =
-    manifestLines(fs, root, v).filter(_.startsWith(ConstraintPrefix))
+    constraintsOfLines(manifestLines(fs, root, v))
+
+  private def constraintsOfLines(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith(ConstraintPrefix))
       .flatMap { l =>
         l.split('\t') match {
           case Array(_, n, e) => Some(dec(n) -> dec(e))
@@ -1316,7 +1322,10 @@ object Snapshots {
 
   private def propsOf(fs: FileSystem, root: HPath,
       v: Int): Map[String, String] =
-    manifestLines(fs, root, v).filter(_.startsWith(PropPrefix))
+    propsOfLines(manifestLines(fs, root, v))
+
+  private def propsOfLines(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith(PropPrefix))
       .flatMap { l =>
         l.split('\t') match {
           case Array(_, k, value) => Some(dec(k) -> dec(value))
@@ -2074,7 +2083,10 @@ object Snapshots {
   /** Physical names dropped at or before version `v` (pinned by every
     * commit, like the schema — no chain walk needed). */
   private def droppedOf(fs: FileSystem, root: HPath, v: Int): Set[String] =
-    manifestLines(fs, root, v).collectFirst {
+    droppedOfLines(manifestLines(fs, root, v))
+
+  private def droppedOfLines(lines: Seq[String]): Set[String] =
+    lines.collectFirst {
       case l if l.startsWith(DroppedPrefix) =>
         l.substring(DroppedPrefix.length).split(',')
           .filter(_.nonEmpty).map(dec).toSet
@@ -2598,7 +2610,10 @@ object Snapshots {
     * before schema pinning — those read by footer inference). */
   private def schemaOf(fs: FileSystem, root: HPath,
       v: Int): Option[StructType] =
-    manifestLines(fs, root, v).collectFirst {
+    schemaOfLines(manifestLines(fs, root, v))
+
+  private def schemaOfLines(lines: Seq[String]): Option[StructType] =
+    lines.collectFirst {
       case l if l.startsWith(SchemaPrefix) =>
         org.apache.spark.sql.types.DataType
           .fromJson(l.stripPrefix(SchemaPrefix)).asInstanceOf[StructType]
@@ -2707,8 +2722,14 @@ object Snapshots {
     * files the chain later removed are harmless: every lookup
     * restricts to a resolved file list. */
   private def dvFor(fs: FileSystem, root: HPath,
-      v: Int): Map[String, (String, Long)] = {
-    val lines = manifestLines(fs, root, v)
+      v: Int): Map[String, (String, Long)] =
+    dvForLines(fs, root, manifestLines(fs, root, v))
+
+  /** [[dvFor]] with the TOP manifest's lines already read — the
+    * single-parse path scan construction uses; delta bases still read
+    * their own manifests (chained, depth-bounded). */
+  private def dvForLines(fs: FileSystem, root: HPath,
+      lines: Seq[String]): Map[String, (String, Long)] = {
     val own = lines.filter(_.startsWith(DvPrefix)).flatMap { l =>
       l.split('\t') match {
         case Array(_, f, side, n) => Some(f -> (side, n.toLong))
@@ -2836,7 +2857,13 @@ object Snapshots {
     val paths = resolveForeign(fs, files).map(f =>
       new HPath(root, f).toString)
     val fileSet = files.toSet
-    val dv = dvFor(fs, root, dvV).filter { case (f, (_, n)) =>
+    // ONE manifest parse feeds schema, DV state and the partition
+    // property below (an object store would otherwise pay a GET per
+    // helper per scan construction); diff's split-version case reads
+    // the DV version's manifest separately, as it must
+    val headLines = manifestLines(fs, root, schemaV)
+    val dv = (if (dvV == schemaV) dvForLines(fs, root, headLines)
+      else dvFor(fs, root, dvV)).filter { case (f, (_, n)) =>
       n > 0 && fileSet.contains(f)
     }
     // converted hive layouts ([[convert]]): the partition columns live
@@ -2846,7 +2873,7 @@ object Snapshots {
     // rewrites) keep their stored values: the fill applies only where
     // the path carries the key=value marker.
     val partFill: Seq[StructField] =
-      propsOf(fs, root, schemaV).get(ConvertPartitionsKey)
+      propsOfLines(headLines).get(ConvertPartitionsKey)
         .map(j => DataType.fromJson(j).asInstanceOf[StructType]
           .fields.toSeq)
         .getOrElse(Nil)
@@ -2883,7 +2910,7 @@ object Snapshots {
         col(GfCol) === col("__dv_file") && col(GposCol) === col("__dv_pos"),
         "left_anti")
     }
-    schemaOf(fs, root, schemaV) match {
+    schemaOfLines(headLines) match {
       case Some(s) if s.fields.forall(f => physOf(f) == f.name) =>
         attach(spark.read.schema(s).parquet(paths: _*))
       case Some(s) =>
@@ -3615,13 +3642,19 @@ object Snapshots {
       // the caller's preconditions no longer cover ([[copyInto]]'s
       // dedup ledger); a throw here escapes to the caller's retry
       preAttempt(base)
+      // ONE manifest parse per attempt feeds constraints, dropped set,
+      // bloom config, base properties and the pinned schema below —
+      // five helper calls used to re-read the same immutable manifest
+      // (five GETs per commit on an object store)
+      val baseLines =
+        if (carryBase && base.nonEmpty)
+          manifestLines(fs, root, base.get)
+        else Nil
       // CHECK constraints pinned at the ACTUAL commit base: a
       // constraint that landed after this batch was validated means
       // the validation no longer covers the commit — loud failure, the
       // caller re-runs (same discipline as the rename-mid-commit check)
-      val cs =
-        if (carryBase && base.nonEmpty) constraintsOf(fs, root, base.get)
-        else Map.empty[String, String]
+      val cs = constraintsOfLines(baseLines)
       if ((cs.toSet -- validated.toSet).nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"CHECK constraints on $dir changed while this batch staged " +
@@ -3630,15 +3663,9 @@ object Snapshots {
       // pin the committed schema: an append evolves the base's pinned
       // schema additively (conflicts throw before anything commits); an
       // overwrite replaces it with the staged frame's own
-      val dropped =
-        if (carryBase && base.nonEmpty) droppedOf(fs, root, base.get)
-        else Set.empty[String]
-      val bloomCfg =
-        if (carryBase && base.nonEmpty) bloomConfigOf(fs, root, base.get)
-        else None
-      val baseProps =
-        if (carryBase && base.nonEmpty) propsOf(fs, root, base.get)
-        else Map.empty[String, String]
+      val dropped = droppedOfLines(baseLines)
+      val bloomCfg = bloomConfigOfLines(baseLines)
+      val baseProps = propsOfLines(baseLines)
       // identity-mark OCC: the values this batch assigned derive from
       // the marks read at assignment time — if the ACTUAL commit
       // base's marks moved (a concurrent writer assigned ids), this
@@ -3657,16 +3684,17 @@ object Snapshots {
       val pinned =
         if (!carryBase || base.isEmpty) allNullable(staged.schema)
         else evolveSchema(
-          schemaOf(fs, root, base.get)
+          schemaOfLines(baseLines)
             .getOrElse(allNullable(read(spark, dir, base.get).schema)),
           staged.schema, dir, dropped)
       val next = base.getOrElse(0) + 1
+      val baseDepth = deltaHeader(baseLines).map(_._2).getOrElse(0)
       val committed =
         if (carryBase && base.nonEmpty &&
-          depthOf(fs, root, base.get) + 1 <= CheckpointInterval) {
+          baseDepth + 1 <= CheckpointInterval) {
           // DELTA append: this commit's metadata is O(batch) — the
           // staged files and their stats only, chained on the base
-          val d = depthOf(fs, root, base.get) + 1
+          val d = baseDepth + 1
           casManifest(fs, root, next, staged.files,
             s"#delta\t${base.get}\t$d" +: schemaHeader(pinned) +:
               (droppedHeader(dropped) ++ bloomHeader(bloomCfg) ++

@@ -97,13 +97,20 @@ final class GraftTable(
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
-  override def properties(): util.Map[String, String] = {
+  // memoized per handle like the statistics below: the catalog loads
+  // a fresh GraftTable per statement, while one statement's analysis
+  // may ask for properties several times — each a manifest metadata
+  // read on an object store
+  private lazy val memoizedProperties: util.Map[String, String] = {
     val cs = Snapshots.constraints(spark, dir)
     (Snapshots.tableProperties(spark, dir) ++
       Map("format" -> "graft-snapshots", "location" -> dir) ++
       pinnedVersion.map(v => "pinnedVersion" -> v.toString).toMap ++
       cs.map { case (n, e) => s"constraint.$n" -> e }).asJava
   }
+
+  override def properties(): util.Map[String, String] =
+    memoizedProperties
 
   /** The version-pinned DataFrame behind this handle — what
     * [[GraftResolution]] splices in place of the relation. */
