@@ -253,6 +253,31 @@ class ConvertSpec extends SparkSpec {
         s"skipped=${skipped.size}")
   }
 
+  test("DATE-typed partition values: inference, scan-side cast and " +
+      "exact stats all agree with a direct partitioned read") {
+    val hp = tmp()
+    (1L to 60L).map(i => (i,
+      java.sql.Date.valueOf(s"2024-03-${10 + (i % 3).toInt}")))
+      .toDF("id", "day").write.partitionBy("day").parquet(hp)
+    Snapshots.convert(spark, hp)
+    val direct = spark.read.parquet(hp)
+    val got = Snapshots.read(spark, hp)
+    assert(got.schema("day").dataType ==
+      direct.schema("day").dataType,
+      s"day must infer identically: ${got.schema("day").dataType} vs " +
+        s"${direct.schema("day").dataType}")
+    assert(got.select("id", "day").collect().map(_.toSeq).toSet ==
+      direct.select("id", "day").collect().map(_.toSeq).toSet)
+    // the path-borne date stat prunes: one day's probe skips the rest
+    val (kept, skipped) = Snapshots.pruneFiles(spark, hp,
+      col("day") === java.sql.Date.valueOf("2024-03-11"))
+    assert(kept.nonEmpty && skipped.nonEmpty,
+      s"date partition stats must prune: kept=${kept.size} " +
+        s"skipped=${skipped.size}")
+    assert(got.filter(col("day") === java.sql.Date.valueOf("2024-03-11"))
+      .count() == (1L to 60L).count(_ % 3 == 1))
+  }
+
   test("partition default (__HIVE_DEFAULT_PARTITION__) reads NULL and " +
       "records an exact all-null stat; '+' values refuse loudly") {
     val hp = tmp()
