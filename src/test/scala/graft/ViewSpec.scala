@@ -296,6 +296,17 @@ class ViewSpec extends SparkSpec {
     val tbl = spark.sql("SHOW CREATE TABLE gvw.default.t")
       .head().getString(0)
     assert(tbl.contains("CREATE TABLE"), tbl)
+    // the rendered statement is RE-RUNNABLE: drop, execute it
+    // verbatim, and the recreated view answers identically
+    val before = spark.sql("SELECT sum(tenx) FROM gvw.default.scv")
+      .head().getDouble(0)
+    spark.sql("DROP VIEW gvw.default.scv")
+    spark.sql(stmt)
+    assert(spark.sql("SELECT sum(tenx) FROM gvw.default.scv")
+      .head().getDouble(0) == before,
+      "SHOW CREATE VIEW output must recreate an equivalent view")
+    assert(spark.sql("SHOW CREATE TABLE gvw.default.scv")
+      .head().getString(0).contains("COMMENT 'the id'"))
     spark.sql("DROP VIEW gvw.default.scv")
   }
 
