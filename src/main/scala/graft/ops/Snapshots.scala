@@ -1966,10 +1966,7 @@ object Snapshots {
           case None => (Nil, readManifest(fs, root, v))
           case Some(pred) => pruneFiles(spark, dir, pred, v)
         }
-        if (mayMatch.nonEmpty)
-          requireUniqueBasenames(readManifest(fs, root, v), dir,
-            "mergeLight")
-        // matched LIVE rows, named by (file basename, row index)
+        // matched LIVE rows, named by (qualified file path, row index)
         val hits =
           if (mayMatch.isEmpty) Array.empty[org.apache.spark.sql.Row]
           else scanWithMeta(spark, fs, root, v, v, mayMatch)
@@ -1979,11 +1976,11 @@ object Snapshots {
         require(hits.length <= maxPositions,
           s"mergeLight into $dir matches more than $maxPositions table " +
             "rows — use merge (copy-on-write) for bulk upserts")
-        val byBase: Map[String, Array[Long]] = hits
+        val byPhys: Map[String, Array[Long]] = hits
           .map(r => (r.getString(0), r.getLong(1)))
           .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
-        val relByBase = mayMatch
-          .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+        val refByPhys = physicalPaths(fs, root, mayMatch)
+          .map(_.swap).toMap
         val oldDv = dvFor(fs, root, v)
         val stats = statsFor(fs, root, v)
         val basePinned = schemaOf(fs, root, v)
@@ -1994,8 +1991,11 @@ object Snapshots {
         var dropWhole = List.empty[String]
         var newLines = List.empty[String]
         var dvFiles = 0
-        byBase.foreach { case (b, fresh) =>
-          val file = relByBase(b)
+        var dvIdx = 0
+        byPhys.foreach { case (p, fresh) =>
+          val file = refByPhys.getOrElse(p, throw new IllegalStateException(
+            s"mergeLight into $dir: scanned path $p maps to no " +
+              "manifest ref — path qualification drift; report this"))
           val old = oldDv.get(file)
             .map { case (side, _) => readDvSidecar(fs, root, side) }
             .getOrElse(Array.empty[Long])
@@ -2006,7 +2006,9 @@ object Snapshots {
           else {
             // the vector rides in the staged commit's own dir
             val side = s"${staged.files.head.substring(0,
-              staged.files.head.lastIndexOf('/'))}/_dv.$b.bin"
+              staged.files.head.lastIndexOf('/'))}/_dv.$dvIdx." +
+              s"${baseNameOf(file)}.bin"
+            dvIdx += 1
             writeDvSidecar(fs, root, side, merged)
             newLines ::= s"#dv\t$file\t$side\t${merged.length}"
             dvFiles += 1
@@ -2691,28 +2693,42 @@ object Snapshots {
   // EXECUTORS at read time.
 
   private val DvPrefix = "#dv\t"
-  /** Row-level (deletion-vector) verbs name rows by file BASENAME —
-    * sound for staged files (uuid-dir part names are process-unique)
-    * but a CONVERTED hive-partitioned layout legitimately repeats
-    * basenames across partition directories
-    * (`k=1/part-00000-<uuid>`, `k=2/part-00000-<uuid>`). A DV keyed
-    * by an ambiguous basename would mask rows in EVERY file sharing
-    * it, so the verbs fail closed on such a manifest; the remedy is
-    * the copy-on-write verb (same semantics, no positional naming) or
-    * one OPTIMIZE/compact, whose rewrite restores unique staged
-    * names. */
-  private def requireUniqueBasenames(files: Seq[String], dir: String,
-      op: String): Unit = {
-    val dup = files.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
-      .collect { case (b, fs0) if fs0.sizeIs > 1 => b }
-    if (dup.nonEmpty) throw new UnsupportedOperationException(
-      s"$op on $dir: the table's file set repeats basenames (e.g. " +
-        s"${dup.take(3).toSeq.sorted.mkString(", ")} — a converted " +
-        "hive-partitioned layout), and row-level operations name rows " +
-        "by basename. Use the copy-on-write verb instead " +
-        "(deleteWhere/updateWhere/merge), or run optimize/compact " +
-        "once to rewrite into uniquely-named files")
+
+  /** Manifest ref → fully-qualified physical path: the key the
+    * row-level verbs and change-feed attribution JOIN the scan on
+    * (`_metadata.file_path` reports exactly this form — the same
+    * qualification [[scanWithMeta]]'s partition fill already relies
+    * on). Root-relative refs qualify under the table root; foreign
+    * (clone-source) refs resolve through `_moved` markers first.
+    * Unlike a file BASENAME — which a converted hive-partitioned
+    * layout legitimately repeats across partition directories
+    * (`k=1/part-00000-<uuid>`, `k=2/part-00000-<uuid>`) — the
+    * qualified path is unique by construction, so the positional
+    * verbs work on every manifest shape. The `#dv` manifest lines
+    * themselves keep the REF (stable across `_moved` renames; a read
+    * re-resolves). */
+  private def physicalPaths(fs: FileSystem, root: HPath,
+      refs: Seq[String]): Seq[(String, String)] =
+    refs.zip(resolveForeign(fs, refs)).map { case (ref, resolved) =>
+      ref -> metadataPathString(fs, new HPath(root, resolved))
+    }
+
+  /** EXACTLY the string `_metadata.file_path` reports for this file:
+    * the qualified path's URI rendering — percent-ENCODED path (a
+    * hive-escaped `%3A` directory prints as `%253A` there), scheme
+    * kept, an empty authority omitted the way listed FileStatus paths
+    * print it. Path-equality joins against the metadata column MUST
+    * key here — `Path.toString` is the decoded form and diverges the
+    * moment a partition value needed Hive escaping. */
+  private def metadataPathString(fs: FileSystem, p: HPath): String = {
+    val uri = fs.makeQualified(p).toUri
+    val auth = Option(uri.getAuthority).filter(_.nonEmpty)
+      .map("//" + _).getOrElse("")
+    uri.getScheme + ":" + auth + uri.getRawPath
   }
+
+  private def baseNameOf(f: String): String =
+    f.substring(f.lastIndexOf('/') + 1)
 
   private val GfCol = "__graft_dv_file"
   private val GposCol = "__graft_dv_pos"
@@ -2781,10 +2797,10 @@ object Snapshots {
   private def dvNewPositions(spark: SparkSession, root: HPath,
       prevDv: Map[String, (String, Long)],
       curDv: Map[String, (String, Long)],
-      files: Seq[String]): DataFrame = {
+      files: Seq[String], physByRef: Map[String, String]): DataFrame = {
     val rootStr = root.toString
     val refs = files.map { f =>
-      (f.substring(f.lastIndexOf('/') + 1),
+      (physByRef(f),
         prevDv.get(f).map(_._1).getOrElse(""), curDv(f)._1)
     }
     import org.apache.spark.sql.Encoders
@@ -2792,7 +2808,7 @@ object Snapshots {
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     spark.createDataset(refs)(Encoders.product[(String, String, String)])
-      .flatMap { case (base, prevSide, curSide) =>
+      .flatMap { case (phys, prevSide, curSide) =>
         val p = new HPath(rootStr, curSide)
         val fs = p.getFileSystem(hconf.value.value)
         val cur = readDvSidecar(fs, new HPath(rootStr), curSide)
@@ -2800,16 +2816,17 @@ object Snapshots {
           if (prevSide.isEmpty) Array.empty[Long]
           else readDvSidecar(fs, new HPath(rootStr), prevSide)
         val prevSet = prev.toSet
-        cur.iterator.filterNot(prevSet).map(pos => (base, pos))
+        cur.iterator.filterNot(prevSet).map(pos => (phys, pos))
       }(Encoders.product[(String, Long)])
       .toDF("__dv_file", "__dv_pos")
   }
 
   private def dvPositions(spark: SparkSession, root: HPath,
-      dv: Map[String, (String, Long)]): DataFrame = {
+      dv: Map[String, (String, Long)],
+      physByRef: Map[String, String]): DataFrame = {
     val rootStr = root.toString
     val refs = dv.toSeq.map { case (f, (side, _)) =>
-      (f.substring(f.lastIndexOf('/') + 1), side)
+      (physByRef(f), side)
     }
     import org.apache.spark.sql.Encoders
     // ship the SESSION's Hadoop configuration to the tasks: a bare
@@ -2822,10 +2839,10 @@ object Snapshots {
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     spark.createDataset(refs)(Encoders.product[(String, String)])
-      .flatMap { case (base, side) =>
+      .flatMap { case (phys, side) =>
         val p = new HPath(rootStr, side)
         val fs = p.getFileSystem(hconf.value.value)
-        readDvSidecar(fs, new HPath(rootStr), side).map(pos => (base, pos))
+        readDvSidecar(fs, new HPath(rootStr), side).map(pos => (phys, pos))
       }(Encoders.product[(String, Long)])
       .toDF("__dv_file", "__dv_pos")
   }
@@ -2847,15 +2864,23 @@ object Snapshots {
       root: HPath, schemaV: Int, dvV: Int, files: Seq[String]): DataFrame =
     scanWithMeta(spark, fs, root, schemaV, dvV, files).drop(GfCol, GposCol)
 
-  /** The DV-filtered scan with two helper columns kept: the file
-    * basename ([[GfCol]]) and original row index ([[GposCol]]) —
-    * [[deleteWhereLight]] needs them to NAME the rows it deletes. */
+  /** The DV-filtered scan with two helper columns kept: the file's
+    * fully-qualified physical path ([[GfCol]]) and original row index
+    * ([[GposCol]]) — [[deleteWhereLight]] needs them to NAME the rows
+    * it deletes. The path (not the basename) keys every positional
+    * join here, so converted hive layouts that repeat basenames
+    * across partition directories work like any other manifest. */
   private def scanWithMeta(spark: SparkSession, fs: FileSystem,
       root: HPath, schemaV: Int, dvV: Int, files: Seq[String]): DataFrame = {
     // foreign (clone-source) refs resolve through _moved markers —
-    // one metadata probe per distinct foreign root, none for owned refs
-    val paths = resolveForeign(fs, files).map(f =>
-      new HPath(root, f).toString)
+    // one metadata probe per distinct foreign root, none for owned
+    // refs. The READER takes the decoded Path form; the metadata
+    // JOIN key is the URI-encoded form the _metadata column reports.
+    val resolved = resolveForeign(fs, files)
+    val paths = resolved.map(f => new HPath(root, f).toString)
+    val physByRef = files.zip(resolved).map { case (ref, res) =>
+      ref -> metadataPathString(fs, new HPath(root, res))
+    }.toMap
     val fileSet = files.toSet
     // ONE manifest parse feeds schema, DV state and the partition
     // property below (an object store would otherwise pay a GET per
@@ -2880,8 +2905,10 @@ object Snapshots {
     // the marker probe runs on the ROOT-RELATIVE path (prefixed with
     // "/" so the first segment matches too): a table root that itself
     // contains a key= segment must not make staged files — which
-    // carry the column physically — take the path branch
-    val rootPrefix = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+    // carry the column physically — take the path branch. The prefix
+    // is in the metadata column's own (URI-encoded) rendering, so the
+    // strip works even when the root needed encoding
+    val rootPrefix = metadataPathString(fs, root).stripSuffix("/") + "/"
     def attach(scan: DataFrame): DataFrame = {
       val filled =
         if (partFill.isEmpty) scan
@@ -2894,7 +2921,17 @@ object Snapshots {
           partFill.foldLeft(scan) { (df, f) =>
             val marker = "/" + f.name + "="
             val pat = java.util.regex.Pattern.quote(marker) + "([^/]+)/"
-            val decoded = url_decode(regexp_extract(relp, pat, 1))
+            // TWO percent-only decodes: the metadata path is the URI
+            // rendering of an on-disk name that is itself
+            // Hive-partition-escaped (`tz=UTC+02%3A00` on disk prints
+            // `tz=UTC+02%253A00` in the column) — peel the URI layer,
+            // then the Hive layer. Each layer is PERCENT-ONLY: neither
+            // URI paths nor Hive escaping ever write `+` for a space,
+            // so a literal `+` must survive — pre-escape it as %2B
+            // before the (form-decoding) url_decode at both layers.
+            def pdec(c: Column): Column =
+              url_decode(regexp_replace(c, "\\+", "%2B"))
+            val decoded = pdec(pdec(regexp_extract(relp, pat, 1)))
             val fromPath = when(decoded === HiveDefaultPartition,
               lit(null)).otherwise(decoded).cast(f.dataType)
             df.withColumn(f.name,
@@ -2903,10 +2940,10 @@ object Snapshots {
           }
         }
       val withMeta = filled
-        .withColumn(GfCol, col("_metadata.file_name"))
+        .withColumn(GfCol, col("_metadata.file_path"))
         .withColumn(GposCol, col("_metadata.row_index"))
       if (dv.isEmpty) withMeta
-      else withMeta.join(dvPositions(spark, root, dv),
+      else withMeta.join(dvPositions(spark, root, dv, physByRef),
         col(GfCol) === col("__dv_file") && col(GposCol) === col("__dv_pos"),
         "left_anti")
     }
@@ -2967,12 +3004,8 @@ object Snapshots {
     val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
     if (mayMatch.isEmpty)
       return LightDeleteResult(base, 0, 0, untouched.size, 0L)
-    // manifest-wide (not just mayMatch): a DV keyed by a basename any
-    // OTHER file shares would mask that file's rows on every read
-    requireUniqueBasenames(readManifest(fs, root, base), dir,
-      "deleteWhereLight")
     // TRUE-predicate rows among rows still live under the current DVs,
-    // named by (file basename, original row index)
+    // named by (qualified file path, original row index)
     val hits = scanWithMeta(spark, fs, root, base, base, mayMatch)
       .filter(coalesce(pred, lit(false)))
       .select(col(GfCol), col(GposCol))
@@ -2983,11 +3016,11 @@ object Snapshots {
     if (hits.isEmpty)
       return LightDeleteResult(base, 0, 0,
         untouched.size + mayMatch.size, 0L)
-    val byBase: Map[String, Array[Long]] = hits
+    val byPhys: Map[String, Array[Long]] = hits
       .map(r => (r.getString(0), r.getLong(1)))
       .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
-    val relByBase = mayMatch
-      .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    val refByPhys = physicalPaths(fs, root, mayMatch)
+      .map(_.swap).toMap
     val oldDv = dvFor(fs, root, base)
     val stats = statsFor(fs, root, base)
     val commitId = java.util.UUID.randomUUID.toString
@@ -2996,8 +3029,11 @@ object Snapshots {
     var dropWhole = List.empty[String]
     var newLines = List.empty[String]
     var dvFiles = 0
-    byBase.foreach { case (b, fresh) =>
-      val file = relByBase(b)
+    var dvIdx = 0
+    byPhys.foreach { case (p, fresh) =>
+      val file = refByPhys.getOrElse(p, throw new IllegalStateException(
+        s"deleteWhereLight on $dir: scanned path $p maps to no " +
+          "manifest ref — path qualification drift; report this"))
       val old = oldDv.get(file)
         .map { case (side, _) => readDvSidecar(fs, root, side) }
         .getOrElse(Array.empty[Long])
@@ -3007,7 +3043,11 @@ object Snapshots {
       val originalRows = stats.get(file).flatMap(_.headOption.map(_._2.rows))
       if (originalRows.contains(merged.length.toLong)) dropWhole ::= file
       else {
-        val side = s"$rel/_dv.$b.bin"
+        // index-prefixed: basenames may legitimately repeat across a
+        // converted layout's partition dirs; the sidecar name is
+        // opaque, it only needs uniqueness within this commit dir
+        val side = s"$rel/_dv.$dvIdx.${baseNameOf(file)}.bin"
+        dvIdx += 1
         writeDvSidecar(fs, root, side, merged)
         newLines ::= s"#dv\t$file\t$side\t${merged.length}"
         dvFiles += 1
@@ -3100,9 +3140,6 @@ object Snapshots {
     val (mayMatch, untouched) = pruneFiles(spark, dir, pred, base)
     if (mayMatch.isEmpty)
       return LightUpdateResult(base, 0, 0, untouched.size, 0L)
-    // same manifest-wide ambiguity guard as deleteWhereLight
-    requireUniqueBasenames(readManifest(fs, root, base), dir,
-      "updateWhereLight")
     // matched rows feed TWO consumers — the position collect and the
     // updated-image staging — pin them once
     val matched = scanWithMeta(spark, fs, root, base, base, mayMatch)
@@ -3125,11 +3162,11 @@ object Snapshots {
           }
         }: _*))
       enforceConstraintsAt(spark, dir, fs, root, base, updated)
-      val byBase: Map[String, Array[Long]] = hits
+      val byPhys: Map[String, Array[Long]] = hits
         .map(r => (r.getString(0), r.getLong(1)))
         .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
-      val relByBase = mayMatch
-        .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+      val refByPhys = physicalPaths(fs, root, mayMatch)
+        .map(_.swap).toMap
       val oldDv = dvFor(fs, root, base)
       val stats = statsFor(fs, root, base)
       val basePinned = schemaOf(fs, root, base)
@@ -3143,8 +3180,11 @@ object Snapshots {
       var dropWhole = List.empty[String]
       var newLines = List.empty[String]
       var dvFiles = 0
-      byBase.foreach { case (b, fresh) =>
-        val file = relByBase(b)
+      var dvIdx = 0
+      byPhys.foreach { case (p, fresh) =>
+        val file = refByPhys.getOrElse(p, throw new IllegalStateException(
+          s"updateWhereLight on $dir: scanned path $p maps to no " +
+            "manifest ref — path qualification drift; report this"))
         val old = oldDv.get(file)
           .map { case (side, _) => readDvSidecar(fs, root, side) }
           .getOrElse(Array.empty[Long])
@@ -3153,7 +3193,8 @@ object Snapshots {
           stats.get(file).flatMap(_.headOption.map(_._2.rows))
         if (originalRows.contains(merged.length.toLong)) dropWhole ::= file
         else {
-          val side = s"$rel/_dv.$b.bin"
+          val side = s"$rel/_dv.$dvIdx.${baseNameOf(file)}.bin"
+          dvIdx += 1
           writeDvSidecar(fs, root, side, merged)
           newLines ::= s"#dv\t$file\t$side\t${merged.length}"
           dvFiles += 1
@@ -3323,6 +3364,18 @@ object Snapshots {
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Hive/Spark partition-path unescaping: `%XX` sequences decode,
+    * NOTHING else is special. Partition escaping never writes `+` for
+    * a space (spaces appear literally; specials escape as `%XX`), so a
+    * literal `+` in a directory value must survive — form decoding
+    * would silently read it as a space. Implemented by pre-escaping
+    * `+` as `%2B` so the stock decoder handles the rest, the exact
+    * transform the scan side applies in [[scanWithMeta]]'s codegen'd
+    * fill (the two MUST agree: convert writes the decoded value into
+    * per-file stats, the scan re-derives it from the path). */
+  private def percentDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
 
   /** String stats are TRUNCATED Delta-style: a documents table's text
     * column must not embed whole document bodies in every manifest line
@@ -4184,8 +4237,9 @@ object Snapshots {
   def compact(spark: SparkSession, dir: String, numFiles: Int,
       expectedVersion: Int = -1): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    rewriteCurrent(spark, dir, _.coalesce(numFiles), expectedVersion,
-      op = "compact")
+    maybeReanalyze(spark, dir,
+      rewriteCurrent(spark, dir, _.coalesce(numFiles), expectedVersion,
+        op = "compact"))
   }
 
   /** OPTIMIZE ... ZORDER BY for snapshot tables: the current version
@@ -4197,9 +4251,10 @@ object Snapshots {
   def optimize(spark: SparkSession, dir: String, cols: Seq[String],
       numFiles: Int, bits: Int = 8, expectedVersion: Int = -1): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    rewriteCurrent(spark, dir,
-      Layout.cluster(_, cols, bits, numFiles), expectedVersion,
-      op = "optimize")
+    maybeReanalyze(spark, dir,
+      rewriteCurrent(spark, dir,
+        Layout.cluster(_, cols, bits, numFiles), expectedVersion,
+        op = "optimize"))
   }
 
   /** Incremental OPTIMIZE — re-cluster ONLY the files `pred` may touch
@@ -4254,7 +4309,7 @@ object Snapshots {
         s"optimizeWhere on $dir@v$base lost the commit race — a writer " +
           s"landed v$next first; re-run maintenance when the table is " +
           "quiescent")
-    next
+    maybeReanalyze(spark, dir, next)
   }
 
   /** Manifest property naming the version whose files are already
@@ -4348,7 +4403,7 @@ object Snapshots {
       throw new java.util.ConcurrentModificationException(
         s"optimizeIncremental on $dir@v$base lost the commit race — " +
           "re-run maintenance when the table is quiescent")
-    next
+    maybeReanalyze(spark, dir, next)
   }
 
   // ---- bucketed layout commits --------------------------------------
@@ -4443,7 +4498,7 @@ object Snapshots {
         s"bucketed rewrite of $dir@v$base lost the commit race — a writer " +
           s"landed v$next first; re-run maintenance when the table is " +
           "quiescent")
-    next
+    maybeReanalyze(spark, dir, next)
   }
 
   /** The CURRENT version as a catalog-registered bucketed table named
@@ -6372,28 +6427,18 @@ object Snapshots {
       if (files.nonEmpty) {
         val endV = run.head._1
         import spark.implicits._
-        // version attribution joins on file BASENAME; a converted
-        // hive layout repeats basenames across partition dirs, which
-        // would cross-attribute (and multiply) rows — scan each
-        // version separately there instead (same rows, one scan per
-        // version instead of one per run)
-        val dup = files.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
-          .exists(_._2.sizeIs > 1)
-        if (!dup) {
-          val byBase = run.reverse.flatMap { case (v, fl) =>
-            fl.map(f => (f.substring(f.lastIndexOf('/') + 1), v))
-          }.toDF("__cf_file", "_commit_version")
-          segs += scanWithMeta(spark, fs, root, endV, endV, files)
-            .join(broadcast(byBase), col(GfCol) === col("__cf_file"))
-            .drop(GfCol, GposCol, "__cf_file")
-            .withColumn("_change_type", lit("insert"))
-        } else run.reverse.foreach { case (v, fl) =>
-          if (fl.nonEmpty)
-            segs += scanWithMeta(spark, fs, root, endV, endV, fl.sorted)
-              .drop(GfCol, GposCol)
-              .withColumn("_commit_version", lit(v))
-              .withColumn("_change_type", lit("insert"))
-        }
+        // version attribution joins on the fully-qualified physical
+        // path (what [[GfCol]] carries) — unique by construction,
+        // converted hive layouts with repeated basenames included,
+        // so the whole run is always ONE scan
+        val phys = physicalPaths(fs, root, files).toMap
+        val byFile = run.reverse.flatMap { case (v, fl) =>
+          fl.map(f => (phys(f), v))
+        }.toDF("__cf_file", "_commit_version")
+        segs += scanWithMeta(spark, fs, root, endV, endV, files)
+          .join(broadcast(byFile), col(GfCol) === col("__cf_file"))
+          .drop(GfCol, GposCol, "__cf_file")
+          .withColumn("_change_type", lit("insert"))
       }
       run = Nil
     }
@@ -6439,7 +6484,7 @@ object Snapshots {
           if (drifted.isEmpty) None
           else {
             val newPos = dvNewPositions(spark, root, prevDv, curDv,
-              drifted)
+              drifted, physicalPaths(fs, root, drifted).toMap)
             Some(scanWithMeta(spark, fs, root, v, prev, drifted)
               .join(newPos, col(GfCol) === col("__dv_file") &&
                 col(GposCol) === col("__dv_pos"))
@@ -7552,22 +7597,23 @@ object Snapshots {
     * the table's CLUSTERING keys (`cluster.columns`): the directory
     * layout encoded the user's access pattern, and an unclustered
     * compact/OPTIMIZE would otherwise mix shards and silently destroy
-    * the pruning the layout provided (SET TBLPROPERTIES overrides). Note that Spark-written partitioned
-    * layouts repeat file BASENAMES across partition directories
-    * (`k=1/part-00000-<uuid>`, `k=2/part-00000-<uuid>`): full reads,
-    * pruning, CoW DML, OPTIMIZE and VACUUM are unaffected, while the
-    * row-level deletion-vector verbs and basename-keyed feed
-    * attribution fail closed on such a file set
-    * ([[requireUniqueBasenames]]) until a rewrite restores unique
-    * staged names.
+    * the pruning the layout provided (SET TBLPROPERTIES overrides).
+    * Spark-written partitioned layouts repeat file BASENAMES across
+    * partition directories (`k=1/part-00000-<uuid>`,
+    * `k=2/part-00000-<uuid>`); every verb — the row-level
+    * deletion-vector trio and change-feed attribution included — keys
+    * files by their qualified PATH ([[physicalPaths]]), so the
+    * converted table is a first-class citizen with no
+    * rewrite-before-DML caveat.
     *
     * REFUSES loudly: a directory that is already a snapshot table
     * (read it directly), non-parquet files, inconsistent partition
     * directory structures (Spark's own inference refuses the same),
     * a partition key that needs path-escaping or collides with a file
-    * column, and a partition value containing a literal `+` (the
-    * scan-side decoder is the codegen'd `url_decode`, which reads `+`
-    * as a space — refusing beats corrupting). Exactly-once under
+    * column. Partition VALUES decode percent-only (Hive/Spark
+    * `%XX` escaping; a literal `+` survives — form decoding would
+    * read it as a space), identically at convert time and in the
+    * scan-side codegen'd fill. Exactly-once under
     * races: the v1 manifest publishes through the commit CAS — a
     * concurrent convert/create loses loudly, never doubles. */
   def convert(spark: SparkSession, dir: String): ConvertResult = {
@@ -7660,12 +7706,7 @@ object Snapshots {
     // partitioned by
     val partStatLines = rels.flatMap { case (rel, _) =>
       partFields.zip(partSegsOf(rel)).map { case (f, (_, rawSeg)) =>
-        require(!rawSeg.contains("+"),
-          s"convert: partition value '$rawSeg' under $dir contains a " +
-            "literal '+', which the scan-side url_decode would read " +
-            "as a space — rename the directory (or copyInto) instead " +
-            "of converting to silently corrupted values")
-        val decoded = java.net.URLDecoder.decode(rawSeg, "UTF-8")
+        val decoded = percentDecode(rawSeg)
         val nRows = rowsByFile.getOrElse(rel, 0L)
         if (decoded == HiveDefaultPartition || nRows == 0L)
           s"#stats\t$rel\t$nRows\t${enc(f.name)}\t$nRows\tnull\tnull"
@@ -7921,6 +7962,12 @@ object Snapshots {
 
   private val AnalyzeRowsKey = "analyze.rowCount"
   private val AnalyzeAtKey = "analyze.atVersion"
+  /** Opt-in table property: `analyze.onOptimize=true` re-runs ANALYZE
+    * right after a rewrite maintenance commit (optimize family +
+    * compact) — the one moment the whole table's bytes were just
+    * read anyway, and exactly when frozen stats would otherwise start
+    * drifting from the data. */
+  val AnalyzeOnOptimizeKey = "analyze.onOptimize"
   private def analyzeColKey(phys: String) = s"analyze.col.${enc(phys)}"
   private def analyzeHistKey(phys: String) = s"analyze.hist.${enc(phys)}"
 
@@ -7946,9 +7993,13 @@ object Snapshots {
     * invalidate the stats — re-run after major drift (the analyzed
     * version is recorded under `analyze.atVersion` for
     * observability). Empty `columns` = every stat-eligible column up
-    * to the [[StatsMaxCols]] cap. */
+    * to the [[StatsMaxCols]] cap. `histogramsOverride` forces the
+    * histogram pass on/off regardless of the session flag — the
+    * [[maybeReanalyze]] maintenance hook uses it to rebuild exactly
+    * what the prior ANALYZE built. */
   def analyzeColumns(spark: SparkSession, dir: String,
-      columns: Seq[String] = Nil): AnalyzeResult =
+      columns: Seq[String] = Nil,
+      histogramsOverride: Option[Boolean] = None): AnalyzeResult =
     retryOnRace(s"analyzeColumns on $dir") {
       val (fs, root) = fsFor(spark, dir)
       val v = currentVersion(spark, dir).getOrElse(
@@ -7995,7 +8046,8 @@ object Snapshots {
       // `col = <rare value>` on a skewed column selects almost
       // nothing, which is routinely the difference between join
       // orders at 100 TB.
-      val histEnabled = spark.sessionState.conf.histogramEnabled
+      val histEnabled = histogramsOverride.getOrElse(
+        spark.sessionState.conf.histogramEnabled)
       val numBins = spark.sessionState.conf.histogramNumBins
       def histNumeric(f: StructField): Option[Column] = f.dataType match {
         // doubles are the histogram's own bin representation (Spark
@@ -8110,11 +8162,91 @@ object Snapshots {
       AnalyzeResult(committed, n, targets.map(_.name))
     }
 
+  /** Relative row-count drift past which ANALYZE-time histograms and
+    * min/max are DROPPED instead of carried: a histogram describes a
+    * distribution that no longer exists and cannot be rescaled (new
+    * rows land in unknown bins), and pricing a skewed predicate off it
+    * is the wrong-join-order failure histograms exist to prevent. Row
+    * count and NDV/null counts scale instead (documented
+    * approximation: proportional drift, clamped to the live count). */
+  val StatsDriftBound = 0.5
+
+  /** Exact LIVE row count of `version` from manifest metadata ALONE —
+    * per-file commit-time row counts minus deletion-vector
+    * cardinalities. None when any live file predates row-count
+    * recording (the caller falls back to its frozen stats rather than
+    * guessing). O(manifest): no data file is opened, no job runs —
+    * cheap enough to consult on every statistics load. */
+  def liveRowsExact(spark: SparkSession, dir: String,
+      version: Int = -1): Option[Long] = {
+    val (fs, root) = fsFor(spark, dir)
+    val v = if (version >= 0) version
+    else currentVersion(spark, dir).getOrElse(return None)
+    liveRowsOfManifest(fs, root, v)
+  }
+
+  private def liveRowsOfManifest(fs: FileSystem, root: HPath,
+      v: Int): Option[Long] = {
+    val files = readManifest(fs, root, v)
+    if (files.isEmpty) return Some(0L)
+    val stats = statsFor(fs, root, v)
+    val dv = dvFor(fs, root, v)
+    var total = 0L
+    files.foreach { f =>
+      stats.get(f).flatMap(_.headOption.map(_._2.rows)) match {
+        case Some(r) => total += r - dv.get(f).map(_._2).getOrElse(0L)
+        case None => return None
+      }
+    }
+    Some(total)
+  }
+
+  /** Post-rewrite statistics refresh (opt-in via the
+    * [[AnalyzeOnOptimizeKey]] table property): OPTIMIZE/compact just
+    * rewrote the files, so re-running ANALYZE right then keeps the
+    * CBO's rowCount/NDV/histograms exactly as fresh as the layout
+    * instead of letting them drift until someone remembers.
+    * Re-analyzes the SAME column set the stored stats cover (the
+    * default eligible set when the property is on but the table was
+    * never analyzed) and rebuilds histograms iff the prior stats had
+    * them — the maintenance hook must not silently widen or narrow
+    * what the operator chose at ANALYZE time. Returns the stats
+    * commit's version (the rewrite already committed; an ANALYZE
+    * failure surfaces rather than silently skipping). */
+  private def maybeReanalyze(spark: SparkSession, dir: String,
+      committed: Int): Int = {
+    val (fs, root) = fsFor(spark, dir)
+    val props = propsOf(fs, root, committed)
+    if (!props.get(AnalyzeOnOptimizeKey)
+        .exists(_.trim.equalsIgnoreCase("true"))) return committed
+    val schema = schemaOf(fs, root, committed)
+      .getOrElse(allNullable(read(spark, dir, committed).schema))
+    val priorCols = schema.fields.toSeq
+      .filter(f => props.contains(analyzeColKey(physOf(f)))).map(_.name)
+    val hadHists = schema.fields.exists(f =>
+      props.contains(analyzeHistKey(physOf(f))))
+    analyzeColumns(spark, dir, priorCols,
+      histogramsOverride = Some(hadHists ||
+        spark.sessionState.conf.histogramEnabled)).version
+  }
+
   /** The stored ANALYZE statistics of the table's current version, if
     * any — row count plus per-column stats keyed by the CURRENT
     * logical column names (translated from the stored physical keys,
     * so a post-ANALYZE rename still finds its stats). Consumed by the
-    * catalog relation to feed the cost-based optimizer. */
+    * catalog relation to feed the cost-based optimizer.
+    *
+    * STALENESS-AWARE: stats commit once and carry forward through
+    * later DML, but the manifests know the exact live row count at
+    * every version ([[liveRowsExact]]) — so when the table drifted
+    * since `analyze.atVersion`, the returned rowCount is the LIVE
+    * count (exact), NDV and null counts scale proportionally (clamped
+    * to the live count — an approximation, but far closer than a
+    * frozen count on a table that doubled), and past
+    * [[StatsDriftBound]] the histograms and min/max drop entirely
+    * (they describe a distribution that no longer exists). A manifest
+    * that cannot prove its live count (pre-row-count files) keeps the
+    * frozen stats — fail-safe, never worse than before. */
   def analyzedStats(spark: SparkSession,
       dir: String): Option[(Long, Map[String, ColumnAnalysis])] = {
     val (fs, root) = fsFor(spark, dir)
@@ -8145,7 +8277,30 @@ object Snapshots {
           }
         }
       }.toMap
-      (rc.toLong, cols)
+      val analyzedRows = rc.toLong
+      // drift correction: skip the (cheap) live-count pass entirely
+      // when nothing committed since the ANALYZE — atVersion records
+      // the version the pass READ, the stats landed at atVersion + 1
+      val atTip = props.get(AnalyzeAtKey).map(_.toInt)
+        .exists(a => a == v || a + 1 == v)
+      val live = if (atTip) None else liveRowsOfManifest(fs, root, v)
+      live match {
+        case None => (analyzedRows, cols)
+        case Some(l) if l == analyzedRows => (analyzedRows, cols)
+        case Some(l) =>
+          val ratio = l.toDouble / math.max(1L, analyzedRows)
+          val inBound = math.abs(ratio - 1.0) <= StatsDriftBound
+          val drifted = cols.map { case (n, a) =>
+            n -> a.copy(
+              ndv = math.max(1L, math.min(l, math.round(a.ndv * ratio))),
+              nulls = math.max(0L,
+                math.min(l, math.round(a.nulls * ratio))),
+              histogram = if (inBound) a.histogram else None,
+              min = if (inBound) a.min else None,
+              max = if (inBound) a.max else None)
+          }
+          (l, drifted)
+      }
     }
   }
 

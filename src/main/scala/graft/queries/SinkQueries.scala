@@ -2047,6 +2047,52 @@ object SinkQueries {
         |FROM orders
         |WHERE o_orderkey < 30000 AND o_orderkey % 5 <> 4
         |GROUP BY shard
-        |ORDER BY shard""".stripMargin)
+        |ORDER BY shard""".stripMargin),
+
+    // Escaped partition values + row-level DML on a converted layout:
+    // STRING partition values that need Hive path escaping (`:`
+    // → %3A, `/` → %2F, literal `+` and space kept verbatim) must
+    // round-trip through convert's percent-only decode AND the
+    // scan-side two-layer fill, and the deletion-vector delete runs
+    // DIRECTLY on the converted layout (repeated part-file basenames
+    // across partition dirs — the vectors key by qualified path). The
+    // oracle recomputes the net state from `orders`, so a mis-decoded
+    // value, a mis-masked row or a basename collision all
+    // hash-mismatch.
+    QueryDef("s57_convert_escaped_dv",
+      (s, dir) => {
+        import graft.ops.Snapshots
+        val raw = s"${stageDir(dir)}/s57_raw"
+        val p = new org.apache.hadoop.fs.Path(raw)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true) // rebuild the fixture each run
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            expr("CASE CAST(o_orderkey % 4 AS INT) " +
+              "WHEN 0 THEN 'UTC+2' WHEN 1 THEN 'UTC+02:00' " +
+              "WHEN 2 THEN 'Etc/GMT 1' ELSE 'plain' END").as("tz"))
+          .filter(col("o_orderkey") < 20000)
+          .write.partitionBy("tz").parquet(raw)
+        val r = Snapshots.convert(s, raw)
+        require(r.version == 1 && r.rows > 0,
+          s"convert fixture drift: $r")
+        // positional (deletion-vector) delete, no prior OPTIMIZE
+        Snapshots.deleteWhereLight(s, raw, col("o_orderkey") % 11 === 0)
+        Snapshots.read(s, raw)
+          .groupBy(col("tz"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,4)"))
+              .cast("double").as("sum_price"))
+          .orderBy("tz")
+      },
+      """SELECT CASE (o_orderkey % 4)::INT
+        |    WHEN 0 THEN 'UTC+2' WHEN 1 THEN 'UTC+02:00'
+        |    WHEN 2 THEN 'Etc/GMT 1' ELSE 'plain' END AS tz,
+        |  count(*)::BIGINT AS n_orders,
+        |  (sum(CAST(o_totalprice AS DECIMAL(18,4))))::DOUBLE AS sum_price
+        |FROM orders
+        |WHERE o_orderkey < 20000 AND o_orderkey % 11 <> 0
+        |GROUP BY tz
+        |ORDER BY tz""".stripMargin)
   )
 }

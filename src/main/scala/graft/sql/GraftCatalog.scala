@@ -604,7 +604,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private val ViewCacheTtlNanos = 2000000000L
 
   private[sql] def viewExistsCached(ident: Identifier): Boolean = {
-    val ns = ident.namespace.mkString(" ")
+    val ns = ident.namespace.mkString("\u0000")
     val now = System.nanoTime()
     val cached = viewNamesCache.get(ns)
     val names =
@@ -620,7 +620,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def invalidateViewCache(ident: Identifier): Unit =
-    viewNamesCache.remove(ident.namespace.mkString(" "))
+    viewNamesCache.remove(ident.namespace.mkString("\u0000"))
 
   override def listViews(namespace: String*): Array[Identifier] = {
     val ns = namespace.toArray

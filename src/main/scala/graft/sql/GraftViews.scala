@@ -8,10 +8,10 @@ import scala.util.control.NonFatal
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, NoSuchTableException, NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, FunctionRegistry, NoSuchTableException, NoSuchViewException, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, PlanExpression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, AnalyzeColumn, AnalyzeTable, CreateView, DropView, LeafNode, LogicalPlan, ShowViews, SubqueryAlias, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, AnalyzeColumn, AnalyzeTable, CreateView, DropView, Filter, LeafNode, LogicalPlan, Project, ShowViews, SubqueryAlias, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -223,45 +223,108 @@ object GraftViews {
       .flatMap(x => dfs(x._1, x._2, Vector(targetKey))).headOption
   }
 
-  /** The ultimate TABLE a PASS-THROUGH view chain resolves to, fully
-    * qualified — defined when every definition on the chain is a bare
-    * single-table read (`SELECT * FROM t`, optional aliasing, no
-    * filter/computed projection/join/agg). Such a view adds nothing a
-    * change feed cannot carry, so a STREAMING read legally resolves to
-    * the underlying table's stream; anything else returns None and
-    * the streaming refusal stands. */
-  def passThroughTarget(session: SparkSession, g0: GraftCatalog,
-      v0: View): Option[Seq[String]] = {
-    def bare(plan: LogicalPlan): Option[Seq[String]] = plan match {
-      case u: UnresolvedRelation if !u.isStreaming =>
-        Some(u.multipartIdentifier)
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project
-          if p.projectList.nonEmpty && p.projectList.forall {
-            case s: org.apache.spark.sql.catalyst.analysis.UnresolvedStar =>
-              s.target.isEmpty
-            case _ => false
-          } => bare(p.child)
-      case a: SubqueryAlias => bare(a.child)
-      case _ => None
+  /** Function names that are deterministic-looking at parse time but
+    * must not silently re-evaluate per micro-batch inside a streamed
+    * view definition — evaluated, they would make the streamed rows
+    * differ from the batch view's. Fail-closed complement to the
+    * registry checks in [[streamingComposition]]. */
+  private val NonStreamableFns = Set(
+    "rand", "randn", "random", "uuid", "shuffle",
+    "monotonically_increasing_id", "current_timestamp", "now",
+    "localtimestamp", "current_date", "curdate", "input_file_name",
+    "spark_partition_id")
+
+  /** Is every function reference in `e` a BUILT-IN, deterministic,
+    * non-aggregate, non-window scalar? Unknown names, registered UDFs,
+    * subqueries and window specs all fail CLOSED — a streamed view must
+    * compute exactly what the batch view computes, row by row. */
+  private def streamableExpr(e: Expression): Boolean = {
+    var ok = true
+    e.foreach {
+      case f: UnresolvedFunction =>
+        val name = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+        if (f.nameParts.lengthCompare(1) != 0 || NonStreamableFns(name) ||
+            f.isDistinct || f.filter.nonEmpty || f.orderingWithinGroup.nonEmpty)
+          ok = false
+        else FunctionRegistry.builtin
+          .lookupFunction(FunctionIdentifier(name)) match {
+          case None => ok = false // UDF or unknown: fail closed
+          case Some(info) =>
+            if (info.getGroup == "agg_funcs" ||
+                info.getGroup == "window_funcs") ok = false
+            else {
+              // the registry group is empty for some builtins — the
+              // expression CLASS is the authority on aggregate-ness
+              val agg = try {
+                val cls = Class.forName(info.getClassName)
+                classOf[org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateFunction].isAssignableFrom(cls) ||
+                classOf[org.apache.spark.sql.catalyst.expressions
+                  .WindowFunction].isAssignableFrom(cls)
+              } catch { case NonFatal(_) => true } // unloadable: closed
+              if (agg) ok = false
+            }
+        }
+      case _: org.apache.spark.sql.catalyst.expressions
+          .WindowExpression => ok = false
+      case _: org.apache.spark.sql.catalyst.expressions
+          .UnresolvedWindowExpression => ok = false
+      case _: PlanExpression[_] => ok = false // subqueries are stateful
+      case _ =>
     }
-    @scala.annotation.tailrec
-    def chase(v: View, hops: Int): Option[Seq[String]] = {
+    ok
+  }
+
+  /** The STREAMING logical plan a view chain legally resolves to, when
+    * every definition on it is a STATELESS single-table transform —
+    * projections and filters of deterministic built-in scalars over
+    * exactly one base relation (nested such views included). Such a
+    * view adds nothing a change feed cannot carry row by row, so the
+    * stream is the view's own transforms composed over the underlying
+    * table's stream: same rows as re-running the batch view per tick,
+    * delivered incrementally. Aggregates, joins, window functions,
+    * subqueries, DISTINCT/ORDER/LIMIT, non-deterministic or UDF calls
+    * all return None and the streaming refusal stands — a streaming
+    * aggregate under the view's name would silently CHANGE semantics
+    * (incremental state vs batch recompute), which a reader must opt
+    * into explicitly on the base table, not inherit from a name. */
+  def streamingComposition(session: SparkSession, g0: GraftCatalog,
+      v0: View): Option[LogicalPlan] = {
+    def compose(v: View, hops: Int): Option[LogicalPlan] = {
       if (hops > 8) return None
       val parsed = CTESubstitution(
         session.sessionState.sqlParser.parsePlan(v.query))
-      bare(parsed) match {
-        case None => None
-        case Some(parts) =>
-          val full = qualify(parts, v.currentCatalog,
-            v.currentNamespace.toSeq)
-          resolveView(session, full) match {
-            case Some((g, id)) if g.viewExists(id) =>
-              chase(g.loadView(id), hops + 1) // nested pass-through
-            case _ => Some(full) // a table (or non-view name): stream it
+      // CREATE-time qualification, same discipline as batch expansion
+      val qualified = parsed.transformDownWithSubqueries {
+        case u: UnresolvedRelation if u.multipartIdentifier.length <= 2 &&
+            !u.isStreaming =>
+          val full = u.multipartIdentifier match {
+            case Seq(one) =>
+              (v.currentCatalog +: v.currentNamespace.toSeq) :+ one
+            case two => v.currentCatalog +: two
           }
+          u.copy(multipartIdentifier = full.toSeq)
+      }
+      def rebuild(p: LogicalPlan): Option[LogicalPlan] = p match {
+        case u: UnresolvedRelation if !u.isStreaming =>
+          resolveView(session, u.multipartIdentifier) match {
+            case Some((g, id)) if g.viewExists(id) =>
+              compose(g.loadView(id), hops + 1) // nested stateless view
+            case _ => Some(u.copy(isStreaming = true)) // the base table
+          }
+        case pr: Project if pr.projectList.forall(streamableExpr) =>
+          rebuild(pr.child).map(c => pr.copy(child = c))
+        case f: Filter if streamableExpr(f.condition) =>
+          rebuild(f.child).map(c => f.copy(child = c))
+        case a: SubqueryAlias => rebuild(a.child).map(c => a.copy(child = c))
+        case _ => None // joins/aggregates/sorts/limits/set-ops: refuse
+      }
+      rebuild(qualified).map { r =>
+        if (v.columnAliases == null || v.columnAliases.isEmpty) r
+        else UnresolvedSubqueryColumnAliases(v.columnAliases.toSeq, r)
       }
     }
-    chase(v0, 0)
+    compose(v0, 0)
   }
 
   /** Render a `ViewInfo` as the stored properties document. Multi-
@@ -536,28 +599,24 @@ final case class GraftViewResolution(session: SparkSession)
             loadUnlessStale(g, ident) match {
               case None => u // dropped cross-session: not a view anymore
               case Some(v) =>
-                GraftViews.passThroughTarget(session, g, v) match {
-                  case Some(full) =>
-                    // a bare single-table view: the stream IS the
-                    // underlying table's stream (CREATE-time context,
-                    // declared aliases applied)
-                    val streamed = u.copy(multipartIdentifier = full)
-                    val aliased =
-                      if (v.columnAliases == null || v.columnAliases.isEmpty)
-                        streamed
-                      else UnresolvedSubqueryColumnAliases(
-                        v.columnAliases.toSeq, streamed)
+                GraftViews.streamingComposition(session, g, v) match {
+                  case Some(plan) =>
+                    // a stateless single-table view: the stream is the
+                    // view's transforms composed over the underlying
+                    // table's stream (CREATE-time context, declared
+                    // aliases applied inside the composition)
                     SubqueryAlias(
                       (g.name +: ident.namespace.toSeq) :+ ident.name,
-                      aliased)
+                      plan)
                   case None =>
                     throw new UnsupportedOperationException(
                       s"cannot STREAM from view ${u.multipartIdentifier
-                        .mkString(".")} — its definition is not a bare " +
-                        "single-table read, and an arbitrary query has " +
-                        "no change feed; readStream.table the " +
-                        "underlying snapshot table (or its change " +
-                        "feed) instead")
+                        .mkString(".")} — its definition is not a " +
+                        "stateless projection/filter over one table " +
+                        "(aggregates, joins, windows, subqueries and " +
+                        "non-deterministic functions have no row-by-row " +
+                        "change feed); readStream.table the underlying " +
+                        "snapshot table (or its change feed) instead")
                 }
             }
           case _ => u

@@ -153,30 +153,58 @@ class ConvertSpec extends SparkSpec {
         .count())
   }
 
-  test("a converted partitioned table takes CoW DML (values survive " +
-      "the rewrite); DV verbs fail closed on repeated basenames until " +
-      "a rewrite restores unique names") {
+  test("row-level DV verbs run DIRECTLY on a converted partitioned " +
+      "table (repeated basenames): path-keyed vectors name rows " +
+      "unambiguously, no prior OPTIMIZE needed") {
     val hp = tmp()
     (1L to 60L).map(i => (i, (i % 3).toInt)).toDF("id", "p")
       .write.partitionBy("p").parquet(hp)
     Snapshots.convert(spark, hp)
     // partitionBy repeats part-file basenames across partition dirs —
-    // positional (DV) naming would be ambiguous, so the verbs refuse
-    val e = intercept[UnsupportedOperationException](
-      Snapshots.deleteWhereLight(spark, hp, col("id") === 5L))
-    assert(e.getMessage.contains("basename"), e.getMessage)
-    // copy-on-write DML is unaffected, and rewritten rows materialize
-    // the partition column physically
-    Snapshots.deleteWhere(spark, hp, col("id") > 50L)
+    // vectors key by qualified PATH, so the positional delete is
+    // unambiguous: exactly id=5 goes, its basename-twins untouched
+    val r = Snapshots.deleteWhereLight(spark, hp, col("id") === 5L)
+    assert(r.positionsDeleted == 1L, r.toString)
+    val after = Snapshots.read(spark, hp)
+    assert(after.count() == 59L)
+    assert(after.filter(col("id") === 5L).count() == 0L)
+    // the per-partition counts prove no sibling file was masked
+    assert(after.groupBy("p").count().collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap ==
+      Map(0 -> 20L, 1 -> 20L, 2 -> 19L))
+    // updateWhereLight on the same converted layout
+    val u = Snapshots.updateWhereLight(spark, hp,
+      col("id") === 7L, Seq("id" -> lit(707L)))
+    assert(u.updatedRows == 1L, u.toString)
+    val ids = Snapshots.read(spark, hp).select("id")
+      .as[Long].collect().toSet
+    assert(ids.contains(707L) && !ids.contains(7L))
+    // copy-on-write DML coexists, rewritten rows materialize the
+    // partition column physically
+    Snapshots.deleteWhere(spark, hp, col("id") > 50L && col("id") < 700L)
     val got = Snapshots.read(spark, hp)
-    assert(got.count() == 50L)
+    assert(got.count() == 49L)
     assert(got.filter(col("p") === 1).count() ==
-      (1L to 50L).count(_ % 3 == 1))
-    // one compact rewrites everything into unique staged names — the
-    // DV verbs come back
-    Snapshots.compact(spark, hp, 1)
-    Snapshots.deleteWhereLight(spark, hp, col("id") === 5L)
-    assert(Snapshots.read(spark, hp).count() == 49L)
+      (1L to 50L).count(i => i % 3 == 1 && i != 7L) + 1)
+  }
+
+  test("change feed attributes a delete-light's rows on a converted " +
+      "partitioned table: the positional feed is path-keyed too") {
+    val hp = tmp()
+    (1L to 30L).map(i => (i, (i % 2).toInt)).toDF("id", "p")
+      .write.partitionBy("p").parquet(hp)
+    Snapshots.convert(spark, hp)
+    Snapshots.deleteWhereLight(spark, hp, col("id").isin(3L, 4L))
+    val feed = Snapshots.changeFeed(spark, hp, 0)
+    val byKind = feed.groupBy("_change_type", "_commit_version").count()
+      .collect().map(x => (x.getString(0), x.getInt(1)) -> x.getLong(2))
+      .toMap
+    assert(byKind == Map(("insert", 1) -> 30L, ("delete", 2) -> 2L),
+      byKind.toString)
+    // the deleted rows surface with their PATH-BORNE partition values
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("id", "p").collect().map(x => (x.getLong(0), x.getInt(1)))
+      .toSet == Set((3L, 1), (4L, 0)))
   }
 
   test("convert declares the partition keys as clustering keys, so an " +
@@ -279,7 +307,7 @@ class ConvertSpec extends SparkSpec {
   }
 
   test("partition default (__HIVE_DEFAULT_PARTITION__) reads NULL and " +
-      "records an exact all-null stat; '+' values refuse loudly") {
+      "records an exact all-null stat") {
     val hp = tmp()
     (1L to 10L).map(i => (i, if (i <= 4) null else s"g${i % 2}"))
       .toDF("id", "g").write.partitionBy("g").parquet(hp)
@@ -293,14 +321,38 @@ class ConvertSpec extends SparkSpec {
     // IS NOT NULL prunes the default-partition file
     val (_, skipped) = Snapshots.pruneFiles(spark, hp, col("g").isNotNull)
     assert(skipped.nonEmpty, "all-null partition stat must prune")
-    // a literal '+' in a partition value would be corrupted by the
-    // scan-side url_decode — convert refuses instead
-    val plus = tmp()
-    Seq((1L, "x")).toDF("id", "s").coalesce(1)
-      .write.parquet(plus + "/tag=a+b")
-    val e = intercept[IllegalArgumentException](
-      Snapshots.convert(spark, plus))
-    assert(e.getMessage.contains("'+'"), e.getMessage)
+  }
+
+  test("partition values decode PERCENT-ONLY: a literal '+' survives " +
+      "(tz=UTC+2-style layouts), %XX escapes still decode — exactly " +
+      "what a direct Spark partitioned read sees") {
+    val hp = tmp()
+    // Spark's own partition escaping writes '+' and ' ' literally and
+    // specials like ':' as %XX — both shapes in one layout
+    (1L to 30L).map(i =>
+      (i, if (i % 3 == 0) "UTC+2" else if (i % 3 == 1) "UTC+02:00"
+          else "Etc/GMT 1"))
+      .toDF("id", "tz").write.partitionBy("tz").parquet(hp)
+    val direct = spark.read.parquet(hp)
+    Snapshots.convert(spark, hp)
+    val got = Snapshots.read(spark, hp)
+    assert(got.select("id", "tz").collect().map(_.toSeq).toSet ==
+      direct.select("id", "tz").collect().map(_.toSeq).toSet,
+      "converted values must match the direct partitioned read exactly")
+    assert(got.filter(col("tz") === "UTC+2").count() ==
+      (1L to 30L).count(_ % 3 == 0))
+    // the exact path-borne stat prunes on the '+' value too — the
+    // convert-time decode and the scan-side fill MUST agree
+    val (kept, skipped) =
+      Snapshots.pruneFiles(spark, hp, col("tz") === "UTC+2")
+    assert(kept.nonEmpty && skipped.nonEmpty,
+      s"'+' partition value must prune: kept=${kept.size} " +
+        s"skipped=${skipped.size}")
+    // row-level DML on the '+' partition round-trips the value
+    Snapshots.deleteWhereLight(spark, hp,
+      col("tz") === "UTC+2" && col("id") === 3L)
+    assert(Snapshots.read(spark, hp).filter(col("tz") === "UTC+2")
+      .count() == (1L to 30L).count(_ % 3 == 0) - 1)
   }
 
   test("files with heterogeneous schemas merge: the missing column is " +

@@ -74,4 +74,87 @@ class CrossProcessCommitSpec extends SparkSpec {
     assert((1 to n).forall(i => ids.contains(900000L + i)),
       s"parent rows missing: $ids")
   }
+
+  test("a child JVM's appends race the parent's copy-on-write MERGEs: " +
+      "the stats-disjoint merge rebases (or recomputes) and the " +
+      "overlapping one recomputes, and the final table equals the " +
+      "serial model either way") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_xproc_dml")
+      .toFile.toString + "/t"
+    val n = 6
+    // seed: the parent's merge targets (ids 1..100), far from the
+    // child's append key range (700001..70000n)
+    Snapshots.append((1L to 100L).map(i => (i, "seed")).toDF("id", "v"),
+      root)
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false", "-cp", cp,
+      "graft.CrossProcessWriter", root, "7", n.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val tail = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val drain = new Thread(() =>
+      scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+        .getLines().foreach { l =>
+          tail.add(l); while (tail.size > 40) tail.poll()
+        })
+    drain.setDaemon(true)
+    drain.start()
+    // the parent keeps issuing BOTH merge shapes while the child
+    // commits — every interleaving must serialize correctly:
+    //  - DISJOINT: keys 1..20, footprint [1,20]; the child's added
+    //    files carry id stats ~700000, provably invisible — a lost
+    //    CAS re-lands by REBASE (one manifest write, no recompute)
+    //  - OVERLAPPING: keys {650000, 750000}, whose [min,max] range
+    //    COVERS the child's adds — rebaseSafe must refuse, and the
+    //    loud loss sends retryOnRace to the full recompute
+    var parentCommits = 0
+    var round = 0
+    var childAlive = true
+    while (childAlive && round < 40) {
+      round += 1
+      Snapshots.merge(spark,  root,
+        (1L to 20L).map(i => (i, s"disj-$round")).toDF("id", "v"),
+        Seq("id"))
+      parentCommits += 1
+      Snapshots.merge(spark, root,
+        Seq((650000L, s"ov-$round"), (750000L, s"ov-$round"))
+          .toDF("id", "v"), Seq("id"))
+      parentCommits += 1
+      childAlive = proc.isAlive
+    }
+    assert(proc.waitFor(300, TimeUnit.SECONDS), "child JVM hung")
+    assert(proc.exitValue == 0,
+      s"child writer failed:\n${tail.toArray.mkString("\n")}")
+    // one deterministic closing pass so the expected model is exact
+    Snapshots.merge(spark, root,
+      (1L to 20L).map(i => (i, "final")).toDF("id", "v"), Seq("id"))
+    Snapshots.merge(spark, root,
+      Seq((650000L, "final"), (750000L, "final")).toDF("id", "v"),
+      Seq("id"))
+    parentCommits += 2
+    // every commit landed under its own version — no lost or doubled
+    // writes across the process boundary, rebases included
+    val versions = Snapshots.versions(spark, root)
+    assert(versions == (1 to (1 + n + parentCommits)),
+      s"versions not contiguous (expected ${1 + n + parentCommits}): " +
+        s"$versions")
+    val got = Snapshots.read(spark, root)
+    // serial model: 20 merged + 80 seed + n child + 2 merge-inserts
+    assert(got.count() == (100 + n + 2).toLong)
+    val byId = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size == 100 + n + 2, "duplicate ids: lost isolation")
+    (1L to 20L).foreach(i => assert(byId(i) == "final", s"$i -> ${byId(i)}"))
+    (21L to 100L).foreach(i => assert(byId(i) == "seed", s"$i -> ${byId(i)}"))
+    (1 to n).foreach(i => assert(byId(700000L + i.toLong) == s"w7-$i",
+      s"child row ${700000 + i}: ${byId.get(700000L + i.toLong)}"))
+    assert(byId(650000L) == "final" && byId(750000L) == "final")
+    // and the merge targets still prune: the table stayed healthy
+    // through every rebase/recompute (a corrupted manifest would throw)
+    assert(Snapshots.read(spark, root).filter(col("id") <= 20L)
+      .count() == 20L)
+  }
 }

@@ -178,13 +178,18 @@ class ViewSpec extends SparkSpec {
     // ALTER VIEW AS on a missing view surfaces the standard error
     intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("ALTER VIEW gvw.default.missing_v AS SELECT 1 AS one"))
-    // streaming from a view: a named refusal, not an unresolved puzzle
-    // (the analyzer may surface the rule's throw wrapped)
+    // a projection/filter view is STATELESS — it streams (see the
+    // dedicated streaming tests); an AGGREGATE view refuses by name,
+    // not as an unresolved puzzle (the analyzer may wrap the throw)
+    assert(spark.readStream.table("gvw.default.av").isStreaming)
+    spark.sql("CREATE VIEW gvw.default.avagg AS " +
+      "SELECT sum(v) AS sv FROM gvw.default.t")
     val e = intercept[Exception](
-      spark.readStream.table("gvw.default.av").schema)
+      spark.readStream.table("gvw.default.avagg").schema)
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("cannot STREAM from view")), msgs(e))
+    spark.sql("DROP VIEW gvw.default.avagg")
     spark.sql("DROP VIEW gvw.default.av")
   }
 
@@ -399,6 +404,77 @@ class ViewSpec extends SparkSpec {
       got.toSeq)
     spark.sql("DROP VIEW gvw.default.pt2")
     spark.sql("DROP VIEW gvw.default.pt")
+  }
+
+  test("streaming a STATELESS-TRANSFORM view composes its projection " +
+      "and filter over the table's stream; aggregates, joins and " +
+      "non-deterministic definitions still refuse") {
+    warehouse
+    // filter + computed projection: legal — each change-feed row maps
+    // through the view's transform independently
+    spark.sql("CREATE VIEW gvw.default.sv AS " +
+      "SELECT id, v * 10 AS v10 FROM gvw.default.t WHERE id >= 2")
+    val s = spark.readStream.table("gvw.default.sv")
+    assert(s.isStreaming && s.columns.toSeq == Seq("id", "v10"))
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val ckpt = Files.createTempDirectory("graft_vw_sv").toFile.toString
+    val q = s.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.as[(Long, Double)].collect()
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    // rows appended WHILE the stream runs flow through the transform
+    spark.sql("INSERT INTO gvw.default.t VALUES (7, 7.0), (1, 1.5)")
+    q.processAllAvailable(); q.stop()
+    val seen = got.synchronized(got.toSet)
+    // the suite's shared table accretes rows across tests — the model
+    // is the BATCH view evaluated now: same transform, same rows
+    val expected = spark.sql(
+      "SELECT id, v * 10 FROM gvw.default.t WHERE id >= 2")
+      .as[(Long, Double)].collect().toSet
+    assert(seen == expected,
+      s"the stream must equal the batch view: $seen vs $expected")
+    assert(seen.contains((7L, 70.0)) && !seen.exists(_._1 < 2L),
+      s"mid-stream append must flow through the transform: $seen")
+    // a NESTED stateless chain composes too (filter over filter)
+    spark.sql("CREATE VIEW gvw.default.sv2 AS " +
+      "SELECT id FROM gvw.default.sv WHERE v10 > 25")
+    assert(spark.readStream.table("gvw.default.sv2").isStreaming)
+    def refused(name: String, sql: String): Unit = {
+      spark.sql(s"CREATE VIEW gvw.default.$name AS $sql")
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val e = intercept[Exception](
+        spark.readStream.table(s"gvw.default.$name").schema)
+      assert(msgs(e).exists(_.contains("cannot STREAM from view")),
+        s"$name: ${msgs(e)}")
+      spark.sql(s"DROP VIEW gvw.default.$name")
+    }
+    refused("r_agg", "SELECT id, sum(v) AS s FROM gvw.default.t GROUP BY id")
+    refused("r_join", "SELECT a.id FROM gvw.default.t a " +
+      "JOIN gvw.default.t b ON a.id = b.id")
+    refused("r_rand", "SELECT id, rand() AS r FROM gvw.default.t")
+    refused("r_limit", "SELECT id FROM gvw.default.t LIMIT 2")
+    refused("r_dist", "SELECT DISTINCT id FROM gvw.default.t")
+    refused("r_win", "SELECT id, row_number() OVER (ORDER BY id) AS rn " +
+      "FROM gvw.default.t")
+    refused("r_sub", "SELECT id FROM gvw.default.t " +
+      "WHERE id IN (SELECT id FROM gvw.default.t WHERE v > 2)")
+    // a stateless view OVER a refusing view refuses too (the chain is
+    // only as streamable as its weakest link)
+    spark.sql("CREATE VIEW gvw.default.r_base AS " +
+      "SELECT id, count(*) AS n FROM gvw.default.t GROUP BY id")
+    refused("r_chain", "SELECT id FROM gvw.default.r_base WHERE id > 0")
+    spark.sql("DROP VIEW gvw.default.r_base")
+    spark.sql("DROP VIEW gvw.default.sv2")
+    spark.sql("DROP VIEW gvw.default.sv")
   }
 
   test("a name is a table XOR a view: creation paths refuse, and the " +
