@@ -2875,10 +2875,12 @@ object Snapshots {
     // foreign (clone-source) refs resolve through _moved markers —
     // one metadata probe per distinct foreign root, none for owned
     // refs. The READER takes the decoded Path form; the metadata
-    // JOIN key is the URI-encoded form the _metadata column reports.
+    // JOIN key is the URI-encoded form the _metadata column reports
+    // (built lazily — only the DV anti-join consumes it, and most
+    // scans carry no vectors).
     val resolved = resolveForeign(fs, files)
     val paths = resolved.map(f => new HPath(root, f).toString)
-    val physByRef = files.zip(resolved).map { case (ref, res) =>
+    lazy val physByRef = files.zip(resolved).map { case (ref, res) =>
       ref -> metadataPathString(fs, new HPath(root, res))
     }.toMap
     val fileSet = files.toSet

@@ -287,9 +287,22 @@ object GraftViews {
     * all return None and the streaming refusal stands — a streaming
     * aggregate under the view's name would silently CHANGE semantics
     * (incremental state vs batch recompute), which a reader must opt
-    * into explicitly on the base table, not inherit from a name. */
+    * into explicitly on the base table, not inherit from a name.
+    *
+    * The READER's options (`maxFilesPerTrigger`, `startingVersion`,
+    * `readChangeFeed`, ...) travel to the base relation — they
+    * configure the SOURCE, and the view name is just an address for
+    * it. `readChangeFeed=true` additionally restricts the chain to
+    * PURE pass-through (star projections and aliases, no filter or
+    * computed column): change rows carry `_change_type` /
+    * `_commit_version` metadata a projection would silently drop and
+    * a filter would ambiguously apply to pre- vs post-images —
+    * refusing beats delivering a feed that cannot be applied. */
   def streamingComposition(session: SparkSession, g0: GraftCatalog,
-      v0: View): Option[LogicalPlan] = {
+      v0: View, readerOptions: org.apache.spark.sql.util
+        .CaseInsensitiveStringMap): Option[LogicalPlan] = {
+    val feedMode = Option(readerOptions.get("readChangeFeed"))
+      .exists(_.equalsIgnoreCase("true"))
     def compose(v: View, hops: Int): Option[LogicalPlan] = {
       if (hops > 8) return None
       val parsed = CTESubstitution(
@@ -305,16 +318,25 @@ object GraftViews {
           }
           u.copy(multipartIdentifier = full.toSeq)
       }
+      def starOnly(pr: Project): Boolean = pr.projectList.forall {
+        case s: org.apache.spark.sql.catalyst.analysis.UnresolvedStar =>
+          s.target.isEmpty
+        case _ => false
+      }
       def rebuild(p: LogicalPlan): Option[LogicalPlan] = p match {
         case u: UnresolvedRelation if !u.isStreaming =>
           resolveView(session, u.multipartIdentifier) match {
             case Some((g, id)) if g.viewExists(id) =>
               compose(g.loadView(id), hops + 1) // nested stateless view
-            case _ => Some(u.copy(isStreaming = true)) // the base table
+            case _ => // the base table: the reader's options attach here
+              Some(u.copy(isStreaming = true, options = readerOptions))
           }
+        case pr: Project if feedMode =>
+          if (starOnly(pr)) rebuild(pr.child).map(c => pr.copy(child = c))
+          else None // a projection would drop the feed's metadata cols
         case pr: Project if pr.projectList.forall(streamableExpr) =>
           rebuild(pr.child).map(c => pr.copy(child = c))
-        case f: Filter if streamableExpr(f.condition) =>
+        case f: Filter if !feedMode && streamableExpr(f.condition) =>
           rebuild(f.child).map(c => f.copy(child = c))
         case a: SubqueryAlias => rebuild(a.child).map(c => a.copy(child = c))
         case _ => None // joins/aggregates/sorts/limits/set-ops: refuse
@@ -599,7 +621,8 @@ final case class GraftViewResolution(session: SparkSession)
             loadUnlessStale(g, ident) match {
               case None => u // dropped cross-session: not a view anymore
               case Some(v) =>
-                GraftViews.streamingComposition(session, g, v) match {
+                GraftViews.streamingComposition(session, g, v,
+                    u.options) match {
                   case Some(plan) =>
                     // a stateless single-table view: the stream is the
                     // view's transforms composed over the underlying

@@ -477,6 +477,52 @@ class ViewSpec extends SparkSpec {
     spark.sql("DROP VIEW gvw.default.sv")
   }
 
+  test("reader options travel through a streamed view to the base " +
+      "source; readChangeFeed works pass-through and refuses when a " +
+      "transform would drop the feed's metadata") {
+    warehouse
+    spark.sql("CREATE VIEW gvw.default.cfv AS SELECT * FROM gvw.default.t")
+    val events = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val ckpt = Files.createTempDirectory("graft_vw_cf").toFile.toString
+    val q = spark.readStream.option("readChangeFeed", "true")
+      .table("gvw.default.cfv")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        events.synchronized {
+          events ++= df.select("_change_type", "id")
+            .as[(String, Long)].collect()
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    // DML lands in the feed THROUGH the view — the reader's option
+    // reached the base source (the plain stream would kill the query)
+    spark.sql("INSERT INTO gvw.default.t VALUES (501, 5.0)")
+    spark.sql("DELETE FROM gvw.default.t WHERE id = 501")
+    q.processAllAvailable(); q.stop()
+    val got = events.synchronized(events.toList)
+    assert(got.count(_ == ("insert", 501L)) == 1, got)
+    assert(got.count(_ == ("delete", 501L)) == 1, got)
+    // a filtered/projected view cannot deliver a change feed: the
+    // transform would drop _change_type or ambiguously filter pre-
+    // vs post-images — refuse by name
+    spark.sql("CREATE VIEW gvw.default.cfv_f AS " +
+      "SELECT id FROM gvw.default.t WHERE id > 1")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception](
+      spark.readStream.option("readChangeFeed", "true")
+        .table("gvw.default.cfv_f").schema)
+    assert(msgs(e).exists(_.contains("cannot STREAM from view")), msgs(e))
+    // ...while the SAME view streams fine without the feed option
+    assert(spark.readStream.table("gvw.default.cfv_f").isStreaming)
+    spark.sql("DROP VIEW gvw.default.cfv_f")
+    spark.sql("DROP VIEW gvw.default.cfv")
+  }
+
   test("a name is a table XOR a view: creation paths refuse, and the " +
       "staged-commit re-check rolls the table back after a raced " +
       "CREATE VIEW") {
