@@ -355,6 +355,40 @@ class ConvertSpec extends SparkSpec {
       .count() == (1L to 30L).count(_ % 3 == 0) - 1)
   }
 
+  test("partition-value decode agrees with a direct Spark read across " +
+      "the special-character sweep (every Hive-escaped class, plus " +
+      "values that LOOK pre-encoded)") {
+    // one value per escape class Hive/Spark path-escaping handles,
+    // plus traps: a literal '%2B' in the VALUE (double-encoding must
+    // round-trip, not collapse to '+'), bare '%', and mixed forms
+    val specials = Seq(
+      "a b", "a:b", "a/b", "a+b", "a%b", "a=b", "a#b", "a'b",
+      "a*b", "a?b", "a[b]", "a^b", "a{b}", "a\\b", "100%", "c++",
+      "a%2Bb", "%20", "UTC+02:00 (DST)")
+    val hp = tmp()
+    specials.zipWithIndex.flatMap { case (v, i) =>
+      (0 until 3).map(j => ((i * 3 + j).toLong, v))
+    }.toDF("id", "tag").write.partitionBy("tag").parquet(hp)
+    val direct = spark.read.parquet(hp)
+    Snapshots.convert(spark, hp)
+    val got = Snapshots.read(spark, hp)
+    assert(got.select("id", "tag").collect().map(_.toSeq).toSet ==
+      direct.select("id", "tag").collect().map(_.toSeq).toSet,
+      "every escape class must round-trip exactly as Spark reads it")
+    // each distinct value files-prunes via its exact path-borne stat
+    specials.foreach { v =>
+      assert(got.filter(col("tag") === v).count() == 3L, s"value '$v'")
+    }
+    val (kept, skipped) =
+      Snapshots.pruneFiles(spark, hp, col("tag") === "a%2Bb")
+    assert(kept.nonEmpty && skipped.nonEmpty,
+      s"pre-encoded-looking value must prune: kept=${kept.size}")
+    // and the positional verbs address rows in any escaped partition
+    Snapshots.deleteWhereLight(spark, hp, col("tag") === "a%2Bb")
+    assert(Snapshots.read(spark, hp).count() ==
+      (specials.size * 3 - 3).toLong)
+  }
+
   test("files with heterogeneous schemas merge: the missing column is " +
       "recorded exactly all-NULL and reads NULL") {
     val t = tmp()
