@@ -331,14 +331,30 @@ private[sql] object GraftProcedures {
         val files = df.inputFiles
         val props = Snapshots.tableProperties(s, dir)
         val meta = Snapshots.aggregateFromManifest(s, dir, Nil)
+        // statistics-staleness observability: the exact manifest live
+        // row count, the version the last ANALYZE read, and the drift
+        // between the two — the number an operator watches to decide
+        // a re-ANALYZE (the CBO already self-corrects rowCount/NDV
+        // from the same accounting; histograms past the bound do not)
+        val liveRows = Snapshots.liveRowsExact(s, dir).getOrElse(-1L)
+        val analyzedRows = props.get("analyze.rowCount").map(_.toLong)
+        val driftPct = (analyzedRows, liveRows) match {
+          case (Some(ar), lr) if ar > 0 && lr >= 0 =>
+            f"${(lr - ar) * 100.0 / ar}%.1f"
+          case _ => ""
+        }
         oneRow(s,
           Seq("location", "version", "n_versions_retained", "n_files",
-            "size_bytes", "n_rows_meta", "cluster_columns",
+            "size_bytes", "n_rows_meta", "live_rows",
+            "analyzed_at_version", "stats_drift_pct", "cluster_columns",
             "optimized_through", "constraints", "properties", "tags",
             "ingested_files"),
           Seq(dir, v, Snapshots.versions(s, dir).size, files.length,
             Snapshots.liveBytes(s, dir, v),
             meta.map(_.head().getLong(0)).getOrElse(-1L),
+            liveRows,
+            props.getOrElse("analyze.atVersion", ""),
+            driftPct,
             Snapshots.clusterColumns(s, dir).mkString(","),
             props.getOrElse("graft.optimize.through", ""),
             Snapshots.constraints(s, dir).toSeq.sorted

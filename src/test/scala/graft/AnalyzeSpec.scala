@@ -283,6 +283,13 @@ class AnalyzeSpec extends SparkSpec {
       assert(jobs.get() == 0,
         s"live-row accounting must be metadata-only, ran ${jobs.get()} jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
+    // the operator surface: CALL detail reports the live count and the
+    // drift percentage an operator watches to schedule a re-ANALYZE
+    val det = spark.sql(
+      "CALL gand.system.detail(table => 'default.drift')").head()
+    assert(det.getAs[Long]("live_rows") == 2000L, det.toString)
+    assert(det.getAs[String]("stats_drift_pct") == "100.0", det.toString)
+    assert(det.getAs[String]("analyzed_at_version").nonEmpty)
   }
 
   test("analyze.onOptimize: a rewrite maintenance commit refreshes " +
