@@ -293,11 +293,17 @@ object GraftViews {
     * `readChangeFeed`, ...) travel to the base relation — they
     * configure the SOURCE, and the view name is just an address for
     * it. `readChangeFeed=true` additionally restricts the chain to
-    * PURE pass-through (star projections and aliases, no filter or
-    * computed column): change rows carry `_change_type` /
-    * `_commit_version` metadata a projection would silently drop and
-    * a filter would ambiguously apply to pre- vs post-images —
-    * refusing beats delivering a feed that cannot be applied. */
+    * PURE pass-through WITHOUT declared column aliases (star
+    * projections only): change rows carry `_change_type` /
+    * `_commit_version` metadata a projection would silently drop, a
+    * filter would ambiguously apply to pre- vs post-images, and an
+    * alias list covers only the data columns (arity mismatch) —
+    * refusing beats delivering a feed that cannot be applied.
+    *
+    * Resolution happens when the STREAM STARTS (Spark analyzes a
+    * streaming query once): an ALTER VIEW while a stream runs does
+    * not recompose the running query — the standard view-vs-stream
+    * lifecycle, same as every lakehouse engine. */
   def streamingComposition(session: SparkSession, g0: GraftCatalog,
       v0: View, readerOptions: org.apache.spark.sql.util
         .CaseInsensitiveStringMap): Option[LogicalPlan] = {
@@ -341,9 +347,14 @@ object GraftViews {
         case a: SubqueryAlias => rebuild(a.child).map(c => a.copy(child = c))
         case _ => None // joins/aggregates/sorts/limits/set-ops: refuse
       }
-      rebuild(qualified).map { r =>
-        if (v.columnAliases == null || v.columnAliases.isEmpty) r
-        else UnresolvedSubqueryColumnAliases(v.columnAliases.toSeq, r)
+      rebuild(qualified).flatMap { r =>
+        if (v.columnAliases == null || v.columnAliases.isEmpty) Some(r)
+        // declared aliases cover the view's DATA columns only — under
+        // readChangeFeed the stream adds metadata columns the alias
+        // list cannot cover (an arity mismatch at analysis), so the
+        // named refusal fires instead of a confusing count error
+        else if (feedMode) None
+        else Some(UnresolvedSubqueryColumnAliases(v.columnAliases.toSeq, r))
       }
     }
     compose(v0, 0)

@@ -519,6 +519,16 @@ class ViewSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("cannot STREAM from view")), msgs(e))
     // ...while the SAME view streams fine without the feed option
     assert(spark.readStream.table("gvw.default.cfv_f").isStreaming)
+    // declared column aliases cannot cover the feed's metadata
+    // columns — the named refusal, not an arity puzzle
+    spark.sql("CREATE VIEW gvw.default.cfv_a (x, y) AS " +
+      "SELECT * FROM gvw.default.t")
+    val e2 = intercept[Exception](
+      spark.readStream.option("readChangeFeed", "true")
+        .table("gvw.default.cfv_a").schema)
+    assert(msgs(e2).exists(_.contains("cannot STREAM from view")), msgs(e2))
+    assert(spark.readStream.table("gvw.default.cfv_a").isStreaming)
+    spark.sql("DROP VIEW gvw.default.cfv_a")
     spark.sql("DROP VIEW gvw.default.cfv_f")
     spark.sql("DROP VIEW gvw.default.cfv")
   }
