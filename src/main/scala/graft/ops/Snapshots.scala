@@ -6943,7 +6943,7 @@ object Snapshots {
   /** What one [[maintain]] pass did. */
   final case class MaintainResult(compactedTo: Option[Int],
     versionsDropped: Int, filesDeleted: Int, orphansDeleted: Int,
-    dvFoldedFiles: Int = 0)
+    dvFoldedFiles: Int = 0, reanalyzedTo: Option[Int] = None)
 
   /** The one-call maintenance policy an append-heavy (streaming) table
     * needs on a schedule: compact when the file count crosses
@@ -7001,7 +7001,14 @@ object Snapshots {
     val (dropped, deleted) = vacuum(spark, dir, keepVersions,
       clipToConsumers = true)
     val orphans = cleanOrphans(spark, dir, orphanOlderThanMs)
-    MaintainResult(compacted, dropped, deleted, orphans, folded)
+    // opt-in statistics refresh: `analyze.maxDriftPct=N` re-ANALYZEs
+    // here once live rows drift past N% of the stored stats — the
+    // nightly loop is where an operator expects stats upkeep to live
+    val reanalyzed = tableProperties(spark, dir)
+      .get(AnalyzeMaxDriftKey).flatMap(_.toDoubleOption)
+      .flatMap(th => analyzeIfStale(spark, dir, th).map(_.version))
+    MaintainResult(compacted, dropped, deleted, orphans, folded,
+      reanalyzed)
   }
 
   /** Delete orphaned data files — parquet files under `data/` that NO
@@ -8221,15 +8228,56 @@ object Snapshots {
     val props = propsOf(fs, root, committed)
     if (!props.get(AnalyzeOnOptimizeKey)
         .exists(_.trim.equalsIgnoreCase("true"))) return committed
-    val schema = schemaOf(fs, root, committed)
-      .getOrElse(allNullable(read(spark, dir, committed).schema))
+    reanalyzeAsBefore(spark, dir, fs, root, committed, props).version
+  }
+
+  /** Re-run ANALYZE with the SAME scope the stored stats cover: the
+    * previously analyzed column set (the default eligible set when the
+    * table was never analyzed) and histograms iff the prior pass had
+    * them — maintenance must not silently widen or narrow what the
+    * operator chose at ANALYZE time. */
+  private def reanalyzeAsBefore(spark: SparkSession, dir: String,
+      fs: FileSystem, root: HPath, v: Int,
+      props: Map[String, String]): AnalyzeResult = {
+    val schema = schemaOf(fs, root, v)
+      .getOrElse(allNullable(read(spark, dir, v).schema))
     val priorCols = schema.fields.toSeq
       .filter(f => props.contains(analyzeColKey(physOf(f)))).map(_.name)
     val hadHists = schema.fields.exists(f =>
       props.contains(analyzeHistKey(physOf(f))))
     analyzeColumns(spark, dir, priorCols,
       histogramsOverride = Some(hadHists ||
-        spark.sessionState.conf.histogramEnabled)).version
+        spark.sessionState.conf.histogramEnabled))
+  }
+
+  /** Opt-in table property for [[maintain]]: `analyze.maxDriftPct=N`
+    * re-ANALYZEs in the nightly maintenance pass once the live row
+    * count has drifted more than N percent from the stored
+    * statistics. Complements the per-load drift CORRECTION in
+    * [[analyzedStats]] (rowCount/NDV self-correct continuously;
+    * histograms past [[StatsDriftBound]] drop and only a real
+    * re-ANALYZE brings them back). */
+  val AnalyzeMaxDriftKey = "analyze.maxDriftPct"
+
+  /** Re-ANALYZE only when the stored statistics drifted beyond
+    * `maxDriftPct` percent of their recorded row count — the act half
+    * of the staleness story (`CALL detail` reports the same drift).
+    * None when the table has no stored stats, the live count is not
+    * provable from manifests, or the drift is within threshold; the
+    * DECISION is O(manifest), data is read only when the re-ANALYZE
+    * actually runs. */
+  def analyzeIfStale(spark: SparkSession, dir: String,
+      maxDriftPct: Double): Option[AnalyzeResult] = {
+    val (fs, root) = fsFor(spark, dir)
+    val v = currentVersion(spark, dir).getOrElse(return None)
+    val props = propsOf(fs, root, v)
+    val analyzed = props.get(AnalyzeRowsKey).map(_.toLong)
+      .getOrElse(return None)
+    val live = liveRowsOfManifest(fs, root, v).getOrElse(return None)
+    val driftPct =
+      math.abs(live - analyzed) * 100.0 / math.max(1L, analyzed)
+    if (driftPct <= maxDriftPct) None
+    else Some(reanalyzeAsBefore(spark, dir, fs, root, v, props))
   }
 
   /** The stored ANALYZE statistics of the table's current version, if

@@ -384,9 +384,24 @@ private[sql] object GraftProcedures {
           in.getInt(2), in.getInt(3), in.getInt(4) * 3600L * 1000L)
         oneRow(s,
           Seq("compacted_to", "dropped_versions", "deleted_files",
-            "orphans_deleted", "dv_folded_files"),
+            "orphans_deleted", "dv_folded_files", "reanalyzed_to"),
           Seq(r.compactedTo.getOrElse(-1), r.versionsDropped,
-            r.filesDeleted, r.orphansDeleted, r.dvFoldedFiles))
+            r.filesDeleted, r.orphansDeleted, r.dvFoldedFiles,
+            r.reanalyzedTo.getOrElse(-1)))
+      }),
+
+    new Proc("analyze_if_stale",
+      Seq(p("table", StringType),
+        pd("max_drift_pct", IntegerType, "20")),
+      (s, in) => {
+        // the act half of the staleness story (`detail` reports the
+        // drift): re-ANALYZE with the stored stats' own scope, only
+        // past the threshold — the decision itself reads no data
+        val r = Snapshots.analyzeIfStale(s, dirOf(str(in, 0)),
+          in.getInt(1).toDouble)
+        oneRow(s, Seq("reanalyzed", "version", "row_count"),
+          Seq(r.nonEmpty, r.map(_.version).getOrElse(-1),
+            r.map(_.rowCount).getOrElse(-1L)))
       })
   ).map(pr => pr.procName -> (pr: UnboundProcedure)).toMap
 }

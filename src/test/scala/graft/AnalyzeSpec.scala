@@ -331,4 +331,48 @@ class AnalyzeSpec extends SparkSpec {
       .get("analyze.atVersion").exists(_.toInt < v),
       "no property, no auto re-analyze")
   }
+
+  test("analyze_if_stale acts on the drift detail reports: no-op " +
+      "within threshold, re-ANALYZE past it; maintain runs it under " +
+      "analyze.maxDriftPct") {
+    val w = Files.createTempDirectory("graft_an_stale").toFile.toString
+    spark.conf.set("spark.sql.catalog.gans", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gans.warehouse", w)
+    val t = s"$w/default/st"
+    Snapshots.append((0L until 1000L).map(i => (i, s"v$i"))
+      .toDF("k", "s"), t)
+    Snapshots.analyzeColumns(spark, t)
+    // +10% drift: inside a 20% threshold — decision is metadata-only
+    Snapshots.append((1000L until 1100L).map(i => (i, s"v$i"))
+      .toDF("k", "s"), t)
+    val r0 = spark.sql(
+      "CALL gans.system.analyze_if_stale(table => 'default.st')").head()
+    assert(!r0.getAs[Boolean]("reanalyzed"), r0.toString)
+    assert(Snapshots.tableProperties(spark, t)("analyze.rowCount")
+      == "1000", "within threshold the stored stats stay")
+    // +50% drift: past it — stats refresh to the exact current state
+    Snapshots.append((1100L until 1500L).map(i => (i, s"v$i"))
+      .toDF("k", "s"), t)
+    val r1 = spark.sql(
+      "CALL gans.system.analyze_if_stale(table => 'default.st')").head()
+    assert(r1.getAs[Boolean]("reanalyzed") &&
+      r1.getAs[Long]("row_count") == 1500L, r1.toString)
+    assert(Snapshots.tableProperties(spark, t)("analyze.rowCount")
+      == "1500")
+    // the nightly loop: the property opts maintain into the same act
+    val t2 = s"$w/default/st2"
+    Snapshots.append((0L until 200L).map(i => (i, s"v$i"))
+      .toDF("k", "s"), t2)
+    Snapshots.analyzeColumns(spark, t2)
+    Snapshots.setProperty(spark, t2, Snapshots.AnalyzeMaxDriftKey, "20")
+    Snapshots.append((200L until 500L).map(i => (i, s"v$i"))
+      .toDF("k", "s"), t2)
+    val m1 = Snapshots.maintain(spark, t2)
+    assert(m1.reanalyzedTo.nonEmpty, m1.toString)
+    assert(Snapshots.tableProperties(spark, t2)("analyze.rowCount")
+      == "500")
+    // freshly analyzed: the next maintenance pass has nothing to do
+    val m2 = Snapshots.maintain(spark, t2)
+    assert(m2.reanalyzedTo.isEmpty, m2.toString)
+  }
 }

@@ -751,7 +751,8 @@ class GraftSqlSpec extends SparkSpec {
     // maintain: one-call policy runs end-to-end
     val m = spark.sql("CALL gs.system.maintain(table => 'default.proc_t')")
     assert(m.columns.toSeq == Seq("compacted_to", "dropped_versions",
-      "deleted_files", "orphans_deleted", "dv_folded_files"))
+      "deleted_files", "orphans_deleted", "dv_folded_files",
+      "reanalyzed_to"))
     // detail: the one-row operator summary
     val det = spark.sql("CALL gs.system.detail(table => 'default.proc_t')")
       .head()
