@@ -120,15 +120,22 @@ object Similarity {
     * prober — whose quality floor IS asserted at 10×/100× by the
     * scale certification (`tools/ScaleBench`) — is the entry point. */
   def lshTopKNeighbors(emb: DataFrame, bits: Int, k: Int,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000,
+      querySide: Option[Column] = None): DataFrame = {
     require(bits <= CalibrationMaxBits,
       s"single-probe sign-LSH with $bits bucket bits is past the " +
         s"calibration envelope (<= $CalibrationMaxBits): its recall " +
         "collapses as bits grow (measured 0.007 at 100× — BASELINE.md); " +
         "use lshTopKNeighborsQueryDirected, whose probe count scales " +
         "with the bit width and whose floor is certified at scale")
-    val b = capBuckets(bucketed(emb, bits), maxBucket)
-    val pairs = b.as("x").join(b.as("y"),
+    val bAll = capBuckets(bucketed(emb, bits), maxBucket)
+    // optional query-side restriction (e.g. e7's fixed recall sample):
+    // applied AFTER the symmetric skew cap and only to the x side, so
+    // each kept vector's top-k against the FULL candidate corpus is
+    // exactly what the unrestricted call computes for it — the pair
+    // join and the per-vector window just skip vectors nobody reads
+    val b = querySide.map(bAll.filter).getOrElse(bAll)
+    val pairs = b.as("x").join(bAll.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nb_id"),
@@ -151,13 +158,18 @@ object Similarity {
     * dense gaussian embeddings — when recall matters more than scan
     * fraction, prefer [[ivfTopK]] (measured 1.0 for query top-10). */
   def lshTopKNeighborsMultiProbe(emb: DataFrame, bits: Int, k: Int,
-      maxHamming: Int = 1, maxBucket: Int = 100000): DataFrame = {
-    val b = capBuckets(bucketed(emb, bits), maxBucket)
+      maxHamming: Int = 1, maxBucket: Int = 100000,
+      querySide: Option[Column] = None): DataFrame = {
+    val bAll = capBuckets(bucketed(emb, bits), maxBucket)
+    // query-side restriction: see [[lshTopKNeighbors]] — filtered
+    // BEFORE the probe explode, so the Hamming ball is only generated
+    // for vectors whose shortlist is actually consumed
+    val b = querySide.map(bAll.filter).getOrElse(bAll)
     val masks = (0 until (1 << bits))
       .filter(m => Integer.bitCount(m) <= maxHamming)
     val probed = b.withColumn("probe", explode(array(
       masks.map(m => col("bucket").bitwiseXOR(lit(m.toLong))): _*)))
-    val pairs = probed.as("x").join(b.as("y"),
+    val pairs = probed.as("x").join(bAll.as("y"),
         col("x.probe") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nb_id"),
@@ -191,10 +203,14 @@ object Similarity {
     * position asc on ties), so results stay exactly reproducible and
     * oracle-replayable. `probeBits` ≤ 16 bounds the explode. */
   def lshTopKNeighborsQueryDirected(emb: DataFrame, bits: Int, k: Int,
-      probeBits: Int, maxBucket: Int = 100000): DataFrame = {
+      probeBits: Int, maxBucket: Int = 100000,
+      querySide: Option[Column] = None): DataFrame = {
     require(probeBits >= 0 && probeBits <= bits && probeBits <= 16,
       s"probeBits $probeBits outside [0, min(bits=$bits, 16)]")
-    val b = capBuckets(bucketed(emb, bits), maxBucket)
+    val bAll = capBuckets(bucketed(emb, bits), maxBucket)
+    // query-side restriction: see [[lshTopKNeighbors]] — the margin
+    // ranking and probe explode run only for consumed vectors
+    val b = querySide.map(bAll.filter).getOrElse(bAll)
     // positions of the probeBits smallest |v_j| among the bucket bits,
     // ties broken by position: struct sort is field-order lexicographic
     val ranked = array_sort(array((0 until bits).map(j =>
@@ -214,7 +230,7 @@ object Similarity {
     }
     val probed = withLow.withColumn("probe",
       explode(array(masks.map(col("bucket").bitwiseXOR(_)): _*)))
-    val pairs = probed.as("x").join(b.as("y"),
+    val pairs = probed.as("x").join(bAll.as("y"),
         col("x.probe") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nb_id"),

@@ -3313,10 +3313,70 @@ object Snapshots {
     val only = declOnly.map(toPhys)
     val include = (declCluster.map(toPhys) ++
       bloomCfg.map(_.cols).getOrElse(Nil)).distinct
+    // The staged files' physical schema is KNOWN (it is the frame that
+    // was just written): stat-column selection and the fallback
+    // aggregate read run against it directly — no footer schema
+    // inference pass per commit.
+    val physSchema = StructType(logical.fields.map(f =>
+      StructField(physOf(f), f.dataType, nullable = true)))
+    val cols = statColumns(physSchema, only, include)
     Staged(files,
-      sizes ++ collectStats(spark, dir.toString, rel, files, only,
-        include) ++ bloomLines,
+      sizes ++ stagedStats(spark, fs, root, rel, dir, files, cols) ++
+        bloomLines,
       logical)
+  }
+
+  /** Stat-eligible types whose parquet FOOTER statistics are exact by
+    * format AND whose rendering ([[footerMinMax]]) is byte-identical
+    * to the Spark-cast-to-string form [[collectStats]] writes:
+    * integral types render via toString, float/double via
+    * java.lang.{Float,Double}.toString (Spark's cast uses the same),
+    * boolean as true/false, DATE via LocalDate.toString. Strings
+    * (bounded-prefix truncation), decimals (footers store unscaled
+    * binary), and timestamps (Spark's cast trims trailing fractional
+    * zeros; the footer path renders a fixed .SSSSSS — value-equal but
+    * not byte-equal) stay on the aggregate path. */
+  private def footerExactStatType(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | BooleanType | DateType => true
+    case _ => false
+  }
+
+  /** Per-file `#stats` lines for a freshly staged commit. Columns of
+    * footer-exact type ([[footerExactStatType]]) are read from the
+    * parquet FOOTERS the write just produced — a metadata-only pass
+    * (driver-side for small commits, distributed past
+    * [[FooterDriverMax]] files) replacing the per-commit read-back
+    * aggregate job, which measured as ~55% of a whole append at
+    * fixture scale (tools/CommitProbe: 0.30 s of a 0.53 s append).
+    * Everything else — and any column whose footer failed to yield an
+    * exact stat for EVERY staged file (NaN bounds, missing stats) —
+    * falls back to the original aggregate, so the emitted lines are
+    * exactly what the old single-pass aggregate produced
+    * (StagedStatsSpec asserts line-level parity). */
+  private def stagedStats(spark: SparkSession, fs: FileSystem,
+      root: HPath, rel: String, dir: HPath, files: Seq[String],
+      cols: Seq[StructField]): Seq[String] = {
+    if (cols.isEmpty || files.isEmpty) return Nil
+    val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
+    val (footerCols, restCols) =
+      cols.partition(f => footerExactStatType(f.dataType))
+    val rootStr = fs.makeQualified(root).toString.stripSuffix("/")
+    val footerLines: Seq[String] =
+      if (footerCols.isEmpty) Nil
+      else footerStatLines(spark, rootStr, files, footerCols,
+        sessionTz)._1
+    // a column counts as footer-covered only when EVERY staged file
+    // yielded a line; partial coverage falls back wholesale so the
+    // manifest carries exactly what the aggregate path would have
+    def colOf(l: String): String = dec(l.split('\t')(3))
+    val byCol = footerLines.groupBy(colOf)
+    val (covered, uncovered) = footerCols.partition(f =>
+      byCol.get(f.name).exists(_.size == files.size))
+    val keptNames = covered.map(_.name).toSet
+    val keptLines = footerLines.filter(l => keptNames(colOf(l)))
+    val aggCols = restCols ++ uncovered
+    keptLines ++ collectStats(spark, dir.toString, rel, files, aggCols)
   }
 
   /** Stats cover the first [[StatsMaxCols]] atomic-typed top-level
@@ -3431,11 +3491,15 @@ object Snapshots {
     * with min/max either `v:<encoded>` or `null` (no non-null values).
     */
   private def collectStats(spark: SparkSession, dir: String,
-      rel: String, staged: Seq[String], only: Seq[String] = Nil,
-      include: Seq[String] = Nil): Seq[String] = {
-    val data = spark.read.parquet(dir)
-    val cols = statColumns(data.schema, only, include)
+      rel: String, staged: Seq[String],
+      cols: Seq[StructField]): Seq[String] = {
     if (cols.isEmpty) return Nil
+    // explicit schema of exactly the stat columns: no footer schema
+    // inference, and the scan reads only what the aggregate consumes
+    val data = spark.read
+      .schema(StructType(cols.map(f =>
+        StructField(f.name, f.dataType, nullable = true))))
+      .parquet(dir)
     val aggs = count(lit(1L)).as("__rows") +: cols.flatMap { f =>
       // string min/max: ship only a bounded prefix to the driver (the
       // +2 slack lets the driver-side truncation detect "was longer
@@ -7790,27 +7854,50 @@ object Snapshots {
     * count. Emits a line only when it is EXACT (see [[convert]]);
     * anything uncertain is simply absent — absent stats never prune
     * and never feed a stats-decided aggregate. */
+  /** Footer sweeps up to this many files run as a plain driver loop —
+    * a handful of local metadata opens costs less than one job's
+    * scheduling. Bigger sweeps (a large staging, a whole convert)
+    * distribute over executors. */
+  private val FooterDriverMax = 32
+
   private def footerStatLines(spark: SparkSession, rootStr: String,
       rels: Seq[String], fields: Seq[StructField],
       sessionTz: String): (Seq[String], Long, Map[String, Long]) = {
     if (rels.isEmpty) return (Nil, 0L, Map.empty)
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
     val want = fields.map(f => (f.name, f.dataType))
-    val slices = math.max(1, math.min(rels.size,
-      spark.sparkContext.defaultParallelism * 2))
     val perFile: Seq[(String, Seq[String], Long)] =
-      spark.sparkContext.parallelize(rels, slices).map { rel =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new HPath(s"$rootStr/$rel"), conf.value))
-        val (lines, rows) =
-          try footerLinesOf(rel, reader.getFooter, want, sessionTz)
-          finally reader.close()
-        (rel, lines, rows)
-      }.collect().toSeq
+      if (rels.size <= FooterDriverMax)
+        rels.map(footerOfOne(rootStr, _,
+          spark.sparkContext.hadoopConfiguration, want, sessionTz))
+      else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val slices = math.max(1, math.min(rels.size,
+          spark.sparkContext.defaultParallelism * 2))
+        spark.sparkContext.parallelize(rels, slices)
+          .map(rel => footerOfOne(rootStr, rel, conf.value, want,
+            sessionTz)).collect().toSeq
+      }
     (perFile.flatMap(_._2), perFile.map(_._3).sum,
       perFile.map(x => x._1 -> x._3).toMap)
+  }
+
+  /** One file's footer sweep: object-level (NOT a local def — a local
+    * def lifts to an instance method whose lambda captures the
+    * enclosing frame and fails closure serialization on the
+    * distributed path; module-method calls go through the static
+    * MODULE$ reference instead). */
+  private def footerOfOne(rootStr: String, rel: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      want: Seq[(String, DataType)], sessionTz: String)
+      : (String, Seq[String], Long) = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new HPath(s"$rootStr/$rel"), conf))
+    val (lines, rows) =
+      try footerLinesOf(rel, reader.getFooter, want, sessionTz)
+      finally reader.close()
+    (rel, lines, rows)
   }
 
   /** One file's exact `#stats` lines from its parsed footer. */
@@ -7897,14 +7984,21 @@ object Snapshots {
       case (ByteType | ShortType | IntegerType | LongType,
           INT32 | INT64) if signedInt =>
         Some((mn.toString, mx.toString))
+      // NaN bounds are order-meaningless; ZERO bounds are normalized by
+      // the format (writers store min=-0.0/max=+0.0 whichever sign was
+      // attained — PARQUET-1222), so a ±0.0 bound may not be an
+      // ATTAINED value and the stats-decided aggregates would lie.
+      // Both fail open.
       case (FloatType, FLOAT) =>
         val (a, b) = (mn.asInstanceOf[java.lang.Float],
           mx.asInstanceOf[java.lang.Float])
-        if (a.isNaN || b.isNaN) None else Some((a.toString, b.toString))
+        if (a.isNaN || b.isNaN || a == 0.0f || b == 0.0f) None
+        else Some((a.toString, b.toString))
       case (DoubleType, DOUBLE) =>
         val (a, b) = (mn.asInstanceOf[java.lang.Double],
           mx.asInstanceOf[java.lang.Double])
-        if (a.isNaN || b.isNaN) None else Some((a.toString, b.toString))
+        if (a.isNaN || b.isNaN || a == 0.0d || b == 0.0d) None
+        else Some((a.toString, b.toString))
       case (BooleanType, BOOLEAN) =>
         Some((mn.toString, mx.toString))
       case (DateType, INT32)

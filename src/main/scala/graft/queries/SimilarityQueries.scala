@@ -671,13 +671,21 @@ object SimilarityQueries {
           (col("hits").cast("double") / col("total").cast("double"))
             .as("recall"))
         .withColumn("pass", col("recall") >= lit(bound))
+    // the recall semi-joins consume only the SAMPLE vectors' shortlists
+    // (ex3 holds vec_id < RecallSampleN alone), so the e2/e5 pipelines
+    // compute per-vector top-k just for the sample — the candidate side
+    // stays the full corpus, so each sampled vector's shortlist (hence
+    // hits) is bit-identical to the unrestricted pipelines'
+    val sample = Some(col("vec_id") < RecallSampleN)
     val r2 = recallRow("e2_ann_lsh",
-      Similarity.lshTopKNeighbors(emb, bits = LshBits, k = LshK)
+      Similarity.lshTopKNeighbors(emb, bits = LshBits, k = LshK,
+        querySide = sample)
         .select("vec_id", "nb_id"),
       ex3, Seq("vec_id", "nb_id"), 0.10)
     val r5 = recallRow("e5_ann_multiprobe",
       Similarity.lshTopKNeighborsMultiProbe(emb, bits = LshBits,
-        k = LshK, maxHamming = MaxHamming).select("vec_id", "nb_id"),
+        k = LshK, maxHamming = MaxHamming, querySide = sample)
+        .select("vec_id", "nb_id"),
       ex3, Seq("vec_id", "nb_id"), 0.40)
     val r3 = recallRow("e3_ivf",
       Similarity.ivfTopK(emb, nCentroids = IvfNc, nProbe = IvfProbe,
@@ -795,10 +803,14 @@ object SimilarityQueries {
     // top-3 is densely tied mid-cosine mass (the e6 noise-tail
     // finding, measured), so identity there measures tie-breaking as
     // much as index quality; the quality ratio is what a user gets.
+    // querySide pushes the sample INTO the prober (margin ranking and
+    // probe explode run only for the 150 consumed vectors; candidate
+    // side stays the full corpus, so per-vector shortlists are
+    // identical to the post-filtered unrestricted call)
     val qdGot = Similarity.lshTopKNeighborsQueryDirected(emb,
         bits = lshBits, k = LshK,
-        probeBits = math.min(QdScaledProbeBits, lshBits))
-      .filter(col("vec_id") < RecallSampleN)
+        probeBits = math.min(QdScaledProbeBits, lshBits),
+        querySide = Some(col("vec_id") < RecallSampleN))
       .select("vec_id", "nb_id", "cos_sim")
     val r5 = {
       val hits = qdGot.join(
