@@ -72,8 +72,11 @@ object Graph {
       .withColumn("tw", sum(col("w")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    // one cached-edge scan, not two: the union formulation read the
+    // (just-written) cache once per side; exploding both endpoints in
+    // a single pass halves the scan before the distinct's shuffle
+    val nodes = e.select(explode(array(col("src"), col("dst")))
+        .as("node"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {

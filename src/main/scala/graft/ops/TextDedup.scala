@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+  ShortType}
 
 import graft.functions.TextFns
 
@@ -316,6 +318,46 @@ object TextDedup {
     *   so keep-one-per-cluster would retain near-duplicates; pass false
     *   to accept partial clustering (logged) instead.
     */
+  /** Edge-row bound for the driver union-find shortcut in
+    * [[dedupClusters]]: 2^20 symmetrized edge rows ≈ 16 MB of longs on
+    * the driver — the same order as merge's footprint materialization.
+    * Past it the distributed label-propagation loop runs unchanged. */
+  private val DriverUnionFindMaxEdges = 1L << 20
+
+  /** Connected components of a small collected edge list: union-find
+    * with path halving, then one pass labels every vertex with the
+    * MINIMUM vertex id of its component — exactly the fixpoint the
+    * distributed hash-min loop converges to (the min is computed in a
+    * separate pass, so the union order never affects the labels). */
+  private def driverComponents(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val minOf = new java.util.HashMap[Long, Long]()
+    val verts = new java.util.LinkedHashSet[Long]()
+    es.foreach { case (a, b) => verts.add(a); verts.add(b) }
+    verts.forEach { v =>
+      val r = find(v)
+      minOf.merge(r, v, (x, y) => math.min(x, y))
+    }
+    val out = Seq.newBuilder[(Long, Long)]
+    verts.forEach(v => out += ((v, minOf.get(find(v)))))
+    out.result()
+  }
+
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
       maxIterations: Int = 20,
       requireConvergence: Boolean = true): DataFrame = {
@@ -324,9 +366,12 @@ object TextDedup {
     // local[*] is one JVM: a second replica has nowhere to live (Spark
     // would log a downgrade warning every iteration), so replication is
     // reserved for real clusters, where it turns an executor loss into a
-    // remote-read instead of a lineage recompute.
+    // remote-read instead of a lineage recompute. Locally the labels
+    // frame is loop-state-sized and read right back next iteration —
+    // memory-first (spilling past the storage fraction) beats paying a
+    // disk round-trip per iteration.
     val level =
-      if (spark.sparkContext.isLocal) StorageLevel.DISK_ONLY
+      if (spark.sparkContext.isLocal) StorageLevel.MEMORY_AND_DISK
       else StorageLevel.DISK_ONLY_2
     // Flat-plan materialization barrier (see scaladoc)
     var lastCount = 0L
@@ -342,19 +387,65 @@ object TextDedup {
       edges.unpersist(blocking = false)
       return docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
     }
+    val edgeRows = lastCount
+    // The barrier frames are LogicalRDD leaves with NO size statistics,
+    // so Spark's join selection can never broadcast them — every loop
+    // join was a full shuffle of BOTH sides, including the edge (and
+    // finally the corpus) side, per iteration. The barrier also hands
+    // us the EXACT row count of each materialized frame; below the
+    // budget the label side broadcasts, so edges/docs never shuffle.
+    // Same decide-from-the-one-known-number discipline as
+    // Graph.pageRank's maxBroadcastNodes; labels rows are bounded by
+    // the pair-graph vertex count, far below the corpus.
+    val broadcastLabelRows = 4000000L
+    var labelRows = edgeRows // vertices <= symmetrized edge rows
+    def labelSide(df: DataFrame): DataFrame =
+      if (labelRows <= broadcastLabelRows) broadcast(df) else df
     // Iterate ONLY over the pair-graph's vertex set: a doc with no
     // near-dup edge can never change its label, and in a real corpus
     // near-dup vertices are a small fraction of all docs — the loop's
     // frames scale with |pairs|, not |corpus|. Singletons rejoin at the
     // end via coalesce.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    //
+    // Small INTEGRAL-keyed pair graphs close on the driver instead: the
+    // distributed loop pays O(log diameter) rounds of fixed shuffle/
+    // scheduling cost (measured 8 rounds × ~0.4 s for a 590-pair graph
+    // at sf0.1 — the whole of d7's clustering time), where a union-find
+    // over the collected edges is one collect + one parallelize. Same
+    // capped-driver-with-distributed-fallback discipline as merge's
+    // in-set footprint; the cap bounds driver memory to ~tens of MB.
+    // Integral keys only: driver min matches Spark's min exactly there,
+    // while string ordering differs (UTF-16 vs UTF8-binary comparisons)
+    // — non-integral keys and NULL-bearing edges keep the loop.
+    val driverLabels: Option[Seq[(Long, Long)]] =
+      if (edgeRows > DriverUnionFindMaxEdges) None
+      else edges.schema("src").dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val collected = edges.collect()
+          if (collected.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+          else Some(driverComponents(collected.map(r =>
+            (r.get(0).asInstanceOf[Number].longValue,
+              r.get(1).asInstanceOf[Number].longValue))))
+        case _ => None
+      }
+    var labels = driverLabels match {
+      case Some(lab) =>
+        import spark.implicits._
+        labelRows = lab.size.toLong
+        val keyT = edges.schema("src").dataType
+        lab.toDF("doc_id", "cluster_id")
+          .select(col("doc_id").cast(keyT).as("doc_id"),
+            col("cluster_id").cast(keyT).as("cluster_id"))
+      case None => edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
+    }
     var prev: Option[DataFrame] = None
-    var converged = false
+    var converged = driverLabels.isDefined
     var i = 0
     while (!converged && i < maxIterations) {
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .join(labelSide(labels.withColumnRenamed("doc_id", "dst")),
+          Seq("dst"))
         .select(col("src").as("doc_id"), col("cluster_id"))
       val improved = labels.union(viaNeighbors)
         .groupBy("doc_id")
@@ -368,11 +459,13 @@ object TextDedup {
       // job per iteration; the convergence check is then just a scan of
       // the freshly cached blocks, not a re-executed join
       val flagged = jumped
-        .join(labels.select(col("doc_id"), col("cluster_id").as("__old")),
+        .join(labelSide(
+            labels.select(col("doc_id"), col("cluster_id").as("__old"))),
           Seq("doc_id"))
         .select(col("doc_id"), col("cluster_id"),
           (col("cluster_id") =!= col("__old")).as("__chg"))
       val next = materialize(flagged)
+      labelRows = lastCount // exact: feeds the next broadcast decision
       val changed = next.filter(col("__chg")).limit(1).count()
       prev.foreach(_.unpersist(blocking = false))
       prev = Some(next)
@@ -389,8 +482,8 @@ object TextDedup {
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     docs.select(col("doc_id"))
-      .join(labels.withColumnRenamed("cluster_id", "__cl"), Seq("doc_id"),
-        "left")
+      .join(labelSide(labels.withColumnRenamed("cluster_id", "__cl")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("__cl"), col("doc_id")).as("cluster_id"))
   }

@@ -303,8 +303,17 @@ object TimeSeriesQueries {
             (col("o_custkey") * 2).as("src"),
             (col("l_suppkey") * 2 + 1).as("dst"))
           .agg(count(lit(1)).as("w"))
-        val edges = e0.unionByName(
-          e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        // symmetrize in ONE pass over the aggregate: the union
+        // formulation (e0 UNION e0 swapped) planned the join+aggregate
+        // subtree twice — exchange reuse deduplicates the shuffle but
+        // the final aggregate still ran per side; exploding both
+        // directions from one aggregate output emits the identical
+        // edge multiset at half the aggregate cost
+        val edges = e0.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"),
+            col("w"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"), col("w"))
         Graph.pageRank(edges, iterations = 3)
           .orderBy(col("rank").desc, col("node").asc)
       },

@@ -732,14 +732,27 @@ final case class GraftMergeActionsCommand(dir: String, tableName: String,
     // BEFORE the classification join (matched rows are the only target
     // rows the join can use — src LEFT JOIN tgt never needs the rest).
     // A NOT MATCHED BY SOURCE clause classifies every target row, so
-    // it forfeits the pruning and pays the full-outer scan.
+    // it forfeits the pruning and pays the full-outer scan. The
+    // literal cap follows merge's in-set footprint discipline (1024,
+    // Snapshots.MergeInSetLimit): past it the filter degrades to the
+    // keys' min/max range — still a parquet-pushable prune, without
+    // embedding 10k literals that every derived plan's analysis would
+    // re-walk (measured: a 5.7k-literal In put ~2.5 s of pure driver
+    // planning on ONE warmed MERGE statement at sf0.1).
     val tgt =
       if (!hasBySource && keys.lengthCompare(1) == 0) {
         val vals = src.select(col(keys.head._2)).na.drop().distinct()
-          .limit(10001).collect().map(_.get(0))
-        if (vals.length <= 10000)
+          .limit(1025).collect().map(_.get(0))
+        if (vals.isEmpty) tgt0.limit(0)
+        else if (vals.length <= 1024)
           tgt0.filter(col(keys.head._1).isin(vals.toIndexedSeq: _*))
-        else tgt0
+        else {
+          val r = src.agg(org.apache.spark.sql.functions.min(
+              col(keys.head._2)), org.apache.spark.sql.functions.max(
+              col(keys.head._2))).head()
+          tgt0.filter(col(keys.head._1)
+            .between(lit(r.get(0)), lit(r.get(1))))
+        }
       } else tgt0
     // __tgt_mark cannot collide with a renamed target column: every
     // rename is "__t_" + name, whose fourth character is '_'
@@ -748,6 +761,14 @@ final case class GraftMergeActionsCommand(dir: String, tableName: String,
     val joinCond = keys.map { case (tc, sc) =>
       col(sc) === col(s"__t_$tc")
     }.reduce(_ && _)
+    // NOTE: a LogicalRDD flat-plan barrier here (the dedupClusters
+    // idiom) was tried and REVERTED: it does cut the re-analysis of
+    // the join tree under every derived frame, but a LogicalRDD leaf
+    // has no size statistics, so the commit verb's anti-join and
+    // probe joins lose their broadcast decisions and fall back to
+    // sort-merge (measured +2.6 s of job time on s41's
+    // merge_conditional — more than the analysis saved). The literal
+    // cap above keeps the tree cheap to re-walk instead.
     val joined = src.join(tRenamed, joinCond,
       if (hasBySource) "full_outer" else "left").persist()
     try {

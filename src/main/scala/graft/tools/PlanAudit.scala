@@ -91,6 +91,7 @@ object PlanAudit {
     def count(hay: String, needle: String): Int =
       hay.sliding(needle.length).count(_ == needle)
     var badTotal = 0
+    var gbadTotal = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         // executedPlan (not sparkPlan): EnsureRequirements has inserted
@@ -110,17 +111,31 @@ object PlanAudit {
           boundedBuild(build)
         }
         badTotal += bad.size
+        // unpartitioned (global) windows: single-partition sorts at
+        // scale UNLESS the input is already cut to a bounded row count
+        // by a limit below the window (v1's top-100 coverage rollup is
+        // the intended shape). gwin_bad counts the unbounded ones; the
+        // suite-wide invariant is gwin_bad == 0 (PlanSpec enforces it).
+        val gwins = allNodes(plan).collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        val (gok, gbad) = gwins.partition(w => boundedBuild(w.child))
+        gbadTotal += gbad.size
         println(f"$name%-28s ex=${count(p, "Exchange ")}%2d " +
           f"smj=${count(p, "SortMergeJoin")}%2d " +
           f"bhj=${count(p, "BroadcastHashJoin")}%2d " +
           f"bnl_ok=${ok.size}%2d bnl_bad=${bad.size}%2d " +
-          f"win=${count(p, "Window [")}%2d" +
-          (if (bad.nonEmpty) "  <-- UNBOUNDED NESTED LOOP" else ""))
+          f"win=${count(p, "Window [")}%2d " +
+          f"gwin_ok=${gok.size}%2d gwin_bad=${gbad.size}%2d" +
+          (if (bad.nonEmpty) "  <-- UNBOUNDED NESTED LOOP" else "") +
+          (if (gbad.nonEmpty) "  <-- UNBOUNDED GLOBAL WINDOW" else ""))
       } catch { case e: Throwable =>
         println(s"$name FAILED: ${e.getMessage.take(80)}")
       }
     }
-    println(s"TOTAL bnl_bad=$badTotal (invariant: 0)")
+    println(s"TOTAL bnl_bad=$badTotal (invariant: 0), " +
+      s"gwin_bad=$gbadTotal (invariant: 0)")
     spark.stop()
   }
 }

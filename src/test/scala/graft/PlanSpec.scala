@@ -128,6 +128,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("global-window audit: v1's bounded top-100 window is the ONLY unpartitioned window in the whole registry") {
+    // an unpartitioned window moves the whole input into ONE partition —
+    // the canonical scale cliff. The audit walks every registered
+    // query's plan: the single intended instance is v1's cumulative-
+    // coverage window, whose input the test below proves is cut to
+    // ≤100 rows FIRST. Anything new fails here by name.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: p.children.flatMap(nodes)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        nodes(fn(spark, dir).queryExecution.sparkPlan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => name
+        }
+      }.distinct
+    assert(offenders == Seq("v1_vocab_coverage"), offenders.toString)
+  }
+
   test("v1: rank cutoff bounds the intentionally-global window to top-100") {
     // the unpartitioned cumulative-coverage window must sit ABOVE a
     // TakeOrderedAndProject, so its single partition holds ≤100 rows —

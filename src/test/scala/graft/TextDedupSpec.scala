@@ -77,11 +77,14 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("dedupClusters surfaces non-convergence instead of returning split clusters") {
+    // STRING ids: integral-keyed small graphs close exactly on the
+    // driver (no iteration, nothing to converge) — the refusal under
+    // test belongs to the distributed loop, which strings exercise
     val n = 40
-    val chainDocs = (0 until n).map(i => (i.toLong, s"doc $i"))
+    val chainDocs = (0 until n).map(i => (f"d$i%03d", s"doc $i"))
       .toDF("doc_id", "text")
-    val chainPairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
-      .toDF("doc_a", "doc_b")
+    val chainPairs = (0 until n - 1)
+      .map(i => (f"d$i%03d", f"d${i + 1}%03d")).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
       graft.ops.TextDedup.dedupClusters(chainDocs, chainPairs,
         maxIterations = 2)
@@ -90,6 +93,20 @@ class TextDedupSpec extends SparkSpec {
     val partial = graft.ops.TextDedup.dedupClusters(chainDocs, chainPairs,
       maxIterations = 2, requireConvergence = false)
     assert(partial.count() == n)
+  }
+
+  test("dedupClusters integral small graph is exact regardless of the iteration cap (driver union-find)") {
+    // a 200-link Long chain with maxIterations=1: the loop would refuse;
+    // the capped driver union-find returns the exact single component
+    val n = 200
+    val chainDocs = (0 until n).map(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+    val chainPairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val labels = graft.ops.TextDedup.dedupClusters(chainDocs, chainPairs,
+        maxIterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L))
   }
 
   // ---- oversized-bucket skew guards -------------------------------------
@@ -158,10 +175,13 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("dedupClusters surfaces an iteration cap hit instead of splitting") {
-    // a 12-node chain: min-label propagation + pointer jumping cannot
-    // reach the fixpoint in one round, so the cap fires
-    val docs = (0L to 11L).toDF("doc_id")
-    val pairs = (0L to 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // a 12-node STRING chain (strings keep the distributed loop — see
+    // the driver union-find note above): min-label propagation +
+    // pointer jumping cannot reach the fixpoint in one round, so the
+    // cap fires
+    val docs = (0 to 11).map(i => f"d$i%02d").toDF("doc_id")
+    val pairs = (0 to 10).map(i => (f"d$i%02d", f"d${i + 1}%02d"))
+      .toDF("doc_a", "doc_b")
     val ex = intercept[IllegalStateException] {
       TextDedup.dedupClusters(docs, pairs, maxIterations = 1)
     }
