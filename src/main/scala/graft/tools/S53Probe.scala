@@ -16,10 +16,16 @@ import graft.ops.Snapshots
   * Usage: runMain graft.tools.S53Probe [sfDir]
   */
 object S53Probe {
+  // job-time accounting: jobs-vs-wall per phase separates executor
+  // work from driver-side planning (the merge_conditional lesson)
+  private val jobSec = new java.util.concurrent.atomic.DoubleAdder()
   private def ms[A](what: String)(body: => A): A = {
+    val j0 = jobSec.sum()
     val t0 = System.nanoTime()
     val r = body
-    println(f"$what%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(50) // let job-end events drain
+    println(f"$what%-24s $wall%6.2f s  (jobs ${jobSec.sum() - j0}%5.2f s)")
     r
   }
 
@@ -31,6 +37,17 @@ object S53Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, System.nanoTime())
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(starts.remove(je.jobId)).foreach(t0 =>
+            jobSec.add((System.nanoTime() - t0) / 1e9))
+      })
     val stage = java.nio.file.Files.createTempDirectory("graft_s53p")
       .toFile.toString
     val src = s"$stage/s53_src"; val dst = s"$stage/s53_dst"
@@ -40,7 +57,7 @@ object S53Probe {
     ms("append waves")(
       Snapshots.append(
         base.filter(pmod(col("o_orderkey"), lit(4)) < 2), src))
-    ms("first sync")(
+    val r1 = ms("first sync")(
       Snapshots.replicate(spark, src, dst, Seq("o_orderkey")))
     ms("src append")(Snapshots.append(
       base.filter(pmod(col("o_orderkey"), lit(4)) === 2), src))
@@ -56,6 +73,13 @@ object S53Probe {
         .select("o_orderkey"),
       Seq("o_orderkey")))
     ms("src compact")(Snapshots.compact(spark, src, 4))
+    // the incremental window's feed, evaluated standalone (count is
+    // read-only: the mark does not advance) — twice, to separate the
+    // one-time costs from the steady evaluation
+    ms("feed eval (count)")(
+      Snapshots.changeFeed(spark, src, r1.toVersion).count())
+    ms("feed eval again")(
+      Snapshots.changeFeed(spark, src, r1.toVersion).count())
     ms("incremental sync")(
       Snapshots.replicate(spark, src, dst, Seq("o_orderkey")))
     ms("no-op sync")(

@@ -269,6 +269,37 @@ class GraftSqlSpec extends SparkSpec {
       .head().getLong(0) == 1)
   }
 
+  test("conditional MERGE past the 1024-literal pruning cap (range fallback) keeps exact semantics") {
+    // >1024 distinct source keys: the classification pruning degrades
+    // from an IN-literal filter to the keys' [min, max] range — the
+    // range covers non-matching target rows (2000..2499), which must
+    // classify as untouched, and target rows BELOW the range (0..499)
+    // are pruned before the join, which must not lose them
+    warehouse
+    spark.sql("CREATE TABLE gs.default.mrgcap (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gs.default.mrgcap " +
+      "SELECT id, id * 1.0 FROM range(2500)")
+    // 1500 source keys at 500..1999 (past the cap), plus 3000..3004 new
+    spark.sql("""SELECT id, id * 10.0 AS nv FROM range(500, 2000)
+      UNION ALL SELECT id, id * 10.0 FROM range(3000, 3005)""")
+      .createOrReplaceTempView("mrgcap_src")
+    spark.sql("""MERGE INTO gs.default.mrgcap t USING mrgcap_src s
+      ON t.id = s.id
+      WHEN MATCHED AND s.nv >= 19000.0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED AND s.id < 3003 THEN
+        INSERT (id, v) VALUES (s.id, s.nv)""")
+    val got = spark.sql("SELECT id, v FROM gs.default.mrgcap ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    val want =
+      ((0L until 500L).map(i => (i, i * 1.0)) ++        // below range: kept
+        (500L until 1900L).map(i => (i, i * 10.0)) ++   // updated
+        // 1900..1999 deleted (nv >= 19000)
+        (2000L until 2500L).map(i => (i, i * 1.0)) ++   // in range, unmatched
+        (3000L until 3003L).map(i => (i, i * 10.0))).sorted // guarded insert
+    assert(got == want)
+  }
+
   test("DELETE WHERE k IN (subquery) is a distributed tombstone delete") {
     warehouse
     spark.sql("CREATE TABLE gs.default.dsub (id BIGINT, v DOUBLE)")
