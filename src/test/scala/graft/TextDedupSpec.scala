@@ -95,6 +95,31 @@ class TextDedupSpec extends SparkSpec {
     assert(partial.count() == n)
   }
 
+  test("driver union-find and the distributed loop agree on a seeded random graph") {
+    // parity: the same 300-edge random graph clustered through BOTH
+    // paths — Long ids take the driver union-find, zero-padded string
+    // spellings of the same ids force the distributed loop (label
+    // minima agree because zero-padded lexicographic == numeric order)
+    val rnd = new scala.util.Random(42)
+    val n = 120
+    val edges = Seq.fill(300)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val docsL = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairsL = edges.toDF("doc_a", "doc_b")
+    val gotL = graft.ops.TextDedup.dedupClusters(docsL, pairsL)
+      .as[(Long, Long)].collect().toMap
+    val docsS = (0 until n).map(i => f"d$i%04d").toDF("doc_id")
+    val pairsS = edges.map { case (a, b) => (f"d$a%04d", f"d$b%04d") }
+      .toDF("doc_a", "doc_b")
+    val gotS = graft.ops.TextDedup.dedupClusters(docsS, pairsS)
+      .as[(String, String)].collect().toMap
+    assert(gotL.size == n && gotS.size == n)
+    gotL.foreach { case (d, c) =>
+      assert(gotS(f"d$d%04d") == f"d$c%04d",
+        s"doc $d: driver label $c vs loop label ${gotS(f"d$d%04d")}")
+    }
+  }
+
   test("dedupClusters integral small graph is exact regardless of the iteration cap (driver union-find)") {
     // a 200-link Long chain with maxIterations=1: the loop would refuse;
     // the capped driver union-find returns the exact single component
